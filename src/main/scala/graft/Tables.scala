@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture loaders + session construction shared by Verify / Bench / tests.
+  *
+  * All query entry points receive `(spark, sfDir)` and load parquet through
+  * here so scan-level concerns (the nanosecond-timestamp workaround, column
+  * pruning) live in one place.
+  */
+object Tables {
+
+  /** Confs every graft session needs. Applied both at builder time (Verify /
+    * Bench / tests) and defensively at runtime (all are dynamic SQLConfs).
+    *
+    * - `nanosAsLong`: the `events` fixture stores `ts` as parquet
+    *   TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    *   ([PARQUET_TYPE_ILLEGAL]); reading it as a long and converting in
+    *   [[events]] keeps the scan vectorized.
+    * - AQE on: at 100 TB, runtime coalescing / skew-join splitting matter
+    *   far more than any static tuning we could do here.
+    */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC"
+  )
+
+  def applyConfs(spark: SparkSession): Unit =
+    sessionConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: Throwable => () }
+    }
+
+  /** Build a local session with graft confs. `cpus` also sizes
+    * `spark.sql.shuffle.partitions` — on a real cluster this would instead
+    * be ~2-3x total executor cores (or left to AQE's initial value).
+    */
+  def localSession(appName: String, cpus: String = "4"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    sessionConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    applyConfs(spark)
+    spark.read.parquet(path(dir, name))
+  }
+
+  // TPC-H-ish star schema (FIXTURES.md §B)
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+
+  // LLM-pipeline tables
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** The event-stream table (the stand-in for the reference's Pulsar topic).
+    *
+    * `ts` is parquet TIMESTAMP(NANOS): read as long nanos
+    * (`nanosAsLong=true`), then converted with integer arithmetic —
+    * `ts div 1000` stays in long space; a double division would lose
+    * precision above 2^53 and corrupt microseconds. The fixture has zero
+    * sub-microsecond residue, so this equals DuckDB's native ns read.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.sources.JsonDecode
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The event-stream surface: what the reference's ingestion feed exists to
+  * serve (SURVEY §2.2 streaming rows + §3.1 decode path), as batch queries
+  * over the `events` fixture. Each streaming construct has a batch twin here
+  * (DuckDB can't run streaming queries — SURVEY §7.5.4); the streaming forms
+  * themselves (watermarks, MemoryStream, checkpoint restart) are exercised
+  * in `graft.streaming` scalatest suites.
+  *
+  * Event timestamps are emitted as epoch seconds (long): the fixture's ts is
+  * ns-precision parquet, and a long sidesteps Spark-µs/DuckDB-ns unit
+  * differences in the driver's hash compare.
+  *
+  * Scale: all window/session queries shuffle once on their grouping key;
+  * session windows additionally sort within partitions (Spark plans
+  * UpdatingSessionsExec) — state stays bounded per user, the 100 TB story
+  * is a straight groupBy-shuffle, no driver-side anything.
+  */
+object Events {
+
+  private def sumDec(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+
+  /** props payload schema — the host-supplied `fieldsToRead` of the decode
+    * seam (`PulsarJSONMessageDecoder.java:48`).
+    */
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_json_get",
+      "S13 JSON field extraction per message (Pinot JSONEXTRACTSCALAR ≅ get_json_object)",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_val")
+          )
+          .orderBy(col("event_id"))
+          .limit(500),
+      Some("""SELECT event_id, event_type,
+             |  cast(json_extract_string(props, '$.k') as bigint) AS k_val
+             |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_json_decode_agg",
+      "S13-S15 full decode path: from_json (PERMISSIVE, drop-on-malformed) + projection, then aggregate",
+      (s, dir) => {
+        val decoded = JsonDecode.decode(
+          Tables.events(s, dir),
+          payloadCol = "props",
+          schema = propsSchema,
+          fields = Seq("k"),
+          passthrough = Seq("event_type")
+        )
+        decoded
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(1) AS n,
+             |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+             |  round(cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
+             |        / count(1), 6) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_window_tumbling",
+      "tumbling event-time window (batch twin of the streaming windowed agg)",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec(col("value"), 2).as("sum_value")
+          )
+          .select(
+            unix_timestamp(col("window.start")).as("wstart_s"),
+            col("event_type"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy(col("wstart_s"), col("event_type")),
+      Some(s"""SELECT cast(floor(epoch(ts) / 3600) * 3600 as bigint) AS wstart_s,
+              |  event_type, count(1) AS n,
+              |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY wstart_s, event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_window_sliding",
+      "sliding event-time window (1h window / 30min slide; each event lands in exactly 2 windows)",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+          .select(
+            unix_timestamp(col("window.start")).as("wstart_s"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy(col("wstart_s")),
+      Some(s"""SELECT cast(floor(epoch(ts) / 1800) * 1800 - 1800 * i as bigint) AS wstart_s,
+              |  count(1) AS n,
+              |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
+              |FROM events CROSS JOIN (VALUES (0), (1)) s(i)
+              |GROUP BY 1 ORDER BY wstart_s""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_session",
+      "session windows per user, 30-minute gap (batch twin of session_window; oracle = gaps-and-islands)",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), sumDec(col("value"), 2).as("sum_value"))
+          .select(
+            col("user_id"),
+            unix_timestamp(col("session_window.start")).as("session_start_s"),
+            (unix_timestamp(col("session_window.end"))).as("session_end_s"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy(col("user_id"), col("session_start_s")),
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, ts, "value",
+              |    CASE WHEN lag(ts) OVER w IS NULL
+              |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              |), sessions AS (
+              |  SELECT user_id, ts, "value",
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              |                           ROWS UNBOUNDED PRECEDING) AS session_id
+              |  FROM flagged
+              |)
+              |SELECT user_id,
+              |  cast(floor(epoch(min(ts))) as bigint) AS session_start_s,
+              |  cast(floor(epoch(max(ts))) + 1800 as bigint) AS session_end_s,
+              |  count(1) AS n,
+              |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
+              |FROM sessions GROUP BY user_id, session_id
+              |ORDER BY user_id, session_start_s""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_compacted",
+      "S7 readCompacted semantics: latest value per key at read time (event_id is the monotone offset)",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+        Tables
+          .events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("event_type"),
+            col("value"),
+            unix_timestamp(col("ts")).as("ts_s")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, event_type, "value",
+             |  cast(floor(epoch(ts)) as bigint) AS ts_s
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id
+             |                               ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_type_stats",
+      "per-type stats incl. stddev/variance (rounded: parallel-aggregation order differs)",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"),
+            round(stddev_samp(col("value")), 4).as("sd_v"),
+            round(var_samp(col("value")), 3).as("var_v")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(1) AS n, count(DISTINCT user_id) AS n_users,
+             |  min("value") AS min_v, max("value") AS max_v,
+             |  round(stddev_samp("value"), 4) AS sd_v,
+             |  round(var_samp("value"), 3) AS var_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
+  )
+}

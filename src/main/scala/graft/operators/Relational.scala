@@ -1,0 +1,579 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational analytics surface (SURVEY §2.2): the query shapes Pinot
+  * serves over rows the reference plugin ingests — filter / project /
+  * join (broadcast, shuffle, semi, anti, range) / hash agg / distinct /
+  * percentile / rollup / cube / top-N / window functions / set ops /
+  * scalar function library — each expressed through Catalyst-planned
+  * built-ins and paired with a DuckDB oracle.
+  *
+  * Scale stance (graded at 100 TB, see SCALE.md): dimensions are
+  * `broadcast()` so fact scans never shuffle for star joins; fact-fact
+  * joins shuffle on their join key once and AQE handles skew; aggregations
+  * rely on Catalyst's partial (map-side) aggregation; every filter /
+  * projection lands in the parquet scan (verified via
+  * `.explain("formatted")` — PushedFilters / ReadSchema).
+  */
+object Relational {
+
+  /** Exact sum of a double column via decimal — order-independent and
+    * engine-independent, unlike a double sum (QueryDef Scaladoc).
+    */
+  private def sumDec(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+
+  /** Price bands for the range-join query; single source of truth rendered
+    * into both the Spark literal dim table and the oracle's VALUES clause.
+    */
+  private val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("p0_budget", 0.0, 1100.0),
+    ("p1_mid", 1100.0, 1500.0),
+    ("p2_high", 1500.0, 1900.0),
+    ("p3_premium", 1900.0, 1e9)
+  )
+  private def bandsValuesSql: String =
+    priceBands
+      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }
+      .mkString("(VALUES ", ", ", ") bands(band, lo, hi)")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_scan_project",
+      "S15 projection + predicate pushdown: filtered columnar scan; filter and 4-column ReadSchema reach the parquet reader",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .filter(
+            col("l_shipdate") < to_timestamp(lit("1995-01-01 00:00:00")) &&
+              col("l_quantity") > 45
+          )
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(200),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin)
+    ),
+    QueryDef(
+      "q_filter_pred",
+      "compound predicates: IN-list, BETWEEN, LIKE — all pushed to the scan",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .filter(
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+              col("o_totalprice").between(50000, 100000) &&
+              col("o_orderstatus") =!= "P"
+          )
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+          .limit(200),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  AND o_totalprice BETWEEN 50000 AND 100000 AND o_orderstatus <> 'P'
+             |ORDER BY o_orderkey LIMIT 200""".stripMargin)
+    ),
+    QueryDef(
+      "q1_agg",
+      "TPC-H Q1 shape: partial+final hash aggregation, exact decimal sums, derived avg",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumDec(col("l_quantity"), 2).as("sum_qty"),
+            sumDec(col("l_extendedprice"), 2).as("sum_base_price"),
+            sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+            sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
+              .as("sum_charge"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+              .as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${QueryDef.sumDecSql("l_quantity", 2)} AS sum_qty,
+              |  ${QueryDef.sumDecSql("l_extendedprice", 2)} AS sum_base_price,
+              |  ${QueryDef.sumDecSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+              |  ${QueryDef.sumDecSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+              |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(1), 6) AS avg_qty,
+              |  count(1) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    QueryDef(
+      "q_agg_minmax",
+      "min/max/count/avg per group (exact doubles for min/max, decimal-derived avg)",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"),
+            count(lit(1)).as("n"),
+            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
+              .as("avg_bal")
+          )
+          .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+             |  count(1) AS n,
+             |  round(cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(1), 6) AS avg_bal
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_star",
+      "star join lineitem->orders->customer->nation->region; dims broadcast so the fact scan never shuffles for the join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        val c  = Tables.customer(s, dir)
+        val n  = Tables.nation(s, dir)
+        val r  = Tables.region(s, dir)
+        li.join(broadcast(o.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n.select("n_nationkey", "n_regionkey")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy(col("r_name"))
+      },
+      Some(s"""SELECT r_name,
+              |  ${QueryDef.sumDecSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+              |  count(1) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_factfact",
+      "fact-fact equi-join (shuffle on the join key; AQE picks SMJ/SHJ and splits skew)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sumDec(col("l_extendedprice"), 2).as("sum_price")
+          )
+          .orderBy(col("o_orderstatus")),
+      Some(s"""SELECT o_orderstatus, count(1) AS n_items,
+              |  ${QueryDef.sumDecSql("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_semi",
+      "left-semi join (EXISTS): customers having at least one 'F' order",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(1) AS n_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_anti",
+      "left-anti join (NOT EXISTS): customers with no orders at all",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(1) AS n_customers
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_range",
+      "non-equi (range) join against a broadcast literal dim: price banding",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val bands = priceBands.toDF("band", "lo", "hi")
+        Tables
+          .part(s, dir)
+          .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_parts"), sumDec(col("p_retailprice"), 2).as("sum_price"))
+          .orderBy(col("band"))
+      },
+      Some(s"""SELECT band, count(1) AS n_parts,
+              |  ${QueryDef.sumDecSql("p_retailprice", 2)} AS sum_price
+              |FROM part JOIN $bandsValuesSql
+              |  ON p_retailprice >= lo AND p_retailprice < hi
+              |GROUP BY band ORDER BY band""".stripMargin)
+    ),
+    QueryDef(
+      "q_agg_distinct",
+      "exact distinct counts per group (Pinot DISTINCTCOUNT)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps, count(1) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_approx_distinct",
+      "approximate distinct (Pinot DISTINCTCOUNTHLL ≅ approx_count_distinct); sketch values are engine-specific so no SQL oracle — rows-only check",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders")
+          )
+          .orderBy(col("l_returnflag")),
+      None
+    ),
+    QueryDef(
+      "q_percentile",
+      "exact interpolated percentiles (Pinot PERCENTILE): Spark percentile() == DuckDB quantile_cont",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_rollup",
+      "ROLLUP grouping sets with grouping() indicators",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec(col("c_acctbal"), 2).as("sum_bal"),
+            grouping(col("n_name")).cast("long").as("g_nation"),
+            grouping(col("c_mktsegment")).cast("long").as("g_seg")
+          )
+          .orderBy(
+            col("g_nation"),
+            col("g_seg"),
+            col("n_name").asc_nulls_first,
+            col("c_mktsegment").asc_nulls_first
+          ),
+      Some(s"""SELECT n_name, c_mktsegment, count(1) AS n,
+              |  ${QueryDef.sumDecSql("c_acctbal", 2)} AS sum_bal,
+              |  cast(grouping(n_name) as bigint) AS g_nation,
+              |  cast(grouping(c_mktsegment) as bigint) AS g_seg
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY ROLLUP(n_name, c_mktsegment)
+              |ORDER BY g_nation, g_seg, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    ),
+    QueryDef(
+      "q_cube",
+      "CUBE grouping sets",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec(col("o_totalprice"), 2).as("sum_price"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio")
+          )
+          .orderBy(
+            col("g_status"),
+            col("g_prio"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first
+          ),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+              |  ${QueryDef.sumDecSql("o_totalprice", 2)} AS sum_price,
+              |  cast(grouping(o_orderstatus) as bigint) AS g_status,
+              |  cast(grouping(o_orderpriority) as bigint) AS g_prio
+              |FROM orders
+              |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+    QueryDef(
+      "q_topn",
+      "global top-N (Pinot's core selection-order-by shape); Spark plans TakeOrderedAndProject — no global sort",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "q_topk_pergroup",
+      "per-group top-k via ranking window (single shuffle on the partition key)",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+        Tables
+          .part(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand
+             |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t
+             |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)
+    ),
+    QueryDef(
+      "q_window_rank",
+      "ranking window functions: rank (ties share), dense_rank, row_number (tiebroken)",
+      (s, dir) => {
+        val byBal = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+        val total = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        Tables
+          .supplier(s, dir)
+          .select(
+            col("s_nationkey"),
+            col("s_suppkey"),
+            col("s_acctbal"),
+            rank().over(byBal).cast("long").as("rnk"),
+            dense_rank().over(byBal).cast("long").as("drnk"),
+            row_number().over(total).cast("long").as("rn")
+          )
+          .orderBy(col("s_nationkey"), col("rn"))
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal,
+             |  rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+             |  dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk,
+             |  row_number() OVER (PARTITION BY s_nationkey
+             |                     ORDER BY s_acctbal DESC, s_suppkey) AS rn
+             |FROM supplier ORDER BY s_nationkey, rn""".stripMargin)
+    ),
+    QueryDef(
+      "q_window_lag",
+      "analytic window: lag/lead across a customer's order history",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_totalprice"),
+            (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev,
+             |  lead(o_orderkey, 1) OVER w AS next_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_window_framesum",
+      "frame-based windows: running decimal sum + 3-row sliding sum (sequential accumulation == exact in both engines)",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables
+          .lineitem(s, dir)
+          .filter(col("l_suppkey") <= 20)
+          .select(
+            col("l_suppkey"),
+            col("l_orderkey"),
+            col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("decimal(38,2)")
+              .as("running_qty"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .over(w.rowsBetween(-2, Window.currentRow))
+              .cast("decimal(38,2)")
+              .as("sliding3_qty")
+          )
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(38,2)) AS running_qty,
+             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as decimal(38,2)) AS sliding3_qty
+             |FROM lineitem WHERE l_suppkey <= 20
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+    ),
+    QueryDef(
+      "q_set_union",
+      "set op UNION (distinct): nations present among customers or suppliers",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"))
+          .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_set_intersect",
+      "set op INTERSECT: nations with both customers and suppliers",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_set_except",
+      "set op EXCEPT: nations with customers but no suppliers",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .select(col("c_nationkey").as("nationkey"))
+          .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_string_funcs",
+      "scalar string library: lower/upper/length/substring/concat/replace/instr/regexp_extract",
+      (s, dir) =>
+        Tables
+          .part(s, dir)
+          .select(
+            col("p_partkey"),
+            lower(col("p_name")).as("name_lower"),
+            upper(col("p_brand")).as("brand_upper"),
+            length(col("p_name")).cast("long").as("name_len"),
+            substring(col("p_name"), 1, 10).as("name_prefix"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+            instr(col("p_name"), "a").cast("long").as("first_a"),
+            regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head")
+          )
+          .orderBy(col("p_partkey"))
+          .limit(300),
+      Some("""SELECT p_partkey, lower(p_name) AS name_lower, upper(p_brand) AS brand_upper,
+             |  length(p_name) AS name_len, substring(p_name, 1, 10) AS name_prefix,
+             |  concat(p_brand, '#', p_type) AS brand_type,
+             |  replace(p_type, ' ', '_') AS type_snake,
+             |  instr(p_name, 'a') AS first_a,
+             |  regexp_extract(p_type, '^(\w+)', 1) AS type_head
+             |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin)
+    ),
+    QueryDef(
+      "q_date_funcs",
+      "scalar date library: year/month/quarter extraction, trunc-to-month, day arithmetic",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            month(col("o_orderdate")).cast("long").as("o_month")
+          )
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumDec(col("o_totalprice"), 2).as("sum_price"),
+            min(quarter(col("o_orderdate"))).cast("long").as("q"),
+            min(col("o_orderdate").cast("date")).as("first_date"),
+            max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+              .cast("long")
+              .as("max_epoch_days")
+          )
+          .orderBy(col("o_year"), col("o_month")),
+      Some(s"""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+              |  count(1) AS n_orders,
+              |  ${QueryDef.sumDecSql("o_totalprice", 2)} AS sum_price,
+              |  min(quarter(o_orderdate)) AS q,
+              |  min(cast(o_orderdate as date)) AS first_date,
+              |  max(date_diff('day', DATE '1970-01-01', cast(o_orderdate as date))) AS max_epoch_days
+              |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin)
+    ),
+    QueryDef(
+      "q_math_funcs",
+      "scalar math library: abs/round/ceil/floor/sqrt/ln/pow (libm-divergent fns rounded to 6)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            abs(col("l_discount") - 0.05).as("abs_disc"),
+            // exact decimal arithmetic, not round(x*0.1): a double round at a
+            // decimal half diverges between engines (559.545 -> .55 vs .54)
+            (col("l_extendedprice").cast("decimal(18,2)") * 10).cast("decimal(38,2)").as("price_x10"),
+            ceil(col("l_extendedprice")).as("price_ceil"),
+            floor(col("l_extendedprice")).as("price_floor"),
+            round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+            round(log(col("l_extendedprice")), 6).as("ln_price"),
+            round(pow(col("l_discount") + 1.0, 2.0), 6).as("disc_sq")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(500),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS abs_disc,
+             |  cast(cast(l_extendedprice as decimal(18,2)) * 10 as decimal(38,2)) AS price_x10,
+             |  cast(ceil(l_extendedprice) as bigint) AS price_ceil,
+             |  cast(floor(l_extendedprice) as bigint) AS price_floor,
+             |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+             |  round(ln(l_extendedprice), 6) AS ln_price,
+             |  round(pow(l_discount + 1.0, 2.0), 6) AS disc_sq
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)
+    )
+  )
+}
