@@ -13,7 +13,11 @@ object SparkEntry {
   /** All operator queries, in module order (SURVEY §2 inventory). */
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
-      operators.Events.defs
+      operators.Events.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline shape: scan -> JSON decode -> event-time

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard (builder-prompt north-star set; SURVEY §2.3).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - signatures are MAP-ONLY: per-row lambda pipelines over the token
+  *     array, no shuffle, no UDF — everything stays in codegen;
+  *   - candidate generation shuffles ONLY on band keys (MinHash) or hash
+  *     values (SimHash), never all-pairs: cost is sum(bucket²), and LSH
+  *     banding keeps buckets tiny for non-duplicate corpora;
+  *   - Jaccard verification joins on exploded shingles — safe because
+  *     ShingleWidth-token shingles are near-unique (joining on single words
+  *     would blow up quadratically on common tokens);
+  *   - the md5-as-minhash trick (lexicographic min of hex digests) makes
+  *     every stage expressible in ANSI SQL so DuckDB can oracle it.
+  *
+  * The fixture corpus has no near-duplicates (verified: 0 duplicate texts),
+  * so the pair queries legitimately return few/no rows at sf; the scalatest
+  * suites prove detection on constructed near-dup corpora.
+  */
+object Dedup {
+
+  import TextShared._
+
+  /** Spark-side signature frame: doc_id, band0..band{B-1}.
+    *
+    * Formulated as explode -> single-pass groupBy-min rather than per-row
+    * array lambdas: `transform`/`array_min` are CodegenFallback (no common
+    * subexpression elimination), so the lambda form recomputes the shingle
+    * array once per minhash per join side — measured 42s for 500 docs. The
+    * exploded form computes shingles once, hashes each shingle 8x inside one
+    * codegen'd HashAggregate, and shuffles once on doc_id. Same math, same
+    * oracle.
+    */
+  private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val exploded = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val hashAggs = (0 until NumHashes)
+      .map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
+    val sig = exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    sig.select(
+      col("doc_id") +:
+        (0 until NumBands).map { b =>
+          val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
+          md5(concat_ws("|", cols: _*)).as(s"band$b")
+        }: _*
+    )
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dedup_exact",
+      "exact dedup census: rows vs distinct texts vs distinct normalized texts (groupBy-hash dedup)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_unique"),
+            countDistinct(regexp_replace(lower(col("text")), "\\s+", " ")).as("n_unique_norm")
+          ),
+      Some("""SELECT count(1) AS n_docs, count(DISTINCT text) AS n_unique,
+             |  count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g')) AS n_unique_norm
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_exact_keep",
+      "exact dedup with survivor selection: min doc_id per distinct text (deterministic, unlike dropDuplicates)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id"))
+          .limit(300),
+      Some("""SELECT keep_id, n_copies FROM (
+             |  SELECT min(doc_id) AS keep_id, count(1) AS n_copies
+             |  FROM documents GROUP BY text) t
+             |ORDER BY keep_id LIMIT 300""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_minhash_sig",
+      "MinHash+LSH signatures: 8 md5-minhashes over 5-token shingles, banded 2x4 (map-only at any scale)",
+      (s, dir) => sigFrame(s, dir).orderBy(col("doc_id")).limit(500),
+      Some(s"""WITH $sigCte
+              |SELECT doc_id, ${(0 until NumBands).map(b => s"band$b").mkString(", ")}
+              |FROM sig ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_minhash_pairs",
+      "MinHash+LSH candidate pairs: docs colliding on any band (shuffle only on band keys, never all-pairs)",
+      (s, dir) => {
+        val sigs = sigFrame(s, dir)
+        val bands = sigs.select(
+          col("doc_id"),
+          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+        )
+        val a = bands.alias("a")
+        val b = bands.alias("b")
+        a.join(
+          b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id")
+        ).select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $sigCte,
+              |bands AS (
+              |  SELECT doc_id, i AS band_idx,
+              |    CASE i ${(0 until NumBands).map(b => s"WHEN $b THEN band$b").mkString(" ")} END AS band
+              |  FROM sig CROSS JOIN (VALUES ${(0 until NumBands).map(b => s"($b)").mkString(", ")}) t(i))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM bands a JOIN bands b
+              |  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_simhash",
+      "16-bit SimHash fingerprints (token-frequency-weighted bit majority over md5 bits)",
+      (s, dir) => {
+        val toks = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .select(col("doc_id"), md5(col("w")).as("h"))
+        val sums = toks
+          .groupBy(col("doc_id"))
+          .agg(
+            expr(simhashBitTerm("h", 0)).as("s0"),
+            (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+          )
+        sums
+          .select(col("doc_id"), expr(simhashCombine).as("simhash"))
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some {
+        val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
+           |sums AS (SELECT doc_id,
+           |$terms
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, $simhashCombine AS simhash
+           |FROM sums ORDER BY doc_id LIMIT 500""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_dedup_simhash_dupes",
+      "SimHash collision groups: fingerprints shared by >1 doc (hash-equality near-dup candidates)",
+      (s, dir) => {
+        val toks = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .select(col("doc_id"), md5(col("w")).as("h"))
+        val sums = toks
+          .groupBy(col("doc_id"))
+          .agg(
+            expr(simhashBitTerm("h", 0)).as("s0"),
+            (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+          )
+        sums
+          .select(col("doc_id"), expr(simhashCombine).as("simhash"))
+          .groupBy(col("simhash"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("simhash"))
+      },
+      Some {
+        val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
+           |sums AS (SELECT doc_id,
+           |$terms
+           |  FROM hashed GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)
+           |SELECT simhash, count(1) AS n_docs, min(doc_id) AS first_doc
+           |FROM sh GROUP BY simhash HAVING count(1) > 1 ORDER BY simhash""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_dedup_jaccard",
+      "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = docs.select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          explode(array_distinct(shingles(col("text")))).as("sh")
+        )
+        val sizes = docs.select(
+          col("doc_id"),
+          size(array_distinct(shingles(col("text")))).cast("long").as("nsh")
+        )
+        val a = sh.alias("a")
+        val b = sh.alias("b")
+        val common = a
+          .join(
+            b,
+            col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+              col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
+          )
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "nsh_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nsh_b"), "doc_b")
+          // raw division: exact ints both sides -> bit-identical double
+          .withColumn("jaccard", col("common") / (col("nsh_a") + col("nsh_b") - col("common")))
+          .filter(col("jaccard") >= 0.05)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |ex AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle FROM sh),
+              |sizes AS (SELECT doc_id, cast(len(list_distinct(s)) as bigint) AS nsh FROM sh),
+              |common AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
+              |  FROM ex a JOIN ex b
+              |    ON a.shingle = b.shingle AND a.lang = b.lang
+              |   AND a.source = b.source AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  common / (sa.nsh + sb.nsh - common) AS jaccard
+              |FROM common
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE common / (sa.nsh + sb.nsh - common) >= 0.05
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    )
+  )
+}

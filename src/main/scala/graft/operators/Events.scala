@@ -67,14 +67,14 @@ object Events {
           .agg(
             count(lit(1)).as("n"),
             sum(col("k")).as("sum_k"),
-            round(sum(col("k")).cast("double") / count(lit(1)), 6).as("avg_k")
+            (sum(col("k")).cast("double") / count(lit(1))).as("avg_k")
           )
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(1) AS n,
              |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
-             |  round(cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
-             |        / count(1), 6) AS avg_k
+             |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
+             |    / count(1) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     QueryDef(

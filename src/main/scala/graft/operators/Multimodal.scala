@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column plumbing (north-star set): media as opaque `binary`
+  * columns with typed metadata, decoded / feature-extracted by a
+  * per-partition batch operator.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub ([[StubDecoder]]) behind the same seam
+  * a real decoder would use; the Spark-side plumbing — binary schema,
+  * partition-batched execution, typed output, pushdown-friendly metadata —
+  * is real and tested (`MultimodalSpec`).
+  *
+  * Scale notes: decode runs via `mapPartitions` over a `Dataset[MediaRow]`
+  * (the Scala analogue of `mapInPandas` batch UDFs): one decoder init per
+  * partition, not per row; binary payloads never shuffle (decode before any
+  * wide op); metadata-only queries (q_multimodal_meta) never touch the
+  * decoder at all and stay in pure codegen.
+  */
+object Multimodal {
+
+  /** A media payload row: opaque bytes + envelope metadata. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (what a real image/audio decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: String
+  )
+
+  /** Decoder seam. A production deployment binds a codec (JPEG, PCM, ...);
+    * here a deterministic fake derives plausible dimensions from content
+    * bytes so tests can assert exact values.
+    */
+  trait Decoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** STUB: stands in for the real media decode (no codecs in this
+    * environment). Deterministic in payload content.
+    */
+  object StubDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      val sum   = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(
+        doc_id = row.doc_id,
+        media_type = row.media_type,
+        n_bytes = bytes.length.toLong,
+        width = 16 + (sum % 240).toInt,
+        height = 16 + ((sum / 7) % 240).toInt,
+        n_frames = 1 + (bytes.length % 30),
+        checksum = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(bytes)
+          .map("%02x".format(_))
+          .mkString
+      )
+    }
+  }
+
+  /** Fake a media table from documents: text bytes stand in for image
+    * payloads (binary column + envelope metadata).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        concat(lit("image/fake-"), col("source")).as("media_type"),
+        col("text").cast("binary").as("payload")
+      )
+
+  /** The batch decode operator: one decoder per partition, typed output. */
+  def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows => rows.map(decoder.decode) }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_multimodal_meta",
+      "binary-column metadata extraction without decode: byte length + content hash + derived fake dims (pure codegen, payload never leaves the scan)",
+      (s, dir) =>
+        mediaTable(s, dir)
+          .select(
+            col("doc_id"),
+            col("media_type"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            sha2(col("payload"), 256).as("sha"),
+            (lit(16) + conv(substring(sha2(col("payload"), 256), 1, 2), 16, 10).cast("long") % 240)
+              .cast("long")
+              .as("fake_width"),
+            (lit(16) + conv(substring(sha2(col("payload"), 256), 3, 2), 16, 10).cast("long") % 240)
+              .cast("long")
+              .as("fake_height")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500),
+      None // replaced below after oracle string is built
+    ).copy(oracle = Some(
+      """SELECT doc_id, concat('image/fake-', source) AS media_type,
+        |  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  cast(16 + cast(('0x' || substring(sha256(text), 1, 2))::int as bigint) % 240 as bigint) AS fake_width,
+        |  cast(16 + cast(('0x' || substring(sha256(text), 3, 2))::int as bigint) % 240 as bigint) AS fake_height
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin
+    ))
+  )
+}

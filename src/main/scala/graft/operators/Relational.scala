@@ -94,8 +94,7 @@ object Relational {
             sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
             sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
               .as("sum_charge"),
-            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
-              .as("avg_qty"),
+            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order")
           )
           .orderBy(col("l_returnflag"), col("l_linestatus")),
@@ -104,7 +103,7 @@ object Relational {
               |  ${QueryDef.sumDecSql("l_extendedprice", 2)} AS sum_base_price,
               |  ${QueryDef.sumDecSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
               |  ${QueryDef.sumDecSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
-              |  round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(1), 6) AS avg_qty,
+              |  cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(1) AS avg_qty,
               |  count(1) AS count_order
               |FROM lineitem
               |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -122,13 +121,12 @@ object Relational {
             min(col("c_acctbal")).as("min_bal"),
             max(col("c_acctbal")).as("max_bal"),
             count(lit(1)).as("n"),
-            round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6)
-              .as("avg_bal")
+            (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_bal")
           )
           .orderBy(col("c_nationkey")),
       Some("""SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
              |  count(1) AS n,
-             |  round(cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(1), 6) AS avg_bal
+             |  cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(1) AS avg_bal
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     ),
     QueryDef(

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star set):
+  * heuristic language ID, quality scoring, token counting (whitespace + a
+  * BPE-ish regex segmentation), document fingerprinting.
+  *
+  * All per-document: map-only, codegen'd, no shuffle except the final
+  * aggregate — embarrassingly parallel at 100 TB. Stopword lists and
+  * formulas come from [[TextShared]] so Spark and the oracle can't drift.
+  */
+object TextAnalysis {
+
+  import TextShared._
+
+  /** BPE-ish segmentation: letter runs | digit runs | single non-alnum. */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*)))
+
+  private def stopHitsSql(words: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN ${inListSql(words)}))"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_text_langid",
+      "heuristic language ID: stopword-hit argmax per doc (deterministic tie order), confusion counts vs labeled lang",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val scored = Tables
+          .documents(s, dir)
+          .select(
+            col("lang") +:
+              stopwords.map { case (l, ws) => stopHits(toks, ws).as(s"sc_$l") }: _*
+          )
+        val langs = stopwords.map(_._1)
+        val best = langs
+          .foldRight(lit("und")) { (l, acc) =>
+            val isMax = langs
+              .filter(_ != l)
+              .map(o => col(s"sc_$l") >= col(s"sc_$o"))
+              .reduce(_ && _)
+            when(col(s"sc_$l") > 0 && isMax, lit(l)).otherwise(acc)
+          }
+        scored
+          .withColumn("predicted", best)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some {
+        val scores = stopwords.map { case (l, ws) => s"    ${stopHitsSql(ws)} AS sc_$l" }.mkString(",\n")
+        val langs  = stopwords.map(_._1)
+        val best = langs.foldRight("'und'") { (l, acc) =>
+          val isMax = langs.filter(_ != l).map(o => s"sc_$l >= sc_$o").mkString(" AND ")
+          s"CASE WHEN sc_$l > 0 AND $isMax THEN '$l' ELSE $acc END"
+        }
+        s"""WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+           |scored AS (
+           |  SELECT lang,
+           |$scores
+           |  FROM toks)
+           |SELECT lang, $best AS predicted, count(1) AS n
+           |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_text_quality",
+      "quality scoring: token/char counts, avg token length, punctuation + stopword ratios, composite score",
+      (s, dir) => {
+        val toks  = tokens(col("text"))
+        val nTok  = size(toks).cast("long")
+        val nChar = length(col("text")).cast("long")
+        val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("long") / nTok
+        val punct     = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long") / nChar
+        val stopR     = stopHits(toks, stopwords.head._2).cast("long") / nTok
+        val score = least(avgTokLen / 8.0, lit(1.0)) * 0.5 + stopR * 0.3 + (lit(1.0) - punct) * 0.2
+        Tables
+          .documents(s, dir)
+          .select(
+            // all ratios are exact-int divisions / fixed-order double math:
+            // bit-identical in both engines, so emitted RAW — rounding a
+            // rational double at a decimal half diverges between engines
+            col("doc_id"),
+            nTok.as("n_tok"),
+            nChar.as("n_char"),
+            avgTokLen.as("avg_tok_len"),
+            punct.as("punct_ratio"),
+            stopR.as("stop_ratio"),
+            score.as("quality")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some {
+        val stop = stopHitsSql(stopwords.head._2)
+        s"""WITH base AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+           |m AS (
+           |  SELECT doc_id,
+           |    cast(len(t) as bigint) AS n_tok,
+           |    cast(length(text) as bigint) AS n_char,
+           |    cast(length(replace(text, ' ', '')) as bigint) / cast(len(t) as bigint) AS avg_tok_len,
+           |    cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as bigint)
+           |      / cast(length(text) as bigint) AS punct_ratio,
+           |    cast($stop as bigint) / cast(len(t) as bigint) AS stop_ratio
+           |  FROM base)
+           |SELECT doc_id, n_tok, n_char,
+           |  avg_tok_len, punct_ratio, stop_ratio,
+           |  least(avg_tok_len / 8.0, 1.0) * 0.5 + stop_ratio * 0.3
+           |    + (1.0 - punct_ratio) * 0.2 AS quality
+           |FROM m ORDER BY doc_id LIMIT 500""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_text_tokens",
+      "token counting per lang: whitespace tokens + BPE-ish regex segmentation (letters|digits|punct)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("lang"),
+            size(tokens(col("text"))).cast("long").as("ws_tokens"),
+            size(expr(s"regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)"))
+              .cast("long")
+              .as("bpe_tokens")
+          )
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_tokens")).as("sum_ws_tokens"),
+            sum(col("bpe_tokens")).as("sum_bpe_tokens")
+          )
+          .orderBy(col("lang")),
+      Some(s"""SELECT lang, count(1) AS n_docs,
+              |  sum(cast(len(string_split(text, ' ')) as bigint)) AS sum_ws_tokens,
+              |  sum(cast(len(regexp_extract_all(text, '$BpePattern')) as bigint)) AS sum_bpe_tokens
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_fingerprint",
+      "document fingerprinting: md5 of whitespace-normalized lowercase text (exact-dup key across formatting variants)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+            sha2(regexp_replace(lower(col("text")), "\\s+", " "), 256).as("fingerprint_sha")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+             |  sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint_sha
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_topwords",
+      "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(25),
+      Some("""SELECT word, count(1) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY n DESC, word LIMIT 25""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the dedup / text-analysis operators, kept as
+  * single sources of truth so the Spark expression and the DuckDB oracle SQL
+  * are generated from the same constants (seeds, shingle width, stopword
+  * lists) and can't drift.
+  *
+  * All hashing is md5-based: md5 is bit-identical across engines, so a
+  * MinHash signature can be defined as the lexicographic MIN of hex digests
+  * — fully relational, ORDER-independent, and verifiable in ANSI SQL. (A
+  * production deployment would swap in xxhash64 for ~5x cheaper hashing; the
+  * structure — map-only signatures, shuffle only on band keys — is the part
+  * that matters at 100 TB.)
+  */
+object TextShared {
+
+  /** Shingle width (w-token shingles) for MinHash / Jaccard. */
+  val ShingleWidth = 5
+
+  /** MinHash signature length and LSH banding: 8 hashes = 4 bands x 2 rows.
+    * Detection probability for similarity J is 1-(1-J^2)^4 — ~77% at J=0.5,
+    * ~99.9% at J=0.9; 2 bands x 4 rows would miss half of 0.8-similar pairs.
+    */
+  val NumHashes = 8
+  val NumBands  = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  // ---- Spark side (Column API) ----
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** w-token shingles; documents shorter than w tokens collapse to a single
+    * whole-text shingle (mirrored in the oracle SQL).
+    */
+  def shingles(text: Column): Column = {
+    val t = tokens(text)
+    val w = ShingleWidth
+    when(
+      size(t) >= w,
+      transform(sequence(lit(1), size(t) - (w - 1)), i => concat_ws(" ", slice(t, i, lit(w))))
+    ).otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** MinHash value for one seed: min over shingles of md5("<seed>:<shingle>"). */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, x => md5(concat(lit(s"$seed:"), x))))
+
+  // ---- DuckDB side (SQL text) ----
+
+  /** CTEs `toks(doc_id, lang, source, t)` and `sh(doc_id, lang, source, s)`. */
+  val shinglesCte: String = {
+    val w  = ShingleWidth
+    val w1 = w - 1
+    s"""toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, lang, source,
+       |  CASE WHEN len(t) >= $w
+       |    THEN list_transform(generate_series(1, len(t) - $w1),
+       |                        i -> array_to_string(t[i:i+$w1], ' '))
+       |    ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM toks)""".stripMargin
+  }
+
+  def minhashSql(seed: Int): String =
+    s"list_min(list_transform(s, x -> md5(concat('$seed:', x))))"
+
+  /** `sig` CTE: doc_id plus h0..h{n-1} minhashes plus per-band keys. */
+  val sigCte: String = {
+    val hashes = (0 until NumHashes).map(j => s"  ${minhashSql(j)} AS h$j").mkString(",\n")
+    val bands = (0 until NumBands)
+      .map { b =>
+        val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => s"h$j").mkString(", ")
+        s"  md5(concat_ws('|', $cols)) AS band$b"
+      }
+      .mkString(",\n")
+    s"""$shinglesCte,
+       |sigraw AS (SELECT doc_id,
+       |$hashes
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |$bands
+       |  FROM sigraw)""".stripMargin
+  }
+
+  /** SimHash bit-term SQL, valid verbatim in BOTH Spark SQL and DuckDB:
+    * for bit j of a hex digest column, +1 if set else -1.
+    * digit = instr('0123456789abcdef', substr(h, 1+j/4, 1)) - 1;
+    * bit j-within-digit via integer halving.
+    */
+  def simhashBitTerm(hashCol: String, j: Int): String = {
+    val pos = 1 + j / 4
+    val div = 1 << (3 - j % 4)
+    s"sum(case when (cast(floor((instr('0123456789abcdef', substr($hashCol, $pos, 1)) - 1) / $div.0) as int) % 2) = 1 then 1 else -1 end)"
+  }
+
+  val SimhashBits = 16
+
+  /** Combine per-bit sums s0..s{n-1} into the final simhash value (majority
+    * sign per bit). Valid in both engines.
+    */
+  def simhashCombine: String =
+    (0 until SimhashBits)
+      .map(j => s"case when s$j > 0 then ${1L << j} else 0 end")
+      .mkString("cast(", " + ", " as bigint)")
+
+  // ---- Stopword lists for language-ID / quality scoring ----
+
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une")
+  )
+
+  def inListSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+}

@@ -57,8 +57,10 @@ object JsonDecode {
       passthrough: Seq[String] = Seq.empty
   ): DataFrame = {
     val selected = fields.filter(schema.fieldNames.contains)
+    // drop when the payload is null/empty (from_json yields a null struct —
+    // Jackson would throw on empty input) OR flagged corrupt
     df.withColumn("_decoded", parsed(col(payloadCol), schema))
-      .filter(col(s"_decoded.$CorruptCol").isNull)
+      .filter(col("_decoded").isNotNull && col(s"_decoded.$CorruptCol").isNull)
       .select(passthrough.map(col) ++ selected.map(f => col(s"_decoded.$f")): _*)
   }
 
@@ -78,7 +80,7 @@ object JsonDecode {
       .select(
         passthrough.map(col) ++
           selected.map(f => col(s"_decoded.$f")) :+
-          col(s"_decoded.$CorruptCol").isNotNull.as("_corrupt"): _*
+          (col("_decoded").isNull || col(s"_decoded.$CorruptCol").isNotNull).as("_corrupt"): _*
       )
   }
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.sources.JsonDecode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming forms of the engine's event pipeline — the rebuilt surface of
+  * the reference plugin (SURVEY §3.1): partitioned scan -> JSON decode
+  * (drop-on-malformed) -> watermarked event-time aggregation -> sink, on
+  * Structured Streaming.
+  *
+  * Every transform here is input-agnostic: pass a batch frame and it runs as
+  * a batch query (the oracle-checked twins in [[graft.operators.Events]]);
+  * pass a `readStream`/MemoryStream frame and Spark plans the incremental
+  * stateful version. That symmetry is the test strategy (SURVEY §5.4):
+  * DuckDB oracles the batch twin, scalatest drives the streaming form
+  * through MemoryStream including checkpoint restart.
+  *
+  * State-size discipline at 100 TB (SURVEY §7.5.2): every stateful op takes
+  * an explicit watermark so state is bounded — dropDuplicates keeps one key
+  * per watermark horizon, windows expire, sessions close.
+  */
+object StreamingPipelines {
+
+  /** Decode the JSON payload column against the host-supplied schema,
+    * dropping malformed payloads (reference `PulsarJSONMessageDecoder`
+    * semantics), keeping envelope columns.
+    */
+  def decoded(
+      events: DataFrame,
+      payloadCol: String,
+      schema: StructType,
+      fields: Seq[String],
+      passthrough: Seq[String]
+  ): DataFrame =
+    JsonDecode.decode(events, payloadCol, schema, fields, passthrough)
+
+  /** Tumbling-window counts per event_type with a watermark bounding late
+    * data (and state).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"),
+        col("event_type"),
+        col("n"),
+        col("sum_value")
+      )
+
+  /** Streaming dedup on a key set — the S7 `readCompacted` analogue: at most
+    * one row per key within the watermark horizon.
+    */
+  def dedupByKey(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+
+  /** Session windows per user (30-minute gap by default) — closes and emits
+    * once the watermark passes the gap.
+    */
+  def sessionized(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"),
+        col("n")
+      )
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the near-dup machinery actually DETECTS near-duplicates — the
+  * fixture corpus has none, so the oracle-checked queries only prove parity;
+  * these constructed corpora prove function.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+  // near-dup for LSH: one appended word (high shingle overlap, J ~ 15/16)
+  private val nearDupAppend = base + " quietly"
+  // near-dup for jaccard: one word changed mid-document (J ~ 0.5)
+  private val nearDup = base.replace("warm", "cold")
+  // unrelated
+  private val other =
+    "completely different content about distributed query engines and their shuffle partitioning strategies at scale"
+
+  private def corpus = Seq(
+    (0L, base, "en", "s0"),
+    (1L, nearDup, "en", "s0"),
+    (2L, other, "en", "s0")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("minhash signatures: near-dups collide on at least one band, unrelated do not") {
+    import TextShared._
+    val lshCorpus = Seq(
+      (0L, base, "en", "s0"),
+      (1L, nearDupAppend, "en", "s0"),
+      (2L, other, "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val sh = shingles(col("text"))
+    val sigs = lshCorpus
+      .select(
+        col("doc_id") +:
+          (0 until NumHashes).map(j => minhash(sh, j).as(s"h$j")): _*
+      )
+      .select(
+        col("doc_id") +:
+          (0 until NumBands).map { b =>
+            val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
+            md5(concat_ws("|", cols: _*)).as(s"band$b")
+          }: _*
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (1 to NumBands).map(r.getString))
+      .toMap
+    def share(a: Long, b: Long) = sigs(a).zip(sigs(b)).exists { case (x, y) => x == y }
+    assert(share(0L, 1L), "near-duplicate documents should share a band")
+    assert(!share(0L, 2L), "unrelated documents should not share a band")
+  }
+
+  test("identical docs produce identical simhash; unrelated docs differ") {
+    import TextShared._
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val sums = toks
+      .groupBy(col("doc_id"))
+      .agg(
+        expr(simhashBitTerm("h", 0)).as("s0"),
+        (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+      )
+    val sh = sums
+      .select(col("doc_id"), expr(simhashCombine).as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // hamming distance between near-dups is small, unrelated is larger
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) <= 4, s"near-dup hamming ${ham(sh(0L), sh(1L))}")
+    assert(ham(sh(0L), sh(2L)) > ham(sh(0L), sh(1L)))
+  }
+
+  test("jaccard on 5-gram shingles: near-dups above 0.5, unrelated at 0") {
+    import TextShared._
+    val sets = corpus
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    def jac(a: Set[String], b: Set[String]) = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac(sets(0L), sets(1L)) > 0.3)
+    assert(jac(sets(0L), sets(2L)) === 0.0)
+  }
+
+  test("short documents (< shingle width) fall back to whole-text shingle") {
+    import TextShared._
+    val out = Seq((9L, "tiny doc", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .select(shingles(col("text")).as("s"))
+      .collect()
+    assert(out(0).getSeq[String](0) === Seq("tiny doc"))
+  }
+}

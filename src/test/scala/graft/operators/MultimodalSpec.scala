@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("binary media table has opaque payload + typed metadata") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir)
+    val schema = media.schema.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") === "binary")
+    assert(schema("media_type") === "string")
+    assert(media.count() > 0)
+  }
+
+  test("per-partition stub decode emits deterministic typed features") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir).limit(50)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 50)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.width >= 16 && f.width < 256)
+      assert(f.height >= 16 && f.height < 256)
+      assert(f.checksum.length === 32)
+    }
+    // determinism: same input -> same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+  }
+
+  test("stub decoder is content-addressed (checksum = md5 of payload)") {
+    val row = Multimodal.MediaRow(1L, "image/fake", "hello".getBytes("UTF-8"))
+    val f   = Multimodal.StubDecoder.decode(row)
+    assert(f.checksum === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(f.n_bytes === 5L)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decode semantics of the reference (`PulsarJSONMessageDecoder.java:61-73`,
+  * FIXTURES.md §A payload cases): drop malformed, null missing fields,
+  * project extras away, never throw.
+  */
+class JsonDecodeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(
+    Seq(StructField("user_id", LongType), StructField("event_type", StringType))
+  )
+
+  private def decodeAll(payloads: Seq[(Long, String)]) =
+    JsonDecode.decode(
+      payloads.toDF("offset", "payload"),
+      "payload",
+      schema,
+      Seq("user_id", "event_type"),
+      Seq("offset")
+    )
+
+  test("flat object, all fields present") {
+    val out = decodeAll(Seq((1L, """{"user_id": 7, "event_type": "click"}"""))).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 7L)
+    assert(out(0).getString(2) === "click")
+  }
+
+  test("extra fields beyond fieldsToRead projected away") {
+    val out = decodeAll(Seq((1L, """{"user_id": 7, "event_type": "x", "junk": [1,2]}""")))
+    assert(out.columns.toSeq === Seq("offset", "user_id", "event_type"))
+    assert(out.count() === 1)
+  }
+
+  test("missing fields -> null in row (row kept)") {
+    val out = decodeAll(Seq((1L, """{"user_id": 7}"""))).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(2))
+  }
+
+  test("malformed payloads dropped, not failed (truncated + non-JSON)") {
+    val out = decodeAll(
+      Seq(
+        (1L, """{"user_id": 1, "event_type": "ok"}"""),
+        (2L, "not json at all"),
+        (3L, """{"user_id": 3, "event_ty"""),
+        (4L, "")
+      )
+    ).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("nested object/array values tolerated when typed as such") {
+    val nested = StructType(
+      Seq(
+        StructField("user_id", LongType),
+        StructField("tags", org.apache.spark.sql.types.ArrayType(StringType))
+      )
+    )
+    val out = JsonDecode
+      .decode(
+        Seq((1L, """{"user_id": 5, "tags": ["a", "b"]}""")).toDF("offset", "payload"),
+        "payload",
+        nested,
+        Seq("user_id", "tags"),
+        Seq("offset")
+      )
+      .collect()
+    assert(out(0).getSeq[String](2) === Seq("a", "b"))
+  }
+
+  test("decodeCounted flags corrupt rows instead of dropping") {
+    val out = JsonDecode
+      .decodeCounted(
+        Seq((1L, """{"user_id": 1}"""), (2L, "garbage")).toDF("offset", "payload"),
+        "payload",
+        schema,
+        Seq("user_id"),
+        Seq("offset")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2))
+      .toMap
+    assert(out === Map(1L -> false, 2L -> true))
+  }
+}
