@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline shape: scan -> JSON decode -> event-time

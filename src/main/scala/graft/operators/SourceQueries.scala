@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.sources.{EventLogSource, EventLogWriter, JsonDecode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** End-to-end queries THROUGH the `graft-events` DSv2 source: the complete
+  * reference pipeline — partitioned offset-addressed scan -> JSON decode
+  * (drop-on-malformed) -> relational aggregation — oracle-checked against
+  * the same data read directly from parquet. This is the strongest evidence
+  * the rebuilt source is faithful: the DuckDB oracle never sees the log
+  * format, only the semantics.
+  */
+object SourceQueries {
+
+  private val payloadSchema = StructType(
+    Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)
+    )
+  )
+
+  /** Materialize the fixture-backed event log once per sfDir. */
+  def logDirFor(spark: SparkSession, sfDir: String): String = {
+    val dir = s"/tmp/graft-eventlog-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val marker = new java.io.File(dir, "partition-0.log")
+    if (!marker.exists()) EventLogWriter.materialize(spark, sfDir, dir)
+    dir
+  }
+
+  def sourceFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(EventLogSource.ShortName).option("path", logDirFor(spark, sfDir)).load()
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_source_pipeline",
+      "S1-S21 end-to-end: graft-events DSv2 scan -> JSON decode -> aggregate; oracle reads the same facts from parquet directly",
+      (s, dir) => {
+        val decoded = JsonDecode.decode(
+          sourceFrame(s, dir),
+          payloadCol = "value",
+          schema = payloadSchema,
+          fields = Seq("event_id", "user_id", "event_type", "value"),
+          passthrough = Seq("partition", "offset")
+        )
+        decoded
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("partition")).as("n_partitions"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"),
+            min(col("event_id")).as("min_event"),
+            max(col("event_id")).as("max_event")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(1) AS n,
+             |  count(DISTINCT event_id % 4) AS n_partitions,
+             |  cast(sum(cast("value" as decimal(18,2))) as decimal(38,2)) AS sum_value,
+             |  min(event_id) AS min_event, max(event_id) AS max_event
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
+  )
+}

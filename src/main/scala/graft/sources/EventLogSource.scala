@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-events`: a DataSource V2 micro-batch source that rebuilds the
+  * reference plugin's ingestion surface (SURVEY §2.1 S1-S21) idiomatically on
+  * Structured Streaming.
+  *
+  * The backing "topic" is a directory of per-partition append-only log files
+  * (`partition-N.log`, lines `<offset>\t<payload>`) — the file-backed stand-in
+  * for a Pulsar topic in this zero-egress environment ([[EventLogWriter]]
+  * materializes one from the fixtures). Every structural element of the
+  * reference maps onto the DSv2 seam:
+  *
+  *   - one [[InputPartition]] per topic partition — the per-partition
+  *     exclusive consumer (`PulsarConsumerFactory.java:35-42`, S17);
+  *   - checkpointed `(partition -> long offset)` map [[EventLogOffset]] using
+  *     [[OffsetCodec]]'s non-dense longs — `LongMsgOffset` flattening
+  *     (`MessageIdUtils.java:25-43`, S9/S10); offsets are matched by range
+  *     filtering, never by `+1` arithmetic, so ledger-rollover gaps are safe;
+  *   - admission control caps each micro-batch at `consumer.maxMsgs` /
+  *     `consumer.maxBytes` per partition per trigger — the reference's
+  *     `BatchReceivePolicy` backpressure (S7, `PulsarPartitionLevelConsumer
+  *     .java:69-73`);
+  *   - `initialOffset` = earliest — `startOffset == -1 -> MessageId.earliest`
+  *     (S3/S18, `PulsarPartitionLevelConsumer.java:123`);
+  *   - `commit(end)` is a no-op cleanup hook — correctness rides on the
+  *     checkpoint WAL exactly as the reference rides on offsets, with
+  *     best-effort acks (S6, `PulsarPartitionLevelConsumer.java:153-162`);
+  *   - "seek" is implicit: each batch is planned from the checkpointed start,
+  *     so a restarted query resumes precisely after the last committed offset
+  *     (S3's contiguity check, `PulsarPartitionLevelConsumer.java:112-121`);
+  *   - the reference's bounded-read rejection (S4) is deliberately NOT
+  *     ported: micro-batches are bounded reads by construction.
+  *
+  * JSON decode (S13-S16) stays a separate downstream layer ([[JsonDecode]]),
+  * mirroring the consumer/decoder split of the reference.
+  *
+  * Scale: against a real broker the driver-side file scans in
+  * `latestOffset`/`initialOffset` become metadata RPCs (partition discovery,
+  * `getLastMessageId`) and each reader an exclusive consumer; rows never pass
+  * through the driver.
+  */
+object EventLogSource {
+  val ShortName = "graft-events"
+
+  val schema: StructType = StructType(
+    Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("value", BinaryType, nullable = false)
+    )
+  )
+
+  def partitionFiles(dir: String): Seq[(Int, java.io.File)] = {
+    val d = new java.io.File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    fs.toSeq
+      .filter(f => f.getName.startsWith("partition-") && f.getName.endsWith(".log"))
+      .map(f => f.getName.stripPrefix("partition-").stripSuffix(".log").toInt -> f)
+      .sortBy(_._1)
+  }
+
+  /** Read one partition log: (offset, payload) in file (= offset) order. */
+  def readLog(file: java.io.File): Seq[(Long, Array[Byte])] = {
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i).toLong, line.substring(i + 1).getBytes("UTF-8"))
+    }.toList
+    finally src.close()
+  }
+}
+
+/** Checkpointed offsets: highest consumed offset per partition (-1 = none,
+  * the reference's earliest sentinel). JSON form: {"0":123,"1":456}.
+  */
+case class EventLogOffset(partitionOffsets: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    partitionOffsets.toSeq.sorted
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
+}
+
+object EventLogOffset {
+  def fromJson(s: String): EventLogOffset = EventLogOffset(
+    s.trim.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap
+  )
+}
+
+class EventLogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = EventLogSource.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = EventLogSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new EventLogTable(properties.asScala.toMap)
+}
+
+class EventLogTable(options: Map[String, String]) extends Table with SupportsRead {
+  private val path = options.getOrElse("path", throw new IllegalArgumentException("path is required"))
+  // reference config keys honored with reference defaults (S21)
+  private val config = SourceConfig.fromMap(
+    options + (SourceConfig.BrokerListKey -> options.getOrElse(SourceConfig.BrokerListKey, path))
+  )
+
+  override def name(): String = s"${EventLogSource.ShortName}:$path"
+  override def schema(): StructType = EventLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = EventLogSource.schema
+      override def toBatch: Batch = new EventLogBatch(path)
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new EventLogMicroBatchStream(path, config)
+    }
+}
+
+/** Batch scan: the whole log, one task per partition. */
+class EventLogBatch(path: String) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    EventLogSource
+      .partitionFiles(path)
+      .map { case (p, f) => EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue) }
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
+}
+
+/** Micro-batch stream with per-trigger admission control. */
+class EventLogMicroBatchStream(path: String, config: SourceConfig)
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: snapshot the end once, then drain to it in
+    * admission-bounded micro-batches.
+    */
+  private var availableNowEnd: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(latestOffset().asInstanceOf[EventLogOffset].partitionOffsets)
+
+  /** Earliest = nothing consumed yet in any discovered partition (S18). */
+  override def initialOffset(): Offset =
+    EventLogOffset(
+      EventLogSource.partitionFiles(path).map { case (p, _) => p -> OffsetCodec.Earliest }.toMap
+    )
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(config.maxBatchMessages.toLong)
+
+  /** Unbounded latest: last offset currently in each partition log. */
+  override def latestOffset(): Offset =
+    EventLogOffset(EventLogSource.partitionFiles(path).map { case (p, f) =>
+      val log = EventLogSource.readLog(f)
+      p -> (if (log.isEmpty) OffsetCodec.Earliest else log.last._1)
+    }.toMap)
+
+  /** Admission-controlled latest: cap each partition's advance at maxMsgs
+    * rows AND maxBytes payload bytes per trigger — the reference's
+    * `BatchReceivePolicy(maxNumMessages, maxNumBytes, timeout)`.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOffsets = start.asInstanceOf[EventLogOffset].partitionOffsets
+    val maxRows = limit match {
+      case l: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => l.maxRows().toInt
+      case _                                                            => config.maxBatchMessages
+    }
+    EventLogOffset(EventLogSource.partitionFiles(path).map { case (p, f) =>
+      val from  = startOffsets.getOrElse(p, OffsetCodec.Earliest)
+      var bytes = 0L
+      val taken = EventLogSource
+        .readLog(f)
+        .iterator
+        .filter(_._1 > from)
+        .take(maxRows)
+        .takeWhile { case (_, payload) =>
+          bytes += payload.length; bytes <= config.maxBatchBytes || bytes == payload.length
+        }
+        .toSeq
+      val advanced = if (taken.isEmpty) from else taken.last._1
+      // under Trigger.AvailableNow, never advance past the prepared snapshot
+      p -> availableNowEnd.map(e => math.min(advanced, e.getOrElse(p, advanced))).getOrElse(advanced)
+    }.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventLogOffset].partitionOffsets
+    val e = end.asInstanceOf[EventLogOffset].partitionOffsets
+    EventLogSource
+      .partitionFiles(path)
+      .flatMap { case (p, f) =>
+        val from = s.getOrElse(p, OffsetCodec.Earliest)
+        val to   = e.getOrElse(p, OffsetCodec.Earliest)
+        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to))
+        else None
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
+  override def deserializeOffset(json: String): Offset = EventLogOffset.fromJson(json)
+
+  /** Cleanup hook only — the reference's best-effort cumulative ack (S6). */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One topic partition slice: rows with start < offset <= end. */
+case class EventLogInputPartition(partition: Int, file: String, start: Long, end: Long)
+    extends InputPartition
+
+object EventLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EventLogInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it =
+        EventLogSource
+          .readLog(new java.io.File(p.file))
+          .iterator
+          .filter { case (o, _) => o > p.start && o <= p.end }
+      private var current: (Long, Array[Byte]) = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+      override def get(): InternalRow = InternalRow(p.partition, current._1, current._2)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Materializes a per-partition event log from the `events` fixture — the
+  * test-fixture stand-in for a live broker. Offsets are encoded with
+  * [[OffsetCodec]] using `ledger = event_id / 1000, entry = event_id % 1000`,
+  * which makes them deliberately NON-DENSE across ledger boundaries
+  * (exercising SURVEY §1.1.2).
+  */
+object EventLogWriter {
+  def materialize(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      logDir: String,
+      numPartitions: Int = 4
+  ): String = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(logDir)
+    dir.mkdirs()
+    val rows = graft.Tables
+      .events(spark, sfDir)
+      .select(
+        (col("event_id") % numPartitions).cast("int").as("p"),
+        col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
+          .as("payload")
+      )
+      .collect()
+    (0 until numPartitions).foreach { p =>
+      val f = new java.io.PrintWriter(new java.io.File(dir, s"partition-$p.log"), "UTF-8")
+      try rows
+        .filter(_.getInt(0) == p)
+        .sortBy(_.getLong(1))
+        .foreach { r =>
+          val id     = r.getLong(1)
+          val offset = OffsetCodec.encode(id / 1000, id % 1000)
+          f.println(s"$offset\t${r.getString(2)}")
+        }
+      finally f.close()
+    }
+    logDir
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the graft-events DSv2 source: batch scan, admission-bounded
+  * micro-batches (the 500-msg BatchReceivePolicy analogue), restart-resume
+  * after the last committed offset (seek semantics), and non-dense offsets.
+  */
+class EventLogSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private lazy val logDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log").toString
+    EventLogWriter.materialize(spark, TestSpark.sfDir, dir)
+    dir
+  }
+
+  private def eventsCount: Long = graft.Tables.events(spark, TestSpark.sfDir).count()
+
+  test("batch scan returns every message across all partitions") {
+    val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
+    assert(df.count() === eventsCount)
+    assert(df.select(col("partition")).distinct().count() === 4)
+  }
+
+  test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
+    val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
+    val offsets = df.select(col("offset")).collect().map(_.getLong(0))
+    // ledger rollover at event_id 1000: offset jumps from (0,999) to (1,0)
+    val decoded = offsets.map(OffsetCodec.decode)
+    assert(decoded.forall { case (_, e) => e < 1000 })
+    if (eventsCount > 1000) {
+      assert(offsets.contains(OffsetCodec.encode(1, 0)))
+      assert(!offsets.contains(OffsetCodec.encode(0, 999) + 1) || OffsetCodec.encode(1, 0) != OffsetCodec.encode(0, 999) + 1)
+    }
+  }
+
+  test("streaming drains in admission-bounded micro-batches (maxMsgs)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-src-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-src-ckpt").toString
+    val q = spark.readStream
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option(SourceConfig.MaxMsgsKey, "100")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(out).count() === eventsCount)
+    // 1000 events / (100 msgs x 4 partitions per trigger) => at least 3 batches
+    val batches = new java.io.File(ckpt, "commits").list().count(!_.startsWith("."))
+    assert(batches >= 3, s"expected multiple admission-bounded batches, got $batches")
+  }
+
+  test("restart resumes exactly after the last committed offset (seek)") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft-log2").toString
+    EventLogWriter.materialize(spark, TestSpark.sfDir, dir)
+    val out  = java.nio.file.Files.createTempDirectory("graft-out2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(EventLogSource.ShortName)
+        .option("path", dir)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    drain()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === eventsCount)
+
+    // broker receives two more messages on partition 0 (next ledger space)
+    val f = new java.io.FileWriter(new java.io.File(dir, "partition-0.log"), true)
+    try {
+      f.write(s"${OffsetCodec.encode(99, 0)}\t" + """{"event_id": 90000, "user_id": 1, "event_type": "late", "value": 1.5}""" + "\n")
+      f.write(s"${OffsetCodec.encode(99, 1)}\t" + """{"event_id": 90001, "user_id": 2, "event_type": "late", "value": 2.5}""" + "\n")
+    } finally f.close()
+
+    drain()
+    val after = spark.read.parquet(out)
+    assert(after.count() === eventsCount + 2, "restart must process exactly the appended messages")
+  }
+
+  test("full reference pipeline: source -> decode -> agg matches direct parquet query") {
+    import graft.operators.SourceQueries
+    val viaSource = SourceQueries.defs.head
+      .build(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    val direct = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    assert(viaSource === direct)
+  }
+
+  test("malformed payloads in the log are dropped, not failed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log3").toString
+    val f = new java.io.PrintWriter(new java.io.File(dir, "partition-0.log"), "UTF-8")
+    f.println(s"${OffsetCodec.encode(0, 0)}\t" + """{"event_id": 1, "user_id": 1, "event_type": "a", "value": 1.0}""")
+    f.println(s"${OffsetCodec.encode(0, 1)}\tgarbage payload not json")
+    f.println(s"${OffsetCodec.encode(0, 2)}\t" + """{"event_id": 3, "user_id": 3, "event_type": "c", "value": 3.0}""")
+    f.close()
+    val decoded = JsonDecode.decode(
+      spark.read.format(EventLogSource.ShortName).option("path", dir).load(),
+      "value",
+      org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType))
+      ),
+      Seq("event_id"),
+      Seq("offset")
+    )
+    assert(decoded.collect().map(_.getLong(1)).sorted.toSeq === Seq(1L, 3L))
+  }
+}
