@@ -13,6 +13,7 @@ object SparkEntry {
   /** All operator queries, in module order (SURVEY §2 inventory). */
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.Events.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Aggregators
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the relational surface (SURVEY §2.2 completeness):
+  * outer joins, the remaining analytic window functions, map/array scalar
+  * functions over decoded JSON, and the typed-Aggregator UDAF seam.
+  */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_join_left_outer",
+      "left outer join: every customer, order counts where present (null-extension semantics)",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)"), lit(0).cast("decimal(38,2)"))
+              .as("sum_price")
+          )
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)),
+             |           cast(0 as decimal(38,2))) AS sum_price
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_join_full_outer",
+      "full outer join on nation membership of customers vs suppliers",
+      (s, dir) => {
+        val c = Tables
+          .customer(s, dir)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = Tables
+          .supplier(s, dir)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp")
+          )
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT coalesce(c.k, s.k) AS nationkey,
+             |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS k, count(1) AS n_cust FROM customer GROUP BY 1) c
+             |FULL JOIN (SELECT s_nationkey AS k, count(1) AS n_supp FROM supplier GROUP BY 1) s
+             |  ON c.k = s.k
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_window_analytics",
+      "remaining analytic windows: ntile, first/last value, percent_rank, cume_dist (rational formulas emitted raw)",
+      (s, dir) => {
+        val w  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables
+          .customer(s, dir)
+          .select(
+            col("c_nationkey"),
+            col("c_custkey"),
+            col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            first(col("c_custkey")).over(wf).as("poorest"),
+            last(col("c_custkey")).over(wf).as("richest"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd")
+          )
+          .orderBy(col("c_nationkey"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+             |  cast(ntile(4) OVER w as bigint) AS quartile,
+             |  first_value(c_custkey) OVER wf AS poorest,
+             |  last_value(c_custkey) OVER wf AS richest,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+             |  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "q_map_funcs",
+      "map-typed JSON decode + map functions: from_json as map, map_keys, element_at",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType
+            )).as("m")
+          )
+          .select(
+            col("event_id"),
+            size(map_keys(col("m"))).cast("long").as("n_keys"),
+            array_join(map_keys(col("m")), ",").as("keys"),
+            element_at(col("m"), "k").as("k_val")
+          )
+          .orderBy(col("event_id"))
+          .limit(500),
+      Some("""SELECT event_id,
+             |  cast(len(json_keys(props)) as bigint) AS n_keys,
+             |  array_to_string(json_keys(props), ',') AS keys,
+             |  cast(json_extract_string(props, '$.k') as bigint) AS k_val
+             |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_array_funcs",
+      "array scalar functions over embeddings: size, element_at, slice, array_max/min (floats cast exactly to double)",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("first_c"),
+            element_at(col("embedding"), -1).cast("double").as("last_c"),
+            array_max(col("embedding")).cast("double").as("max_c"),
+            array_min(col("embedding")).cast("double").as("min_c"),
+            expr("cast(aggregate(slice(embedding, 1, 8), cast(0 as double), (a, x) -> a + cast(x as double)) as double)")
+              .as("head8_sum")
+          )
+          .orderBy(col("vec_id"))
+          .limit(500),
+      Some("""SELECT vec_id, cast(len(embedding) as bigint) AS dim,
+             |  cast(embedding[1] as double) AS first_c,
+             |  cast(embedding[-1] as double) AS last_c,
+             |  cast(list_max(embedding) as double) AS max_c,
+             |  cast(list_min(embedding) as double) AS min_c,
+             |  list_aggregate(list_transform(embedding[1:8], x -> cast(x as double)), 'sum') AS head8_sum
+             |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_udaf_geomean",
+      "typed Aggregator UDAF seam: mergeable geometric mean (partial+final like built-ins); transcendental -> rounded",
+      (s, dir) => {
+        Aggregators.register(s)
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("geomean(l_extendedprice)"), 4).as("geomean_price"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+             |  count(1) AS n
+             |FROM lineitem WHERE l_extendedprice > 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    )
+  )
+}
