@@ -198,10 +198,9 @@ object Dedup {
           col("source"),
           explode(array_distinct(shingles(col("text")))).as("sh")
         )
-        val sizes = docs.select(
-          col("doc_id"),
-          size(array_distinct(shingles(col("text")))).cast("long").as("nsh")
-        )
+        // derive set sizes from the exploded frame rather than re-running the
+        // CodegenFallback shingle lambda per row (and AQE can reuse the scan)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         val a = sh.alias("a")
         val b = sh.alias("b")
         val common = a
@@ -223,7 +222,7 @@ object Dedup {
       },
       Some(s"""WITH $shinglesCte,
               |ex AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle FROM sh),
-              |sizes AS (SELECT doc_id, cast(len(list_distinct(s)) as bigint) AS nsh FROM sh),
+              |sizes AS (SELECT doc_id, count(1) AS nsh FROM ex GROUP BY doc_id),
               |common AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
               |  FROM ex a JOIN ex b

@@ -132,6 +132,37 @@ object Similarity {
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     ),
     QueryDef(
+      "q_dedup_embed",
+      "embedding-cosine near-dup pairs, LSH-blocked: candidates share (label, bucket) so cost is sum(block^2), never all-pairs",
+      (s, dir) => {
+        VectorFunctions.register(s)
+        val withBucket = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
+        val a = withBucket.alias("a")
+        val b = withBucket.alias("b")
+        a.join(
+          b,
+          col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id")
+        ).select(
+            col("a.vec_id").as("vec_a"),
+            col("b.vec_id").as("vec_b"),
+            round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos_sim")
+          )
+          .filter(col("cos_sim") >= 0.85)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${cosDuck("a.embedding", "b.embedding")}, 6) AS cos_sim
+              |FROM bk a JOIN bk b
+              |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.85
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+    QueryDef(
       "q_embed_stats",
       "per-label embedding stats: count and L2-norm min/max/avg (per-row norm is order-stable; avg rounded)",
       (s, dir) => {

@@ -1,9 +1,17 @@
 package graft.streaming
 
 import graft.sources.JsonDecode
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Typed rows for the custom-state sessionizer. */
+case class UserEvent(ts: java.sql.Timestamp, user_id: Long)
+case class UserSession(user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp, n: Long)
+
+/** Open-session state for [[StreamingPipelines.statefulSessions]]. */
+case class SessState(startMs: Long, lastMs: Long, n: Long)
 
 /** Streaming forms of the engine's event pipeline — the rebuilt surface of
   * the reference plugin (SURVEY §3.1): partitioned scan -> JSON decode
@@ -66,6 +74,55 @@ object StreamingPipelines {
       watermark: String = "10 minutes"
   ): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * `KeyValueGroupedDataset` custom-state seam (SURVEY §2.2 streaming
+    * rows). Unlike [[sessionized]] (built-in `session_window`), this keeps
+    * explicit per-user state: one open session, closed either by a gap
+    * observed in-batch or by an event-time timeout once the watermark
+    * passes `last + gap`. State is O(1) per active user — the 100 TB
+    * property — and expired users are dropped by the timeout.
+    */
+  def statefulSessions(
+      events: Dataset[UserEvent],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"
+  ): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def toSession(user: Long, s: SessState): UserSession =
+      UserSession(user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, UserSession](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val closed = toSession(user, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var open   = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs => open = Some(SessState(s.startMs, t, s.n + 1))
+                case Some(s) =>
+                  closed += toSession(user, s)
+                  open = Some(SessState(t, t, 1L))
+                case None => open = Some(SessState(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Session windows per user (30-minute gap by default) — closes and emits
     * once the watermark passes the gap.

@@ -86,6 +86,38 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: gap closes in-batch, timeout closes via watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingPipelines
+      .statefulSessions(input.toDS(), gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sess_out")
+      .outputMode("append")
+      .start()
+    try {
+      // session 1: two events 5 min apart; then a far event opens session 2
+      input.addData(UserEvent(ts(0), 1L), UserEvent(ts(5), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0, "open session must not emit")
+
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      // the 12:00 event both closes session 1 by gap and advances the watermark
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+
+      val sessions = spark
+        .table("sess_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(sessions.exists { case (u, s, e, n) => u == 1L && s == ts(0) && e == ts(5) && n == 2L },
+        s"expected closed session 1, got ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes exactly after consumed offsets (seek semantics)") {
     // The reference's seek/contiguity logic (PulsarPartitionLevelConsumer
     // .java:112-131) maps to checkpoint recovery: a restarted query must
