@@ -145,6 +145,31 @@ object Relational2 {
              |FROM embeddings ORDER BY vec_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_topk_agg",
+      "per-group top-k as a mergeable typed aggregate: map-side partial top-k shuffles O(groups*k) rows instead of sorting the whole input like the window form (same results as q_topk_pergroup)",
+      (s, dir) => {
+        val fn = graft.functions.TopK.register(s, 3)
+        Tables
+          .part(s, dir)
+          .groupBy(col("p_brand"))
+          .agg(expr(s"$fn(p_retailprice, p_partkey)").as("top"))
+          .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "item")))
+          .select(
+            col("p_brand"),
+            (col("pos") + 1).cast("long").as("rn"),
+            col("item.key").as("p_partkey"),
+            col("item.score").as("p_retailprice")
+          )
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand
+             |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+             |  FROM part) t
+             |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)
+    ),
+    QueryDef(
       "q_udaf_geomean",
       "typed Aggregator UDAF seam: mergeable geometric mean (partial+final like built-ins); transcendental -> rounded",
       (s, dir) => {
