@@ -31,7 +31,13 @@ final case class QueryDef(
 )
 
 object QueryDef {
-  /** decimal-exact sum of a double column: identical in Spark and DuckDB. */
+  /** decimal-exact sum of a double column: identical in Spark and DuckDB.
+    * [[sumDec]] and [[sumDecSql]] are the two renderings of the ONE
+    * oracle-parity convention — change them together.
+    */
+  def sumDec(c: org.apache.spark.sql.Column, scale: Int = 4): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+
   def sumDecSql(col: String, scale: Int = 4): String =
     s"cast(sum(cast($col as decimal(18,$scale))) as decimal(38,$scale))"
 }

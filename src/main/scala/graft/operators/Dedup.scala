@@ -52,6 +52,37 @@ object Dedup {
     )
   }
 
+  /** Spark-side SimHash frame: doc_id, simhash (shared by both simhash
+    * queries; single source for the 16 bit-term expressions).
+    */
+  private def simhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val sums = toks
+      .groupBy(col("doc_id"))
+      .agg(
+        expr(simhashBitTerm("h", 0)).as("s0"),
+        (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+      )
+    sums.select(col("doc_id"), expr(simhashCombine).as("simhash"))
+  }
+
+  /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — the SQL twin of
+    * [[simhashFrame]].
+    */
+  private def simhashCteSql: String = {
+    val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
+       |sums AS (SELECT doc_id,
+       |$terms
+       |  FROM hashed GROUP BY doc_id),
+       |sh_sim AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -125,67 +156,22 @@ object Dedup {
     QueryDef(
       "q_dedup_simhash",
       "16-bit SimHash fingerprints (token-frequency-weighted bit majority over md5 bits)",
-      (s, dir) => {
-        val toks = Tables
-          .documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .select(col("doc_id"), md5(col("w")).as("h"))
-        val sums = toks
-          .groupBy(col("doc_id"))
-          .agg(
-            expr(simhashBitTerm("h", 0)).as("s0"),
-            (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
-          )
-        sums
-          .select(col("doc_id"), expr(simhashCombine).as("simhash"))
-          .orderBy(col("doc_id"))
-          .limit(500)
-      },
-      Some {
-        val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-           |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
-           |sums AS (SELECT doc_id,
-           |$terms
-           |  FROM hashed GROUP BY doc_id)
-           |SELECT doc_id, $simhashCombine AS simhash
-           |FROM sums ORDER BY doc_id LIMIT 500""".stripMargin
-      }
+      (s, dir) => simhashFrame(s, dir).orderBy(col("doc_id")).limit(500),
+      Some(s"""WITH $simhashCteSql
+              |SELECT doc_id, simhash FROM sh_sim ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_dedup_simhash_dupes",
       "SimHash collision groups: fingerprints shared by >1 doc (hash-equality near-dup candidates)",
-      (s, dir) => {
-        val toks = Tables
-          .documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-          .select(col("doc_id"), md5(col("w")).as("h"))
-        val sums = toks
-          .groupBy(col("doc_id"))
-          .agg(
-            expr(simhashBitTerm("h", 0)).as("s0"),
-            (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
-          )
-        sums
-          .select(col("doc_id"), expr(simhashCombine).as("simhash"))
+      (s, dir) =>
+        simhashFrame(s, dir)
           .groupBy(col("simhash"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
           .filter(col("n_docs") > 1)
-          .orderBy(col("simhash"))
-      },
-      Some {
-        val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
-        s"""WITH tok AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-           |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
-           |sums AS (SELECT doc_id,
-           |$terms
-           |  FROM hashed GROUP BY doc_id),
-           |sh AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)
-           |SELECT simhash, count(1) AS n_docs, min(doc_id) AS first_doc
-           |FROM sh GROUP BY simhash HAVING count(1) > 1 ORDER BY simhash""".stripMargin
-      }
+          .orderBy(col("simhash")),
+      Some(s"""WITH $simhashCteSql
+              |SELECT simhash, count(1) AS n_docs, min(doc_id) AS first_doc
+              |FROM sh_sim GROUP BY simhash HAVING count(1) > 1 ORDER BY simhash""".stripMargin)
     ),
     QueryDef(
       "q_dedup_jaccard",

@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Events {
 
   private def sumDec(c: Column, scale: Int = 4): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+    QueryDef.sumDec(c, scale)
 
   /** props payload schema — the host-supplied `fieldsToRead` of the decode
     * seam (`PulsarJSONMessageDecoder.java:48`).

@@ -25,7 +25,7 @@ object Relational {
     * engine-independent, unlike a double sum (QueryDef Scaladoc).
     */
   private def sumDec(c: Column, scale: Int = 4): Column =
-    sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+    QueryDef.sumDec(c, scale)
 
   /** Price bands for the range-join query; single source of truth rendered
     * into both the Spark literal dim table and the oracle's VALUES clause.

@@ -176,6 +176,9 @@ object Relational2 {
         Aggregators.register(s)
         Tables
           .lineitem(s, dir)
+          // match the oracle's WHERE exactly: GeometricMean skips nonpositives
+          // internally, but count(1) must see the same row set on both sides
+          .filter(col("l_extendedprice") > 0)
           .groupBy(col("l_returnflag"))
           .agg(
             round(expr("geomean(l_extendedprice)"), 4).as("geomean_price"),

@@ -54,10 +54,14 @@ object Similarity {
   private def bucketDuck: String =
     (0 until planes.size).map(i => s"case when ${dotPlaneDuck(i)} > 0 then ${1 << i} else 0 end").mkString("cast(", " + ", " as bigint)")
 
-  /** DuckDB cosine between two list cols (cast-to-double, order-stable). */
+  /** DuckDB cosine between two list cols (cast-to-double, order-stable).
+    * Each dot product iterates min(len(x), len(y)) of ITS OWN operands,
+    * matching CosineSimilarity's truncate-to-min semantics for (hypothetical)
+    * unequal-length vectors.
+    */
   private def cosDuck(a: String, b: String): String = {
     def dot(x: String, y: String) =
-      s"list_aggregate(list_transform(generate_series(1, len($a)), k -> cast($x[k] as double) * cast($y[k] as double)), 'sum')"
+      s"list_aggregate(list_transform(generate_series(1, least(len($x), len($y))), k -> cast($x[k] as double) * cast($y[k] as double)), 'sum')"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 

@@ -24,11 +24,17 @@ object SourceQueries {
     )
   )
 
-  /** Materialize the fixture-backed event log once per sfDir. */
+  /** Materialize the fixture-backed event log once per sfDir. A `_SUCCESS`
+    * marker written only after ALL partition files exist guards against
+    * reusing a partially-written log from a crashed earlier run.
+    */
   def logDirFor(spark: SparkSession, sfDir: String): String = {
-    val dir = s"/tmp/graft-eventlog-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    val marker = new java.io.File(dir, "partition-0.log")
-    if (!marker.exists()) EventLogWriter.materialize(spark, sfDir, dir)
+    val dir     = s"/tmp/graft-eventlog-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val success = new java.io.File(dir, "_SUCCESS")
+    if (!success.exists()) {
+      EventLogWriter.materialize(spark, sfDir, dir)
+      success.createNewFile()
+    }
     dir
   }
 

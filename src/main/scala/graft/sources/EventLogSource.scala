@@ -193,9 +193,13 @@ class EventLogMicroBatchStream(path: String, config: SourceConfig)
         .iterator
         .filter(_._1 > from)
         .take(maxRows)
-        .takeWhile { case (_, payload) =>
-          bytes += payload.length; bytes <= config.maxBatchBytes || bytes == payload.length
+        .zipWithIndex
+        .takeWhile { case ((_, payload), idx) =>
+          // always admit the first message even if it alone exceeds the cap
+          // (Pulsar's batch policy does the same); never over-admit later ones
+          bytes += payload.length; idx == 0 || bytes <= config.maxBatchBytes
         }
+        .map(_._1)
         .toSeq
       val advanced = if (taken.isEmpty) from else taken.last._1
       // under Trigger.AvailableNow, never advance past the prepared snapshot

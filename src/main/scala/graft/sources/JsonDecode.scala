@@ -30,7 +30,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object JsonDecode {
 
-  private val CorruptCol = "_graft_corrupt"
+  /** Corrupt-record sentinel field. Known limitation (inherent to Spark's
+    * columnNameOfCorruptRecord mechanism): a well-formed payload that itself
+    * contains a top-level key with this exact name is misclassified as
+    * corrupt and dropped. The name is chosen to make a collision with real
+    * data effectively impossible; callers with hostile inputs can audit
+    * drops via [[decodeCounted]].
+    */
+  private val CorruptCol = "__graft_corrupt_record__"
 
   private def schemaWithCorrupt(schema: StructType): StructType =
     StructType(schema.fields :+ StructField(CorruptCol, StringType))

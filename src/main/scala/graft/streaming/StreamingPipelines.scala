@@ -65,7 +65,8 @@ object StreamingPipelines {
       )
 
   /** Streaming dedup on a key set — the S7 `readCompacted` analogue: at most
-    * one row per key within the watermark horizon.
+    * one row per key within the watermark horizon (first occurrence wins;
+    * state for a key expires once the watermark passes it).
     */
   def dedupByKey(
       events: DataFrame,
@@ -73,7 +74,7 @@ object StreamingPipelines {
       tsCol: String = "ts",
       watermark: String = "10 minutes"
   ): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * `KeyValueGroupedDataset` custom-state seam (SURVEY §2.2 streaming
@@ -108,7 +109,12 @@ object StreamingPipelines {
             val closed = Seq.newBuilder[UserSession]
             sorted.foreach { t =>
               open match {
-                case Some(s) if t - s.lastMs <= gapMs => open = Some(SessState(s.startMs, t, s.n + 1))
+                // within gap: extend with min/max, never rewind — a late event
+                // older than lastMs (but above the watermark) arrives in a
+                // later batch and must not shrink the session or move its
+                // timeout backwards
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+                  open = Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
                 case Some(s) =>
                   closed += toSession(user, s)
                   open = Some(SessState(t, t, 1L))

@@ -79,6 +79,7 @@ class StreamingPipelinesSpec extends AnyFunSuite {
       input.addData(
         Ev(ts(1), "click", 1, 1.0),
         Ev(ts(1), "click", 1, 1.0), // exact duplicate
+        Ev(ts(3), "click", 1, 9.0), // same key, later ts: still deduped within watermark
         Ev(ts(2), "view", 2, 2.0)
       )
       q.processAllAvailable()
@@ -115,6 +116,41 @@ class StreamingPipelinesSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
       assert(sessions.exists { case (u, s, e, n) => u == 1L && s == ts(0) && e == ts(5) && n == 2L },
         s"expected closed session 1, got ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("sessionizer: cross-batch late event extends, never rewinds the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = StreamingPipelines
+      .statefulSessions(input.toDS(), gapMs = 30 * 60 * 1000L, watermark = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sess_ooo")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(UserEvent(ts(30), 1L))
+      q.processAllAvailable()
+      // late-but-valid event (older than lastMs, above the watermark)
+      input.addData(UserEvent(ts(25), 1L))
+      q.processAllAvailable()
+      // far event closes the session by gap and pushes the watermark
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 13:00:00"), 1L))
+      q.processAllAvailable()
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 15:00:00"), 2L))
+      q.processAllAvailable()
+      val ses = spark
+        .table("sess_ooo")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .filter(_._1 == 1L)
+      assert(
+        ses.exists { case (_, s, e, n) => s == ts(25) && e == ts(30) && n == 2L },
+        s"late event must extend session to [25,30], got ${ses.mkString(", ")}"
+      )
+      ses.foreach { case (_, s, e, _) => assert(!e.before(s), "session end must be >= start") }
     } finally q.stop()
   }
 
