@@ -86,6 +86,46 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows => rows.map(decoder.decode) }
   }
 
+  /** One sampled frame: parent doc, frame index, frame payload + dims. */
+  final case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th frame of each media payload, as a
+    * typed flatMap (1 row in, k rows out — the video analogue of explode).
+    * STUB frame extraction: frames are fixed-size byte windows of the
+    * payload; a real build binds a container demuxer at the same seam.
+    * Payloads fan out map-side BEFORE any shuffle, so downstream per-frame
+    * ops parallelize without moving whole videos.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int = 2, frameBytes: Int = 64): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val feats = StubDecoder.decode(row)
+      val nFrames = feats.n_frames
+      (0 until nFrames by everyN).map { i =>
+        val fromIdx = math.min(i * frameBytes, row.payload.length)
+        val until   = math.min(fromIdx + frameBytes, row.payload.length)
+        Frame(row.doc_id, i, feats.width, feats.height, java.util.Arrays.copyOfRange(row.payload, fromIdx, until))
+      }
+    }
+  }
+
+  /** Resize stub: deterministic downscale of the fake dims (a real build
+    * calls the codec here); demonstrates feature transform AFTER decode,
+    * still map-side.
+    */
+  def resize(frames: Dataset[Frame], maxDim: Int): Dataset[Frame] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt)
+      )
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_multimodal_meta",

@@ -160,6 +160,44 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_sample_hash",
+      "deterministic content-hash sampling (training-data op): ~10% of docs by md5 bucket, stable across runs/engines",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") < 26)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(1) AS n_sampled, min(doc_id) AS first_doc
+             |FROM documents
+             |WHERE ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int < 26
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_split_assign",
+      "deterministic train/val/test split assignment by content hash (80/10/10) — reproducible sharding for training pipelines",
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        Tables
+          .documents(s, dir)
+          .withColumn(
+            "split",
+            when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+          )
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(1) AS n, count(DISTINCT lang) AS n_langs
+             |FROM (SELECT lang,
+             |        ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int AS b
+             |      FROM documents) t
+             |GROUP BY 1 ORDER BY split""".stripMargin)
+    ),
+    QueryDef(
       "q_text_topwords",
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>

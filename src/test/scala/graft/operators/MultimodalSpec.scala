@@ -30,6 +30,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
   }
 
+  test("frame sampling fans out map-side and respects the stride") {
+    val media  = Multimodal.mediaTable(spark, TestSpark.sfDir).limit(10)
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.doc_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).forall(_ % 2 == 0), "stride must skip odd frames")
+      assert(fs.map(_.frame_idx).distinct.length === fs.length)
+    }
+    assert(frames.forall(_.frame.length <= 64))
+  }
+
+  test("resize preserves aspect ratio direction and bounds dims") {
+    val media   = Multimodal.mediaTable(spark, TestSpark.sfDir).limit(10)
+    val resized = Multimodal.resize(Multimodal.sampleFrames(media), maxDim = 32).collect()
+    resized.foreach { f =>
+      assert(f.width <= 32 && f.height <= 32 && f.width >= 1 && f.height >= 1)
+    }
+  }
+
   test("stub decoder is content-addressed (checksum = md5 of payload)") {
     val row = Multimodal.MediaRow(1L, "image/fake", "hello".getBytes("UTF-8"))
     val f   = Multimodal.StubDecoder.decode(row)

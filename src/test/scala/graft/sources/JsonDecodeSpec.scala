@@ -76,6 +76,26 @@ class JsonDecodeSpec extends AnyFunSuite {
     assert(out(0).getSeq[String](2) === Seq("a", "b"))
   }
 
+  test("decode drops are measurable via observe() (SURVEY §7.5.3 metric channel)") {
+    val observed = JsonDecode
+      .decodeCounted(
+        Seq((1L, """{"user_id": 1}"""), (2L, "garbage"), (3L, "also garbage")).toDF("offset", "payload"),
+        "payload",
+        schema,
+        Seq("user_id"),
+        Seq("offset")
+      )
+      .observe(
+        "decode_metrics",
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("_corrupt").cast("long")).as("n_corrupt"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_total")
+      )
+    observed.collect()
+    val m = observed.queryExecution.observedMetrics("decode_metrics")
+    assert(m.getAs[Long]("n_corrupt") === 2L)
+    assert(m.getAs[Long]("n_total") === 3L)
+  }
+
   test("decodeCounted flags corrupt rows instead of dropping") {
     val out = JsonDecode
       .decodeCounted(
