@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinStrategiesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val fin = plan.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }.getOrElse(plan)
+    fin.collect { case s: ShuffleExchangeLike => s }.size
+  }
+
+  test("bucketed join plans with zero shuffle exchanges") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sfDir)
+    val o  = graft.Tables.orders(spark, TestSpark.sfDir)
+    // clean both metastore entries and leftover locations from prior JVMs
+    Seq("b_li", "b_o").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    JoinStrategies.writeBucketed(li.select("l_orderkey", "l_quantity").withColumnRenamed("l_orderkey", "k"), "b_li", "k", 4)
+    JoinStrategies.writeBucketed(o.select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "k"), "b_o", "k", 4)
+    // disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = JoinStrategies.bucketedJoin(spark, "b_li", "b_o", "k")
+      assert(shuffleCount(joined) === 0, "bucketed join must not shuffle either side")
+      // and it returns the same rows as the plain join
+      val plain = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      assert(joined.count() === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted count equals plain groupBy count") {
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+    val salted = JoinStrategies
+      .saltedCount(ev, "event_type", salt = 8)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val plain = ev
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(salted === plain)
+  }
+
+  test("salted join equals plain inner join") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sfDir).select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o  = graft.Tables.orders(spark, TestSpark.sfDir).select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    val salted = JoinStrategies.saltedJoin(li, o, "k", salt = 4)
+    val plain  = li.join(o, Seq("k"))
+    assert(salted.count() === plain.count())
+    val sAgg = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pAgg = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sAgg === pAgg)
+  }
+}
