@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling / OLAP utility operators a training-data pipeline runs
+  * before anything else: column profiles, value histograms, and time-series
+  * gap-fill. All single-pass aggregations (profile), map-side bucketing
+  * (histogram), or a generated-dimension left join (gap-fill) — no shape
+  * that degrades at 100 TB.
+  */
+object Profiling {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_profile_documents",
+      "single-pass column profile: null/distinct/min/max per column (the pre-flight check of any ingest)",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("text").isNull.cast("long")).as("null_text"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id")
+          ),
+      Some("""SELECT count(1) AS n_rows,
+             |  sum(cast(text IS NULL as bigint)) AS null_text,
+             |  count(DISTINCT lang) AS n_langs,
+             |  count(DISTINCT source) AS n_sources,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |  sum(n_chars) AS sum_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q_histogram",
+      "fixed-width value histogram (Pinot HISTOGRAM shape): map-side bucketing, one tiny shuffle",
+      (s, dir) => {
+        val lo = 900.0
+        val w  = 10000.0
+        val bucket = least(greatest(floor((col("l_extendedprice") - lo) / w), lit(0.0)), lit(10.0))
+          .cast("long")
+        Tables
+          .lineitem(s, dir)
+          .groupBy(bucket.as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("min_v"),
+            max(col("l_extendedprice")).as("max_v")
+          )
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT cast(least(greatest(floor((l_extendedprice - 900.0) / 10000.0), 0.0), 10.0) as bigint) AS bucket,
+             |  count(1) AS n, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_gapfill",
+      "time-series resample with gap-fill: hourly counts left-joined onto a generated dense hour dimension (zero for silent hours)",
+      (s, dir) => {
+        val ev = Tables
+          .events(s, dir)
+          .select((unix_timestamp(col("ts")).cast("long") / 3600).cast("long").as("hour_n"), col("value"))
+        val agg = ev
+          .groupBy(col("hour_n"))
+          .agg(count(lit(1)).as("n"), QueryDef.sumDec(col("value"), 2).as("sum_value"))
+        val bounds = ev.agg(min(col("hour_n")).as("lo"), max(col("hour_n")).as("hi"))
+        val hours = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour_n"))
+        hours
+          .join(agg, Seq("hour_n"), "left_outer")
+          .select(
+            (col("hour_n") * 3600).as("hour_start_s"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_value"), lit(0).cast("decimal(38,2)")).as("sum_value")
+          )
+          .orderBy(col("hour_start_s"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT cast(floor(epoch(ts)) as bigint) // 3600 AS hour_n, "value"
+              |  FROM events),
+              |agg AS (
+              |  SELECT hour_n, count(1) AS n,
+              |    ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
+              |  FROM ev GROUP BY hour_n),
+              |bounds AS (SELECT min(hour_n) AS lo, max(hour_n) AS hi FROM ev),
+              |hours AS (SELECT unnest(generate_series(lo, hi)) AS hour_n FROM bounds)
+              |SELECT hours.hour_n * 3600 AS hour_start_s,
+              |  coalesce(agg.n, 0) AS n,
+              |  coalesce(agg.sum_value, cast(0 as decimal(38,2))) AS sum_value
+              |FROM hours LEFT JOIN agg ON hours.hour_n = agg.hour_n
+              |ORDER BY hour_start_s""".stripMargin)
+    )
+  )
+}
