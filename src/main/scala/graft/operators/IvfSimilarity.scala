@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) vector index: the k-means scale path for ANN that
+  * SCALE.md pairs with LSH bucketing. A deterministic mini k-means (k
+  * centroids, 2 Lloyd iterations, first-k init) partitions the corpus;
+  * probes scan only the query's cluster (~1/k of the data).
+  *
+  * Everything is relational — posexplode to (vec, dim, component), joins
+  * against the centroid frame, two groupBy rounds — which is exactly the
+  * shape distributed k-means takes at 100 TB: per-iteration cost is one
+  * broadcast-join + one shuffle on cluster id, centroids stay tiny.
+  *
+  * Oracle-parity engineering (this is the subtle part): every cross-row
+  * double sum (distances, centroid means, dot products) casts its per-row
+  * term to decimal(18,12) first. Per-row terms are bit-identical across
+  * engines, and 12 fractional digits is well inside the ~15-17 significant-digit
+  * zone where Spark's shortest-repr-based and DuckDB's binary-based
+  * double->decimal casts agree — so the sums are exact decimals, the argmins
+  * compare identically, and the whole 2-iteration pipeline is reproducible
+  * bit-for-bit in DuckDB. (A higher scale like decimal(38,20) would NOT
+  * match: the engines disagree beyond ~17 significant digits.)
+  */
+object IvfSimilarity {
+
+  val K = 8
+
+  /** decimal-exact cross-row sum of a per-row double term. */
+  private def sumTerm(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,12)"))
+
+  /** (vec_id, label, d (1-based), x (double)) component frame. */
+  private def comp(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
+
+  /** Assignments after 2 Lloyd iterations: (vec_id, cid, dist2). */
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
+    val c = comp(s, dir)
+
+    // init: centroid j = components of vec_id j (j < K)
+    val cent1 = c.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("d"), col("x").as("cx"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val dists = c
+        .join(broadcast(centroids), "d")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sumTerm((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    val a1 = assign(cent1).select(col("vec_id"), col("cid"))
+    val cent2 = c
+      .join(a1, "vec_id")
+      .groupBy(col("cid"), col("d"))
+      .agg((sumTerm(col("x")).cast("double") / count(lit(1))).as("cx"))
+    assign(cent2)
+  }
+
+  // ---- DuckDB twins (same structure, CTE chain) ----
+
+  private val compSql =
+    """comp AS (
+      |  SELECT vec_id, label, i AS d, cast(embedding[i] as double) AS x
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |  WHERE i <= len(embedding))""".stripMargin
+
+  private val assignmentsSql =
+    s"""$compSql,
+       |cent1 AS (
+       |  SELECT vec_id AS cid, d, x AS cx FROM comp WHERE vec_id < $K),
+       |dist1 AS (
+       |  SELECT comp.vec_id, cent1.cid,
+       |    sum(cast((comp.x - cent1.cx) * (comp.x - cent1.cx) as decimal(18,12))) AS dist
+       |  FROM comp JOIN cent1 USING (d) GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dist1) t WHERE rn = 1),
+       |cent2 AS (
+       |  SELECT a1.cid, comp.d,
+       |    cast(sum(cast(comp.x as decimal(18,12))) as double) / count(1) AS cx
+       |  FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |dist2 AS (
+       |  SELECT comp.vec_id, cent2.cid,
+       |    sum(cast((comp.x - cent2.cx) * (comp.x - cent2.cx) as decimal(18,12))) AS dist
+       |  FROM comp JOIN cent2 USING (d) GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dist2) t WHERE rn = 1)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_sim_ivf_build",
+      s"IVF index build: deterministic k-means ($K clusters, 2 Lloyd iterations, first-$K init) — cluster census with mean within-cluster distance",
+      (s, dir) =>
+        assignments(s, dir)
+          .groupBy(col("cid"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            // exact decimal total, not a derived mean: DuckDB's wide-decimal
+            // -> double conversion double-rounds (int128 then /10^14) and can
+            // differ from Spark's correctly-rounded BigDecimal by 1 ulp
+            sum(col("dist")).cast("decimal(38,12)").as("sum_dist"),
+            min(col("vec_id")).as("first_vec")
+          )
+          .orderBy(col("cid")),
+      Some(s"""WITH $assignmentsSql
+              |SELECT cid, count(1) AS n_members,
+              |  cast(sum(dist) as decimal(38,12)) AS sum_dist,
+              |  min(vec_id) AS first_vec
+              |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_ivf_probe",
+      "IVF probe: top-5 by cosine among the query vector's cluster only (~1/k of the corpus scored; decimal-exact dot products)",
+      (s, dir) => {
+        val a2 = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val c  = comp(s, dir)
+        val qCluster = a2.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
+        val members  = a2.join(broadcast(qCluster), col("cid") === col("qcid")).filter(col("vec_id") =!= 0)
+        val qComp    = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        val scored = c
+          .join(members.select("vec_id"), "vec_id")
+          .join(broadcast(qComp), "d")
+          .groupBy(col("vec_id"))
+          .agg(
+            sumTerm(col("x") * col("qx")).as("dot"),
+            sumTerm(col("x") * col("x")).as("nx"),
+            sumTerm(col("qx") * col("qx")).as("nq")
+          )
+          .select(
+            col("vec_id"),
+            round(
+              col("dot").cast("double") /
+                (sqrt(col("nx").cast("double")) * sqrt(col("nq").cast("double"))),
+              6
+            ).as("cos_sim")
+          )
+        scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(5)
+      },
+      Some(s"""WITH $assignmentsSql,
+              |qc AS (SELECT cid AS qcid FROM a2 WHERE vec_id = 0),
+              |members AS (
+              |  SELECT a2.vec_id FROM a2, qc WHERE a2.cid = qc.qcid AND a2.vec_id <> 0),
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT comp.vec_id,
+              |    sum(cast(comp.x * qcomp.qx as decimal(18,12))) AS dot,
+              |    sum(cast(comp.x * comp.x as decimal(18,12))) AS nx,
+              |    sum(cast(qcomp.qx * qcomp.qx as decimal(18,12))) AS nq
+              |  FROM comp
+              |  JOIN members USING (vec_id)
+              |  JOIN qcomp USING (d)
+              |  GROUP BY 1)
+              |SELECT vec_id,
+              |  round(cast(dot as double)
+              |        / (sqrt(cast(nx as double)) * sqrt(cast(nq as double))), 6) AS cos_sim
+              |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    )
+  )
+}
