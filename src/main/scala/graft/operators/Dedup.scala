@@ -36,10 +36,14 @@ object Dedup {
     * codegen'd HashAggregate, and shuffles once on doc_id. Same math, same
     * oracle.
     */
-  private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val exploded = Tables
-      .documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+  private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    signatures(Tables.documents(s, dir))
+
+  /** MinHash band signatures for any frame with (doc_id, text) — exposed so
+    * tests exercise THIS pipeline on synthetic corpora rather than a copy.
+    */
+  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) = {
+    val exploded = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val hashAggs = (0 until NumHashes)
       .map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
     val sig = exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)

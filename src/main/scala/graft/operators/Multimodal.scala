@@ -132,15 +132,16 @@ object Multimodal {
       "binary-column metadata extraction without decode: byte length + content hash + derived fake dims (pure codegen, payload never leaves the scan)",
       (s, dir) =>
         mediaTable(s, dir)
+          .withColumn("sha", sha2(col("payload"), 256))
           .select(
             col("doc_id"),
             col("media_type"),
             length(col("payload")).cast("long").as("n_bytes"),
-            sha2(col("payload"), 256).as("sha"),
-            (lit(16) + conv(substring(sha2(col("payload"), 256), 1, 2), 16, 10).cast("long") % 240)
+            col("sha"),
+            (lit(16) + conv(substring(col("sha"), 1, 2), 16, 10).cast("long") % 240)
               .cast("long")
               .as("fake_width"),
-            (lit(16) + conv(substring(sha2(col("payload"), 256), 3, 2), 16, 10).cast("long") % 240)
+            (lit(16) + conv(substring(col("sha"), 3, 2), 16, 10).cast("long") % 240)
               .cast("long")
               .as("fake_height")
           )

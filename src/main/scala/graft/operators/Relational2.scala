@@ -22,7 +22,7 @@ object Relational2 {
           .groupBy(col("c_custkey"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            coalesce(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)"), lit(0).cast("decimal(38,2)"))
+            coalesce(QueryDef.sumDec(col("o_totalprice"), 2), lit(0).cast("decimal(38,2)"))
               .as("sum_price")
           )
           .orderBy(col("c_custkey")),

@@ -25,33 +25,53 @@ object TextAnalysis {
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN ${inListSql(words)}))"
 
+  /** Input columns + per-language stopword scores + `predicted` — exposed so
+    * tests drive THIS scoring pipeline, not a copy.
+    */
+  private[graft] def langidFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks  = tokens(col("text"))
+    val langs = stopwords.map(_._1)
+    val scored = docs.select(
+      col("*") +: stopwords.map { case (l, ws) => stopHits(toks, ws).as(s"sc_$l") }: _*
+    )
+    val best = langs.foldRight(lit("und")) { (l, acc) =>
+      val isMax = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
+      when(col(s"sc_$l") > 0 && isMax, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", best)
+  }
+
+  /** Input columns + quality metrics (`n_tok`, `n_char`, `avg_tok_len`,
+    * `punct_ratio`, `stop_ratio`, `quality`) — shared by query and tests.
+    */
+  private[graft] def qualityFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks      = tokens(col("text"))
+    val nTok      = size(toks).cast("long")
+    val nChar     = length(col("text")).cast("long")
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("long") / nTok
+    val punct     = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long") / nChar
+    val stopR     = stopHits(toks, stopwords.head._2).cast("long") / nTok
+    val score     = least(avgTokLen / 8.0, lit(1.0)) * 0.5 + stopR * 0.3 + (lit(1.0) - punct) * 0.2
+    docs.select(
+      col("*"),
+      nTok.as("n_tok"),
+      nChar.as("n_char"),
+      avgTokLen.as("avg_tok_len"),
+      punct.as("punct_ratio"),
+      stopR.as("stop_ratio"),
+      score.as("quality")
+    )
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_langid",
       "heuristic language ID: stopword-hit argmax per doc (deterministic tie order), confusion counts vs labeled lang",
-      (s, dir) => {
-        val toks = tokens(col("text"))
-        val scored = Tables
-          .documents(s, dir)
-          .select(
-            col("lang") +:
-              stopwords.map { case (l, ws) => stopHits(toks, ws).as(s"sc_$l") }: _*
-          )
-        val langs = stopwords.map(_._1)
-        val best = langs
-          .foldRight(lit("und")) { (l, acc) =>
-            val isMax = langs
-              .filter(_ != l)
-              .map(o => col(s"sc_$l") >= col(s"sc_$o"))
-              .reduce(_ && _)
-            when(col(s"sc_$l") > 0 && isMax, lit(l)).otherwise(acc)
-          }
-        scored
-          .withColumn("predicted", best)
+      (s, dir) =>
+        langidFrame(Tables.documents(s, dir))
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
-          .orderBy(col("lang"), col("predicted"))
-      },
+          .orderBy(col("lang"), col("predicted")),
       Some {
         val scores = stopwords.map { case (l, ws) => s"    ${stopHitsSql(ws)} AS sc_$l" }.mkString(",\n")
         val langs  = stopwords.map(_._1)
@@ -71,31 +91,22 @@ object TextAnalysis {
     QueryDef(
       "q_text_quality",
       "quality scoring: token/char counts, avg token length, punctuation + stopword ratios, composite score",
-      (s, dir) => {
-        val toks  = tokens(col("text"))
-        val nTok  = size(toks).cast("long")
-        val nChar = length(col("text")).cast("long")
-        val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("long") / nTok
-        val punct     = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long") / nChar
-        val stopR     = stopHits(toks, stopwords.head._2).cast("long") / nTok
-        val score = least(avgTokLen / 8.0, lit(1.0)) * 0.5 + stopR * 0.3 + (lit(1.0) - punct) * 0.2
-        Tables
-          .documents(s, dir)
+      // all ratios are exact-int divisions / fixed-order double math:
+      // bit-identical in both engines, so emitted RAW — rounding a
+      // rational double at a decimal half diverges between engines
+      (s, dir) =>
+        qualityFrame(Tables.documents(s, dir))
           .select(
-            // all ratios are exact-int divisions / fixed-order double math:
-            // bit-identical in both engines, so emitted RAW — rounding a
-            // rational double at a decimal half diverges between engines
             col("doc_id"),
-            nTok.as("n_tok"),
-            nChar.as("n_char"),
-            avgTokLen.as("avg_tok_len"),
-            punct.as("punct_ratio"),
-            stopR.as("stop_ratio"),
-            score.as("quality")
+            col("n_tok"),
+            col("n_char"),
+            col("avg_tok_len"),
+            col("punct_ratio"),
+            col("stop_ratio"),
+            col("quality")
           )
           .orderBy(col("doc_id"))
-          .limit(500)
-      },
+          .limit(500),
       Some {
         val stop = stopHitsSql(stopwords.head._2)
         s"""WITH base AS (

@@ -36,19 +36,8 @@ class DedupSpec extends AnyFunSuite {
       (1L, nearDupAppend, "en", "s0"),
       (2L, other, "en", "s0")
     ).toDF("doc_id", "text", "lang", "source")
-    val sh = shingles(col("text"))
-    val sigs = lshCorpus
-      .select(
-        col("doc_id") +:
-          (0 until NumHashes).map(j => minhash(sh, j).as(s"h$j")): _*
-      )
-      .select(
-        col("doc_id") +:
-          (0 until NumBands).map { b =>
-            val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
-            md5(concat_ws("|", cols: _*)).as(s"band$b")
-          }: _*
-      )
+    val sigs = Dedup
+      .signatures(lshCorpus)
       .collect()
       .map(r => r.getLong(0) -> (1 to NumBands).map(r.getString))
       .toMap

@@ -13,23 +13,12 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def langidOn(rows: Seq[(Long, String, String)]): Map[String, String] = {
-    // reuse the query's scoring logic by running it over a temp corpus via
-    // the same TextShared constants
-    import TextShared._
-    val toks = split(col("text"), " ")
-    val df = rows.toDF("doc_id", "text", "lang")
-    val scored = df.select(
-      col("lang") +: col("text") +:
-        stopwords.map { case (l, ws) => size(filter(toks, x => x.isin(ws: _*))).as(s"sc_$l") }: _*
-    )
-    val langs = stopwords.map(_._1)
-    val best = langs.foldRight(lit("und")) { (l, acc) =>
-      val isMax = langs.filter(_ != l).map(o => col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _)
-      when(col(s"sc_$l") > 0 && isMax, lit(l)).otherwise(acc)
-    }
-    scored.withColumn("p", best).collect().map(r => r.getAs[String]("text") -> r.getAs[String]("p")).toMap
-  }
+  private def langidOn(rows: Seq[(Long, String, String)]): Map[String, String] =
+    TextAnalysis
+      .langidFrame(rows.toDF("doc_id", "text", "lang"))
+      .collect()
+      .map(r => r.getAs[String]("text") -> r.getAs[String]("predicted"))
+      .toMap
 
   test("language ID predicts by stopword evidence, 'und' without evidence") {
     val en = "the cat sat on the mat and the dog is in a box"
@@ -54,22 +43,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     q.values.foreach(v => assert(v >= 0.0 && v <= 1.0, s"score out of [0,1]: $q"))
   }
 
-  private def SparkEntry_quality(rows: Seq[(Long, String)]): Map[Long, Double] = {
-    import TextShared._
-    val toks  = split(col("text"), " ")
-    val nTok  = size(toks).cast("long")
-    val nChar = length(col("text")).cast("long")
-    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("long") / nTok
-    val punct     = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long") / nChar
-    val stopR     = size(filter(toks, x => x.isin(stopwords.head._2: _*))).cast("long") / nTok
-    val score = least(avgTokLen / 8.0, lit(1.0)) * 0.5 + stopR * 0.3 + (lit(1.0) - punct) * 0.2
-    rows
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), score.as("q"))
+  private def SparkEntry_quality(rows: Seq[(Long, String)]): Map[Long, Double] =
+    TextAnalysis
+      .qualityFrame(rows.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("quality"))
       .collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
       .toMap
-  }
 
   test("fingerprint is whitespace/case-normalized") {
     val a = "Hello   World  FOO"
