@@ -170,6 +170,57 @@ object Relational2 {
              |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)
     ),
     QueryDef(
+      "q_agg_minmaxrange",
+      "Pinot MINMAXRANGE shape: max - min per group (exact double subtraction of exact extremes)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            (max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("price_range"),
+            (max(col("l_quantity")) - min(col("l_quantity"))).as("qty_range")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  max(l_extendedprice) - min(l_extendedprice) AS price_range,
+             |  max(l_quantity) - min(l_quantity) AS qty_range
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_asof_join",
+      "as-of join (composed per build-rule (a)): each purchase paired with the same user's most recent prior click — union+window form, one shuffle and linear per user (a per-purchase join would be O(clicks x purchases) on hot users)",
+      (s, dir) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables
+          .events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn(
+            "click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w)
+          )
+          .withColumn(
+            "click_value",
+            last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w)
+          )
+          .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"), col("click_value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT user_id, purchase_id, click_id, click_value FROM (
+             |  SELECT p.user_id, p.event_id AS purchase_id,
+             |    c.event_id AS click_id, c."value" AS click_value,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM events p
+             |  JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+             |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             |  WHERE p.event_type = 'purchase') t
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)
+    ),
+    QueryDef(
       "q_udaf_geomean",
       "typed Aggregator UDAF seam: mergeable geometric mean (partial+final like built-ins); transcendental -> rounded",
       (s, dir) => {

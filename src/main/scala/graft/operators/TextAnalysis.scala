@@ -171,6 +171,22 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_text_fingerprint_fast",
+      "rolling-hash fingerprints via the codegen RollingHash expression (~20x cheaper than md5; rows-only — no DuckDB primitive matches)",
+      (s, dir) => {
+        graft.functions.RollingHash.register(s)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("rolling_hash(text)").as("fingerprint")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      None
+    ),
+    QueryDef(
       "q_sample_hash",
       "deterministic content-hash sampling (training-data op): ~10% of docs by md5 bucket, stable across runs/engines",
       (s, dir) =>
