@@ -61,6 +61,66 @@ object Profiling {
              |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
     ),
     QueryDef(
+      "q_pivot",
+      "PIVOT: language x source counts as a wide table (conditional aggregation; Catalyst plans one pass)",
+      (s, dir) => {
+        val srcs = Seq("src0", "src1", "src2", "src3")
+        Tables
+          .documents(s, dir)
+          .groupBy(col("lang"))
+          .pivot("source", srcs)
+          .agg(count(lit(1)))
+          .na.fill(0L, srcs)
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang,
+             |  count(1) FILTER (source = 'src0') AS src0,
+             |  count(1) FILTER (source = 'src1') AS src1,
+             |  count(1) FILTER (source = 'src2') AS src2,
+             |  count(1) FILTER (source = 'src3') AS src3
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_unpivot",
+      "UNPIVOT/melt: lineitem metric columns to (metric, value) rows via stack()",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            expr("stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount) AS (metric, val)")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+          .limit(600),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem) t
+             |ORDER BY l_orderkey, l_linenumber, metric LIMIT 600""".stripMargin)
+    ),
+    QueryDef(
+      "q_stat_corr",
+      "bivariate statistics: correlation and sample covariance per group (parallel-order-sensitive -> rounded)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             |  count(1) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
       "q_event_gapfill",
       "time-series resample with gap-fill: hourly counts left-joined onto a generated dense hour dimension (zero for silent hours)",
       (s, dir) => {
