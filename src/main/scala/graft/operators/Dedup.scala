@@ -87,6 +87,41 @@ object Dedup {
        |sh_sim AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)""".stripMargin
   }
 
+  /** Duplicate clustering: candidate pairs -> connected components via
+    * iterated min-label propagation (each doc adopts the smallest doc_id
+    * reachable within `iterations` hops). The last stage of the dedup
+    * pipeline: survivors = one doc per cluster (the min), everything else
+    * drops.
+    *
+    * Scale: each iteration is two shuffles (join + groupBy-min) over the
+    * EDGE set — the standard large-scale connected-components loop; near-dup
+    * edge sets are tiny relative to the corpus, and component diameters in
+    * dup clusters are small, so few iterations converge. No driver-side
+    * state.
+    */
+  private[graft] def clusters(
+      pairs: org.apache.spark.sql.DataFrame, // (doc_a, doc_b) with doc_a < doc_b
+      iterations: Int = 3
+  ): org.apache.spark.sql.DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+    (1 to iterations).foreach { _ =>
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("label"))
+      labels = labels
+        .union(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+    }
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",

@@ -80,6 +80,17 @@ class DedupSpec extends AnyFunSuite {
     assert(jac(sets(0L), sets(2L)) === 0.0)
   }
 
+  test("clusters: connected components collapse transitive dup chains to min-label") {
+    // chain 1-2-3 plus isolated pair 10-11: two clusters
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup
+      .clusters(pairs, iterations = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("short documents (< shingle width) fall back to whole-text shingle") {
     import TextShared._
     val out = Seq((9L, "tiny doc", "en", "s"))

@@ -152,6 +152,27 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(new java.io.File(ckpt, "commits").list().exists(!_.startsWith(".")))
   }
 
+  test("missing topic path fails loudly (S17/S20: never swallow to 0/null)") {
+    val ex = intercept[Exception] {
+      spark.read.format(EventLogSource.ShortName).load()
+    }
+    assert(ex.getMessage.contains("path"))
+  }
+
+  test("sink format roundtrips: events subset through json and csv") {
+    val src = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(100)
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val csvDir  = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    src.write.mode("overwrite").json(jsonDir)
+    src.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val viaJson = spark.read.json(jsonDir).count()
+    val viaCsv  = spark.read.option("header", "true").csv(csvDir).count()
+    assert(viaJson === 100 && viaCsv === 100)
+  }
+
   test("malformed payloads in the log are dropped, not failed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-log3").toString
     val f = new java.io.PrintWriter(new java.io.File(dir, "partition-0.log"), "UTF-8")
