@@ -217,12 +217,16 @@ object Dedup {
       "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // join on a 16-hex md5 prefix of the shingle, not the raw string:
+        // same equality result (both engines hash identically; collisions
+        // are ~2^-64 at this cardinality) with a fixed-width 16-byte shuffle
+        // key instead of ~40-byte shingle text
         val sh = docs.select(
           col("doc_id"),
           col("lang"),
           col("source"),
-          explode(array_distinct(shingles(col("text")))).as("sh")
-        )
+          explode(array_distinct(shingles(col("text")))).as("sh_raw")
+        ).select(col("doc_id"), col("lang"), col("source"), substring(md5(col("sh_raw")), 1, 16).as("sh"))
         // derive set sizes from the exploded frame rather than re-running the
         // CodegenFallback shingle lambda per row (and AQE can reuse the scan)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -246,7 +250,8 @@ object Dedup {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH $shinglesCte,
-              |ex AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle FROM sh),
+              |ex0 AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle_raw FROM sh),
+              |ex AS (SELECT doc_id, lang, source, substring(md5(shingle_raw), 1, 16) AS shingle FROM ex0),
               |sizes AS (SELECT doc_id, count(1) AS nsh FROM ex GROUP BY doc_id),
               |common AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
