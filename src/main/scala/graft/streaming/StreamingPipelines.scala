@@ -130,6 +130,23 @@ object StreamingPipelines {
       }
   }
 
+  /** Idempotent micro-batch sink via foreachBatch: each batch lands in its
+    * own `batch_id=N` directory with overwrite, so a batch replayed after a
+    * failure rewrites the same directory instead of duplicating rows —
+    * exactly-once output on top of the checkpoint's at-least-once replay.
+    * (The pattern a real deployment uses for non-transactional targets.)
+    */
+  def idempotentParquetSink(
+      df: DataFrame,
+      outDir: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+
   /** Session windows per user (30-minute gap by default) — closes and emits
     * once the watermark passes the gap.
     */

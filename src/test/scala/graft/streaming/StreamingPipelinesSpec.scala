@@ -119,6 +119,64 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 API) sessionizer matches the v1 scenario") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // v2 state (multiple column families) needs the RocksDB provider
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[UserEvent]
+    val q = SessionProcessor
+      .statefulSessionsV2(input.toDS(), gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sess_v2")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(UserEvent(ts(0), 1L), UserEvent(ts(5), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_v2").count() === 0, "open session must not emit")
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      val sessions = spark
+        .table("sess_v2")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(
+        sessions.exists { case (u, s, e, n) => u == 1L && s == ts(0) && e == ts(5) && n == 2L },
+        s"expected closed session [0,5]x2, got ${sessions.mkString(", ")}"
+      )
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out  = java.nio.file.Files.createTempDirectory("graft-feb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-feb-ckpt").toString
+    val input = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .idempotentParquetSink(input.toDF(), out, ckpt)
+      .start()
+    try {
+      input.addData(Ev(ts(1), "a", 1, 1.0), Ev(ts(2), "b", 2, 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(3), "c", 3, 3.0))
+      q.processAllAvailable()
+      val dirs = new java.io.File(out).list().filter(_.startsWith("batch_id=")).sorted
+      assert(dirs.length >= 2, s"expected per-batch dirs, got ${dirs.mkString(",")}")
+      assert(spark.read.parquet(s"$out/batch_id=*").count() === 3)
+    } finally q.stop()
+  }
+
   test("sessionizer: cross-batch late event extends, never rewinds the session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
