@@ -156,7 +156,7 @@ object Dedup {
     ),
     QueryDef(
       "q_dedup_minhash_sig",
-      "MinHash+LSH signatures: 8 md5-minhashes over 5-token shingles, banded 2x4 (map-only at any scale)",
+      "MinHash+LSH signatures: 8 md5-minhashes over 5-token shingles, banded 4x2 (map-only at any scale)",
       (s, dir) => sigFrame(s, dir).orderBy(col("doc_id")).limit(500),
       Some(s"""WITH $sigCte
               |SELECT doc_id, ${(0 until NumBands).map(b => s"band$b").mkString(", ")}
