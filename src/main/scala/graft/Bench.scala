@@ -12,8 +12,11 @@ object Bench {
     operators.SourceQueries.logDirFor(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      // a failed query must be visibly failed, not silently folded into the
+      // total as if it did the work: report -1 instead of its partial time
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // let the ContextCleaner reclaim finished broadcasts/shuffles so late
       // queries aren't taxed by 50+ predecessors' accumulated state
       System.gc()

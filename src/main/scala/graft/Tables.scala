@@ -45,7 +45,7 @@ object Tables {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
     sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash over a string's UTF-8 bytes:
@@ -20,6 +21,12 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects string, got ${child.dataType.sql}"
+    )
 
   private val B = 131L
   private val M = (1L << 61) - 1
@@ -69,7 +76,10 @@ object RollingHash {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash",
-      exprs => RollingHash(exprs.head),
+      exprs => {
+        require(exprs.length == 1, s"rolling_hash takes 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      },
       "built-in"
     )
 }

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * double->decimal casts agree — so the sums are exact decimals, the argmins
   * compare identically, and the whole 2-iteration pipeline is reproducible
   * bit-for-bit in DuckDB. (A higher scale like decimal(38,20) would NOT
-  * match: the engines disagree beyond ~17 significant digits.)
+  * match: the engines disagree beyond ~17 significant digits.) Where a
+  * wide decimal must become a double in the oracle, it goes through a
+  * varchar bridge — DuckDB's direct int128->double conversion double-rounds
+  * once the scaled value exceeds 2^53, while string parsing is correctly
+  * rounded like Spark's BigDecimal path at any magnitude.
   */
 object IvfSimilarity {
 
@@ -70,7 +74,8 @@ object IvfSimilarity {
     """comp AS (
       |  SELECT vec_id, label, i AS d, cast(embedding[i] as double) AS x
       |  FROM embeddings
-      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |  CROSS JOIN (SELECT unnest(generate_series(1,
+      |      (SELECT max(len(embedding)) FROM embeddings))) AS i) dims
       |  WHERE i <= len(embedding))""".stripMargin
 
   private val assignmentsSql =
@@ -88,7 +93,8 @@ object IvfSimilarity {
        |    FROM dist1) t WHERE rn = 1),
        |cent2 AS (
        |  SELECT a1.cid, comp.d,
-       |    cast(sum(cast(comp.x as decimal(18,12))) as double) / count(1) AS cx
+       |    cast(cast(sum(cast(comp.x as decimal(18,12))) as varchar) as double)
+       |      / count(1) AS cx
        |  FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2),
        |dist2 AS (
        |  SELECT comp.vec_id, cent2.cid,
@@ -165,8 +171,9 @@ object IvfSimilarity {
               |  JOIN qcomp USING (d)
               |  GROUP BY 1)
               |SELECT vec_id,
-              |  round(cast(dot as double)
-              |        / (sqrt(cast(nx as double)) * sqrt(cast(nq as double))), 6) AS cos_sim
+              |  round(cast(cast(dot as varchar) as double)
+              |        / (sqrt(cast(cast(nx as varchar) as double))
+              |           * sqrt(cast(cast(nq as varchar) as double))), 6) AS cos_sim
               |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     )
   )

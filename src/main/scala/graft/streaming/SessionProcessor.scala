@@ -42,6 +42,13 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, UserEvent, U
       }
     }
     open.foreach { s =>
+      // delete the previous timer before arming the new one — a stale timer
+      // from an earlier lastMs would otherwise fire mid-session, emit early,
+      // and clear state out from under a live session
+      if (session.exists()) {
+        val prev = session.get()
+        if (prev.lastMs != s.lastMs) getHandle.deleteTimer(prev.lastMs + gapMs)
+      }
       session.update(s)
       getHandle.registerTimer(s.lastMs + gapMs)
     }
@@ -53,7 +60,11 @@ class SessionProcessor(gapMs: Long) extends StatefulProcessor[Long, UserEvent, U
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo
   ): Iterator[UserSession] =
-    if (session.exists()) {
+    // belt and braces: only honor the timer that matches the CURRENT
+    // session's expiry (a leftover timer from a closed session must not
+    // emit/clear the live one)
+    if (session.exists() &&
+      expiredTimerInfo.getExpiryTimeInMs() == session.get().lastMs + gapMs) {
       val out = toSession(user, session.get())
       session.clear()
       Iterator.single(out)

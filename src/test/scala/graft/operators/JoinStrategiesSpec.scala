@@ -21,9 +21,10 @@ class JoinStrategiesSpec extends AnyFunSuite {
     val li = graft.Tables.lineitem(spark, TestSpark.sfDir)
     val o  = graft.Tables.orders(spark, TestSpark.sfDir)
     // clean both metastore entries and leftover locations from prior JVMs
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("b_li", "b_o").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"/tmp/graft-warehouse/$t")
+      val dir = new java.io.File(s"$warehouse/$t")
       if (dir.exists()) {
         dir.listFiles().foreach(_.delete()); dir.delete()
       }
@@ -31,6 +32,7 @@ class JoinStrategiesSpec extends AnyFunSuite {
     JoinStrategies.writeBucketed(li.select("l_orderkey", "l_quantity").withColumnRenamed("l_orderkey", "k"), "b_li", "k", 4)
     JoinStrategies.writeBucketed(o.select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "k"), "b_o", "k", 4)
     // disable broadcast so the join would otherwise shuffle
+    val priorThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = JoinStrategies.bucketedJoin(spark, "b_li", "b_o", "k")
@@ -38,7 +40,10 @@ class JoinStrategiesSpec extends AnyFunSuite {
       // and it returns the same rows as the plain join
       val plain = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
       assert(joined.count() === plain)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally priorThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("salted count equals plain groupBy count") {

@@ -157,6 +157,55 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 sessionizer: cross-batch extension must defuse the earlier timer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[UserEvent]
+    val q = SessionProcessor
+      .statefulSessionsV2(input.toDS(), gapMs = 30 * 60 * 1000L, watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sess_v2_timer")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1 arms a timer at 10:00+30m
+      input.addData(UserEvent(ts(0), 1L))
+      q.processAllAvailable()
+      // batch 2 extends to 10:29 (timer must move to 10:59)
+      input.addData(UserEvent(ts(29), 1L))
+      q.processAllAvailable()
+      // watermark driven past the STALE 10:30 timer but before 10:59: the
+      // session must stay open (no premature emission)
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 10:45:00"), 2L))
+      q.processAllAvailable()
+      val early = spark.table("sess_v2_timer").collect().filter(_.getLong(0) == 1L)
+      assert(early.isEmpty, s"stale timer emitted prematurely: ${early.mkString(", ")}")
+      // extend user 1 again within gap of 10:29 -> still ONE session
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 10:50:00"), 1L))
+      q.processAllAvailable()
+      // push watermark far past everything: the single merged session closes
+      input.addData(UserEvent(Timestamp.valueOf("2024-01-01 14:00:00"), 3L))
+      q.processAllAvailable()
+      val sessions = spark
+        .table("sess_v2_timer")
+        .collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      assert(
+        sessions.toSeq === Seq((ts(0), Timestamp.valueOf("2024-01-01 10:50:00"), 3L)),
+        s"expected one merged session [10:00,10:50]x3, got ${sessions.mkString(", ")}"
+      )
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
