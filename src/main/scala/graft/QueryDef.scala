@@ -31,13 +31,25 @@ final case class QueryDef(
 )
 
 object QueryDef {
-  /** decimal-exact sum of a double column: identical in Spark and DuckDB.
-    * [[sumDec]] and [[sumDecSql]] are the two renderings of the ONE
+  /** decimal-exact sum of a double column, emitted as double: the sum itself
+    * is an exact decimal (order-independent, identical in Spark and DuckDB),
+    * and the final double conversion is correctly rounded on both engines.
+    *
+    * The output type must NOT be decimal: the driver's compare reads the
+    * Spark parquet via pandas (decimals stay `Decimal` with fixed scale,
+    * e.g. "919.60") but the DuckDB oracle via `.df()` (decimals become
+    * float64, "919.6") — a decimal output column can never hash-match.
+    * Same for DuckDB HUGEINT (int sums): always cast oracle int sums to
+    * bigint. [[sumDec]] and [[sumDecSql]] are the two renderings of the ONE
     * oracle-parity convention — change them together.
     */
   def sumDec(c: org.apache.spark.sql.Column, scale: Int = 4): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.sum(c.cast(s"decimal(18,$scale)")).cast(s"decimal(38,$scale)")
+    org.apache.spark.sql.functions.sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** DuckDB twin of [[sumDec]]. The varchar bridge matters: DuckDB's direct
+    * int128->double cast double-rounds once the scaled value exceeds 2^53,
+    * while string parsing is correctly rounded like Spark's BigDecimal path.
+    */
   def sumDecSql(col: String, scale: Int = 4): String =
-    s"cast(sum(cast($col as decimal(18,$scale))) as decimal(38,$scale))"
+    s"cast(cast(sum(cast($col as decimal(18,$scale))) as varchar) as double)"
 }

@@ -72,7 +72,7 @@ object Events {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(1) AS n,
-             |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+             |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
              |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
              |    / count(1) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -115,16 +115,16 @@ object IvfSimilarity {
           .groupBy(col("cid"))
           .agg(
             count(lit(1)).as("n_members"),
-            // exact decimal total, not a derived mean: DuckDB's wide-decimal
-            // -> double conversion double-rounds (int128 then /10^14) and can
-            // differ from Spark's correctly-rounded BigDecimal by 1 ulp
-            sum(col("dist")).cast("decimal(38,12)").as("sum_dist"),
+            // exact decimal total emitted as double; the oracle's varchar
+            // bridge keeps DuckDB's int128 -> double conversion correctly
+            // rounded like Spark's BigDecimal path
+            sum(col("dist")).cast("double").as("sum_dist"),
             min(col("vec_id")).as("first_vec")
           )
           .orderBy(col("cid")),
       Some(s"""WITH $assignmentsSql
               |SELECT cid, count(1) AS n_members,
-              |  cast(sum(dist) as decimal(38,12)) AS sum_dist,
+              |  cast(cast(sum(dist) as varchar) as double) AS sum_dist,
               |  min(vec_id) AS first_vec
               |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin)
     ),

@@ -44,9 +44,19 @@ object JoinStrategies {
     * skew on a dominant group key still needs explicit salting.)
     *
     * Returns groupKey -> count, identical to a plain groupBy count.
+    *
+    * The salt is derived from a HASH of the row's full content, not from
+    * spark_partition_id()/monotonically_increasing_id(): those are
+    * nondeterministic across task retries, so a stage recomputation after a
+    * shuffle-fetch failure could re-salt rows into different reduce
+    * partitions and double/drop counts (SPARK-23207 class). xxhash64 over
+    * all columns re-derives the same salt on retry. (Identical rows share a
+    * salt, which only matters if one exact duplicate row dominates — the
+    * group key itself spreading over `salt` sub-keys is what kills the
+    * hot-key skew this helper targets.)
     */
   def saltedCount(df: DataFrame, groupCol: String, salt: Int): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("_salt", pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt)))
       .groupBy(col(groupCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(groupCol))

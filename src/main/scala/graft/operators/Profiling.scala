@@ -30,11 +30,11 @@ object Profiling {
             max(col("doc_id")).as("max_id")
           ),
       Some("""SELECT count(1) AS n_rows,
-             |  sum(cast(text IS NULL as bigint)) AS null_text,
+             |  cast(sum(cast(text IS NULL as bigint)) as bigint) AS null_text,
              |  count(DISTINCT lang) AS n_langs,
              |  count(DISTINCT source) AS n_sources,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-             |  sum(n_chars) AS sum_chars,
+             |  cast(sum(n_chars) as bigint) AS sum_chars,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents""".stripMargin)
     ),
@@ -137,7 +137,7 @@ object Profiling {
           .select(
             (col("hour_n") * 3600).as("hour_start_s"),
             coalesce(col("n"), lit(0L)).as("n"),
-            coalesce(col("sum_value"), lit(0).cast("decimal(38,2)")).as("sum_value")
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value")
           )
           .orderBy(col("hour_start_s"))
       },
@@ -152,7 +152,7 @@ object Profiling {
               |hours AS (SELECT unnest(generate_series(lo, hi)) AS hour_n FROM bounds)
               |SELECT hours.hour_n * 3600 AS hour_start_s,
               |  coalesce(agg.n, 0) AS n,
-              |  coalesce(agg.sum_value, cast(0 as decimal(38,2))) AS sum_value
+              |  coalesce(agg.sum_value, 0.0) AS sum_value
               |FROM hours LEFT JOIN agg ON hours.hour_n = agg.hour_n
               |ORDER BY hour_start_s""".stripMargin)
     )

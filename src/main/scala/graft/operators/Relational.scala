@@ -431,22 +431,22 @@ object Relational {
             col("l_linenumber"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("decimal(38,2)")
+              .cast("double")
               .as("running_qty"),
             sum(col("l_quantity").cast("decimal(18,2)"))
               .over(w.rowsBetween(-2, Window.currentRow))
-              .cast("decimal(38,2)")
+              .cast("double")
               .as("sliding3_qty")
           )
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |  cast(cast(sum(cast(l_quantity as decimal(18,2)))
              |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as decimal(38,2)) AS running_qty,
-             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as varchar) as double) AS running_qty,
+             |  cast(cast(sum(cast(l_quantity as decimal(18,2)))
              |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as decimal(38,2)) AS sliding3_qty
+             |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as varchar) as double) AS sliding3_qty
              |FROM lineitem WHERE l_suppkey <= 20
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
     ),
@@ -528,7 +528,10 @@ object Relational {
             count(lit(1)).as("n_orders"),
             sumDec(col("o_totalprice"), 2).as("sum_price"),
             min(quarter(col("o_orderdate"))).cast("long").as("q"),
-            min(col("o_orderdate").cast("date")).as("first_date"),
+            // string, not date: pandas reads a parquet date as datetime.date
+            // ("1995-01-01") but DuckDB's .df() emits datetime64
+            // ("1995-01-01 00:00:00") — a date column can't hash-match
+            min(col("o_orderdate").cast("date")).cast("string").as("first_date"),
             max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
               .cast("long")
               .as("max_epoch_days")
@@ -538,7 +541,7 @@ object Relational {
               |  count(1) AS n_orders,
               |  ${QueryDef.sumDecSql("o_totalprice", 2)} AS sum_price,
               |  min(quarter(o_orderdate)) AS q,
-              |  min(cast(o_orderdate as date)) AS first_date,
+              |  cast(min(cast(o_orderdate as date)) as varchar) AS first_date,
               |  max(date_diff('day', DATE '1970-01-01', cast(o_orderdate as date))) AS max_epoch_days
               |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin)
     ),
@@ -554,7 +557,7 @@ object Relational {
             abs(col("l_discount") - 0.05).as("abs_disc"),
             // exact decimal arithmetic, not round(x*0.1): a double round at a
             // decimal half diverges between engines (559.545 -> .55 vs .54)
-            (col("l_extendedprice").cast("decimal(18,2)") * 10).cast("decimal(38,2)").as("price_x10"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 10).cast("double").as("price_x10"),
             ceil(col("l_extendedprice")).as("price_ceil"),
             floor(col("l_extendedprice")).as("price_floor"),
             round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
@@ -565,7 +568,7 @@ object Relational {
           .limit(500),
       Some("""SELECT l_orderkey, l_linenumber,
              |  abs(l_discount - 0.05) AS abs_disc,
-             |  cast(cast(l_extendedprice as decimal(18,2)) * 10 as decimal(38,2)) AS price_x10,
+             |  cast(cast(cast(l_extendedprice as decimal(18,2)) * 10 as varchar) as double) AS price_x10,
              |  cast(ceil(l_extendedprice) as bigint) AS price_ceil,
              |  cast(floor(l_extendedprice) as bigint) AS price_floor,
              |  round(sqrt(l_quantity), 6) AS sqrt_qty,

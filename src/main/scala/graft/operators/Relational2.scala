@@ -22,15 +22,14 @@ object Relational2 {
           .groupBy(col("c_custkey"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            coalesce(QueryDef.sumDec(col("o_totalprice"), 2), lit(0).cast("decimal(38,2)"))
+            coalesce(QueryDef.sumDec(col("o_totalprice"), 2), lit(0.0))
               .as("sum_price")
           )
           .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-             |  coalesce(cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)),
-             |           cast(0 as decimal(38,2))) AS sum_price
-             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+      Some(s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+              |  coalesce(${QueryDef.sumDecSql("o_totalprice", 2)}, 0.0) AS sum_price
+              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
     ),
     QueryDef(
       "q_join_full_outer",

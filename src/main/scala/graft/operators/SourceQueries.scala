@@ -64,11 +64,11 @@ object SourceQueries {
           )
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, count(1) AS n,
-             |  count(DISTINCT event_id % 4) AS n_partitions,
-             |  cast(sum(cast("value" as decimal(18,2))) as decimal(38,2)) AS sum_value,
-             |  min(event_id) AS min_event, max(event_id) AS max_event
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      Some(s"""SELECT event_type, count(1) AS n,
+              |  count(DISTINCT event_id % 4) AS n_partitions,
+              |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value,
+              |  min(event_id) AS min_event, max(event_id) AS max_event
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

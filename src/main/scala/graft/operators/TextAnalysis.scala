@@ -148,8 +148,8 @@ object TextAnalysis {
           )
           .orderBy(col("lang")),
       Some(s"""SELECT lang, count(1) AS n_docs,
-              |  sum(cast(len(string_split(text, ' ')) as bigint)) AS sum_ws_tokens,
-              |  sum(cast(len(regexp_extract_all(text, '$BpePattern')) as bigint)) AS sum_bpe_tokens
+              |  cast(sum(cast(len(string_split(text, ' ')) as bigint)) as bigint) AS sum_ws_tokens,
+              |  cast(sum(cast(len(regexp_extract_all(text, '$BpePattern')) as bigint)) as bigint) AS sum_bpe_tokens
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(

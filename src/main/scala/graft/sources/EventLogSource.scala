@@ -76,9 +76,13 @@ object EventLogSource {
   /** Read one partition log: (offset, payload) in file (= offset) order. */
   def readLog(file: java.io.File): Seq[(Long, Array[Byte])] = {
     val src = scala.io.Source.fromFile(file, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { line =>
+    try src.getLines().filter(_.nonEmpty).flatMap { line =>
+      // a corrupt line without the offset\tpayload separator is dropped,
+      // consistent with the pipeline's drop-on-malformed posture (the
+      // payload-level equivalent lives downstream in JsonDecode)
       val i = line.indexOf('\t')
-      (line.substring(0, i).toLong, line.substring(i + 1).getBytes("UTF-8"))
+      if (i < 0) None
+      else line.substring(0, i).toLongOption.map(off => (off, line.substring(i + 1).getBytes("UTF-8")))
     }.toList
     finally src.close()
   }
