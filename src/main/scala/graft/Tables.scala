@@ -53,6 +53,22 @@ object Tables {
     spark
   }
 
+  /** Rebalance a small pre-explode frame across the cluster before a
+    * compute-heavy fan-out stage (shingle/token/component explode feeding
+    * hashing or decimal aggregation).
+    *
+    * Parquet scan parallelism is bounded by row-group count; the fixtures
+    * are single-row-group files, so without this every post-scan pipeline
+    * runs as ONE task (measured: the whole dedup/IVF family serialized on
+    * one core). On a many-split 100 TB input the scan already provides
+    * parallelism and this is a cheap even-out of explode skew — the shuffle
+    * moves the small pre-explode rows, never the exploded data. Round-robin
+    * repartition local-sorts for retry determinism (SPARK-23207), so plans
+    * stay correct under stage recomputation.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -43,7 +43,9 @@ object Dedup {
     * tests exercise THIS pipeline on synthetic corpora rather than a copy.
     */
   private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) = {
-    val exploded = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val exploded = graft.Tables
+      .fanout(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val hashAggs = (0 until NumHashes)
       .map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
     val sig = exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
@@ -60,15 +62,19 @@ object Dedup {
     * queries; single source for the 16 bit-term expressions).
     */
   private def simhashFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = Tables
-      .documents(s, dir)
+    val digits = Tables
+      .fanout(Tables.documents(s, dir))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
-    val sums = toks
+      .select(
+        col("doc_id") +:
+          (0 until SimhashBits / 4).map(p => expr(hexDigitTerm("h", p)).as(s"d$p")): _*
+      )
+    val sums = digits
       .groupBy(col("doc_id"))
       .agg(
-        expr(simhashBitTerm("h", 0)).as("s0"),
-        (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+        expr(simhashBitTerm(0)).as("s0"),
+        (1 until SimhashBits).map(j => expr(simhashBitTerm(j)).as(s"s$j")): _*
       )
     sums.select(col("doc_id"), expr(simhashCombine).as("simhash"))
   }
@@ -77,13 +83,18 @@ object Dedup {
     * [[simhashFrame]].
     */
   private def simhashCteSql: String = {
-    val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm("h", j)} AS s$j").mkString(",\n")
+    val digitCols =
+      (0 until SimhashBits / 4).map(p => s"  ${hexDigitTerm("h", p)} AS d$p").mkString(",\n")
+    val terms = (0 until SimhashBits).map(j => s"  ${simhashBitTerm(j)} AS s$j").mkString(",\n")
     s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        |hashed AS (SELECT doc_id, md5(w) AS h FROM tok),
+       |digits AS (SELECT doc_id,
+       |$digitCols
+       |  FROM hashed),
        |sums AS (SELECT doc_id,
        |$terms
-       |  FROM hashed GROUP BY doc_id),
+       |  FROM digits GROUP BY doc_id),
        |sh_sim AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)""".stripMargin
   }
 
@@ -171,14 +182,19 @@ object Dedup {
           col("doc_id"),
           posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
         )
-        val a = bands.alias("a")
-        val b = bands.alias("b")
-        a.join(
-          b,
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id")
-        ).select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // bucket-grouped pair generation, not a self-join: a self-join
+        // computes the signature pipeline TWICE (the two sides' exchanges
+        // differ, so nothing is reused) and was the single slowest bench
+        // query. One groupBy on the band key collects each collision
+        // bucket, and pairs are emitted bucket-locally (buckets are tiny
+        // for non-duplicate corpora, so sum(bucket²) stays linear; a
+        // pathological high-df bucket would need a size cap upstream).
+        bands
+          .groupBy(col("band_idx"), col("band"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -216,7 +232,7 @@ object Dedup {
       "q_dedup_jaccard",
       "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.fanout(Tables.documents(s, dir))
         // join on a 16-hex md5 prefix of the shingle, not the raw string:
         // same equality result (both engines hash identically; collisions
         // are ~2^-64 at this cardinality) with a fixed-width 16-byte shuffle
@@ -230,15 +246,16 @@ object Dedup {
         // derive set sizes from the exploded frame rather than re-running the
         // CodegenFallback shingle lambda per row (and AQE can reuse the scan)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        val a = sh.alias("a")
-        val b = sh.alias("b")
-        val common = a
-          .join(
-            b,
-            col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
-              col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
-          )
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // bucket-grouped pair counting, not an exploded-shingle self-join:
+        // the self-join recomputed the shingle+md5 pipeline per side; one
+        // groupBy on the shingle key collects the (tiny, df~1) buckets and
+        // pairs are emitted bucket-locally before a count per pair
+        val common = sh
+          .groupBy(col("lang"), col("source"), col("sh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
           .agg(count(lit(1)).as("common"))
         common
           .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "nsh_a"), "doc_a")

@@ -40,31 +40,58 @@ object IvfSimilarity {
   /** (vec_id, label, d (1-based), x (double)) component frame. */
   private def comp(s: SparkSession, dir: String): DataFrame =
     Tables
-      .embeddings(s, dir)
+      .fanout(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
 
-  /** Assignments after 2 Lloyd iterations: (vec_id, cid, dist2). */
+  /** Assignments after 2 Lloyd iterations: (vec_id, cid, dist2).
+    *
+    * Centroids are pivoted WIDE — one row per dimension with cx0..cx{K-1}
+    * columns — so the distance pass stays one row per (vec, dim) computing
+    * all K squared-diff terms in a single codegen'd projection, instead of
+    * the long-form centroid join's K-fold row blowup (K x the shuffle and
+    * K x the decimal aggregation rows). The argmin is a least()+coalesce
+    * column compare (exact decimals, ties to the smallest cid — identical
+    * to the oracle's ORDER BY dist, cid), so no per-vec window sort either.
+    * Same math, same oracle SQL.
+    */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
     val c = comp(s, dir)
 
-    // init: centroid j = components of vec_id j (j < K)
-    val cent1 = c.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("d"), col("x").as("cx"))
+    // init: centroid j = components of vec_id j (j < K), pivoted wide
+    val cent1 = c
+      .filter(col("vec_id") < K)
+      .groupBy(col("d"))
+      .agg(
+        max(when(col("vec_id") === 0, col("x"))).as("cx0"),
+        (1 until K).map(k => max(when(col("vec_id") === k, col("x"))).as(s"cx$k")): _*
+      )
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val dists = c
-        .join(broadcast(centroids), "d")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sumTerm((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    def assign(centWide: DataFrame): DataFrame = {
+      val sums = c
+        .join(broadcast(centWide), "d")
+        .groupBy(col("vec_id"))
+        .agg(
+          sumTerm((col("x") - col("cx0")) * (col("x") - col("cx0"))).as("dist0"),
+          (1 until K).map(k =>
+            sumTerm((col("x") - col(s"cx$k")) * (col("x") - col(s"cx$k"))).as(s"dist$k")
+          ): _*
+        )
+      val minDist = least((0 until K).map(k => col(s"dist$k")): _*)
+      val argmin  = (0 until K).map(k => when(col(s"dist$k") === minDist, lit(k))).reduce(coalesce(_, _))
+      sums.select(col("vec_id"), argmin.as("cid"), minDist.as("dist"))
     }
 
     val a1 = assign(cent1).select(col("vec_id"), col("cid"))
     val cent2 = c
-      .join(a1, "vec_id")
+      .join(broadcast(a1), "vec_id")
       .groupBy(col("cid"), col("d"))
       .agg((sumTerm(col("x")).cast("double") / count(lit(1))).as("cx"))
+      .groupBy(col("d"))
+      .agg(
+        max(when(col("cid") === 0, col("cx"))).as("cx0"),
+        (1 until K).map(k => max(when(col("cid") === k, col("cx"))).as(s"cx$k")): _*
+      )
     assign(cent2)
   }
 

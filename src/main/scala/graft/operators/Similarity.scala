@@ -71,7 +71,7 @@ object Similarity {
       "brute-force cosine top-k vs a query vector (codegen'd CosineSimilarity expression; TakeOrderedAndProject, corpus never shuffles)",
       (s, dir) => {
         VectorFunctions.register(s)
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.fanout(Tables.embeddings(s, dir))
         val q   = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
         emb
           .filter(col("vec_id") =!= 0)
@@ -96,7 +96,7 @@ object Similarity {
       "random-hyperplane LSH bucketing: 8 sign bits -> 256 buckets (the ANN scale path); bucket histogram",
       (s, dir) =>
         Tables
-          .embeddings(s, dir)
+          .fanout(Tables.embeddings(s, dir))
           .select(expr(bucketSpark).as("bucket"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"))
@@ -110,7 +110,7 @@ object Similarity {
       (s, dir) => {
         VectorFunctions.register(s)
         val withBucket = Tables
-          .embeddings(s, dir)
+          .fanout(Tables.embeddings(s, dir))
           .withColumn("bucket", expr(bucketSpark))
         val q = withBucket
           .filter(col("vec_id") === 0)
@@ -141,7 +141,7 @@ object Similarity {
       (s, dir) => {
         VectorFunctions.register(s)
         val withBucket = Tables
-          .embeddings(s, dir)
+          .fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
         val a = withBucket.alias("a")
         val b = withBucket.alias("b")
@@ -172,7 +172,7 @@ object Similarity {
       (s, dir) => {
         VectorFunctions.register(s)
         Tables
-          .embeddings(s, dir)
+          .fanout(Tables.embeddings(s, dir))
           .withColumn(
             "norm",
             sqrt(expr(

@@ -68,7 +68,7 @@ object TextAnalysis {
       "q_text_langid",
       "heuristic language ID: stopword-hit argmax per doc (deterministic tie order), confusion counts vs labeled lang",
       (s, dir) =>
-        langidFrame(Tables.documents(s, dir))
+        langidFrame(Tables.fanout(Tables.documents(s, dir)))
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("predicted")),
@@ -95,7 +95,7 @@ object TextAnalysis {
       // bit-identical in both engines, so emitted RAW — rounding a
       // rational double at a decimal half diverges between engines
       (s, dir) =>
-        qualityFrame(Tables.documents(s, dir))
+        qualityFrame(Tables.fanout(Tables.documents(s, dir)))
           .select(
             col("doc_id"),
             col("n_tok"),
@@ -132,7 +132,7 @@ object TextAnalysis {
       "token counting per lang: whitespace tokens + BPE-ish regex segmentation (letters|digits|punct)",
       (s, dir) =>
         Tables
-          .documents(s, dir)
+          .fanout(Tables.documents(s, dir))
           .select(
             col("lang"),
             size(tokens(col("text"))).cast("long").as("ws_tokens"),
@@ -229,7 +229,7 @@ object TextAnalysis {
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>
         Tables
-          .documents(s, dir)
+          .fanout(Tables.documents(s, dir))
           .select(explode(tokens(col("text"))).as("word"))
           .groupBy(col("word"))
           .agg(count(lit(1)).as("n"))

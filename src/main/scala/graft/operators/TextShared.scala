@@ -48,6 +48,24 @@ object TextShared {
   def minhash(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, x => md5(concat(lit(s"$seed:"), x))))
 
+  /** All ordered pairs (ids[i], ids[j]), i < j, from a sorted id array —
+    * the bucket-local pair generator for LSH/shingle collision buckets.
+    * Higher-order-function lambdas are CodegenFallback, which is fine here:
+    * this only ever runs on collision buckets (size > 1), a vanishing
+    * fraction of the data.
+    */
+  def orderedPairs(ids: Column): Column =
+    flatten(
+      transform(
+        ids,
+        (x, i) =>
+          transform(
+            slice(ids, i + lit(2), size(ids) - i - 1),
+            y => struct(x.as("doc_a"), y.as("doc_b"))
+          )
+      )
+    )
+
   // ---- DuckDB side (SQL text) ----
 
   /** CTEs `toks(doc_id, lang, source, t)` and `sh(doc_id, lang, source, s)`. */
@@ -84,15 +102,21 @@ object TextShared {
        |  FROM sigraw)""".stripMargin
   }
 
-  /** SimHash bit-term SQL, valid verbatim in BOTH Spark SQL and DuckDB:
-    * for bit j of a hex digest column, +1 if set else -1.
-    * digit = instr('0123456789abcdef', substr(h, 1+j/4, 1)) - 1;
-    * bit j-within-digit via integer halving.
+  /** Hex-digit extraction SQL, valid verbatim in BOTH Spark SQL and DuckDB:
+    * digit p (0-based) of a hex digest column as an int 0-15. Precomputed
+    * ONCE per token before the bit-sum aggregation — the old form re-ran
+    * substr+instr inside all 4 bit terms sharing the digit.
     */
-  def simhashBitTerm(hashCol: String, j: Int): String = {
-    val pos = 1 + j / 4
+  def hexDigitTerm(hashCol: String, p: Int): String =
+    s"instr('0123456789abcdef', substr($hashCol, ${p + 1}, 1)) - 1"
+
+  /** SimHash bit-term SQL over a precomputed digit column (+1 if bit j of
+    * the digest is set else -1); bit j-within-digit via integer halving.
+    */
+  def simhashBitTerm(j: Int): String = {
+    val digitCol = s"d${j / 4}"
     val div = 1 << (3 - j % 4)
-    s"sum(case when (cast(floor((instr('0123456789abcdef', substr($hashCol, $pos, 1)) - 1) / $div.0) as int) % 2) = 1 then 1 else -1 end)"
+    s"sum(case when (cast(floor($digitCol / $div.0) as int) % 2) = 1 then 1 else -1 end)"
   }
 
   val SimhashBits = 16

@@ -51,11 +51,15 @@ class DedupSpec extends AnyFunSuite {
     val toks = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), md5(col("w")).as("h"))
+      .select(
+        col("doc_id") +:
+          (0 until SimhashBits / 4).map(p => expr(hexDigitTerm("h", p)).as(s"d$p")): _*
+      )
     val sums = toks
       .groupBy(col("doc_id"))
       .agg(
-        expr(simhashBitTerm("h", 0)).as("s0"),
-        (1 until SimhashBits).map(j => expr(simhashBitTerm("h", j)).as(s"s$j")): _*
+        expr(simhashBitTerm(0)).as("s0"),
+        (1 until SimhashBits).map(j => expr(simhashBitTerm(j)).as(s"s$j")): _*
       )
     val sh = sums
       .select(col("doc_id"), expr(simhashCombine).as("simhash"))
