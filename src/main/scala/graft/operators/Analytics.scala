@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators rounding out the OLAP surface a Pinot-class
+  * engine serves over ingested event streams: funnel conversion (Pinot
+  * FUNNELCOUNT's batch shape), cohort retention, linear-regression
+  * aggregates, explicit GROUPING SETS, and corpus n-gram / TF-IDF term
+  * statistics for the training-data side.
+  *
+  * Scale: every query is shuffle-on-group-key aggregation (funnel's staged
+  * joins are co-partitioned on user_id, so the three stages reuse one
+  * partitioning); nothing collects to the driver.
+  */
+object Analytics {
+
+  import TextShared.tokens
+
+  private def tsS = (unix_timestamp(col("ts"))).as("ts_s")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_funnel",
+      "funnel conversion (Pinot FUNNELCOUNT shape): users reaching view -> click-after-view -> purchase-after-click, via staged min-timestamp joins co-partitioned on user_id",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), tsS)
+        val v = ev
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_s")).as("v_ts"))
+        val c = ev
+          .filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts_s") >= col("v_ts"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_s")).as("c_ts"))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts_s") >= col("c_ts"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_s")).as("p_ts"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, cast(floor(epoch(ts)) as bigint) AS ts_s
+             |  FROM events),
+             |v AS (SELECT user_id, min(ts_s) AS v_ts FROM ev
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT ev.user_id, min(ts_s) AS c_ts FROM ev JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND ts_s >= v_ts GROUP BY ev.user_id),
+             |p AS (SELECT ev.user_id, min(ts_s) AS p_ts FROM ev JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND ts_s >= c_ts GROUP BY ev.user_id)
+             |SELECT (SELECT count(1) FROM v) AS n_view,
+             |  (SELECT count(1) FROM c) AS n_view_click,
+             |  (SELECT count(1) FROM p) AS n_view_click_purchase""".stripMargin)
+    ),
+    QueryDef(
+      "q_retention",
+      "cohort retention: users bucketed by first-activity day, distinct actives per (cohort_day, day_offset) — the classic triangular retention matrix",
+      (s, dir) => {
+        val d = Tables
+          .events(s, dir)
+          .select(col("user_id"), (unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        val first = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        d.join(first, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, cast(floor(epoch(ts)) as bigint) // 86400 AS day FROM events),
+             |first AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM d JOIN first USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
+    ),
+    QueryDef(
+      "q_stat_regression",
+      "linear-regression aggregates per group: regr_slope/intercept/r2/count (moment merges are parallel-order-sensitive -> rounded, like corr)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+            round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+            expr("regr_count(l_extendedprice, l_quantity)").as("n")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  regr_count(l_extendedprice, l_quantity) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_grouping_sets",
+      "explicit GROUPING SETS ((nation), (segment), ()) — the general grouping-set form rollup/cube specialize",
+      (s, dir) =>
+        Tables
+          .customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupingSets(
+            Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
+            col("n_name"),
+            col("c_mktsegment")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            QueryDef.sumDec(col("c_acctbal"), 2).as("sum_bal"),
+            grouping(col("n_name")).cast("long").as("g_nation"),
+            grouping(col("c_mktsegment")).cast("long").as("g_seg")
+          )
+          .orderBy(
+            col("g_nation"),
+            col("g_seg"),
+            col("n_name").asc_nulls_first,
+            col("c_mktsegment").asc_nulls_first
+          ),
+      Some(s"""SELECT n_name, c_mktsegment, count(1) AS n,
+              |  ${QueryDef.sumDecSql("c_acctbal", 2)} AS sum_bal,
+              |  cast(grouping(n_name) as bigint) AS g_nation,
+              |  cast(grouping(c_mktsegment) as bigint) AS g_seg
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+              |ORDER BY g_nation, g_seg, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_bigrams",
+      "corpus bigram frequencies: adjacent-token 2-grams via sequence+transform, top 25 (map-side combine keeps the shuffle at distinct-bigram size)",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            explode(
+              when(
+                size(t) >= 2,
+                transform(
+                  sequence(lit(1), size(t) - 1),
+                  i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))
+                )
+              ).otherwise(array().cast("array<string>"))
+            ).as("bigram")
+          )
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(25)
+      },
+      Some("""SELECT bigram, count(1) AS n FROM (
+             |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+             |  FROM (SELECT string_split(text, ' ') AS t FROM documents) s
+             |  WHERE len(t) >= 2) x
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_tfidf",
+      "TF-IDF top terms per language: corpus-level tf x ln((L+1)/(df+1)) with language as the document unit; ranked on the rounded score (raw transcendental scores can differ in the last ulp between engines)",
+      (s, dir) => {
+        val tok = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val nl = tf.agg(countDistinct(col("lang")).as("n_langs"))
+        val scored = tf
+          .join(df, "word")
+          .crossJoin(broadcast(nl))
+          .withColumn(
+            "score",
+            round(col("tf") * log((col("n_langs") + 1.0) / (col("df") + 1.0)), 6)
+          )
+        val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("word"))
+        scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("lang"), col("rn"), col("word"), col("score"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tf AS (SELECT lang, word, count(1) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT word, count(1) AS df FROM tf GROUP BY 1),
+             |nl AS (SELECT count(DISTINCT lang) AS n_langs FROM tf),
+             |scored AS (
+             |  SELECT lang, word,
+             |    round(tf * ln((n_langs + 1.0) / (df + 1.0)), 6) AS score
+             |  FROM tf JOIN df USING (word) CROSS JOIN nl)
+             |SELECT lang, rn, word, score FROM (
+             |  SELECT lang, word, score,
+             |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, word) AS rn
+             |  FROM scored) t
+             |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)
+    )
+  )
+}
