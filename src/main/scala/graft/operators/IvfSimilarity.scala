@@ -161,8 +161,15 @@ object IvfSimilarity {
       (s, dir) => {
         val a2 = assignments(s, dir).select(col("vec_id"), col("cid"))
         val c  = comp(s, dir)
-        val qCluster = a2.filter(col("vec_id") === 0).select(col("cid").as("qcid"))
-        val members  = a2.join(broadcast(qCluster), col("cid") === col("qcid")).filter(col("vec_id") =!= 0)
+        // the query vector's cluster id via a global window over a2, NOT a
+        // join of a2 against a filtered copy of itself — the self-reference
+        // would run the whole 2-iteration k-means twice. The window's single
+        // partition holds one row per VECTOR (not per component): tiny at
+        // any corpus scale, and only for this one-vs-corpus probe shape.
+        val wAll = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val members = a2
+          .withColumn("qcid", max(when(col("vec_id") === 0, col("cid"))).over(wAll))
+          .filter(col("cid") === col("qcid") && col("vec_id") =!= 0)
         val qComp    = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
         val scored = c
           .join(members.select("vec_id"), "vec_id")
