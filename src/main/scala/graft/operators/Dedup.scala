@@ -58,6 +58,44 @@ object Dedup {
     )
   }
 
+  /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct).
+    *
+    * Bucket-grouped pair generation, not a self-join: a self-join computes
+    * the signature pipeline TWICE (the two sides' exchanges differ, so
+    * nothing is reused) and was the single slowest bench query. One groupBy
+    * on the band key collects each collision bucket, and pairs are emitted
+    * bucket-locally (buckets are tiny for non-duplicate corpora, so
+    * sum(bucket²) stays linear; a pathological high-df bucket would need a
+    * size cap upstream).
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bands = sigFrame(s, dir).select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+    )
+    bands
+      .groupBy(col("band_idx"), col("band"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b)` — the SQL twin of
+    * [[minhashPairs]].
+    */
+  private def pairsCteSql: String =
+    s"""$sigCte,
+       |bands AS (
+       |  SELECT doc_id, i AS band_idx,
+       |    CASE i ${(0 until NumBands).map(b => s"WHEN $b THEN band$b").mkString(" ")} END AS band
+       |  FROM sig CROSS JOIN (VALUES ${(0 until NumBands).map(b => s"($b)").mkString(", ")}) t(i)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Spark-side SimHash frame: doc_id, simhash (shared by both simhash
     * queries; single source for the 16 bit-term expressions).
     */
@@ -176,37 +214,38 @@ object Dedup {
     QueryDef(
       "q_dedup_minhash_pairs",
       "MinHash+LSH candidate pairs: docs colliding on any band (shuffle only on band keys, never all-pairs)",
-      (s, dir) => {
-        val sigs = sigFrame(s, dir)
-        val bands = sigs.select(
-          col("doc_id"),
-          posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
-        )
-        // bucket-grouped pair generation, not a self-join: a self-join
-        // computes the signature pipeline TWICE (the two sides' exchanges
-        // differ, so nothing is reused) and was the single slowest bench
-        // query. One groupBy on the band key collects each collision
-        // bucket, and pairs are emitted bucket-locally (buckets are tiny
-        // for non-duplicate corpora, so sum(bucket²) stays linear; a
-        // pathological high-df bucket would need a size cap upstream).
-        bands
-          .groupBy(col("band_idx"), col("band"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"))
-          .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      Some(s"""WITH $sigCte,
-              |bands AS (
-              |  SELECT doc_id, i AS band_idx,
-              |    CASE i ${(0 until NumBands).map(b => s"WHEN $b THEN band$b").mkString(" ")} END AS band
-              |  FROM sig CROSS JOIN (VALUES ${(0 until NumBands).map(b => s"($b)").mkString(", ")}) t(i))
-              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |FROM bands a JOIN bands b
-              |  ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
-              |ORDER BY doc_a, doc_b""".stripMargin)
+      (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $pairsCteSql
+              |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_clusters",
+      "near-dup clusters: connected components over MinHash candidate pairs via 3-iteration min-label propagation — cluster census (label = survivor doc, everything else drops)",
+      (s, dir) =>
+        clusters(minhashPairs(s, dir))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("label")),
+      Some {
+        def step(prev: String, next: String) =
+          s"""$next AS (
+             |  SELECT doc_id, min(label) AS label FROM (
+             |    SELECT doc_id, label FROM $prev
+             |    UNION ALL
+             |    SELECT e.src AS doc_id, l.label
+             |    FROM edges e JOIN $prev l ON e.dst = l.doc_id) t
+             |  GROUP BY doc_id)"""
+        s"""WITH $pairsCteSql,
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+           |${step("l0", "l1")},
+           |${step("l1", "l2")},
+           |${step("l2", "l3")}
+           |SELECT label, count(1) AS n_members, max(doc_id) AS max_doc
+           |FROM l3 GROUP BY label ORDER BY label""".stripMargin
+      }
     ),
     QueryDef(
       "q_dedup_simhash",
