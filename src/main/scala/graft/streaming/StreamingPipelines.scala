@@ -147,6 +147,36 @@ object StreamingPipelines {
       }
       .option("checkpointLocation", checkpoint)
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's clicks within the preceding `windowMinutes` (the streaming form
+    * of the batch as-of/attribution join `q_asof_join` approximates).
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * event-time distance, so Spark can expire buffered rows from the join
+    * state once the watermark passes — state stays O(active window) per
+    * side at any input scale, the requirement for a 100 TB stream. Inner
+    * join: attribution emits only matched (click, purchase) rows.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      windowMinutes: Int = 30
+  ): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    c.join(
+      p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES")
+    ).select(col("user_id"), col("click_ts"), col("purchase_ts"), col("click_value"), col("purchase_value"))
+  }
+
   /** Session windows per user (30-minute gap by default) — closes and emits
     * once the watermark passes the gap.
     */

@@ -206,6 +206,34 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .attributionJoin(clicks.toDF(), purchases.toDF(), watermark = "5 minutes", windowMinutes = 30)
+      .writeStream
+      .format("memory")
+      .queryName("attr_out")
+      .outputMode("append")
+      .start()
+    try {
+      clicks.addData(Ev(ts(1), "click", 1, 10.0), Ev(ts(5), "click", 2, 20.0))
+      // u1 purchase 9 min after the click (in window); u2 purchase 40+ min
+      // after its click lands OUTSIDE the 30-min attribution window
+      purchases.addData(Ev(ts(10), "purchase", 1, 99.0))
+      purchases.addData(Ev(Timestamp.valueOf("2024-01-01 10:50:00"), "purchase", 2, 7.0))
+      q.processAllAvailable()
+      val rows = spark
+        .table("attr_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      assert(rows === Set((1L, 10.0, 99.0)))
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
