@@ -282,6 +282,21 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_approx_percentile",
+      "approximate percentiles (Pinot PERCENTILETDIGEST ≅ percentile_approx); sketch-dependent values so no SQL oracle — rows-only check",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50_qty")
+          )
+          .orderBy(col("l_returnflag")),
+      None
+    ),
+    QueryDef(
       "q_rollup",
       "ROLLUP grouping sets with grouping() indicators",
       (s, dir) =>
