@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale properties the operators claim
+  * (SCALE.md / PLANS.md): pushdown reaching the scan, broadcast star
+  * joins, TakeOrderedAndProject for top-N, and bounded shuffle counts for
+  * the bucket-grouped dedup pipelines. These fail loudly if a refactor
+  * silently degrades a plan (e.g. a lost broadcast hint re-introducing a
+  * fact shuffle).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    plan.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }.getOrElse(plan)
+  }
+
+  /** Full node list including the plans hidden inside AQE query stages and
+    * reused exchanges (plain `collect` stops at stage boundaries and
+    * undercounts joins/shuffles).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec       => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec   => Seq(r.child)
+      case a: AdaptiveSparkPlanExec                                        => Seq(a.executedPlan)
+      case _                                                               => p.children
+    }
+    p +: children.flatMap(allNodes)
+  }
+
+  private def countNodes(df: DataFrame, name: String): Int =
+    allNodes(executed(df)).count(_.nodeName.contains(name))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("q_scan_project pushes filters and prunes columns at the parquet scan") {
+    val formatted = q("q_scan_project").queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode
+    )
+    assert(formatted.contains("PushedFilters: ["), "filter must reach the scan")
+    assert(
+      formatted.contains("LessThan(l_shipdate") || formatted.contains("LessThan(l_shipdate,"),
+      s"shipdate predicate must be pushed:\n$formatted"
+    )
+    // pruned read schema: only the 4 projected columns + filter columns
+    assert(!formatted.contains("l_comment"), "untouched columns must not be read")
+  }
+
+  test("q_join_star broadcasts every dimension (no fact-side shuffle for the joins)") {
+    val df = q("q_join_star")
+    assert(countNodes(df, "BroadcastHashJoin") === 4, "4 dims must broadcast")
+    // only the final aggregation (+ sort) may shuffle — never the fact scan
+    val shuffles = allNodes(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"star join must not shuffle the fact table, got $shuffles shuffles")
+  }
+
+  test("q_topn plans TakeOrderedAndProject — no global sort") {
+    val plan = executed(q("q_topn"))
+    assert(
+      plan.collectFirst { case p if p.nodeName.contains("TakeOrderedAndProject") => p }.isDefined,
+      s"top-N must avoid a global sort:\n$plan"
+    )
+  }
+
+  test("q_dedup_minhash_pairs: bucket-grouped pipeline keeps a bounded shuffle count") {
+    // fanout (1) -> sig agg on doc_id (2) -> band buckets (3) ->
+    // distinct pairs (4) -> final sort (5); a self-join formulation doubles
+    // the signature side
+    val shuffles = allNodes(executed(q("q_dedup_minhash_pairs"))).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 5, s"pair generation must stay single-pipeline, got $shuffles shuffles")
+  }
+
+  test("q1_agg aggregates partial+final (exactly one data shuffle plus result sort)") {
+    val df = q("q1_agg")
+    val shuffles = allNodes(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"q1 must shuffle only group keys, got $shuffles")
+    assert(countNodes(df, "HashAggregate") >= 2, "partial+final HashAggregate expected")
+  }
+}
