@@ -12,9 +12,18 @@ class JoinStrategiesSpec extends AnyFunSuite {
 
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect()
-    val plan = df.queryExecution.executedPlan
-    val fin = plan.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }.getOrElse(plan)
-    fin.collect { case s: ShuffleExchangeLike => s }.size
+    // deep traversal: AQE query stages hide their plans from collect(), so a
+    // shallow walk undercounts (a zero-assertion would pass vacuously)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val children = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec     => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case a: AdaptiveSparkPlanExec                                      => Seq(a.executedPlan)
+        case _                                                             => p.children
+      }
+      p +: children.flatMap(nodes)
+    }
+    nodes(df.queryExecution.executedPlan).count(_.isInstanceOf[ShuffleExchangeLike])
   }
 
   test("bucketed join plans with zero shuffle exchanges") {
