@@ -22,7 +22,8 @@ object SparkEntry {
       operators.SourceQueries.defs ++
       operators.Profiling.defs ++
       operators.IvfSimilarity.defs ++
-      operators.Analytics.defs
+      operators.Analytics.defs ++
+      operators.StarTree.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference pipeline shape: scan -> JSON decode -> event-time
