@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.TestSpark
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -12,11 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private var spark: SparkSession = _
-  private var dir: String         = _
+  // the SHARED test session — never stop it (localSession getOrCreate
+  // returns the one active session; stopping it here killed every suite
+  // that happened to run after this one)
+  private lazy val spark: SparkSession = TestSpark.spark
+  private var dir: String              = _
 
   override def beforeAll(): Unit = {
-    spark = Tables.localSession("analytics-spec", "4")
     // synthetic events: ts nanos (the events fixture codec), 4 users
     //  u1: view@10 click@20 purchase@30  -> full funnel
     //  u2: view@10 click@20              -> view+click
@@ -47,7 +49,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"$dir/events.parquet")
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = ()
 
   test("funnel counts users per stage with ordering constraints") {
     val r = Analytics.defs.find(_.name == "q_funnel").get.build(spark, dir).collect()(0)
