@@ -23,7 +23,10 @@ object Bench {
       System.gc()
       name -> dt
     }.toMap
-    def r3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would emit unparseable JSON
+    def r3(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.values.count(_ < 0)
