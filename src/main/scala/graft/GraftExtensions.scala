@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** The library's `SparkSessionExtensions` hook — build-rule path (c): a
+  * user adds
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * and every graft native expression is available in SQL on every session
+  * of the cluster, with no per-session `register(...)` calls (the reference
+  * host loads its decoder plugin by class name the same way,
+  * `PulsarJSONMessageDecoder` via `PluginManager` —
+  * `PulsarJSONMessageDecoder.java:50-57`).
+  *
+  * Injected at extension time (catalog-level, survives
+  * `SparkSession.newSession()`) rather than via the temp-function registry
+  * the per-session `register` helpers use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(
+          classOf[functions.CosineSimilarity].getName,
+          "cosine_sim",
+          "cosine_sim(a, b) - cosine similarity of two float vectors (fused codegen loop)"
+        ),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.CosineSimilarity(exprs(0), exprs(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("rolling_hash"),
+        new ExpressionInfo(
+          classOf[functions.RollingHash].getName,
+          "rolling_hash",
+          "rolling_hash(s) - 64-bit polynomial rolling hash of a string (codegen)"
+        ),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.RollingHash(exprs.head)
+      )
+    )
+  }
+}

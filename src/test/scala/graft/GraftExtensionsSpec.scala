@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point must make the native functions usable from
+  * plain SQL in a session configured ONLY with `spark.sql.extensions` —
+  * the cluster-deployment path (no library calls before first query).
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // extensions only apply when a NEW SparkSession is constructed — with a
+  // default session present, getOrCreate returns it and silently ignores
+  // withExtensions (verified). Clear the default so the builder constructs
+  // a fresh session over the shared SparkContext, then restore it for the
+  // other suites.
+  private lazy val spark: SparkSession = {
+    val shared = TestSpark.spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
+
+  override def beforeAll(): Unit = {
+    Tables.applyConfs(spark)
+  }
+
+  test("cosine_sim resolves from SQL without a register() call") {
+    val r = spark
+      .sql("SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), array(cast(1.0 as float), cast(0.0 as float))) AS c")
+      .collect()(0)
+      .getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("rolling_hash resolves from SQL and matches the registered form") {
+    functions.RollingHash.register(spark)
+    val Array(a, b) = spark
+      .sql("SELECT rolling_hash('graft') AS viaExt, rolling_hash('graft') AS viaReg")
+      .collect()(0)
+      .toSeq
+      .toArray
+    assert(a === b)
+  }
+}
