@@ -282,6 +282,20 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_hll_sketch",
+      "mergeable HLL sketches (Pinot DISTINCTCOUNTHLL's real shape): per-group DataSketches HLL built with hll_sketch_agg, estimated with hll_sketch_estimate; sketch bytes are engine-specific — rows-only (mergeability proven in RelationalSketchSpec)",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("hll_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts")
+          )
+          .orderBy(col("l_returnflag")),
+      None
+    ),
+    QueryDef(
       "q_approx_percentile",
       "approximate percentiles (Pinot PERCENTILETDIGEST ≅ percentile_approx); sketch-dependent values so no SQL oracle — rows-only check",
       (s, dir) =>
