@@ -26,11 +26,12 @@ object SparkEntry {
       operators.StarTree.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full reference pipeline shape: scan -> JSON decode -> event-time
-    * window -> aggregate (SURVEY §7.3).
+    * The complete reference pipeline: graft-events DSv2 partitioned scan ->
+    * JSON decode (drop-on-malformed) -> relational aggregation
+    * (SURVEY §7.3) — the reference's whole reason to exist, end to end.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_event_window_tumbling")(spark, "/root/testdata/sf0.001")
+    queries("q_source_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
