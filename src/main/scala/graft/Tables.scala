@@ -53,6 +53,14 @@ object Tables {
     spark
   }
 
+  /** Disable the build-once artifact caches (dedup signatures, IVF index):
+    * set GRAFT_NO_ARTIFACT_CACHE=1 to keep full lineage in every query —
+    * used by scripts/gen_plans.sh so PLANS.md shows the real pipelines
+    * instead of checkpoint scans.
+    */
+  lazy val noArtifactCache: Boolean =
+    sys.env.get("GRAFT_NO_ARTIFACT_CACHE").exists(_.nonEmpty)
+
   /** Rebalance a small pre-explode frame across the cluster before a
     * compute-heavy fan-out stage (shingle/token/component explode feeding
     * hashing or decimal aggregation).

@@ -47,7 +47,8 @@ object Dedup {
   private def cached(s: org.apache.spark.sql.SparkSession, dir: String, name: String)(
       build: => org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame =
-    artifactCache.computeIfAbsent((s, dir, name), _ => build.localCheckpoint())
+    if (graft.Tables.noArtifactCache) build // full lineage, e.g. for plan docs
+    else artifactCache.computeIfAbsent((s, dir, name), _ => build.localCheckpoint())
 
   private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "minhash_sig")(signatures(Tables.documents(s, dir)))

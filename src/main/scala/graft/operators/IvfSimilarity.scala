@@ -47,16 +47,16 @@ object IvfSimilarity {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def comp(s: SparkSession, dir: String): DataFrame =
-    compCache.computeIfAbsent(
+    if (Tables.noArtifactCache) buildComp(s, dir) else compCache.computeIfAbsent(
       (s, dir),
-      { case (s, dir) =>
-        Tables
-          .fanout(Tables.embeddings(s, dir))
-          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-          .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
-          .localCheckpoint()
-      }
+      { case (s, dir) => buildComp(s, dir).localCheckpoint() }
     )
+
+  private def buildComp(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .fanout(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
 
   /** Assignments after 2 Lloyd iterations: (vec_id, cid, dist2).
     *
@@ -78,7 +78,8 @@ object IvfSimilarity {
     * both queries against independent DuckDB derivations).
     */
   private def assignments(s: SparkSession, dir: String): DataFrame =
-    assignCache.computeIfAbsent((s, dir), { case (s, dir) => buildAssignments(s, dir).localCheckpoint() })
+    if (Tables.noArtifactCache) buildAssignments(s, dir)
+    else assignCache.computeIfAbsent((s, dir), { case (s, dir) => buildAssignments(s, dir).localCheckpoint() })
 
   private def buildAssignments(s: SparkSession, dir: String): DataFrame = {
     val c = comp(s, dir)
