@@ -87,4 +87,13 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"q1 must shuffle only group keys, got $shuffles")
     assert(countNodes(df, "HashAggregate") >= 2, "partial+final HashAggregate expected")
   }
+
+  test("hot relational paths run inside WholeStageCodegen") {
+    for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
+      assert(
+        countNodes(q(name), "WholeStageCodegen") >= 1,
+        s"$name must keep its scan+filter+agg pipeline codegen'd"
+      )
+    }
+  }
 }

@@ -193,4 +193,21 @@ class EventLogSourceSpec extends AnyFunSuite {
     )
     assert(decoded.collect().map(_.getLong(1)).sorted.toSeq === Seq(1L, 3L))
   }
+
+  test("corrupt log lines (no tab separator / non-numeric offset) are dropped, not thrown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log4").toString
+    val f = new java.io.PrintWriter(new java.io.File(dir, "partition-0.log"), "UTF-8")
+    f.println(s"${OffsetCodec.encode(0, 0)}\tpayload-a")
+    f.println("a line with no separator at all")
+    f.println(s"not-a-number\tpayload-x")
+    f.println(s"${OffsetCodec.encode(0, 1)}\tpayload-b")
+    f.close()
+    val rows = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", dir)
+      .load()
+      .collect()
+    assert(rows.length === 2, "only well-formed offset\\tpayload lines survive")
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).sorted.toSeq === Seq("payload-a", "payload-b"))
+  }
 }
