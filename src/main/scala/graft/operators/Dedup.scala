@@ -183,17 +183,18 @@ object Dedup {
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
-      labels = labels
+      val next = labels
         .union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
-        // cut lineage every round (labels is referenced twice per
-        // iteration; see the edges note above)
-        .localCheckpoint()
+      // cut lineage every round (labels is referenced twice per iteration;
+      // see the pairs note above) — except the last, whose single consumer
+      // reads it once
+      labels = if (i < iterations) next.localCheckpoint() else next
     }
     labels
   }
