@@ -13,6 +13,17 @@ case class UserSession(user_id: Long, start: java.sql.Timestamp, end: java.sql.T
 /** Open-session state for [[StreamingPipelines.statefulSessions]]. */
 case class SessState(startMs: Long, lastMs: Long, n: Long)
 
+/** Typed rows for the streaming funnel. */
+case class TypedEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
+/** Per-user funnel state: timestamp at which each stage index was first
+  * reached (in order); stages.length entries max.
+  */
+case class FunnelState(reachedMs: Seq[Long])
+
+/** Emitted once per user per newly-reached stage. */
+case class FunnelProgress(user_id: Long, stage: Int, stage_name: String, ts: java.sql.Timestamp)
+
 /** Streaming forms of the engine's event pipeline — the rebuilt surface of
   * the reference plugin (SURVEY §3.1): partitioned scan -> JSON decode
   * (drop-on-malformed) -> watermarked event-time aggregation -> sink, on
@@ -146,6 +157,44 @@ object StreamingPipelines {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpoint)
+
+  /** Streaming funnel — the incremental twin of the batch `q_funnel`
+    * (Pinot FUNNELCOUNT served in real time): a per-user ordered stage
+    * machine that emits one row the first time a user reaches each stage,
+    * where stage i+1 counts only at-or-after the stage-i timestamp.
+    *
+    * State is one Seq[Long] of reached-stage timestamps per user — O(1) —
+    * and is REMOVED once the user completes the final stage, so steady
+    * state holds only in-flight users. Counting the emitted rows per stage
+    * downstream reproduces q_funnel's conversion counts continuously.
+    */
+  def streamingFunnel(
+      events: Dataset[TypedEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      watermark: String = "10 minutes"
+  ): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          var reached = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
+          val out     = Seq.newBuilder[FunnelProgress]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val next = reached.length
+            if (next < stages.length && e.event_type == stages(next) &&
+                (reached.isEmpty || e.ts.getTime >= reached.last)) {
+              reached :+= e.ts.getTime
+              out += FunnelProgress(user, next, stages(next), e.ts)
+            }
+          }
+          if (reached.length == stages.length) state.remove() // completed: drop state
+          else if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.result().iterator
+      }
+  }
 
   /** Stream-stream interval join: each purchase attributed to the same
     * user's clicks within the preceding `windowMinutes` (the streaming form

@@ -234,6 +234,42 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: stage order enforced, cross-batch progression, completed state dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(input.toDS(), watermark = "5 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_out")
+      .outputMode("append")
+      .start()
+    def rows() = spark
+      .table("funnel_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    try {
+      // u1 view+click in batch 1; u2 clicks BEFORE viewing (click ignored)
+      input.addData(
+        TypedEvent(ts(1), 1, "view"), TypedEvent(ts(2), 1, "click"),
+        TypedEvent(ts(1), 2, "click"), TypedEvent(ts(3), 2, "view"))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 0, "view"), (1L, 1, "click"), (2L, 0, "view")))
+      // batch 2: u1 completes; u2's click now valid (after its view)
+      input.addData(TypedEvent(ts(9), 1, "purchase"), TypedEvent(ts(8), 2, "click"))
+      q.processAllAvailable()
+      assert(rows() === Set(
+        (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
+        (2L, 0, "view"), (2L, 1, "click")))
+      // u1 completed -> state dropped -> a second purchase emits nothing
+      input.addData(TypedEvent(ts(20), 1, "purchase"))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == 1L) === 3)
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
