@@ -60,6 +60,43 @@ object Analytics {
              |  (SELECT count(1) FROM p) AS n_view_click_purchase""".stripMargin)
     ),
     QueryDef(
+      "q_funnel_time",
+      "time-to-convert: seconds from first view to (ordered) purchase per converting user — count/min/median/max of the conversion lag",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), tsS)
+        val v = ev
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_s")).as("v_ts"))
+        val p = ev
+          .filter(col("event_type") === "purchase")
+          .join(v, "user_id")
+          .filter(col("ts_s") >= col("v_ts"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts_s")).as("p_ts"))
+        v.join(p, "user_id")
+          .select((col("p_ts") - col("v_ts")).as("lag_s"))
+          .agg(
+            count(lit(1)).as("n_converted"),
+            min(col("lag_s")).as("min_s"),
+            expr("percentile(lag_s, 0.5)").as("median_s"),
+            max(col("lag_s")).as("max_s")
+          )
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, cast(floor(epoch(ts)) as bigint) AS ts_s
+             |  FROM events),
+             |v AS (SELECT user_id, min(ts_s) AS v_ts FROM ev
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |p AS (SELECT ev.user_id, min(ts_s) AS p_ts FROM ev JOIN v USING (user_id)
+             |      WHERE event_type = 'purchase' AND ts_s >= v_ts GROUP BY ev.user_id)
+             |SELECT count(1) AS n_converted,
+             |  min(p_ts - v_ts) AS min_s,
+             |  quantile_cont(p_ts - v_ts, 0.5) AS median_s,
+             |  max(p_ts - v_ts) AS max_s
+             |FROM v JOIN p USING (user_id)""".stripMargin)
+    ),
+    QueryDef(
       "q_retention",
       "cohort retention: users bucketed by first-activity day, distinct actives per (cohort_day, day_offset) — the classic triangular retention matrix",
       (s, dir) => {

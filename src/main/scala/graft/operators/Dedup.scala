@@ -111,6 +111,28 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB CTE chain ending in `l3(doc_id, label)` — the SQL twin of
+    * [[clusters]] over [[minhashPairs]] (3 unrolled propagation rounds).
+    */
+  private def clustersCteSql: String = {
+    def step(prev: String, next: String) =
+      s"""$next AS (
+         |  SELECT doc_id, min(label) AS label FROM (
+         |    SELECT doc_id, label FROM $prev
+         |    UNION ALL
+         |    SELECT e.src AS doc_id, l.label
+         |    FROM edges e JOIN $prev l ON e.dst = l.doc_id) t
+         |  GROUP BY doc_id)""".stripMargin
+    s"""$pairsCteSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")}""".stripMargin
+  }
+
   /** Spark-side SimHash frame: doc_id, simhash (shared by both simhash
     * queries; single source for the 16 bit-term expressions).
     */
@@ -254,26 +276,40 @@ object Dedup {
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
           .orderBy(col("label")),
-      Some {
-        def step(prev: String, next: String) =
-          s"""$next AS (
-             |  SELECT doc_id, min(label) AS label FROM (
-             |    SELECT doc_id, label FROM $prev
-             |    UNION ALL
-             |    SELECT e.src AS doc_id, l.label
-             |    FROM edges e JOIN $prev l ON e.dst = l.doc_id) t
-             |  GROUP BY doc_id)"""
-        s"""WITH $pairsCteSql,
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-           |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-           |${step("l0", "l1")},
-           |${step("l1", "l2")},
-           |${step("l2", "l3")}
-           |SELECT label, count(1) AS n_members, max(doc_id) AS max_doc
-           |FROM l3 GROUP BY label ORDER BY label""".stripMargin
-      }
+      Some(s"""WITH $clustersCteSql
+              |SELECT label, count(1) AS n_members, max(doc_id) AS max_doc
+              |FROM l3 GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_survivors",
+      "dedup survivor census — the filtered-corpus step: every doc not displaced by a smaller cluster label survives (one per near-dup cluster plus all untouched docs)",
+      (s, dir) => {
+        val labels = clusters(minhashPairs(s, dir))
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            (col("label").isNotNull && col("label") =!= col("doc_id")).as("is_dropped")
+          )
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("is_dropped").cast("long")).cast("long").as("n_dropped"),
+            (count(lit(1)) - sum(col("is_dropped").cast("long"))).cast("long").as("n_survivors"),
+            min(when(!col("is_dropped"), col("doc_id"))).as("first_survivor")
+          )
+      },
+      Some(s"""WITH $clustersCteSql,
+              |flagged AS (
+              |  SELECT d.doc_id,
+              |    (l.label IS NOT NULL AND l.label <> d.doc_id) AS is_dropped
+              |  FROM documents d LEFT JOIN l3 l ON d.doc_id = l.doc_id)
+              |SELECT count(1) AS n_docs,
+              |  cast(sum(cast(is_dropped as bigint)) as bigint) AS n_dropped,
+              |  cast(count(1) - sum(cast(is_dropped as bigint)) as bigint) AS n_survivors,
+              |  min(CASE WHEN NOT is_dropped THEN doc_id END) AS first_survivor
+              |FROM flagged""".stripMargin)
     ),
     QueryDef(
       "q_dedup_simhash",
