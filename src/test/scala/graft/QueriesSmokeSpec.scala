@@ -29,6 +29,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("query names are unique (a duplicate would silently shadow in the queries map)") {
+    val names = SparkEntry.all.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+  }
+
   test("query names are unique") {
     assert(SparkEntry.all.map(_.name).distinct.size === SparkEntry.all.size)
   }
