@@ -225,6 +225,65 @@ object TextAnalysis {
              |GROUP BY 1 ORDER BY split""".stripMargin)
     ),
     QueryDef(
+      "q_sample_stratified",
+      "stratified hash sampling: per-source rates (50/25/10%) for class balancing — deterministic md5 buckets, reproducible across runs and engines",
+      (s, dir) => {
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        val keep = when(col("source") === "src0", b < 128)
+          .when(col("source") === "src1", b < 64)
+          .otherwise(b < 26)
+        Tables
+          .documents(s, dir)
+          .filter(keep)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(1) AS n_sampled, min(doc_id) AS first_doc
+             |FROM (SELECT source, doc_id,
+             |        ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int AS b
+             |      FROM documents) t
+             |WHERE CASE WHEN source = 'src0' THEN b < 128
+             |           WHEN source = 'src1' THEN b < 64
+             |           ELSE b < 26 END
+             |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
+      "q_pack_shards",
+      "token-budget shard packing (sequence packing for training): per-language doc streams fill ~4096-token shards by exclusive prefix sum — shard census. Packing within a partition key (lang) is the scalable shape: a global prefix sum would serialize on one partition",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables
+          .documents(s, dir)
+          .select(col("lang"), col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("shard", expr("prefix div 4096"))
+          .groupBy(col("lang"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc")
+          )
+          .orderBy(col("lang"), col("shard"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+             |  FROM documents),
+             |packed AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) // 4096 AS shard
+             |  FROM toks)
+             |SELECT lang, shard, count(1) AS n_docs,
+             |  cast(sum(n_tokens) as bigint) AS shard_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin)
+    ),
+    QueryDef(
       "q_text_topwords",
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>
