@@ -121,6 +121,48 @@ object Profiling {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_outlier_iqr",
+      "IQR-fence outlier census per group (data-quality preflight): exact interpolated quartiles (engine-identical, q_percentile precedent), Tukey fences, outlier counts",
+      (s, dir) => {
+        val quart = Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.25)").as("p25"),
+            expr("percentile(l_extendedprice, 0.75)").as("p75")
+          )
+          .withColumn("lo_fence", col("p25") - (col("p75") - col("p25")) * 1.5)
+          .withColumn("hi_fence", col("p75") + (col("p75") - col("p25")) * 1.5)
+        Tables
+          .lineitem(s, dir)
+          .join(broadcast(quart), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("l_extendedprice") < col("lo_fence")).cast("long")).cast("long").as("n_low"),
+            sum((col("l_extendedprice") > col("hi_fence")).cast("long")).cast("long").as("n_high"),
+            round(min(col("hi_fence")), 4).as("hi_fence_r")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH quart AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_extendedprice, 0.25) AS p25,
+             |    quantile_cont(l_extendedprice, 0.75) AS p75
+             |  FROM lineitem GROUP BY l_returnflag),
+             |fences AS (
+             |  SELECT l_returnflag,
+             |    p25 - (p75 - p25) * 1.5 AS lo_fence,
+             |    p75 + (p75 - p25) * 1.5 AS hi_fence
+             |  FROM quart)
+             |SELECT l.l_returnflag, count(1) AS n,
+             |  cast(sum(cast(l_extendedprice < lo_fence as bigint)) as bigint) AS n_low,
+             |  cast(sum(cast(l_extendedprice > hi_fence as bigint)) as bigint) AS n_high,
+             |  round(min(hi_fence), 4) AS hi_fence_r
+             |FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+             |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
+    ),
+    QueryDef(
       "q_event_gapfill",
       "time-series resample with gap-fill: hourly counts left-joined onto a generated dense hour dimension (zero for silent hours)",
       (s, dir) => {
