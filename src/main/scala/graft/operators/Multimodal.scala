@@ -155,6 +155,25 @@ object Multimodal {
         |  cast(16 + cast(('0x' || substring(sha256(text), 1, 2))::int as bigint) % 240 as bigint) AS fake_width,
         |  cast(16 + cast(('0x' || substring(sha256(text), 3, 2))::int as bigint) % 240 as bigint) AS fake_height
         |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin
-    ))
+    )),
+    QueryDef(
+      "q_multimodal_frames",
+      "frame-sampling census through the typed flatMap operator (every 2nd frame of each payload): per-media count of sampled frames — the oracle recomputes the stub's frame arithmetic (n_frames = 1 + bytes % 30, sampled = ceil(n/2)) from byte lengths",
+      (s, dir) => {
+        val frames = sampleFrames(mediaTable(s, dir), everyN = 2, frameBytes = 64)
+        frames
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames_sampled"))
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(col("n_frames_sampled")).cast("long").as("total_sampled"),
+            max(col("n_frames_sampled")).as("max_sampled")
+          )
+      },
+      Some("""SELECT count(1) AS n_media,
+             |  cast(sum((1 + octet_length(encode(text)) % 30 + 1) // 2) as bigint) AS total_sampled,
+             |  max((1 + octet_length(encode(text)) % 30 + 1) // 2) AS max_sampled
+             |FROM documents""".stripMargin)
+    )
   )
 }
