@@ -225,6 +225,60 @@ object TextAnalysis {
              |GROUP BY 1 ORDER BY split""".stripMargin)
     ),
     QueryDef(
+      "q_contamination",
+      "train/test contamination check: test-split docs whose normalized fingerprint also appears in the train split (semi-join on the dedup key — the eval-integrity preflight every LLM pipeline runs)",
+      (s, dir) => {
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        val fp = Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")
+          )
+        val train = fp.filter(col("split") === "train").select(col("fp"))
+        val test  = fp.filter(col("split") === "test")
+        test
+          .join(train, Seq("fp"), "left_semi")
+          .agg(count(lit(1)).as("n_contaminated"))
+          .crossJoin(test.agg(count(lit(1)).as("n_test")))
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id,
+             |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+             |  FROM (SELECT *,
+             |          ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int AS b
+             |        FROM documents) t)
+             |SELECT
+             |  (SELECT count(1) FROM fp WHERE split = 'test'
+             |     AND f IN (SELECT f FROM fp WHERE split = 'train')) AS n_contaminated,
+             |  (SELECT count(1) FROM fp WHERE split = 'test') AS n_test""".stripMargin)
+    ),
+    QueryDef(
+      "q_pii_scan",
+      "PII-pattern census (data-cleaning preflight): per-language counts of docs containing email-like or long-digit-run patterns",
+      (s, dir) =>
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((size(expr("regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)")) > 0).cast("long"))
+              .cast("long")
+              .as("n_email_like"),
+            sum((size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")) > 0).cast("long"))
+              .cast("long")
+              .as("n_long_digits")
+          )
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(1) AS n_docs,
+             |  cast(sum(cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) > 0 as bigint)) as bigint) AS n_email_like,
+             |  cast(sum(cast(len(regexp_extract_all(text, '[0-9]{6,}')) > 0 as bigint)) as bigint) AS n_long_digits
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_stratified",
       "stratified hash sampling: per-source rates (50/25/10%) for class balancing — deterministic md5 buckets, reproducible across runs and engines",
       (s, dir) => {
