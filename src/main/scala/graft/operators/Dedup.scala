@@ -48,7 +48,16 @@ object Dedup {
       build: => org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame =
     if (graft.Tables.noArtifactCache) build // full lineage, e.g. for plan docs
-    else artifactCache.computeIfAbsent((s, dir, name), _ => build.localCheckpoint())
+    else {
+      // build OUTSIDE the map update: computeIfAbsent re-enters this map
+      // when one cached artifact builds on another (pairs -> signatures)
+      // and ConcurrentHashMap throws "Recursive update" on nesting
+      val key = (s, dir, name)
+      Option(artifactCache.get(key)).getOrElse {
+        val built = build.localCheckpoint()
+        Option(artifactCache.putIfAbsent(key, built)).getOrElse(built)
+      }
+    }
 
   private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "minhash_sig")(signatures(Tables.documents(s, dir)))

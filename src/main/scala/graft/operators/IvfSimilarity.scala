@@ -47,10 +47,8 @@ object IvfSimilarity {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def comp(s: SparkSession, dir: String): DataFrame =
-    if (Tables.noArtifactCache) buildComp(s, dir) else compCache.computeIfAbsent(
-      (s, dir),
-      { case (s, dir) => buildComp(s, dir).localCheckpoint() }
-    )
+    if (Tables.noArtifactCache) buildComp(s, dir)
+    else cachedIn(compCache, s, dir)(buildComp(s, dir))
 
   private def buildComp(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -79,7 +77,24 @@ object IvfSimilarity {
     */
   private def assignments(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) buildAssignments(s, dir)
-    else assignCache.computeIfAbsent((s, dir), { case (s, dir) => buildAssignments(s, dir).localCheckpoint() })
+    else cachedIn(assignCache, s, dir)(buildAssignments(s, dir))
+
+  /** Build-outside-the-map caching: computeIfAbsent would throw "Recursive
+    * update" if a cached artifact ever builds on another in the same map,
+    * and the assignments build DOES call comp() — keep both maps on the
+    * same safe pattern.
+    */
+  private def cachedIn(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String
+  )(build: => DataFrame): DataFrame = {
+    val key = (s, dir)
+    Option(cache.get(key)).getOrElse {
+      val built = build.localCheckpoint()
+      Option(cache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
 
   private def buildAssignments(s: SparkSession, dir: String): DataFrame = {
     val c = comp(s, dir)

@@ -63,6 +63,26 @@ object TextAnalysis {
     )
   }
 
+  /** Per-doc repetition stats: `top_c` (count of the most frequent token)
+    * and `n_tok`, computed MAP-SIDE in one pass over the sorted token array
+    * (run-length max via `aggregate`) — no explode, no per-(doc,token)
+    * shuffle. At 100 TB this keeps shuffle volume at O(docs), not O(tokens).
+    */
+  private[graft] def repetitionFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sorted = array_sort(tokens(col("text")))
+    val topC = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (a, x) => {
+        // x === null-prev is null → otherwise-branch → run restarts at 1
+        val run = when(x === a("prev"), a("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(a("best"), run).as("best"))
+      },
+      a => a("best")
+    )
+    docs.select(col("*"), topC.as("top_c"), size(sorted).cast("long").as("n_tok"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_langid",
@@ -223,6 +243,33 @@ object TextAnalysis {
              |        ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int AS b
              |      FROM documents) t
              |GROUP BY 1 ORDER BY split""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_repetition",
+      "repetition-ratio quality filter (boilerplate detector): share of each doc taken by its most frequent token; census of docs above the 0.1 repetition threshold per language — exact integer ratios, no rounding needed",
+      (s, dir) => {
+        val perDoc = repetitionFrame(Tables.fanout(Tables.documents(s, dir)))
+        perDoc
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("top_c") > col("n_tok") * 0.1).cast("long")).cast("long").as("n_repetitive"),
+            max(col("top_c") / col("n_tok")).as("max_ratio")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |per_word AS (
+             |  SELECT lang, doc_id, w, count(1) AS c FROM tok GROUP BY 1, 2, 3),
+             |per_doc AS (
+             |  SELECT lang, doc_id, max(c) AS top_c,
+             |    cast(sum(c) as bigint) AS n_tok
+             |  FROM per_word GROUP BY 1, 2)
+             |SELECT lang, count(1) AS n_docs,
+             |  cast(sum(cast(top_c > n_tok * 0.1 as bigint)) as bigint) AS n_repetitive,
+             |  max(cast(top_c as double) / n_tok) AS max_ratio
+             |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(
       "q_contamination",

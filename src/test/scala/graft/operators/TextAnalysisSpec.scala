@@ -62,6 +62,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0) === out(1))
   }
 
+  test("repetition frame counts the dominant token in one map-side pass") {
+    val rows = TextAnalysis
+      .repetitionFrame(Seq((1L, "spam spam spam eggs"), (2L, "all tokens differ here")).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("top_c"), col("n_tok"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows(1L) === ((3L, 4L)))
+    assert(rows(2L) === ((1L, 4L)))
+  }
+
   test("BPE-ish tokenization splits letters, digits, punctuation") {
     val n = Seq(Tuple1("ab12 cd! x9"))
       .toDF("text")
