@@ -395,6 +395,33 @@ object Dedup {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE common / (sa.nsh + sb.nsh - common) >= 0.05
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_fuzzy",
+      "edit-distance near-dup pairs on part names, blocked by brand (fuzzy record linkage): candidate pairs come from an equi-join on the block key — O(sum block^2) not O(n^2) — then exact levenshtein <= 2 filters; per-brand census",
+      (s, dir) => {
+        val parts = Tables.fanout(Tables.part(s, dir))
+        val a = parts.select(col("p_brand").as("brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = parts.select(col("p_brand").as("brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("brand"))
+          .filter(col("key_a") < col("key_b"))
+          .select(col("brand"), levenshtein(col("name_a"), col("name_b")).as("d"))
+          .filter(col("d") <= 2)
+          .groupBy(col("brand"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum((col("d") === 0).cast("long")).cast("long").as("n_exact"),
+            min(col("d")).cast("long").as("min_d")
+          )
+          .orderBy(col("brand"))
+      },
+      Some("""SELECT a.p_brand AS brand, count(1) AS n_pairs,
+             |  cast(sum(cast(levenshtein(a.p_name, b.p_name) = 0 as bigint)) as bigint) AS n_exact,
+             |  cast(min(levenshtein(a.p_name, b.p_name)) as bigint) AS min_d
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -272,6 +272,66 @@ object TextAnalysis {
              |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(
+      "q_text_ttr",
+      "type-token ratio (lexical diversity) quality filter: distinct-token share per doc, computed map-side (array_distinct, no explode); census of low-diversity docs per language plus the pooled corpus ratio — integer counts and one exact-long division, fully deterministic",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val perDoc = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            col("lang"),
+            size(array_distinct(t)).cast("long").as("nd"),
+            size(t).cast("long").as("nt")
+          )
+        perDoc
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("nd") * 2 < col("nt")).cast("long")).cast("long").as("n_low_ttr"),
+            (sum(col("nd")).cast("long") / sum(col("nt")).cast("long")).as("pooled_ttr")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(1) AS n_docs,
+             |  cast(sum(cast(nd * 2 < nt as bigint)) as bigint) AS n_low_ttr,
+             |  cast(sum(nd) as bigint) / cast(sum(nt) as bigint) AS pooled_ttr
+             |FROM (SELECT lang,
+             |        len(list_distinct(string_split(text, ' '))) AS nd,
+             |        len(string_split(text, ' ')) AS nt
+             |      FROM documents)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_source_caps",
+      "per-source document cap (crawl-pipeline domain balancing): keep at most 10 docs per source, chosen by deterministic content-hash order; census of kept/total per source",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rn = row_number().over(
+          Window
+            .partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        )
+        Tables
+          .documents(s, dir)
+          .withColumn("rn", rn)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("rn") <= 10).cast("long")).cast("long").as("n_kept"),
+            min(when(col("rn") === 1, col("doc_id"))).as("first_kept")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(1) AS n_docs,
+             |  cast(sum(cast(rn <= 10 as bigint)) as bigint) AS n_kept,
+             |  min(CASE WHEN rn = 1 THEN doc_id END) AS first_kept
+             |FROM (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rn
+             |      FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
       "q_contamination",
       "train/test contamination check: test-split docs whose normalized fingerprint also appears in the train split (semi-join on the dedup key — the eval-integrity preflight every LLM pipeline runs)",
       (s, dir) => {
