@@ -400,9 +400,15 @@ object Dedup {
       "q_dedup_fuzzy",
       "edit-distance near-dup pairs on part names, blocked by brand (fuzzy record linkage): candidate pairs come from an equi-join on the block key — O(sum block^2) not O(n^2) — then exact levenshtein <= 2 filters; per-brand census",
       (s, dir) => {
-        val parts = Tables.fanout(Tables.part(s, dir))
-        val a = parts.select(col("p_brand").as("brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-        val b = parts.select(col("p_brand").as("brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        // fanout only the probe side: it carries the per-pair levenshtein
+        // work (single-row-group fixture -> 1 task otherwise); the build
+        // side just feeds a broadcast, where a rebalance buys nothing
+        val a = Tables
+          .fanout(Tables.part(s, dir))
+          .select(col("p_brand").as("brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = Tables
+          .part(s, dir)
+          .select(col("p_brand").as("brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
         a.join(b, Seq("brand"))
           .filter(col("key_a") < col("key_b"))
           .select(col("brand"), levenshtein(col("name_a"), col("name_b")).as("d"))

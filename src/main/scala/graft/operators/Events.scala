@@ -204,6 +204,49 @@ object Events {
              |  round(stddev_samp("value"), 4) AS sd_v,
              |  round(var_samp("value"), 3) AS var_v
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_anomaly",
+      "event-rate anomaly detection: hourly counts per type, z-score of each window against that type's own rate distribution, flag |z| >= 2. Variance is computed from exact integer sums (n*s2 - s1^2 over n^2) so mean/std/z are single correctly-rounded IEEE ops — bit-identical across engines; per-type stats broadcast back onto the counts",
+      (s, dir) => {
+        val counts = Tables
+          .events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .select(unix_timestamp(col("window.start")).as("wstart_s"), col("event_type"), col("c"))
+        val stats = counts
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_w"),
+            sum(col("c")).as("s1"),
+            sum(col("c") * col("c")).as("s2")
+          )
+          .filter(col("n_w") * col("s2") - col("s1") * col("s1") > 0)
+        val std = sqrt((col("n_w") * col("s2") - col("s1") * col("s1")).cast("double") / (col("n_w") * col("n_w")))
+        counts
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("c") - col("s1").cast("double") / col("n_w")) / std)
+          .filter(abs(col("z")) >= 2.0)
+          .select(col("event_type"), col("wstart_s"), col("c"), col("z"))
+          .orderBy(col("event_type"), col("wstart_s"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT cast(floor(epoch(ts) / 3600) * 3600 as bigint) AS wstart_s,
+             |    event_type, count(1) AS c
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(1) AS n_w,
+             |    cast(sum(c) as bigint) AS s1, cast(sum(c * c) as bigint) AS s2
+             |  FROM counts GROUP BY 1
+             |  HAVING count(1) * cast(sum(c * c) as bigint)
+             |       - cast(sum(c) as bigint) * cast(sum(c) as bigint) > 0)
+             |SELECT event_type, wstart_s, c,
+             |  (c - cast(s1 as double) / n_w)
+             |    / sqrt(cast(n_w * s2 - s1 * s1 as double) / (n_w * n_w)) AS z
+             |FROM counts JOIN stats USING (event_type)
+             |WHERE abs((c - cast(s1 as double) / n_w)
+             |    / sqrt(cast(n_w * s2 - s1 * s1 as double) / (n_w * n_w))) >= 2.0
+             |ORDER BY event_type, wstart_s""".stripMargin)
     )
   )
 }
