@@ -411,8 +411,13 @@ object Dedup {
           .select(col("p_brand").as("brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
         a.join(b, Seq("brand"))
           .filter(col("key_a") < col("key_b"))
-          .select(col("brand"), levenshtein(col("name_a"), col("name_b")).as("d"))
-          .filter(col("d") <= 2)
+          // d <= 2 implies |len(a)-len(b)| <= 2: a codegen'd integer compare
+          // prunes most pairs before the O(len^2) edit-distance DP, and the
+          // thresholded levenshtein bails out of the DP as soon as every
+          // band cell exceeds 2 (returns -1 past the threshold)
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+          .select(col("brand"), levenshtein(col("name_a"), col("name_b"), 2).as("d"))
+          .filter(col("d") >= 0)
           .groupBy(col("brand"))
           .agg(
             count(lit(1)).as("n_pairs"),
