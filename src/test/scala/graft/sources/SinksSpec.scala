@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{Tables, TestSpark}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+class SinksSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def parquetFiles(dir: String): Seq[String] =
+    Files
+      .walk(Paths.get(dir))
+      .iterator()
+      .asScala
+      .map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+      .toSeq
+
+  test("writePartitioned lays out hive partitions with bounded sorted files") {
+    val out = Files.createTempDirectory("sinks").toString + "/docs"
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    Sinks.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"), filesPerPartition = 2)
+
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val dirs = Files.list(Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toSet
+    langs.foreach(l => assert(dirs.contains(s"lang=$l"), s"missing partition dir for $l"))
+
+    // round-trips completely
+    assert(spark.read.parquet(out).count() === docs.count())
+
+    // bounded file count per partition value
+    langs.foreach { l =>
+      val files = parquetFiles(s"$out/lang=$l")
+      assert(files.nonEmpty && files.size <= 2, s"lang=$l has ${files.size} files")
+    }
+
+    // rows are sorted by the sort key within every physical file
+    val aFile = parquetFiles(s"$out/lang=${langs.head}").head
+    val ids = spark.read.parquet(aFile).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids === ids.sorted, "rows inside a file must be sorted by doc_id")
+  }
+
+  test("partition-col filters prune to the matching directory on read-back") {
+    val out = Files.createTempDirectory("sinks").toString + "/docs"
+    Sinks.writePartitioned(
+      Tables.documents(spark, TestSpark.sfDir),
+      out,
+      Seq("lang"),
+      Seq("doc_id")
+    )
+    val scanned = spark.read.parquet(out).filter(col("lang") === "en")
+    // collect() drives scanned's OWN queryExecution, populating its scan
+    // metrics (count() would plan and execute a separate query)
+    assert(scanned.collect().length > 0)
+    // inputFiles reports the pre-pruning listing; the executed scan's
+    // metrics show what partition pruning actually kept
+    val scan = scanned.queryExecution.executedPlan
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.metrics("numPartitions").value === 1, "scan must prune to the single lang=en dir")
+  }
+
+  test("re-running the write produces the same deterministic file assignment") {
+    val base = Files.createTempDirectory("sinks").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    Sinks.writePartitioned(docs, s"$base/a", Seq("lang"), Seq("doc_id"), filesPerPartition = 2)
+    Sinks.writePartitioned(docs, s"$base/b", Seq("lang"), Seq("doc_id"), filesPerPartition = 2)
+    def sig(dir: String): Map[String, Long] =
+      spark.read
+        .parquet(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2)))
+        .toMap
+    assert(sig(s"$base/a") === sig(s"$base/b"))
+  }
+}
