@@ -343,12 +343,19 @@ object TextAnalysis {
             when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"),
             md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")
           )
-        val train = fp.filter(col("split") === "train").select(col("fp"))
-        val test  = fp.filter(col("split") === "test")
-        test
-          .join(train, Seq("fp"), "left_semi")
-          .agg(count(lit(1)).as("n_contaminated"))
-          .crossJoin(test.agg(count(lit(1)).as("n_test")))
+        // one pass instead of three: the regexp+md5 fingerprint projection is
+        // the dominant cost, and the semi-join + two count branches each
+        // re-ran it over the full corpus. Per-fingerprint train/test counts
+        // give the same answer with a single scan and a single shuffle.
+        fp.groupBy(col("fp"))
+          .agg(
+            sum((col("split") === "train").cast("long")).as("tr"),
+            sum((col("split") === "test").cast("long")).as("te")
+          )
+          .agg(
+            sum(when(col("tr") > 0, col("te")).otherwise(0L)).cast("long").as("n_contaminated"),
+            sum(col("te")).cast("long").as("n_test")
+          )
       },
       Some("""WITH fp AS (
              |  SELECT doc_id,
