@@ -174,9 +174,13 @@ object Analytics {
       "q_text_bigrams",
       "corpus bigram frequencies: adjacent-token 2-grams via sequence+transform, top 25 (map-side combine keeps the shuffle at distinct-bigram size)",
       (s, dir) => {
-        val t = tokens(col("text"))
+        val t = col("t")
         Tables
           .fanout(Tables.documents(s, dir))
+          // materialize the split once: the lambda references the token
+          // array 4x, and split() is expensive enough that CollapseProject
+          // keeps the extra Project rather than duplicating it per use
+          .select(tokens(col("text")).as("t"))
           .select(
             explode(
               when(
