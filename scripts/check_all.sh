@@ -13,6 +13,10 @@ echo "== verify at sf$SF"
 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT"
 python3 scripts/verify_local.py "$OUT" "/root/testdata/sf$SF"
 
+echo "== double-run determinism at sf$SF"
+sbt -batch "runMain graft.Verify /root/testdata/sf$SF ${OUT}-b"
+python3 scripts/diff_runs.py "$OUT" "${OUT}-b"
+
 echo "== bench at sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch 'runMain graft.Bench' | grep '"metric"'
 
