@@ -97,6 +97,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
+  /** All fixture tables by name — the catalog the SQL surface registers. */
+  val tableNames: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so the whole engine is
+    * reachable from `spark.sql(...)` — the API Pinot users actually speak.
+    * Combined with [[graft.GraftExtensions]] (native function injection)
+    * this makes plain SQL a first-class entry point: the same Catalyst
+    * plans as the DataFrame surface, including the ns-timestamp handling
+    * for `events` (views go through the same readers).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { n =>
+      val df = n match {
+        case "events" => events(spark, dir)
+        case other    => read(spark, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
+
   /** The event-stream table (the stand-in for the reference's Pulsar topic).
     *
     * `ts` is parquet TIMESTAMP(NANOS): read as long nanos
