@@ -53,4 +53,34 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Compact a fragmented parquet directory into ~`targetFileBytes` files.
+    *
+    * Streaming micro-batch sinks and over-parallel writers leave thousands
+    * of small files; at 100 TB that murders scan planning (one listing +
+    * footer read per file) and wastes row-group compression. Sizing uses
+    * the actual on-disk bytes of the source files (not a row-count guess),
+    * and the rewrite goes through `repartition(n)` — a round-robin
+    * shuffle that local-sorts for retry determinism, unlike `coalesce`,
+    * which would also cap the read parallelism of the compaction job
+    * itself. Returns the output file count.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil
+  ): Int = {
+    val df = spark.read.parquet(inPath)
+    // Hadoop FS, not java.nio: the input may live on any cluster filesystem
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val repart = df.repartition(nFiles)
+    val laidOut = if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*) else repart
+    laidOut.write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath).inputFiles.length
+  }
 }

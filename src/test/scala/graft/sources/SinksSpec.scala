@@ -63,6 +63,18 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.metrics("numPartitions").value === 1, "scan must prune to the single lang=en dir")
   }
 
+  test("compact collapses a fragmented directory and round-trips the data") {
+    val base = Files.createTempDirectory("sinks").toString
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // fragment: one file per shuffle partition
+    docs.repartition(24).write.parquet(s"$base/frag")
+    val before = parquetFiles(s"$base/frag").size
+    assert(before >= 20, s"fixture should fragment, got $before files")
+    val after = Sinks.compact(spark, s"$base/frag", s"$base/compact", targetFileBytes = 1L << 30)
+    assert(after === 1, s"everything fits one 1GiB-target file, got $after")
+    assert(spark.read.parquet(s"$base/compact").count() === docs.count())
+  }
+
   test("re-running the write produces the same deterministic file assignment") {
     val base = Files.createTempDirectory("sinks").toString
     val docs = Tables.documents(spark, TestSpark.sfDir)
