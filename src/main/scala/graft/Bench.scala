@@ -8,12 +8,18 @@ object Bench {
     // session warm-up outside the timed region: JIT, codegen, parquet footers,
     // and the one-time event-log materialization (fixture setup, not query work)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).count()
+    // full-column noop writes, not count(): count() reads only footers, so
+    // the first timed query would otherwise absorb the cold column scans
+    Seq(Tables.lineitem(spark, sfDir), Tables.documents(spark, sfDir), Tables.events(spark, sfDir))
+      .foreach(_.write.format("noop").mode("overwrite").save())
     operators.SourceQueries.logDirFor(spark, sfDir)
     operators.StarTree.cubeDirFor(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // noop sink, not count(): count() lets Catalyst prune computed
+      // columns for select-shaped queries (under-measuring vs the oracle's
+      // full fetch); the noop writer executes every column of the plan
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       // a failed query must be visibly failed, not silently folded into the
       // total as if it did the work: report -1 instead of its partial time

@@ -127,10 +127,9 @@ object Profiling {
         val quart = Tables
           .lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(
-            expr("percentile(l_extendedprice, 0.25)").as("p25"),
-            expr("percentile(l_extendedprice, 0.75)").as("p75")
-          )
+          // single array-percentile pass (see q_percentile)
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("ps"))
+          .select(col("l_returnflag"), col("ps")(0).as("p25"), col("ps")(1).as("p75"))
           .withColumn("lo_fence", col("p25") - (col("p75") - col("p25")) * 1.5)
           .withColumn("hi_fence", col("p75") + (col("p75") - col("p25")) * 1.5)
         Tables
