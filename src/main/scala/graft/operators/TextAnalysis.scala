@@ -302,6 +302,24 @@ object TextAnalysis {
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(
+      "q_text_search",
+      "keyword search, Pinot TEXT_MATCH analogue: conjunctive term filter over the token set (map-side array_contains, no index needed — at 100 TB this is a full scan by design; the inverted-index variant is the LSH/band pattern with term as the key); per-language hit census",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .filter(array_contains(t, "query") && array_contains(t, "scan"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(1) AS n_hits, min(doc_id) AS first_doc
+             |FROM documents
+             |WHERE list_contains(string_split(text, ' '), 'query')
+             |  AND list_contains(string_split(text, ' '), 'scan')
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
       "q_source_caps",
       "per-source document cap (crawl-pipeline domain balancing): keep at most 10 docs per source, chosen by deterministic content-hash order; census of kept/total per source",
       (s, dir) => {
