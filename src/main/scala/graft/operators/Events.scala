@@ -206,6 +206,37 @@ object Events {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     QueryDef(
+      "q_event_rangeframe",
+      "value-RANGE window frame: per-row trailing-1-hour rolling sum (RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW over epoch seconds), reduced to the peak rolling revenue per event type. Rolling sums are exact decimals so the per-row values — and therefore the max — are engine-identical",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts_s"))
+          .rangeBetween(-3600L, 0L)
+        Tables
+          .events(s, dir)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"))
+          .withColumn("rolling", sum(col("value").cast("decimal(18,4)")).over(w))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("rolling")).cast("double").as("peak_1h_sum"),
+            count(lit(1)).as("n_events")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  cast(cast(max(rolling) as varchar) as double) AS peak_1h_sum,
+             |  count(1) AS n_events
+             |FROM (
+             |  SELECT event_type,
+             |    sum(cast("value" as decimal(18,4))) OVER (
+             |      PARTITION BY event_type ORDER BY cast(floor(epoch(ts)) as bigint)
+             |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling
+             |  FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
       "q_event_anomaly",
       "event-rate anomaly detection: hourly counts per type, z-score of each window against that type's own rate distribution, flag |z| >= 2. Variance is computed from exact integer sums (n*s2 - s1^2 over n^2) so mean/std/z are single correctly-rounded IEEE ops — bit-identical across engines; per-type stats broadcast back onto the counts",
       (s, dir) => {
