@@ -24,6 +24,10 @@ case class FunnelState(reachedMs: Seq[Long])
 /** Emitted once per user per newly-reached stage. */
 case class FunnelProgress(user_id: Long, stage: Int, stage_name: String, ts: java.sql.Timestamp)
 
+case class ValuedEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+case class WelfordState(n: Long, mean: Double, m2: Double)
+case class Anomaly(event_type: String, ts: java.sql.Timestamp, value: Double, z: Double)
+
 /** Streaming forms of the engine's event pipeline — the rebuilt surface of
   * the reference plugin (SURVEY §3.1): partitioned scan -> JSON decode
   * (drop-on-malformed) -> watermarked event-time aggregation -> sink, on
@@ -192,6 +196,51 @@ object StreamingPipelines {
           }
           if (reached.length == stages.length) state.remove() // completed: drop state
           else if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.result().iterator
+      }
+  }
+
+  /** Online anomaly detection: per-key running mean/variance (Welford's
+    * algorithm — numerically stable, O(1) state per key) over the value
+    * stream; events whose z-score against the stats-so-far exceeds
+    * `zThreshold` are emitted as anomalies. `minSamples` gates the warm-up
+    * phase so early noise doesn't fire.
+    *
+    * The streaming twin of the batch `q_event_anomaly`: same signal, but
+    * state is a 3-number summary per key — constant memory regardless of
+    * stream length, the requirement for an unbounded 100 TB/day feed.
+    * ProcessingTimeTimeout-free: state never expires by design (stats are
+    * lifetime aggregates); keys are event types, bounded cardinality.
+    */
+  def streamingAnomaly(
+      events: Dataset[ValuedEvent],
+      zThreshold: Double = 3.0,
+      minSamples: Int = 30
+  ): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[WelfordState, Anomaly](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[WelfordState]) =>
+          var st  = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (st.n >= minSamples) {
+              val std = math.sqrt(st.m2 / (st.n - 1))
+              if (std > 0) {
+                val z = (e.value - st.mean) / std
+                if (math.abs(z) >= zThreshold) out += Anomaly(key, e.ts, e.value, z)
+              }
+            }
+            // fold the observation in AFTER scoring: an outlier is judged
+            // against the distribution that preceded it
+            val n1    = st.n + 1
+            val delta = e.value - st.mean
+            val mean1 = st.mean + delta / n1
+            st = WelfordState(n1, mean1, st.m2 + delta * (e.value - mean1))
+          }
+          state.update(st)
           out.result().iterator
       }
   }

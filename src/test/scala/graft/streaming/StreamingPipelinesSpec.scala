@@ -119,6 +119,33 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly detector flags outliers against the stats-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ValuedEvent]
+    val q = StreamingPipelines
+      .streamingAnomaly(input.toDS(), zThreshold = 3.0, minSamples = 30)
+      .writeStream
+      .format("memory")
+      .queryName("anomaly_out")
+      .outputMode("append")
+      .start()
+    try {
+      // warm-up: 40 calm observations (alternating 9/11 around mean 10)
+      input.addData((0 until 40).map(i => ValuedEvent(ts(i % 60), "click", if (i % 2 == 0) 9.0 else 11.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("anomaly_out").count() === 0, "calm stream must not fire")
+
+      // a 100.0 spike is ~89 sigma; a fresh key must stay silent (warm-up)
+      input.addData(ValuedEvent(ts(41), "click", 100.0), ValuedEvent(ts(41), "error", 100.0))
+      q.processAllAvailable()
+      val fired = spark.table("anomaly_out").collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      assert(fired.length === 1 && fired(0)._1 === "click" && fired(0)._2 === 100.0,
+        s"expected one click anomaly, got ${fired.mkString(", ")}")
+      assert(fired(0)._3 > 3.0, s"z must exceed threshold: ${fired(0)._3}")
+    } finally q.stop()
+  }
+
   test("transformWithState (v2 API) sessionizer matches the v1 scenario") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
