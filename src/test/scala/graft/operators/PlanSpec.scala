@@ -88,6 +88,24 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "HashAggregate") >= 2, "partial+final HashAggregate expected")
   }
 
+  test("q_text_repetition stays map-side: no token explode, only fanout + lang shuffles") {
+    val df = q("q_text_repetition")
+    assert(countNodes(df, "Generate") === 0, "repetition must not explode tokens")
+    val shuffles = allNodes(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 3, s"only fanout + partial/final lang agg may shuffle, got $shuffles")
+  }
+
+  test("q_dedup_fuzzy joins on the block key with a broadcast build side") {
+    val df = q("q_dedup_fuzzy")
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "block-key join must broadcast at this scale")
+    assert(countNodes(df, "CartesianProduct") === 0, "blocking must prevent a cross product")
+  }
+
+  test("q_event_anomaly broadcasts the per-type stats back onto the counts") {
+    val df = q("q_event_anomaly")
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "stats join must broadcast, not shuffle")
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
