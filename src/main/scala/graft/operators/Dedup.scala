@@ -92,19 +92,24 @@ object Dedup {
     * size cap upstream).
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    cached(s, dir, "minhash_pairs") {
-      val bands = sigFrame(s, dir).select(
-        col("doc_id"),
-        posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
-      )
-      bands
-        .groupBy(col("band_idx"), col("band"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-    }
+    cached(s, dir, "minhash_pairs")(pairsFromSignatures(sigFrame(s, dir)))
+
+  /** LSH candidate pairs from a signature frame — the dir-independent form
+    * [[graft.pipelines.CorpusPipeline]] composes over arbitrary corpora.
+    */
+  private[graft] def pairsFromSignatures(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
+    )
+    bands
+      .groupBy(col("band_idx"), col("band"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b)` — the SQL twin of
     * [[minhashPairs]].

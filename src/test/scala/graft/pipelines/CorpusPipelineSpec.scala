@@ -1,0 +1,66 @@
+package graft.pipelines
+
+import graft.{Tables, TestSpark}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The end-to-end corpus-preparation composition: quality filter ->
+  * exact dedup -> near-dup dedup -> split assign -> partitioned write,
+  * with row-conservation accounting and deterministic re-runs.
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+
+  /** Fixture docs plus three planted rows: an exact copy, a near copy, and
+    * a junk doc — one guaranteed drop per stage.
+    */
+  private def corpus = {
+    val real = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "text", "lang", "source")
+    val planted = Seq(
+      (900001L, base, "en", "planted"),
+      (900002L, base, "en", "planted"),               // exact dup of 900001
+      (900003L, base + " quietly", "en", "planted"),  // near dup (J ~ 15/16)
+      (900004L, "!!! ??? ### $$$ %%%", "xx", "planted") // junk: fails quality
+    ).toDF("doc_id", "text", "lang", "source")
+    real.union(planted)
+  }
+
+  test("pipeline conserves rows, drops each planted defect, lays out splits") {
+    val out = Files.createTempDirectory("pipeline").toString + "/corpus"
+    val stats = CorpusPipeline.run(corpus, out)
+
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup + stats.nOut,
+      s"row accounting must conserve: $stats")
+    assert(stats.nDroppedQuality >= 1, s"junk doc must fail quality: $stats")
+    assert(stats.nDroppedExact >= 1, s"exact dup must drop: $stats")
+    assert(stats.nDroppedNearDup >= 1, s"near dup must drop: $stats")
+
+    val dirs = Files.list(java.nio.file.Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toSet
+    assert(Set("split=train", "split=val", "split=test").subsetOf(dirs), s"hive split layout expected, got $dirs")
+
+    val written = spark.read.parquet(out)
+    assert(written.count() === stats.nOut)
+    // survivors: the smallest planted id wins its dup cluster
+    val planted = written.filter(col("source") === "planted").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.contains(900001L) && !planted.contains(900002L) && !planted.contains(900003L),
+      s"cluster representative must survive, got $planted")
+  }
+
+  test("re-running the pipeline reproduces identical stats and splits") {
+    val baseDir = Files.createTempDirectory("pipeline").toString
+    val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
+    val s2 = CorpusPipeline.run(corpus, s"$baseDir/b")
+    assert(s1 === s2)
+    def splitSig(p: String) =
+      spark.read.parquet(p).groupBy("split").agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(splitSig(s"$baseDir/a") === splitSig(s"$baseDir/b"))
+  }
+}
