@@ -238,26 +238,23 @@ object Events {
     ),
     QueryDef(
       "q_event_anomaly",
-      "event-rate anomaly detection: hourly counts per type, z-score of each window against that type's own rate distribution, flag |z| >= 2. Variance is computed from exact integer sums (n*s2 - s1^2 over n^2) so mean/std/z are single correctly-rounded IEEE ops — bit-identical across engines; per-type stats broadcast back onto the counts",
+      "event-rate anomaly detection: hourly counts per type, z-score of each window against that type's own rate distribution, flag |z| >= 2. Variance is computed from exact integer sums (n*s2 - s1^2 over n^2) so mean/std/z are single correctly-rounded IEEE ops — bit-identical across engines; per-type stats come from a whole-partition window over the tiny counts frame (ONE events scan — a join back onto counts would re-derive the aggregation lineage and scan the fact table twice)",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val counts = Tables
           .events(s, dir)
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("c"))
           .select(unix_timestamp(col("window.start")).as("wstart_s"), col("event_type"), col("c"))
-        val stats = counts
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n_w"),
-            sum(col("c")).as("s1"),
-            sum(col("c") * col("c")).as("s2")
-          )
-          .filter(col("n_w") * col("s2") - col("s1") * col("s1") > 0)
-        val std = sqrt((col("n_w") * col("s2") - col("s1") * col("s1")).cast("double") / (col("n_w") * col("n_w")))
+        val w   = Window.partitionBy(col("event_type"))
+        val nW  = count(lit(1)).over(w)
+        val s1  = sum(col("c")).over(w)
+        val s2  = sum(col("c") * col("c")).over(w)
+        val std = sqrt((nW * s2 - s1 * s1).cast("double") / (nW * nW))
         counts
-          .join(broadcast(stats), Seq("event_type"))
-          .withColumn("z", (col("c") - col("s1").cast("double") / col("n_w")) / std)
-          .filter(abs(col("z")) >= 2.0)
+          .withColumn("ok", nW * s2 - s1 * s1 > 0)
+          .withColumn("z", (col("c") - s1.cast("double") / nW) / std)
+          .filter(col("ok") && abs(col("z")) >= 2.0)
           .select(col("event_type"), col("wstart_s"), col("c"), col("z"))
           .orderBy(col("event_type"), col("wstart_s"))
       },

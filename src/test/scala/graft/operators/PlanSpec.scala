@@ -101,9 +101,10 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "CartesianProduct") === 0, "blocking must prevent a cross product")
   }
 
-  test("q_event_anomaly broadcasts the per-type stats back onto the counts") {
+  test("q_event_anomaly derives stats from one fact scan (window over counts, no join-back)") {
     val df = q("q_event_anomaly")
-    assert(countNodes(df, "BroadcastHashJoin") >= 1, "stats join must broadcast, not shuffle")
+    assert(countNodes(df, "Scan parquet") === 1, "events must be scanned exactly once")
+    assert(countNodes(df, "Join") === 0, "stats come from a window, not a join")
   }
 
   test("hot relational paths run inside WholeStageCodegen") {
