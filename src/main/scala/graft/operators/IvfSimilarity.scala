@@ -96,7 +96,20 @@ object IvfSimilarity {
     }
   }
 
-  private def buildAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** Second-iteration centroids (wide), cached as their own artifact: the
+    * final assignment pass AND the multi-probe query both need them (the
+    * probe ranks the query vector against the trained centroids — deriving
+    * them from the FINAL assignments would be wrong, cent2 comes from the
+    * first-pass labels a1).
+    */
+  private val cent2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def cent2(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildCent2(s, dir)
+    else cachedIn(cent2Cache, s, dir)(buildCent2(s, dir))
+
+  private def buildCent2(s: SparkSession, dir: String): DataFrame = {
     val c = comp(s, dir)
 
     // init: centroid j = components of vec_id j (j < K), pivoted wide
@@ -108,7 +121,22 @@ object IvfSimilarity {
         (1 until K).map(k => max(when(col("vec_id") === k, col("x"))).as(s"cx$k")): _*
       )
 
-    def assign(centWide: DataFrame): DataFrame = {
+    val a1 = assignPass(c, cent1).select(col("vec_id"), col("cid"))
+    c.join(broadcast(a1), "vec_id")
+      .groupBy(col("cid"), col("d"))
+      .agg((sumTerm(col("x")).cast("double") / count(lit(1))).as("cx"))
+      .groupBy(col("d"))
+      .agg(
+        max(when(col("cid") === 0, col("cx"))).as("cx0"),
+        (1 until K).map(k => max(when(col("cid") === k, col("cx"))).as(s"cx$k")): _*
+      )
+  }
+
+  /** One Lloyd assignment pass: per-vector squared distances to all K wide
+    * centroids in a single codegen'd projection, argmin with ties to the
+    * smallest cid.
+    */
+  private def assignPass(c: DataFrame, centWide: DataFrame): DataFrame = {
       val sums = c
         .join(broadcast(centWide), "d")
         .groupBy(col("vec_id"))
@@ -121,20 +149,10 @@ object IvfSimilarity {
       val minDist = least((0 until K).map(k => col(s"dist$k")): _*)
       val argmin  = (0 until K).map(k => when(col(s"dist$k") === minDist, lit(k))).reduce(coalesce(_, _))
       sums.select(col("vec_id"), argmin.as("cid"), minDist.as("dist"))
-    }
-
-    val a1 = assign(cent1).select(col("vec_id"), col("cid"))
-    val cent2 = c
-      .join(broadcast(a1), "vec_id")
-      .groupBy(col("cid"), col("d"))
-      .agg((sumTerm(col("x")).cast("double") / count(lit(1))).as("cx"))
-      .groupBy(col("d"))
-      .agg(
-        max(when(col("cid") === 0, col("cx"))).as("cx0"),
-        (1 until K).map(k => max(when(col("cid") === k, col("cx"))).as(s"cx$k")): _*
-      )
-    assign(cent2)
   }
+
+  private def buildAssignments(s: SparkSession, dir: String): DataFrame =
+    assignPass(comp(s, dir), cent2(s, dir))
 
   // ---- DuckDB twins (same structure, CTE chain) ----
 
@@ -235,6 +253,74 @@ object IvfSimilarity {
               |qc AS (SELECT cid AS qcid FROM a2 WHERE vec_id = 0),
               |members AS (
               |  SELECT a2.vec_id FROM a2, qc WHERE a2.cid = qc.qcid AND a2.vec_id <> 0),
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT comp.vec_id,
+              |    sum(cast(comp.x * qcomp.qx as decimal(18,12))) AS dot,
+              |    sum(cast(comp.x * comp.x as decimal(18,12))) AS nx,
+              |    sum(cast(qcomp.qx * qcomp.qx as decimal(18,12))) AS nq
+              |  FROM comp
+              |  JOIN members USING (vec_id)
+              |  JOIN qcomp USING (d)
+              |  GROUP BY 1)
+              |SELECT vec_id,
+              |  round(cast(cast(dot as varchar) as double)
+              |        / (sqrt(cast(cast(nx as varchar) as double))
+              |           * sqrt(cast(cast(nq as varchar) as double))), 6) AS cos_sim
+              |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_ivf_probe2",
+      "multi-probe IVF (nprobe=2), the standard recall lever: rank the query vector against the trained centroids, search the 2 nearest clusters (~2/k of the corpus) — candidate recall rises at 2x the scoring cost, same decimal-exact arithmetic",
+      (s, dir) => {
+        val c     = comp(s, dir)
+        val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        // query-vector distance to every trained centroid -> top-2 cids
+        val qc2 = qComp
+          .join(broadcast(cent2(s, dir)), "d")
+          .agg(
+            sumTerm((col("qx") - col("cx0")) * (col("qx") - col("cx0"))).as("dist0"),
+            (1 until K).map(k =>
+              sumTerm((col("qx") - col(s"cx$k")) * (col("qx") - col(s"cx$k"))).as(s"dist$k")
+            ): _*
+          )
+          .select(
+            explode(
+              array((0 until K).map(k => struct(col(s"dist$k").as("dist"), lit(k).as("cid"))): _*)
+            ).as("p")
+          )
+          .select(col("p.cid").as("cid"), col("p.dist").as("dist"))
+          .orderBy(col("dist"), col("cid"))
+          .limit(2)
+          .select(col("cid"))
+        val members = assignments(s, dir)
+          .join(broadcast(qc2), "cid")
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id")
+        val scored = c
+          .join(members, "vec_id")
+          .join(broadcast(qComp), "d")
+          .groupBy(col("vec_id"))
+          .agg(
+            sumTerm(col("x") * col("qx")).as("dot"),
+            sumTerm(col("x") * col("x")).as("nx"),
+            sumTerm(col("qx") * col("qx")).as("nq")
+          )
+          .select(
+            col("vec_id"),
+            round(
+              col("dot").cast("double") /
+                (sqrt(col("nx").cast("double")) * sqrt(col("nq").cast("double"))),
+              6
+            ).as("cos_sim")
+          )
+        scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(5)
+      },
+      Some(s"""WITH $assignmentsSql,
+              |qd AS (SELECT cid, dist FROM dist2 WHERE vec_id = 0),
+              |qc2 AS (SELECT cid FROM qd ORDER BY dist, cid LIMIT 2),
+              |members AS (
+              |  SELECT a2.vec_id FROM a2 JOIN qc2 USING (cid) WHERE a2.vec_id <> 0),
               |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
               |scored AS (
               |  SELECT comp.vec_id,
