@@ -126,7 +126,78 @@ object Multimodal {
     }
   }
 
+  /** STUB media embedder: a deterministic `dims`-dim vector from md5 of the
+    * payload (value in [0,1) per dim). The production seam binds a vision /
+    * audio encoder here; everything downstream — the explode-join-aggregate
+    * similarity plumbing — is the real scale path shared with the `q_sim_*`
+    * family. md5-derived so the DuckDB oracle reproduces it bit-for-bit
+    * (conv/hex-parse semantics match; each value is an exact n/2^32).
+    */
+  def embedMedia(media: DataFrame, dims: Int = 8): DataFrame =
+    media.withColumn(
+      "e",
+      expr(
+        s"transform(sequence(1, $dims), i -> cast(conv(substring(md5(concat(cast(payload as string), ':', i)), 1, 8), 16, 10) as double) / 4294967296.0)"
+      )
+    )
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_multimodal_embed",
+      "multimodal -> vector composition: stub-embed each media payload (deterministic md5 floats behind the encoder seam), cosine-rank against a constant probe vector with decimal-exact sums — the image-similarity path end to end",
+      (s, dir) => {
+        val emb = embedMedia(mediaTable(s, dir))
+          .select(col("doc_id"), posexplode(col("e")).as(Seq("p", "x")))
+          .select(col("doc_id"), (col("p") + 1).as("d"), col("x"))
+        val probe = s
+          .range(1)
+          .select(
+            expr(
+              "transform(sequence(1, 8), i -> cast(conv(substring(md5(concat('probe', ':', i)), 1, 8), 16, 10) as double) / 4294967296.0)"
+            ).as("e")
+          )
+          .select(posexplode(col("e")).as(Seq("p", "qx")))
+          .select((col("p") + 1).as("d"), col("qx"))
+        emb
+          .join(broadcast(probe), "d")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum((col("x") * col("qx")).cast("decimal(18,12)")).as("dot"),
+            sum((col("x") * col("x")).cast("decimal(18,12)")).as("nx"),
+            sum((col("qx") * col("qx")).cast("decimal(18,12)")).as("nq")
+          )
+          .select(
+            col("doc_id"),
+            round(
+              col("dot").cast("double") /
+                (sqrt(col("nx").cast("double")) * sqrt(col("nq").cast("double"))),
+              6
+            ).as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+          .limit(5)
+      },
+      Some("""WITH dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+             |emb AS (
+             |  SELECT doc_id, d,
+             |    ('0x' || substring(md5(text || ':' || d), 1, 8))::bigint / 4294967296.0 AS x
+             |  FROM documents CROSS JOIN dims),
+             |probe AS (
+             |  SELECT d,
+             |    ('0x' || substring(md5('probe' || ':' || d), 1, 8))::bigint / 4294967296.0 AS qx
+             |  FROM dims),
+             |scored AS (
+             |  SELECT doc_id,
+             |    sum(cast(x * qx as decimal(18,12))) AS dot,
+             |    sum(cast(x * x as decimal(18,12))) AS nx,
+             |    sum(cast(qx * qx as decimal(18,12))) AS nq
+             |  FROM emb JOIN probe USING (d) GROUP BY 1)
+             |SELECT doc_id,
+             |  round(cast(cast(dot as varchar) as double)
+             |        / (sqrt(cast(cast(nx as varchar) as double))
+             |           * sqrt(cast(cast(nq as varchar) as double))), 6) AS cos_sim
+             |FROM scored ORDER BY cos_sim DESC, doc_id LIMIT 5""".stripMargin)
+    ),
     QueryDef(
       "q_multimodal_meta",
       "binary-column metadata extraction without decode: byte length + content hash + derived fake dims (pure codegen, payload never leaves the scan)",

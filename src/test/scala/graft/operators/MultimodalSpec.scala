@@ -49,6 +49,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("stub embedder emits deterministic unit-range vectors of the asked dims") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sfDir).limit(20)
+    val rows  = Multimodal.embedMedia(media, dims = 8).select("doc_id", "e").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length === 8)
+      assert(v.forall(x => x >= 0.0 && x < 1.0))
+    }
+    val again = Multimodal.embedMedia(media, dims = 8).select("doc_id", "e").collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq === again.map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("q_multimodal_embed ranks by cosine similarity, best-first") {
+    val out = graft.SparkEntry.queries("q_multimodal_embed")(spark, TestSpark.sfDir).collect()
+    assert(out.length === 5)
+    val sims = out.map(_.getDouble(1))
+    assert(sims.toSeq === sims.sorted.reverse.toSeq, "descending by cos_sim")
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
   test("stub decoder is content-addressed (checksum = md5 of payload)") {
     val row = Multimodal.MediaRow(1L, "image/fake", "hello".getBytes("UTF-8"))
     val f   = Multimodal.StubDecoder.decode(row)
