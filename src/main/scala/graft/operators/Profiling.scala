@@ -61,6 +61,45 @@ object Profiling {
              |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
     ),
     QueryDef(
+      "q_bucketize",
+      "equi-depth bucketing (feature discretization): quartile boundaries from ONE array-percentile pass (3 doubles, broadcast), then map-side bucket assignment + tiny shuffle — the 100 TB-safe alternative to a global ntile(4) sort, which would serialize the whole table through one window partition",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val bounds = li
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+          .select(
+            round(col("ps")(0), 4).as("q1"),
+            round(col("ps")(1), 4).as("q2"),
+            round(col("ps")(2), 4).as("q3")
+          )
+        li.join(broadcast(bounds))
+          .withColumn(
+            "bucket",
+            when(col("l_extendedprice") <= col("q1"), 1L)
+              .when(col("l_extendedprice") <= col("q2"), 2L)
+              .when(col("l_extendedprice") <= col("q3"), 3L)
+              .otherwise(4L)
+          )
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("min_v"),
+            max(col("l_extendedprice")).as("max_v")
+          )
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (
+             |  SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+             |         round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
+             |         round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+             |  FROM lineitem)
+             |SELECT cast(CASE WHEN l_extendedprice <= q1 THEN 1
+             |            WHEN l_extendedprice <= q2 THEN 2
+             |            WHEN l_extendedprice <= q3 THEN 3 ELSE 4 END as bigint) AS bucket,
+             |  count(1) AS n, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+             |FROM lineitem, b GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+    QueryDef(
       "q_pivot",
       "PIVOT: language x source counts as a wide table (conditional aggregation; Catalyst plans one pass)",
       (s, dir) => {

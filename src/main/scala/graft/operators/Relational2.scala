@@ -241,6 +241,37 @@ object Relational2 {
              |  count(1) AS n
              |FROM lineitem WHERE l_extendedprice > 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_merge_upsert",
+      "dimension upsert (MERGE INTO shape): an update set replaces matched orders rows by key, unmatched base rows survive — left-anti ∪ updates, the join-based MERGE plan every lakehouse runs; the update side broadcasts when small, and at 100 TB the anti-join shuffles once on the merge key. Census by status proves matched rows moved and row count is conserved",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+        // synthetic update set: every 7th order flips to a new status 'X'
+        // (derived from the base so the oracle can reproduce it exactly)
+        val updates = base
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderstatus", lit("X"))
+        base
+          .join(broadcast(updates.select(col("o_orderkey"))), Seq("o_orderkey"), "left_anti")
+          .unionByName(updates)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            QueryDef.sumDec(col("o_totalprice"), 2).as("sum_price"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")
+          )
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""WITH merged AS (
+              |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+              |         o_totalprice, o_orderkey
+              |  FROM orders)
+              |SELECT o_orderstatus, count(1) AS n,
+              |  ${QueryDef.sumDecSql("o_totalprice", 2)} AS sum_price,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     )
   )
 }

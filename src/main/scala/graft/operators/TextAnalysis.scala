@@ -470,6 +470,56 @@ object TextAnalysis {
              |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin)
     ),
     QueryDef(
+      "q_text_chunks",
+      "document chunking for training (window 200 chars, stride 150, overlapping): sequence+posexplode fans chunks out map-side BEFORE any shuffle — documents never move whole; per-chunk md5 pins the exact window boundaries on both engines",
+      (s, dir) => {
+        val nChunks = greatest(ceil(length(col("text")) / 150.0).cast("int"), lit(1))
+        val chunk   = col("text").substr(col("i") * 150 + 1, lit(200))
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("text"), explode(sequence(lit(0), nChunks - 1)).as("i"))
+          .select(
+            col("doc_id"),
+            col("i").cast("long").as("chunk_idx"),
+            length(chunk).cast("long").as("chunk_len"),
+            md5(chunk).as("chunk_md5")
+          )
+          .orderBy(col("doc_id"), col("chunk_idx"))
+          .limit(500)
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0, greatest(cast(ceil(length(text) / 150.0) as int), 1) - 1)) AS i
+             |  FROM documents)
+             |SELECT doc_id, cast(i as bigint) AS chunk_idx,
+             |  cast(length(substring(text, cast(i * 150 + 1 as int), 200)) as bigint) AS chunk_len,
+             |  md5(substring(text, cast(i * 150 + 1 as int), 200)) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_sample_weighted",
+      "deterministic weighted sampling (Efraimidis-Spirakis A-ES): priority u^(1/w) from an md5-derived uniform, weight = n_chars, global top-20 — Spark plans TakeOrderedAndProject (per-partition heaps, no full sort); md5 seeding keeps it reproducible across runs, retries, and engines",
+      (s, dir) => {
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("n_chars").cast("long").as("weight"),
+            // pow is transcendental (never lands on a rounding half — SCALE.md
+            // rule 4); round to 6 so both engines' libm agree, tiebreak doc_id
+            round(pow(u, lit(1.0) / col("n_chars")), 6).as("priority")
+          )
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""SELECT doc_id, cast(n_chars as bigint) AS weight,
+             |  round(pow(('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::bigint / 4294967296.0,
+             |            1.0 / n_chars), 6) AS priority
+             |FROM documents ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
       "q_text_topwords",
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>

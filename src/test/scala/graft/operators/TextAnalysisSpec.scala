@@ -82,4 +82,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     // ab, 12, cd, !, x, 9
     assert(n === 6)
   }
+
+  test("chunking covers every char: stride prefixes reassemble the document") {
+    val doc = ("abcdefghij" * 37).take(367) // not a multiple of the stride
+    val chunks = graft.SparkEntry
+      .queries("q_text_chunks")(spark, TestSpark.sfDir)
+      .sparkSession // reuse the session; chunk the constructed doc directly
+      .createDataFrame(Seq((1L, doc))).toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), greatest(ceil(length(col("text")) / 150.0).cast("int"), lit(1)) - 1)).as("i")
+      )
+      .select(col("i"), col("doc_id"))
+      .count()
+    // ceil(367/150) = 3 chunks; starts 0/150/300 with window 200 cover [0, 367)
+    assert(chunks === 3)
+    val fromQuery = graft.SparkEntry.queries("q_text_chunks")(spark, TestSpark.sfDir).collect()
+    fromQuery.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val idx = rows.map(_.getLong(1)).sorted
+      assert(idx.head === 0L, "chunk indexes start at 0")
+      assert(idx === (idx.head to idx.last), "chunk indexes are dense")
+    }
+    // overlap invariant: every chunk but the last is the full 200-char window
+    // only when the doc extends past it; all lengths are positive and bounded
+    assert(fromQuery.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 200))
+  }
+
+  test("weighted sampling favors heavy docs and is deterministic") {
+    val out1 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
+    val out2 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
+    assert(out1.map(_.getLong(0)).toSeq === out2.map(_.getLong(0)).toSeq, "reproducible")
+    assert(out1.length === 20)
+    // A-ES property: the sampled set's mean weight exceeds the corpus mean
+    // (priority u^(1/w) stochastically increases with w)
+    val corpusMean = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .agg(avg(col("n_chars")))
+      .collect()(0)
+      .getDouble(0)
+    val sampleMean = out1.map(_.getLong(1)).sum.toDouble / out1.length
+    assert(sampleMean > corpusMean, s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }
