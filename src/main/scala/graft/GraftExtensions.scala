@@ -36,6 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("exact_percentiles"),
+        new ExpressionInfo(
+          classOf[functions.ExactPercentiles].getName,
+          "exact_percentiles",
+          "exact_percentiles(x, p...) - exact interpolated percentiles over a primitive buffer (unboxed percentile())"
+        ),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.ExactPercentiles.build(exprs)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         new ExpressionInfo(
           classOf[functions.RollingHash].getName,

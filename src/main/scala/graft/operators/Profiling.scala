@@ -64,9 +64,10 @@ object Profiling {
       "q_bucketize",
       "equi-depth bucketing (feature discretization): quartile boundaries from ONE array-percentile pass (3 doubles, broadcast), then map-side bucket assignment + tiny shuffle — the 100 TB-safe alternative to a global ntile(4) sort, which would serialize the whole table through one window partition",
       (s, dir) => {
+        graft.functions.ExactPercentiles.register(s)
         val li = Tables.lineitem(s, dir)
         val bounds = li
-          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+          .agg(expr("exact_percentiles(l_extendedprice, 0.25D, 0.5D, 0.75D)").as("ps"))
           .select(
             round(col("ps")(0), 4).as("q1"),
             round(col("ps")(1), 4).as("q2"),
@@ -163,11 +164,12 @@ object Profiling {
       "q_outlier_iqr",
       "IQR-fence outlier census per group (data-quality preflight): exact interpolated quartiles (engine-identical, q_percentile precedent), Tukey fences, outlier counts",
       (s, dir) => {
+        graft.functions.ExactPercentiles.register(s)
         val quart = Tables
           .lineitem(s, dir)
           .groupBy(col("l_returnflag"))
           // single array-percentile pass (see q_percentile)
-          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("ps"))
+          .agg(expr("exact_percentiles(l_extendedprice, 0.25D, 0.75D)").as("ps"))
           .select(col("l_returnflag"), col("ps")(0).as("p25"), col("ps")(1).as("p75"))
           .withColumn("lo_fence", col("p25") - (col("p75") - col("p25")) * 1.5)
           .withColumn("hi_fence", col("p75") + (col("p75") - col("p25")) * 1.5)

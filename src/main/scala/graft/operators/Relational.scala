@@ -263,14 +263,17 @@ object Relational {
     QueryDef(
       "q_percentile",
       "exact interpolated percentiles (Pinot PERCENTILE): Spark percentile() == DuckDB quantile_cont",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.ExactPercentiles.register(s)
         Tables
           .lineitem(s, dir)
           .groupBy(col("l_returnflag"))
           // one array-percentile pass: each scalar percentile() call is a
           // separate non-codegen ObjectAggregate building its own per-group
-          // value buffer — 4 calls did 4x the work for identical output
-          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+          // value buffer — 4 calls did 4x the work for identical output.
+          // exact_percentiles is the unboxed TypedImperativeAggregate twin
+          // of percentile() — identical interpolation, primitive buffer.
+          .agg(expr("exact_percentiles(l_extendedprice, 0.25D, 0.5D, 0.75D, 0.95D)").as("ps"))
           .select(
             col("l_returnflag"),
             round(col("ps")(0), 4).as("p25"),
@@ -278,7 +281,8 @@ object Relational {
             round(col("ps")(2), 4).as("p75"),
             round(col("ps")(3), 4).as("p95")
           )
-          .orderBy(col("l_returnflag")),
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
