@@ -52,4 +52,31 @@ object QueryDef {
     */
   def sumDecSql(col: String, scale: Int = 4): String =
     s"cast(cast(sum(cast($col as decimal(18,$scale))) as varchar) as double)"
+
+  /** Bit-identical fast path for [[sumDec]] over CLEAN fixed-point doubles
+    * (values that ARE `scale`-decimal rationals, like 2-decimal prices and
+    * their ≤6-decimal products): scale to long map-side
+    * (`floor(x*10^s + 0.5)` — pure codegen, no per-row BigDecimal), sum as
+    * long (codegen long add), and convert ONCE at the end via an exact
+    * decimal multiply so the final double is correctly rounded in a single
+    * step (long->double->divide would double-round past 2^53).
+    *
+    * Equivalence argument: a clean value's double is within a few ulp of
+    * the true rational r, so x*10^s lands within ~1e-4 of the integer
+    * r*10^s — floor(+0.5) recovers it exactly, which is the same unscaled
+    * long the decimal(18,s) cast produces. NOT valid for values with real
+    * precision beyond `scale` (true rounding, ties possible) — q1-family
+    * price sums only. Positive inputs assumed (floor(+0.5) is round-half-up
+    * only for x >= 0).
+    *
+    * Scale ceiling: the long accumulator wraps at 9.2e18 — with scale 6
+    * that is a 9.2e12 value-sum per group (~2.5e8 lineitem rows/group);
+    * beyond that, partition the sum or fall back to [[sumDec]] (decimal
+    * buffers escalate to int128-class exactness at any size).
+    */
+  def sumScaled(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit, sum}
+    (sum(floor(c * lit(math.pow(10, scale)) + lit(0.5))).cast("decimal(38,0)") *
+      lit(java.math.BigDecimal.ONE.movePointLeft(scale))).cast("double")
+  }
 }

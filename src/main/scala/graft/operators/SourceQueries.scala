@@ -58,7 +58,7 @@ object SourceQueries {
           .agg(
             count(lit(1)).as("n"),
             countDistinct(col("partition")).as("n_partitions"),
-            QueryDef.sumDec(col("value"), 2).as("sum_value"),
+            QueryDef.sumScaled(col("value"), 2).as("sum_value"),
             min(col("event_id")).as("min_event"),
             max(col("event_id")).as("max_event")
           )
