@@ -23,28 +23,32 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_funnel",
-      "funnel conversion (Pinot FUNNELCOUNT shape): users reaching view -> click-after-view -> purchase-after-click, via staged min-timestamp joins co-partitioned on user_id",
+      "funnel conversion (Pinot FUNNELCOUNT shape): users reaching view -> click-after-view -> purchase-after-click. ONE scan + ONE shuffle: per-user event histories collected (map-side partial collect_list), staged min-timestamps derived with array lambdas — the staged-join formulation scanned events 3x and joined twice for identical semantics. Per-user history is the irreducible funnel state; a pathological user's array is the same skew a join-based funnel shuffles anyway",
       (s, dir) => {
-        val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), tsS)
-        val v = ev
-          .filter(col("event_type") === "view")
-          .groupBy(col("user_id"))
-          .agg(min(col("ts_s")).as("v_ts"))
-        val c = ev
-          .filter(col("event_type") === "click")
-          .join(v, "user_id")
-          .filter(col("ts_s") >= col("v_ts"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts_s")).as("c_ts"))
-        val p = ev
-          .filter(col("event_type") === "purchase")
-          .join(c, "user_id")
-          .filter(col("ts_s") >= col("c_ts"))
-          .groupBy(col("user_id"))
-          .agg(min(col("ts_s")).as("p_ts"))
-        v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+        val ev = Tables
+          .events(s, dir)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), tsS)
+        ev.groupBy(col("user_id"))
+          .agg(collect_list(struct(col("ts_s"), col("event_type"))).as("evs"))
+          // v_ts = first view; c_ts = first click at/after v_ts; p_ts = first
+          // purchase at/after c_ts — exactly the staged-join semantics
+          // (inclusive >=, ties allowed). A null stage nulls the comparison,
+          // so filter() drops every candidate and the next stage stays null.
+          .withColumn("v_ts", array_min(expr("transform(filter(evs, e -> e.event_type = 'view'), e -> e.ts_s)")))
+          .withColumn(
+            "c_ts",
+            array_min(expr("transform(filter(evs, e -> e.event_type = 'click' AND e.ts_s >= v_ts), e -> e.ts_s)"))
+          )
+          .withColumn(
+            "p_ts",
+            array_min(expr("transform(filter(evs, e -> e.event_type = 'purchase' AND e.ts_s >= c_ts), e -> e.ts_s)"))
+          )
+          .agg(
+            sum(col("v_ts").isNotNull.cast("long")).as("n_view"),
+            sum(col("c_ts").isNotNull.cast("long")).as("n_view_click"),
+            sum(col("p_ts").isNotNull.cast("long")).as("n_view_click_purchase")
+          )
       },
       Some("""WITH ev AS (
              |  SELECT user_id, event_type, cast(floor(epoch(ts)) as bigint) AS ts_s
