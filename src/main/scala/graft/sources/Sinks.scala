@@ -54,6 +54,65 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Range-clustered layout: `repartitionByRange` assigns each output file
+    * a DISJOINT slice of the sort key (sampled range boundaries), and the
+    * within-partition sort tightens row-group min/max inside each file. A
+    * downstream `key BETWEEN a AND b` scan then skips whole FILES on
+    * parquet footer stats, not just row groups — at 100 TB the difference
+    * between touching ~b-a worth of data and touching everything. This is
+    * the single-dimension special case of [[writeZOrdered]].
+    *
+    * `repartitionByRange` samples the key distribution, so skew produces
+    * uneven-but-bounded files rather than one hot writer.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Z-order (Morton) key over two non-negative integer dimensions:
+    * interleaves the low `bits` of x and y so that curve-adjacent keys are
+    * close in BOTH dimensions. Built from shift/and/or primitives — pure
+    * whole-stage codegen, no UDF. Callers normalize real columns into
+    * [0, 2^bits) first (min-max scale with FIXED bounds, so the key — and
+    * therefore the file layout — is deterministic across runs and retries).
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits)
+      .map { i =>
+        val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        xb.bitwiseOR(yb)
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Multi-dimensional clustering: range-partition + sort on the z-order
+    * key, so every output file covers a small bounding BOX in (x, y) —
+    * min/max footer stats then prune scans filtered on EITHER dimension.
+    * A plain `writeRangeSorted(x)` file spans the full y range; z-order is
+    * what makes two-column point/range lookups skip data at 100 TB (the
+    * same layout Delta/Iceberg `OPTIMIZE ZORDER BY` produces).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column,
+      nFiles: Int,
+      bits: Int = 16
+  ): Unit =
+    df.withColumn("_z", zorderKey(x, y, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Compact a fragmented parquet directory into ~`targetFileBytes` files.
     *
     * Streaming micro-batch sinks and over-parallel writers leave thousands

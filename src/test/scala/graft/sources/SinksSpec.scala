@@ -90,4 +90,64 @@ class SinksSpec extends AnyFunSuite {
         .toMap
     assert(sig(s"$base/a") === sig(s"$base/b"))
   }
+
+  test("writeRangeSorted gives every file a disjoint slice of the key") {
+    val out  = Files.createTempDirectory("sinks").toString + "/ranged"
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    Sinks.writeRangeSorted(docs, out, "doc_id", nFiles = 4)
+
+    val files = parquetFiles(out)
+    assert(files.size >= 3, s"range partitioner should spread files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"file ranges overlap: hi=$hi lo2=$lo2")
+      case _                      =>
+    }
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+
+  test("zorderKey interleaves bits and orders curve-adjacent points together") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Sinks.zorderKey(col("x"), col("y"), bits = 4).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // Morton codes: z(x,y) interleaves x bits at even, y at odd positions
+    assert(out((0L, 0L)) === 0L)
+    assert(out((1L, 0L)) === 1L)
+    assert(out((0L, 1L)) === 2L)
+    assert(out((1L, 1L)) === 3L)
+    assert(out((2L, 2L)) === 12L)
+    assert(out((3L, 3L)) === 15L)
+  }
+
+  test("z-ordered files bound BOTH dimensions where single-key sort spans one") {
+    import spark.implicits._
+    // a uniform 64x64 grid: every (x, y) cell once
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong))).toDF("x", "y")
+    val base = Files.createTempDirectory("sinks").toString
+
+    Sinks.writeZOrdered(grid, s"$base/z", col("x"), col("y"), nFiles = 16, bits = 6)
+    Sinks.writeRangeSorted(grid, s"$base/x", "x", nFiles = 16)
+
+    def meanYSpan(dir: String): Double = {
+      val spans = parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f).agg(min(col("y")), max(col("y"))).collect()(0)
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.size
+    }
+    // x-sorted files each span (nearly) the full y range; z-ordered files
+    // cover a bounding box ~1/4 of it — that bound is what lets a filter on
+    // y skip files in a layout keyed for x lookups too
+    val zy = meanYSpan(s"$base/z")
+    val xy = meanYSpan(s"$base/x")
+    assert(zy < xy * 0.6, s"z-order mean y-span $zy should be well under x-sort's $xy")
+    assert(spark.read.parquet(s"$base/z").count() === grid.count())
+  }
 }
