@@ -107,6 +107,41 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "Join") === 0, "stats come from a window, not a join")
   }
 
+  test("q_funnel runs in one scan, one user shuffle, no joins") {
+    val df = q("q_funnel")
+    assert(countNodes(df, "Scan parquet") === 1, "events must be scanned exactly once")
+    assert(countNodes(df, "Join") === 0, "staged funnel must not join")
+    val shuffles = allNodes(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 2, s"user groupBy + final 1-row agg only, got $shuffles")
+  }
+
+  test("q_text_chunks fans out map-side and top-Ns without a global sort") {
+    val df = q("q_text_chunks")
+    assert(countNodes(df, "Generate") >= 1, "chunks come from a map-side explode")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "LIMIT must plan a top-N, not a sort")
+    val shuffles = allNodes(executed(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 1, s"only the top-N gather may shuffle, got $shuffles")
+  }
+
+  test("q_sample_weighted is a TakeOrderedAndProject over one scan") {
+    val df = q("q_sample_weighted")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-k by priority, not a global sort")
+    assert(countNodes(df, "Scan parquet") === 1)
+  }
+
+  test("q_bucketize broadcasts the 3-double bounds frame (no fact-side merge join)") {
+    val df = q("q_bucketize")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") + countNodes(df, "BroadcastHashJoin") >= 1,
+      "quartile bounds must broadcast")
+    assert(countNodes(df, "SortMergeJoin") === 0, "bucket assignment must stay map-side")
+  }
+
+  test("q_merge_upsert anti-joins with a broadcast update set at this scale") {
+    val df = q("q_merge_upsert")
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "small update set must broadcast")
+    assert(countNodes(df, "SortMergeJoin") === 0)
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
