@@ -77,4 +77,26 @@ object JoinStrategies {
       .join(saltedDim, Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Turn on runtime bloom-filter pruning for shuffle joins with a
+    * selectively-filtered build side: Catalyst aggregates a bloom filter
+    * over the filtered side's join keys and injects a `might_contain`
+    * predicate into the probe side's SCAN, so fact rows that cannot match
+    * are dropped before the exchange (semi-join pushdown without writing
+    * one).
+    *
+    * The feature is on by default but gated by
+    * `applicationSideScanSizeThreshold` (10 GB) so it only fires where it
+    * pays — at 100 TB that is every selective dim-filtered fact join. The
+    * override exists for tests/small-scale demos; production leaves the
+    * default gate in place. `JoinStrategiesSpec` asserts the filter
+    * actually lands in the executed plan.
+    */
+  def enableRuntimeBloomFilters(spark: SparkSession, applicationSideScanSizeThreshold: String = "10GB"): Unit = {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      applicationSideScanSizeThreshold
+    )
+  }
 }

@@ -81,4 +81,38 @@ class JoinStrategiesSpec extends AnyFunSuite {
     val pAgg = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sAgg === pAgg)
   }
+
+  test("runtime bloom filter lands in the probe side of a selective shuffle join") {
+    val prevThresh = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBcast  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // local fixtures are far below the 10 GB production gate — drop it to
+      // 0 (and disable broadcast, which would bypass the shuffle join) so
+      // the injection path itself is exercised
+      JoinStrategies.enableRuntimeBloomFilters(spark, applicationSideScanSizeThreshold = "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li  = graft.Tables.lineitem(spark, TestSpark.sfDir)
+      val ord = graft.Tables.orders(spark, TestSpark.sfDir).filter(col("o_orderpriority") === "1-URGENT")
+      val j = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(
+        j.queryExecution.optimizedPlan.toString.toLowerCase.contains("bloom"),
+        "optimizer must inject a bloom_filter_agg/might_contain pair on the probe side"
+      )
+      val expected = li
+        .join(ord.hint("broadcast"), li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      val got = j.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected, "bloom pruning must not change results")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevThresh)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
 }
