@@ -102,13 +102,13 @@ object Analytics {
     ),
     QueryDef(
       "q_retention",
-      "cohort retention: users bucketed by first-activity day, distinct actives per (cohort_day, day_offset) — the classic triangular retention matrix",
+      "cohort retention: users bucketed by first-activity day, distinct actives per (cohort_day, day_offset) — the classic triangular retention matrix. cohort_day comes from an unbounded min window over the user partition, so events is scanned ONCE and never joined back to itself (the groupBy+join formulation scanned it twice)",
       (s, dir) => {
-        val d = Tables
+        val wUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        Tables
           .events(s, dir)
           .select(col("user_id"), (unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
-        val first = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-        d.join(first, "user_id")
+          .withColumn("cohort_day", min(col("day")).over(wUser))
           .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy(col("cohort_day"), col("day_offset"))
