@@ -220,10 +220,16 @@ object Events {
         Tables
           .events(s, dir)
           .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"))
-          .withColumn("rolling", sum(col("value").cast("decimal(18,4)")).over(w))
+          // scaled-long rolling sum: the sliding frame REBUILDS its buffer
+          // whenever rows age out (no retraction in WindowExec), so per-add
+          // cost is paid frame-width times per row — long adds instead of
+          // decimal adds, bit-identical for clean 2-decimal values, one
+          // exact decimal conversion after the max (QueryDef.sumScaled)
+          .withColumn("rolling", sum(floor(col("value") * lit(1e4) + lit(0.5))).over(w))
           .groupBy(col("event_type"))
           .agg(
-            max(col("rolling")).cast("double").as("peak_1h_sum"),
+            (max(col("rolling")).cast("decimal(38,0)") *
+              lit(java.math.BigDecimal.ONE.movePointLeft(4))).cast("double").as("peak_1h_sum"),
             count(lit(1)).as("n_events")
           )
           .orderBy(col("event_type"))
