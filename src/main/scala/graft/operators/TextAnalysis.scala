@@ -520,6 +520,46 @@ object TextAnalysis {
              |FROM documents ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin)
     ),
     QueryDef(
+      "q_text_entropy",
+      "char-level Shannon entropy (nats) quality signal — low-entropy docs are repeated boilerplate, high-entropy ones are noise/binary junk: per-doc H = ln(n) - sum(c*ln(c))/n from one char-frequency aggregation; per-language census. Cross-row sums of the transcendental terms go through decimal(18,12) casts so addition order cannot move them (per-term ln agrees between engines — q_udaf_geomean precedent)",
+      (s, dir) => {
+        val perDoc = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(col("lang"), col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .groupBy(col("lang"), col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"), col("doc_id"))
+          .agg(
+            sum(col("c")).as("n"),
+            sum((col("c") * log(col("c"))).cast("decimal(18,12)")).as("clc")
+          )
+          .select(col("lang"), (log(col("n")) - col("clc").cast("double") / col("n")).as("h"))
+        perDoc
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col("h").cast("decimal(18,12)")).cast("double") / count(lit(1)), 4)
+              .as("avg_entropy_nats"),
+            round(max(col("h")), 4).as("max_entropy_nats")
+          )
+          .orderBy(col("lang"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT lang, doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |cc AS (SELECT lang, doc_id, ch, count(1) AS c FROM ch GROUP BY 1, 2, 3),
+             |pd AS (
+             |  SELECT lang, doc_id, cast(sum(c) as bigint) AS n,
+             |    sum(cast(c * ln(c) as decimal(18,12))) AS clc
+             |  FROM cc GROUP BY 1, 2),
+             |ent AS (
+             |  SELECT lang, ln(n) - cast(cast(clc as varchar) as double) / n AS h FROM pd)
+             |SELECT lang, count(1) AS n_docs,
+             |  round(cast(cast(sum(cast(h as decimal(18,12))) as varchar) as double) / count(1), 4)
+             |    AS avg_entropy_nats,
+             |  round(max(h), 4) AS max_entropy_nats
+             |FROM ent GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
       "q_text_topwords",
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>

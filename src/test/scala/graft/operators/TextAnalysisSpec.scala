@@ -108,6 +108,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fromQuery.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 200))
   }
 
+  test("entropy separates repeated boilerplate from diverse text") {
+    import org.apache.spark.sql.functions.{explode, split, count => fcount, lit, log => fln, sum => fsum}
+    def entropyOf(text: String): Double = {
+      val h = Seq((1L, text))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(fcount(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((fln(fsum(col("c"))) - fsum(col("c") * fln(col("c"))) / fsum(col("c"))).as("h"))
+        .collect()(0)
+        .getDouble(1)
+      h
+    }
+    val boiler  = entropyOf("aaaaaaaaaaaaaaaaaaaaaaaa")
+    val diverse = entropyOf("the quick brown fox jumps")
+    assert(math.abs(boiler) < 1e-9, "single-char text has zero entropy")
+    assert(diverse > 2.0, s"diverse text should exceed 2 nats, got $diverse")
+  }
+
   test("weighted sampling favors heavy docs and is deterministic") {
     val out1 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
     val out2 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
