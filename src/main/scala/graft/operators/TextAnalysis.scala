@@ -354,8 +354,11 @@ object TextAnalysis {
       "train/test contamination check: test-split docs whose normalized fingerprint also appears in the train split (semi-join on the dedup key — the eval-integrity preflight every LLM pipeline runs)",
       (s, dir) => {
         val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        // fanout: the regexp+md5 projection dominates and the fixture is a
+        // single row group — without the rebalance one task fingerprints
+        // the whole corpus
         val fp = Tables
-          .documents(s, dir)
+          .fanout(Tables.documents(s, dir))
           .select(
             col("doc_id"),
             when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"),
