@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 final class DoubleVec(var arr: Array[Double], var n: Int) {
   def this() = this(new Array[Double](64), 0)
   def add(x: Double): Unit = {
+    if (n == DoubleVec.MaxValues)
+      throw new IllegalStateException(
+        s"exact_percentiles group exceeds ${DoubleVec.MaxValues} non-null values; " +
+          "a single group's values must fit one JVM array (use approx_percentile " +
+          "for groups beyond that ceiling)"
+      )
     if (n == arr.length) {
       val b = new Array[Double](arr.length << 1)
       System.arraycopy(arr, 0, b, 0, n)
@@ -30,6 +36,12 @@ final class DoubleVec(var arr: Array[Double], var n: Int) {
     n += 1
   }
   def addAll(o: DoubleVec): Unit = {
+    if (n.toLong + o.n > DoubleVec.MaxValues)
+      throw new IllegalStateException(
+        s"exact_percentiles group exceeds ${DoubleVec.MaxValues} non-null values; " +
+          "a single group's values must fit one JVM array (use approx_percentile " +
+          "for groups beyond that ceiling)"
+      )
     if (n + o.n > arr.length) {
       val b = new Array[Double](math.max(arr.length << 1, n + o.n))
       System.arraycopy(arr, 0, b, 0, n)
@@ -38,6 +50,18 @@ final class DoubleVec(var arr: Array[Double], var n: Int) {
     System.arraycopy(o.arr, 0, arr, n, o.n)
     n += o.n
   }
+}
+
+object DoubleVec {
+
+  /** Per-group cardinality ceiling: the serialized form is `4 + 8 * n`
+    * bytes in one byte array, so n beyond (Int.MaxValue - 4) / 8 would
+    * overflow the Int allocation size (and the values themselves must fit
+    * one JVM array). ~268M values ≈ 2 GiB per group — beyond that, exact
+    * percentile-by-materialization is the wrong tool; fail with a clear
+    * error instead of a negative-allocation crash.
+    */
+  val MaxValues: Int = (Int.MaxValue - 4) / 8
 }
 
 /** Exact interpolated percentiles over doubles, array-of-percentages form,

@@ -40,6 +40,15 @@ object Dedup {
     * pipeline materializes signatures once and derives pairs/clusters from
     * them (same build-once discipline as the IVF index). First use still
     * computes from scratch; correctness is oracle-checked per query.
+    *
+    * SCOPE: this cache serves the bench/verify harness, where a bounded set
+    * of (session, sfDir) keys lives for one process — entries are never
+    * evicted, and `localCheckpoint` blocks are non-reliable (an executor
+    * loss would fail later reuses instead of recomputing). A long-lived
+    * production service would key artifacts to durable storage (the
+    * `Sinks.writePartitioned` path) or use reliable `checkpoint()` with a
+    * checkpoint dir, trading first-use latency for fault tolerance.
+    * `Tables.noArtifactCache` opts out entirely (full lineage per query).
     */
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]()

@@ -83,6 +83,12 @@ object IvfSimilarity {
     * update" if a cached artifact ever builds on another in the same map,
     * and the assignments build DOES call comp() — keep both maps on the
     * same safe pattern.
+    *
+    * SCOPE (same as Dedup.artifactCache): bench/verify-harness caching over
+    * a bounded key set — no eviction, and `localCheckpoint` blocks are
+    * non-reliable, so executor loss fails later reuses rather than
+    * recomputing. A production IVF index persists to durable storage
+    * instead; `Tables.noArtifactCache` opts out for full-lineage runs.
     */
   private def cachedIn(
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],

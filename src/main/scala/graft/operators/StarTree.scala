@@ -72,19 +72,43 @@ object StarTree {
       )
   }
 
-  /** Materialize once per (sfDir, spec) — same guard pattern as the event
-    * log fixture; `_SUCCESS` is written by Spark's committer after all
-    * slices land.
+  private val cubeDims    = Seq("o_orderstatus", "o_orderpriority")
+  private val cubeMetrics = Seq("o_totalprice")
+
+  /** Bump when the cube layout changes (dims/metrics/schema) so stale cubes
+    * built by older code versions are never served.
+    */
+  private val cubeFormatVersion = 2
+
+  private val buildLock = new Object
+
+  /** Materialize once per (sfDir, spec): the directory name folds in a hash
+    * of (dims, metrics, format version), so a cube left in /tmp by an older
+    * code version with a different layout simply misses the lookup and a
+    * fresh one is built. The build is serialized under a JVM-wide lock with
+    * the `_SUCCESS`-recheck inside (same guard pattern as the event log
+    * fixture) so two concurrent sessions can't race the overwrite-mode
+    * write into the same directory; `_SUCCESS` is written by Spark's
+    * committer after all slices land.
     */
   def cubeDirFor(spark: SparkSession, sfDir: String): String = {
-    val dir = s"/tmp/graft-startree-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val spec = s"v$cubeFormatVersion|${cubeDims.mkString(",")}|${cubeMetrics.mkString(",")}"
+    val specHash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(spec)
+    )
+    val dir =
+      s"/tmp/graft-startree-${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}-$specHash"
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      materialize(
-        Tables.orders(spark, sfDir),
-        dims = Seq("o_orderstatus", "o_orderpriority"),
-        metrics = Seq("o_totalprice"),
-        path = dir
-      )
+      buildLock.synchronized {
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          materialize(
+            Tables.orders(spark, sfDir),
+            dims = cubeDims,
+            metrics = cubeMetrics,
+            path = dir
+          )
+        }
+      }
     }
     dir
   }

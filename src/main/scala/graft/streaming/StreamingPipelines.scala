@@ -17,9 +17,17 @@ case class SessState(startMs: Long, lastMs: Long, n: Long)
 case class TypedEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String)
 
 /** Per-user funnel state: timestamp at which each stage index was first
-  * reached (in order); stages.length entries max.
+  * reached (in order; stages.length entries max), plus a bounded buffer of
+  * not-yet-usable stage events (stage index + event-time ms, parallel seqs)
+  * that a later micro-batch may make usable when an out-of-order
+  * predecessor stage arrives. The buffer is pruned against the watermark
+  * each invocation, so it holds O(in-flight-window) events, not the stream.
   */
-case class FunnelState(reachedMs: Seq[Long])
+case class FunnelState(
+    reachedMs: Seq[Long],
+    pendingStage: Seq[Int] = Seq.empty,
+    pendingMs: Seq[Long] = Seq.empty
+)
 
 /** Emitted once per user per newly-reached stage. */
 case class FunnelProgress(user_id: Long, stage: Int, stage_name: String, ts: java.sql.Timestamp)
@@ -167,10 +175,21 @@ object StreamingPipelines {
     * machine that emits one row the first time a user reaches each stage,
     * where stage i+1 counts only at-or-after the stage-i timestamp.
     *
-    * State is one Seq[Long] of reached-stage timestamps per user — O(1) —
-    * and is REMOVED once the user completes the final stage, so steady
-    * state holds only in-flight users. Counting the emitted rows per stage
-    * downstream reproduces q_funnel's conversion counts continuously.
+    * Out-of-order arrival across micro-batches is handled by buffering:
+    * a stage event that is not yet usable (its predecessor stage hasn't
+    * been reached, or was reached at a later timestamp than anything seen
+    * so far) is kept in state and replayed on every later batch, so a
+    * late-but-inside-the-watermark predecessor unlocks it. Within the
+    * watermark this reproduces q_funnel's conversion counts continuously;
+    * only events the watermark drops (too late) can diverge from batch.
+    *
+    * State per user is the reached-stage timestamps (stages.length max)
+    * plus the pending buffer. The buffer is bounded: events of already-
+    * passed stages are discarded, a pending event older than the current
+    * watermark is pruned (any future unlocking predecessor must carry an
+    * event-time at-or-after the watermark, which such an event could never
+    * satisfy), and the whole state is REMOVED once the user completes the
+    * final stage — steady state holds only in-flight users.
     */
   def streamingFunnel(
       events: Dataset[TypedEvent],
@@ -179,23 +198,51 @@ object StreamingPipelines {
   ): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user, rows, state: GroupState[FunnelState]) =>
-          var reached = state.getOption.map(_.reachedMs).getOrElse(Seq.empty)
-          val out     = Seq.newBuilder[FunnelProgress]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val st      = state.getOption.getOrElse(FunnelState(Seq.empty))
+          var reached = st.reachedMs
+          // candidate pool: buffered events + this batch's funnel-stage events,
+          // in (event-time, stage) order so replay matches batch semantics
+          var pending = ((st.pendingStage zip st.pendingMs) ++
+            rows.flatMap(e => stageIdx.get(e.event_type).map(i => (i, e.ts.getTime)))).sorted
+          val out = Seq.newBuilder[FunnelProgress]
+          var advanced = true
+          while (advanced && reached.length < stages.length) {
+            advanced = false
             val next = reached.length
-            if (next < stages.length && e.event_type == stages(next) &&
-                (reached.isEmpty || e.ts.getTime >= reached.last)) {
-              reached :+= e.ts.getTime
-              out += FunnelProgress(user, next, stages(next), e.ts)
+            val i = pending.indexWhere { case (stage, ms) =>
+              stage == next && (reached.isEmpty || ms >= reached.last)
+            }
+            if (i >= 0) {
+              val ms = pending(i)._2
+              reached :+= ms
+              out += FunnelProgress(user, next, stages(next), new java.sql.Timestamp(ms))
+              pending = pending.patch(i, Nil, 1)
+              advanced = true
             }
           }
           if (reached.length == stages.length) state.remove() // completed: drop state
-          else if (reached.nonEmpty) state.update(FunnelState(reached))
+          else {
+            val next = reached.length
+            val wm   = state.getCurrentWatermarkMs()
+            // keep only events that can still fire: strictly-future stages
+            // (a same-stage leftover survived the loop only because its ms
+            // is below the reached threshold — dead, the threshold never
+            // decreases), at-or-after the watermark (any future unlocking
+            // predecessor carries an event-time >= wm, so an older pending
+            // event could never satisfy ms >= threshold again)
+            val kept = pending.filter { case (stage, ms) =>
+              stage > next && ms >= wm && (reached.isEmpty || ms >= reached.last)
+            }
+            if (reached.nonEmpty || kept.nonEmpty)
+              state.update(FunnelState(reached, kept.map(_._1), kept.map(_._2)))
+            else state.remove()
+          }
           out.result().iterator
       }
   }

@@ -46,4 +46,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toArray
     assert(a === b)
   }
+
+  test("wrong arity raises an analysis error naming the signature, not an index error") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(cast(1.0 as float)))").collect()
+    }
+    assert(e1.getMessage.contains("cosine_sim"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT exact_percentiles(1.0)").collect()
+    }
+    assert(e2.getMessage.contains("exact_percentiles"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    assert(e3.getMessage.contains("rolling_hash"))
+  }
 }

@@ -297,6 +297,40 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order cross-batch arrival buffered, replayed when predecessor lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(input.toDS(), watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_ooo_out")
+      .outputMode("append")
+      .start()
+    def rows() = spark
+      .table("funnel_ooo_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    try {
+      // batch 1: u3's CLICK arrives first (stage 1 before stage 0) — must
+      // be buffered, not dropped: nothing can be emitted yet
+      input.addData(TypedEvent(ts(5), 3, "click"))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // batch 2: the VIEW arrives late (ts 2 < click's ts 5, inside the
+      // watermark) — both stages must now fire from the buffered click
+      input.addData(TypedEvent(ts(2), 3, "view"))
+      q.processAllAvailable()
+      assert(rows() === Set((3L, 0, "view"), (3L, 1, "click")))
+      // batch 3: purchase completes the funnel using the replayed ordering
+      input.addData(TypedEvent(ts(9), 3, "purchase"))
+      q.processAllAvailable()
+      assert(rows() === Set((3L, 0, "view"), (3L, 1, "click"), (3L, 2, "purchase")))
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
