@@ -21,25 +21,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  import org.apache.spark.sql.catalyst.expressions.Expression
-
-  /** Arity gate: a builder reached with the wrong argument count must raise
-    * an analysis-time error naming the expected signature, not leak an
-    * `IndexOutOfBoundsException` (or silently build a degenerate call like
-    * `exact_percentiles(x)` with zero percentages).
-    */
-  private def requireArity(name: String, signature: String, exprs: Seq[Expression], min: Int, max: Int = Int.MaxValue): Unit =
-    if (exprs.length < min || exprs.length > max)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> name,
-          "expectedNum"  -> signature,
-          "actualNum"    -> exprs.length.toString,
-          "docroot"      -> "https://spark.apache.org/docs/latest"
-        )
-      )
-
+  // All builders delegate to the arity-checked companions in
+  // `graft.functions` (see `functions.Arity`) — the same builders the
+  // per-session `register()` helpers use, so a later `register()` call that
+  // replaces an extension-injected entry keeps the identical error contract.
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
@@ -49,10 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "cosine_sim",
           "cosine_sim(a, b) - cosine similarity of two float vectors (fused codegen loop)"
         ),
-        (exprs: Seq[Expression]) => {
-          requireArity("cosine_sim", "2 (cosine_sim(a, b))", exprs, 2, 2)
-          functions.CosineSimilarity(exprs(0), exprs(1))
-        }
+        functions.VectorFunctions.cosineBuilder(_)
       )
     )
     ext.injectFunction(
@@ -63,10 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "exact_percentiles",
           "exact_percentiles(x, p...) - exact interpolated percentiles over a primitive buffer (unboxed percentile())"
         ),
-        (exprs: Seq[Expression]) => {
-          requireArity("exact_percentiles", ">= 2 (exact_percentiles(x, p1[, p2, ...]))", exprs, 2)
-          functions.ExactPercentiles.build(exprs)
-        }
+        functions.ExactPercentiles.build(_)
       )
     )
     ext.injectFunction(
@@ -77,10 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rolling_hash",
           "rolling_hash(s) - 64-bit polynomial rolling hash of a string (codegen)"
         ),
-        (exprs: Seq[Expression]) => {
-          requireArity("rolling_hash", "1 (rolling_hash(s))", exprs, 1, 1)
-          functions.RollingHash(exprs.head)
-        }
+        functions.RollingHash.builder(_)
       )
     )
   }

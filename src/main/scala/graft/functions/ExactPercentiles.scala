@@ -157,9 +157,12 @@ case class ExactPercentiles(
 object ExactPercentiles {
 
   /** Registry builder: `exact_percentiles(x, p1, p2, ...)` with foldable
-    * percentage literals.
+    * percentage literals. Arity-checked (shared by `GraftExtensions` and
+    * `register`): a bare `exact_percentiles(x)` would silently build with
+    * zero percentages and return an empty array.
     */
-  def build(exprs: Seq[Expression]): Expression =
+  def build(exprs: Seq[Expression]): Expression = {
+    Arity.require("exact_percentiles", ">= 2 (exact_percentiles(x, p1[, p2, ...]))", exprs, 2)
     ExactPercentiles(
       // numeric inputs cast up front (the built-in gets this from
       // ImplicitCastInputTypes, which is private[sql])
@@ -173,6 +176,7 @@ object ExactPercentiles {
         }
       }
     )
+  }
 
   /** Register `exact_percentiles(x, p...)` for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -73,13 +73,17 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 }
 
 object RollingHash {
+
+  /** Arity-checked builder shared by `GraftExtensions` and `register`. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    Arity.require("rolling_hash", "1 (rolling_hash(s))", exprs, 1, 1)
+    RollingHash(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash",
-      exprs => {
-        require(exprs.length == 1, s"rolling_hash takes 1 argument, got ${exprs.length}")
-        RollingHash(exprs.head)
-      },
+      builder,
       "built-in"
     )
 }

@@ -88,13 +88,19 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
 object VectorFunctions {
 
+  /** Arity-checked builder shared by `GraftExtensions` and `register`. */
+  def cosineBuilder(exprs: Seq[Expression]): Expression = {
+    Arity.require("cosine_sim", "2 (cosine_sim(a, b))", exprs, 2, 2)
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register `cosine_sim(a, b)` in the session's function registry so it is
     * usable from `expr(...)` / SQL. Idempotent.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      cosineBuilder,
       "built-in"
     )
 }

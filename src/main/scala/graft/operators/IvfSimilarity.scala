@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) vector index: the k-means scale path for ANN that
@@ -226,15 +225,16 @@ object IvfSimilarity {
       (s, dir) => {
         val a2 = assignments(s, dir).select(col("vec_id"), col("cid"))
         val c  = comp(s, dir)
-        // the query vector's cluster id via a global window over a2, NOT a
-        // join of a2 against a filtered copy of itself — the self-reference
-        // would run the whole 2-iteration k-means twice. The window's single
-        // partition holds one row per VECTOR (not per component): tiny at
-        // any corpus scale, and only for this one-vs-corpus probe shape.
-        val wAll = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // the query vector's cluster id as a 1-row broadcast build side —
+        // NOT a global `Window.partitionBy()` over a2, which would funnel
+        // every assignment row (one per VECTOR — 10^9 at corpus scale)
+        // through a single task. The assignments artifact is checkpointed,
+        // so the filtered self-reference costs two tiny extra stages, not a
+        // second k-means run; same shape as q_sim_ivf_probe2's qc2 join.
+        val qcid = a2.filter(col("vec_id") === 0).select(col("cid"))
         val members = a2
-          .withColumn("qcid", max(when(col("vec_id") === 0, col("cid"))).over(wAll))
-          .filter(col("cid") === col("qcid") && col("vec_id") =!= 0)
+          .join(broadcast(qcid), "cid")
+          .filter(col("vec_id") =!= 0)
         val qComp    = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
         val scored = c
           .join(members.select("vec_id"), "vec_id")

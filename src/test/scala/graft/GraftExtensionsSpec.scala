@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("wrong arity raises an analysis error naming the signature, not an index error") {
+    // Deliberately replace every extension-injected builder with the
+    // register() path first — both entry points must share the same
+    // arity-checked builders (this is the exact regression shape of round 3:
+    // register() clobbering the extension builder with an unchecked one).
+    functions.RollingHash.register(spark)
+    functions.VectorFunctions.register(spark)
+    functions.ExactPercentiles.register(spark)
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT cosine_sim(array(cast(1.0 as float)))").collect()
     }

@@ -142,6 +142,23 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "SortMergeJoin") === 0)
   }
 
+  test("q_sim_ivf_probe derives the query cluster via broadcast join, not a global window") {
+    val df    = q("q_sim_ivf_probe")
+    val nodes = allNodes(executed(df))
+    assert(
+      !nodes.exists(_.nodeName.contains("Window")),
+      "probe must not funnel assignments through a single-partition Window"
+    )
+    assert(
+      !nodes.exists {
+        case e: ShuffleExchangeLike => e.outputPartitioning.numPartitions == 1
+        case _                      => false
+      },
+      "probe must not plan a SinglePartition exchange"
+    )
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "qcid must broadcast-join against assignments")
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
