@@ -96,17 +96,38 @@ object Dedup {
     * the signature pipeline TWICE (the two sides' exchanges differ, so
     * nothing is reused) and was the single slowest bench query. One groupBy
     * on the band key collects each collision bucket, and pairs are emitted
-    * bucket-locally (buckets are tiny for non-duplicate corpora, so
-    * sum(bucket²) stays linear; a pathological high-df bucket would need a
-    * size cap upstream).
+    * bucket-locally with a pathological-bucket cap (see
+    * [[pairsFromSignatures]]), so cost is sum(min(bucket, cap)²) — bounded
+    * even when a boilerplate shingle puts millions of docs in one bucket.
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "minhash_pairs")(pairsFromSignatures(sigFrame(s, dir)))
 
+  /** Pathological-bucket cap for LSH pair generation. A band bucket is either
+    * a genuine near-dup cluster (for which `cap` representatives are ample —
+    * clustering collapses them to one survivor anyway) or a boilerplate
+    * artifact (a high-df shingle shared by unrelated docs), where emitting
+    * bucket² pairs is pure waste: one 10M-doc boilerplate bucket at 100 TB
+    * would be 10¹⁴ pairs. 1024 caps any bucket at ~524k pairs.
+    */
+  private[graft] val MaxLshBucket = 1024
+
   /** LSH candidate pairs from a signature frame — the dir-independent form
     * [[graft.pipelines.CorpusPipeline]] composes over arbitrary corpora.
+    *
+    * Buckets larger than `maxBucket` are deterministically sub-sampled to
+    * their `maxBucket` smallest doc_ids (the array is already sorted, and
+    * min-ids are the ids clustering keeps as labels/survivors). The drop is
+    * NOT silent: the `graft.lsh_pairs` observed metric reports how many
+    * buckets were capped and the largest bucket seen, so a pipeline can
+    * alert on capping instead of discovering it post-hoc. A true near-dup
+    * pair cut from one capped band can still surface from any of the other
+    * NumBands-1 bands.
     */
-  private[graft] def pairsFromSignatures(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def pairsFromSignatures(
+      sig: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = MaxLshBucket
+  ): org.apache.spark.sql.DataFrame = {
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
@@ -115,7 +136,14 @@ object Dedup {
       .groupBy(col("band_idx"), col("band"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+      // no-silent-caps: capping is observable per-run via named metrics
+      .observe(
+        "graft.lsh_pairs",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+      )
+      // slice is a no-op for buckets at/below the cap (length > size(ids))
+      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }

@@ -16,12 +16,21 @@ case class SessState(startMs: Long, lastMs: Long, n: Long)
 /** Typed rows for the streaming funnel. */
 case class TypedEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String)
 
-/** Per-user funnel state: timestamp at which each stage index was first
-  * reached (in order; stages.length entries max), plus a bounded buffer of
-  * not-yet-usable stage events (stage index + event-time ms, parallel seqs)
-  * that a later micro-batch may make usable when an out-of-order
-  * predecessor stage arrives. The buffer is pruned against the watermark
-  * each invocation, so it holds O(in-flight-window) events, not the stream.
+/** Per-user funnel state: timestamp at which each stage index was committed
+  * (in order; stages.length entries max), plus a bounded buffer of
+  * not-yet-committed stage events (stage index + event-time ms, parallel
+  * seqs) — candidates waiting either for a predecessor stage or for the
+  * watermark to pass their event time (see
+  * [[StreamingPipelines.streamingFunnel]]'s delayed-commit rule). The
+  * buffer is pruned against the watermark each invocation, so it holds
+  * O(in-flight-window) events, not the stream.
+  *
+  * CHECKPOINT COMPATIBILITY: this case class is the
+  * `flatMapGroupsWithState` state encoder schema. `pendingStage`/
+  * `pendingMs` were added in round 3 — restarting a streaming funnel from a
+  * checkpoint written before that change fails state deserialization
+  * (Spark cannot evolve flatMapGroupsWithState state schemas); start a
+  * fresh checkpoint when this class changes shape.
   */
 case class FunnelState(
     reachedMs: Seq[Long],
@@ -172,24 +181,35 @@ object StreamingPipelines {
 
   /** Streaming funnel — the incremental twin of the batch `q_funnel`
     * (Pinot FUNNELCOUNT served in real time): a per-user ordered stage
-    * machine that emits one row the first time a user reaches each stage,
-    * where stage i+1 counts only at-or-after the stage-i timestamp.
+    * machine that emits one row per stage, where stage i+1 counts only
+    * at-or-after the stage-i timestamp.
     *
-    * Out-of-order arrival across micro-batches is handled by buffering:
-    * a stage event that is not yet usable (its predecessor stage hasn't
-    * been reached, or was reached at a later timestamp than anything seen
-    * so far) is kept in state and replayed on every later batch, so a
-    * late-but-inside-the-watermark predecessor unlocks it. Within the
-    * watermark this reproduces q_funnel's conversion counts continuously;
-    * only events the watermark drops (too late) can diverge from batch.
+    * DELAYED COMMIT (the batch-equivalence rule, round-5 fix): a stage is
+    * committed — and its row emitted — only once the watermark has passed
+    * the candidate event's time, and always using the MINIMUM eligible
+    * candidate. Before the watermark passes, an even-earlier same-stage
+    * event could still arrive (in-watermark reorder); after it passes, any
+    * future arrival carries an event time at-or-after the watermark and so
+    * cannot beat the committed minimum. The earlier eager-commit design
+    * diverged from batch on exactly that case (batch 1 commits view@10,
+    * batch 2 delivers view@2 + click@5 inside the watermark: batch
+    * converts via view@2, eager streaming never can — the round-3 ADVICE
+    * counterexample, now spec-pinned). With delayed commit, emitted stage
+    * timestamps equal the batch funnel's greedy min-chain over every
+    * non-late event; ONLY events the watermark drops can diverge. The
+    * price is emission latency of one watermark delay — the same deal
+    * append-mode windowed aggregation makes. `EventTimeTimeout` (timeout =
+    * earliest pending candidate) flushes commits when the watermark
+    * advances without new data for the user.
     *
-    * State per user is the reached-stage timestamps (stages.length max)
+    * State per user is the committed-stage timestamps (stages.length max)
     * plus the pending buffer. The buffer is bounded: events of already-
-    * passed stages are discarded, a pending event older than the current
-    * watermark is pruned (any future unlocking predecessor must carry an
-    * event-time at-or-after the watermark, which such an event could never
-    * satisfy), and the whole state is REMOVED once the user completes the
-    * final stage — steady state holds only in-flight users.
+    * passed stages or below the commit threshold are discarded, a pending
+    * event older than the current watermark is pruned (it either committed
+    * or can never fire: a future unlocking predecessor would commit at-or-
+    * after the watermark, above the dead event's time), and the whole
+    * state is REMOVED once the user completes the final stage — steady
+    * state holds in-flight users.
     */
   def streamingFunnel(
       events: Dataset[TypedEvent],
@@ -202,46 +222,55 @@ object StreamingPipelines {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelProgress](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, rows, state: GroupState[FunnelState]) =>
           val st      = state.getOption.getOrElse(FunnelState(Seq.empty))
           var reached = st.reachedMs
-          // candidate pool: buffered events + this batch's funnel-stage events,
-          // in (event-time, stage) order so replay matches batch semantics
+          val wm      = state.getCurrentWatermarkMs()
+          // candidate pool: buffered events + this batch's funnel-stage
+          // events (none on a timeout invocation), in (stage, event-time)
+          // order; commits always take the eligible minimum
           var pending = ((st.pendingStage zip st.pendingMs) ++
-            rows.flatMap(e => stageIdx.get(e.event_type).map(i => (i, e.ts.getTime)))).sorted
+            (if (state.hasTimedOut) Nil
+             else rows.flatMap(e => stageIdx.get(e.event_type).map(i => (i, e.ts.getTime))))).sorted
           val out = Seq.newBuilder[FunnelProgress]
           var advanced = true
           while (advanced && reached.length < stages.length) {
             advanced = false
             val next = reached.length
-            val i = pending.indexWhere { case (stage, ms) =>
+            val eligible = pending.filter { case (stage, ms) =>
               stage == next && (reached.isEmpty || ms >= reached.last)
             }
-            if (i >= 0) {
-              val ms = pending(i)._2
-              reached :+= ms
-              out += FunnelProgress(user, next, stages(next), new java.sql.Timestamp(ms))
-              pending = pending.patch(i, Nil, 1)
-              advanced = true
+            if (eligible.nonEmpty) {
+              val cand = eligible.minBy(_._2)
+              // delayed commit: final only once the watermark passes it
+              if (cand._2 <= wm) {
+                reached :+= cand._2
+                out += FunnelProgress(user, next, stages(next), new java.sql.Timestamp(cand._2))
+                pending = pending.patch(pending.indexOf(cand), Nil, 1)
+                advanced = true
+              }
             }
           }
           if (reached.length == stages.length) state.remove() // completed: drop state
           else {
             val next = reached.length
-            val wm   = state.getCurrentWatermarkMs()
-            // keep only events that can still fire: strictly-future stages
-            // (a same-stage leftover survived the loop only because its ms
-            // is below the reached threshold — dead, the threshold never
-            // decreases), at-or-after the watermark (any future unlocking
-            // predecessor carries an event-time >= wm, so an older pending
-            // event could never satisfy ms >= threshold again)
+            // keep only events that can still fire: current-or-future
+            // stages at-or-above both the commit threshold (it never
+            // decreases) and the watermark (below it, the commit loop
+            // either took the event or a predecessor can never unlock it —
+            // any future predecessor commits at-or-after the watermark)
             val kept = pending.filter { case (stage, ms) =>
-              stage > next && ms >= wm && (reached.isEmpty || ms >= reached.last)
+              stage >= next && ms >= wm && (reached.isEmpty || ms >= reached.last)
             }
-            if (reached.nonEmpty || kept.nonEmpty)
+            if (reached.nonEmpty || kept.nonEmpty) {
               state.update(FunnelState(reached, kept.map(_._1), kept.map(_._2)))
-            else state.remove()
+              // wake up when the watermark passes the earliest candidate so
+              // delayed commits flush without waiting for new user data
+              // (timeout must sit strictly above the current watermark)
+              if (kept.nonEmpty)
+                state.setTimeoutTimestamp(math.max(kept.map(_._2).min, wm + 1))
+            } else state.remove()
           }
           out.result().iterator
       }

@@ -95,6 +95,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("LSH pathological-bucket cap: a high-df bucket is sub-sampled, counted, and deterministic") {
+    // 60 docs sharing one boilerplate text -> identical signatures -> one
+    // 60-id bucket in EVERY band. Uncapped that is C(60,2)=1770 pairs (the
+    // 10M-doc version of this is 10^14 pairs); capped at 8 it must emit
+    // exactly C(8,2)=28 pairs over the 8 smallest doc_ids.
+    val boiler = (0 until 60).map(i => (i.toLong, base, "en", "s0"))
+    val sig = Dedup.signatures(boiler.toDF("doc_id", "text", "lang", "source"))
+    val capped = Dedup.pairsFromSignatures(sig, maxBucket = 8)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 28, "capped bucket must emit C(8,2) pairs")
+    assert(rows.flatMap(p => Seq(p._1, p._2)).toSet === (0L until 8L).toSet,
+      "cap keeps the smallest doc_ids (the survivor labels)")
+    // no-silent-caps: the drop is observable
+    val m = capped.queryExecution.observedMetrics("graft.lsh_pairs")
+    assert(m.getAs[Long]("capped_buckets") === TextShared.NumBands.toLong)
+    assert(m.getAs[Int]("max_bucket") === 60)
+    // and the default cap leaves sf-scale buckets untouched (uncapped count)
+    assert(Dedup.pairsFromSignatures(sig).count() === 60L * 59 / 2)
+  }
+
   test("short documents (< shingle width) fall back to whole-text shingle") {
     import TextShared._
     val out = Seq((9L, "tiny doc", "en", "s"))

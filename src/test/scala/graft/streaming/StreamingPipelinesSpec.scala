@@ -278,20 +278,32 @@ class StreamingPipelinesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
       .toSet
     try {
-      // u1 view+click in batch 1; u2 clicks BEFORE viewing (click ignored)
+      // u1 view+click in batch 1; u2 clicks BEFORE viewing (click ignored).
+      // Delayed commit: nothing emits until the watermark passes the stage
+      // timestamps — after batch 1 the watermark is 10:03-5min = 09:58,
+      // below every candidate.
       input.addData(
         TypedEvent(ts(1), 1, "view"), TypedEvent(ts(2), 1, "click"),
         TypedEvent(ts(1), 2, "click"), TypedEvent(ts(3), 2, "view"))
       q.processAllAvailable()
-      assert(rows() === Set((1L, 0, "view"), (1L, 1, "click"), (2L, 0, "view")))
-      // batch 2: u1 completes; u2's click now valid (after its view)
+      assert(rows() === Set.empty)
+      // batch 2 advances the watermark to 10:09-5min = 10:04: u1's
+      // view@10:01+click@10:02 and u2's view@10:03 commit (the timeout
+      // wake-up flushes them); u1's purchase@10:09 and u2's now-valid
+      // click@10:08 sit above the watermark, pending
       input.addData(TypedEvent(ts(9), 1, "purchase"), TypedEvent(ts(8), 2, "click"))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 0, "view"), (1L, 1, "click"), (2L, 0, "view")))
+      // batch 3 advances the watermark to 10:15: u1 commits purchase@10:09
+      // (the MIN eligible — not this batch's 10:20 duplicate), completes,
+      // and drops state; u2 commits click@10:08
+      input.addData(TypedEvent(ts(20), 1, "purchase"))
       q.processAllAvailable()
       assert(rows() === Set(
         (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
         (2L, 0, "view"), (2L, 1, "click")))
-      // u1 completed -> state dropped -> a second purchase emits nothing
-      input.addData(TypedEvent(ts(20), 1, "purchase"))
+      // u1 completed -> state dropped -> nothing more ever emits for u1
+      input.addData(TypedEvent(ts(40), 1, "purchase"))
       q.processAllAvailable()
       assert(rows().count(_._1 == 1L) === 3)
     } finally q.stop()
@@ -320,14 +332,55 @@ class StreamingPipelinesSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(rows() === Set.empty)
       // batch 2: the VIEW arrives late (ts 2 < click's ts 5, inside the
-      // watermark) — both stages must now fire from the buffered click
+      // watermark); batch 3: the purchase. Still nothing emits — the
+      // watermark (10:09-10min = 09:59) hasn't passed any candidate, so
+      // every stage is still revisable by an even-earlier in-watermark event
       input.addData(TypedEvent(ts(2), 3, "view"))
       q.processAllAvailable()
-      assert(rows() === Set((3L, 0, "view"), (3L, 1, "click")))
-      // batch 3: purchase completes the funnel using the replayed ordering
       input.addData(TypedEvent(ts(9), 3, "purchase"))
       q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // batch 4: an unrelated user pushes the watermark to 10:20 — u3's
+      // whole buffered chain commits in replayed order and completes
+      input.addData(TypedEvent(ts(30), 99, "view"))
+      q.processAllAvailable()
       assert(rows() === Set((3L, 0, "view"), (3L, 1, "click"), (3L, 2, "purchase")))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: in-watermark reorder matches batch (round-3 ADVICE counterexample)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(input.toDS(), watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_reorder_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: u7 view@10:10. An eager-commit funnel would lock stage 0
+      // to 10:10 here, and u7 could then never convert.
+      input.addData(TypedEvent(ts(10), 7, "view"))
+      q.processAllAvailable()
+      // batch 2: view@10:02 + click@10:05, both INSIDE the watermark
+      // (10:00). Batch semantics (q_funnel's greedy min-chain) converts via
+      // view@10:02 -> click@10:05.
+      input.addData(TypedEvent(ts(2), 7, "view"), TypedEvent(ts(5), 7, "click"))
+      q.processAllAvailable()
+      // batch 3: push the watermark past the candidates; delayed commit
+      // must reproduce the batch result — stage 0 at 10:02 (NOT 10:10),
+      // stage 1 at 10:05
+      input.addData(TypedEvent(ts(30), 99, "view"))
+      q.processAllAvailable()
+      val u7 = spark
+        .table("funnel_reorder_out")
+        .collect()
+        .filter(_.getLong(0) == 7L)
+        .map(r => (r.getInt(1), r.getString(2), r.getTimestamp(3)))
+        .toSet
+      assert(u7 === Set((0, "view", ts(2)), (1, "click", ts(5))))
     } finally q.stop()
   }
 
