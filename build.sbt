@@ -35,3 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Connector packaging — parity with the reference's shaded-jar deliverable
+// (pom.xml:103-145). The reference must SHADE because it bundles the Pulsar
+// client + its transitive tree next to Pinot's classpath; this connector's
+// every dependency is Spark itself, provided by any cluster, so the plain
+// package jar (library classes + the META-INF/services DataSourceRegister
+// entry that resolves format("graft-events")) is already the complete
+// `--jars` artifact — no relocation needed, nothing to shade. If a
+// third-party client were ever added, swap this alias for sbt-assembly
+// (unresolvable in this zero-egress build env).
+lazy val assembly = taskKey[File]("Build the connector jar for spark-submit --jars")
+assembly := (Compile / packageBin).value

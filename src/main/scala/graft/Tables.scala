@@ -61,6 +61,22 @@ object Tables {
   lazy val noArtifactCache: Boolean =
     sys.env.get("GRAFT_NO_ARTIFACT_CACHE").exists(_.nonEmpty)
 
+  /** Durable root for build-once artifacts (dedup signatures/pairs, IVF
+    * assignments/centroids). Unset (the bench default) keeps artifacts as
+    * session-scoped `localCheckpoint` blocks — fast, but an executor loss
+    * fails later reuses. Set `-Dgraft.artifact.root=...` (or
+    * GRAFT_ARTIFACT_ROOT) to route builds through the [[graft.sources.Sinks]]
+    * layouts onto durable storage instead: first use writes the artifact
+    * (partition-pruned / range-clustered parquet), every later use — in
+    * this session or any other — reads it back. A `def`, not a lazy val,
+    * so tests (and long-lived services) can redirect the root at runtime.
+    */
+  def artifactRoot: Option[String] =
+    sys.props.get("graft.artifact.root").orElse(sys.env.get("GRAFT_ARTIFACT_ROOT")).filter(_.nonEmpty)
+
+  /** Filesystem-safe key for an sfDir used under [[artifactRoot]]. */
+  def artifactDirKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Rebalance a small pre-explode frame across the cluster before a
     * compute-heavy fan-out stage (shingle/token/component explode feeding
     * hashing or decimal aggregation).

@@ -53,6 +53,15 @@ object Dedup {
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), org.apache.spark.sql.DataFrame]()
 
+  /** Range-cluster key per durable artifact — the id a downstream join or
+    * probe filters on, so parquet footer stats prune the read-back scan.
+    */
+  private val durableKey = Map(
+    "minhash_sig"   -> "doc_id",
+    "minhash_pairs" -> "doc_a",
+    "simhash"       -> "doc_id"
+  )
+
   private def cached(s: org.apache.spark.sql.SparkSession, dir: String, name: String)(
       build: => org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame =
@@ -60,10 +69,23 @@ object Dedup {
     else {
       // build OUTSIDE the map update: computeIfAbsent re-enters this map
       // when one cached artifact builds on another (pairs -> signatures)
-      // and ConcurrentHashMap throws "Recursive update" on nesting
-      val key = (s, dir, name)
+      // and ConcurrentHashMap throws "Recursive update" on nesting.
+      // The artifact root is part of the key: pointing a session at a
+      // different durable root must rebuild/re-read, not serve the old blocks.
+      val root = graft.Tables.artifactRoot
+      val key  = (s, s"$dir|${root.getOrElse("")}", name)
       Option(artifactCache.get(key)).getOrElse {
-        val built = build.localCheckpoint()
+        val built = root match {
+          // durable mode: first use writes the artifact through the Sinks
+          // range-clustered layout, then (and on every later use, across
+          // sessions) serves the read-back parquet
+          case Some(r) =>
+            val path = s"$r/${graft.Tables.artifactDirKey(dir)}/$name"
+            graft.sources.Sinks.durableArtifact(s, path)(p =>
+              graft.sources.Sinks.writeRangeSorted(build, p, durableKey(name), 4)
+            )
+          case None => build.localCheckpoint()
+        }
         Option(artifactCache.putIfAbsent(key, built)).getOrElse(built)
       }
     }

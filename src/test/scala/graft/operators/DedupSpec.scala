@@ -115,6 +115,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.pairsFromSignatures(sig).count() === 60L * 59 / 2)
   }
 
+  test("durable artifact: signatures + pairs written via Sinks, pairs query served from read-back") {
+    val baseline = graft.SparkEntry
+      .queries("q_dedup_minhash_pairs")(spark, graft.TestSpark.sfDir)
+      .collect()
+      .map(_.toString)
+      .toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    System.setProperty("graft.artifact.root", root)
+    try {
+      val durable = graft.SparkEntry
+        .queries("q_dedup_minhash_pairs")(spark, graft.TestSpark.sfDir)
+        .collect()
+        .map(_.toString)
+        .toSeq
+      assert(durable === baseline, "pairs from the durable artifact must match the in-session result")
+      val dirKey = graft.Tables.artifactDirKey(graft.TestSpark.sfDir)
+      Seq("minhash_sig", "minhash_pairs").foreach { name =>
+        assert(
+          new java.io.File(s"$root/$dirKey/$name/_SUCCESS").exists,
+          s"committed $name artifact missing"
+        )
+      }
+    } finally System.clearProperty("graft.artifact.root")
+  }
+
   test("short documents (< shingle width) fall back to whole-text shingle") {
     import TextShared._
     val out = Seq((9L, "tiny doc", "en", "s"))

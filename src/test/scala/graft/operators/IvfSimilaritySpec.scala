@@ -26,4 +26,36 @@ class IvfSimilaritySpec extends AnyFunSuite {
       assert(p2 >= p1, s"rank $i: nprobe=2 ($p2) must be >= nprobe=1 ($p1)")
     }
   }
+
+  test("durable artifact: index written via Sinks inverted-file layout, probe served from read-back") {
+    // baseline from the session-scoped (localCheckpoint) path
+    val baseline = SparkEntry
+      .queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+      .collect()
+      .map(_.toString)
+      .toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    System.setProperty("graft.artifact.root", root)
+    try {
+      // the root is part of the cache key, so this build goes durable:
+      // write-once through Sinks, then the probe runs against the read-back
+      val durable = SparkEntry
+        .queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+        .collect()
+        .map(_.toString)
+        .toSeq
+      assert(durable === baseline, "probe from the durable artifact must match the in-session result")
+      val dirKey = graft.Tables.artifactDirKey(TestSpark.sfDir)
+      val idx = new java.io.File(s"$root/$dirKey/ivf_assignments")
+      assert(new java.io.File(idx, "_SUCCESS").exists, "committed artifact marker missing")
+      // the on-disk shape IS the inverted file: one hive partition per cluster
+      val cidDirs = idx.list().filter(_.startsWith("cid="))
+      assert(cidDirs.length === IvfSimilarity.K, s"expected ${IvfSimilarity.K} cid= partitions, got ${cidDirs.mkString(",")}")
+      assert(new java.io.File(s"$root/$dirKey/ivf_cent2/_SUCCESS").exists, "centroid artifact missing")
+      // a separate consumer (fresh read, no graft caches) can probe it
+      val reread = spark.read.parquet(idx.toString)
+      assert(reread.columns.toSet === Set("vec_id", "dist", "cid"))
+      assert(reread.count() > 0)
+    } finally System.clearProperty("graft.artifact.root")
+  }
 }
