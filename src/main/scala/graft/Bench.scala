@@ -3,13 +3,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Prints ONE compact JSON line (last) for the driver.
   *
-  * Best-of-N protocol (round-5 directive): each query runs `GRAFT_BENCH_RUNS`
-  * times (default 3) and the per-query time is the MIN across runs. BENCH_r04
-  * demonstrated a 43% single-sample swing on a shared host (140.0s artifact vs
-  * 97.5s re-run of identical code); min-of-N absorbs host contention and JIT /
-  * codegen warmup so the round artifact measures the code, not the neighbors.
-  * The headline `value` is the sum of per-query mins; `total_median` /
-  * `total_max` / `spread_pct` expose the noise envelope so a reader can judge
+  * Best-of-N protocol (round-5 directive): the suite runs as up to
+  * `GRAFT_BENCH_RUNS` (default 3) FULL PASSES over all queries, and each
+  * query reports its MIN across passes. BENCH_r04 demonstrated a 43%
+  * single-sample swing on a shared host (140.0s artifact vs 97.5s re-run of
+  * identical code); min-of-N absorbs host contention and JIT/codegen warmup
+  * so the round artifact measures the code, not the neighbors. Passes (not
+  * per-query reps) because pass 1 alone is already a complete artifact:
+  * `GRAFT_BENCH_BUDGET_SEC` (default 600) is checked between passes, so a
+  * badly contended host degrades to fewer passes instead of a truncated
+  * result. The headline `value` is the sum of per-query mins;
+  * `runs_done` / `total_median` / `total_max` / `spread_pct` expose how
+  * many passes ran and the noise envelope, so a reader can judge
   * measurement quality from the artifact alone.
   */
 object Bench {
@@ -17,6 +22,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt)
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "600").toInt
     val spark = Tables.localSession("graft-bench", cpus)
     // session warm-up outside the timed region: JIT, codegen, parquet footers,
     // and the one-time event-log materialization (fixture setup, not query work)
@@ -27,27 +33,32 @@ object Bench {
       .foreach(_.write.format("noop").mode("overwrite").save())
     operators.SourceQueries.logDirFor(spark, sfDir)
     operators.StarTree.cubeDirFor(spark, sfDir)
-    // per-query: `runs` timed samples back-to-back; keep min (steady-state)
-    // and all samples (for the spread stats). GC once per query, not per
-    // sample — the cleaner pass is inter-query hygiene, not part of the work.
-    val samples: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ts = (1 to runs).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
+    val suiteStart = System.nanoTime()
+    var runsDone = 0
+    while (runsDone < runs && (runsDone == 0 || (System.nanoTime() - suiteStart) / 1e9 < budgetSec)) {
+      names.foreach { name =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune computed
         // columns for select-shaped queries (under-measuring vs the oracle's
         // full fetch); the noop writer executes every column of the plan
-        val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         // a failed query must be visibly failed, not silently folded into the
         // total as if it did the work: report -1 instead of its partial time
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        samples(name) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        // let the ContextCleaner reclaim finished broadcasts/shuffles so late
+        // queries aren't taxed by 50+ predecessors' accumulated state — on
+        // pass 1 only; later passes re-create far less (plans/broadcasts are
+        // reused) and a full GC per query would cost more than it reclaims
+        if (runsDone == 0) System.gc()
       }
-      // let the ContextCleaner reclaim finished broadcasts/shuffles so late
-      // queries aren't taxed by 50+ predecessors' accumulated state
+      runsDone += 1
       System.gc()
-      name -> ts
     }
-    val results: Map[String, Double] = samples.map { case (name, ts) =>
+    val results: Map[String, Double] = names.map { name =>
+      val ts = samples(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     // Locale.ROOT: the f-interpolator honors the default locale, and a
@@ -57,19 +68,19 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.values.count(_ < 0)
-    val ok = samples.filter(_._2.forall(_ >= 0))
+    val ok = names.map(samples).filter(_.forall(_ >= 0))
     val total = results.values.filter(_ >= 0).sum
-    // spread stats over per-query samples: total if every query hit its
+    // spread stats over per-query samples: the total if every query hit its
     // median / worst sample. spread_pct = (worst - best) / best.
     def med(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
-    val totalMedian = ok.map { case (_, ts) => med(ts) }.sum
-    val totalMax = ok.map { case (_, ts) => ts.max }.sum
+    val totalMedian = ok.map(med).sum
+    val totalMax = ok.map(_.max).sum
     val spreadPct = if (total > 0) 100.0 * (totalMax - total) / total else 0.0
     // Detailed line first (may exceed the driver's ~2000-char stdout tail
     // window and lose its head there), then a compact line LAST that always
     // fits the window whole — round 1's single long line parsed as nothing.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs":$runs,"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
