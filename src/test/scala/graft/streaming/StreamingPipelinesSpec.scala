@@ -384,6 +384,61 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: mid-funnel state survives checkpoint restart (FunnelState encoder round-trip)") {
+    // The FunnelState scaladoc pins checkpoint compatibility; this proves
+    // the positive half: a user whose pending buffer was checkpointed
+    // mid-funnel completes correctly in a NEW query instance restarted
+    // from the same checkpoint (state-store round-trip of the encoder).
+    import spark.implicits._
+    val inDir  = java.nio.file.Files.createTempDirectory("graft-funnel-in").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-funnel-out").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, user_id long, event_type string")
+        .parquet(inDir)
+        .as[TypedEvent]
+      val q = StreamingPipelines
+        .streamingFunnel(stream, watermark = "5 minutes")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def outRows() = spark.read
+      .schema("user_id long, stage int, stage_name string, ts timestamp")
+      .parquet(outDir)
+      .collect()
+
+    // run 1: u1 reaches view+click, but the watermark (10:02-5min) hasn't
+    // passed them — both are checkpointed PENDING, nothing emitted
+    Seq(TypedEvent(ts(1), 1, "view"), TypedEvent(ts(2), 1, "click"))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(outRows().isEmpty, "delayed commit: nothing may emit before the watermark passes")
+
+    // run 2 (new query instance, same checkpoint): purchase arrives and a
+    // sentinel pushes the watermark past all of u1's candidates
+    Seq(TypedEvent(ts(9), 1, "purchase"), TypedEvent(ts(30), 9, "view"))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    // run 3: one more sentinel in case run 2's trailing watermark batch
+    // didn't fire under AvailableNow before termination
+    Seq(TypedEvent(ts(40), 9, "view"))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+
+    val u1 = outRows().filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getString(2), r.getTimestamp(3))).toSet
+    assert(
+      u1 === Set((0, "view", ts(1)), (1, "click", ts(2)), (2, "purchase", ts(9))),
+      "restarted query must complete the funnel from checkpointed pending state"
+    )
+  }
+
   test("idempotent foreachBatch sink: per-batch dirs, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
