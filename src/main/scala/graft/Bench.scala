@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   * identical code); min-of-N absorbs host contention and JIT/codegen warmup
   * so the round artifact measures the code, not the neighbors. Passes (not
   * per-query reps) because pass 1 alone is already a complete artifact:
-  * `GRAFT_BENCH_BUDGET_SEC` (default 600) is checked between passes, so a
+  * `GRAFT_BENCH_BUDGET_SEC` (default 400) is checked between passes, so a
   * badly contended host degrades to fewer passes instead of a truncated
-  * result. The headline `value` is the sum of per-query mins;
+  * result (400s default: three typical sf0.1 passes fit; a 40%-degraded
+  * host still completes two). The headline `value` is the sum of per-query
+  * mins;
   * `runs_done` / `total_median` / `total_max` / `spread_pct` expose how
   * many passes ran and the noise envelope, so a reader can judge
   * measurement quality from the artifact alone.
@@ -22,7 +24,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt)
-    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "600").toInt
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "400").toInt
     val spark = Tables.localSession("graft-bench", cpus)
     // session warm-up outside the timed region: JIT, codegen, parquet footers,
     // and the one-time event-log materialization (fixture setup, not query work)
