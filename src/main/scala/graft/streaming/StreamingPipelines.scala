@@ -210,11 +210,22 @@ object StreamingPipelines {
     * after the watermark, above the dead event's time), and the whole
     * state is REMOVED once the user completes the final stage — steady
     * state holds in-flight users.
+    *
+    * `idleTimeout` bounds the one remaining unbounded class: users who
+    * started but never finish (their committed-stage vector would
+    * otherwise live forever). When set, a user with NO pending candidates
+    * whose state sees no activity for `idleTimeout` past the watermark is
+    * dropped — a later stage event then finds no predecessor and the user
+    * never converts, exactly as if they had timed out of the product
+    * funnel. None (the default) preserves match-batch-forever semantics;
+    * at 100 TB with churn-heavy traffic, set it to the business's
+    * conversion horizon.
     */
   def streamingFunnel(
       events: Dataset[TypedEvent],
       stages: Seq[String] = Seq("view", "click", "purchase"),
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      idleTimeout: Option[java.time.Duration] = None
   ): Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -227,6 +238,18 @@ object StreamingPipelines {
           val st      = state.getOption.getOrElse(FunnelState(Seq.empty))
           var reached = st.reachedMs
           val wm      = state.getCurrentWatermarkMs()
+          // an idle-TTL expiry: the timeout fired with nothing pending —
+          // there is no commit to flush, the user is simply stale. Gated on
+          // idleTimeout: with TTL on, every state.update re-arms either a
+          // flush timeout (pending) or the idle timeout (not), so a firing
+          // with empty pending is always a genuine expiry; with TTL off, a
+          // stale flush timeout (armed, then pending drained by a data
+          // batch) may still fire — it falls through to the main path as a
+          // harmless no-op that preserves state
+          if (state.hasTimedOut && st.pendingStage.isEmpty && idleTimeout.isDefined) {
+            state.remove()
+            Iterator.empty
+          } else {
           // candidate pool: buffered events + this batch's funnel-stage
           // events (none on a timeout invocation), in (stage, event-time)
           // order; commits always take the eligible minimum
@@ -267,12 +290,16 @@ object StreamingPipelines {
               state.update(FunnelState(reached, kept.map(_._1), kept.map(_._2)))
               // wake up when the watermark passes the earliest candidate so
               // delayed commits flush without waiting for new user data
-              // (timeout must sit strictly above the current watermark)
+              // (timeout must sit strictly above the current watermark);
+              // with nothing pending, arm the idle TTL instead (if set)
               if (kept.nonEmpty)
                 state.setTimeoutTimestamp(math.max(kept.map(_._2).min, wm + 1))
+              else
+                idleTimeout.foreach(d => state.setTimeoutTimestamp(wm + math.max(1L, d.toMillis)))
             } else state.remove()
           }
           out.result().iterator
+          }
       }
   }
 

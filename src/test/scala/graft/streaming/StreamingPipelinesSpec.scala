@@ -384,6 +384,50 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: idleTimeout expires stale mid-funnel users (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(
+        input.toDS(),
+        watermark = "5 minutes",
+        idleTimeout = Some(java.time.Duration.ofMinutes(5))
+      )
+      .writeStream
+      .format("memory")
+      .queryName("funnel_ttl_out")
+      .outputMode("append")
+      .start()
+    def u5rows() = spark
+      .table("funnel_ttl_out")
+      .collect()
+      .filter(_.getLong(0) == 5L)
+      .map(r => (r.getInt(1), r.getString(2)))
+      .toSet
+    try {
+      // u5 views, then goes idle
+      input.addData(TypedEvent(ts(1), 5, "view"))
+      q.processAllAvailable()
+      // watermark passes the view -> stage 0 commits; nothing pending, so
+      // the idle TTL arms
+      input.addData(TypedEvent(ts(30), 99, "view"))
+      q.processAllAvailable()
+      assert(u5rows() === Set((0, "view")))
+      // watermark passes the idle deadline -> u5's state is dropped
+      input.addData(TypedEvent(ts(45), 99, "view"))
+      q.processAllAvailable()
+      // u5 returns AFTER expiry: the click/purchase find no committed view
+      // (state was dropped), so the funnel cannot progress — expired users
+      // never convert, and their state does not linger
+      input.addData(TypedEvent(ts(50), 5, "click"), TypedEvent(ts(55), 5, "purchase"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(ts(59), 99, "view"))
+      q.processAllAvailable()
+      assert(u5rows() === Set((0, "view")), "expired user must not resume the funnel")
+    } finally q.stop()
+  }
+
   test("streaming funnel: mid-funnel state survives checkpoint restart (FunnelState encoder round-trip)") {
     // The FunnelState scaladoc pins checkpoint compatibility; this proves
     // the positive half: a user whose pending buffer was checkpointed
