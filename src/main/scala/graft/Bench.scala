@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark entrypoint. Prints ONE compact JSON line (last) for the driver.
   *
   * Best-of-N protocol (round-5 directive): the suite runs as up to
-  * `GRAFT_BENCH_RUNS` (default 3) FULL PASSES over all queries, and each
+  * `GRAFT_BENCH_RUNS` (default 4) FULL PASSES over all queries, and each
   * query reports its MIN across passes. BENCH_r04 demonstrated a 43%
   * single-sample swing on a shared host (140.0s artifact vs 97.5s re-run of
   * identical code); min-of-N absorbs host contention and JIT/codegen warmup
@@ -23,7 +23,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt)
+    val runs = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "4").toInt)
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "400").toInt
     val spark = Tables.localSession("graft-bench", cpus)
     // session warm-up outside the timed region: JIT, codegen, parquet footers,
