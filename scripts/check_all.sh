@@ -22,3 +22,9 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch 'runMain graft.Bench' | grep 
 
 echo "== duckdb head-to-head on the same oracles (sf0.1)"
 python3 scripts/bench_compare.py "$OUT" /root/testdata/sf0.1
+
+echo "== connector jar (service-file packaging)"
+sbt -batch assembly
+unzip -l target/scala-2.13/pinotpulsarpluginspark_*.jar \
+  | grep -q org.apache.spark.sql.sources.DataSourceRegister \
+  && echo "jar carries DataSourceRegister service entry"
