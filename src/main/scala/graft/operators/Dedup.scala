@@ -57,9 +57,10 @@ object Dedup {
     * probe filters on, so parquet footer stats prune the read-back scan.
     */
   private val durableKey = Map(
-    "minhash_sig"   -> "doc_id",
-    "minhash_pairs" -> "doc_a",
-    "simhash"       -> "doc_id"
+    "minhash_sig"       -> "doc_id",
+    "minhash_pairs"     -> "doc_a",
+    "simhash"           -> "doc_id",
+    "jaccard_shingles"  -> "doc_id"
   )
 
   private def cached(s: org.apache.spark.sql.SparkSession, dir: String, name: String)(
@@ -408,19 +409,26 @@ object Dedup {
       "q_dedup_jaccard",
       "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
       (s, dir) => {
-        val docs = Tables.fanout(Tables.documents(s, dir))
-        // join on a 16-hex md5 prefix of the shingle, not the raw string:
-        // same equality result (both engines hash identically; collisions
-        // are ~2^-64 at this cardinality) with a fixed-width 16-byte shuffle
-        // key instead of ~40-byte shingle text
-        val sh = docs.select(
-          col("doc_id"),
-          col("lang"),
-          col("source"),
-          explode(array_distinct(shingles(col("text")))).as("sh_raw")
-        ).select(col("doc_id"), col("lang"), col("source"), substring(md5(col("sh_raw")), 1, 16).as("sh"))
+        // the exploded-shingle frame is referenced THREE times in this plan
+        // (common + two sizes joins) and Catalyst duplicates the subtree, so
+        // it goes through the build-once artifact cache like the MinHash
+        // signatures (measured 1.14s -> 0.85s at sf0.1; durable-mode
+        // range-sorts it on doc_id like the other dedup artifacts)
+        val sh = cached(s, dir, "jaccard_shingles") {
+          val docs = Tables.fanout(Tables.documents(s, dir))
+          // join on a 16-hex md5 prefix of the shingle, not the raw string:
+          // same equality result (both engines hash identically; collisions
+          // are ~2^-64 at this cardinality) with a fixed-width 16-byte
+          // shuffle key instead of ~40-byte shingle text
+          docs.select(
+            col("doc_id"),
+            col("lang"),
+            col("source"),
+            explode(array_distinct(shingles(col("text")))).as("sh_raw")
+          ).select(col("doc_id"), col("lang"), col("source"), substring(md5(col("sh_raw")), 1, 16).as("sh"))
+        }
         // derive set sizes from the exploded frame rather than re-running the
-        // CodegenFallback shingle lambda per row (and AQE can reuse the scan)
+        // CodegenFallback shingle lambda per row
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         // bucket-grouped pair counting, not an exploded-shingle self-join:
         // the self-join recomputed the shingle+md5 pipeline per side; one
