@@ -121,7 +121,11 @@ object Sinks {
     * caching: survives session restarts and executor loss, and a probe
     * job can run against an index built by an earlier job. The `_SUCCESS`
     * check makes a torn write (job killed mid-write) rebuild rather than
-    * serve a partial artifact.
+    * serve a partial artifact (the overwrite-mode rewrite clears any
+    * partial files). Single-writer assumption: two jobs building the SAME
+    * missing artifact concurrently race the overwrite — coordinate builds
+    * (or pre-build) as with any non-transactional parquet output; readers
+    * of a committed artifact are unaffected.
     */
   def durableArtifact(
       spark: org.apache.spark.sql.SparkSession,

@@ -58,4 +58,30 @@ class IvfSimilaritySpec extends AnyFunSuite {
       assert(reread.count() > 0)
     } finally System.clearProperty("graft.artifact.root")
   }
+
+  test("durable artifact: torn write (no _SUCCESS) rebuilds instead of serving partials") {
+    val baseline = SparkEntry
+      .queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+      .collect()
+      .map(_.toString)
+      .toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val dirKey = graft.Tables.artifactDirKey(TestSpark.sfDir)
+    // simulate a job killed mid-write: artifact dir exists with stray data
+    // but no _SUCCESS commit marker
+    val idx = new java.io.File(s"$root/$dirKey/ivf_assignments")
+    assert(idx.mkdirs())
+    java.nio.file.Files.write(idx.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    System.setProperty("graft.artifact.root", root)
+    try {
+      val rebuilt = SparkEntry
+        .queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+        .collect()
+        .map(_.toString)
+        .toSeq
+      assert(rebuilt === baseline, "torn artifact must be rebuilt, not served")
+      assert(new java.io.File(idx, "_SUCCESS").exists, "rebuild must commit")
+      assert(!new java.io.File(idx, "part-garbage.parquet").exists, "overwrite must clear partial files")
+    } finally System.clearProperty("graft.artifact.root")
+  }
 }
