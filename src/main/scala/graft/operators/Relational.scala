@@ -330,6 +330,47 @@ object Relational {
       None
     ),
     QueryDef(
+      "q_kmv_distinct",
+      "KMV (k-minimum-values) distinct sketch, the theta-sketch estimator class (Pinot DISTINCTCOUNTTHETASKETCH): mergeable typed Aggregator over md5-derived uniform hashes — the estimate is an order statistic of engine-reproducible hashes, so unlike HLL the oracle recomputes it EXACTLY (hash-match, not rows-only)",
+      (s, dir) => {
+        val kmv = graft.functions.KmvSketch.register(s, 256)
+        // 32-bit md5 prefix as an exact uniform double in [0,1): bit-identical
+        // in both engines (q_sample_weighted precedent)
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        Tables
+          .lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_exact"),
+            // transcendental-free order statistic: exact hashes in, one IEEE
+            // division out — round(4) only as repr insurance
+            round(expr(s"$kmv(h)"), 4).as("kmv_est")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH hashed AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    ('0x' || substring(md5(cast(l_partkey as varchar)), 1, 8))::bigint / 4294967296.0 AS h
+             |  FROM lineitem),
+             |ranked AS (
+             |  SELECT l_returnflag, h,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+             |    count(1) OVER (PARTITION BY l_returnflag) AS nh
+             |  FROM hashed),
+             |est AS (
+             |  SELECT l_returnflag,
+             |    CASE WHEN max(nh) < 256 THEN cast(max(nh) as double)
+             |         ELSE 255.0 / max(CASE WHEN rn = 256 THEN h END) END AS kmv_est
+             |  FROM ranked GROUP BY l_returnflag),
+             |exact AS (
+             |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT e.l_returnflag, n_exact, round(kmv_est, 4) AS kmv_est
+             |FROM exact e JOIN est USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
       "q_rollup",
       "ROLLUP grouping sets with grouping() indicators",
       (s, dir) =>

@@ -63,6 +63,61 @@ class RelationalSketchSpec extends AnyFunSuite {
     }
   }
 
+  /** KMV sketch semantics (`q_kmv_distinct` is oracle-exact, but these
+    * properties live above any single query): estimates are independent of
+    * partitioning (the mergeability that makes partial aggregation valid),
+    * within the ~1/sqrt(k-2) error of exact, and merged sketches support
+    * intersection estimation.
+    */
+  test("kmv sketch: partition-invariant (mergeable) and within error bound of exact") {
+    val kmv = graft.functions.KmvSketch.register(spark, 256)
+    val li  = Tables.lineitem(spark, TestSpark.sfDir)
+    val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    def est(parts: Int): Map[String, (Long, Double)] = li
+      .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+      .repartition(parts)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ex"), expr(s"$kmv(h)").as("est"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val one  = est(1)
+    val many = est(13)
+    assert(one === many, "estimate must not depend on partitioning (mergeable partials)")
+    assert(one.nonEmpty)
+    one.foreach { case (g, (ex, e)) =>
+      // se ~ 1/sqrt(k-2) = 6.3% at k=256; 20% is a ~3-sigma bound
+      assert(math.abs(e - ex) / ex < 0.2, s"group $g: kmv $e vs exact $ex")
+    }
+  }
+
+  test("kmv sketch: merge == sketch of union; duplicates don't re-count (unit)") {
+    val k  = new graft.functions.KmvSketch(8)
+    val xs = (1 to 50).map(i => i / 101.0)
+    val (a, b) = xs.splitAt(25)
+    val bufA = a.foldLeft(k.zero)(k.reduce)
+    val bufB = b.foldLeft(k.zero)(k.reduce)
+    assert(k.merge(bufA, bufB) === xs.foldLeft(k.zero)(k.reduce))
+    assert(k.reduce(bufA, a.head) === bufA, "re-adding a seen hash must not change the sketch")
+  }
+
+  test("kmv sketch: intersection/jaccard estimate from merged sketches (theta-sketch capability)") {
+    // A = 1..3000, B = 2001..5000: |A ∩ B| = 1000, |A ∪ B| = 5000, J = 0.2
+    def hash(i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    val k    = 256
+    val sk   = new graft.functions.KmvSketch(k)
+    val bufA = (1 to 3000).map(hash).foldLeft(sk.zero)(sk.reduce)
+    val bufB = (2001 to 5000).map(hash).foldLeft(sk.zero)(sk.reduce)
+    val (jac, inter) = graft.functions.KmvSketch.intersectionEstimate(bufA, bufB, k)
+    assert(math.abs(jac - 0.2) < 0.08, s"jaccard estimate $jac vs true 0.2")
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.25, s"intersection estimate $inter vs true 1000")
+  }
+
   /** Error-bound spec for `q_approx_percentile`: approx_percentile(accuracy
     * 10000) guarantees rank error <= 1/accuracy = 1e-4 and returns an actual
     * data element. We re-rank the returned element within its group and
