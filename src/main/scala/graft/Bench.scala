@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * `runs_done` / `total_median` / `total_max` / `spread_pct` expose how
   * many passes ran and the noise envelope, so a reader can judge
   * measurement quality from the artifact alone.
+  *
+  * `queries_cold` / `total_cold` (round-6 directive) are the PASS-1 times:
+  * min-of-N is the steady-state rerun number, which for build-once
+  * artifact-backed queries (IVF index, dedup signatures) legitimately
+  * measures a warm cache — the cold pass carries the build cost, and the
+  * repo's no-silent-caps rule requires both numbers in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,6 +75,14 @@ object Bench {
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // pass-1 per-query times: the no-silent-caps rule applied to the harness
+    // itself. min-of-N legitimately reports warm artifact caches for
+    // build-once queries (q_sim_ivf_build read 0.118s warm vs 5.86s cold in
+    // r05), so the COLD number must be in the artifact too — `queries` is
+    // "steady-state rerun", `queries_cold` is "first build included".
+    val qsCold = names.map { name =>
+      s"\"" + name + "\":" + r3(samples(name).headOption.getOrElse(-1.0))
+    }.mkString("{", ",", "}")
     val failed = results.values.count(_ < 0)
     val ok = names.map(samples).filter(_.forall(_ >= 0))
     val total = results.values.filter(_ >= 0).sum
@@ -81,7 +95,8 @@ object Bench {
     // Detailed line first (may exceed the driver's ~2000-char stdout tail
     // window and lose its head there), then a compact line LAST that always
     // fits the window whole — round 1's single long line parsed as nothing.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCold = names.map(samples(_).headOption.getOrElse(-1.0)).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":${r3(totalCold)},"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -50,6 +50,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("kmv_hashes"),
+        new ExpressionInfo(
+          classOf[functions.KmvHashes].getName,
+          "kmv_hashes",
+          "kmv_hashes(h, k) - k-minimum-values distinct sketch (theta-sketch family): sorted array of the k smallest distinct hashes"
+        ),
+        functions.KmvSketch.build(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         new ExpressionInfo(
           classOf[functions.RollingHash].getName,

@@ -74,8 +74,15 @@ object Tables {
   def artifactRoot: Option[String] =
     sys.props.get("graft.artifact.root").orElse(sys.env.get("GRAFT_ARTIFACT_ROOT")).filter(_.nonEmpty)
 
-  /** Filesystem-safe key for an sfDir used under [[artifactRoot]]. */
-  def artifactDirKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Filesystem-safe key for an sfDir used under [[artifactRoot]]. The
+    * sanitized form alone can collide ("/a/b" and "/a_b" both sanitize to
+    * "_a_b" — under a shared root the cache would then silently serve one
+    * dataset's signatures for another), so the raw string's hash is
+    * appended to make distinct dirs distinct keys.
+    */
+  def artifactDirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
 
   /** Rebalance a small pre-explode frame across the cluster before a
     * compute-heavy fan-out stage (shingle/token/component explode feeding

@@ -82,9 +82,21 @@ object Dedup {
           // sessions) serves the read-back parquet
           case Some(r) =>
             val path = s"$r/${graft.Tables.artifactDirKey(dir)}/$name"
-            graft.sources.Sinks.durableArtifact(s, path)(p =>
-              graft.sources.Sinks.writeRangeSorted(build, p, durableKey(name), 4)
-            )
+            graft.sources.Sinks.durableArtifact(s, path) { p =>
+              // capture the build plan's observe() counters (the LSH cap
+              // stats) and persist them next to _SUCCESS: reuse runs serve
+              // the parquet read-back, whose queryExecution carries no
+              // observed metrics — without this, capping would be invisible
+              // exactly in production (durable) mode
+              val frame = build
+              val hasMetrics = frame.queryExecution.analyzed.collectFirst {
+                case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m
+              }.isDefined
+              val metrics = graft.sources.Sinks.captureObservedMetrics(s, hasMetrics) {
+                graft.sources.Sinks.writeRangeSorted(frame, p, durableKey(name), 4)
+              }
+              if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)
+            }
           case None => build.localCheckpoint()
         }
         Option(artifactCache.putIfAbsent(key, built)).getOrElse(built)
@@ -143,8 +155,12 @@ object Dedup {
     * min-ids are the ids clustering keeps as labels/survivors). The drop is
     * NOT silent: the `graft.lsh_pairs` observed metric reports how many
     * buckets were capped and the largest bucket seen, so a pipeline can
-    * alert on capping instead of discovering it post-hoc. A true near-dup
-    * pair cut from one capped band can still surface from any of the other
+    * alert on capping instead of discovering it post-hoc. Observed metrics
+    * only fire on a plan that EXECUTES this pipeline — in durable-artifact
+    * mode reuse runs read parquet back instead, so the build run's counters
+    * are persisted as `_metrics.json` next to the artifact's `_SUCCESS`
+    * (see [[graft.sources.Sinks.writeMetricsJson]]). A true near-dup pair
+    * cut from one capped band can still surface from any of the other
     * NumBands-1 bands.
     */
   private[graft] def pairsFromSignatures(

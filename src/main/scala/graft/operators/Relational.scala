@@ -331,22 +331,33 @@ object Relational {
     ),
     QueryDef(
       "q_kmv_distinct",
-      "KMV (k-minimum-values) distinct sketch, the theta-sketch estimator class (Pinot DISTINCTCOUNTTHETASKETCH): mergeable typed Aggregator over md5-derived uniform hashes — the estimate is an order statistic of engine-reproducible hashes, so unlike HLL the oracle recomputes it EXACTLY (hash-match, not rows-only)",
+      "KMV (k-minimum-values) distinct sketch, the theta-sketch estimator class (Pinot DISTINCTCOUNTTHETASKETCH): mergeable primitive-buffer TypedImperativeAggregate over md5-derived uniform hashes — the estimate is an order statistic of engine-reproducible hashes, so unlike HLL the oracle recomputes it EXACTLY (hash-match, not rows-only)",
       (s, dir) => {
-        val kmv = graft.functions.KmvSketch.register(s, 256)
+        graft.functions.KmvSketch.register(s)
         // 32-bit md5 prefix as an exact uniform double in [0,1): bit-identical
         // in both engines (q_sample_weighted precedent)
         val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
           .cast("double") / lit(4294967296.0)
+        // hand-rolled two-phase distinct: dedupe (flag, partkey) FIRST, then
+        // count + sketch the survivors in ONE mixed aggregate. This is the
+        // expansion Catalyst would write for countDistinct anyway — but
+        // spelling it out (a) keeps the ObjectHashAggregate out of a
+        // multi-phase distinct rewrite (round 5's 3.7s plan: slowest in the
+        // suite), and (b) moves the md5 hash AFTER the dedupe, so it runs on
+        // ~distinct-keys rows instead of every lineitem row (~10x fewer).
         Tables
           .lineitem(s, dir)
-          .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
+          .select(col("l_returnflag"), h.as("h"))
           .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_partkey")).as("n_exact"),
+          .agg(count(lit(1)).as("n_exact"), expr("kmv_hashes(h, 256)").as("hs"))
+          .select(
+            col("l_returnflag"),
+            col("n_exact"),
             // transcendental-free order statistic: exact hashes in, one IEEE
             // division out — round(4) only as repr insurance
-            round(expr(s"$kmv(h)"), 4).as("kmv_est")
+            round(graft.functions.KmvSketch.estimate(col("hs"), 256), 4).as("kmv_est")
           )
           .orderBy(col("l_returnflag"))
       },
@@ -369,6 +380,61 @@ object Relational {
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT e.l_returnflag, n_exact, round(kmv_est, 4) AS kmv_est
              |FROM exact e JOIN est USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
+      "q_kmv_intersect",
+      "KMV theta-sketch SET OPERATION (the capability Pinot ships DISTINCTCOUNTTHETASKETCH for, and that HLL lacks): Jaccard + intersection estimate between two l_returnflag segments' part-key sets, from the merged k-minimum-values sketches — like q_kmv_distinct the result is an order statistic of engine-reproducible md5 hashes, so the oracle hash-matches it exactly",
+      (s, dir) => {
+        graft.functions.KmvSketch.register(s)
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        // dedupe before hashing (q_kmv_distinct's trick): md5 runs on the
+        // ~distinct (flag, partkey) pairs, not every matching lineitem row
+        val sk = Tables
+          .lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
+          .select(col("l_returnflag"), h.as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("kmv_hashes(h, 256)").as("hs"))
+        // two 1-row frames; the crossJoin is a broadcast of a single sketch
+        // array (the q_sim_ivf_probe precedent) — NOT a data-scale cartesian
+        val a = sk.filter(col("l_returnflag") === "A").select(col("hs").as("hs_a"))
+        val b = sk.filter(col("l_returnflag") === "N").select(col("hs").as("hs_b"))
+        val (jaccard, unionEst, interEst) =
+          graft.functions.KmvSketch.intersectColumns(col("hs_a"), col("hs_b"), 256)
+        a.crossJoin(broadcast(b))
+          .select(
+            round(jaccard, 4).as("jaccard_est"),
+            round(unionEst, 4).as("union_est"),
+            round(interEst, 4).as("intersect_est")
+          )
+      },
+      Some("""WITH hashed AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    ('0x' || substring(md5(cast(l_partkey as varchar)), 1, 8))::bigint / 4294967296.0 AS h
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+             |topk AS (
+             |  SELECT l_returnflag, h FROM (
+             |    SELECT l_returnflag, h,
+             |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+             |    FROM hashed)
+             |  WHERE rn <= 256),
+             |u AS (SELECT DISTINCT h FROM topk ORDER BY h LIMIT 256),
+             |stats AS (
+             |  SELECT count(1) AS nu, max(h) AS hk,
+             |    count(1) FILTER (
+             |      WHERE h IN (SELECT h FROM topk WHERE l_returnflag = 'A')
+             |        AND h IN (SELECT h FROM topk WHERE l_returnflag = 'N')) AS nboth
+             |  FROM u),
+             |est AS (
+             |  SELECT cast(nboth as double) / nu AS jaccard,
+             |    CASE WHEN nu < 256 THEN cast(nu as double) ELSE 255.0 / hk END AS union_est
+             |  FROM stats)
+             |SELECT round(jaccard, 4) AS jaccard_est, round(union_est, 4) AS union_est,
+             |  round(jaccard * union_est, 4) AS intersect_est
+             |FROM est""".stripMargin)
     ),
     QueryDef(
       "q_rollup",

@@ -122,10 +122,18 @@ object Sinks {
     * job can run against an index built by an earlier job. The `_SUCCESS`
     * check makes a torn write (job killed mid-write) rebuild rather than
     * serve a partial artifact (the overwrite-mode rewrite clears any
-    * partial files). Single-writer assumption: two jobs building the SAME
-    * missing artifact concurrently race the overwrite — coordinate builds
-    * (or pre-build) as with any non-transactional parquet output; readers
-    * of a committed artifact are unaffected.
+    * partial files).
+    *
+    * Concurrency: WITHIN a process, first-builds of the same path are
+    * serialized on a per-path lock — two threads racing the same missing
+    * artifact (e.g. parallel first-uses of the dedup cache in one session)
+    * would otherwise both pass the exists check and interleave two
+    * SaveMode.Overwrite writes into one `_SUCCESS`-marked directory that
+    * then serves a silent mix of both writers' files. ACROSS jobs the
+    * single-writer assumption stands: two separate JVMs building the same
+    * missing artifact still race the overwrite — coordinate builds (or
+    * pre-build) as with any non-transactional parquet output; readers of a
+    * committed artifact are unaffected.
     */
   def durableArtifact(
       spark: org.apache.spark.sql.SparkSession,
@@ -133,8 +141,89 @@ object Sinks {
   )(write: String => Unit): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS"))) write(path)
+    buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS"))) write(path)
+    }
     spark.read.parquet(path)
+  }
+
+  /** Per-artifact-path build locks for [[durableArtifact]]'s in-process
+    * exists-then-write window. Unbounded only in the number of distinct
+    * artifact paths a session touches (small by construction).
+    */
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `action` (typically an artifact write) and return any `observe()`
+    * metrics its query reported. Batch `observe()` metrics surface on the
+    * WRITE command's own QueryExecution — not on the source frame's — so
+    * the only public consumption path is a [[QueryExecutionListener]].
+    * Listener delivery is asynchronous; when `expectMetrics` is set (the
+    * caller saw a CollectMetrics node in the plan) this polls briefly for
+    * the metrics to land rather than returning an empty map that would
+    * then be persisted as "no capping happened".
+    */
+  def captureObservedMetrics(
+      spark: org.apache.spark.sql.SparkSession,
+      expectMetrics: Boolean
+  )(action: => Unit): Map[String, org.apache.spark.sql.Row] = {
+    val captured = scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long
+      ): Unit = qe.observedMetrics.foreach { case (k, v) => captured.put(k, v) }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception
+      ): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      action
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (expectMetrics && captured.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(25)
+    } finally spark.listenerManager.unregister(listener)
+    captured.toMap
+  }
+
+  /** Persist observed metrics as `_metrics.json` inside an artifact
+    * directory (underscore prefix: parquet readers ignore it). This is the
+    * no-silent-caps rule surviving durable mode: the `graft.lsh_pairs`
+    * capping counters only fire on the plan that BUILDS the artifact, so a
+    * later session served the parquet read-back would otherwise have no way
+    * to see that the build capped buckets.
+    */
+  def writeMetricsJson(
+      spark: org.apache.spark.sql.SparkSession,
+      artifactPath: String,
+      metrics: Map[String, org.apache.spark.sql.Row]
+  ): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    def jsonVal(v: Any): String = v match {
+      case null                  => "null"
+      case n: java.lang.Number   => n.toString
+      case b: java.lang.Boolean  => b.toString
+      case other                 => "\"" + esc(other.toString) + "\""
+    }
+    val body = metrics.toSeq.sortBy(_._1).map { case (name, row) =>
+      val fields = row.schema.fieldNames
+        .zip(row.toSeq)
+        .map { case (f, v) => "\"" + esc(f) + "\":" + jsonVal(v) }
+      "\"" + esc(name) + "\":" + fields.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val out = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(artifactPath), "_metrics.json")
+    val fs  = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os  = fs.create(out, true)
+    try os.write(body.getBytes("UTF-8"))
+    finally os.close()
   }
 
   /** Compact a fragmented parquet directory into ~`targetFileBytes` files.

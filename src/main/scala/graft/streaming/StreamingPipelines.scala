@@ -220,6 +220,15 @@ object StreamingPipelines {
     * funnel. None (the default) preserves match-batch-forever semantics;
     * at 100 TB with churn-heavy traffic, set it to the business's
     * conversion horizon.
+    *
+    * RE-ENTRY AFTER EXPIRY: TTL expiry removes the WHOLE state, committed
+    * stages included. A user who returns later starts a fresh funnel and —
+    * if they progress again — re-emits stage rows (user, 0, view, ts') the
+    * output already carries from the first journey. That is the honest
+    * reading of "timed out of the product funnel" (each return is a new
+    * journey), but a downstream consumer aggregating per USER (Pinot
+    * FUNNELCOUNT-style) must dedupe on (user_id, stage) or treat the
+    * output as per-journey, or expired-and-returned users double-count.
     */
   def streamingFunnel(
       events: Dataset[TypedEvent],
@@ -295,7 +304,21 @@ object StreamingPipelines {
               if (kept.nonEmpty)
                 state.setTimeoutTimestamp(math.max(kept.map(_._2).min, wm + 1))
               else
-                idleTimeout.foreach(d => state.setTimeoutTimestamp(wm + math.max(1L, d.toMillis)))
+                idleTimeout match {
+                  case Some(d) => state.setTimeoutTimestamp(wm + math.max(1L, d.toMillis))
+                  case None =>
+                    // no TTL and nothing pending: push any previously-armed
+                    // flush timeout effectively out of reach. The timeout
+                    // timestamp PERSISTS across update() calls, so a stale
+                    // one (armed for a candidate a later batch committed)
+                    // would otherwise sit below the watermark and re-fire as
+                    // a no-op on EVERY micro-batch for every stuck
+                    // mid-funnel user — O(stuck-users) per-batch invocation
+                    // overhead of exactly the unbounded class the TTL
+                    // exists for. Half MaxValue keeps clear of any wm+delta
+                    // arithmetic overflow.
+                    state.setTimeoutTimestamp(Long.MaxValue / 2)
+                }
             } else state.remove()
           }
           out.result().iterator

@@ -47,6 +47,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("kmv_hashes resolves from SQL without a register() call") {
+    val hs = spark
+      .sql("SELECT kmv_hashes(h, 4) AS hs FROM (SELECT cast(id % 7 as double) / 10 AS h FROM range(100))")
+      .collect()(0)
+      .getSeq[Double](0)
+    assert(hs === Seq(0.0, 0.1, 0.2, 0.3), "4 smallest distinct hashes, ascending")
+  }
+
   test("wrong arity raises an analysis error naming the signature, not an index error") {
     // Deliberately replace every extension-injected builder with the
     // register() path first — both entry points must share the same
@@ -67,5 +75,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT rolling_hash('a', 'b')").collect()
     }
     assert(e3.getMessage.contains("rolling_hash"))
+    functions.KmvSketch.register(spark)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_hashes(1.0)").collect()
+    }
+    assert(e4.getMessage.contains("kmv_hashes"))
   }
 }

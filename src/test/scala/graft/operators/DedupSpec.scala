@@ -137,6 +137,18 @@ class DedupSpec extends AnyFunSuite {
           s"committed $name artifact missing"
         )
       }
+      // no-silent-caps survives durable mode: the build run's observed cap
+      // counters are persisted next to the artifact (reuse runs read parquet
+      // back and carry no observedMetrics of their own)
+      val metricsFile = new java.io.File(s"$root/$dirKey/minhash_pairs/_metrics.json")
+      assert(metricsFile.exists, "LSH cap stats must be persisted next to the durable artifact")
+      val metricsJson = new String(
+        java.nio.file.Files.readAllBytes(metricsFile.toPath),
+        "UTF-8"
+      )
+      assert(metricsJson.contains("\"graft.lsh_pairs\""), metricsJson)
+      assert(metricsJson.contains("\"capped_buckets\""), metricsJson)
+      assert(metricsJson.contains("\"max_bucket\""), metricsJson)
     } finally System.clearProperty("graft.artifact.root")
   }
 

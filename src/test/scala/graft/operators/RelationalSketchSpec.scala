@@ -70,15 +70,16 @@ class RelationalSketchSpec extends AnyFunSuite {
     * intersection estimation.
     */
   test("kmv sketch: partition-invariant (mergeable) and within error bound of exact") {
-    val kmv = graft.functions.KmvSketch.register(spark, 256)
-    val li  = Tables.lineitem(spark, TestSpark.sfDir)
+    graft.functions.KmvSketch.register(spark)
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
     val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
     def est(parts: Int): Map[String, (Long, Double)] = li
       .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
       .repartition(parts)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("ex"), expr(s"$kmv(h)").as("est"))
+      .agg(countDistinct(col("l_partkey")).as("ex"), expr("kmv_hashes(h, 256)").as("hs"))
+      .select(col("l_returnflag"), col("ex"), graft.functions.KmvSketch.estimate(col("hs"), 256).as("est"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
@@ -93,13 +94,19 @@ class RelationalSketchSpec extends AnyFunSuite {
   }
 
   test("kmv sketch: merge == sketch of union; duplicates don't re-count (unit)") {
-    val k  = new graft.functions.KmvSketch(8)
-    val xs = (1 to 50).map(i => i / 101.0)
+    def state(vals: Seq[Double], k: Int = 8): graft.functions.KmvState = {
+      val st = new graft.functions.KmvState(new Array[Double](k), 0)
+      vals.foreach(st.insert)
+      st
+    }
+    // unsorted insertion order on purpose: exercises mid-array inserts
+    val xs = scala.util.Random.shuffle((1 to 50).toList).map(i => i / 101.0)
     val (a, b) = xs.splitAt(25)
-    val bufA = a.foldLeft(k.zero)(k.reduce)
-    val bufB = b.foldLeft(k.zero)(k.reduce)
-    assert(k.merge(bufA, bufB) === xs.foldLeft(k.zero)(k.reduce))
-    assert(k.reduce(bufA, a.head) === bufA, "re-adding a seen hash must not change the sketch")
+    val sa = state(a)
+    assert(state(a).mergeWith(state(b)).toSeq === state(xs).toSeq)
+    sa.insert(a.head)
+    assert(sa.toSeq === state(a).toSeq, "re-adding a seen hash must not change the sketch")
+    assert(state(xs).toSeq === xs.distinct.sorted.take(8), "k smallest distinct, ascending")
   }
 
   test("kmv sketch: intersection/jaccard estimate from merged sketches (theta-sketch capability)") {
@@ -109,13 +116,45 @@ class RelationalSketchSpec extends AnyFunSuite {
         .digest(i.toString.getBytes("UTF-8"))
       java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
     }
-    val k    = 256
-    val sk   = new graft.functions.KmvSketch(k)
-    val bufA = (1 to 3000).map(hash).foldLeft(sk.zero)(sk.reduce)
-    val bufB = (2001 to 5000).map(hash).foldLeft(sk.zero)(sk.reduce)
-    val (jac, inter) = graft.functions.KmvSketch.intersectionEstimate(bufA, bufB, k)
+    val k = 256
+    def sketch(r: Range): Seq[Double] = {
+      val st = new graft.functions.KmvState(new Array[Double](k), 0)
+      r.foreach(i => st.insert(hash(i)))
+      st.toSeq
+    }
+    val (jac, inter) =
+      graft.functions.KmvSketch.intersectionEstimate(sketch(1 to 3000), sketch(2001 to 5000), k)
     assert(math.abs(jac - 0.2) < 0.08, s"jaccard estimate $jac vs true 0.2")
     assert(math.abs(inter - 1000.0) / 1000.0 < 0.25, s"intersection estimate $inter vs true 1000")
+  }
+
+  /** The column-expression twin (`q_kmv_intersect`'s path) must agree with
+    * the driver-side estimator on the same sketches.
+    */
+  test("kmv sketch: intersectColumns matches driver-side intersectionEstimate") {
+    graft.functions.KmvSketch.register(spark)
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val sk = li
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag"), h.as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kmv_hashes(h, 256)").as("hs"))
+    val a = sk.filter(col("l_returnflag") === "A").select(col("hs").as("hs_a"))
+    val b = sk.filter(col("l_returnflag") === "N").select(col("hs").as("hs_b"))
+    val (jc, uc, ic) = graft.functions.KmvSketch.intersectColumns(col("hs_a"), col("hs_b"), 256)
+    val row = a.crossJoin(broadcast(b))
+      .select(jc.as("j"), uc.as("u"), ic.as("i"), col("hs_a"), col("hs_b"))
+      .collect()(0)
+    val (jd, id) = graft.functions.KmvSketch.intersectionEstimate(
+      row.getSeq[Double](3),
+      row.getSeq[Double](4),
+      256
+    )
+    assert(math.abs(row.getDouble(0) - jd) < 1e-12, "jaccard: column path vs driver path")
+    assert(math.abs(row.getDouble(2) - id) < 1e-9, "intersection: column path vs driver path")
+    assert(row.getDouble(1) > 0 && row.getDouble(0) >= 0 && row.getDouble(0) <= 1)
   }
 
   /** Error-bound spec for `q_approx_percentile`: approx_percentile(accuracy
