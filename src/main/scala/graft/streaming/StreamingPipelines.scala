@@ -207,9 +207,12 @@ object StreamingPipelines {
     * passed stages or below the commit threshold are discarded, a pending
     * event older than the current watermark is pruned (it either committed
     * or can never fire: a future unlocking predecessor would commit at-or-
-    * after the watermark, above the dead event's time), and the whole
-    * state is REMOVED once the user completes the final stage — steady
-    * state holds in-flight users.
+    * after the watermark, above the dead event's time), and completing the
+    * final stage collapses the state to a COMPLETION TOMBSTONE (committed
+    * timestamps, empty buffer) so post-completion events are ignored
+    * rather than re-entering a fresh funnel — batch ignores them too.
+    * Steady state therefore holds in-flight users plus tombstones of
+    * completed ones; the idle TTL (below) reclaims the tombstones.
     *
     * `idleTimeout` bounds the one remaining unbounded class: users who
     * started but never finish (their committed-stage vector would
@@ -284,8 +287,21 @@ object StreamingPipelines {
               }
             }
           }
-          if (reached.length == stages.length) state.remove() // completed: drop state
-          else {
+          if (reached.length == stages.length) {
+            // completion TOMBSTONE, not remove(): the user keeps browsing,
+            // and a post-completion view must find the completed state and
+            // be ignored — batch ignores it too (stage 0 already holds an
+            // earlier min). remove() re-journeyed such users and re-emitted
+            // stage rows (caught by the scalacheck equivalence property).
+            // The tombstone is the empty-pending state: bounded by the idle
+            // TTL when set; with no TTL it persists, which is exactly the
+            // documented match-batch-forever trade-off of idleTimeout=None.
+            state.update(FunnelState(reached, Nil, Nil))
+            idleTimeout match {
+              case Some(d) => state.setTimeoutTimestamp(wm + math.max(1L, d.toMillis))
+              case None    => state.setTimeoutTimestamp(Long.MaxValue / 2)
+            }
+          } else {
             val next = reached.length
             // keep only events that can still fire: current-or-future
             // stages at-or-above both the commit threshold (it never

@@ -384,6 +384,120 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** The general form of the delayed-commit claim
+    * (`StreamingPipelines.streamingFunnel` scaladoc): for ANY event set in
+    * ANY micro-batch partitioning, the emitted stage timestamps equal the
+    * batch funnel's greedy min-chain over every event the watermark did not
+    * drop at ingestion. The two hand-built scenarios (in-watermark reorder,
+    * TTL) pin single paths; this pins the claim itself with scalacheck
+    * generators — 120 seeded scenarios (~500 users) through ONE shared
+    * streaming query (disjoint user ids; per-user state makes scenarios
+    * independent), because a query start/stop per scalacheck case would pay
+    * ~2s × 120 (the TextSharedSpec one-job-many-cases precedent).
+    *
+    * Watermark control: data event times sit at :30s inside minutes 0-49;
+    * sentinel users (-1) at minutes 70/100/130 then 200/230 advance the
+    * watermark DETERMINISTICALLY between data batches (delay 60min →
+    * watermark before data batch g is minute 10+30(g-1), a whole minute, so
+    * no event ever ties a watermark boundary). Events in batch g below that
+    * watermark are late — dropped by Spark at ingestion, and excluded from
+    * the reference chain. Everything else must match exactly: mid-stream
+    * commits, in-watermark reorders, pending-buffer pruning included.
+    */
+  test("scalacheck property: streaming funnel == batch greedy min-chain over non-late events (120 random scenarios)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    val stages  = Seq("view", "click", "purchase")
+    val baseMs  = ts(0).getTime
+    val nBatches = 3
+    case class GenEv(user: Int, tpe: String, minute: Int, batch: Int)
+    def evTime(m: Int): Long = baseMs + m * 60000L + 30000L
+
+    val evGen: Gen[(String, Int, Int)] = for {
+      tpe <- Gen.frequency(4 -> "view", 3 -> "click", 2 -> "purchase", 2 -> "other")
+      m   <- Gen.choose(0, 49)
+      b   <- Gen.choose(0, nBatches - 1)
+    } yield (tpe, m, b)
+    val scenarioGen: Gen[List[GenEv]] = for {
+      nUsers <- Gen.choose(1, 6)
+      pool   <- Gen.listOfN(nUsers * 8, evGen)
+      counts <- Gen.listOfN(nUsers, Gen.choose(0, 8))
+    } yield counts.zipWithIndex.flatMap { case (n, u) =>
+      pool.slice(u * 8, u * 8 + n).map { case (t, m, b) => GenEv(u, t, m, b) }
+    }
+    val scenarios: Seq[(Int, List[GenEv])] = (0 until 120).map { i =>
+      i -> scenarioGen(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil)
+    }
+    assert(scenarios.map(_._2.size).sum > 1000, "generator sanity: enough events to mean something")
+
+    def uid(scenario: Int, user: Int): Long = scenario * 100L + user
+
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(input.toDS(), stages = stages, watermark = "60 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_prop_out")
+      .outputMode("append")
+      .start()
+    try {
+      (0 until nBatches).foreach { g =>
+        val batch = scenarios.flatMap { case (i, evs) =>
+          evs.filter(_.batch == g).map(e => TypedEvent(new Timestamp(evTime(e.minute)), uid(i, e.user), e.tpe))
+        }
+        if (batch.nonEmpty) { input.addData(batch); q.processAllAvailable() }
+        // deterministic watermark step: minute 70+30g -> wm = minute 10+30g
+        input.addData(TypedEvent(new Timestamp(baseMs + (70 + 30 * g) * 60000L), -1L, "view"))
+        q.processAllAvailable()
+      }
+      // final flush far past every candidate (plus one extra invocation round)
+      Seq(200, 230).foreach { m =>
+        input.addData(TypedEvent(new Timestamp(baseMs + m * 60000L), -1L, "view"))
+        q.processAllAvailable()
+      }
+
+      val got: Map[Long, Set[(Int, Long)]] = spark
+        .table("funnel_prop_out")
+        .collect()
+        .filter(_.getLong(0) >= 0)
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.map(r => (r.getInt(1), r.getTimestamp(3).getTime)).toSet }
+
+      // Spark's ingestion-time late filter, simulated: watermark before data
+      // batch g is the previous sentinel minus the 60min delay
+      def wmBefore(g: Int): Option[Long] =
+        if (g == 0) None else Some(baseMs + (10 + 30 * (g - 1)) * 60000L)
+      def refChain(evs: Seq[GenEv]): Set[(Int, Long)] = {
+        val kept = evs.filter(e => wmBefore(e.batch).forall(evTime(e.minute) >= _))
+        var reached  = Vector.empty[Long]
+        var advanced = true
+        while (advanced && reached.length < stages.length) {
+          advanced = false
+          val next  = reached.length
+          val cands = kept
+            .filter(e => e.tpe == stages(next) && (reached.isEmpty || evTime(e.minute) >= reached.last))
+            .map(e => evTime(e.minute))
+          if (cands.nonEmpty) { reached :+= cands.min; advanced = true }
+        }
+        reached.zipWithIndex.map { case (t, i) => (i, t) }.toSet
+      }
+
+      scenarios.foreach { case (i, evs) =>
+        evs.groupBy(_.user).foreach { case (u, uevs) =>
+          val expected = refChain(uevs)
+          val actual   = got.getOrElse(uid(i, u), Set.empty)
+          assert(
+            actual === expected,
+            s"scenario $i user $u: streaming $actual != batch chain $expected over ${uevs.sortBy(e => (e.batch, e.minute))}"
+          )
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel: idleTimeout expires stale mid-funnel users (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
