@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *                          components -> keep cluster representative)
   *     -> split assignment (deterministic content-hash 80/10/10)
   *     -> partitioned write (hive layout by split, salted file counts)
+  *     -> small-files compaction (optional: rewrite each split to
+  *                          ~targetBytes files via [[Sinks.compact]],
+  *                          swap in place, layout preserved)
   *
   * Scale notes: the quality filter and fingerprinting are map-only; exact
   * dedup is one shuffle on the fingerprint; the near-dup stage is the
@@ -45,7 +48,8 @@ object CorpusPipeline {
       docs: DataFrame,
       outPath: String,
       minQuality: Double = 0.3,
-      filesPerSplit: Int = 2
+      filesPerSplit: Int = 2,
+      compactTargetBytes: Option[Long] = None
   ): Stats = {
     val nIn = docs.count()
 
@@ -81,6 +85,28 @@ object CorpusPipeline {
 
     // 5. partitioned, sorted, size-bounded write
     Sinks.writePartitioned(split, outPath, Seq("split"), Seq("doc_id"), filesPerSplit)
+
+    // 6. optional small-files compaction, per split partition. A corpus
+    // assembled by many writers (or a streaming sink) fragments into
+    // file counts governed by writer parallelism, not data size; at 100 TB
+    // that murders scan planning. Compaction rewrites each split subdir to
+    // ~targetBytes files (actual on-disk sizing, Sinks.compact) and swaps
+    // it in via rename, preserving the hive split=... layout. The rewrite
+    // fully materializes before the delete, so a crash mid-compaction
+    // leaves either the original subdir or the swapped one, never neither.
+    compactTargetBytes.foreach { target =>
+      val spark = docs.sparkSession
+      val root  = new org.apache.hadoop.fs.Path(outPath)
+      val fs    = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("split="))
+        .foreach { st =>
+          val tmp = new org.apache.hadoop.fs.Path(root, s".compact-tmp-${st.getPath.getName}")
+          Sinks.compact(spark, st.getPath.toString, tmp.toString, target, Seq("doc_id"))
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+        }
+    }
 
     Stats(
       nIn = nIn,

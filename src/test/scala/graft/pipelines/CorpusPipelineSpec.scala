@@ -53,6 +53,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"cluster representative must survive, got $planted")
   }
 
+  test("compaction: identical content pre/post, file count sized by bytes/target per split") {
+    val baseDir = Files.createTempDirectory("pipeline").toString
+    val target  = 32L * 1024
+    // 5 files per split fragments the output so compaction has work to do
+    val plain     = CorpusPipeline.run(corpus, s"$baseDir/plain", filesPerSplit = 5)
+    val compacted = CorpusPipeline.run(
+      corpus,
+      s"$baseDir/compact",
+      filesPerSplit = 5,
+      compactTargetBytes = Some(target)
+    )
+    assert(plain === compacted, "compaction must not change the row accounting")
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$baseDir/plain") === rows(s"$baseDir/compact"), "identical rows pre/post compaction")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("train", "val", "test").foreach { s =>
+      // Sinks.compact sizes on the fragmented input's actual on-disk bytes;
+      // the plain run's split dir is that input's deterministic twin
+      val bytes  = fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$baseDir/plain/split=$s")).getLength
+      val expect = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      val got = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$baseDir/compact/split=$s"))
+        .count(st => st.getPath.getName.endsWith(".parquet"))
+      assert(got === expect, s"split $s: $got files for $bytes bytes at target $target")
+      assert(got < 5 || expect >= 5, s"split $s: compaction should reduce the 5-file fragmentation")
+    }
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
