@@ -102,9 +102,22 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** One resolved relation per (session, dir, table) — `spark.read.parquet`
+    * re-infers the schema (a footer read) and rebuilds the relation on
+    * every call, which measured as THE dominant share of the per-query
+    * planning floor (~300ms -> ~36ms to plan the star join once reads are
+    * reused). A catalog would resolve a table once for the same reason;
+    * this is that, for the fixture loaders. Safe because the fixture dirs
+    * are immutable inputs and DataFrames are immutable plan handles
+    * (self-joins of a shared instance go through Spark's
+    * DeduplicateRelations like any `df.join(df)`).
+    */
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     applyConfs(spark)
-    spark.read.parquet(path(dir, name))
+    readCache.computeIfAbsent((spark, dir, name), _ => spark.read.parquet(path(dir, name)))
   }
 
   // TPC-H-ish star schema (FIXTURES.md §B)

@@ -159,6 +159,19 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "BroadcastHashJoin") >= 1, "qcid must broadcast-join against assignments")
   }
 
+  test("q_kmv_distinct: no distinct-expand around the object aggregate; hash after dedupe") {
+    // round 5's 3.7s plan mixed countDistinct with the sketch UDAF in one
+    // agg, forcing the multi-phase distinct rewrite (Expand) around an
+    // ObjectHashAggregate; the fix hand-rolls the two-phase distinct so the
+    // md5 hash runs on deduped keys and the object agg stays single-path
+    val df    = q("q_kmv_distinct")
+    val nodes = allNodes(executed(df))
+    assert(!nodes.exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand allowed")
+    assert(countNodes(df, "ObjectHashAggregate") >= 1, "sketch must run as an object hash aggregate")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 3, s"dedupe + group agg + result sort only, got $shuffles")
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
