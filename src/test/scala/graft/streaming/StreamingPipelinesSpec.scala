@@ -261,7 +261,7 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming funnel: stage order enforced, cross-batch progression, completed state dropped") {
+  test("streaming funnel: stage order enforced, cross-batch progression, completion is final") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TypedEvent]
@@ -296,14 +296,17 @@ class StreamingPipelinesSpec extends AnyFunSuite {
       assert(rows() === Set((1L, 0, "view"), (1L, 1, "click"), (2L, 0, "view")))
       // batch 3 advances the watermark to 10:15: u1 commits purchase@10:09
       // (the MIN eligible — not this batch's 10:20 duplicate), completes,
-      // and drops state; u2 commits click@10:08
+      // and collapses to a tombstone; u2 commits click@10:08
       input.addData(TypedEvent(ts(20), 1, "purchase"))
       q.processAllAvailable()
       assert(rows() === Set(
         (1L, 0, "view"), (1L, 1, "click"), (1L, 2, "purchase"),
         (2L, 0, "view"), (2L, 1, "click")))
-      // u1 completed -> state dropped -> nothing more ever emits for u1
-      input.addData(TypedEvent(ts(40), 1, "purchase"))
+      // u1 completed -> tombstone: later events (even a fresh view that
+      // would start a new journey) must NOT re-enter the funnel or re-emit
+      input.addData(TypedEvent(ts(40), 1, "purchase"), TypedEvent(ts(41), 1, "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(ts(55), 99, "view")) // watermark push past 10:41
       q.processAllAvailable()
       assert(rows().count(_._1 == 1L) === 3)
     } finally q.stop()
