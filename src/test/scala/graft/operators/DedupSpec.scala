@@ -152,6 +152,38 @@ class DedupSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.artifact.root")
   }
 
+  test("durable artifact: concurrent first-builds serialize on the per-path lock (one writer)") {
+    // Two+ threads racing the same missing artifact must not interleave
+    // overwrite writes into one _SUCCESS-marked dir (the exists-then-write
+    // window); with the per-path lock exactly one builds, the rest read the
+    // committed result.
+    val dir         = java.nio.file.Files.createTempDirectory("graft-durable-race").toString + "/artifact"
+    val buildCount  = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inFlight    = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence((1 to 4).map { _ =>
+        Future {
+          graft.sources.Sinks
+            .durableArtifact(spark, dir) { p =>
+              maxInFlight.updateAndGet(m => math.max(m, inFlight.incrementAndGet()))
+              Thread.sleep(150) // widen the exists-then-write race window
+              buildCount.incrementAndGet()
+              spark.range(10).toDF("id").write.mode("overwrite").parquet(p)
+              inFlight.decrementAndGet()
+            }
+            .count()
+        }
+      }),
+      scala.concurrent.duration.Duration(120, "s")
+    )
+    assert(counts.forall(_ === 10L), s"every caller must see the full artifact, got $counts")
+    assert(maxInFlight.get() === 1, "first-builds must never overlap")
+    assert(buildCount.get() === 1, "exactly one thread builds; the rest serve the committed read-back")
+  }
+
   test("short documents (< shingle width) fall back to whole-text shingle") {
     import TextShared._
     val out = Seq((9L, "tiny doc", "en", "s"))
