@@ -30,7 +30,10 @@ case class TypedEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String)
   * `pendingMs` were added in round 3 — restarting a streaming funnel from a
   * checkpoint written before that change fails state deserialization
   * (Spark cannot evolve flatMapGroupsWithState state schemas); start a
-  * fresh checkpoint when this class changes shape.
+  * fresh checkpoint when this class changes shape. Round 6's completion
+  * tombstone changed no fields (a tombstone is just reachedMs full +
+  * empty buffers), so round-5 checkpoints resume cleanly — completed
+  * users absent from an old checkpoint simply predate replay protection.
   */
 case class FunnelState(
     reachedMs: Seq[Long],

@@ -172,6 +172,16 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"dedupe + group agg + result sort only, got $shuffles")
   }
 
+  test("q_kmv_intersect: the two 1-row sketch frames meet in a broadcast, never a data-scale cartesian") {
+    val df = q("q_kmv_intersect")
+    assert(
+      countNodes(df, "BroadcastNestedLoopJoin") >= 1,
+      "the 1x1 sketch crossJoin must broadcast"
+    )
+    assert(countNodes(df, "CartesianProduct") === 0, "no unbroadcast cartesian allowed")
+    assert(!allNodes(executed(df)).exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand")
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(

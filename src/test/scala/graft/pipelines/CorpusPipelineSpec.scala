@@ -82,6 +82,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonl in, compacted parquet splits out: the arrival-format composition") {
+    // the shape a real corpus job takes: JSONL delivery -> ingest with
+    // explicit schema (malformed lines dropped, counted) -> the full
+    // filter/dedup/split pipeline -> hive-layout parquet
+    val baseDir = Files.createTempDirectory("pipeline-jsonl").toString
+    graft.sources.JsonlCorpus.write(corpus, s"$baseDir/arrival", nFiles = 2)
+    val ingested = graft.sources.JsonlCorpus
+      .read(spark, s"$baseDir/arrival")
+      .select("doc_id", "text", "lang", "source")
+    val viaJsonl  = CorpusPipeline.run(ingested, s"$baseDir/corpus")
+    val viaDirect = CorpusPipeline.run(corpus.select("doc_id", "text", "lang", "source"), s"$baseDir/direct")
+    assert(viaJsonl === viaDirect, "the jsonl hop must not change pipeline accounting")
+    assert(
+      spark.read.parquet(s"$baseDir/corpus").count() === viaJsonl.nOut,
+      "written splits must hold exactly the surviving rows"
+    )
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
