@@ -61,6 +61,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("kmv_estimate"),
+        new ExpressionInfo(
+          classOf[functions.KmvHashes].getName,
+          "kmv_estimate",
+          "kmv_estimate(arr, k) - distinct-count estimate from a kmv_hashes sketch: exact below k, (k-1)/h_(k) at k"
+        ),
+        functions.KmvSketch.estimateBuild(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         new ExpressionInfo(
           classOf[functions.RollingHash].getName,

@@ -162,9 +162,34 @@ object KmvSketch {
     KmvHashes(exprs.head, kExpr.eval().asInstanceOf[Number].intValue())
   }
 
-  /** Register `kmv_hashes(h, k)` for `expr(...)`/SQL use. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Registry builder: `kmv_estimate(hashes_array, k)` — the estimator as a
+    * composed builtin expression tree (If/Size/Divide/ElementAt), so plain
+    * SQL can finish what `kmv_hashes` starts without any library call:
+    * `SELECT kmv_estimate(kmv_hashes(h, 256), 256)`. No custom Expression
+    * class needed; everything stays codegen'd.
+    */
+  def estimateBuild(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    Arity.require("kmv_estimate", "2 (kmv_estimate(hashes_array, k))", exprs, 2, 2)
+    val kExpr = exprs(1)
+    require(kExpr.foldable, "kmv_estimate k must be a literal")
+    val k      = kExpr.eval().asInstanceOf[Number].intValue()
+    val hashes = exprs.head
+    If(
+      LessThan(Size(hashes), Literal(k)),
+      Cast(Size(hashes), org.apache.spark.sql.types.DoubleType),
+      Divide(Literal((k - 1).toDouble), ElementAt(hashes, Literal(k)))
+    )
+  }
+
+  /** Register `kmv_hashes(h, k)` + `kmv_estimate(arr, k)` for
+    * `expr(...)`/SQL use. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("kmv_hashes", build, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("kmv_estimate", estimateBuild, "built-in")
+  }
 
   /** Distinct-count estimate from a sketch array: exact below k (the sketch
     * holds every distinct hash), (k-1)/h_(k) at k. Pure builtin expressions

@@ -55,6 +55,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs === Seq(0.0, 0.1, 0.2, 0.3), "4 smallest distinct hashes, ascending")
   }
 
+  test("kmv_estimate composes with kmv_hashes in plain SQL (exact below k, order statistic at k)") {
+    // 7 distinct hashes, k=16 > 7: the sketch holds the full set -> exact 7
+    val exact = spark
+      .sql("SELECT kmv_estimate(kmv_hashes(h, 16), 16) AS e FROM (SELECT cast(id % 7 as double) / 10 AS h FROM range(100))")
+      .collect()(0)
+      .getDouble(0)
+    assert(exact === 7.0, "below k the estimate is the exact distinct count")
+    // 100 distinct uniform hashes, k=4: estimate = 3 / h_(4) = 3 / (3/99)
+    val atK = spark
+      .sql("SELECT kmv_estimate(kmv_hashes(h, 4), 4) AS e FROM (SELECT cast(id as double) / 99 AS h FROM range(100))")
+      .collect()(0)
+      .getDouble(0)
+    assert(math.abs(atK - 99.0) < 1e-9, s"k-th order statistic estimate, got $atK")
+  }
+
   test("wrong arity raises an analysis error naming the signature, not an index error") {
     // Deliberately replace every extension-injected builder with the
     // register() path first — both entry points must share the same
