@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark entrypoint. Prints ONE compact JSON line (last) for the driver.
+/** Benchmark entrypoint. Prints per-map JSON lines (per-query min map nearest
+  * the end) plus a compact summary line LAST for the driver's tail window, and
+  * writes the complete artifact to BENCH_FULL.json (see end of main).
   *
   * Best-of-N protocol (round-5 directive): the suite runs as up to
   * `GRAFT_BENCH_RUNS` (default 4) FULL PASSES over all queries, and each
@@ -89,15 +91,37 @@ object Bench {
     // spread stats over per-query samples: the total if every query hit its
     // median / worst sample. spread_pct = (worst - best) / best.
     def med(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+    val qsMed = names.map { name =>
+      val ts = samples(name)
+      s"\"" + name + "\":" + r3(if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else med(ts))
+    }.mkString("{", ",", "}")
     val totalMedian = ok.map(med).sum
     val totalMax = ok.map(_.max).sum
     val spreadPct = if (total > 0) 100.0 * (totalMax - total) / total else 0.0
-    // Detailed line first (may exceed the driver's ~2000-char stdout tail
-    // window and lose its head there), then a compact line LAST that always
-    // fits the window whole — round 1's single long line parsed as nothing.
     val totalCold = names.map(samples(_).headOption.getOrElse(-1.0)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":${r3(totalCold)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"sf":"$sfDir"}""")
+    // The driver's artifact keeps only a ~2000-char stdout TAIL plus the
+    // parsed last line (verified against BENCH_r06.json: the "tail" field is
+    // exactly that window). One 105-query map is ~3000 chars, so no ordering
+    // of stdout lines can ever carry both maps through the window. Two-part
+    // protocol (round-6 directive 1):
+    //  1) the COMPLETE artifact (min + cold + median maps, totals, noise
+    //     stats) is written to BENCH_FULL.json in the working directory —
+    //     sbt runs from the repo root, so the file lands in-repo where the
+    //     judge reads it; the compact summary line carries its absolute path.
+    //  2) stdout emits each map as its own line with the per-query MIN map
+    //     nearest the end, so the tail window preserves as much of the
+    //     steady-state map as it can even if the file is missed.
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
+    val fullPath = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_FULL", "BENCH_FULL.json")).getAbsoluteFile
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    println(s"""{"metric":"queries_cold","total_cold":${r3(totalCold)},"queries_cold":$qsCold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_median","total_median":${r3(totalMedian)},"queries_median":$qsMed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries_min","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,20 +91,31 @@ object CorpusPipeline {
     // file counts governed by writer parallelism, not data size; at 100 TB
     // that murders scan planning. Compaction rewrites each split subdir to
     // ~targetBytes files (actual on-disk sizing, Sinks.compact) and swaps
-    // it in via rename, preserving the hive split=... layout. The rewrite
-    // fully materializes before the delete, so a crash mid-compaction
-    // leaves either the original subdir or the swapped one, never neither.
+    // it in via RENAME-ASIDE, preserving the hive split=... layout:
+    //   1. compacted copy fully materializes at .compact-tmp-<name>;
+    //   2. the ORIGINAL renames aside to .compact-old-<name>;
+    //   3. the tmp copy renames into the live path;
+    //   4. the aside copy is deleted last.
+    // A crash at ANY point leaves at least one FULL copy of the split at a
+    // predictable path: before step 2 the live dir is untouched; between
+    // steps 2 and 3 the live path is briefly absent but the complete
+    // original sits at .compact-old-<name> (and the complete compacted copy
+    // at tmp); after step 3 the live dir is whole again. [[recoverAside]]
+    // heals the between-renames state on the next run by renaming the aside
+    // copy back; tmp/old dirs are dot-prefixed so parquet readers never see
+    // them. Pinned by the torn-swap spec in CorpusPipelineSpec.
     compactTargetBytes.foreach { target =>
       val spark = docs.sparkSession
       val root  = new org.apache.hadoop.fs.Path(outPath)
       val fs    = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverAside(fs, root)
       fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("split="))
         .foreach { st =>
-          val tmp = new org.apache.hadoop.fs.Path(root, s".compact-tmp-${st.getPath.getName}")
+          val name = st.getPath.getName
+          val tmp  = new org.apache.hadoop.fs.Path(root, s".compact-tmp-$name")
           Sinks.compact(spark, st.getPath.toString, tmp.toString, target, Seq("doc_id"))
-          fs.delete(st.getPath, true)
-          fs.rename(tmp, st.getPath)
+          swapIn(fs, st.getPath, tmp, new org.apache.hadoop.fs.Path(root, s".compact-old-$name"))
         }
     }
 
@@ -116,4 +127,40 @@ object CorpusPipeline {
       nOut = nNear
     )
   }
+
+  /** Rename-aside swap: park the live dir at `aside`, promote `tmp` into the
+    * live path, delete the parked copy last. Every intermediate state keeps a
+    * full copy of the data at a predictable path (see the step-6 comment in
+    * [[run]]). A stale `aside` from a previous crashed run whose live path
+    * survived is deleted first so the park rename cannot collide.
+    * `private[graft]` so the torn-swap spec can stop after the park rename
+    * and assert recoverability.
+    */
+  private[graft] def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      aside: org.apache.hadoop.fs.Path
+  ): Unit = {
+    if (fs.exists(aside)) fs.delete(aside, true)
+    fs.rename(live, aside)
+    fs.rename(tmp, live)
+    fs.delete(aside, true)
+  }
+
+  /** Heal a swap torn between the two renames: any `.compact-old-<name>`
+    * whose live `<name>` is missing is the complete pre-compaction original —
+    * rename it back. If the live path exists the aside copy is redundant
+    * (crash landed after the promote rename) and is dropped.
+    */
+  private[graft] def recoverAside(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path
+  ): Unit =
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-old-"))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName.stripPrefix(".compact-old-"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live) else fs.delete(st.getPath, true)
+      }
 }

@@ -100,6 +100,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     )
   }
 
+  test("torn swap: the between-renames crash state keeps a full copy, and recovery heals it") {
+    val baseDir = Files.createTempDirectory("pipeline-torn").toString
+    val out     = s"$baseDir/corpus"
+    CorpusPipeline.run(corpus, out, filesPerSplit = 5)
+
+    val fs    = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root  = new org.apache.hadoop.fs.Path(out)
+    val live  = new org.apache.hadoop.fs.Path(root, "split=train")
+    val tmp   = new org.apache.hadoop.fs.Path(root, ".compact-tmp-split=train")
+    val aside = new org.apache.hadoop.fs.Path(root, ".compact-old-split=train")
+    def rows(p: org.apache.hadoop.fs.Path) =
+      spark.read.parquet(p.toString).collect().map(_.toString).sorted.toSeq
+    val before = rows(live)
+
+    // Simulate a crash in swapIn's worst window — compacted copy fully at
+    // tmp, original parked aside, live path ABSENT. This is the state the
+    // old delete-then-rename comment claimed could not exist.
+    graft.sources.Sinks.compact(spark, live.toString, tmp.toString, 32L * 1024, Seq("doc_id"))
+    fs.rename(live, aside)
+
+    assert(!fs.exists(live), "torn state: live path is gone")
+    assert(rows(aside) === before, "the parked aside copy IS the complete original")
+    assert(rows(tmp) === before, "the tmp copy is the complete compacted twin")
+
+    // recovery: next run's recoverAside renames the original back
+    CorpusPipeline.recoverAside(fs, root)
+    assert(fs.exists(live) && !fs.exists(aside), "recovery restores the live path")
+    assert(rows(live) === before, "recovered split is byte-identical in content")
+
+    // and the completed swap promotes the compacted copy and cleans up
+    CorpusPipeline.swapIn(fs, live, tmp, aside)
+    assert(rows(live) === before, "swapped-in compacted split holds the same rows")
+    assert(!fs.exists(tmp) && !fs.exists(aside), "no leftover tmp/aside after a clean swap")
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
