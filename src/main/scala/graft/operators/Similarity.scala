@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over the `embeddings` fixture
@@ -65,6 +66,47 @@ object Similarity {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** (Multi-probe) LSH ANN probe over any frame with (vec_id, embedding):
+    * candidates are vectors in the query's sign-bucket or any bucket within
+    * `maxHamming` flipped sign bits (radius 0 = 1 bucket ~ 1/256 of the
+    * corpus; radius 1 = 9 buckets ~ 9/256 — the standard recall lever,
+    * mirroring IVF's nprobe). Scoring within candidates is EXACT cosine, so
+    * the probe returns the true top-k of its candidate set (pinned by
+    * SimilarityRecallSpec).
+    *
+    * Scale shape: the probe BUCKETS are enumerated on the 1-row query side
+    * (query bucket XOR each single-bit flip) and broadcast into an
+    * equi-join on the bucket key — against a bucket-partitioned corpus
+    * layout this prunes to the probed buckets, where a
+    * `bit_count(bucket ^ q_bucket) <= r` filter would scan every row. Radius
+    * is capped at 1 because radius-2 enumeration (37 buckets here) belongs
+    * to a banded-signature design, not more XOR terms.
+    */
+  def lshProbe(emb: DataFrame, queryVecId: Long, maxHamming: Int = 0, k: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
+    VectorFunctions.register(emb.sparkSession)
+    val withBucket = emb.withColumn("bucket", expr(bucketSpark))
+    val q = withBucket
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    val flips = lit(0L) +: (if (maxHamming >= 1) planes.indices.map(i => lit(1L << i)) else Nil)
+    val probes = q.select(
+      col("q_emb"),
+      col("q_bucket"),
+      explode(array(flips: _*)).as("flip")
+    ).select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    withBucket
+      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(
+        col("vec_id"),
+        col("bucket"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
+      )
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_topk",
@@ -107,25 +149,7 @@ object Similarity {
     QueryDef(
       "q_sim_lsh_probe",
       "LSH-bucketed ANN probe: top-5 by cosine among vectors sharing the query's bucket (~1/256 of the corpus scanned)",
-      (s, dir) => {
-        VectorFunctions.register(s)
-        val withBucket = Tables
-          .fanout(Tables.embeddings(s, dir))
-          .withColumn("bucket", expr(bucketSpark))
-        val q = withBucket
-          .filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-        withBucket
-          .crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0 && col("bucket") === col("q_bucket"))
-          .select(
-            col("vec_id"),
-            col("bucket"),
-            round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
-          )
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(5)
-      },
+      (s, dir) => lshProbe(Tables.fanout(Tables.embeddings(s, dir)), queryVecId = 0, maxHamming = 0, k = 5),
       Some(s"""WITH bk AS (
               |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
               |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM bk WHERE vec_id = 0)
@@ -133,6 +157,19 @@ object Similarity {
               |  round(${cosDuck("embedding", "q_emb")}, 6) AS cos_sim
               |FROM bk CROSS JOIN q
               |WHERE vec_id <> 0 AND bucket = q_bucket
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_lsh_probe2",
+      "multi-probe LSH (Hamming radius 1): top-5 by cosine across the query's bucket plus its 8 single-bit-flip neighbors (~9/256 scanned) — the LSH recall lever, mirroring IVF nprobe=2",
+      (s, dir) => lshProbe(Tables.fanout(Tables.embeddings(s, dir)), queryVecId = 0, maxHamming = 1, k = 5),
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+              |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM bk WHERE vec_id = 0)
+              |SELECT vec_id, bucket,
+              |  round(${cosDuck("embedding", "q_emb")}, 6) AS cos_sim
+              |FROM bk CROSS JOIN q
+              |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 1
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     ),
     QueryDef(
