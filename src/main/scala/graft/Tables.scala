@@ -117,6 +117,10 @@ object Tables {
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     applyConfs(spark)
+    // evict entries owned by stopped sessions: a long-lived JVM cycling
+    // sessions would otherwise retain every dead session (and its resolved
+    // relations) for the process lifetime
+    readCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     readCache.computeIfAbsent((spark, dir, name), _ => spark.read.parquet(path(dir, name)))
   }
 

@@ -75,6 +75,7 @@ object Dedup {
       // different durable root must rebuild/re-read, not serve the old blocks.
       val root = graft.Tables.artifactRoot
       val key  = (s, s"$dir|${root.getOrElse("")}", name)
+      artifactCache.keySet.removeIf(k => k._1.sparkContext.isStopped) // same eviction rule as Tables.read
       Option(artifactCache.get(key)).getOrElse {
         val built = root match {
           // durable mode: first use writes the artifact through the Sinks
@@ -89,10 +90,10 @@ object Dedup {
               // observed metrics — without this, capping would be invisible
               // exactly in production (durable) mode
               val frame = build
-              val hasMetrics = frame.queryExecution.analyzed.collectFirst {
-                case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m
-              }.isDefined
-              val metrics = graft.sources.Sinks.captureObservedMetrics(s, hasMetrics) {
+              val metricNames = frame.queryExecution.analyzed.collect {
+                case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m.name
+              }.toSet
+              val metrics = graft.sources.Sinks.captureObservedMetrics(s, metricNames) {
                 graft.sources.Sinks.writeRangeSorted(frame, p, durableKey(name), 4)
               }
               if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)

@@ -109,6 +109,7 @@ object IvfSimilarity {
   )(build: => DataFrame): DataFrame = {
     val root = durableWrite.flatMap(_ => Tables.artifactRoot)
     val key  = (s, s"$dir|${root.getOrElse("")}")
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped) // same eviction rule as Tables.read
     Option(cache.get(key)).getOrElse {
       val built = root match {
         case Some(r) =>

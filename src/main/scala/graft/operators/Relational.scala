@@ -389,27 +389,28 @@ object Relational {
         val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
           .cast("double") / lit(4294967296.0)
         // dedupe before hashing (q_kmv_distinct's trick): md5 runs on the
-        // ~distinct (flag, partkey) pairs, not every matching lineitem row
+        // ~distinct (flag, partkey) pairs, not every matching lineitem row.
+        // Both segment sketches come out of ONE global aggregation with
+        // per-flag filtered inputs (kmv_hashes skips nulls) — the previous
+        // shape filtered two frames off the same unmaterialized groupBy and
+        // crossJoined them, running the scan + distinct + sketch TWICE.
         val sk = Tables
           .lineitem(s, dir)
           .filter(col("l_returnflag").isin("A", "N"))
           .select(col("l_returnflag"), col("l_partkey"))
           .distinct()
           .select(col("l_returnflag"), h.as("h"))
-          .groupBy(col("l_returnflag"))
-          .agg(expr("kmv_hashes(h, 256)").as("hs"))
-        // two 1-row frames; the crossJoin is a broadcast of a single sketch
-        // array (the q_sim_ivf_probe precedent) — NOT a data-scale cartesian
-        val a = sk.filter(col("l_returnflag") === "A").select(col("hs").as("hs_a"))
-        val b = sk.filter(col("l_returnflag") === "N").select(col("hs").as("hs_b"))
+          .agg(
+            expr("kmv_hashes(case when l_returnflag = 'A' then h end, 256)").as("hs_a"),
+            expr("kmv_hashes(case when l_returnflag = 'N' then h end, 256)").as("hs_b")
+          )
         val (jaccard, unionEst, interEst) =
           graft.functions.KmvSketch.intersectColumns(col("hs_a"), col("hs_b"), 256)
-        a.crossJoin(broadcast(b))
-          .select(
-            round(jaccard, 4).as("jaccard_est"),
-            round(unionEst, 4).as("union_est"),
-            round(interEst, 4).as("intersect_est")
-          )
+        sk.select(
+          round(jaccard, 4).as("jaccard_est"),
+          round(unionEst, 4).as("union_est"),
+          round(interEst, 4).as("intersect_est")
+        )
       },
       Some("""WITH hashed AS (
              |  SELECT DISTINCT l_returnflag,

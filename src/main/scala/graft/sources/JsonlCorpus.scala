@@ -57,4 +57,44 @@ object JsonlCorpus {
     */
   def write(df: DataFrame, path: String, nFiles: Int = 1): Unit =
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Streaming twin of [[read]] — the arrival-format story the reference
+    * (a streaming ingester, `PulsarPartitionLevelConsumer.java:87-166`)
+    * gives events, applied to the corpus layer: a file-source `readStream`
+    * where each newly landed JSONL file becomes a micro-batch through the
+    * SAME explicit-schema decode path as batch (no inference pass, no
+    * separate code to drift). `maxFilesPerTrigger` bounds per-batch work —
+    * the knob that keeps a backlogged 100 TB landing zone from becoming
+    * one giant first batch.
+    */
+  def readStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = documentsSchema,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame =
+    JsonDecode.decode(streamingLines(spark, path, maxFilesPerTrigger), "value", schema, schema.fieldNames.toSeq)
+
+  /** Streaming twin of [[readCounted]]: keeps the `_corrupt` flag so the
+    * stream can account for its drops (e.g. aggregate or `observe()` per
+    * micro-batch) — drop-on-malformed stays measurable in flight, not just
+    * at rest.
+    */
+  def readStreamCounted(
+      spark: SparkSession,
+      path: String,
+      schema: StructType = documentsSchema,
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame =
+    JsonDecode.decodeCounted(streamingLines(spark, path, maxFilesPerTrigger), "value", schema, schema.fieldNames.toSeq)
+
+  private def streamingLines(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Option[Int]
+  ): DataFrame = {
+    val reader = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(path)
+  }
 }

@@ -153,18 +153,29 @@ object Sinks {
     */
   private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Run `action` (typically an artifact write) and return any `observe()`
-    * metrics its query reported. Batch `observe()` metrics surface on the
-    * WRITE command's own QueryExecution — not on the source frame's — so
-    * the only public consumption path is a [[QueryExecutionListener]].
-    * Listener delivery is asynchronous; when `expectMetrics` is set (the
-    * caller saw a CollectMetrics node in the plan) this polls briefly for
-    * the metrics to land rather than returning an empty map that would
-    * then be persisted as "no capping happened".
+  /** Run `action` (typically an artifact write) and return the `observe()`
+    * metrics named in `expectedNames` that its query reported. Batch
+    * `observe()` metrics surface on the WRITE command's own QueryExecution —
+    * not on the source frame's — so the only public consumption path is a
+    * [[QueryExecutionListener]]. Two sharp edges that listener has:
+    *
+    *   - it is SESSION-wide, so without filtering, metrics from any query
+    *     completing during the build window (e.g. a concurrent non-durable
+    *     run using the same observe() name) could be persisted into this
+    *     artifact's `_metrics.json`. Captures are therefore restricted to
+    *     `expectedNames` — the metric names the caller read off the build
+    *     plan's own CollectMetrics nodes. (A same-named metric from a
+    *     concurrent query in the SAME session remains indistinguishable;
+    *     single-writer builds are already the [[durableArtifact]] contract.)
+    *   - delivery is asynchronous: this polls until every expected name has
+    *     landed, and if the poll times out it WARNS — an incomplete
+    *     `_metrics.json` after `expectedNames.nonEmpty` is the exact
+    *     silent-cap case the mechanism exists to prevent, so it must at
+    *     least be loud.
     */
   def captureObservedMetrics(
       spark: org.apache.spark.sql.SparkSession,
-      expectMetrics: Boolean
+      expectedNames: Set[String]
   )(action: => Unit): Map[String, org.apache.spark.sql.Row] = {
     val captured = scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Row]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -172,7 +183,10 @@ object Sinks {
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long
-      ): Unit = qe.observedMetrics.foreach { case (k, v) => captured.put(k, v) }
+      ): Unit = qe.observedMetrics.foreach {
+        case (k, v) if expectedNames.contains(k) => captured.put(k, v)
+        case _                                   => ()
+      }
       override def onFailure(
           funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -183,8 +197,14 @@ object Sinks {
     try {
       action
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (expectMetrics && captured.isEmpty && System.nanoTime() < deadline)
+      while (!expectedNames.forall(captured.contains) && System.nanoTime() < deadline)
         Thread.sleep(25)
+      val missing = expectedNames.diff(captured.keySet)
+      if (missing.nonEmpty)
+        System.err.println(
+          s"[graft] WARNING: observe() metrics ${missing.mkString(", ")} did not arrive within 10s; " +
+            "the persisted _metrics.json will be incomplete"
+        )
     } finally spark.listenerManager.unregister(listener)
     captured.toMap
   }
@@ -209,6 +229,10 @@ object Sinks {
     }
     def jsonVal(v: Any): String = v match {
       case null                  => "null"
+      // non-finite doubles/floats have no JSON literal — Number.toString
+      // would emit bare NaN/Infinity and break every consumer's parse
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
       case n: java.lang.Number   => n.toString
       case b: java.lang.Boolean  => b.toString
       case other                 => "\"" + esc(other.toString) + "\""

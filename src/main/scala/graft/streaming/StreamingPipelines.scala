@@ -235,6 +235,19 @@ object StreamingPipelines {
     * journey), but a downstream consumer aggregating per USER (Pinot
     * FUNNELCOUNT-style) must dedupe on (user_id, stage) or treat the
     * output as per-journey, or expired-and-returned users double-count.
+    *
+    * WHY TOMBSTONES CANNOT SELF-EXPIRE WITHOUT A TTL (the "expire completed
+    * users at completionTime + max-skew" idea, considered and refuted):
+    * re-journeying a removed state does not require a LATE event. Any fresh
+    * post-completion event — the completed user simply browsing again days
+    * later — arrives at or ahead of the watermark, and with the tombstone
+    * gone it starts a new journey and emits stage rows the batch funnel
+    * (one greedy min-chain per user over the full log) never emits. So any
+    * fixed expiry horizon for completed users IS an idle TTL, with exactly
+    * the re-entry caveat above; `idleTimeout=None` therefore keeps
+    * tombstones for the stream's lifetime, and bounded state comes only
+    * from opting into a TTL. Pinned by the far-future re-entry spec in
+    * StreamingPipelinesSpec.
     */
   def streamingFunnel(
       events: Dataset[TypedEvent],

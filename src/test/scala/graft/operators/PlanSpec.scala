@@ -172,13 +172,13 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 3, s"dedupe + group agg + result sort only, got $shuffles")
   }
 
-  test("q_kmv_intersect: the two 1-row sketch frames meet in a broadcast, never a data-scale cartesian") {
+  test("q_kmv_intersect: both segment sketches come from ONE aggregation pass — no join, one scan") {
+    // the round-6 shape filtered two frames off the same unmaterialized
+    // groupBy and crossJoined them — scan + distinct + sketch ran twice
     val df = q("q_kmv_intersect")
-    assert(
-      countNodes(df, "BroadcastNestedLoopJoin") >= 1,
-      "the 1x1 sketch crossJoin must broadcast"
-    )
-    assert(countNodes(df, "CartesianProduct") === 0, "no unbroadcast cartesian allowed")
+    assert(countNodes(df, "Join") === 0, "filtered single-pass aggregation must not join")
+    assert(countNodes(df, "Scan parquet") === 1, "lineitem must be scanned exactly once")
+    assert(countNodes(df, "ObjectHashAggregate") >= 1, "sketches run as object hash aggregates")
     assert(!allNodes(executed(df)).exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand")
   }
 

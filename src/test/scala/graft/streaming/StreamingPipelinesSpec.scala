@@ -312,6 +312,40 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: tombstone outlives any skew horizon — far-future activity stays a no-op") {
+    // Refutes the "expire completed tombstones at completionTime + max-skew"
+    // shrink (round-6 directive 6): re-journey does not need a LATE event.
+    // A completed user browsing again DAYS later sends events at/ahead of
+    // the watermark; had the tombstone expired at any fixed horizon, that
+    // activity would start a fresh journey and emit stage rows the batch
+    // funnel never emits. So with idleTimeout=None the tombstone must
+    // survive arbitrarily far past completion — bounding it IS idleTimeout.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .streamingFunnel(input.toDS(), watermark = "5 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_far_out")
+      .outputMode("append")
+      .start()
+    def u1rows() = spark.table("funnel_far_out").collect().count(_.getLong(0) == 1L)
+    try {
+      input.addData(TypedEvent(ts(1), 1, "view"), TypedEvent(ts(2), 1, "click"), TypedEvent(ts(3), 1, "purchase"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-01 11:00:00"), 99, "view")) // watermark past the chain
+      q.processAllAvailable()
+      assert(u1rows() === 3, "u1 completes the funnel")
+      // two days later — far beyond any plausible skew bound — u1 returns
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-03 10:00:00"), 1, "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-04 10:00:00"), 99, "view")) // push watermark past the return
+      q.processAllAvailable()
+      assert(u1rows() === 3, "far-future activity of a completed user must not re-journey or re-emit")
+    } finally q.stop()
+  }
+
   test("streaming funnel: out-of-order cross-batch arrival buffered, replayed when predecessor lands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
