@@ -128,6 +128,78 @@ object CorpusPipeline {
     )
   }
 
+  /** Streaming form of the corpus ingest — the arrival path wired end to
+    * end: a JSONL landing zone consumed file-by-file as micro-batches
+    * ([[graft.sources.JsonlCorpus.readStream]]), malformed lines dropped
+    * with per-batch `observe()` accounting (`corpus_ingest`: n_lines /
+    * n_malformed — the no-silent-caps rule in flight), the same map-only
+    * quality filter as [[run]], exact dedup ON ARRIVAL via
+    * `dropDuplicatesWithinWatermark` over the normalized-text fingerprint,
+    * deterministic split assignment, and an append-mode hive-partitioned
+    * parquet sink.
+    *
+    * Scale/semantics notes:
+    *   - dedup state is keyed by 16-byte fingerprint and bounded by
+    *     `dedupHorizon` of PROCESSING time (`current_timestamp()` is
+    *     evaluated once per micro-batch): a duplicate landing within the
+    *     horizon is dropped, one landing later is kept — the arrival-window
+    *     contract of streaming ingest, vs [[run]]'s global keep-smallest-id.
+    *     Within the horizon the stream keeps the FIRST arrival; batch keeps
+    *     the smallest doc_id — re-running [[run]] over the landed output
+    *     reconciles the difference (and the near-dup stage, which needs
+    *     cross-corpus connected components no incremental operator can
+    *     provide, runs there too).
+    *   - the parquet sink appends per micro-batch, so file counts grow with
+    *     trigger count — exactly the fragmentation [[Sinks.compact]] plus
+    *     the [[run]] swap protocol exist to repair on a schedule.
+    *
+    * Returns the started [[StreamingQuery]]; the caller owns its lifecycle.
+    */
+  def runStreaming(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType = graft.sources.JsonlCorpus.documentsSchema,
+      minQuality: Double = 0.3,
+      dedupHorizon: String = "10 minutes",
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = graft.sources.JsonlCorpus
+      .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
+      .observe(
+        "corpus_ingest",
+        count(lit(1)).as("n_lines"),
+        // coalesce: a data-less micro-batch (watermark-only) reports sum()
+        // as null, which would make the accounting unparseable downstream
+        coalesce(sum(when(col("_corrupt"), 1L).otherwise(0L)), lit(0L)).as("n_malformed")
+      )
+      .filter(!col("_corrupt"))
+      .drop("_corrupt")
+    val kept = TextAnalysis
+      .qualityFrame(raw)
+      .filter(col("quality") >= minQuality)
+      .select(raw.columns.map(col): _*)
+    val deduped = kept
+      .withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("_arrival", current_timestamp())
+      .withWatermark("_arrival", dedupHorizon)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp", "_arrival")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    deduped
+      .withColumn(
+        "split",
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+      )
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("split")
+      .start()
+  }
+
   /** Rename-aside swap: park the live dir at `aside`, promote `tmp` into the
     * live path, delete the parked copy last. Every intermediate state keeps a
     * full copy of the data at a predictable path (see the step-6 comment in

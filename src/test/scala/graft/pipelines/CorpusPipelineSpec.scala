@@ -135,6 +135,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(!fs.exists(tmp) && !fs.exists(aside), "no leftover tmp/aside after a clean swap")
   }
 
+  test("streaming ingest: landing zone -> quality/dedup-on-arrival -> split parquet, drops observable") {
+    val dir  = Files.createTempDirectory("pipeline-stream").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+
+    landFile(
+      "arrival-0.jsonl",
+      doc(1, base),                           // good
+      doc(2, "!!! ??? ### $$$ %%%"),          // fails the quality filter
+      """{"doc_id": 3, "text": "truncated"""  // malformed -> dropped, counted
+    )
+    val q = CorpusPipeline.runStreaming(
+      spark, land, s"$dir/corpus", s"$dir/ckpt", minQuality = 0.3, dedupHorizon = "10 minutes")
+    try {
+      q.processAllAvailable()
+      // a later file: an exact duplicate of doc 1 (same normalized text,
+      // different id/whitespace) must be dropped by cross-batch state
+      landFile("arrival-1.jsonl", doc(10, base.replace(" ", "  ")), doc(20, base + " with an extra tail"))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$dir/corpus")
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 20L),
+        s"good docs survive; junk fails quality, malformed drops, cross-batch duplicate dedupes: $ids")
+      assert(out.columns.contains("split"), "hive split layout in the streaming sink")
+
+      // drop accounting is observable per micro-batch (no silent losses)
+      val observed = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("corpus_ingest"))).toSeq
+      val totals = observed.map(r => (r.getLong(0), r.getLong(1)))
+      assert(totals.map(_._1).sum === 5L, s"all landed lines accounted: $totals")
+      assert(totals.map(_._2).sum === 1L, s"the malformed line must be counted: $totals")
+    } finally q.stop()
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
