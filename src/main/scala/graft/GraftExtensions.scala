@@ -70,6 +70,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.KmvSketch.estimateBuild(_)
       )
     )
+    Seq(
+      ("kmv_jaccard", "kmv_jaccard(a, b, k) - Jaccard estimate between two kmv_hashes sketches (theta set operation)", functions.KmvSketch.jaccardBuild(_)),
+      ("kmv_union_est", "kmv_union_est(a, b, k) - union distinct-count estimate of two kmv_hashes sketches", functions.KmvSketch.unionEstBuild(_)),
+      ("kmv_intersect_est", "kmv_intersect_est(a, b, k) - intersection size estimate of two kmv_hashes sketches (jaccard x union)", functions.KmvSketch.intersectEstBuild(_))
+    ).foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[functions.KmvHashes].getName, name, usage),
+          builder
+        )
+      )
+    }
     ext.injectFunction(
       (
         FunctionIdentifier("rolling_hash"),

@@ -182,13 +182,50 @@ object KmvSketch {
     )
   }
 
-  /** Register `kmv_hashes(h, k)` + `kmv_estimate(arr, k)` for
+  /** Shared trees for the SQL set-operation estimators — the
+    * composed-builtin twin of [[intersectColumns]] (same shapes: the
+    * union's k smallest hashes, membership in both sketches, order-statistic
+    * union estimate). Subtrees repeat (arrays are <= k doubles, and
+    * whole-stage codegen's subexpression elimination collapses them), so
+    * plain SQL can run theta set operations with no library call:
+    * `SELECT kmv_jaccard(a, b, 256), kmv_intersect_est(a, b, 256)`.
+    */
+  private def setOpTrees(fn: String, exprs: Seq[Expression]): (Expression, Expression, Expression) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    Arity.require(fn, s"3 ($fn(a_hashes, b_hashes, k))", exprs, 3, 3)
+    val kExpr = exprs(2)
+    require(kExpr.foldable, s"$fn k must be a literal")
+    val k = kExpr.eval().asInstanceOf[Number].intValue()
+    val a = exprs(0)
+    val b = exprs(1)
+    val unionTopK = Slice(SortArray(ArrayUnion(a, b), Literal(true)), Literal(1), Literal(k))
+    val nU        = Size(unionTopK)
+    val nBoth     = Size(ArrayIntersect(unionTopK, ArrayIntersect(a, b)))
+    val jaccard   = Divide(Cast(nBoth, DoubleType), Cast(nU, DoubleType))
+    val unionEst = If(
+      LessThan(nU, Literal(k)),
+      Cast(nU, DoubleType),
+      Divide(Literal((k - 1).toDouble), ElementAt(unionTopK, Literal(k)))
+    )
+    (jaccard, unionEst, Multiply(jaccard, unionEst))
+  }
+
+  def jaccardBuild(exprs: Seq[Expression]): Expression      = setOpTrees("kmv_jaccard", exprs)._1
+  def unionEstBuild(exprs: Seq[Expression]): Expression     = setOpTrees("kmv_union_est", exprs)._2
+  def intersectEstBuild(exprs: Seq[Expression]): Expression = setOpTrees("kmv_intersect_est", exprs)._3
+
+  /** Register `kmv_hashes(h, k)` + `kmv_estimate(arr, k)` + the set-op
+    * estimators (`kmv_jaccard` / `kmv_union_est` / `kmv_intersect_est`) for
     * `expr(...)`/SQL use. Idempotent.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("kmv_hashes", build, "built-in")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("kmv_estimate", estimateBuild, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kmv_hashes", build, "built-in")
+    reg.createOrReplaceTempFunction("kmv_estimate", estimateBuild, "built-in")
+    reg.createOrReplaceTempFunction("kmv_jaccard", jaccardBuild, "built-in")
+    reg.createOrReplaceTempFunction("kmv_union_est", unionEstBuild, "built-in")
+    reg.createOrReplaceTempFunction("kmv_intersect_est", intersectEstBuild, "built-in")
   }
 
   /** Distinct-count estimate from a sketch array: exact below k (the sketch

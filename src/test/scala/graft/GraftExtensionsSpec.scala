@@ -70,6 +70,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(atK - 99.0) < 1e-9, s"k-th order statistic estimate, got $atK")
   }
 
+  test("kmv set-operation estimators resolve from SQL without a register() call") {
+    // identical sketches: jaccard 1, union = intersect = exact distinct count
+    val row = spark
+      .sql("""WITH s AS (
+             |  SELECT kmv_hashes(h, 16) AS a, kmv_hashes(h, 16) AS b
+             |  FROM (SELECT cast(id % 7 as double) / 10 AS h FROM range(100)))
+             |SELECT kmv_jaccard(a, b, 16), kmv_union_est(a, b, 16), kmv_intersect_est(a, b, 16)
+             |FROM s""".stripMargin)
+      .collect()(0)
+    assert(row.getDouble(0) === 1.0 && row.getDouble(1) === 7.0 && row.getDouble(2) === 7.0)
+    // disjoint sketches: jaccard 0, intersection 0
+    val dis = spark
+      .sql("""WITH s AS (
+             |  SELECT kmv_hashes(case when id < 50 then h end, 64) AS a,
+             |         kmv_hashes(case when id >= 50 then h end, 64) AS b
+             |  FROM (SELECT id, cast(id as double) / 100 AS h FROM range(100)))
+             |SELECT kmv_jaccard(a, b, 64), kmv_intersect_est(a, b, 64) FROM s""".stripMargin)
+      .collect()(0)
+    assert(dis.getDouble(0) === 0.0 && dis.getDouble(1) === 0.0)
+  }
+
   test("wrong arity raises an analysis error naming the signature, not an index error") {
     // Deliberately replace every extension-injected builder with the
     // register() path first — both entry points must share the same

@@ -53,6 +53,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-9)
   }
 
+  test("theta set operations run in plain SQL and agree with the driver-side estimator") {
+    functions.KmvSketch.register(spark)
+    // two overlapping synthetic sets (multiples of 2 / of 3 under 1000):
+    // true jaccard = |mult 6| / |mult 2 or 3| ~ 0.25
+    val row = spark
+      .sql("""WITH h AS (
+             |  SELECT id, conv(substring(md5(cast(id as string)), 1, 8), 16, 10) / 4294967296.0 AS h
+             |  FROM range(1000)),
+             |s AS (
+             |  SELECT kmv_hashes(case when id % 2 = 0 then h end, 64) AS a,
+             |         kmv_hashes(case when id % 3 = 0 then h end, 64) AS b
+             |  FROM h)
+             |SELECT kmv_jaccard(a, b, 64) AS j, kmv_union_est(a, b, 64) AS u,
+             |       kmv_intersect_est(a, b, 64) AS i
+             |FROM s""".stripMargin)
+      .collect()(0)
+    val (j, u, i) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+
+    // driver-side twin over the same md5-derived hashes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val aH = (0L until 1000L).filter(_ % 2 == 0).map(hash).sorted.take(64)
+    val bH = (0L until 1000L).filter(_ % 3 == 0).map(hash).sorted.take(64)
+    val (jRef, iRef) = functions.KmvSketch.intersectionEstimate(aH, bH, 64)
+    assert(math.abs(j - jRef) < 1e-9, s"SQL jaccard $j vs driver $jRef")
+    assert(math.abs(i - iRef) < 1e-9, s"SQL intersect $i vs driver $iRef")
+    assert(math.abs(j * u - i) < 1e-9, "intersection = jaccard x union by construction")
+    // and the estimates are in the right neighborhood of the truth
+    assert(j > 0.1 && j < 0.45, s"jaccard estimate $j implausible for true ~0.25")
+  }
+
   test("star join in SQL picks the same broadcast plan family") {
     val sql = spark.sql(
       """SELECT r_name, count(1) AS n
