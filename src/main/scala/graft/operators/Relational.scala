@@ -304,12 +304,20 @@ object Relational {
       "q_hll_sketch",
       "mergeable HLL sketches (Pinot DISTINCTCOUNTHLL's real shape): per-group DataSketches HLL built with hll_sketch_agg, estimated with hll_sketch_estimate; sketch bytes are engine-specific — rows-only (mergeability proven in RelationalSketchSpec)",
       (s, dir) =>
+        // hand-rolled two-phase distinct (q_kmv_distinct's pattern): an HLL
+        // sketch of a multiset equals the sketch of its distinct set, so
+        // dedupe (flag, partkey) FIRST and run ONE single-path aggregate —
+        // mixing hll_sketch_agg with countDistinct in one agg forces the
+        // multi-phase distinct rewrite (Expand) around the object aggregate,
+        // the exact plan that made round-5's KMV query the suite's slowest
         Tables
           .lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
           .groupBy(col("l_returnflag"))
           .agg(
             expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))").as("hll_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts")
+            count(lit(1)).as("exact_parts")
           )
           .orderBy(col("l_returnflag")),
       None

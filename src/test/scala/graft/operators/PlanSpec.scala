@@ -159,6 +159,15 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "BroadcastHashJoin") >= 1, "qcid must broadcast-join against assignments")
   }
 
+  test("q_hll_sketch: no distinct-expand around the object aggregate") {
+    // same discipline as q_kmv_distinct: the exact count comes from a
+    // hand-rolled two-phase distinct, never the Expand rewrite
+    val df    = q("q_hll_sketch")
+    val nodes = allNodes(executed(df))
+    assert(!nodes.exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand allowed")
+    assert(countNodes(df, "ObjectHashAggregate") >= 1, "HLL must run as an object hash aggregate")
+  }
+
   test("q_kmv_distinct: no distinct-expand around the object aggregate; hash after dedupe") {
     // round 5's 3.7s plan mixed countDistinct with the sketch UDAF in one
     // agg, forcing the multi-phase distinct rewrite (Expand) around an
