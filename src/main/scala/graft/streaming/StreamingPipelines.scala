@@ -79,6 +79,43 @@ object StreamingPipelines {
   ): DataFrame =
     JsonDecode.decode(events, payloadCol, schema, fields, passthrough)
 
+  /** Streaming approximate distinct per group via the KMV theta sketch —
+    * the serving-side capability the reference's host pairs with stream
+    * ingest (Pinot DISTINCTCOUNTTHETASKETCH over a Pulsar table), expressed
+    * as a Structured Streaming stateful aggregation: [[graft.functions
+    * .KmvHashes]] is a TypedImperativeAggregate, so its buffer (<= k
+    * unboxed doubles per group) IS the state-store entry, partial merges
+    * run per micro-batch, and the estimate stays mergeable across batches
+    * by construction. State is O(groups x k) regardless of stream length —
+    * the property that makes distinct-counting viable on an unbounded
+    * 100 TB/day feed where exact per-group sets would grow without bound.
+    *
+    * Run with update/complete output (an unwatermarked global aggregate);
+    * below k distinct values the estimate is EXACT, so the streaming result
+    * equals the batch `count(DISTINCT ...)` there — the cross-batch
+    * state-merge pin in StreamingPipelinesSpec.
+    */
+  def streamingKmvDistinct(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "user_id",
+      k: Int = 256
+  ): DataFrame = {
+    graft.functions.KmvSketch.register(events.sparkSession)
+    // same md5-prefix uniform hash as the batch KMV queries: the streaming
+    // estimate is reproducible (and oracle-comparable) by construction
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    events
+      .withColumn("_h", h)
+      .groupBy(col(groupCol))
+      .agg(expr(s"kmv_hashes(_h, $k)").as("hs"))
+      .select(
+        col(groupCol),
+        graft.functions.KmvSketch.estimate(col("hs"), k).as("distinct_est")
+      )
+  }
+
   /** Tumbling-window counts per event_type with a watermark bounding late
     * data (and state).
     */

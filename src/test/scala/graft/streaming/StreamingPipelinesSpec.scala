@@ -64,6 +64,40 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct: sketch state merges across micro-batches, exact below k") {
+    // the TypedImperativeAggregate buffer is the state-store entry; feeding
+    // overlapping user sets across three micro-batches must yield the same
+    // result as one batch pass — and below k the KMV estimate is EXACT, so
+    // the streaming estimate must equal the true distinct count
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .streamingKmvDistinct(input.toDF(), groupCol = "event_type", valueCol = "user_id", k = 64)
+      .writeStream
+      .format("memory")
+      .queryName("kmv_stream_out")
+      .outputMode("complete")
+      .start()
+    def est() = spark.table("kmv_stream_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    try {
+      input.addData((1 to 20).map(u => Ev(ts(1), "click", u.toLong, 1.0)): _*)
+      q.processAllAvailable()
+      assert(est() === Map("click" -> 20.0), "first batch: 20 distinct users, exact")
+      // batch 2 overlaps batch 1 (users 11..30) plus a second group
+      input.addData((11 to 30).map(u => Ev(ts(2), "click", u.toLong, 1.0)) ++
+        (1 to 5).map(u => Ev(ts(2), "view", u.toLong, 1.0)): _*)
+      q.processAllAvailable()
+      assert(est() === Map("click" -> 30.0, "view" -> 5.0),
+        "cross-batch merge dedupes the 11..20 overlap: 30 distinct, not 40")
+      // batch 3: pure duplicates must change nothing
+      input.addData((1 to 30).map(u => Ev(ts(3), "click", u.toLong, 1.0)): _*)
+      q.processAllAvailable()
+      assert(est() === Map("click" -> 30.0, "view" -> 5.0), "replayed values are no-ops")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate (user_id, ts) rows collapse to one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
