@@ -94,5 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.RollingHash.builder(_)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("char_entropy"),
+        new ExpressionInfo(
+          classOf[functions.CharEntropy].getName,
+          "char_entropy",
+          "char_entropy(s) - char-level Shannon entropy (nats) in one map-side pass"
+        ),
+        functions.CharEntropy.builder(_)
+      )
+    )
   }
 }

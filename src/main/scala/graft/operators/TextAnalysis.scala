@@ -526,17 +526,16 @@ object TextAnalysis {
       "q_text_entropy",
       "char-level Shannon entropy (nats) quality signal — low-entropy docs are repeated boilerplate, high-entropy ones are noise/binary junk: per-doc H = ln(n) - sum(c*ln(c))/n from one char-frequency aggregation; per-language census. Cross-row sums of the transcendental terms go through decimal(18,12) casts so addition order cannot move them (per-term ln agrees between engines — q_udaf_geomean precedent)",
       (s, dir) => {
+        // per-doc H via the codegen'd map-only expression — the collapse of
+        // explode(split(text,'')) -> char counts -> decimal-cast sum, proven
+        // bit-identical to that relational form in CharEntropySpec (so the
+        // oracle below, which IS the relational form, still hash-matches).
+        // The explode shape shuffled one row per character; this shuffles
+        // one double per doc.
+        graft.functions.CharEntropy.register(s)
         val perDoc = Tables
           .fanout(Tables.documents(s, dir))
-          .select(col("lang"), col("doc_id"), explode(split(col("text"), "")).as("ch"))
-          .groupBy(col("lang"), col("doc_id"), col("ch"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("lang"), col("doc_id"))
-          .agg(
-            sum(col("c")).as("n"),
-            sum((col("c") * log(col("c"))).cast("decimal(18,12)")).as("clc")
-          )
-          .select(col("lang"), (log(col("n")) - col("clc").cast("double") / col("n")).as("h"))
+          .select(col("lang"), expr("char_entropy(text)").as("h"))
         perDoc
           .groupBy(col("lang"))
           .agg(
