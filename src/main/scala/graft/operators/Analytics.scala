@@ -212,14 +212,20 @@ object Analytics {
       "q_text_tfidf",
       "TF-IDF top terms per language: corpus-level tf x ln((L+1)/(df+1)) with language as the document unit; ranked on the rounded score (raw transcendental scores can differ in the last ulp between engines)",
       (s, dir) => {
+        // ONE explode: the earlier shape referenced tf three times (df and
+        // n_langs re-aggregated it) and Catalyst duplicated the scan +
+        // explode + aggregate subtree per reference (3 Generates, no
+        // exchange reuse — measured). df is now a window over tf's own
+        // output (count per word partition: tf is vocab x langs rows, tiny)
+        // and n_langs comes from the documents table directly (5 values,
+        // no tokenization needed) — same numbers, one token pipeline.
         val tok = Tables
           .fanout(Tables.documents(s, dir))
           .select(col("lang"), explode(tokens(col("text"))).as("word"))
         val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        val nl = tf.agg(countDistinct(col("lang")).as("n_langs"))
+        val nl = Tables.documents(s, dir).agg(countDistinct(col("lang")).as("n_langs"))
         val scored = tf
-          .join(df, "word")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
           .crossJoin(broadcast(nl))
           .withColumn(
             "score",
