@@ -159,6 +159,27 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "BroadcastHashJoin") >= 1, "qcid must broadcast-join against assignments")
   }
 
+  test("LSH probes: bucket equi-join broadcasts the probe set, top-k stays a TakeOrderedAndProject") {
+    for (name <- Seq("q_sim_lsh_probe", "q_sim_lsh_probe2")) {
+      val df = q(name)
+      assert(countNodes(df, "BroadcastHashJoin") >= 1, s"$name: probe buckets must broadcast into an equi-join")
+      assert(countNodes(df, "CartesianProduct") === 0, s"$name: no unbroadcast cartesian")
+      assert(countNodes(df, "TakeOrderedAndProject") >= 1, s"$name: top-k must not global-sort")
+    }
+  }
+
+  test("q_text_tfidf explodes the token pipeline exactly once") {
+    // df and n_langs used to re-reference tf and Catalyst duplicated the
+    // scan+explode+agg subtree per reference (3 Generates, measured)
+    val df = q("q_text_tfidf")
+    assert(countNodes(df, "Generate") === 1, "one token explode; df is a window, n_langs reads documents")
+  }
+
+  test("q_text_entropy is explode-free (char_entropy is map-only)") {
+    val df = q("q_text_entropy")
+    assert(countNodes(df, "Generate") === 0, "entropy must not materialize per-char rows")
+  }
+
   test("q_hll_sketch: no distinct-expand around the object aggregate") {
     // same discipline as q_kmv_distinct: the exact count comes from a
     // hand-rolled two-phase distinct, never the Expand rewrite
