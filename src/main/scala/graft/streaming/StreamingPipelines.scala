@@ -116,6 +116,42 @@ object StreamingPipelines {
       )
   }
 
+  /** Streaming per-window top-k via the [[graft.functions.TopK]] typed
+    * aggregate — the leaderboard-over-a-stream shape (top users by value
+    * per hour). Same state math as the batch `q_topk_pergroup` rationale:
+    * as an Aggregator the buffer holds at most k rows per (window, group),
+    * so the state store carries O(windows x groups x k) — a ranking window
+    * over the stream would need every row. Watermark expires closed
+    * windows' state.
+    *
+    * Emits one row per (window start, group, rank 1..k).
+    */
+  def streamingWindowedTopK(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour",
+      k: Int = 3
+  ): DataFrame = {
+    val fn = graft.functions.TopK.register(events.sparkSession, k)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(expr(s"$fn(value, user_id)").as("top"))
+      .select(
+        col("window.start").as("wstart"),
+        col("event_type"),
+        posexplode(col("top")).as(Seq("i", "s"))
+      )
+      .select(
+        col("wstart"),
+        col("event_type"),
+        (col("i") + 1).cast("long").as("rank"),
+        col("s.key").as("user_id"),
+        col("s.score").as("value")
+      )
+  }
+
   /** Tumbling-window counts per event_type with a watermark bounding late
     * data (and state).
     */

@@ -98,6 +98,36 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k: typed aggregate state merges across batches, k bounds output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipelines
+      .streamingWindowedTopK(input.toDF(), watermark = "10 minutes", window_ = "30 minutes", k = 3)
+      .writeStream
+      .format("memory")
+      .queryName("topk_stream_out")
+      .outputMode("complete")
+      .start()
+    def ranks() = spark.table("topk_stream_out").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    try {
+      input.addData(
+        Ev(ts(1), "click", 10, 5.0), Ev(ts(2), "click", 11, 9.0),
+        Ev(ts(3), "click", 12, 7.0), Ev(ts(4), "click", 13, 1.0))
+      q.processAllAvailable()
+      assert(ranks() === Set(
+        ("click", 1L, 11L, 9.0), ("click", 2L, 12L, 7.0), ("click", 3L, 10L, 5.0)),
+        "k=3 keeps the top three by value")
+      // a later batch inside the same window displaces rank 3
+      input.addData(Ev(ts(5), "click", 14, 8.0))
+      q.processAllAvailable()
+      assert(ranks() === Set(
+        ("click", 1L, 11L, 9.0), ("click", 2L, 14L, 8.0), ("click", 3L, 12L, 7.0)),
+        "cross-batch state merge re-ranks within the window")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate (user_id, ts) rows collapse to one") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
