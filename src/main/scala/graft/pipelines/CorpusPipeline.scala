@@ -55,7 +55,7 @@ object CorpusPipeline {
 
     // 1. quality filter — map-side
     val scored  = TextAnalysis.qualityFrame(docs)
-    val kept    = scored.filter(col("quality") >= minQuality).select(docs.columns.map(col): _*)
+    val kept    = scored.filter(col("quality") >= minQuality).select(docs.columns.toIndexedSeq.map(col): _*)
     val nKeptQ  = kept.count()
 
     // 2. exact dedup on the normalized fingerprint, keep smallest doc_id
@@ -179,7 +179,7 @@ object CorpusPipeline {
     val kept = TextAnalysis
       .qualityFrame(raw)
       .filter(col("quality") >= minQuality)
-      .select(raw.columns.map(col): _*)
+      .select(raw.columns.toIndexedSeq.map(col): _*)
     val deduped = kept
       .withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
       .withColumn("_arrival", current_timestamp())
