@@ -63,6 +63,29 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.metrics("numPartitions").value === 1, "scan must prune to the single lang=en dir")
   }
 
+  test("writeMetricsJson emits parseable JSON even for non-finite metric values") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sinks-metrics").toString
+    val schema = StructType(Seq(
+      StructField("n", LongType),
+      StructField("ratio", DoubleType),
+      StructField("bad_nan", DoubleType),
+      StructField("bad_inf", DoubleType)
+    ))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](7L, 0.5, Double.NaN, Double.PositiveInfinity), schema)
+    Sinks.writeMetricsJson(spark, dir, Map("graft.test" -> (row: Row)))
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_metrics.json")), "UTF-8")
+    // bare NaN/Infinity is not JSON; non-finite doubles must serialize null
+    assert(text.contains("\"n\":7") && text.contains("\"ratio\":0.5"), text)
+    assert(text.contains("\"bad_nan\":null") && text.contains("\"bad_inf\":null"), text)
+    import spark.implicits._
+    val strict = spark.read.option("mode", "FAILFAST").json(Seq(text).toDS())
+    assert(strict.collect().length === 1, "a strict JSON parse must accept the file")
+  }
+
   test("compact collapses a fragmented directory and round-trips the data") {
     val base = Files.createTempDirectory("sinks").toString
     val docs = Tables.documents(spark, TestSpark.sfDir)
