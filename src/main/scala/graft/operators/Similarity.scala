@@ -107,6 +107,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched k-NN JOIN: every query vector gets its top-k cosine neighbors
+    * from the corpus — the retrieval-eval / dedup-against-another-dataset
+    * shape, where [[lshProbe]] is the single-query special case. Blocking
+    * is the same multi-probe LSH (each query's probe bucket ids enumerated
+    * and broadcast into an equi-join on the bucket key), and the per-query
+    * top-k runs as the [[graft.functions.TopK]] typed AGGREGATE: map tasks
+    * keep at most k candidates per query, the shuffle carries
+    * O(queries x k x partitions) — a `row_number()` window would shuffle
+    * and sort EVERY candidate pair. Scores are rounded to 6 decimals
+    * BEFORE ranking so the ordering is reproducible across engines.
+    *
+    * Expects both frames to carry (vec_id, embedding); distinct probe
+    * flips yield distinct buckets, so a corpus vector pairs with a given
+    * query at most once (no candidate dedup step needed).
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
+    val s = queries.sparkSession
+    VectorFunctions.register(s)
+    val fn = graft.functions.TopK.register(s, k)
+    val flips = lit(0L) +: (if (maxHamming >= 1) planes.indices.map(i => lit(1L << i)) else Nil)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), expr(bucketSpark).as("q_bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_bucket"), explode(array(flips: _*)).as("flip"))
+      .select(col("q_id"), col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    corpus
+      .withColumn("bucket", expr(bucketSpark))
+      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
+      )
+      .groupBy(col("q_id"))
+      .agg(expr(s"$fn(cos_sim, vec_id)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(
+        col("q_id"),
+        (col("i") + 1).cast("long").as("rank"),
+        col("s.key").as("vec_id"),
+        col("s.score").as("cos_sim")
+      )
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_topk",
@@ -171,6 +216,33 @@ object Similarity {
               |FROM bk CROSS JOIN q
               |WHERE vec_id <> 0 AND bit_count(xor(bucket, q_bucket)) <= 1
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_knn_join",
+      "batched k-NN join: top-3 cosine neighbors for EACH of the first 3 query vectors, multi-probe-LSH-blocked, ranked by a mergeable typed top-k aggregate (no ranking window over the candidate pairs)",
+      (s, dir) => {
+        val emb = Tables.fanout(Tables.embeddings(s, dir))
+        knnJoin(
+          emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding")),
+          k = 3,
+          maxHamming = 1
+        )
+      },
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+              |      FROM bk WHERE vec_id < 3),
+              |cand AS (
+              |  SELECT q.q_id, b.vec_id,
+              |    round(${cosDuck("b.embedding", "q.q_emb")}, 6) AS cos_sim
+              |  FROM bk b CROSS JOIN q
+              |  WHERE b.vec_id >= 3 AND bit_count(xor(b.bucket, q.q_bucket)) <= 1)
+              |SELECT q_id, rn AS "rank", vec_id, cos_sim FROM (
+              |  SELECT q_id, vec_id, cos_sim,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+              |  FROM cand) t
+              |WHERE rn <= 3 ORDER BY q_id, "rank"""".stripMargin)
     ),
     QueryDef(
       "q_dedup_embed",
