@@ -168,6 +168,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_knn_join: broadcast bucket join + typed top-k aggregate, no ranking window") {
+    val df    = q("q_sim_knn_join")
+    val nodes = allNodes(executed(df))
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "probe buckets must broadcast into an equi-join")
+    assert(countNodes(df, "CartesianProduct") === 0, "no unbroadcast cartesian")
+    assert(!nodes.exists(_.nodeName.contains("Window")), "per-query top-k must be the aggregate, not a ranking window")
+    assert(countNodes(df, "ObjectHashAggregate") >= 1, "TopK runs as an object hash aggregate")
+  }
+
   test("q_text_tfidf explodes the token pipeline exactly once") {
     // df and n_langs used to re-reference tf and Catalyst duplicated the
     // scan+explode+agg subtree per reference (3 Generates, measured)
