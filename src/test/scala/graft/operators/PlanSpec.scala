@@ -221,6 +221,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!allNodes(executed(df)).exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand")
   }
 
+  test("no query in the entire surface plans a CartesianProduct") {
+    // global invariant, statically checked (AQE can only REPLACE a static
+    // cartesian with a broadcast NLJ, never introduce one): every crossJoin
+    // in the surface must be a deliberate broadcast of a tiny side
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan  = q(name).queryExecution.executedPlan
+      val nodes = allNodes(plan)
+      nodes.exists(_.nodeName.contains("CartesianProduct"))
+    }
+    assert(offenders.isEmpty, s"cartesian products found in: $offenders")
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
