@@ -121,6 +121,12 @@ object Similarity {
     * Expects both frames to carry (vec_id, embedding); distinct probe
     * flips yield distinct buckets, so a corpus vector pairs with a given
     * query at most once (no candidate dedup step needed).
+    *
+    * The probe side is broadcast-hinted for the common eval/dedup shape
+    * (queries << corpus, q x 9 rows). For a query set too large to
+    * broadcast, drop to an unhinted equi-join on the bucket key — the same
+    * shuffle both sides on a byte-sized key, with AQE choosing the
+    * strategy — rather than scaling the broadcast.
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int, maxHamming: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
