@@ -100,6 +100,22 @@ class JsonlCorpusSpec extends AnyFunSuite {
       .collect()(0)
     assert((batch.getLong(0), batch.getLong(1)) === ((4L, 3L)), "streaming and batch accounting must agree")
 
+    // maxFilesPerTrigger bounds a backlog to per-batch increments: 2 landed
+    // files with the knob at 1 must drain as (at least) 2 data batches
+    val bounded = JsonlCorpus
+      .readStream(spark, src, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory")
+      .queryName("jsonl_ingest_bounded")
+      .option("checkpointLocation", s"$dir/ckpt3")
+      .start()
+    try {
+      bounded.processAllAvailable()
+      val dataBatches = bounded.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 2, s"a 2-file backlog at maxFilesPerTrigger=1 must take >= 2 batches, got $dataBatches")
+      assert(spark.table("jsonl_ingest_bounded").count() === 3, "bounded drain still delivers every kept record")
+    } finally bounded.stop()
+
     // and the dropping variant delivers exactly the surviving records
     val kept = JsonlCorpus
       .readStream(spark, src)
