@@ -209,6 +209,67 @@ object Analytics {
              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin)
     ),
     QueryDef(
+      "q_text_bm25",
+      "BM25 document ranking (k1=1.2, b=0.75) for a fixed 3-term query — the standard retrieval scorer curation pipelines rank with (TF-IDF's production successor). Per-doc stats (dl, per-term tf) are MAP-ONLY array ops (no explode); corpus stats broadcast from one tiny aggregate; per-term scores go through decimal(18,12) casts so the cross-term sum is order-free and the DuckDB oracle hash-matches",
+      (s, dir) => {
+        val terms = Seq("join", "window", "query")
+        val (k1, b) = (1.2, 0.75)
+        def perDocOf(src: org.apache.spark.sql.DataFrame) = {
+          val t = tokens(col("text"))
+          src.select(
+            col("doc_id") +:
+              size(t).cast("long").as("dl") +:
+              terms.map(term => size(filter(t, x => x === lit(term))).cast("long").as(s"tf_$term")): _*
+          )
+        }
+        // two map-only passes over documents (stats + scoring) — same
+        // two-scan budget as q_text_tfidf's n_langs; no aggregated frame is
+        // referenced twice, so no lineage duplication trap
+        val docs   = Tables.fanout(Tables.documents(s, dir))
+        val statAggs = count(lit(1)).as("n_docs") +:
+          sum(col("dl")).as("sum_dl") +:
+          terms.map(term => sum(when(col(s"tf_$term") > 0, 1L).otherwise(0L)).as(s"df_$term"))
+        val stats = perDocOf(docs).agg(statAggs.head, statAggs.tail: _*)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val score = terms
+          .map { term =>
+            val tf  = col(s"tf_$term").cast("double")
+            val df  = col(s"df_$term").cast("double")
+            val idf = log((col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+            (idf * tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)))
+              .cast("decimal(18,12)")
+          }
+          .reduce(_ + _)
+        perDocOf(docs)
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"), round(score.cast("double"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        val terms = Seq("join", "window", "query")
+        def tfSql(t: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$t'))"
+        val termScores = terms.map { t =>
+          s"""cast(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * tf_$t * 2.2
+             |      / (tf_$t + 1.2 * (1 - 0.75 + 0.75 * dl / (cast(sum_dl as double) / n_docs))) as decimal(18,12))""".stripMargin
+        }.mkString("(", "\n    + ", ")")
+        s"""WITH perdoc AS (
+           |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           |    ${terms.map(t => s"${tfSql(t)} AS tf_$t").mkString(",\n    ")}
+           |  FROM documents),
+           |stats AS (
+           |  SELECT count(1) AS n_docs, sum(dl) AS sum_dl,
+           |    ${terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")}
+           |  FROM perdoc),
+           |scored AS (
+           |  SELECT doc_id, dl,
+           |    cast(cast($termScores as varchar) as double) AS score
+           |  FROM perdoc CROSS JOIN stats)
+           |SELECT doc_id, dl, round(score, 6) AS bm25
+           |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+      }
+    ),
+    QueryDef(
       "q_text_tfidf",
       "TF-IDF top terms per language: corpus-level tf x ln((L+1)/(df+1)) with language as the document unit; ranked on the rounded score (raw transcendental scores can differ in the last ulp between engines)",
       (s, dir) => {
