@@ -184,6 +184,14 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "Generate") === 1, "one token explode; df is a window, n_langs reads documents")
   }
 
+  test("q_text_bm25: explode-free per-doc stats, broadcast corpus stats, top-N without global sort") {
+    val df = q("q_text_bm25")
+    assert(countNodes(df, "Generate") === 0, "per-doc tf/dl must be map-only array ops, not an explode")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") + countNodes(df, "BroadcastHashJoin") >= 1,
+      "the 1-row corpus stats must broadcast")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-10 must not global-sort")
+  }
+
   test("q_text_entropy is explode-free (char_entropy is map-only)") {
     val df = q("q_text_entropy")
     assert(countNodes(df, "Generate") === 0, "entropy must not materialize per-char rows")
