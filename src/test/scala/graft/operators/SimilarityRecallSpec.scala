@@ -90,6 +90,29 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert((got1 & plantedIds).size === 3, s"radius-1 must recover all 3 planted near-dups, got $got1")
   }
 
+  test("knn join recovers each query's planted near-duplicate at rank 1") {
+    // the batched shape of the planted-recovery guarantee: when the corpus
+    // holds a genuine near-copy of a query vector, that query's top-k must
+    // surface it first — the dedup-against-another-dataset contract
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val planted = queries.collect().map { r =>
+      val id = r.getLong(0)
+      val v  = r.getSeq[Float](1)
+      (900000L + id, v.zipWithIndex.map { case (x, i) => x + 0.005f * (((i + id.toInt) % 5) - 2) })
+    }.toSeq
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") >= 3).union(planted.toDF("vec_id", "embedding"))
+    val top = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1).collect()
+    (0L until 3L).foreach { qid =>
+      val rank1 = top.find(r => r.getLong(0) == qid && r.getLong(1) == 1L)
+        .getOrElse(fail(s"query $qid returned no rows"))
+      assert(rank1.getLong(2) === 900000L + qid,
+        s"query $qid must surface its planted near-copy first, got ${rank1.getLong(2)}")
+      assert(rank1.getDouble(3) > 0.99, s"planted cosine should be ~1, got ${rank1.getDouble(3)}")
+    }
+  }
+
   test("LSH probe is exact within its candidate set") {
     // the probe's top-5 must equal the brute-force cosine ranking restricted
     // to same-bucket candidates — approximate in WHICH rows it considers,
