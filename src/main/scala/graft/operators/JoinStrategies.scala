@@ -66,11 +66,21 @@ object JoinStrategies {
     * `salt` times (dim x salt rows) and scatter fact rows across the salted
     * key space, so one hot key occupies `salt` tasks instead of one.
     * Equivalent to `fact.join(dim, key)` for inner joins.
+    *
+    * The fact salt uses the same content-hash rule as [[saltedCount]] (and
+    * for the same reason): `monotonically_increasing_id()` is
+    * nondeterministic across task retries, so a mapper recomputed after a
+    * shuffle-fetch failure would re-salt rows into DIFFERENT reduce
+    * partitions of the (key, _salt) exchange — the SPARK-23207
+    * duplicate/lost-row class. xxhash64 over the full row re-derives the
+    * same salt on retry; identical duplicate fact rows sharing a salt is
+    * acceptable because the hot KEY still spreads wherever any non-key
+    * column varies.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
     val saltedFact = fact.withColumn(
       "_salt",
-      pmod(pmod(monotonically_increasing_id(), lit(Int.MaxValue)), lit(salt))
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salt))
     )
     val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedFact
