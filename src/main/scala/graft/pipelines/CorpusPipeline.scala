@@ -215,8 +215,13 @@ object CorpusPipeline {
       aside: org.apache.hadoop.fs.Path
   ): Unit = {
     if (fs.exists(aside)) fs.delete(aside, true)
-    fs.rename(live, aside)
-    fs.rename(tmp, live)
+    // Hadoop rename reports failure as FALSE, not an exception — unchecked,
+    // a failed park rename would silently leave the compaction unapplied
+    // (and a failed promote would mimic the crash state with no error).
+    // Throwing surfaces it; the thrown-between-renames state is exactly the
+    // recoverable one recoverAside() heals.
+    require(fs.rename(live, aside), s"compaction swap: failed to park $live at $aside")
+    require(fs.rename(tmp, live), s"compaction swap: failed to promote $tmp to $live (original parked at $aside)")
     fs.delete(aside, true)
   }
 
@@ -233,6 +238,8 @@ object CorpusPipeline {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-old-"))
       .foreach { st =>
         val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName.stripPrefix(".compact-old-"))
-        if (!fs.exists(live)) fs.rename(st.getPath, live) else fs.delete(st.getPath, true)
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live), s"recovery: failed to restore ${st.getPath} to $live")
+        else fs.delete(st.getPath, true)
       }
 }
