@@ -122,13 +122,23 @@ object Similarity {
     * flips yield distinct buckets, so a corpus vector pairs with a given
     * query at most once (no candidate dedup step needed).
     *
-    * The probe side is broadcast-hinted for the common eval/dedup shape
-    * (queries << corpus, q x 9 rows). For a query set too large to
-    * broadcast, drop to an unhinted equi-join on the bucket key — the same
-    * shuffle both sides on a byte-sized key, with AQE choosing the
-    * strategy — rather than scaling the broadcast.
+    * `broadcastProbes = true` (default) hints the probe side broadcast —
+    * the common eval/dedup shape (queries << corpus, q x 9 rows). A query
+    * set too large to broadcast (dedup of one large corpus against
+    * another) MUST pass `broadcastProbes = false`: the join runs unhinted
+    * on the bucket key, both sides shuffle on the byte-sized key and AQE
+    * picks the strategy from runtime sizes — rather than forcing a
+    * driver/executor-OOM broadcast. The unhinted plan shape (no
+    * BroadcastExchange when the threshold rules it out) is pinned in
+    * PlanSpec.
     */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int, maxHamming: Int = 1): DataFrame = {
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      maxHamming: Int = 1,
+      broadcastProbes: Boolean = true
+  ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
     val s = queries.sparkSession
     VectorFunctions.register(s)
@@ -138,9 +148,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), expr(bucketSpark).as("q_bucket"))
       .select(col("q_id"), col("q_emb"), col("q_bucket"), explode(array(flips: _*)).as("flip"))
       .select(col("q_id"), col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     corpus
       .withColumn("bucket", expr(bucketSpark))
-      .join(broadcast(probes), col("bucket") === col("probe_bucket"))
+      .join(probeSide, col("bucket") === col("probe_bucket"))
       .select(
         col("q_id"),
         col("vec_id"),

@@ -51,6 +51,16 @@ object CorpusPipeline {
       filesPerSplit: Int = 2,
       compactTargetBytes: Option[Long] = None
   ): Stats = {
+    // Heal any swap torn by a previous crashed run FIRST, compaction enabled
+    // or not — a torn state parks the only live copy of a split in a
+    // dot-prefixed dir that plain readers (and this run's overwrite) would
+    // miss, so repair must not depend on the caller re-enabling compaction.
+    // listStatus is one RPC; a missing outPath (first run) just skips.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(outPath)
+      val fs   = root.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) recoverAside(fs, root)
+    }
     val nIn = docs.count()
 
     // 1. quality filter — map-side
@@ -93,9 +103,12 @@ object CorpusPipeline {
     // ~targetBytes files (actual on-disk sizing, Sinks.compact) and swaps
     // it in via RENAME-ASIDE, preserving the hive split=... layout:
     //   1. compacted copy fully materializes at .compact-tmp-<name>;
-    //   2. the ORIGINAL renames aside to .compact-old-<name>;
+    //   2. the compact snapshot's file names persist to a manifest, then
+    //      the ORIGINAL renames aside to .compact-old-<name>;
     //   3. the tmp copy renames into the live path;
-    //   4. the aside copy is deleted last.
+    //   4. files a concurrent writer appended AFTER the compact snapshot
+    //      (in the aside copy, not in the manifest) merge back into the
+    //      live path; the aside copy and manifest are deleted last.
     // A crash at ANY point leaves at least one FULL copy of the split at a
     // predictable path: before step 2 the live dir is untouched; between
     // steps 2 and 3 the live path is briefly absent but the complete
@@ -104,20 +117,7 @@ object CorpusPipeline {
     // heals the between-renames state on the next run by renaming the aside
     // copy back; tmp/old dirs are dot-prefixed so parquet readers never see
     // them. Pinned by the torn-swap spec in CorpusPipelineSpec.
-    compactTargetBytes.foreach { target =>
-      val spark = docs.sparkSession
-      val root  = new org.apache.hadoop.fs.Path(outPath)
-      val fs    = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      recoverAside(fs, root)
-      fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("split="))
-        .foreach { st =>
-          val name = st.getPath.getName
-          val tmp  = new org.apache.hadoop.fs.Path(root, s".compact-tmp-$name")
-          Sinks.compact(spark, st.getPath.toString, tmp.toString, target, Seq("doc_id"))
-          swapIn(fs, st.getPath, tmp, new org.apache.hadoop.fs.Path(root, s".compact-old-$name"))
-        }
-    }
+    compactTargetBytes.foreach(target => compactSplits(docs.sparkSession, outPath, target, Seq("doc_id")))
 
     Stats(
       nIn = nIn,
@@ -150,8 +150,14 @@ object CorpusPipeline {
     *     cross-corpus connected components no incremental operator can
     *     provide, runs there too).
     *   - the parquet sink appends per micro-batch, so file counts grow with
-    *     trigger count — exactly the fragmentation [[Sinks.compact]] plus
-    *     the [[run]] swap protocol exist to repair on a schedule.
+    *     trigger count — exactly the fragmentation [[compactSplits]] exists
+    *     to repair on a schedule. That repair REQUIRES the stream stopped
+    *     and its `_spark_metadata` log retired ([[retireStreamLog]]):
+    *     compactSplits refuses a log-tracked directory, because batch
+    *     readers resolve it through the log and a live stream would race
+    *     the swap (files appended between the compact snapshot and the
+    *     park rename are carried forward for BATCH writers, but the sink
+    *     log would still reference compacted-away paths).
     *
     * Returns the started [[StreamingQuery]]; the caller owns its lifecycle.
     */
@@ -200,21 +206,124 @@ object CorpusPipeline {
       .start()
   }
 
-  /** Rename-aside swap: park the live dir at `aside`, promote `tmp` into the
-    * live path, delete the parked copy last. Every intermediate state keeps a
-    * full copy of the data at a predictable path (see the step-6 comment in
-    * [[run]]). A stale `aside` from a previous crashed run whose live path
-    * survived is deleted first so the park rename cannot collide.
-    * `private[graft]` so the torn-swap spec can stop after the park rename
-    * and assert recoverability.
+  /** Scheduled small-files repair of an existing hive-split corpus dir —
+    * the maintenance job a streaming sink's output needs on a cadence
+    * (see [[runStreaming]]): rewrite each `split=...` subdir to
+    * ~`targetBytes` files ([[Sinks.compact]]) and swap it in via the
+    * manifest-guarded rename-aside protocol ([[swapIn]]), so files a
+    * concurrent batch writer appends mid-compaction survive.
+    *
+    * REFUSES a directory carrying a streaming sink's `_spark_metadata`
+    * log: batch readers resolve such a directory THROUGH the log (only
+    * committed files are visible), so compacting around it would orphan
+    * every logged file path — and a still-running stream would race the
+    * swap. Stop the stream and call [[retireStreamLog]] first; the
+    * refusal-then-retire flow is spec-pinned.
+    */
+  def compactSplits(
+      spark: org.apache.spark.sql.SparkSession,
+      outPath: String,
+      targetBytes: Long,
+      sortCols: Seq[String] = Seq("doc_id")
+  ): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(
+      !fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"refusing to compact $outPath: a streaming file sink tracks it via _spark_metadata " +
+        "(readers resolve files through that log; compaction would orphan it). " +
+        "Stop the stream and call CorpusPipeline.retireStreamLog first."
+    )
+    recoverAside(fs, root)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("split="))
+      .foreach { st =>
+        val name   = st.getPath.getName
+        val tmp    = new org.apache.hadoop.fs.Path(root, s".compact-tmp-$name")
+        val result = Sinks.compact(spark, st.getPath.toString, tmp.toString, targetBytes, sortCols)
+        swapIn(
+          fs,
+          st.getPath,
+          tmp,
+          new org.apache.hadoop.fs.Path(root, s".compact-old-$name"),
+          result.inputFiles
+        )
+      }
+  }
+
+  private def manifestPath(live: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(live.getParent, s".compact-manifest-${live.getName}")
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      names: Set[String]
+  ): Unit = {
+    val os = fs.create(p, true)
+    try os.write(names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): Set[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Carry forward every data file in `aside` the compact snapshot never
+    * read (a concurrent writer appended it between the snapshot and the
+    * park rename): rename it into `live` alongside the compacted files.
+    * Dot/underscore names (markers, hidden) stay behind. rename() failure
+    * throws — a collision would mean two writers produced the same
+    * task-UUID file name, which is itself worth surfacing loudly.
+    */
+  private def mergeNewcomers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      aside: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path,
+      snapshot: Set[String]
+  ): Unit =
+    fs.listStatus(aside)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !snapshot.contains(n) && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
+        require(fs.rename(st.getPath, dst), s"compaction swap: failed to carry newcomer ${st.getPath} to $dst")
+      }
+
+  /** Rename-aside swap, safe against concurrent appenders: write a manifest
+    * of the compact snapshot's file names, park the live dir at `aside`,
+    * promote `tmp` into the live path, CARRY FORWARD any file a concurrent
+    * writer appended after the snapshot (present in the parked copy but not
+    * in the manifest), then delete the parked copy and the manifest.
+    *
+    * Every intermediate state keeps a full copy of the data at a
+    * predictable path (see the step-6 comment in [[run]]), and — the
+    * round-7 contract fix — a file appended to the live dir between the
+    * compact snapshot and the park rename survives the swap instead of
+    * being deleted with the parked copy. The manifest is persisted BEFORE
+    * the park rename so a crash after the promote still lets
+    * [[recoverAside]] distinguish snapshot files (compacted, safe to drop)
+    * from newcomers (must merge back). A stale `aside` from a previous
+    * crashed run whose live path survived is deleted first so the park
+    * rename cannot collide. `private[graft]` so the torn-swap specs can
+    * stop at any step and assert recoverability.
     */
   private[graft] def swapIn(
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path,
-      aside: org.apache.hadoop.fs.Path
+      aside: org.apache.hadoop.fs.Path,
+      compacted: Set[String]
   ): Unit = {
     if (fs.exists(aside)) fs.delete(aside, true)
+    val manifest = manifestPath(live)
+    writeManifest(fs, manifest, compacted)
     // Hadoop rename reports failure as FALSE, not an exception — unchecked,
     // a failed park rename would silently leave the compaction unapplied
     // (and a failed promote would mimic the crash state with no error).
@@ -222,24 +331,81 @@ object CorpusPipeline {
     // recoverable one recoverAside() heals.
     require(fs.rename(live, aside), s"compaction swap: failed to park $live at $aside")
     require(fs.rename(tmp, live), s"compaction swap: failed to promote $tmp to $live (original parked at $aside)")
+    mergeNewcomers(fs, aside, live, compacted)
     fs.delete(aside, true)
+    fs.delete(manifest, false)
   }
 
-  /** Heal a swap torn between the two renames: any `.compact-old-<name>`
-    * whose live `<name>` is missing is the complete pre-compaction original —
-    * rename it back. If the live path exists the aside copy is redundant
-    * (crash landed after the promote rename) and is dropped.
+  /** Heal a swap torn at any crash point:
+    *   - `.compact-old-<name>` with live `<name>` MISSING (crash between the
+    *     renames): the aside copy is the complete pre-compaction original
+    *     (newcomers traveled with the park and come back with it) — rename
+    *     it back.
+    *   - `.compact-old-<name>` with live `<name>` present (crash after the
+    *     promote, before cleanup): the live dir is the compacted copy, but
+    *     newcomer files appended after the compact snapshot may exist ONLY
+    *     in the parked copy — merge back every aside file not named in the
+    *     persisted manifest, then drop the aside. (The manifest is written
+    *     before the park rename, so this state always carries one; an
+    *     aside without a manifest predates the manifest protocol and is
+    *     dropped wholesale, the pre-round-8 behavior.)
+    *   - orphan `.compact-manifest-<name>` (crash before the park, or after
+    *     the aside delete): no parked data to reconcile — delete it.
     */
   private[graft] def recoverAside(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path
-  ): Unit =
+  ): Unit = {
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact-old-"))
       .foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName.stripPrefix(".compact-old-"))
+        val name     = st.getPath.getName.stripPrefix(".compact-old-")
+        val live     = new org.apache.hadoop.fs.Path(root, name)
+        val manifest = new org.apache.hadoop.fs.Path(root, s".compact-manifest-$name")
         if (!fs.exists(live))
           require(fs.rename(st.getPath, live), s"recovery: failed to restore ${st.getPath} to $live")
-        else fs.delete(st.getPath, true)
+        else {
+          if (fs.exists(manifest)) mergeNewcomers(fs, st.getPath, live, readManifest(fs, manifest))
+          fs.delete(st.getPath, true)
+        }
       }
+    fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".compact-manifest-"))
+      .foreach { st =>
+        val aside = new org.apache.hadoop.fs.Path(
+          root,
+          s".compact-old-${st.getPath.getName.stripPrefix(".compact-manifest-")}"
+        )
+        if (!fs.exists(aside)) fs.delete(st.getPath, false)
+      }
+  }
+
+  /** Retire a stopped streaming sink's `_spark_metadata` log so the
+    * directory becomes a plain hive-layout parquet dir that [[run]]'s
+    * compaction may rewrite. Batch readers resolve a file-sink directory
+    * THROUGH the log (only committed files are visible), so compacting
+    * around it would orphan every logged path; after retirement readers
+    * fall back to directory listing — run this only after a CLEAN stop,
+    * since torn-batch files lose their exactly-once filtering.
+    *
+    * Refuses if an active query in THIS session still writes to `outPath`
+    * (best effort: a sink's path is only visible via query progress, and
+    * queries in other JVMs are invisible — cross-JVM the stop-the-world
+    * contract stays with the caller, as with any non-transactional
+    * filesystem output).
+    */
+  def retireStreamLog(spark: org.apache.spark.sql.SparkSession, outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (!fs.exists(meta)) return
+    val active = spark.streams.active.exists { q =>
+      Option(q.lastProgress).exists { p =>
+        val d = Option(p.sink).map(_.description).getOrElse("")
+        d.contains(outPath) || d.contains(root.toUri.getPath)
+      }
+    }
+    require(!active, s"refusing to retire $meta: an active streaming query in this session still writes to $outPath")
+    fs.delete(meta, true)
+  }
 }

@@ -250,6 +250,16 @@ object Sinks {
     finally os.close()
   }
 
+  /** What a [[compact]] run rewrote: the output file count, plus the file
+    * NAMES of the exact input snapshot the rewrite read. The snapshot is
+    * what makes a concurrent-writer-safe swap possible: any file present in
+    * the source directory later that is NOT in this set was appended after
+    * the snapshot and is not represented in the compacted output — the
+    * swap must carry it forward, never delete it
+    * ([[graft.pipelines.CorpusPipeline.swapIn]]).
+    */
+  final case class CompactResult(nOutputFiles: Int, inputFiles: Set[String])
+
   /** Compact a fragmented parquet directory into ~`targetFileBytes` files.
     *
     * Streaming micro-batch sinks and over-parallel writers leave thousands
@@ -259,7 +269,9 @@ object Sinks {
     * and the rewrite goes through `repartition(n)` — a round-robin
     * shuffle that local-sorts for retry determinism, unlike `coalesce`,
     * which would also cap the read parallelism of the compaction job
-    * itself. Returns the output file count.
+    * itself. Returns the output file count plus the input snapshot
+    * ([[CompactResult]]); `df.inputFiles` is read off the FileIndex the
+    * rewrite job itself scans, so the snapshot is exact, not a re-listing.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -267,8 +279,10 @@ object Sinks {
       outPath: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil
-  ): Int = {
+  ): CompactResult = {
     val df = spark.read.parquet(inPath)
+    val snapshot =
+      df.inputFiles.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
     // Hadoop FS, not java.nio: the input may live on any cluster filesystem
     val hp = new org.apache.hadoop.fs.Path(inPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -277,6 +291,6 @@ object Sinks {
     val repart = df.repartition(nFiles)
     val laidOut = if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*) else repart
     laidOut.write.mode(SaveMode.Overwrite).parquet(outPath)
-    spark.read.parquet(outPath).inputFiles.length
+    CompactResult(spark.read.parquet(outPath).inputFiles.length, snapshot)
   }
 }

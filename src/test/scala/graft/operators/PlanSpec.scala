@@ -241,6 +241,39 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products found in: $offenders")
   }
 
+  test("knnJoin broadcastProbes=false plans a shuffle equi-join, no BroadcastExchange") {
+    // the large-query-set contract: a probe frame too big to broadcast must
+    // be able to select the shuffle path IN CODE. Turning the broadcast
+    // threshold off simulates "probe frame over the limit" — the only way a
+    // BroadcastExchange could still appear is the explicit hint, so the
+    // unhinted path must plan a shuffle join on the bucket key. (Setting
+    // the static threshold also pins AQE's runtime conversion, whose own
+    // threshold defaults to it.)
+    import org.apache.spark.sql.functions.col
+    val emb     = graft.Tables.fanout(graft.Tables.embeddings(spark, TestSpark.sfDir))
+    val queries = emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val corpus  = emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding"))
+    val prev    = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val unhinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1, broadcastProbes = false)
+      val nodes    = allNodes(executed(unhinted))
+      assert(!nodes.exists(_.nodeName.contains("BroadcastExchange")),
+        "unhinted path must not broadcast the probe side")
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        s"unhinted path must plan a shuffle equi-join, got:\n${nodes.map(_.nodeName).mkString("\n")}"
+      )
+      // the default hint still broadcasts regardless of the threshold...
+      val hinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1)
+      assert(allNodes(executed(hinted)).exists(_.nodeName.contains("BroadcastExchange")),
+        "broadcastProbes=true must hint the broadcast even over the threshold")
+      // ...and strategy choice must never change the answer
+      assert(unhinted.collect().map(_.toString).toSeq === hinted.collect().map(_.toString).toSeq,
+        "join strategy must not change knnJoin results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(

@@ -117,7 +117,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // Simulate a crash in swapIn's worst window — compacted copy fully at
     // tmp, original parked aside, live path ABSENT. This is the state the
     // old delete-then-rename comment claimed could not exist.
-    graft.sources.Sinks.compact(spark, live.toString, tmp.toString, 32L * 1024, Seq("doc_id"))
+    val result = graft.sources.Sinks.compact(spark, live.toString, tmp.toString, 32L * 1024, Seq("doc_id"))
     fs.rename(live, aside)
 
     assert(!fs.exists(live), "torn state: live path is gone")
@@ -130,9 +130,135 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(rows(live) === before, "recovered split is byte-identical in content")
 
     // and the completed swap promotes the compacted copy and cleans up
-    CorpusPipeline.swapIn(fs, live, tmp, aside)
+    CorpusPipeline.swapIn(fs, live, tmp, aside, result.inputFiles)
     assert(rows(live) === before, "swapped-in compacted split holds the same rows")
     assert(!fs.exists(tmp) && !fs.exists(aside), "no leftover tmp/aside after a clean swap")
+  }
+
+  /** Write one row with the split-dir schema to a temp dir and move its
+    * part file into `live` under a distinctive name — the shape of a
+    * concurrent writer's append landing after the compact snapshot.
+    */
+  private def appendNewcomer(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      docId: Long
+  ): String = {
+    val tmpDir = Files.createTempDirectory("newcomer").toString + "/one"
+    Seq((docId, s"late arrival $docId", "en", "stream"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1)
+      .write
+      .parquet(tmpDir)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .get
+      .getPath
+    val name = s"part-newcomer-$docId.parquet"
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(live, name)))
+    name
+  }
+
+  test("a file appended between the compact snapshot and the swap survives the swap") {
+    // round-7 finding #2: the old swap deleted the parked dir wholesale, so
+    // anything a concurrent writer (e.g. a streaming sink) appended after
+    // Sinks.compact's snapshot read was silently destroyed. The manifest
+    // protocol must carry it forward.
+    val baseDir = Files.createTempDirectory("pipeline-concurrent").toString
+    val out     = s"$baseDir/corpus"
+    CorpusPipeline.run(corpus, out, filesPerSplit = 5)
+
+    val fs    = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root  = new org.apache.hadoop.fs.Path(out)
+    val live  = new org.apache.hadoop.fs.Path(root, "split=train")
+    val tmp   = new org.apache.hadoop.fs.Path(root, ".compact-tmp-split=train")
+    val aside = new org.apache.hadoop.fs.Path(root, ".compact-old-split=train")
+
+    val nBefore = spark.read.parquet(live.toString).count()
+    val result  = graft.sources.Sinks.compact(spark, live.toString, tmp.toString, 32L * 1024, Seq("doc_id"))
+    // ...a concurrent writer appends AFTER the snapshot, BEFORE the swap
+    val newcomer = appendNewcomer(fs, live, 777001L)
+
+    CorpusPipeline.swapIn(fs, live, tmp, aside, result.inputFiles)
+
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live, newcomer)), "newcomer file must survive the swap")
+    val after = spark.read.parquet(live.toString)
+    assert(after.count() === nBefore + 1, "compacted rows plus the newcomer row")
+    assert(after.filter(col("doc_id") === 777001L).count() === 1, "the appended row is readable post-swap")
+    assert(!fs.exists(tmp) && !fs.exists(aside), "clean swap leaves no tmp/aside")
+    assert(
+      !fs.listStatus(root).exists(_.getPath.getName.startsWith(".compact-manifest-")),
+      "clean swap leaves no manifest"
+    )
+  }
+
+  test("crash after promote: recoverAside merges newcomers back from the manifest") {
+    // the post-promote crash window: live = compacted copy, parked aside
+    // still holds snapshot files AND a newcomer; the persisted manifest is
+    // what lets recovery tell them apart (snapshot -> drop, newcomer ->
+    // merge back). The manifest file format (newline-separated names at
+    // .compact-manifest-<name>) is the on-disk contract this spec builds.
+    val baseDir = Files.createTempDirectory("pipeline-crash2").toString
+    val out     = s"$baseDir/corpus"
+    CorpusPipeline.run(corpus, out, filesPerSplit = 5)
+
+    val fs    = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root  = new org.apache.hadoop.fs.Path(out)
+    val live  = new org.apache.hadoop.fs.Path(root, "split=train")
+    val tmp   = new org.apache.hadoop.fs.Path(root, ".compact-tmp-split=train")
+    val aside = new org.apache.hadoop.fs.Path(root, ".compact-old-split=train")
+
+    val nBefore  = spark.read.parquet(live.toString).count()
+    val result   = graft.sources.Sinks.compact(spark, live.toString, tmp.toString, 32L * 1024, Seq("doc_id"))
+    val newcomer = appendNewcomer(fs, live, 777002L)
+    // manually drive the swap to just past the promote rename, then "crash"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, ".compact-manifest-split=train"),
+      result.inputFiles.toSeq.sorted.mkString("\n").getBytes("UTF-8")
+    )
+    assert(fs.rename(live, aside) && fs.rename(tmp, live), "park + promote")
+
+    CorpusPipeline.recoverAside(fs, root)
+
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live, newcomer)), "recovery must merge the newcomer back")
+    val after = spark.read.parquet(live.toString)
+    assert(after.count() === nBefore + 1, "compacted rows plus the recovered newcomer")
+    assert(after.filter(col("doc_id") === 777002L).count() === 1)
+    assert(!fs.exists(aside), "recovery drops the reconciled aside copy")
+    assert(
+      !fs.listStatus(root).exists(_.getPath.getName.startsWith(".compact-manifest-")),
+      "recovery cleans up the manifest"
+    )
+  }
+
+  test("compaction refuses a _spark_metadata-tracked dir until the stream log is retired") {
+    // a streaming file sink's readers resolve files THROUGH _spark_metadata;
+    // compacting around it would orphan every logged path. run() must
+    // refuse; retireStreamLog (no active stream) unblocks it.
+    val baseDir = Files.createTempDirectory("pipeline-meta").toString
+    val out     = s"$baseDir/corpus"
+    CorpusPipeline.run(corpus, out, filesPerSplit = 5)
+
+    val before = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val fs     = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val meta   = new org.apache.hadoop.fs.Path(out, "_spark_metadata")
+    assert(fs.mkdirs(meta))
+    // proof of the danger the guard protects against: with the log present,
+    // batch readers resolve THROUGH it (here: empty log -> no visible files)
+    intercept[org.apache.spark.sql.AnalysisException](spark.read.parquet(out).collect())
+
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.compactSplits(spark, out, 32L * 1024)
+    }
+    assert(err.getMessage.contains("_spark_metadata"), s"refusal must name the log: ${err.getMessage}")
+
+    CorpusPipeline.retireStreamLog(spark, out)
+    assert(!fs.exists(meta), "retireStreamLog removes the sink log")
+    // with the log retired the same maintenance run goes through
+    CorpusPipeline.compactSplits(spark, out, 32L * 1024)
+    assert(spark.read.parquet(out).collect().map(_.toString).sorted.toSeq === before,
+      "compaction preserves content once the log is retired")
   }
 
   test("streaming ingest: landing zone -> quality/dedup-on-arrival -> split parquet, drops observable") {

@@ -93,8 +93,10 @@ class SinksSpec extends AnyFunSuite {
     docs.repartition(24).write.parquet(s"$base/frag")
     val before = parquetFiles(s"$base/frag").size
     assert(before >= 20, s"fixture should fragment, got $before files")
-    val after = Sinks.compact(spark, s"$base/frag", s"$base/compact", targetFileBytes = 1L << 30)
-    assert(after === 1, s"everything fits one 1GiB-target file, got $after")
+    val result = Sinks.compact(spark, s"$base/frag", s"$base/compact", targetFileBytes = 1L << 30)
+    assert(result.nOutputFiles === 1, s"everything fits one 1GiB-target file, got $result")
+    // the returned snapshot is exactly the fragmented input the rewrite read
+    assert(result.inputFiles === parquetFiles(s"$base/frag").map(p => Paths.get(p).getFileName.toString).toSet)
     assert(spark.read.parquet(s"$base/compact").count() === docs.count())
   }
 
