@@ -169,6 +169,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup PAIR GENERATOR (the q_dedup_embed body,
+    * extracted so the planted-pair spec can drive it directly): candidates
+    * must share (label, LSH bucket), so the self-join cost is sum(block^2)
+    * over small blocks, never corpus x corpus; scoring within a block is
+    * exact cosine, thresholded at `threshold`. `vec_a < vec_b` emits each
+    * unordered pair once. A genuine near-duplicate (cos -> 1) flips sign
+    * bits with probability theta/pi per plane, so it lands in its twin's
+    * bucket with high probability — the same planted-recovery guarantee
+    * SimilarityRecallSpec pins for the probe paths, pinned for THIS join in
+    * the planted-pair spec (round-7 finding #3: an sf-gate 0=0 match would
+    * otherwise hide a broken join predicate).
+    */
+  def embedNearDupPairs(emb: DataFrame, threshold: Double = 0.85): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val withBucket =
+      emb.select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
+    val a = withBucket.alias("a")
+    val b = withBucket.alias("b")
+    a.join(
+      b,
+      col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id")
+    ).select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_topk",
@@ -264,32 +295,20 @@ object Similarity {
     QueryDef(
       "q_dedup_embed",
       "embedding-cosine near-dup pairs, LSH-blocked: candidates share (label, bucket) so cost is sum(block^2), never all-pairs",
-      (s, dir) => {
-        VectorFunctions.register(s)
-        val withBucket = Tables
-          .fanout(Tables.embeddings(s, dir))
-          .select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
-        val a = withBucket.alias("a")
-        val b = withBucket.alias("b")
-        a.join(
-          b,
-          col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id")
-        ).select(
-            col("a.vec_id").as("vec_a"),
-            col("b.vec_id").as("vec_b"),
-            round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos_sim")
-          )
-          .filter(col("cos_sim") >= 0.85)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
+      // gate threshold 0.2, not the 0.85 API default: the synthetic fixture
+      // holds no genuine near-dups (max within-block cosine ~0.34 at
+      // sf0.01), so 0.85 would compare 0 rows = 0 rows and a broken join
+      // predicate could hide (round-7 finding #3). 0.2 pushes real pairs
+      // through join + score + filter in BOTH engines; the 0.85 semantics
+      // are pinned separately by the planted-pair spec.
+      (s, dir) => embedNearDupPairs(Tables.fanout(Tables.embeddings(s, dir)), threshold = 0.2),
       Some(s"""WITH bk AS (
               |  SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings)
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |  round(${cosDuck("a.embedding", "b.embedding")}, 6) AS cos_sim
               |FROM bk a JOIN bk b
               |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.85
+              |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),
     QueryDef(

@@ -12,7 +12,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Pair-finding queries legitimately return 0 rows on the dup-free fixture. */
-  private val mayBeEmpty = Set("q_dedup_minhash_pairs", "q_dedup_simhash_dupes", "q_dedup_jaccard", "q_dedup_embed", "q_join_anti", "q_scan_project")
+  private val mayBeEmpty = Set("q_dedup_minhash_pairs", "q_dedup_simhash_dupes", "q_dedup_jaccard", "q_join_anti", "q_scan_project")
 
   SparkEntry.all.foreach { d =>
     test(s"${d.name} runs${if (mayBeEmpty(d.name)) "" else " and returns rows"}") {

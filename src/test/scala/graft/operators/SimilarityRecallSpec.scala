@@ -113,6 +113,34 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("embedNearDupPairs surfaces a planted same-label near-dup pair, and only same-label pairs") {
+    // round-7 finding #3: q_dedup_embed's gate row-count can be 0=0, so a
+    // broken join predicate (e.g. =!= on label) would still hash-match.
+    // This pins the PAIR GENERATOR itself: two planted near-copies of
+    // vector 0 sharing its label must come back as pairs; a byte-identical
+    // near-copy under a DIFFERENT label must not pair with them.
+    import spark.implicits._
+    val emb  = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "label", "embedding")
+    val row0 = emb.filter(col("vec_id") === 0).collect()(0)
+    val lbl  = row0.getInt(1)
+    val base = row0.getSeq[Float](2)
+    def wiggle(j: Int) = base.zipWithIndex.map { case (x, i) => x + 0.005f * (((i + j) % 5) - 2) }
+    val planted = Seq(
+      (910001L, lbl, wiggle(1)),     // near-copy, same label
+      (910002L, lbl, wiggle(2)),     // near-copy, same label
+      (910003L, lbl + 1, wiggle(1))  // SAME vector as 910001 under another label: must never pair
+    ).toDF("vec_id", "label", "embedding")
+    val frame = emb.union(planted.select("vec_id", "label", "embedding"))
+
+    val got = Similarity.embedNearDupPairs(frame).collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      pairs === Set((0L, 910001L), (0L, 910002L), (910001L, 910002L)),
+      s"exactly the same-label planted trio must pair (fixture max cosine ~0.34 stays under 0.85): $pairs"
+    )
+    got.foreach(r => assert(r.getDouble(2) > 0.99, s"planted pair cosine should be ~1: $r"))
+  }
+
   test("LSH probe is exact within its candidate set") {
     // the probe's top-5 must equal the brute-force cosine ranking restricted
     // to same-bucket candidates — approximate in WHICH rows it considers,
