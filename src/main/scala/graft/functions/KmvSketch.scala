@@ -202,7 +202,14 @@ object KmvSketch {
     val unionTopK = Slice(SortArray(ArrayUnion(a, b), Literal(true)), Literal(1), Literal(k))
     val nU        = Size(unionTopK)
     val nBoth     = Size(ArrayIntersect(unionTopK, ArrayIntersect(a, b)))
-    val jaccard   = Divide(Cast(nBoth, DoubleType), Cast(nU, DoubleType))
+    // Two empty sketches make jaccard 0/0, which non-ANSI Divide turns into
+    // NULL — but the driver-side twin intersectionEstimate returns 0.0 for
+    // an empty union, and the estimators must agree. Define J(∅,∅) = 0.
+    val jaccard = If(
+      EqualTo(nU, Literal(0)),
+      Literal(0.0),
+      Divide(Cast(nBoth, DoubleType), Cast(nU, DoubleType))
+    )
     val unionEst = If(
       LessThan(nU, Literal(k)),
       Cast(nU, DoubleType),
@@ -246,8 +253,11 @@ object KmvSketch {
   def intersectColumns(a: Column, b: Column, k: Int): (Column, Column, Column) = {
     val unionTopK = slice(array_sort(array_union(a, b)), 1, k)
     val nBoth     = size(array_intersect(unionTopK, array_intersect(a, b)))
-    val jaccard   = nBoth.cast("double") / size(unionTopK)
-    val unionEst  = estimate(unionTopK, k)
+    // J(∅,∅) = 0, matching setOpTrees and intersectionEstimate — a bare
+    // 0/0 Divide would yield NULL under non-ANSI semantics.
+    val jaccard = when(size(unionTopK) === 0, 0.0)
+      .otherwise(nBoth.cast("double") / size(unionTopK))
+    val unionEst = estimate(unionTopK, k)
     (jaccard, unionEst, jaccard * unionEst)
   }
 

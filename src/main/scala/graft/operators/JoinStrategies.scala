@@ -76,12 +76,23 @@ object JoinStrategies {
     * same salt on retry; identical duplicate fact rows sharing a salt is
     * acceptable because the hot KEY still spreads wherever any non-key
     * column varies.
+    *
+    * CAVEAT (content-hash salting's blind spot): byte-identical fact rows —
+    * or rows whose non-key columns are constant for the hot key — all hash
+    * to ONE salt bucket, so in a duplicate-heavy corpus the mitigation
+    * silently degrades to an unsalted join for exactly that key. The cure
+    * for that skew shape is dedup-before-join (the duplicates carry no
+    * information the join can use), or pass `saltCols` naming high-entropy
+    * columns (e.g. an ingest offset or line number) to salt from instead of
+    * the full row. `saltCols` must still be deterministic row content —
+    * never a generated id — or the retry-safety above is lost.
+    *
+    * @param saltCols columns to derive the fact salt from; empty (default)
+    *                 hashes the full row
     */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
-    val saltedFact = fact.withColumn(
-      "_salt",
-      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salt))
-    )
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val hashCols = if (saltCols.nonEmpty) saltCols.map(col) else fact.columns.map(col).toSeq
+    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(hashCols: _*), lit(salt)))
     val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedFact
       .join(saltedDim, Seq(key, "_salt"))

@@ -89,6 +89,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
              |SELECT kmv_jaccard(a, b, 64), kmv_intersect_est(a, b, 64) FROM s""".stripMargin)
       .collect()(0)
     assert(dis.getDouble(0) === 0.0 && dis.getDouble(1) === 0.0)
+    // both sketches empty: 0/0 must be defined as 0.0 (NOT NULL), agreeing
+    // with the driver-side twin intersectionEstimate on the empty union
+    val empty = spark
+      .sql("""WITH s AS (
+             |  SELECT kmv_hashes(cast(null as double), 16) AS a,
+             |         kmv_hashes(cast(null as double), 16) AS b
+             |  FROM range(5))
+             |SELECT kmv_jaccard(a, b, 16), kmv_union_est(a, b, 16), kmv_intersect_est(a, b, 16)
+             |FROM s""".stripMargin)
+      .collect()(0)
+    assert(!empty.isNullAt(0) && empty.getDouble(0) === 0.0, "empty-sketch jaccard must be 0.0, not NULL")
+    assert(empty.getDouble(1) === 0.0 && empty.getDouble(2) === 0.0)
+    assert(functions.KmvSketch.intersectionEstimate(Nil, Nil, 16) === ((0.0, 0.0)))
   }
 
   test("wrong arity raises an analysis error naming the signature, not an index error") {

@@ -82,6 +82,26 @@ class JoinStrategiesSpec extends AnyFunSuite {
     assert(sAgg === pAgg)
   }
 
+  test("saltedJoin with explicit saltCols stays equivalent and spreads constant-payload rows") {
+    import spark.implicits._
+    // one hot key whose payload column is CONSTANT: full-row hashing puts
+    // every row in one salt bucket (the documented blind spot); salting
+    // from the high-entropy `seq` column spreads them while the join result
+    // stays identical.
+    val fact = (1 to 400).map(i => (7L, "same-payload", i.toLong)).toDF("k", "payload", "seq")
+    val dim  = Seq((7L, "dim-a")).toDF("k", "attr")
+    val bySeq = JoinStrategies.saltedJoin(fact, dim, "k", salt = 8, saltCols = Seq("seq"))
+    assert(bySeq.count() === 400)
+    val buckets = fact
+      .withColumn("_salt", pmod(xxhash64(col("seq")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(buckets > 1, "high-entropy saltCols must occupy more than one salt bucket")
+    val fullRow = fact
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("payload")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(fullRow === 1, "constant non-key payload collapses full-row hashing to one bucket")
+  }
+
   test("runtime bloom filter lands in the probe side of a selective shuffle join") {
     val prevThresh = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
     val prevBcast  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
