@@ -787,4 +787,97 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     val types = spark.read.parquet(outDir).collect().map(_.getString(1)).toSeq.sorted
     assert(types === Seq("a", "b", "c"), "restart must append exactly the new data")
   }
+
+  test("streaming KMV distinct: sketch state survives checkpoint restart") {
+    // The cross-batch merge pin above runs in ONE query instance; this is
+    // the recovery half (the reference's S3 seek semantics applied to
+    // AGGREGATE state, not just source offsets): the KmvHashes buffer
+    // checkpointed by run 1 must be restored by a NEW query instance, so
+    // run 2's overlapping users dedupe against state written before the
+    // stop. Lost state would read 20 (batch 2 alone); no dedupe would read
+    // 40. MemoryStream state dies with the instance → file source.
+    import spark.implicits._
+    val inDir  = java.nio.file.Files.createTempDirectory("graft-kmv-in").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft-kmv-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-kmv-out").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, event_type string, user_id long, value double")
+        .parquet(inDir)
+      val q = StreamingPipelines
+        .streamingKmvDistinct(stream, groupCol = "event_type", valueCol = "user_id", k = 64)
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def est() = spark.read.parquet(outDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    (1 to 20).map(u => Ev(ts(1), "click", u.toLong, 1.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(est() === Map("click" -> 20.0), "run 1: 20 distinct users, exact below k")
+
+    ((11 to 30).map(u => Ev(ts(2), "click", u.toLong, 1.0)) ++
+      (1 to 5).map(u => Ev(ts(2), "view", u.toLong, 1.0)))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(
+      est() === Map("click" -> 30.0, "view" -> 5.0),
+      "restarted instance must merge batch 2 into the checkpointed sketches: " +
+        "30 distinct clicks (11..20 deduped across the restart), not 20 or 40"
+    )
+  }
+
+  test("streaming windowed top-k: leaderboard state survives checkpoint restart") {
+    // Same recovery shape for the TopK typed aggregate: run 2's single
+    // event must displace rank 3 of a leaderboard checkpointed by run 1.
+    // Lost state would leave user 14 alone in the window.
+    import spark.implicits._
+    val inDir  = java.nio.file.Files.createTempDirectory("graft-topk-in").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft-topk-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-topk-out").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, event_type string, user_id long, value double")
+        .parquet(inDir)
+      val q = StreamingPipelines
+        .streamingWindowedTopK(stream, watermark = "10 minutes", window_ = "30 minutes", k = 3)
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def ranks() = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    Seq(Ev(ts(1), "click", 10, 5.0), Ev(ts(2), "click", 11, 9.0),
+      Ev(ts(3), "click", 12, 7.0), Ev(ts(4), "click", 13, 1.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(ranks() === Set(
+      ("click", 1L, 11L, 9.0), ("click", 2L, 12L, 7.0), ("click", 3L, 10L, 5.0)))
+
+    Seq(Ev(ts(5), "click", 14, 8.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(
+      ranks() === Set(
+        ("click", 1L, 11L, 9.0), ("click", 2L, 14L, 8.0), ("click", 3L, 12L, 7.0)),
+      "restarted instance must re-rank the checkpointed leaderboard, equal to an uninterrupted run"
+    )
+  }
 }
