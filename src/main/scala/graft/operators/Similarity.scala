@@ -37,17 +37,48 @@ object Similarity {
     Seq.fill(8)(Seq.fill(64)(next()))
   }
 
+  /** 32 further hyperplanes (4 bands x 8 bits) for the banded signature —
+    * a distinct LCG stream (seed 7) so the banded index is independent of
+    * the 8-bit probe signature. Same 6-decimal literal discipline.
+    */
+  val bandPlanes: Seq[Seq[Double]] = {
+    var state = 7L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      math.rint((((state >>> 33).toDouble / (1L << 31).toDouble) - 0.5) * 1e6) / 1e6
+    }
+    Seq.fill(32)(Seq.fill(64)(next()))
+  }
+
+  /** Bits per band of the banded signature (4 bands x 8 = 32 planes). */
+  val bandBits = 8
+
   private def planeLits(p: Seq[Double]): String = p.mkString(", ")
 
-  /** Spark SQL: dot(embedding, plane_i) via zip_with/aggregate (constant
+  /** Spark SQL: dot(embedding, plane) via zip_with/aggregate (constant
     * array folds into codegen).
     */
-  private def dotPlaneSpark(i: Int): String =
-    s"aggregate(zip_with(embedding, array(${planeLits(planes(i))}), (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+  private def dotSpark(p: Seq[Double]): String =
+    s"aggregate(zip_with(embedding, array(${planeLits(p)}), (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)"
+
+  private def dotPlaneSpark(i: Int): String = dotSpark(planes(i))
 
   /** DuckDB: same dot product over the literal list. */
-  private def dotPlaneDuck(i: Int): String =
-    s"list_aggregate(list_transform(generate_series(1, len(embedding)), k -> cast(embedding[k] as double) * ([${planeLits(planes(i))}])[k]), 'sum')"
+  private def dotDuck(p: Seq[Double]): String =
+    s"list_aggregate(list_transform(generate_series(1, len(embedding)), k -> cast(embedding[k] as double) * ([${planeLits(p)}])[k]), 'sum')"
+
+  private def dotPlaneDuck(i: Int): String = dotDuck(planes(i))
+
+  /** Band `b`'s 8-bit sign signature (bits from bandPlanes(b*8 .. b*8+7)). */
+  private def bandSigSpark(b: Int): String =
+    (0 until bandBits)
+      .map(j => s"case when ${dotSpark(bandPlanes(b * bandBits + j))} > 0 then ${1 << j} else 0 end")
+      .mkString("cast(", " + ", " as bigint)")
+
+  private[operators] def bandSigDuck(b: Int): String =
+    (0 until bandBits)
+      .map(j => s"case when ${dotDuck(bandPlanes(b * bandBits + j))} > 0 then ${1 << j} else 0 end")
+      .mkString("cast(", " + ", " as bigint)")
 
   private def bucketSpark: String =
     (0 until planes.size).map(i => s"case when ${dotPlaneSpark(i)} > 0 then ${1 << i} else 0 end").mkString("cast(", " + ", " as bigint)")
@@ -103,6 +134,65 @@ object Similarity {
         col("bucket"),
         round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
       )
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Banded-signature LSH index over any frame with (vec_id, embedding):
+    * one row per (vector, band) carrying that band's 8-bit sign signature —
+    * the classic MinHash-style banding table applied to sign-random-
+    * projection bits. Two vectors are CANDIDATES iff some band's signature
+    * matches exactly, which by pigeonhole guarantees recall of any pair
+    * within Hamming distance `bands - 1` of the full `bands x 8`-bit
+    * signature — the radius >= 2 recall lever that single-bucket flip
+    * enumeration can't reach ([[lshProbe]] caps at radius 1 because
+    * radius-2 enumeration is 37 XOR terms; here radius 3 costs nothing).
+    *
+    * Scale shape: the 32 dot products are computed ONCE per vector (band
+    * sigs as columns), then posexplode duplicates only the (band_idx, sig)
+    * pairs — the index is `bands x N` small rows, materialized once and
+    * hive-partitionable by (band_idx, band_sig) exactly like the IVF
+    * inverted file; a probe touches only its `bands` matching partitions
+    * (~bands/2^8 of the corpus vs radius-1 enumeration's 9/2^8, with a
+    * Hamming-3-of-32 guarantee instead of 1-of-8).
+    */
+  def bandedSignatures(emb: DataFrame, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands * bandBits <= bandPlanes.size, s"bands must be 1..${bandPlanes.size / bandBits}")
+    val keep = emb.columns.map(col).toSeq
+    emb
+      .select(keep ++ (0 until bands).map(b => expr(bandSigSpark(b)).as(s"_band$b")): _*)
+      .select(
+        keep :+ posexplode(array((0 until bands).map(b => col(s"_band$b")): _*))
+          .as(Seq("band_idx", "band_sig")): _*
+      )
+  }
+
+  /** Banded-signature ANN probe: top-k by exact cosine among vectors
+    * sharing at least one band signature with the query. Candidates arrive
+    * via an equi-join on (band_idx, band_sig) — never a bit-distance
+    * filter. A vector matching on several bands is scored per match and
+    * deduped as `max(cos_sim)` (all copies score identically): the
+    * re-score is a 64-float dot on the rare multi-band match, and the
+    * dedup shuffle then carries 16-byte (id, double) rows through a
+    * HashAggregate — deduping BEFORE scoring would drag both embedding
+    * arrays through a SortAggregate exchange instead.
+    */
+  def bandedProbe(emb: DataFrame, queryVecId: Long, bands: Int = 4, k: Int = 5): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val index = bandedSignatures(emb.select(col("vec_id"), col("embedding")), bands)
+    val q = index
+      .filter(col("vec_id") === queryVecId)
+      .select(
+        col("embedding").as("q_emb"),
+        col("band_idx").as("q_band_idx"),
+        col("band_sig").as("q_band_sig")
+      )
+    index
+      .join(broadcast(q), col("band_idx") === col("q_band_idx") && col("band_sig") === col("q_band_sig"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -200,6 +290,39 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Banded-signature near-dup PAIR GENERATOR — [[embedNearDupPairs]] with
+    * the banded index as the blocking key: candidates share (label,
+    * band_idx, band_sig) for ANY band, so a near-dup pair is found whenever
+    * at least one of its 4 bands is clean (Hamming <= 3 of the 32-bit
+    * signature by pigeonhole), where the single-bucket generator misses any
+    * pair whose 8-bit signatures differ at all. Cost is sum(block^2) per
+    * (label, band, sig) block — blocks are ~1/256 of a label per band, so
+    * the pair explode stays linear while signatures are spread; a pair
+    * colliding in several bands is scored per collision and deduped as
+    * max(cos_sim) AFTER the threshold filter (identical scores; filtering
+    * first keeps non-dup pairs out of the dedup shuffle entirely).
+    */
+  def bandedNearDupPairs(emb: DataFrame, threshold: Double = 0.85, bands: Int = 4): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val index =
+      bandedSignatures(emb.select(col("vec_id"), col("label"), col("embedding")), bands)
+    val a = index.alias("a")
+    val b = index.alias("b")
+    a.join(
+      b,
+      col("a.label") === col("b.label") && col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_sig") === col("b.band_sig") && col("a.vec_id") < col("b.vec_id")
+    ).select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_topk",
@@ -266,6 +389,22 @@ object Similarity {
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     ),
     QueryDef(
+      "q_sim_banded_probe",
+      "banded-signature LSH ANN probe: 32 sign bits in 4 bands x 8, candidate iff some band matches exactly — pigeonhole guarantees recall to Hamming 3 of the 32-bit signature at ~4/256 of the corpus, where radius-1 flip enumeration scans 9/256 and only covers Hamming 1",
+      (s, dir) => bandedProbe(Tables.fanout(Tables.embeddings(s, dir)), queryVecId = 0, bands = 4, k = 5),
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, embedding,
+              |    ${bandSigDuck(0)} AS b0, ${bandSigDuck(1)} AS b1,
+              |    ${bandSigDuck(2)} AS b2, ${bandSigDuck(3)} AS b3
+              |  FROM embeddings),
+              |q AS (SELECT embedding AS q_emb, b0 AS q0, b1 AS q1, b2 AS q2, b3 AS q3
+              |      FROM bk WHERE vec_id = 0)
+              |SELECT vec_id, round(${cosDuck("embedding", "q_emb")}, 6) AS cos_sim
+              |FROM bk CROSS JOIN q
+              |WHERE vec_id <> 0 AND (b0 = q0 OR b1 = q1 OR b2 = q2 OR b3 = q3)
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_knn_join",
       "batched k-NN join: top-3 cosine neighbors for EACH of the first 3 query vectors, multi-probe-LSH-blocked, ranked by a mergeable typed top-k aggregate (no ranking window over the candidate pairs)",
       (s, dir) => {
@@ -308,6 +447,24 @@ object Similarity {
               |  round(${cosDuck("a.embedding", "b.embedding")}, 6) AS cos_sim
               |FROM bk a JOIN bk b
               |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_embed_banded",
+      "banded-signature near-dup pairs: candidates share (label, any of 4 band signatures) — recalls pairs whose 8-bit buckets differ (Hamming <= 3 of 32 guaranteed), still sum(block^2) cost",
+      // same 0.2 gate threshold rationale as q_dedup_embed
+      (s, dir) => bandedNearDupPairs(Tables.fanout(Tables.embeddings(s, dir)), threshold = 0.2),
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, label, embedding,
+              |    ${bandSigDuck(0)} AS b0, ${bandSigDuck(1)} AS b1,
+              |    ${bandSigDuck(2)} AS b2, ${bandSigDuck(3)} AS b3
+              |  FROM embeddings)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  round(${cosDuck("a.embedding", "b.embedding")}, 6) AS cos_sim
+              |FROM bk a JOIN bk b
+              |  ON a.label = b.label AND a.vec_id < b.vec_id
+              | AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
               |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),

@@ -168,6 +168,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sim_banded_probe: band-sig equi-join broadcasts the query bands, no bit-distance scan") {
+    val df = q("q_sim_banded_probe")
+    assert(countNodes(df, "BroadcastHashJoin") >= 1, "the 4 query band rows must broadcast into an equi-join")
+    assert(countNodes(df, "CartesianProduct") === 0, "no unbroadcast cartesian")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-k must not global-sort")
+    // exactly one Generate (the bands posexplode per side shares the plan
+    // via the self-join); dot products must be computed pre-explode
+    assert(countNodes(df, "Generate") <= 2, "band explode must not multiply the dot-product computation")
+  }
+
   test("q_sim_knn_join: broadcast bucket join + typed top-k aggregate, no ranking window") {
     val df    = q("q_sim_knn_join")
     val nodes = allNodes(executed(df))

@@ -35,6 +35,52 @@ class SimilarityRecallSpec extends AnyFunSuite {
     (topIds(probe, 5).toSet & exact).size / 5.0
   }
 
+  // driver-side geometry twins of the Similarity signature expressions
+  private def dot(x: Array[Float], p: Seq[Double]): Double =
+    x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * p(i))
+  private def bucket8(v: Array[Float]): Long =
+    Similarity.planes.zipWithIndex.map { case (p, i) => if (dot(v, p) > 0) 1L << i else 0L }.sum
+  private def bandSigs(v: Array[Float]): Seq[Long] =
+    (0 until 4).map { b =>
+      (0 until Similarity.bandBits)
+        .map(j => if (dot(v, Similarity.bandPlanes(b * Similarity.bandBits + j)) > 0) 1L << j else 0L)
+        .sum
+    }
+  private def cos(x: Array[Float], y: Array[Float]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    x.indices.foreach { i =>
+      d += x(i).toDouble * y(i).toDouble; nx += x(i).toDouble * x(i).toDouble; ny += y(i).toDouble * y(i).toDouble
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  /** Deterministic near-copies of `v` whose 8-bit probe signature differs in
+    * >= 2 bits: the minimal-norm way to flip probe bit i is to reflect the
+    * vector across hyperplane i (subtract (1+m) x its projection); doing it
+    * for two of the four lowest-|margin| planes flips 2 bits while moving
+    * the vector by almost nothing (cos > 0.98) and leaving whole bands of
+    * the independent 32-bit banded signature clean.
+    */
+  private def flippedNearCopies(v0: Array[Float], n: Int): Seq[Array[Float]] = {
+    val q8       = bucket8(v0)
+    val qBands   = bandSigs(v0)
+    val byMargin = Similarity.planes.sortBy(p => math.abs(dot(v0, p)))
+    def reflect(v: Array[Float], p: Seq[Double], m: Double): Array[Float] = {
+      val coef = dot(v, p) / p.map(x => x * x).sum * (1.0 + m)
+      v.zipWithIndex.map { case (x, i) => (x - coef * p(i)).toFloat }
+    }
+    val found = (for {
+      i1 <- (0 until 4).iterator
+      i2 <- (i1 + 1 until 4).iterator
+      v = reflect(reflect(v0, byMargin(i1), 0.2), byMargin(i2), 0.2)
+      if java.lang.Long.bitCount(bucket8(v) ^ q8) >= 2 // cross-terms can undo a flip; keep real 2+-flip vectors
+      if bandSigs(v).zip(qBands).exists { case (a, b) => a == b }
+      if cos(v0, v) > 0.98
+    } yield v).take(n).toSeq
+    assert(found.size === n, s"the deterministic reflection schedule must yield $n qualifying vectors")
+    found
+  }
+
   test("IVF probe recall@5 vs brute force >= 0.7; multi-probe never worse") {
     val r1 = recallAt5("q_sim_ivf_probe")
     val r2 = recallAt5("q_sim_ivf_probe2")
@@ -139,6 +185,69 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"exactly the same-label planted trio must pair (fixture max cosine ~0.34 stays under 0.85): $pairs"
     )
     got.foreach(r => assert(r.getDouble(2) > 0.99, s"planted pair cosine should be ~1: $r"))
+  }
+
+  test("banded LSH recovers planted near-dups that radius-1 enumeration misses, at comparable candidate cost") {
+    // The round-7 rationale for capping lshProbe at radius 1: radius >= 2
+    // belongs to a banded design. This pins that claim. Construction: the
+    // minimal-norm way to flip probe sign bit i is to reflect the query
+    // across hyperplane i (subtract (1+m) * its projection); doing that for
+    // the two probe planes with the smallest |dot| margins flips 2 bits of
+    // the 8-bit signature while moving the vector by almost nothing —
+    // cos > 0.98, and the 32 independent band planes keep whole bands
+    // clean. Such a vector sits OUTSIDE radius-1's enumerated buckets by
+    // construction; the banded probe must recover it (some band matches),
+    // and the banded candidate set over the original corpus must stay
+    // comparable to radius-1's (~4/256 vs 9/256 of the corpus). All
+    // deterministic: fixed fixture, fixed planes, fixed margins.
+    graft.functions.VectorFunctions.register(spark)
+    val emb  = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding")
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val vecs = rows.toMap
+
+    val qv     = vecs(0L)
+    val q8     = bucket8(qv)
+    val qBands = bandSigs(qv)
+    val planted = flippedNearCopies(qv, 3)
+
+    val plantedIds = (0 until 3).map(i => 920001L + i).toSet
+    val frame = emb.union(
+      planted.zipWithIndex.map { case (v, i) => (920001L + i, v.toSeq) }.toDF("vec_id", "embedding")
+    )
+    val r1     = Similarity.lshProbe(frame, 0, maxHamming = 1, k = 5).collect().map(_.getLong(0)).toSet
+    val banded = Similarity.bandedProbe(frame, 0, bands = 4, k = 5).collect().map(_.getLong(0)).toSet
+    assert((r1 & plantedIds).isEmpty, s"radius-1 cannot reach Hamming >= 2 by construction: $r1")
+    assert(plantedIds.subsetOf(banded), s"banded probe must recover all 3 planted near-dups, got $banded")
+
+    // comparable candidate cost, measured on the original corpus
+    val r1Cand     = rows.count { case (id, v) => id != 0L && java.lang.Long.bitCount(bucket8(v) ^ q8) <= 1 }
+    val bandedCand = rows.count { case (id, v) => id != 0L && bandSigs(v).zip(qBands).exists { case (a, b) => a == b } }
+    assert(
+      bandedCand <= 2 * math.max(r1Cand, 1),
+      s"banded candidates ($bandedCand) must stay comparable to radius-1's ($r1Cand)"
+    )
+  }
+
+  test("banded pair generator finds a planted cross-bucket near-dup pair that the single-bucket generator misses") {
+    // the dedup counterpart of the probe pin above: a same-label near-copy
+    // whose 8-bit signature differs in >= 2 bits shares NO bucket with its
+    // twin, so embedNearDupPairs structurally cannot pair them; the banded
+    // generator must (some 8-bit band of the 32 is clean by construction).
+    import spark.implicits._
+    val emb  = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "label", "embedding")
+    val row0 = emb.filter(col("vec_id") === 0).collect()(0)
+    val lbl  = row0.getInt(1)
+    val base = row0.getSeq[Float](2).toArray
+    val twin = flippedNearCopies(base, 1).head
+    val frame = emb.union(
+      Seq((930001L, lbl, twin.toSeq)).toDF("vec_id", "label", "embedding")
+    )
+    val single = Similarity.embedNearDupPairs(frame).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.bandedNearDupPairs(frame).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((0L, 930001L)),
+      s"bucket-blocked generator cannot see across a 2-bit signature flip: $single")
+    assert(banded.contains((0L, 930001L)),
+      s"banded generator must pair the planted cross-bucket near-dup: $banded")
   }
 
   test("LSH probe is exact within its candidate set") {
