@@ -264,6 +264,59 @@ object Dedup {
        |sh_sim AS (SELECT doc_id, $simhashCombine AS simhash FROM sums)""".stripMargin
   }
 
+  /** SimHash near-duplicate FINGERPRINT pairs via banded blocking (the
+    * Manku/Jain/Das Sarma WWW'07 design): the 16-bit fingerprint splits
+    * into 4 bands of 4 bits, candidates share at least one band, and by
+    * pigeonhole EVERY pair within Hamming distance 3 shares a band — so
+    * banded blocking is lossless for `maxHamming <= 3` (the gate oracle is
+    * the EXHAUSTIVE Hamming join, proving completeness, not mirroring the
+    * blocking).
+    *
+    * Scale shape: the band join runs over DISTINCT fingerprints — exact-
+    * duplicate mass collapses first to (simhash, representative doc,
+    * count), so pair-explode cost is bounded by the fingerprint space
+    * (2^16 here; a production 64-bit simhash with 16-bit bands bounds
+    * band blocks by corpus diversity instead), never by corpus size.
+    * Doc-level pairs, if needed, are the cross of the two groups —
+    * materialize them AFTER thresholding, or feed [[clusters]] directly
+    * with the fingerprint pairs.
+    */
+  def simhashBandPairs(sh: org.apache.spark.sql.DataFrame, maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val bands    = 4
+    val bandBits = TextShared.SimhashBits / bands
+    require(maxHamming < bands, s"pigeonhole guarantee requires maxHamming < $bands")
+    val mask = (1 << bandBits) - 1
+    val reps = sh
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+    val banded = reps.select(
+      col("simhash"),
+      col("rep_doc"),
+      col("n_docs"),
+      posexplode(
+        array((0 until bands).map(b => expr(s"shiftright(simhash, ${b * bandBits}) & $mask")): _*)
+      ).as(Seq("band_idx", "band_val"))
+    )
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(
+      b,
+      col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+        col("a.simhash") < col("b.simhash")
+    ).select(
+        col("a.simhash").as("sim_a"),
+        col("b.simhash").as("sim_b"),
+        col("a.rep_doc").as("doc_a"),
+        col("b.rep_doc").as("doc_b"),
+        col("a.n_docs").as("docs_a"),
+        col("b.n_docs").as("docs_b")
+      )
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair sharing several bands carries identical columns
+      .orderBy(col("sim_a"), col("sim_b"))
+  }
+
   /** Duplicate clustering: candidate pairs -> connected components via
     * iterated min-label propagation (each doc adopts the smallest doc_id
     * reachable within `iterations` hops). The last stage of the dedup
@@ -421,6 +474,22 @@ object Dedup {
       Some(s"""WITH $simhashCteSql
               |SELECT simhash, count(1) AS n_docs, min(doc_id) AS first_doc
               |FROM sh_sim GROUP BY simhash HAVING count(1) > 1 ORDER BY simhash""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_simhash_banded",
+      "SimHash banded near-dup fingerprint pairs (Hamming <= 3 via 4x4-bit band blocking over DISTINCT fingerprints) — the oracle is the EXHAUSTIVE Hamming join, so the gate proves the banding lossless",
+      (s, dir) => simhashBandPairs(simhashFrame(s, dir)),
+      Some(s"""WITH $simhashCteSql,
+              |reps AS (
+              |  SELECT simhash, min(doc_id) AS rep_doc, count(1) AS n_docs
+              |  FROM sh_sim GROUP BY simhash)
+              |SELECT a.simhash AS sim_a, b.simhash AS sim_b,
+              |  a.rep_doc AS doc_a, b.rep_doc AS doc_b,
+              |  a.n_docs AS docs_a, b.n_docs AS docs_b,
+              |  cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
+              |FROM reps a JOIN reps b ON a.simhash < b.simhash
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY sim_a, sim_b""".stripMargin)
     ),
     QueryDef(
       "q_dedup_jaccard",

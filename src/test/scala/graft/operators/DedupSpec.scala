@@ -184,6 +184,45 @@ class DedupSpec extends AnyFunSuite {
     assert(buildCount.get() === 1, "exactly one thread builds; the rest serve the committed read-back")
   }
 
+  test("simhashBandPairs equals the exhaustive Hamming join on a synthetic fingerprint set") {
+    // fingerprints chosen to cover: exact duplicates (must collapse to one
+    // rep + count), Hamming 1/2/3 pairs (must ALL surface — the pigeonhole
+    // completeness claim), and Hamming >= 4 pairs (must not).
+    val sims = Seq(
+      1L  -> 0x0000L, 2L -> 0x0000L, // exact dup group
+      3L  -> 0x0001L, // H1 from 0x0000
+      4L  -> 0x0003L, // H2 from 0x0000, H1 from 0x0001
+      5L  -> 0x0007L, // H3 from 0x0000
+      6L  -> 0x000FL, // H4 from 0x0000 (must NOT pair with it)
+      7L  -> 0x0F0FL,
+      8L  -> 0xFFFFL,
+      9L  -> 0x8421L,
+      10L -> 0x8420L  // H1 from 0x8421
+    )
+    val got = Dedup
+      .simhashBandPairs(sims.toDF("doc_id", "simhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
+      .toSet
+
+    val distinctSims = sims.map(_._2).distinct
+    val expected = (for {
+      a <- distinctSims; b <- distinctSims
+      if a < b
+      h = java.lang.Long.bitCount(a ^ b)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === expected, s"banded pairs must equal the exhaustive Hamming<=3 join")
+    assert(expected.contains((0x0000L, 0x0007L, 3L)), "sanity: an H3 pair is in the reference")
+
+    // the exact-dup group must collapse: rep doc 1, count 2
+    val dupRow = Dedup
+      .simhashBandPairs(sims.toDF("doc_id", "simhash"))
+      .filter(col("sim_a") === 0x0000L && col("sim_b") === 0x0001L)
+      .collect()(0)
+    assert(dupRow.getLong(2) === 1L && dupRow.getLong(4) === 2L, "group 0x0000: rep doc_id 1, 2 docs")
+  }
+
   test("short documents (< shingle width) fall back to whole-text shingle") {
     import TextShared._
     val out = Seq((9L, "tiny doc", "en", "s"))
