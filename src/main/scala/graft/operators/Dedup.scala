@@ -202,27 +202,29 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** DuckDB CTE chain ending in `l3(doc_id, label)` — the SQL twin of
-    * [[clusters]] over [[minhashPairs]] (3 unrolled propagation rounds).
+  /** DuckDB CTE chain ending in `cc(doc_id, label)` — EXACT connected
+    * components via a recursive transitive-closure CTE (label = min doc_id
+    * reachable, however far). Deliberately not a mirror of [[clusters]]'s
+    * iteration schedule: the oracle states the fixpoint, the engine must
+    * converge to it, so the gate catches an engine that stops propagating
+    * too early. (The closure enumerates (doc, reachable-doc) pairs —
+    * Σ|component|² — fine at oracle scale where dup clusters are small;
+    * the ENGINE never materializes the closure.)
+    *
+    * Caller must emit `WITH RECURSIVE` (not plain `WITH`) ahead of this
+    * chain.
     */
-  private def clustersCteSql: String = {
-    def step(prev: String, next: String) =
-      s"""$next AS (
-         |  SELECT doc_id, min(label) AS label FROM (
-         |    SELECT doc_id, label FROM $prev
-         |    UNION ALL
-         |    SELECT e.src AS doc_id, l.label
-         |    FROM edges e JOIN $prev l ON e.dst = l.doc_id) t
-         |  GROUP BY doc_id)""".stripMargin
+  private def clustersCteSql: String =
     s"""$pairsCteSql,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
-       |${step("l0", "l1")},
-       |${step("l1", "l2")},
-       |${step("l2", "l3")}""".stripMargin
-  }
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS doc_id, r.label
+       |  FROM edges e JOIN reach r ON e.dst = r.doc_id),
+       |cc AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)""".stripMargin
 
   /** Spark-side SimHash frame: doc_id, simhash (shared by both simhash
     * queries; single source for the 16 bit-term expressions).
@@ -317,50 +319,86 @@ object Dedup {
       .orderBy(col("sim_a"), col("sim_b"))
   }
 
-  /** Duplicate clustering: candidate pairs -> connected components via
-    * iterated min-label propagation (each doc adopts the smallest doc_id
-    * reachable within `iterations` hops). The last stage of the dedup
-    * pipeline: survivors = one doc per cluster (the min), everything else
-    * drops.
+  /** Duplicate clustering: candidate pairs -> EXACT connected components
+    * (each doc adopts the smallest doc_id in its component). The last stage
+    * of the dedup pipeline: survivors = one doc per cluster (the min),
+    * everything else drops.
     *
-    * Scale: each iteration is two shuffles (join + groupBy-min) over the
-    * EDGE set — the standard large-scale connected-components loop; near-dup
-    * edge sets are tiny relative to the corpus, and component diameters in
-    * dup clusters are small, so few iterations converge. No driver-side
-    * state.
+    * Convergent, not hop-bounded: each round does (a) edge propagation
+    * (adopt the smallest label among self + neighbors) and (b) pointer
+    * doubling (l(x) <- min(l(x), l(l(x))) — label values are themselves
+    * node ids, so following the label's label halves chain length), which
+    * reaches the component minimum in O(log diameter) rounds instead of
+    * O(diameter). Convergence test: labels only ever decrease, so the label
+    * SUM is strictly monotone until fixpoint — one 1-row aggregate per
+    * round (decimal(38,0): a 100 TB corpus's Σ doc_id overflows int64),
+    * the standard iterative-dataflow stopping rule, not a data collect.
+    * At the fixpoint every label equals the min over self+neighbors, hence
+    * is constant across each component and equal to its min — exact CC,
+    * which is what the recursive-CTE oracle states.
+    *
+    * Scale: each round is two equi-join shuffles over the EDGE set and one
+    * over the label frame — near-dup edge sets are tiny relative to the
+    * corpus. `maxRounds` is a runaway backstop (doubling covers diameter
+    * 2^20 within 20), never the convergence criterion.
     *
     * The PAIR set is materialized ONCE (eager local checkpoint) before
     * anything else: the symmetric edge union references it twice and the
     * labels lineage references edges every iteration and itself twice per
     * round, so an unbroken lineage re-executes the upstream pair pipeline
-    * O(2^iterations) times (measured 7s vs 2s at sf0.1). Iterative
+    * exponentially many times (measured 7s vs 2s at sf0.1). Iterative
     * dataflows always cut lineage per round — at real scale this is a
     * reliable checkpoint to cluster storage.
     */
   private[graft] def clusters(
       pairs: org.apache.spark.sql.DataFrame, // (doc_a, doc_b) with doc_a < doc_b
-      iterations: Int = 3
+      maxRounds: Int = 20
   ): org.apache.spark.sql.DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // referenced every round
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-    (1 to iterations).foreach { i =>
-      val viaNeighbor = edges
+      .localCheckpoint()
+    def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = prevSum == null // empty pair set: nothing to propagate
+    while (!converged && round < maxRounds) {
+      round += 1
+      // min label among neighbors, folded into own label via a left-outer
+      // join + least (NOT a self-referencing union: checkpointing a union
+      // whose branches share a relation trips Catalyst's LogicalRDD
+      // constraint rewrite; the join form is also one fewer wide child)
+      val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("label"))
-      val next = labels
-        .union(viaNeighbor)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-      // cut lineage every round (labels is referenced twice per iteration;
-      // see the pairs note above) — except the last, whose single consumer
-      // reads it once
-      labels = if (i < iterations) next.localCheckpoint() else next
+        .groupBy(edges("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val step = labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
+        )
+        // materialized: the doubling self-join references it twice
+        .localCheckpoint()
+      // pointer doubling: labels are node ids, so `step` has exactly one
+      // row for every label value — the self-join below is 1:1
+      val a = step.alias("a")
+      val b = step.alias("b")
+      val next = a
+        .join(b, col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), least(col("a.label"), col("b.label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
     }
     labels
   }
@@ -414,15 +452,15 @@ object Dedup {
     ),
     QueryDef(
       "q_dedup_clusters",
-      "near-dup clusters: connected components over MinHash candidate pairs via 3-iteration min-label propagation — cluster census (label = survivor doc, everything else drops)",
+      "near-dup clusters: EXACT connected components over MinHash candidate pairs (pointer-doubling label propagation, converges in O(log diameter) rounds) — cluster census; oracle is a recursive-CTE transitive closure, so the gate proves convergence, not a mirrored iteration count",
       (s, dir) =>
         clusters(minhashPairs(s, dir))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
           .orderBy(col("label")),
-      Some(s"""WITH $clustersCteSql
+      Some(s"""WITH RECURSIVE $clustersCteSql
               |SELECT label, count(1) AS n_members, max(doc_id) AS max_doc
-              |FROM l3 GROUP BY label ORDER BY label""".stripMargin)
+              |FROM cc GROUP BY label ORDER BY label""".stripMargin)
     ),
     QueryDef(
       "q_dedup_survivors",
@@ -444,11 +482,11 @@ object Dedup {
             min(when(!col("is_dropped"), col("doc_id"))).as("first_survivor")
           )
       },
-      Some(s"""WITH $clustersCteSql,
+      Some(s"""WITH RECURSIVE $clustersCteSql,
               |flagged AS (
               |  SELECT d.doc_id,
               |    (l.label IS NOT NULL AND l.label <> d.doc_id) AS is_dropped
-              |  FROM documents d LEFT JOIN l3 l ON d.doc_id = l.doc_id)
+              |  FROM documents d LEFT JOIN cc l ON d.doc_id = l.doc_id)
               |SELECT count(1) AS n_docs,
               |  cast(sum(cast(is_dropped as bigint)) as bigint) AS n_dropped,
               |  cast(count(1) - sum(cast(is_dropped as bigint)) as bigint) AS n_survivors,

@@ -88,11 +88,29 @@ class DedupSpec extends AnyFunSuite {
     // chain 1-2-3 plus isolated pair 10-11: two clusters
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val out = Dedup
-      .clusters(pairs, iterations = 3)
+      .clusters(pairs)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters CONVERGE on a long chain: diameter far beyond any fixed hop count") {
+    // a 30-node path 1-2-...-30 (diameter 29) discovered in the worst
+    // order for propagation. A hop-bounded loop (the old 3-iteration form)
+    // leaves the tail in separate clusters; the convergent loop must
+    // collapse everything to label 1 — and in O(log diameter) rounds via
+    // pointer doubling, which the maxRounds backstop (20) indirectly pins:
+    // without doubling, 29 hops would exhaust it and fail this assert.
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === (1L to 30L).toSet)
+    assert(out.values.toSet === Set(1L), "every node in the path adopts the component min")
+  }
+
+  test("clusters: empty pair set returns an empty labeling without iterating") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(pairs).collect().isEmpty)
   }
 
   test("LSH pathological-bucket cap: a high-df bucket is sub-sampled, counted, and deterministic") {
