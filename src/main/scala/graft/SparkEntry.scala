@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Events.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Quantize.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.SourceQueries.defs ++
