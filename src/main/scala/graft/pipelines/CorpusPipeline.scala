@@ -206,6 +206,93 @@ object CorpusPipeline {
       .start()
   }
 
+  /** Streaming NEAR-dup dedup on arrival — the incremental form of the
+    * batch MinHash/LSH stage, which [[runStreaming]]'s scaladoc defers to
+    * a batch re-run because cross-corpus connected components need global
+    * state. This covers the incrementally-decidable part: each arriving
+    * doc is checked against (a) every PRIOR survivor via a durable band
+    * index and (b) its own micro-batch via the usual pairs->CC stage, and
+    * dropped if either collides. First-arrival-wins (the survivor already
+    * in the index keeps its place); a batch re-run remains the way to get
+    * global keep-smallest-id semantics.
+    *
+    * State is the INDEX ARTIFACT, not executor memory: a parquet dir of
+    * (doc_id, band_idx, band) rows for survivors only, appended one
+    * `batch_id=N` dir per micro-batch. Per-batch cost is one signature
+    * pass over the batch plus an equi-join on the 16-byte band key against
+    * the index — at corpus scale the index is re-layable by band prefix
+    * (hive-partition on a band substring) so the probe reads only matching
+    * partitions; nothing here holds unbounded driver or executor state.
+    *
+    * Exactly-once: both the corpus output and the index append via
+    * per-batch `batch_id=N` overwrite directories (the
+    * [[graft.streaming.StreamingPipelines.idempotentParquetSink]] pattern),
+    * and the index read EXCLUDES the current batch id — a batch replayed
+    * after a crash rewrites its own dirs instead of colliding with its own
+    * half-written index rows.
+    */
+  def runStreamingNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      indexPath: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType = graft.sources.JsonlCorpus.documentsSchema,
+      minQuality: Double = 0.3,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.TextShared.NumBands
+    val raw = graft.sources.JsonlCorpus
+      .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
+      .observe(
+        "neardup_ingest",
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("_corrupt"), 1L).otherwise(0L)), lit(0L)).as("n_malformed")
+      )
+      .filter(!col("_corrupt"))
+      .drop("_corrupt")
+    val kept = TextAnalysis
+      .qualityFrame(raw)
+      .filter(col("quality") >= minQuality)
+      .select(raw.columns.toIndexedSeq.map(col): _*)
+    kept.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint() // referenced by signatures AND the survivor anti-join
+          val sig = Dedup.signatures(b).localCheckpoint()
+          val bands = sig.select(
+            col("doc_id"),
+            posexplode(array((0 until NumBands).map(i => col(s"band$i")): _*))
+              .as(Seq("band_idx", "band"))
+          )
+          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+          val fs      = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val prior =
+            if (fs.exists(idxRoot) && fs.listStatus(idxRoot).exists(_.getPath.getName.startsWith("batch_id=")))
+              Some(s.read.parquet(indexPath).filter(col("batch_id") =!= batchId))
+            else None
+          val priorDupIds = prior.map { idx =>
+            bands.join(idx, Seq("band_idx", "band"), "left_semi").select(col("doc_id")).distinct()
+          }
+          val withinDupIds = Dedup
+            .clusters(Dedup.pairsFromSignatures(sig))
+            .filter(col("label") =!= col("doc_id"))
+            .select(col("doc_id"))
+          val dropIds = priorDupIds
+            .fold(withinDupIds)(p => p.union(withinDupIds).distinct())
+            .localCheckpoint() // consumed by BOTH anti-joins below
+          b.join(dropIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          bands
+            .join(dropIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Scheduled small-files repair of an existing hive-split corpus dir —
     * the maintenance job a streaming sink's output needs on a cadence
     * (see [[runStreaming]]): rewrite each `split=...` subdir to

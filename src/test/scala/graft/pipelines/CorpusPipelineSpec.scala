@@ -299,6 +299,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup on arrival: durable band index drops cross-batch near-dups, CC drops within-batch ones") {
+    val dir  = Files.createTempDirectory("pipeline-neardup").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    val other = "a completely different document about distributed query engines and their storage layouts in large analytics clusters"
+
+    // batch 0: 1 and 2 are within-batch near-dups (identical text) -> CC
+    // keeps the min; 5 is distinct and must also survive
+    landFile("b0.jsonl", doc(1, base), doc(2, base), doc(5, other))
+    val q = CorpusPipeline.runStreamingNearDup(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt", minQuality = 0.3)
+    try {
+      q.processAllAvailable()
+      // batch 1: 10 collides with batch-0 survivor 1 via the band index
+      // (same text, new id); 11 is fresh and survives
+      landFile("b1.jsonl", doc(10, base), doc(11, other + " but this one has a long unique tail all of its own"))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$dir/corpus")
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 5L, 11L),
+        s"within-batch CC keeps the min (1 of {1,2}), prior-survivor collision drops 10, fresh docs land: $ids")
+
+      // the index holds bands for SURVIVORS only, one batch_id dir per batch
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 5L, 11L),
+        "index carries survivor bands only")
+      assert(idx.select("batch_id").distinct().count() === 2, "one index dir per micro-batch")
+      import graft.operators.TextShared.NumBands
+      assert(idx.groupBy("doc_id").count().collect().forall(_.getLong(1) === NumBands.toLong),
+        s"every survivor contributes exactly $NumBands band rows")
+    } finally q.stop()
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
