@@ -365,6 +365,48 @@ object IvfSimilarity {
               |        / (sqrt(cast(cast(nx as varchar) as double))
               |           * sqrt(cast(cast(nq as varchar) as double))), 6) AS cos_sim
               |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_ivf_sq8_probe",
+      "IVF-SQ8 probe (the Faiss IVF-SQ design): cluster membership from the trained index, but members scored with int8-quantized cosine — the inverted file stores 72-byte codes instead of 256-byte float vectors, so a probe scans a quarter of the bytes; recall vs the exact probe pinned in QuantizeSpec",
+      (s, dir) => {
+        val a2   = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val qf   = Quantize.quantizedFrame(Tables.fanout(Tables.embeddings(s, dir)))
+        val qcid = a2.filter(col("vec_id") === 0).select(col("cid"))
+        val members = a2
+          .join(broadcast(qcid), "cid")
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id")
+        val q = qf.filter(col("vec_id") === 0).select(col("qcode").as("q_qcode"))
+        qf.join(members, "vec_id")
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            round(
+              expr(
+                s"${Quantize.qdotSpark("qcode", "q_qcode")} / " +
+                  s"(sqrt(${Quantize.qdotSpark("qcode", "qcode")}) * sqrt(${Quantize.qdotSpark("q_qcode", "q_qcode")}))"
+              ),
+              6
+            ).as("cos_q")
+          )
+          .orderBy(col("cos_q").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH $assignmentsSql,
+              |qcid AS (SELECT cid AS qcid FROM a2 WHERE vec_id = 0),
+              |members AS (
+              |  SELECT a2.vec_id FROM a2, qcid WHERE a2.cid = qcid.qcid AND a2.vec_id <> 0),
+              |sc AS (
+              |  SELECT vec_id, embedding, ${Quantize.scaleDuck} AS scale FROM embeddings),
+              |qcodes AS (
+              |  SELECT vec_id, ${Quantize.codesDuck} AS qcode FROM sc),
+              |q AS (SELECT qcode AS q_qcode FROM qcodes WHERE vec_id = 0)
+              |SELECT qcodes.vec_id,
+              |  round(${Quantize.qdotDuck("qcode", "q_qcode")} /
+              |    (sqrt(${Quantize.qdotDuck("qcode", "qcode")}) * sqrt(${Quantize.qdotDuck("q_qcode", "q_qcode")})), 6) AS cos_q
+              |FROM qcodes JOIN members USING (vec_id) CROSS JOIN q
+              |ORDER BY cos_q DESC, vec_id LIMIT 5""".stripMargin)
     )
   )
 }

@@ -39,6 +39,37 @@ object Profiling {
              |FROM documents""".stripMargin)
     ),
     QueryDef(
+      "q_skew_profile",
+      "join-key skew profile: the 10 hottest keys with their frequency ratio vs a uniform key (n * n_keys / total) — the pre-flight diagnostic that decides salting/AQE-skew-join before a big join ships; one count shuffle + a broadcast 1-row global",
+      (s, dir) => {
+        val counts = Tables
+          .events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(
+          sum(col("n")).cast("long").as("total"),
+          count(lit(1)).as("n_keys")
+        )
+        counts
+          .crossJoin(broadcast(tot))
+          .select(
+            col("user_id"),
+            col("n"),
+            round(col("n").cast("double") * col("n_keys") / col("total"), 6).as("skew_ratio")
+          )
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH counts AS (
+             |  SELECT user_id, count(1) AS n FROM events GROUP BY user_id),
+             |tot AS (
+             |  SELECT cast(sum(n) as bigint) AS total, count(1) AS n_keys FROM counts)
+             |SELECT user_id, n,
+             |  round(cast(n as double) * n_keys / total, 6) AS skew_ratio
+             |FROM counts CROSS JOIN tot
+             |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
       "q_histogram",
       "fixed-width value histogram (Pinot HISTOGRAM shape): map-side bucketing, one tiny shuffle",
       (s, dir) => {

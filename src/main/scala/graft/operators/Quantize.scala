@@ -30,7 +30,7 @@ object Quantize {
     */
   private val scaleSpark =
     "greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), 1e-30)"
-  private val scaleDuck =
+  private[operators] val scaleDuck =
     "greatest(list_aggregate(list_transform(embedding, x -> abs(cast(x as double))), 'max'), 1e-30)"
 
   /** Symmetric int8 code: floor(x * 127 / scale + 0.5) in [-127, 127].
@@ -38,15 +38,15 @@ object Quantize {
     */
   private val codesSpark =
     "transform(embedding, x -> cast(floor(cast(x as double) * 127.0 / scale + 0.5) as bigint))"
-  private val codesDuck =
+  private[operators] val codesDuck =
     "list_transform(embedding, x -> cast(floor(cast(x as double) * 127.0 / scale + 0.5) as bigint))"
 
   /** Spark SQL: integer dot product of two bigint code arrays. */
-  private def qdotSpark(a: String, b: String): String =
+  private[operators] def qdotSpark(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
   /** DuckDB twin (1-based list indexing; truncate-to-min like cosDuck). */
-  private def qdotDuck(a: String, b: String): String =
+  private[operators] def qdotDuck(a: String, b: String): String =
     s"list_aggregate(list_transform(generate_series(1, least(len($a), len($b))), k -> $a[k] * $b[k]), 'sum')"
 
   /** (vec_id, label, scale, qcode) with codes carried as bigint — the

@@ -85,6 +85,27 @@ class QuantizeSpec extends AnyFunSuite {
     assert(top.head.getDouble(2) > 0.999, s"quantized cosine of a scaled copy ~ 1, got ${top.head.getDouble(2)}")
   }
 
+  test("IVF-SQ8 probe: quantized scores track exact cosine on the fixture; ranking stays near the exact probe's") {
+    val sq8 = graft.SparkEntry.queries("q_sim_ivf_sq8_probe")(spark, TestSpark.sfDir).collect()
+    assert(sq8.length === 5)
+    // per-row error bound against driver-computed exact cosine
+    val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    sq8.foreach { r =>
+      val e = exactCos(emb(r.getLong(0)), emb(0L))
+      assert(math.abs(r.getDouble(1) - e) <= 0.05,
+        s"vec ${r.getLong(0)}: cos_q ${r.getDouble(1)} vs exact $e")
+    }
+    // same candidate pool (the query's cluster), so the quantized top-5
+    // must intersect the exact probe's top-5 — quantization may reorder
+    // near-ties but cannot wander off to another cluster
+    val exact = graft.SparkEntry.queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (sq8.map(_.getLong(0)).toSet & exact).size
+    assert(overlap >= 2, s"sq8 top-5 vs exact top-5 overlap $overlap")
+  }
+
   test("quantized frame on the fixture: codes bounded, scales positive, every vector covered") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
     val stats = Quantize
