@@ -85,6 +85,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectFunction(
       (
+        FunctionIdentifier("freq_items"),
+        new ExpressionInfo(
+          classOf[functions.FreqItemsAgg].getName,
+          "freq_items",
+          "freq_items(item, k) - mergeable Misra-Gries heavy-hitters sketch: array<struct<item,est>> sorted by est desc, with a ('', deficit) error-bound sentinel"
+        ),
+        functions.FreqItems.build(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         new ExpressionInfo(
           classOf[functions.RollingHash].getName,

@@ -207,6 +207,39 @@ object TextAnalysis {
       None
     ),
     QueryDef(
+      "q_text_heavyhitters",
+      "heavy-hitter tokens via sketch-then-verify: one Misra-Gries freq_items pass (mergeable TypedImperativeAggregate, k=128) prunes candidates — guaranteed to hold every token above n/129 — then a semi-join + exact count keeps tokens above 1% of all tokens. Final output is EXACT and hash-checked even though the sketch is partition-order dependent; at 100 TB the verify pass counts only the <=k candidates instead of the whole vocabulary",
+      (s, dir) => {
+        graft.functions.FreqItems.register(s)
+        val toks = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(explode(tokens(col("text"))).as("tok"))
+        val cand = toks
+          .agg(expr("freq_items(tok, 128)").as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e.item").as("tok"))
+          .filter(col("tok") =!= "") // drop the deficit sentinel
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks
+          .join(broadcast(cand), "tok") // <=128 candidate tokens
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .filter(col("n") * 100 > col("total"))
+          .select(col("tok"), col("n"))
+          .orderBy(col("n").desc, col("tok"))
+      },
+      // the oracle needs no sketch: candidates above the threshold are
+      // exactly the HAVING filter (the sketch only prunes, never changes
+      // the final set — that is the point the hash-match proves)
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tot AS (SELECT count(1) AS total FROM toks)
+             |SELECT tok, count(1) AS n
+             |FROM toks CROSS JOIN tot GROUP BY tok, total HAVING count(1) * 100 > total
+             |ORDER BY n DESC, tok""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_hash",
       "deterministic content-hash sampling (training-data op): ~10% of docs by md5 bucket, stable across runs/engines",
       (s, dir) =>
