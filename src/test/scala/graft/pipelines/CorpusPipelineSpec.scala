@@ -337,6 +337,36 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup survives stop/restart: checkpoint resumes, index state carries across generations") {
+    val dir  = Files.createTempDirectory("pipeline-neardup-restart").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def start() = CorpusPipeline.runStreamingNearDup(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt", minQuality = 0.3)
+
+    landFile("g0.jsonl", doc(1, base))
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+
+    // second generation, same checkpoint: the already-processed file must
+    // NOT replay (no duplicate batch dirs), and a near-dup of a FIRST-
+    // generation survivor must still be caught via the durable index
+    landFile("g1.jsonl", doc(10, base), doc(11, "vectorized execution engines batch tuples into columns so branch prediction and cache locality both improve dramatically"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 11L),
+        s"index state crosses the restart: 10 collides with generation-1 survivor 1: $ids")
+    } finally q2.stop()
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
