@@ -219,13 +219,20 @@ object TextAnalysis {
           .select(explode(col("sk")).as("e"))
           .select(col("e.item").as("tok"))
           .filter(col("tok") =!= "") // drop the deficit sentinel
-        val total = toks.agg(count(lit(1)).as("total"))
+        // ONE counting pass carries both the candidate counts and the
+        // grand total: non-candidate tokens collapse into a single ''
+        // group (<= k+1 groups leave the aggregate), and total = sum over
+        // that tiny frame via an unpartitioned window — safe only because
+        // it runs POST-aggregation on <= 129 rows, never on the token
+        // stream (a third token scan for a bare count() measured as the
+        // plan's most expensive node).
+        import org.apache.spark.sql.expressions.Window
         toks
-          .join(broadcast(cand), "tok") // <=128 candidate tokens
-          .groupBy(col("tok"))
+          .join(broadcast(cand.withColumn("is_cand", lit(true))), Seq("tok"), "left_outer")
+          .groupBy(when(col("is_cand"), col("tok")).otherwise(lit("")).as("tok"))
           .agg(count(lit(1)).as("n"))
-          .crossJoin(broadcast(total))
-          .filter(col("n") * 100 > col("total"))
+          .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+          .filter(col("tok") =!= "" && col("n") * 100 > col("total"))
           .select(col("tok"), col("n"))
           .orderBy(col("n").desc, col("tok"))
       },
