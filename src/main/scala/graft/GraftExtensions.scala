@@ -39,6 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("quantized_cosine"),
+        new ExpressionInfo(
+          classOf[functions.QuantizedCosine].getName,
+          "quantized_cosine",
+          "quantized_cosine(qa, qb) - cosine over int8-quantized code arrays: exact integer dot/norms, one double division (fused codegen loop)"
+        ),
+        functions.VectorFunctions.quantizedCosineBuilder(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("exact_percentiles"),
         new ExpressionInfo(
           classOf[functions.ExactPercentiles].getName,

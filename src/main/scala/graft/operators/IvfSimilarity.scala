@@ -370,6 +370,7 @@ object IvfSimilarity {
       "q_sim_ivf_sq8_probe",
       "IVF-SQ8 probe (the Faiss IVF-SQ design): cluster membership from the trained index, but members scored with int8-quantized cosine — the inverted file stores 72-byte codes instead of 256-byte float vectors, so a probe scans a quarter of the bytes; recall vs the exact probe pinned in QuantizeSpec",
       (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
         val a2   = assignments(s, dir).select(col("vec_id"), col("cid"))
         val qf   = Quantize.quantizedFrame(Tables.fanout(Tables.embeddings(s, dir)))
         val qcid = a2.filter(col("vec_id") === 0).select(col("cid"))
@@ -382,13 +383,7 @@ object IvfSimilarity {
           .crossJoin(broadcast(q))
           .select(
             col("vec_id"),
-            round(
-              expr(
-                s"${Quantize.qdotSpark("qcode", "q_qcode")} / " +
-                  s"(sqrt(${Quantize.qdotSpark("qcode", "qcode")}) * sqrt(${Quantize.qdotSpark("q_qcode", "q_qcode")}))"
-              ),
-              6
-            ).as("cos_q")
+            round(expr("quantized_cosine(qcode, q_qcode)"), 6).as("cos_q")
           )
           .orderBy(col("cos_q").desc, col("vec_id"))
           .limit(5)

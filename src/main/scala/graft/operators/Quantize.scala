@@ -78,6 +78,7 @@ object Quantize {
     * bound (|cos_q - cos| <= 0.05 at dim 64).
     */
   def quantizedTopK(emb: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val qf = quantizedFrame(emb)
     val q = qf
       .filter(col("vec_id") === queryVecId)
@@ -88,13 +89,10 @@ object Quantize {
       .select(
         col("vec_id"),
         col("label"),
-        round(
-          expr(
-            s"${qdotSpark("qcode", "q_qcode")} / " +
-              s"(sqrt(${qdotSpark("qcode", "qcode")}) * sqrt(${qdotSpark("q_qcode", "q_qcode")}))"
-          ),
-          6
-        ).as("cos_q")
+        // fused codegen integer loop ([[graft.functions.QuantizedCosine]]);
+        // exact longs + one double division, so bit-identical to the
+        // aggregate(zip_with(...)) HOF form the oracle SQL spells out
+        round(expr("quantized_cosine(qcode, q_qcode)"), 6).as("cos_q")
       )
       .orderBy(col("cos_q").desc, col("vec_id"))
       .limit(k)

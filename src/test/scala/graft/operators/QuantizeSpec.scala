@@ -106,6 +106,31 @@ class QuantizeSpec extends AnyFunSuite {
     assert(overlap >= 2, s"sq8 top-5 vs exact top-5 overlap $overlap")
   }
 
+  test("QuantizedCosine codegen expression is bit-identical to the HOF SQL formulation") {
+    graft.functions.VectorFunctions.register(spark)
+    var state = 7L
+    def nextCode(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % 255 - 127
+    }
+    val pairs = (0 until 200).map { i =>
+      val d = 1 + i % 96 // varied dims, including tiny
+      (Array.fill(d)(nextCode()), Array.fill(d)(nextCode()))
+    }
+    val df = pairs.toDF("qa", "qb").select(
+      expr("quantized_cosine(qa, qb)").as("fused"),
+      expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) / " +
+          "(sqrt(aggregate(zip_with(qa, qa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)) * " +
+          "sqrt(aggregate(zip_with(qb, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)))"
+      ).as("hof")
+    )
+    df.collect().foreach { r =>
+      val (f, h) = (r.getDouble(0), r.getDouble(1))
+      assert(f === h, s"fused $f != hof $h") // EXACT: same longs, same division
+    }
+  }
+
   test("quantized frame on the fixture: codes bounded, scales positive, every vector covered") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
     val stats = Quantize
