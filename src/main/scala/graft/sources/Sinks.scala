@@ -72,23 +72,30 @@ object Sinks {
       .mode(SaveMode.Overwrite)
       .parquet(path)
 
-  /** Z-order (Morton) key over two non-negative integer dimensions:
-    * interleaves the low `bits` of x and y so that curve-adjacent keys are
-    * close in BOTH dimensions. Built from shift/and/or primitives — pure
-    * whole-stage codegen, no UDF. Callers normalize real columns into
-    * [0, 2^bits) first (min-max scale with FIXED bounds, so the key — and
-    * therefore the file layout — is deterministic across runs and retries).
+  /** Z-order (Morton) key over n non-negative integer dimensions:
+    * interleaves the low `bits` of each, dimension j supplying bit
+    * `n*i + j`, so that curve-adjacent keys are close in EVERY dimension.
+    * Built from shift/and/or primitives — pure whole-stage codegen, no
+    * UDF. Callers normalize real columns into [0, 2^bits) first (min-max
+    * scale with FIXED bounds, so the key — and therefore the file
+    * layout — is deterministic across runs and retries); [[compact]]'s
+    * `zorderCols` path does that scaling inline.
     */
-  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits)
-      .map { i =>
-        val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-        xb.bitwiseOR(yb)
+  def zorderKey(dims: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    val n = dims.size
+    require(n >= 1 && bits >= 1 && n * bits <= 62, s"need 1 <= dims*bits <= 62, got $n x $bits")
+    dims.zipWithIndex
+      .map { case (c, j) =>
+        (0 until bits)
+          .map(i => shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), n * i + j))
+          .reduce(_.bitwiseOR(_))
       }
       .reduce(_.bitwiseOR(_))
   }
+
+  /** Two-dimension form (x at even bit positions, y at odd). */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column =
+    zorderKey(Seq(x, y), bits)
 
   /** Multi-dimensional clustering: range-partition + sort on the z-order
     * key, so every output file covers a small bounding BOX in (x, y) —
@@ -265,11 +272,24 @@ object Sinks {
     * Streaming micro-batch sinks and over-parallel writers leave thousands
     * of small files; at 100 TB that murders scan planning (one listing +
     * footer read per file) and wastes row-group compression. Sizing uses
-    * the actual on-disk bytes of the source files (not a row-count guess),
-    * and the rewrite goes through `repartition(n)` — a round-robin
-    * shuffle that local-sorts for retry determinism, unlike `coalesce`,
-    * which would also cap the read parallelism of the compaction job
-    * itself. Returns the output file count plus the input snapshot
+    * the actual on-disk bytes of the source files (not a row-count guess).
+    *
+    * Layout (file-skipping is the other half of compaction):
+    *   - `sortCols` nonEmpty: `repartitionByRange` on the keys + local
+    *     sort — per-file key ranges are DISJOINT, so footer min/max stats
+    *     prune whole FILES for key predicates (round-robin + local sort
+    *     only enabled row-group pruning; every file spanned the full
+    *     range). Range boundaries come from Spark's seeded reservoir
+    *     sample — deterministic for identical input, re-run-stable.
+    *   - `zorderCols` nonEmpty (takes precedence): range-partition + sort
+    *     on a [[zorderKey]] so EVERY listed column gets a bounded per-file
+    *     range — multi-column skipping where a single sort key only serves
+    *     its leading column.
+    *   - neither: plain round-robin `repartition(n)` (a shuffle that
+    *     local-sorts for retry determinism, unlike `coalesce`, which would
+    *     also cap the read parallelism of the compaction job itself).
+    *
+    * Returns the output file count plus the input snapshot
     * ([[CompactResult]]); `df.inputFiles` is read off the FileIndex the
     * rewrite job itself scans, so the snapshot is exact, not a re-listing.
     */
@@ -278,7 +298,9 @@ object Sinks {
       inPath: String,
       outPath: String,
       targetFileBytes: Long = 128L << 20,
-      sortCols: Seq[String] = Nil
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil,
+      zorderBits: Int = 8
   ): CompactResult = {
     val df = spark.read.parquet(inPath)
     val snapshot =
@@ -288,8 +310,31 @@ object Sinks {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(hp).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val repart = df.repartition(nFiles)
-    val laidOut = if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(col): _*) else repart
+    val laidOut =
+      if (zorderCols.nonEmpty) {
+        // min/max scaling bounds as a broadcast 1-row global (linear
+        // scaling — the cheap variant; rank scaling resists skew but
+        // costs a sort per column), then the raw-interleave [[zorderKey]]
+        val aggs = zorderCols.flatMap { c =>
+          Seq(min(col(c).cast("double")).as(s"_lo_$c"), max(col(c).cast("double")).as(s"_hi_$c"))
+        }
+        val stats = df.agg(aggs.head, aggs.tail: _*)
+        val k     = (1L << zorderBits) - 1
+        val scaled = zorderCols.map { c =>
+          floor(
+            (col(c).cast("double") - col(s"_lo_$c")) * k /
+              greatest(col(s"_hi_$c") - col(s"_lo_$c"), lit(1e-12))
+          ).cast("long")
+        }
+        df.crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+          .withColumn("_z", zorderKey(scaled, zorderBits))
+          .repartitionByRange(nFiles, col("_z"))
+          .sortWithinPartitions(col("_z"))
+          .drop("_z" +: zorderCols.flatMap(c => Seq(s"_lo_$c", s"_hi_$c")): _*)
+      } else if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
     laidOut.write.mode(SaveMode.Overwrite).parquet(outPath)
     CompactResult(spark.read.parquet(outPath).inputFiles.length, snapshot)
   }

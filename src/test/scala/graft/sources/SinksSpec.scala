@@ -151,6 +151,39 @@ class SinksSpec extends AnyFunSuite {
     assert(out((3L, 3L)) === 15L)
   }
 
+  test("compact layouts: sortCols gives disjoint per-file key ranges, zorderCols bounds every listed dimension") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sinks").toString
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong))).toDF("x", "y")
+    grid.repartition(24).write.parquet(s"$base/frag") // fragmented source
+
+    val sorted = Sinks.compact(spark, s"$base/frag", s"$base/sorted", targetFileBytes = 4096, sortCols = Seq("x"))
+    assert(sorted.nOutputFiles >= 3, s"sizing should spread files, got ${sorted.nOutputFiles}")
+    val ranges = parquetFiles(s"$base/sorted").map { f =>
+      val r = spark.read.parquet(f).agg(min(col("x")), max(col("x")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.filter(_._3 > 0).map(t => (t._1, t._2)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"file key ranges overlap: hi=$hi lo2=$lo2")
+      case _                      =>
+    }
+
+    // z-order: per-file y-span bounded, where the x-sorted layout spans ~all of y
+    Sinks.compact(spark, s"$base/frag", s"$base/z", targetFileBytes = 4096,
+      zorderCols = Seq("x", "y"), zorderBits = 6)
+    def meanYSpan(dir: String): Double = {
+      val spans = parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f).agg(min(col("y")), max(col("y")), count(lit(1))).collect()(0)
+        if (r.getLong(2) == 0) -1.0 else (r.getLong(1) - r.getLong(0)).toDouble
+      }.filter(_ >= 0)
+      spans.sum / spans.size
+    }
+    assert(meanYSpan(s"$base/z") < meanYSpan(s"$base/sorted") * 0.6,
+      s"z-ordered compaction must bound y: ${meanYSpan(s"$base/z")} vs x-sorted ${meanYSpan(s"$base/sorted")}")
+    assert(spark.read.parquet(s"$base/z").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      grid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq, "content round-trips")
+  }
+
   test("z-ordered files bound BOTH dimensions where single-key sort spans one") {
     import spark.implicits._
     // a uniform 64x64 grid: every (x, y) cell once
