@@ -70,6 +70,49 @@ object Profiling {
              |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
     ),
     QueryDef(
+      "q_zorder_key",
+      "z-order (Morton) layout key over (user_id, value): min/max scale each dimension to 8 bits via a broadcast 1-row global, interleave — the multi-column file-skipping key Sinks.compact(zorderCols) lays data out by; per-key census proves the arithmetic matches DuckDB bit-for-bit",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stats = ev.agg(
+          min(col("user_id").cast("double")).as("lo_u"),
+          max(col("user_id").cast("double")).as("hi_u"),
+          min(col("value")).as("lo_v"),
+          max(col("value")).as("hi_v")
+        )
+        val k = 255L
+        def scaled(c: org.apache.spark.sql.Column, lo: String, hi: String) =
+          floor((c.cast("double") - col(lo)) * k / greatest(col(hi) - col(lo), lit(1e-12))).cast("long")
+        ev.crossJoin(broadcast(stats))
+          .withColumn(
+            "z",
+            graft.sources.Sinks.zorderKey(
+              Seq(scaled(col("user_id"), "lo_u", "hi_u"), scaled(col("value"), "lo_v", "hi_v")),
+              bits = 8
+            )
+          )
+          .groupBy((col("z") / 256).cast("long").as("z_block"))
+          .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+          .orderBy(col("z_block"))
+      }, {
+        def bitsSql(s: String, j: Int) =
+          (0 until 8).map(i => s"((($s >> $i) & 1) << ${2 * i + j})").mkString(" | ")
+        Some(s"""WITH stats AS (
+                |  SELECT min(cast(user_id as double)) AS lo_u, max(cast(user_id as double)) AS hi_u,
+                |         min(value) AS lo_v, max(value) AS hi_v
+                |  FROM events),
+                |scaled AS (
+                |  SELECT
+                |    cast(floor((cast(user_id as double) - lo_u) * 255 / greatest(hi_u - lo_u, 1e-12)) as bigint) AS su,
+                |    cast(floor((value - lo_v) * 255 / greatest(hi_v - lo_v, 1e-12)) as bigint) AS sv
+                |  FROM events CROSS JOIN stats),
+                |zed AS (SELECT (${bitsSql("su", 0)}) | (${bitsSql("sv", 1)}) AS z FROM scaled)
+                |SELECT cast(z // 256 as bigint) AS z_block, count(1) AS n,
+                |  min(z) AS z_min, max(z) AS z_max
+                |FROM zed GROUP BY 1 ORDER BY z_block""".stripMargin)
+      }
+    ),
+    QueryDef(
       "q_histogram",
       "fixed-width value histogram (Pinot HISTOGRAM shape): map-side bucketing, one tiny shuffle",
       (s, dir) => {

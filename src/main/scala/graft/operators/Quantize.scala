@@ -49,6 +49,24 @@ object Quantize {
   private[operators] def qdotDuck(a: String, b: String): String =
     s"list_aggregate(list_transform(generate_series(1, least(len($a), len($b))), k -> $a[k] * $b[k]), 'sum')"
 
+  /** Append an int8-code column derived from an arbitrary embedding
+    * column (two-step: materialize the scale, then the codes — inlining
+    * the max-abs into the transform lambda would re-evaluate it per
+    * element). Used by [[Similarity.knnJoin]]'s quantized scoring, where
+    * the probe side then carries ONLY the codes: a broadcast of int8
+    * codes is ~4x smaller than the float embeddings it replaces.
+    */
+  private[operators] def withQcode(df: DataFrame, embCol: String, outCol: String): DataFrame =
+    df.withColumn(
+        s"_scale_$outCol",
+        expr(s"greatest(array_max(transform($embCol, x -> abs(cast(x as double)))), 1e-30)")
+      )
+      .withColumn(
+        outCol,
+        expr(s"transform($embCol, x -> cast(floor(cast(x as double) * 127.0 / _scale_$outCol + 0.5) as bigint))")
+      )
+      .drop(s"_scale_$outCol")
+
   /** (vec_id, label, scale, qcode) with codes carried as bigint — the
     * frame every quantized query builds on. Codes are exact integers, so
     * downstream dots/norms are exact until the final cosine division.
@@ -141,6 +159,42 @@ object Quantize {
               |FROM qc CROSS JOIN q
               |WHERE vec_id <> 0
               |ORDER BY cos_q DESC, vec_id LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_sq8_rerank",
+      "two-stage ANN, the production quantized-search pattern: stage 1 scans int8 codes for a quantized top-20 (a quarter of the bytes), stage 2 re-ranks ONLY those 20 with exact float cosine and emits the top-5 — full-precision answers at quantized-scan cost",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val emb  = Tables.fanout(Tables.embeddings(s, dir))
+        val cand = quantizedTopK(emb, queryVecId = 0, k = 20).select("vec_id")
+        val q    = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        emb
+          .join(broadcast(cand), "vec_id")
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            col("label"),
+            round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, label, embedding, $scaleDuck AS scale FROM embeddings),
+              |qc AS (
+              |  SELECT vec_id, label, embedding, $codesDuck AS qcode FROM sc),
+              |q AS (SELECT qcode AS q_qcode, embedding AS q_emb FROM qc WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT qc.vec_id, qc.label, qc.embedding, q.q_emb,
+              |    ${qdotDuck("qcode", "q_qcode")} /
+              |      (sqrt(${qdotDuck("qcode", "qcode")}) * sqrt(${qdotDuck("q_qcode", "q_qcode")})) AS cos_q
+              |  FROM qc CROSS JOIN q
+              |  WHERE vec_id <> 0
+              |  ORDER BY cos_q DESC, vec_id LIMIT 20)
+              |SELECT vec_id, label,
+              |  round(${Similarity.cosDuck("embedding", "q_emb")}, 6) AS cos_sim
+              |FROM cand
+              |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     )
   )
 }

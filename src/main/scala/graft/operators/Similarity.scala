@@ -91,7 +91,7 @@ object Similarity {
     * matching CosineSimilarity's truncate-to-min semantics for (hypothetical)
     * unequal-length vectors.
     */
-  private def cosDuck(a: String, b: String): String = {
+  private[operators] def cosDuck(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_aggregate(list_transform(generate_series(1, least(len($x), len($y))), k -> cast($x[k] as double) * cast($y[k] as double)), 'sum')"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
@@ -227,25 +227,41 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       maxHamming: Int = 1,
-      broadcastProbes: Boolean = true
+      broadcastProbes: Boolean = true,
+      scoreQuantized: Boolean = false
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
     val s = queries.sparkSession
     VectorFunctions.register(s)
     val fn = graft.functions.TopK.register(s, k)
     val flips = lit(0L) +: (if (maxHamming >= 1) planes.indices.map(i => lit(1L << i)) else Nil)
-    val probes = queries
+    // scoreQuantized: candidates score with the fused int8 quantized_cosine
+    // instead of float cosine_sim (|error| <= ~0.05 at dim 64, spec-pinned)
+    // — the probe side then broadcasts ONLY int8 codes (~4x smaller than
+    // the embeddings they replace), and the corpus-side scan reads codes.
+    // Buckets still come from the FLOAT embedding on both sides, so
+    // candidate sets are identical to the exact path's.
+    val qBase = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), expr(bucketSpark).as("q_bucket"))
-      .select(col("q_id"), col("q_emb"), col("q_bucket"), explode(array(flips: _*)).as("flip"))
-      .select(col("q_id"), col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"))
+    val qScored =
+      if (scoreQuantized) Quantize.withQcode(qBase, "q_emb", "q_qcode").drop("q_emb")
+      else qBase
+    val scoreCols = if (scoreQuantized) Seq("q_qcode") else Seq("q_emb")
+    val probes = qScored
+      .select((Seq("q_id", "q_bucket") ++ scoreCols).map(col) :+ explode(array(flips: _*)).as("flip"): _*)
+      .select((Seq("q_id") ++ scoreCols).map(col) :+ col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"): _*)
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
-    corpus
-      .withColumn("bucket", expr(bucketSpark))
+    val corpusSide =
+      if (scoreQuantized) Quantize.withQcode(corpus.withColumn("bucket", expr(bucketSpark)), "embedding", "qcode")
+      else corpus.withColumn("bucket", expr(bucketSpark))
+    val scoreExpr =
+      if (scoreQuantized) "quantized_cosine(qcode, q_qcode)" else "cosine_sim(embedding, q_emb)"
+    corpusSide
       .join(probeSide, col("bucket") === col("probe_bucket"))
       .select(
         col("q_id"),
         col("vec_id"),
-        round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim")
+        round(expr(scoreExpr), 6).as("cos_sim")
       )
       .groupBy(col("q_id"))
       .agg(expr(s"$fn(cos_sim, vec_id)").as("top"))

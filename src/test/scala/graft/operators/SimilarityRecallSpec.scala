@@ -159,6 +159,35 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("knn join quantized scoring: identical candidates, planted near-dup still rank 1, scores within 0.05") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val planted = queries.collect().map { r =>
+      val id = r.getLong(0)
+      val v  = r.getSeq[Float](1)
+      (900000L + id, v.zipWithIndex.map { case (x, i) => x + 0.005f * (((i + id.toInt) % 5) - 2) })
+    }.toSeq
+    import spark.implicits._
+    val corpus = emb.filter(col("vec_id") >= 3).union(planted.toDF("vec_id", "embedding"))
+    val exact = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1).collect()
+    val quant = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1, scoreQuantized = true).collect()
+    (0L until 3L).foreach { qid =>
+      val rank1 = quant.find(r => r.getLong(0) == qid && r.getLong(1) == 1L)
+        .getOrElse(fail(s"query $qid returned no rows"))
+      assert(rank1.getLong(2) === 900000L + qid,
+        s"quantized scoring must still surface the planted near-copy first, got ${rank1.getLong(2)}")
+    }
+    // buckets come from the float embedding either way -> same (q, vec) result
+    // universe; scores agree within the int8 error bound
+    val exactScores = exact.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    quant.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { e =>
+        assert(math.abs(e - r.getDouble(3)) <= 0.05,
+          s"(${r.getLong(0)}, ${r.getLong(2)}): quantized ${r.getDouble(3)} vs exact $e")
+      }
+    }
+  }
+
   test("embedNearDupPairs surfaces a planted same-label near-dup pair, and only same-label pairs") {
     // round-7 finding #3: q_dedup_embed's gate row-count can be 0=0, so a
     // broken join predicate (e.g. =!= on label) would still hash-match.
