@@ -239,6 +239,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!allNodes(executed(df)).exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand")
   }
 
+  test("q_sim_quantized_topk: broadcast 1-row query side, top-k without global sort, no explode") {
+    val df = q("q_sim_quantized_topk")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-10 must not global-sort")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") >= 1, "the 1-row quantized query must broadcast")
+    assert(countNodes(df, "Generate") === 0, "quantized_cosine is map-only, no per-element rows")
+  }
+
+  test("q_text_heavyhitters: one sketch pass + one counting pass (two token explodes, no third total scan)") {
+    val df = q("q_text_heavyhitters")
+    assert(countNodes(df, "Generate") <= 3, // 2 token explodes + the sketch-array explode
+      "the grand total must ride the counting pass, not a third token scan")
+    assert(countNodes(df, "ObjectHashAggregate") >= 2, "freq_items must plan partial+final object aggregates")
+    assert(!allNodes(executed(df)).exists(_.nodeName.contains("Expand")), "no distinct-rewrite Expand")
+  }
+
+  test("q_skew_profile: the 1-row global broadcasts; only the count shuffle touches data scale") {
+    val df = q("q_skew_profile")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") >= 1, "totals must broadcast, not shuffle-join")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-10 hottest keys must not global-sort")
+  }
+
   test("no query in the entire surface plans a CartesianProduct") {
     // global invariant, statically checked (AQE can only REPLACE a static
     // cartesian with a broadcast NLJ, never introduce one): every crossJoin
