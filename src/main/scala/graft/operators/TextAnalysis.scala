@@ -390,6 +390,62 @@ object TextAnalysis {
              |GROUP BY source ORDER BY source""".stripMargin)
     ),
     QueryDef(
+      "q_contamination_ngram",
+      "13-gram train/test contamination (the GPT-3-style decontamination check — whole-doc fingerprints miss partial copies): a test doc is contaminated if ANY of its 13-token windows appears in train. Grams carried as md5 (16-byte shuffle key); the gram-doc frame is materialized once and feeds both the train-gram set and the test semi-join",
+      (s, dir) => {
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        val toks = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            col("doc_id"),
+            split(col("text"), " ").as("t"),
+            when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split")
+          )
+        val gramDocs = toks
+          .select(
+            col("doc_id"),
+            col("split"),
+            explode(
+              when(
+                size(col("t")) >= 13,
+                expr("transform(sequence(0, size(t) - 13), i -> md5(concat_ws(' ', slice(t, i + 1, 13))))")
+              ).otherwise(expr("array()"))
+            ).as("g")
+          )
+          .distinct()
+          // referenced twice below (train-gram set + test side): without the
+          // cut Catalyst re-runs the explode+distinct per reference
+          .localCheckpoint()
+        val trainGrams = gramDocs.filter(col("split") === "train").select(col("g")).distinct()
+        val testGrams  = gramDocs.filter(col("split") === "test")
+        val hits       = testGrams.join(trainGrams, Seq("g"), "left_semi")
+        val nTest      = toks.filter(col("split") === "test").agg(count(lit(1)).as("n_test_docs"))
+        hits
+          .agg(
+            countDistinct(col("doc_id")).as("n_contaminated"),
+            countDistinct(col("g")).as("n_shared_grams")
+          )
+          .crossJoin(broadcast(nTest))
+          .select(col("n_contaminated"), col("n_test_docs"), col("n_shared_grams"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    CASE WHEN ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int < 204 THEN 'train'
+             |         WHEN ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int < 230 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, split, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, split, md5(array_to_string(t[i:i+12], ' ')) AS g FROM idx),
+             |trg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+             |teg AS (SELECT doc_id, g FROM grams WHERE split = 'test')
+             |SELECT
+             |  (SELECT count(DISTINCT doc_id) FROM teg JOIN trg USING (g)) AS n_contaminated,
+             |  (SELECT count(1) FROM toks WHERE split = 'test') AS n_test_docs,
+             |  (SELECT count(DISTINCT teg.g) FROM teg JOIN trg USING (g)) AS n_shared_grams""".stripMargin)
+    ),
+    QueryDef(
       "q_contamination",
       "train/test contamination check: test-split docs whose normalized fingerprint also appears in the train split (semi-join on the dedup key — the eval-integrity preflight every LLM pipeline runs)",
       (s, dir) => {

@@ -151,6 +151,24 @@ class SinksSpec extends AnyFunSuite {
     assert(out((3L, 3L)) === 15L)
   }
 
+  test("n-dim zorderKey round-trips: de-interleaving bit n*i+j recovers dimension j") {
+    import spark.implicits._
+    val rows = Seq((1L, 2L, 3L), (7L, 0L, 5L), (15L, 15L, 15L), (0L, 0L, 0L), (9L, 4L, 11L))
+      .toDF("a", "b", "c")
+      .select(
+        col("a"), col("b"), col("c"),
+        Sinks.zorderKey(Seq(col("a"), col("b"), col("c")), bits = 4).as("z")
+      )
+      .collect()
+    rows.foreach { r =>
+      val z = r.getLong(3)
+      def deinterleave(j: Int) = (0 until 4).map(i => ((z >> (3 * i + j)) & 1L) << i).sum
+      Seq(0, 1, 2).foreach { j =>
+        assert(deinterleave(j) === r.getLong(j), s"dim $j of z=$z must round-trip")
+      }
+    }
+  }
+
   test("compact layouts: sortCols gives disjoint per-file key ranges, zorderCols bounds every listed dimension") {
     import spark.implicits._
     val base = Files.createTempDirectory("sinks").toString
