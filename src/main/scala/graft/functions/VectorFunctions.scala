@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle (both round to 6 decimals at the output).
   *
   * Null handling matches built-in binary expressions: null if either array
-  * is null; null elements contribute 0.
+  * is null; null elements contribute 0. A zero-norm (or empty) array yields
+  * null — the same value Spark's non-ANSI Divide and the DuckDB oracle
+  * produce for the SQL spelling's 0/0 — never NaN, which would sort ABOVE
+  * every real score under `desc` and top a similarity top-k.
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -54,7 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,7 +81,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
            |  double $yv = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
            |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |if ($na == 0.0 || $nb == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |}
          """.stripMargin
       }
     )
@@ -97,6 +105,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   * higher-order pair (a lambda frame per element, three separate array
   * traversals) with one JIT-friendly loop. At 100 TB the SQ8 scan is this
   * inner product and nothing else.
+  *
+  * Zero-norm codes (empty arrays, or the all-zero codes the scale clamp
+  * produces for a zero vector) yield null — matching the SQL spelling under
+  * non-ANSI Divide and DuckDB — never NaN.
   */
 case class QuantizedCosine(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -127,7 +139,12 @@ case class QuantizedCosine(left: Expression, right: Expression) extends BinaryEx
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    // All-zero codes (the scale clamp quantizes a zero vector to exactly
+    // this) must NOT produce NaN: NaN sorts above every real score under
+    // `desc` and would top quantizedTopK. Null matches non-ANSI Divide and
+    // the DuckDB oracle's 0/0.
+    if (na == 0L || nb == 0L) null
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -150,7 +167,11 @@ case class QuantizedCosine(left: Expression, right: Expression) extends BinaryEx
            |  long $yv = $b.isNullAt($i) ? 0L : $b.getLong($i);
            |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = (double) $dot / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+           |if ($na == 0L || $nb == 0L) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = (double) $dot / (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+           |}
          """.stripMargin
       }
     )

@@ -350,6 +350,19 @@ object Dedup {
     * dataflows always cut lineage per round — at real scale this is a
     * reliable checkpoint to cluster storage.
     */
+  /** Drop a `localCheckpoint`ed frame's cached blocks. Safe only once every
+    * frame derived from it has itself been (eagerly) checkpointed — eager
+    * checkpoints truncate lineage at materialization, so nothing can ask
+    * the unpersisted RDD to recompute. Without this, block-manager storage
+    * grows by one full label-frame generation per round — O(log diameter)
+    * normally, but up to `maxRounds` generations on slow-converging inputs.
+    */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _                                             => ()
+    }
+
   private[graft] def clusters(
       pairs: org.apache.spark.sql.DataFrame, // (doc_a, doc_b) with doc_a < doc_b
       maxRounds: Int = 20
@@ -359,6 +372,7 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // referenced every round
+    unpersistCheckpoint(p) // edges (eager) carries everything downstream
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
@@ -398,8 +412,14 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // `next` is eagerly checkpointed (lineage truncated), so the round's
+      // intermediate and the superseded previous generation can be freed
+      // now — otherwise storage grows linearly with rounds.
+      unpersistCheckpoint(step)
+      unpersistCheckpoint(labels)
       labels = next
     }
+    unpersistCheckpoint(edges) // final labels is checkpointed; edges is dead
     labels
   }
 

@@ -211,9 +211,14 @@ object TextAnalysis {
       "heavy-hitter tokens via sketch-then-verify: one Misra-Gries freq_items pass (mergeable TypedImperativeAggregate, k=128) prunes candidates — guaranteed to hold every token above n/129 — then a semi-join + exact count keeps tokens above 1% of all tokens. Final output is EXACT and hash-checked even though the sketch is partition-order dependent; at 100 TB the verify pass counts only the <=k candidates instead of the whole vocabulary",
       (s, dir) => {
         graft.functions.FreqItems.register(s)
+        // Drop empty tokens (split on ' ' emits "" for consecutive /
+        // leading / trailing spaces) BEFORE sketching: '' doubles as the
+        // non-candidate collapse sentinel below, so an '' token above the
+        // 1% threshold would silently vanish while the oracle counted it.
         val toks = Tables
           .fanout(Tables.documents(s, dir))
           .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
         val cand = toks
           .agg(expr("freq_items(tok, 128)").as("sk"))
           .select(explode(col("sk")).as("e"))
@@ -241,9 +246,10 @@ object TextAnalysis {
       // the final set — that is the point the hash-match proves)
       Some("""WITH toks AS (
              |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-             |tot AS (SELECT count(1) AS total FROM toks)
+             |toks2 AS (SELECT tok FROM toks WHERE tok <> ''),
+             |tot AS (SELECT count(1) AS total FROM toks2)
              |SELECT tok, count(1) AS n
-             |FROM toks CROSS JOIN tot GROUP BY tok, total HAVING count(1) * 100 > total
+             |FROM toks2 CROSS JOIN tot GROUP BY tok, total HAVING count(1) * 100 > total
              |ORDER BY n DESC, tok""".stripMargin)
     ),
     QueryDef(

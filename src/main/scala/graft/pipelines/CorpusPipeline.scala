@@ -417,7 +417,26 @@ object CorpusPipeline {
     // Throwing surfaces it; the thrown-between-renames state is exactly the
     // recoverable one recoverAside() heals.
     require(fs.rename(live, aside), s"compaction swap: failed to park $live at $aside")
+    // A writer that RECREATES the live dir inside the park→promote window
+    // would make rename(tmp, live) nest tmp INSIDE it (Hadoop rename onto
+    // an existing directory moves the source under it and returns TRUE) —
+    // the compacted data would land in an invisible dot-prefixed subdir
+    // while the manifest-listed snapshot files in the aside copy are then
+    // deleted. Refuse loudly instead: appends that land BEFORE the park
+    // travel with the parked copy and are merged back (mergeNewcomers);
+    // writes during the park→promote window itself are outside the
+    // protocol's guarantee. recoverAside() heals the thrown state.
+    require(
+      !fs.exists(live),
+      s"compaction swap: $live was recreated by a concurrent writer after the park rename; " +
+        s"refusing to promote (would nest the compacted dir inside it). Original parked at $aside."
+    )
     require(fs.rename(tmp, live), s"compaction swap: failed to promote $tmp to $live (original parked at $aside)")
+    require(
+      !fs.exists(new org.apache.hadoop.fs.Path(live, tmp.getName)),
+      s"compaction swap: promote nested $tmp inside a concurrently-recreated $live; " +
+        s"original parked at $aside — manual recovery required"
+    )
     mergeNewcomers(fs, aside, live, compacted)
     fs.delete(aside, true)
     fs.delete(manifest, false)

@@ -131,6 +131,35 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm and empty inputs yield null (never NaN) in both eval and codegen paths") {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    // interpreted path (nullSafeEval)
+    val zq  = Literal.create(Array(0L, 0L, 0L), ArrayType(LongType))
+    val oq  = Literal.create(Array(1L, 2L, 3L), ArrayType(LongType))
+    val eq  = Literal.create(Array.empty[Long], ArrayType(LongType))
+    val zf  = Literal.create(Array(0f, 0f), ArrayType(FloatType))
+    val of  = Literal.create(Array(1f, 2f), ArrayType(FloatType))
+    assert(graft.functions.QuantizedCosine(zq, oq).eval(null) == null)
+    assert(graft.functions.QuantizedCosine(oq, zq).eval(null) == null)
+    assert(graft.functions.QuantizedCosine(eq, eq).eval(null) == null)
+    assert(graft.functions.CosineSimilarity(zf, of).eval(null) == null)
+    assert(graft.functions.CosineSimilarity(of, of).eval(null) != null)
+    // codegen path, and parity with the SQL spelling's non-ANSI 0/0 -> null:
+    // a NaN here would sort ABOVE every real score under desc and top a
+    // similarity top-k (the failure mode this pins away)
+    val rows = Seq(
+      (Array(0L, 0L), Array(5L, 5L)),
+      (Array(3L, 4L), Array(3L, 4L)),
+      (Array.empty[Long], Array.empty[Long])
+    ).toDF("qa", "qb")
+      .select(expr("quantized_cosine(qa, qb)").as("c"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(2).isNullAt(0))
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("quantized frame on the fixture: codes bounded, scales positive, every vector covered") {
     val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
     val stats = Quantize
