@@ -220,9 +220,19 @@ object CorpusPipeline {
     * (doc_id, band_idx, band) rows for survivors only, appended one
     * `batch_id=N` dir per micro-batch. Per-batch cost is one signature
     * pass over the batch plus an equi-join on the 16-byte band key against
-    * the index — at corpus scale the index is re-layable by band prefix
-    * (hive-partition on a band substring) so the probe reads only matching
-    * partitions; nothing here holds unbounded driver or executor state.
+    * the index; nothing here holds unbounded driver or executor state.
+    *
+    * The index stays probe-able at corpus scale through a two-tier layout:
+    * flat `batch_id=N` append dirs (the recent tail — cheap to write per
+    * trigger) plus a `base/` dir hive-partitioned by band prefix
+    * (`bp=pXY`, 256 partitions), produced by [[relayoutNearDupIndex]] on a
+    * maintenance cadence (stream stopped, like [[compactSplits]]). The
+    * probe ([[priorNearDupIndex]]) reads the whole tail (small between
+    * maintenance runs) but prunes the base to the batch's own band
+    * prefixes — at most 4·|batch| distinct prefixes, capped at 256 —
+    * via static partition filters, so per-batch probe cost is bounded by
+    * the tail plus the matching slice of the base instead of growing
+    * linearly with survivors forever.
     *
     * Exactly-once: both the corpus output and the index append via
     * per-batch `batch_id=N` overwrite directories (the
@@ -242,6 +252,14 @@ object CorpusPipeline {
       maxFilesPerTrigger: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.TextShared.NumBands
+    // Heal a relayout torn by a crashed maintenance run BEFORE any batch
+    // probes the index (a torn state parks the only base copy at a
+    // dot-prefixed path the probe would miss).
+    locally {
+      val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+      val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(idxRoot)) recoverIndexBase(fs, idxRoot)
+    }
     val raw = graft.sources.JsonlCorpus
       .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
       .observe(
@@ -266,12 +284,15 @@ object CorpusPipeline {
             posexplode(array((0 until NumBands).map(i => col(s"band$i")): _*))
               .as(Seq("band_idx", "band"))
           )
-          val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
-          val fs      = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val prior =
-            if (fs.exists(idxRoot) && fs.listStatus(idxRoot).exists(_.getPath.getName.startsWith("batch_id=")))
-              Some(s.read.parquet(indexPath).filter(col("batch_id") =!= batchId))
-            else None
+          val prior = priorNearDupIndex(
+            s,
+            indexPath,
+            batchId,
+            // the batch's own band prefixes — what the base probe can prune
+            // to; bounded by min(4·|batch|, 256) values, so this collect is
+            // a fixed-size driver action, not a data collect
+            bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq
+          )
           val priorDupIds = prior.map { idx =>
             bands.join(idx, Seq("band_idx", "band"), "left_semi").select(col("doc_id")).distinct()
           }
@@ -291,6 +312,160 @@ object CorpusPipeline {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Band-prefix partition value for the near-dup survivor index: first two
+    * hex chars of the 32-char md5 band → 256 partitions, uniform by
+    * construction. The leading literal keeps Spark's hive partition-value
+    * type inference from reading an all-digit sample (e.g. `bp=07`) back as
+    * integers, which would silently break the string `isin` pruning filter.
+    */
+  private[graft] def bandPrefix(band: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("p"), substring(band, 1, 2))
+
+  /** The prior-survivor band index visible to micro-batch `batchId`:
+    * the not-yet-folded `batch_id=N` tail dirs (read whole — small between
+    * maintenance runs) unioned with the `base/` band-prefix layout pruned
+    * to `bandPrefixes` (static partition filters — the probe reads only
+    * partitions the current batch can possibly collide with). Rows of the
+    * current batch are excluded from BOTH tiers, so a batch replayed after
+    * a crash never probes its own half-written index rows — even rows a
+    * pre-crash maintenance run already folded into the base (`batch_id`
+    * rides along as a data column there).
+    *
+    * `bandPrefixes` is by-name: it costs a (bounded, ≤256-value) driver
+    * action on the batch, paid only when a base layout exists. None when
+    * no index has been written yet.
+    */
+  private[graft] def priorNearDupIndex(
+      s: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batchId: Long,
+      bandPrefixes: => Seq[String]
+  ): Option[DataFrame] = {
+    val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val fs      = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxRoot)) return None
+    val batchDirs = fs
+      .listStatus(idxRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.toString)
+      .toSeq
+    val basePath = new org.apache.hadoop.fs.Path(idxRoot, "base")
+    val tail =
+      if (batchDirs.nonEmpty)
+        Some(
+          s.read
+            .option("basePath", indexPath) // keeps batch_id as a partition column
+            .parquet(batchDirs: _*)
+            .filter(col("batch_id") =!= batchId)
+            .select("doc_id", "band_idx", "band")
+        )
+      else None
+    val base =
+      if (fs.exists(basePath))
+        Some(
+          s.read
+            .parquet(basePath.toString)
+            .filter(col("bp").isin(bandPrefixes: _*))
+            .filter(col("batch_id") =!= batchId)
+            .select("doc_id", "band_idx", "band")
+        )
+      else None
+    (tail, base) match {
+      case (Some(t), Some(b)) => Some(t.unionByName(b))
+      case (t, b)             => t.orElse(b)
+    }
+  }
+
+  /** Index maintenance for [[runStreamingNearDup]]'s survivor index — the
+    * compaction job that keeps the per-batch probe from scanning the whole
+    * index forever: fold every flat `batch_id=N` append dir into `base/`,
+    * hive-partitioned on [[bandPrefix]] (256 partitions), so the probe
+    * prunes by the arriving batch's own prefixes. Run on a cadence with
+    * the STREAM STOPPED, like [[compactSplits]] (the probe lists tail dirs
+    * per batch, so a concurrent fold would race the delete).
+    *
+    * Crash-safe rewrite: the new base (old base ∪ tail, exact-duplicate
+    * rows collapsed — a crash between promote and tail-delete leaves both
+    * copies, and `distinct` makes the re-fold idempotent) fully
+    * materializes at `.base-tmp`, the old base parks at `.base-old`, tmp
+    * promotes, and only then are the folded tail dirs and the parked copy
+    * deleted. A crash at any point leaves a complete index; the torn
+    * states heal via [[recoverIndexBase]] (run here and at stream start).
+    * `batch_id` is kept as a DATA column in the base so the probe's
+    * replayed-batch exclusion keeps working for folded rows.
+    *
+    * Cost: one shuffle + full rewrite of the index — the index is
+    * (survivor × NumBands) skinny rows, orders of magnitude smaller than
+    * the corpus, and this is scheduled maintenance, not the per-batch
+    * path.
+    */
+  def relayoutNearDupIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxRoot)) return
+    recoverIndexBase(fs, idxRoot)
+    val batchDirs = fs
+      .listStatus(idxRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath)
+    if (batchDirs.isEmpty) return // nothing to fold
+    val basePath = new org.apache.hadoop.fs.Path(idxRoot, "base")
+    // batch_id comes off the hive dir name with INFERRED type (int for
+    // small ids) while the base stores it as data — pin long on both sides
+    // so the union never meets mixed widths.
+    val tail = spark.read
+      .option("basePath", indexPath)
+      .parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
+      .select(col("doc_id"), col("band_idx"), col("band"), col("batch_id").cast("long").as("batch_id"))
+    val combined =
+      (if (fs.exists(basePath))
+         spark.read
+           .parquet(basePath.toString)
+           .select(col("doc_id"), col("band_idx"), col("band"), col("batch_id").cast("long").as("batch_id"))
+           .unionByName(tail)
+       else tail)
+        .distinct()
+        .withColumn("bp", bandPrefix(col("band")))
+    val tmp = new org.apache.hadoop.fs.Path(idxRoot, ".base-tmp")
+    val old = new org.apache.hadoop.fs.Path(idxRoot, ".base-old")
+    combined
+      .repartition(col("bp")) // one shuffle; files land grouped per partition
+      .write
+      .mode("overwrite")
+      .partitionBy("bp")
+      .parquet(tmp.toString)
+    if (fs.exists(basePath))
+      require(fs.rename(basePath, old), s"index relayout: failed to park $basePath at $old")
+    require(!fs.exists(basePath), s"index relayout: $basePath recreated mid-swap; refusing to promote")
+    require(fs.rename(tmp, basePath), s"index relayout: failed to promote $tmp to $basePath")
+    batchDirs.foreach(d => fs.delete(d, true))
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Heal a [[relayoutNearDupIndex]] torn at any crash point:
+    *   - `.base-old` present, `base/` missing (crash between park and
+    *     promote): the parked copy is the complete previous base — rename
+    *     it back; the folded tail dirs were never deleted, so the fold
+    *     simply re-runs.
+    *   - `.base-old` present, `base/` present (crash after promote, before
+    *     cleanup): the promoted base already contains every parked row
+    *     (it was built from old ∪ tail) — drop the parked copy.
+    *   - stale `.base-tmp` (crash before promote): incomplete and fully
+    *     rebuildable — drop.
+    */
+  private[graft] def recoverIndexBase(
+      fs: org.apache.hadoop.fs.FileSystem,
+      idxRoot: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(idxRoot, "base")
+    val tmp      = new org.apache.hadoop.fs.Path(idxRoot, ".base-tmp")
+    val old      = new org.apache.hadoop.fs.Path(idxRoot, ".base-old")
+    if (fs.exists(old) && !fs.exists(basePath))
+      require(fs.rename(old, basePath), s"index recovery: failed to restore $old to $basePath")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** Scheduled small-files repair of an existing hive-split corpus dir —

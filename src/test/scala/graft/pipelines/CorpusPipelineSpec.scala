@@ -367,6 +367,133 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("near-dup index relayout folds the tail into a band-prefix base; the probe partition-prunes and still catches collisions") {
+    val dir  = Files.createTempDirectory("pipeline-neardup-relayout").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def start() = CorpusPipeline.runStreamingNearDup(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt", minQuality = 0.3)
+    val other = "a completely different document about distributed query engines and their storage layouts in large analytics clusters"
+    val third = "vectorized execution engines batch tuples into columns so branch prediction and cache locality both improve dramatically"
+
+    // two micro-batches -> two flat batch_id=N tail dirs
+    landFile("b0.jsonl", doc(1, base), doc(5, other))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      landFile("b1.jsonl", doc(7, third))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    CorpusPipeline.relayoutNearDupIndex(spark, s"$dir/index")
+    val rootNames = new java.io.File(s"$dir/index").listFiles().map(_.getName).toSet
+    assert(!rootNames.exists(_.startsWith("batch_id=")), s"tail dirs must fold into the base: $rootNames")
+    val bpDirs = new java.io.File(s"$dir/index/base").listFiles().map(_.getName).filter(_.startsWith("bp=")).sorted
+    assert(bpDirs.length > 1, s"fixture must span multiple band prefixes for a pruning assertion: ${bpDirs.toSeq}")
+
+    // probing with ONE prefix must plan a partition filter and read only
+    // that slice of the base
+    val onePrefix = bpDirs.head.stripPrefix("bp=")
+    val probe = CorpusPipeline
+      .priorNearDupIndex(spark, s"$dir/index", batchId = 99L, Seq(onePrefix))
+      .getOrElse(fail("relayed index must be visible to the probe"))
+    val formatted =
+      probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = formatted.linesIterator.filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(pf.contains("bp"), s"band-prefix predicate must land in PartitionFilters:\n$formatted")
+    val rows = probe.collect()
+    assert(rows.nonEmpty, "the chosen prefix has at least one band row by construction")
+    val bandCol = probe.columns.indexOf("band")
+    assert(rows.forall(r => s"p${r.getString(bandCol).substring(0, 2)}" == onePrefix),
+      "probe must return only rows under the requested prefix")
+    val scan = probe.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .headOption.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    def parquetFilesUnder(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(parquetFilesUnder).sum
+      else if (p.getName.endsWith(".parquet")) 1L else 0L
+    val totalBaseFiles = parquetFilesUnder(new java.io.File(s"$dir/index/base"))
+    assert(scan.metrics("numFiles").value < totalBaseFiles,
+      s"pruned probe must read fewer files (${scan.metrics("numFiles").value}) than the whole base ($totalBaseFiles)")
+
+    // end-to-end: with NO tail dirs left, a collision with a folded
+    // survivor must still be caught — i.e. the pruned base path is the
+    // one doing the work
+    landFile("b2.jsonl", doc(10, base), doc(11, "columnar file formats keep min max statistics in footers so selective scans prune entire row groups without reading them"))
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val ids = spark.read.parquet(s"$dir/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 5L, 7L, 11L),
+      s"10 must collide with folded survivor 1 through the partition-pruned base: $ids")
+  }
+
+  test("near-dup stream killed mid-stream (half-written replay dirs planted) converges to the uninterrupted run") {
+    val other = "a completely different document about distributed query engines and their storage layouts in large analytics clusters"
+    val fresh = "vectorized execution engines batch tuples into columns so branch prediction and cache locality both improve dramatically"
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    val f0 = Seq(doc(1, base), doc(5, other))
+    val f1 = Seq(doc(10, base), doc(11, fresh)) // 10 collides with survivor 1
+    val f2 = Seq(doc(12, "columnar file formats keep min max statistics in footers so selective scans prune entire row groups without reading them"))
+    def runScenario(dir: String, interrupted: Boolean): (Set[Long], Set[(Long, Int, String)]) = {
+      val land = s"$dir/landing"
+      assert(new java.io.File(land).mkdirs())
+      def landFile(name: String, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(land, name), lines.asJava)
+      def start() = CorpusPipeline.runStreamingNearDup(
+        spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt",
+        minQuality = 0.3, maxFilesPerTrigger = Some(1))
+      if (interrupted) {
+        // generation 1 commits only batch 0, then the query is killed with
+        // work still pending
+        landFile("f0.jsonl", f0)
+        val q1 = start()
+        try q1.processAllAvailable()
+        finally q1.stop()
+        // simulate a crash MIDWAY through batch 1's foreachBatch on the
+        // next generation: its corpus and index dirs were written but the
+        // batch never committed — on restart batch 1 must replay over them
+        // (overwrite) and its probe must NOT see its own half-written
+        // index rows (batch_id exclusion)
+        import spark.implicits._
+        val half = Seq((10L, base, "en", "s", base.length), (11L, fresh, "en", "s", fresh.length))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        half.write.parquet(s"$dir/corpus/batch_id=1")
+        graft.operators.Dedup.signatures(half)
+          .select(col("doc_id"),
+            posexplode(array((0 until graft.operators.TextShared.NumBands).map(i => col(s"band$i")): _*))
+              .as(Seq("band_idx", "band")))
+          .write.parquet(s"$dir/index/batch_id=1")
+        landFile("f1.jsonl", f1)
+        landFile("f2.jsonl", f2)
+        val q2 = start()
+        try q2.processAllAvailable()
+        finally q2.stop()
+      } else {
+        landFile("f0.jsonl", f0); landFile("f1.jsonl", f1); landFile("f2.jsonl", f2)
+        val q = start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val ids = spark.read.parquet(s"$dir/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+      val idx = spark.read.parquet(s"$dir/index")
+        .select("doc_id", "band_idx", "band").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      (ids, idx)
+    }
+    val root = Files.createTempDirectory("pipeline-neardup-kill").toString
+    val (idsA, idxA) = runScenario(s"$root/interrupted", interrupted = true)
+    val (idsB, idxB) = runScenario(s"$root/clean", interrupted = false)
+    assert(idsA === idsB, s"survivors must match the uninterrupted run: $idsA vs $idsB")
+    assert(idsA === Set(1L, 5L, 11L, 12L), s"10 collides with survivor 1; the rest land: $idsA")
+    assert(idxA === idxB, "the survivor band index must converge to the uninterrupted run's")
+  }
+
   test("re-running the pipeline reproduces identical stats and splits") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val s1 = CorpusPipeline.run(corpus, s"$baseDir/a")
