@@ -202,6 +202,40 @@ class SinksSpec extends AnyFunSuite {
       grid.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq, "content round-trips")
   }
 
+  test("z-ordered layout SKIPS data under a two-dimension filter: the scan materializes a fraction of what an unsorted layout reads") {
+    import spark.implicits._
+    // 128x128 uniform grid; 32 files each way -> 512 rows per file, one row
+    // group per file, so parquet footer min/max stats ARE the skipping unit
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y => (x.toLong, y.toLong))).toDF("x", "y")
+    val base = Files.createTempDirectory("sinks").toString
+    Sinks.writeZOrdered(grid, s"$base/z", col("x"), col("y"), nFiles = 32, bits = 7)
+    grid.repartition(32).write.parquet(s"$base/shuffled") // same file count, no layout
+
+    // corner box: 16x16 = 256 of 16384 rows, constraining BOTH dimensions
+    def scannedRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir).filter(col("x").between(0, 15) && col("y").between(112, 127))
+      val kept = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+      // the range predicates must reach the parquet reader, or nothing skips
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(x,0)"),
+        s"filters must push down: ${scan.metadata("PushedFilters")}")
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    val (zScanned, zKept) = scannedRows(s"$base/z")
+    val (uScanned, uKept) = scannedRows(s"$base/shuffled")
+    assert(zKept === 256L && uKept === 256L, "both layouts answer identically")
+    // round-robin files span the full range of both columns, so their row
+    // groups' stats can never exclude the box — every row materializes
+    assert(uScanned === 16384L, s"unsorted layout must read everything, read $uScanned")
+    // z-ordered files cover small (x, y) boxes; footer stats exclude all but
+    // the files overlapping the query box — this is the 100 TB win the
+    // layout exists for, asserted on the scan's own metrics
+    assert(zScanned <= uScanned / 8,
+      s"z-ordered scan must materialize <= 1/8 of the unsorted scan, got $zScanned vs $uScanned")
+  }
+
   test("z-ordered files bound BOTH dimensions where single-key sort spans one") {
     import spark.implicits._
     // a uniform 64x64 grid: every (x, y) cell once
