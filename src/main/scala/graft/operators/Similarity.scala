@@ -448,6 +448,41 @@ object Similarity {
               |WHERE rn <= 3 ORDER BY q_id, "rank"""".stripMargin)
     ),
     QueryDef(
+      "q_sim_knn_join_q8",
+      "quantized-scoring twin of q_sim_knn_join: identical multi-probe LSH candidate sets (buckets from the FLOAT embedding on both sides), but candidates score with the fused int8 quantized_cosine — the probe broadcast carries ~4x fewer bytes and the corpus scan reads codes, not floats",
+      (s, dir) => {
+        val emb = Tables.fanout(Tables.embeddings(s, dir))
+        knnJoin(
+          emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+          emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding")),
+          k = 3,
+          maxHamming = 1,
+          scoreQuantized = true
+        )
+      },
+      // quantization spelled with Quantize's literal-identical CTE text;
+      // integer dots are exact in both engines, one double division + round
+      Some(s"""WITH bk AS (
+              |  SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+              |sc AS (
+              |  SELECT vec_id, bucket, embedding, ${Quantize.scaleDuck} AS scale FROM bk),
+              |qc AS (
+              |  SELECT vec_id, bucket, ${Quantize.codesDuck} AS qcode FROM sc),
+              |q AS (SELECT vec_id AS q_id, qcode AS q_qcode, bucket AS q_bucket
+              |      FROM qc WHERE vec_id < 3),
+              |cand AS (
+              |  SELECT q.q_id, b.vec_id,
+              |    round(${Quantize.qdotDuck("b.qcode", "q.q_qcode")} /
+              |      (sqrt(${Quantize.qdotDuck("b.qcode", "b.qcode")}) * sqrt(${Quantize.qdotDuck("q.q_qcode", "q.q_qcode")})), 6) AS cos_sim
+              |  FROM qc b CROSS JOIN q
+              |  WHERE b.vec_id >= 3 AND bit_count(xor(b.bucket, q.q_bucket)) <= 1)
+              |SELECT q_id, rn AS "rank", vec_id, cos_sim FROM (
+              |  SELECT q_id, vec_id, cos_sim,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+              |  FROM cand) t
+              |WHERE rn <= 3 ORDER BY q_id, "rank"""".stripMargin)
+    ),
+    QueryDef(
       "q_dedup_embed",
       "embedding-cosine near-dup pairs, LSH-blocked: candidates share (label, bucket) so cost is sum(block^2), never all-pairs",
       // gate threshold 0.2, not the 0.85 API default: the synthetic fixture
