@@ -52,8 +52,14 @@ object IvfSimilarity {
     else cachedIn(compCache, s, dir, "ivf_comp", None)(buildComp(s, dir))
 
   private def buildComp(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .fanout(Tables.embeddings(s, dir))
+    compFrame(Tables.fanout(Tables.embeddings(s, dir)))
+
+  /** Frame-generic exploded component view — the shape every k-means /
+    * probe stage consumes. Exposed to [[graft.streaming.StreamingIvf]],
+    * which runs the same assignment math over arriving micro-batches.
+    */
+  private[graft] def compFrame(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
 
@@ -137,9 +143,18 @@ object IvfSimilarity {
       Some((df, p) => graft.sources.Sinks.writeRangeSorted(df, p, "d", 1))
     )(buildCent2(s, dir))
 
-  private def buildCent2(s: SparkSession, dir: String): DataFrame = {
-    val c = comp(s, dir)
+  private def buildCent2(s: SparkSession, dir: String): DataFrame =
+    trainCentroids(comp(s, dir))
 
+  /** Frame-generic centroid training (2 Lloyd iterations over an exploded
+    * component frame, first-K init on the smallest vec_ids). Deterministic
+    * in the ROW SET, not the row order: the init picks vectors by id and
+    * the decimal sums are exact, so training the same vectors — whether
+    * they arrived in one batch build or across streamed micro-batches —
+    * yields bit-identical centroids ([[graft.streaming.StreamingIvf]]'s
+    * retrain-equals-batch-build pin).
+    */
+  private[graft] def trainCentroids(c: DataFrame): DataFrame = {
     // init: centroid j = components of vec_id j (j < K), pivoted wide
     val cent1 = c
       .filter(col("vec_id") < K)
@@ -164,7 +179,7 @@ object IvfSimilarity {
     * centroids in a single codegen'd projection, argmin with ties to the
     * smallest cid.
     */
-  private def assignPass(c: DataFrame, centWide: DataFrame): DataFrame = {
+  private[graft] def assignPass(c: DataFrame, centWide: DataFrame): DataFrame = {
       val sums = c
         .join(broadcast(centWide), "d")
         .groupBy(col("vec_id"))

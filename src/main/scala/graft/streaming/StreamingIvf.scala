@@ -1,0 +1,200 @@
+package graft.streaming
+
+import graft.operators.IvfSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest for the durable IVF index — the vector-search twin of
+  * [[graft.pipelines.CorpusPipeline.runStreamingNearDup]]'s
+  * near-dup-on-arrival: arriving vectors are assigned to the EXISTING
+  * trained centroids per micro-batch and appended to the hive-partitioned
+  * posting lists, so the index keeps answering probes while the corpus
+  * grows; a full re-train runs on a maintenance cadence (stream stopped),
+  * and converges to exactly the index a from-scratch batch build would
+  * produce (spec-pinned bit-for-bit — centroid training is deterministic
+  * in the row SET, see [[IvfSimilarity.trainCentroids]]).
+  *
+  * Index layout — a versioned snapshot, so re-train is atomic to probes:
+  * {{{
+  * indexDir/
+  *   _CURRENT            # text file holding the live version number
+  *   v=1/
+  *     centroids/        # wide (d, cx0..cx{K-1}) frame, K x dims values
+  *     postings/
+  *       batch_id=-1/    # the build (or re-train) fold, hive cid=... inside
+  *       batch_id=7/     # one dir per streamed micro-batch, hive cid=...
+  * }}}
+  * Probes resolve `_CURRENT`, prune postings to the query's cluster via
+  * the `cid=` partition dirs, and never see a half-written snapshot:
+  * [[retrain]] materializes `v=N+1` COMPLETELY before flipping the
+  * pointer. Streamed appends write `batch_id=N` overwrite dirs (the
+  * [[graft.pipelines.CorpusPipeline]] exactly-once pattern: a replayed
+  * batch rewrites its own dir; the seed fold is `batch_id=-1`, which no
+  * stream batch id can collide with).
+  *
+  * Scale: per batch, assignment is one broadcast join against K x dims
+  * centroid values plus one shuffle of the BATCH (never the index); the
+  * posting append touches only the new rows. Probe cost stays ~1/K of the
+  * corpus via partition pruning regardless of how many batches appended.
+  * Re-train is the only whole-index pass, and it is scheduled maintenance.
+  */
+object StreamingIvf {
+
+  import IvfSimilarity.{assignPass, compFrame, trainCentroids}
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentMarker(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_CURRENT")
+
+  /** Live snapshot version. Heals the tiny delete-then-rename window of
+    * [[writeCurrent]]: a crash there leaves only `_CURRENT.tmp`, whose
+    * content is the fully-materialized new version — promote it.
+    */
+  private[graft] def currentVersion(spark: SparkSession, indexDir: String): Int = {
+    val root   = new org.apache.hadoop.fs.Path(indexDir)
+    val fs     = fsOf(spark, root)
+    val marker = currentMarker(root)
+    val tmp    = marker.suffix(".tmp")
+    if (!fs.exists(marker) && fs.exists(tmp))
+      require(fs.rename(tmp, marker), s"ivf index: failed to heal torn pointer flip at $tmp")
+    require(fs.exists(marker), s"no IVF index at $indexDir (missing _CURRENT; run buildIndex first)")
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
+    val marker = currentMarker(root)
+    val tmp    = marker.suffix(".tmp")
+    val os     = fs.create(tmp, true)
+    try os.write(v.toString.getBytes("UTF-8"))
+    finally os.close()
+    // not atomic as a pair, but every intermediate state is recoverable:
+    // marker-only (old version), both (old wins until delete), tmp-only
+    // (healed forward by currentVersion)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"ivf index: failed to flip $marker to v=$v")
+  }
+
+  private def versionDir(indexDir: String, v: Int) = s"$indexDir/v=$v"
+
+  /** Train centroids on `emb` and materialize snapshot v=1. The seed frame
+    * must contain vec_ids 0..K-1 (the deterministic first-K init).
+    */
+  def buildIndex(emb: DataFrame, indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    writeSnapshot(spark, emb, indexDir, v = 1)
+    writeCurrent(fsOf(spark, new org.apache.hadoop.fs.Path(indexDir)), new org.apache.hadoop.fs.Path(indexDir), 1)
+  }
+
+  /** Materialize `v=$v` completely: train on `emb`, fold every vector's
+    * posting row into `batch_id=-1` partitioned by cid.
+    */
+  private def writeSnapshot(spark: SparkSession, emb: DataFrame, indexDir: String, v: Int): Unit = {
+    val vdir = versionDir(indexDir, v)
+    val e    = emb.localCheckpoint() // comp + assignment + join re-read it
+    val c    = compFrame(e).localCheckpoint()
+    val cent = trainCentroids(c)
+    cent.write.mode("overwrite").parquet(s"$vdir/centroids")
+    val assigned = e.join(
+      assignPass(c, spark.read.parquet(s"$vdir/centroids")).select(col("vec_id"), col("cid")),
+      "vec_id"
+    )
+    assigned
+      .repartition(col("cid"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cid")
+      .parquet(s"$vdir/postings/batch_id=-1")
+  }
+
+  /** Start the ingest stream: arriving parquet files of (vec_id,
+    * embedding, label) rows are assigned to the LIVE snapshot's trained
+    * centroids and appended as one `batch_id=N` posting dir per
+    * micro-batch (idempotent overwrite on replay). Arrivals do not move
+    * centroids — that is [[retrain]]'s job, on a cadence with the stream
+    * stopped (a version flip under a running stream would split one
+    * batch's read and write across snapshots).
+    */
+  def ingest(
+      spark: SparkSession,
+      landingDir: String,
+      indexDir: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(landingDir)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s    = batch.sparkSession
+          val v    = currentVersion(s, indexDir)
+          val vdir = versionDir(indexDir, v)
+          val b    = batch.localCheckpoint() // comp and the posting join both read it
+          val assigned = b.join(
+            assignPass(compFrame(b), s.read.parquet(s"$vdir/centroids")).select(col("vec_id"), col("cid")),
+            "vec_id"
+          )
+          assigned
+            .repartition(col("cid"))
+            .write
+            .mode("overwrite")
+            .partitionBy("cid")
+            .parquet(s"$vdir/postings/batch_id=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Full re-train on everything the live snapshot holds (seed fold plus
+    * every streamed append): materialize `v=N+1` completely, flip
+    * `_CURRENT`, drop the old snapshot. Probes before the flip read v=N
+    * whole; probes after read v=N+1 whole — never a mix. Run with the
+    * ingest stream stopped.
+    */
+  def retrain(spark: SparkSession, indexDir: String): Unit = {
+    val v    = currentVersion(spark, indexDir)
+    val all  = postings(spark, indexDir, v).select("vec_id", "embedding", "label")
+    writeSnapshot(spark, all, indexDir, v + 1)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs   = fsOf(spark, root)
+    writeCurrent(fs, root, v + 1)
+    fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, v)), true)
+  }
+
+  private def postings(spark: SparkSession, indexDir: String, v: Int): DataFrame =
+    spark.read
+      .option("basePath", s"${versionDir(indexDir, v)}/postings")
+      .parquet(s"${versionDir(indexDir, v)}/postings")
+
+  /** Probe the live snapshot: rank `query` (one (vec_id, embedding) row)
+    * against the trained centroids, then score ONLY the nearest cluster's
+    * posting partition — the `cid=` filter is a literal, so it prunes at
+    * the dir listing (the 1-value collect is a bounded driver action on a
+    * K-row frame, not a data collect). Exact cosine over the stored
+    * embeddings, top-k, ties to the smaller vec_id.
+    */
+  def probe(spark: SparkSession, indexDir: String, query: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val v     = currentVersion(spark, indexDir)
+    val vdir  = versionDir(indexDir, v)
+    val cent  = spark.read.parquet(s"$vdir/centroids")
+    val qComp = compFrame(query.withColumn("label", lit(0)))
+    val qcid = assignPass(qComp, cent).select("cid").collect() match {
+      case Array(row) => row.getInt(0)
+      case other      => throw new IllegalArgumentException(s"probe expects exactly one query row, got ${other.length}")
+    }
+    val qEmb = query.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    postings(spark, indexDir, v)
+      .filter(col("cid") === qcid)
+      .join(broadcast(qEmb), col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

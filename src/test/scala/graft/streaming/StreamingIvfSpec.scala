@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming IVF ingest: arrivals indexed into the durable inverted file
+  * per micro-batch, probes pruned to the query's cluster, and a re-train
+  * that converges to the from-scratch batch build bit-for-bit.
+  */
+class StreamingIvfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("ingest assigns arrivals to live centroids, probes prune to one cluster, retrain == batch build exactly") {
+    val dir = Files.createTempDirectory("streaming-ivf").toString
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding", "label")
+    val n   = emb.count()
+
+    // seed build on the first half (contains vec_ids 0..K-1, the
+    // deterministic init), then stream the second half in two micro-batches
+    StreamingIvf.buildIndex(emb.filter(col("vec_id") < 250), s"$dir/index")
+    val landing = s"$dir/landing"
+    emb.filter(col("vec_id") >= 250 && col("vec_id") < 375).coalesce(1)
+      .write.mode("append").parquet(landing)
+    val q = StreamingIvf.ingest(
+      spark, landing, s"$dir/index", s"$dir/ckpt", emb.schema, maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      emb.filter(col("vec_id") >= 375).coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every vector posted exactly once, arrivals in per-batch cid-hive dirs
+    def postings = spark.read
+      .option("basePath", s"$dir/index/v=1/postings")
+      .parquet(s"$dir/index/v=1/postings")
+    assert(postings.count() === n, "seed + both streamed batches all posted")
+    assert(postings.select("vec_id").distinct().count() === n, "no vector posted twice")
+    val batchDirs = new java.io.File(s"$dir/index/v=1/postings").listFiles().map(_.getName).toSet
+    assert(batchDirs === Set("batch_id=-1", "batch_id=0", "batch_id=1"),
+      s"one overwrite dir per micro-batch plus the seed fold: $batchDirs")
+    assert(new java.io.File(s"$dir/index/v=1/postings/batch_id=0").listFiles()
+      .exists(_.getName.startsWith("cid=")), "streamed appends keep the cid hive layout")
+
+    // the probe prunes postings to the query's cluster via partition dirs
+    val query = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    val probeDf = StreamingIvf.probe(spark, s"$dir/index", query, k = 5)
+    val formatted =
+      probeDf.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = formatted.linesIterator.filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(pf.contains("cid"), s"cluster filter must land in PartitionFilters:\n$formatted")
+
+    // recall of the streamed index vs brute force over the FULL corpus
+    graft.functions.VectorFunctions.register(spark)
+    val qEmb = query.select(col("embedding").as("q_emb"))
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qEmb))
+      .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    val streamed = probeDf.collect().map(_.getLong(0)).toSet
+    assert((streamed & brute).size >= 3,
+      s"streamed-index probe recall@5 must hold: got $streamed vs brute $brute")
+
+    // retrain folds the streamed appends and CONVERGES TO THE BATCH BUILD:
+    // training is deterministic in the row set, so centroids, postings,
+    // and probe answers must all be bit-identical to a from-scratch build
+    // over the same 500 vectors
+    StreamingIvf.retrain(spark, s"$dir/index")
+    assert(StreamingIvf.currentVersion(spark, s"$dir/index") === 2)
+    assert(!new java.io.File(s"$dir/index/v=1").exists(), "old snapshot dropped after the flip")
+    StreamingIvf.buildIndex(emb, s"$dir/batch-index")
+    def centroids(p: String) = spark.read.parquet(p).orderBy(col("d")).collect().map(_.toSeq)
+    assert(centroids(s"$dir/index/v=2/centroids").toSeq === centroids(s"$dir/batch-index/v=1/centroids").toSeq,
+      "retrained centroids must equal the batch build's bit-for-bit")
+    def probeRows(idx: String) =
+      StreamingIvf.probe(spark, idx, query, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeRows(s"$dir/index") === probeRows(s"$dir/batch-index"),
+      "probe answers over the retrained index must equal the batch build's")
+  }
+}
