@@ -540,6 +540,74 @@ object TextAnalysis {
              |GROUP BY source ORDER BY source""".stripMargin)
     ),
     QueryDef(
+      "q_sample_temperature",
+      "temperature-based source rebalancing (alpha = 0.5, the multilingual-LM upsampling standard): per-source sampling mass proportional to n^alpha flattens the source distribution — big sources downsample, small ones keep everything — with a 20%-of-corpus budget. alpha is 0.5 BECAUSE sqrt is the one power IEEE guarantees correctly rounded, so the keep fractions are bit-identical across engines with no rounding defense (pow/exp/ln differ by 1 ulp between StrictMath and libm); generalizing to other alphas needs an engine-pinned pow. Selection is the deterministic md5-bucket rule, so the sample is reproducible across runs and engines",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // per-source stats are a tiny frame (|sources| rows): the decimal
+        // cast makes the cross-source weight sum addition-order-free
+        val stats = docs
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast("double")).cast("decimal(18,12)"))
+        val tot = stats.agg(
+          sum(col("w")).cast("double").as("sw"),
+          sum(col("n_docs")).cast("long").as("n_tot")
+        )
+        val frac = stats
+          .crossJoin(broadcast(tot))
+          .withColumn(
+            "f",
+            least(
+              lit(1.0),
+              col("w").cast("double") / col("sw") * (col("n_tot").cast("double") * lit(0.2)) /
+                col("n_docs").cast("double")
+            )
+          )
+          .select(col("source"), col("n_docs"), col("f"))
+        val b16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        val sampled = docs
+          .join(broadcast(frac), "source")
+          .filter(b16.cast("double") < col("f") * lit(65536.0))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"))
+        frac
+          .join(sampled, Seq("source"), "left_outer")
+          .select(
+            col("source"),
+            col("n_docs"),
+            coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+            round(col("f"), 6).as("keep_frac")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT source, count(1) AS n_docs,
+             |    cast(sqrt(cast(count(1) as double)) as decimal(18,12)) AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT cast(cast(sum(w) as varchar) as double) AS sw,
+             |    cast(sum(n_docs) as bigint) AS n_tot
+             |  FROM stats),
+             |frac AS (
+             |  SELECT source, n_docs,
+             |    least(cast(1.0 as double),
+             |      cast(w as double) / sw * (cast(n_tot as double) * cast(0.2 as double))
+             |        / cast(n_docs as double)) AS f
+             |  FROM stats CROSS JOIN tot),
+             |sampled AS (
+             |  SELECT d.source, count(1) AS n_sampled
+             |  FROM documents d JOIN frac USING (source)
+             |  WHERE cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 4))::int as double)
+             |        < f * cast(65536.0 as double)
+             |  GROUP BY d.source)
+             |SELECT source, cast(n_docs as bigint) AS n_docs,
+             |  cast(coalesce(n_sampled, 0) as bigint) AS n_sampled,
+             |  round(f, 6) AS keep_frac
+             |FROM frac LEFT JOIN sampled USING (source)
+             |ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
       "q_pack_shards",
       "token-budget shard packing (sequence packing for training): per-language doc streams fill ~4096-token shards by exclusive prefix sum — shard census. Packing within a partition key (lang) is the scalable shape: a global prefix sum would serialize on one partition",
       (s, dir) => {
@@ -662,6 +730,66 @@ object TextAnalysis {
              |    AS avg_entropy_nats,
              |  round(max(h), 4) AS max_entropy_nats
              |FROM ent GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_lm_score",
+      "corpus bigram-LM quality score (the perplexity-filter analogue CCNet-style pipelines run, self-trained on the corpus's own bigram stats): score(doc) = avg over its bigrams of ln P(w2|w1), with P from corpus counts — improbable word sequences (junk/noise) score very negative, and the bottom-20 docs surface for review. Per-bigram log-probs are spelled ln(c2) - ln(c1) so every ln takes an INTEGER argument (cross-engine ln parity holds for integer args — the entropy/geomean precedent; ln of an arbitrary double ratio would not be safe), and cross-bigram sums go through decimal(18,12) casts. One explode, materialized once (contamination-frame pattern): the stats chain and the per-doc join both read it, and bigram context counts derive from the bigram counts (no second token scan)",
+      (s, dir) => {
+        val t = col("t")
+        val bgdoc = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            explode(
+              when(
+                size(t) >= 2,
+                transform(
+                  sequence(lit(1), size(t) - 1),
+                  i =>
+                    struct(
+                      element_at(t, i).as("w1"),
+                      concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")
+                    )
+                )
+              ).otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+            ).as("e")
+          )
+          .select(col("doc_id"), col("lang"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+          // referenced twice (bigram stats + per-doc join): without the cut
+          // Catalyst re-runs the split+explode per reference
+          .localCheckpoint()
+        val c2 = bgdoc.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("n2"))
+        // context counts = sum of bigram counts per first word, derived from
+        // the (distinct-bigram-sized) c2 frame — never a second token pass
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).cast("long").as("n1"))
+        val terms = c2.join(c1, "w1").select(col("bg"), (log(col("n2")) - log(col("n1"))).as("lp"))
+        bgdoc
+          .join(terms, "bg")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(
+            count(lit(1)).cast("long").as("n_bigrams"),
+            round(sum(col("lp").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6).as("avg_logp")
+          )
+          .orderBy(col("avg_logp"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+             |bgd AS (
+             |  SELECT doc_id, lang, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+             |  FROM (SELECT doc_id, lang, t,
+             |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+             |        FROM tok) x),
+             |c2 AS (SELECT w1, bg, count(1) AS n2 FROM bgd GROUP BY 1, 2),
+             |c1 AS (SELECT w1, cast(sum(n2) as bigint) AS n1 FROM c2 GROUP BY 1),
+             |terms AS (SELECT bg, ln(n2) - ln(n1) AS lp FROM c2 JOIN c1 USING (w1))
+             |SELECT doc_id, lang, cast(count(1) as bigint) AS n_bigrams,
+             |  round(cast(cast(sum(cast(lp as decimal(18,12))) as varchar) as double) / count(1), 6)
+             |    AS avg_logp
+             |FROM bgd JOIN terms USING (bg)
+             |GROUP BY 1, 2 ORDER BY avg_logp, doc_id LIMIT 20""".stripMargin)
     ),
     QueryDef(
       "q_text_topwords",
