@@ -41,6 +41,65 @@ object TextAnalysis {
     scored.withColumn("predicted", best)
   }
 
+  /** Per-doc corpus bigram-LM scores (doc_id, lang, n_bigrams, avg_logp) —
+    * the `q_text_lm_score` body, exposed so tests plant junk docs and
+    * assert they sink. Add-one smoothed: P(w2|w1) = (c2+1)/(c1+V) with V
+    * the context vocabulary size — WITHOUT smoothing a self-trained LM
+    * scores a doc of globally-unique bigrams ln(1/1) = 0, i.e. junk made
+    * of words never seen elsewhere would rank as perfectly predictable
+    * (caught by the planted-junk spec). The exploded bigram frame and the
+    * distinct-bigram count frame are each materialized ONCE
+    * (localCheckpoint): the stats chain, the context counts, the vocab
+    * count, and the per-doc join otherwise re-run the explode/aggregation
+    * per reference. Log-probs are spelled ln(c2+1) - ln(c1+V) so every ln
+    * takes an integer argument (cross-engine parity); cross-bigram sums go
+    * through decimal(18,12) casts. Docs with fewer than 2 tokens emit no
+    * bigrams and drop out.
+    */
+  private[graft] def lmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = col("t")
+    val bgdoc = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          when(
+            size(t) >= 2,
+            transform(
+              sequence(lit(1), size(t) - 1),
+              i =>
+                struct(
+                  element_at(t, i).as("w1"),
+                  concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")
+                )
+            )
+          ).otherwise(array().cast("array<struct<w1:string,bg:string>>"))
+        ).as("e")
+      )
+      .select(col("doc_id"), col("lang"), col("e.w1").as("w1"), col("e.bg").as("bg"))
+      // referenced twice (bigram stats + per-doc join): without the cut
+      // Catalyst re-runs the split+explode per reference
+      .localCheckpoint()
+    val c2 = bgdoc
+      .groupBy(col("w1"), col("bg"))
+      .agg(count(lit(1)).as("n2"))
+      .localCheckpoint() // context counts, vocab, and the term join all read it
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).cast("long").as("n1"))
+    val v  = c2.agg(countDistinct(col("w1")).cast("long").as("v"))
+    val terms = c2
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("bg"), (log(col("n2") + 1) - log(col("n1") + col("v"))).as("lp"))
+    bgdoc
+      .join(terms, "bg")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6).as("avg_logp")
+      )
+  }
+
   /** Input columns + quality metrics (`n_tok`, `n_char`, `avg_tok_len`,
     * `punct_ratio`, `stop_ratio`, `quality`) — shared by query and tests.
     */
@@ -544,12 +603,16 @@ object TextAnalysis {
       "temperature-based source rebalancing (alpha = 0.5, the multilingual-LM upsampling standard): per-source sampling mass proportional to n^alpha flattens the source distribution — big sources downsample, small ones keep everything — with a 20%-of-corpus budget. alpha is 0.5 BECAUSE sqrt is the one power IEEE guarantees correctly rounded, so the keep fractions are bit-identical across engines with no rounding defense (pow/exp/ln differ by 1 ulp between StrictMath and libm); generalizing to other alphas needs an engine-pinned pow. Selection is the deterministic md5-bucket rule, so the sample is reproducible across runs and engines",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // per-source stats are a tiny frame (|sources| rows): the decimal
-        // cast makes the cross-source weight sum addition-order-free
+        // per-source stats are a tiny frame (|sources| rows), materialized
+        // once: totals, fractions, the sampling join, and the final output
+        // all derive from it — unchecked, each reference re-scans documents
+        // (the plan pin counts parquet scans to hold this at one data pass).
+        // The decimal cast makes the cross-source weight sum order-free.
         val stats = docs
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("w", sqrt(col("n_docs").cast("double")).cast("decimal(18,12)"))
+          .localCheckpoint()
         val tot = stats.agg(
           sum(col("w")).cast("double").as("sw"),
           sum(col("n_docs")).cast("long").as("n_tot")
@@ -733,48 +796,11 @@ object TextAnalysis {
     ),
     QueryDef(
       "q_text_lm_score",
-      "corpus bigram-LM quality score (the perplexity-filter analogue CCNet-style pipelines run, self-trained on the corpus's own bigram stats): score(doc) = avg over its bigrams of ln P(w2|w1), with P from corpus counts — improbable word sequences (junk/noise) score very negative, and the bottom-20 docs surface for review. Per-bigram log-probs are spelled ln(c2) - ln(c1) so every ln takes an INTEGER argument (cross-engine ln parity holds for integer args — the entropy/geomean precedent; ln of an arbitrary double ratio would not be safe), and cross-bigram sums go through decimal(18,12) casts. One explode, materialized once (contamination-frame pattern): the stats chain and the per-doc join both read it, and bigram context counts derive from the bigram counts (no second token scan)",
-      (s, dir) => {
-        val t = col("t")
-        val bgdoc = Tables
-          .fanout(Tables.documents(s, dir))
-          .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-          .select(
-            col("doc_id"),
-            col("lang"),
-            explode(
-              when(
-                size(t) >= 2,
-                transform(
-                  sequence(lit(1), size(t) - 1),
-                  i =>
-                    struct(
-                      element_at(t, i).as("w1"),
-                      concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("bg")
-                    )
-                )
-              ).otherwise(array().cast("array<struct<w1:string,bg:string>>"))
-            ).as("e")
-          )
-          .select(col("doc_id"), col("lang"), col("e.w1").as("w1"), col("e.bg").as("bg"))
-          // referenced twice (bigram stats + per-doc join): without the cut
-          // Catalyst re-runs the split+explode per reference
-          .localCheckpoint()
-        val c2 = bgdoc.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("n2"))
-        // context counts = sum of bigram counts per first word, derived from
-        // the (distinct-bigram-sized) c2 frame — never a second token pass
-        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).cast("long").as("n1"))
-        val terms = c2.join(c1, "w1").select(col("bg"), (log(col("n2")) - log(col("n1"))).as("lp"))
-        bgdoc
-          .join(terms, "bg")
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(
-            count(lit(1)).cast("long").as("n_bigrams"),
-            round(sum(col("lp").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6).as("avg_logp")
-          )
+      "corpus bigram-LM quality score (the perplexity-filter analogue CCNet-style pipelines run, self-trained on the corpus's own bigram stats): score(doc) = avg over its bigrams of ln P(w2|w1), add-one smoothed — (c2+1)/(c1+V) — so globally-unique junk sequences score very negative instead of ln(1/1)=0, and the bottom-20 docs surface for review. Per-bigram log-probs are spelled ln(c2+1) - ln(c1+V) so every ln takes an INTEGER argument (cross-engine ln parity holds for integer args — the entropy/geomean precedent; ln of an arbitrary double ratio would not be safe), and cross-bigram sums go through decimal(18,12) casts. One explode, materialized once (contamination-frame pattern): the stats chain and the per-doc join both read it, and bigram context counts derive from the bigram counts (no second token scan)",
+      (s, dir) =>
+        lmScores(Tables.fanout(Tables.documents(s, dir)))
           .orderBy(col("avg_logp"), col("doc_id"))
-          .limit(20)
-      },
+          .limit(20),
       Some("""WITH tok AS (
              |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
              |bgd AS (
@@ -784,7 +810,10 @@ object TextAnalysis {
              |        FROM tok) x),
              |c2 AS (SELECT w1, bg, count(1) AS n2 FROM bgd GROUP BY 1, 2),
              |c1 AS (SELECT w1, cast(sum(n2) as bigint) AS n1 FROM c2 GROUP BY 1),
-             |terms AS (SELECT bg, ln(n2) - ln(n1) AS lp FROM c2 JOIN c1 USING (w1))
+             |v AS (SELECT cast(count(DISTINCT w1) as bigint) AS v FROM c2),
+             |terms AS (
+             |  SELECT bg, ln(n2 + 1) - ln(n1 + v) AS lp
+             |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
              |SELECT doc_id, lang, cast(count(1) as bigint) AS n_bigrams,
              |  round(cast(cast(sum(cast(lp as decimal(18,12))) as varchar) as double) / count(1), 6)
              |    AS avg_logp

@@ -260,6 +260,29 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-10 hottest keys must not global-sort")
   }
 
+  test("q_text_lm_score: the token explode runs once — both references read the materialized bigram frame") {
+    val df = q("q_text_lm_score")
+    assert(countNodes(df, "Scan parquet") === 0,
+      "documents must not be re-scanned: the checkpointed bigram frame is the only source")
+    assert(countNodes(df, "Generate") === 0,
+      "the explode happened in the one-time materialization, never per reference")
+    assert(countNodes(df, "Scan ExistingRDD") === 4,
+      "one read of the big bigram frame (per-doc join) + three of the tiny " +
+        "distinct-bigram count frame (term join, context counts, vocab)")
+  }
+
+  test("q_sample_temperature: tiny stats broadcast both ways; ONE documents scan in the executed query") {
+    val df = q("q_sample_temperature")
+    val nodes = allNodes(executed(df))
+    assert(nodes.count(_.nodeName.contains("BroadcastExchange")) >= 2,
+      "the 1-row totals and the per-source fractions must both broadcast")
+    // the per-source stats frame is checkpointed, so only the sampling pass
+    // touches documents — unchecked, every stats reference re-scanned it
+    // (5 parquet scans when this pin was first written)
+    assert(countNodes(df, "Scan parquet") === 1,
+      "only the sampling pass may scan documents")
+  }
+
   test("no query in the entire surface plans a CartesianProduct") {
     // global invariant, statically checked (AQE can only REPLACE a static
     // cartesian with a broadcast NLJ, never introduce one): every crossJoin

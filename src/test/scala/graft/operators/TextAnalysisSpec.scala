@@ -128,6 +128,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(diverse > 2.0, s"diverse text should exceed 2 nats, got $diverse")
   }
 
+  test("temperature sampling flattens the source distribution within the budget") {
+    val rows = graft.SparkEntry.queries("q_sample_temperature")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, sampled, f) =>
+      assert(f > 0.0 && f <= 1.0, s"$src keep_frac out of range: $f")
+      assert(sampled <= n, s"$src sampled more than it has")
+    }
+    // flattening: the largest source must keep a SMALLER fraction than the
+    // smallest (sqrt weighting downsamples big sources relative to small)
+    val biggest  = rows.maxBy(_._2)
+    val smallest = rows.minBy(_._2)
+    if (biggest._2 > smallest._2)
+      assert(biggest._4 < smallest._4,
+        s"big source ${biggest._1} (f=${biggest._4}) must keep less than small ${smallest._1} (f=${smallest._4})")
+    // the budget is ~20% of the corpus: md5 buckets are uniform, so the
+    // realized total tracks sum(f_s * n_s) = min-capped 0.2 * N closely
+    val total   = rows.map(_._2).sum.toDouble
+    val sampled = rows.map(_._3).sum.toDouble
+    assert(sampled > total * 0.1 && sampled < total * 0.35,
+      s"realized sample ${sampled.toLong} should track the 20% budget of ${total.toLong}")
+  }
+
+  test("bigram LM score sinks improbable word sequences below natural ones") {
+    import spark.implicits._
+    val natural = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox runs over the lazy dog",
+      "the quick brown cat jumps over the lazy dog",
+      "a quick brown fox jumps over a sleepy dog"
+    )
+    // junk doc: every bigram is unique in the corpus, so each term is
+    // ln(1) - ln(context) — maximally improbable under the corpus LM
+    val junk = "zq xv ql pk wj nf rb td gm hc"
+    val docs = (natural.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } :+
+      ((99L, junk, "en"))).toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.lmScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores.size === 5, "every doc with >= 2 tokens gets a score")
+    val junkScore = scores(99L)
+    natural.indices.foreach { i =>
+      assert(junkScore < scores(i.toLong),
+        s"junk doc ($junkScore) must score below natural doc $i (${scores(i.toLong)})")
+    }
+  }
+
   test("weighted sampling favors heavy docs and is deterministic") {
     val out1 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
     val out2 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
