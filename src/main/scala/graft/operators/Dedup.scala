@@ -423,6 +423,118 @@ object Dedup {
     labels
   }
 
+  /** Exploded-shingle frame (doc_id, lang, source, sh) feeding the Jaccard
+    * and containment pair queries. Referenced several times per plan
+    * (common + sizes joins) and Catalyst duplicates the subtree, so it goes
+    * through the build-once artifact cache like the MinHash signatures
+    * (measured 1.14s -> 0.85s at sf0.1; durable-mode range-sorts it on
+    * doc_id like the other dedup artifacts). Joins downstream use a 16-hex
+    * md5 prefix of the shingle, not the raw string: same equality result
+    * (both engines hash identically; collisions are ~2^-64 at this
+    * cardinality) with a fixed-width 16-byte shuffle key instead of
+    * ~40-byte shingle text.
+    */
+  private def shingleFrame(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cached(s, dir, "jaccard_shingles")(explodedShingles(Tables.fanout(Tables.documents(s, dir))))
+
+  /** Exploded distinct-shingle frame for any (doc_id, lang, source, text)
+    * frame — the [[shingleFrame]] builder, exposed so tests feed planted
+    * corpora through the same pipeline.
+    */
+  private[graft] def explodedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        explode(array_distinct(shingles(col("text")))).as("sh_raw")
+      )
+      .select(col("doc_id"), col("lang"), col("source"), substring(md5(col("sh_raw")), 1, 16).as("sh"))
+
+  /** Verbatim shared-span extent for any (doc_id, text) frame — the
+    * `q_dedup_spans` body, exposed so tests plant docs with known shared
+    * runs. Returns one row per doc pair sharing at least one 13-token
+    * window: (doc_a, doc_b, max_span, n_spans, n_matches), where max_span
+    * is the token length of the longest verbatim run, n_spans the number of
+    * maximal runs, and n_matches the raw 13-gram occurrence-pair count
+    * (= sum of run lengths in window starts).
+    *
+    * A run of L consecutive matching window starts on one alignment
+    * diagonal (ib - ia) is a shared span of L+12 tokens, recovered by
+    * gaps-and-islands: island id = ia - row_number, valid because a doc
+    * position carries exactly one gram so ia is unique per (pair, diag).
+    */
+  private[graft] def spanExtent(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 13)
+      .select(
+        col("doc_id"),
+        // gram key = 16-hex md5 prefix, the fixed-width-shuffle-key trick
+        // from the shingle frame; pos rides along for diagonals
+        explode(
+          expr(
+            "transform(sequence(1, size(t) - 12), i -> " +
+              "named_struct('pos', i, 'g', substring(md5(concat_ws(' ', slice(t, i, 13))), 1, 16)))"
+          )
+        ).as("e")
+      )
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    val m = pg
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
+      .filter(size(col("occ")) > 1)
+      .select(explode(TextShared.orderedPairs(col("occ"))).as("p"))
+      // cross-doc occurrence pairs only; sorted buckets give doc_a <= doc_b
+      .filter(col("p.doc_a.doc_id") < col("p.doc_b.doc_id"))
+      .select(
+        col("p.doc_a.doc_id").as("doc_a"),
+        col("p.doc_b.doc_id").as("doc_b"),
+        col("p.doc_a.pos").as("ia"),
+        col("p.doc_b.pos").as("ib")
+      )
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("ia"))
+    val runs = m
+      .withColumn("diag", col("ib") - col("ia"))
+      .withColumn("island", col("ia") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    runs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        (max(col("len")) + 12).cast("long").as("max_span"),
+        count(lit(1)).as("n_spans"),
+        sum(col("len")).cast("long").as("n_matches")
+      )
+  }
+
+  /** Asymmetric containment pairs for any exploded (doc_id, sh) shingle
+    * frame — the `q_dedup_containment` body, exposed for planted-pair
+    * tests. C(a,b) = |A n B| / |A|; keeps pairs where either side's
+    * containment reaches `minC`.
+    */
+  private[graft] def containmentPairs(
+      sh: org.apache.spark.sql.DataFrame,
+      minC: Double = 0.5
+  ): org.apache.spark.sql.DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = sh
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "nsh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nsh_b"), "doc_b")
+      .withColumn("c_a", col("common") / col("nsh_a"))
+      .withColumn("c_b", col("common") / col("nsh_b"))
+      .filter(greatest(col("c_a"), col("c_b")) >= minC)
+      .select(col("doc_a"), col("doc_b"), col("c_a"), col("c_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -553,24 +665,7 @@ object Dedup {
       "q_dedup_jaccard",
       "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
       (s, dir) => {
-        // the exploded-shingle frame is referenced THREE times in this plan
-        // (common + two sizes joins) and Catalyst duplicates the subtree, so
-        // it goes through the build-once artifact cache like the MinHash
-        // signatures (measured 1.14s -> 0.85s at sf0.1; durable-mode
-        // range-sorts it on doc_id like the other dedup artifacts)
-        val sh = cached(s, dir, "jaccard_shingles") {
-          val docs = Tables.fanout(Tables.documents(s, dir))
-          // join on a 16-hex md5 prefix of the shingle, not the raw string:
-          // same equality result (both engines hash identically; collisions
-          // are ~2^-64 at this cardinality) with a fixed-width 16-byte
-          // shuffle key instead of ~40-byte shingle text
-          docs.select(
-            col("doc_id"),
-            col("lang"),
-            col("source"),
-            explode(array_distinct(shingles(col("text")))).as("sh_raw")
-          ).select(col("doc_id"), col("lang"), col("source"), substring(md5(col("sh_raw")), 1, 16).as("sh"))
-        }
+        val sh = shingleFrame(s, dir)
         // derive set sizes from the exploded frame rather than re-running the
         // CodegenFallback shingle lambda per row
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -649,6 +744,49 @@ object Dedup {
              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              |WHERE levenshtein(a.p_name, b.p_name) <= 2
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_spans",
+      "verbatim shared-span extent per doc pair (the exact-substring-dedup signal set similarity can't give: Jaccard says HOW MUCH overlaps, this says HOW LONG the longest verbatim run is): 13-token-window matches grouped on alignment diagonals (ib - ia), gaps-and-islands over window starts turns each maximal diagonal run of length L into a shared span of L+12 tokens — top-20 pairs by longest span. Scale: occurrence pairs come from bucket-grouped gram collection (never a gram self-join); the islands window partitions by (pair, diagonal) so no global sort; hot grams (boilerplate) are exactly what q_text_boilerplate surfaces and what the LSH cap machinery would trim in production",
+      (s, dir) =>
+        spanExtent(Tables.fanout(Tables.documents(s, dir)))
+          .orderBy(col("max_span").desc, col("doc_a"), col("doc_b"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |pg AS (SELECT doc_id, i, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
+             |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
+             |      FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |isl AS (SELECT doc_a, doc_b, ib - ia AS diag, ia,
+             |               ia - row_number() OVER (PARTITION BY doc_a, doc_b, ib - ia ORDER BY ia) AS island
+             |        FROM m),
+             |runs AS (SELECT doc_a, doc_b, count(1) AS len
+             |         FROM isl GROUP BY doc_a, doc_b, diag, island)
+             |SELECT doc_a, doc_b, cast(max(len) + 12 as bigint) AS max_span,
+             |  count(1) AS n_spans, cast(sum(len) as bigint) AS n_matches
+             |FROM runs GROUP BY 1, 2
+             |ORDER BY max_span DESC, doc_a, doc_b LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_containment",
+      "asymmetric containment pairs C(a,b) = |A n B| / |A| over 5-token shingle sets — the subset-copy detector: a short doc pasted inside a long one scores c ~ 1.0 on its side while Jaccard (common / union) stays low, so a symmetric threshold misses it. Deliberately UNBLOCKED (no lang/source buckets, unlike q_dedup_jaccard): mirror copies cross source boundaries, and the bucket join stays linear anyway because 5-gram df ~ 1 — blocking there is a recall policy, not a scale requirement. Integer counts and single-divide doubles, bit-identical across engines",
+      (s, dir) =>
+        containmentPairs(shingleFrame(s, dir))
+          .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shinglesCte,
+              |ex0 AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle_raw FROM sh),
+              |ex AS (SELECT doc_id, substring(md5(shingle_raw), 1, 16) AS shingle FROM ex0),
+              |sizes AS (SELECT doc_id, count(1) AS nsh FROM ex GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
+              |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, common / sa.nsh AS c_a, common / sb.nsh AS c_b
+              |FROM common
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE greatest(common / sa.nsh, common / sb.nsh) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -100,6 +100,22 @@ object TextAnalysis {
       )
   }
 
+  /** Repeated verbatim 13-gram census (g, n_occ, n_docs, first_doc) for any
+    * (doc_id, text) frame — the `q_text_boilerplate` body, exposed so tests
+    * plant a known repeated span and assert it surfaces.
+    */
+  private[graft] def repeatedGrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 13)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 12), i -> concat_ws(' ', slice(t, i, 13)))")).as("g")
+      )
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+
   /** Input columns + quality metrics (`n_tok`, `n_char`, `avg_tok_len`,
     * `punct_ratio`, `stop_ratio`, `quality`) — shared by query and tests.
     */
@@ -819,6 +835,20 @@ object TextAnalysis {
              |    AS avg_logp
              |FROM bgd JOIN terms USING (bg)
              |GROUP BY 1, 2 ORDER BY avg_logp, doc_id LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_boilerplate",
+      "boilerplate detector: the most-repeated verbatim 13-token spans corpus-wide (headers, templates, injected banners — the passages exact-substring dedup would strip doc-internally and q_dedup_spans pairs up doc-to-doc): top-20 grams by occurrence count with doc reach. The gram TEXT surfaces (not its hash) because the output is a review queue; one explode, one codegen'd HashAggregate with map-side combine — n_occ > 1 keeps the shuffle at duplicate grams only at any corpus size",
+      (s, dir) =>
+        repeatedGrams(Tables.fanout(Tables.documents(s, dir)))
+          .orderBy(col("n_occ").desc, col("g"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g FROM idx)
+             |SELECT g, count(1) AS n_occ, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+             |FROM grams GROUP BY 1 HAVING count(1) > 1
+             |ORDER BY n_occ DESC, g LIMIT 20""".stripMargin)
     ),
     QueryDef(
       "q_text_topwords",

@@ -249,4 +249,65 @@ class DedupSpec extends AnyFunSuite {
       .collect()
     assert(out(0).getSeq[String](0) === Seq("tiny doc"))
   }
+
+  test("span extent: a planted 21-token verbatim run measures exactly (length, spans, matches)") {
+    // all-distinct vocab: no accidental 13-gram collisions
+    val a = (1 to 40).map(i => s"w$i")
+    // A[10..30] copied into B at an offset (diagonal != 0 exercised)
+    val b = Seq("x1", "x2", "x3", "x4", "x5") ++ a.slice(9, 30) ++ Seq("y1", "y2", "y3", "y4", "y5")
+    val docs = Seq((0L, a.mkString(" ")), (1L, b.mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.spanExtent(docs).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getLong(2) === 21L, "max_span = the copied run's token length")
+    assert(r.getLong(3) === 1L, "one maximal span")
+    assert(r.getLong(4) === 9L, "a 21-token run has 21 - 13 + 1 = 9 matching window starts")
+  }
+
+  test("span extent: two disjoint copied runs on the SAME diagonal stay separate islands") {
+    val a = (1 to 40).map(i => s"w$i")
+    // C = A[1..15] + junk + A[26..40]: both runs sit at identical positions
+    // in A and C (diagonal 0), so only the gaps-and-islands step can split
+    // them — a max-minus-min span estimate would wrongly report 40
+    val c = a.slice(0, 15) ++ (1 to 10).map(i => s"j$i") ++ a.slice(25, 40)
+    val docs = Seq((0L, a.mkString(" ")), (2L, c.mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.spanExtent(docs).collect().head
+    assert(r.getLong(2) === 15L, "max_span is one run, not the envelope")
+    assert(r.getLong(3) === 2L, "two maximal spans")
+    assert(r.getLong(4) === 6L, "3 window starts per 15-token run")
+  }
+
+  test("span extent: disjoint docs produce no pair") {
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 20).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Dedup.spanExtent(docs).count() === 0L)
+  }
+
+  test("containment flags a subset copy that the symmetric Jaccard threshold misses") {
+    val short = (1 to 20).map(i => s"s$i")
+    val long  = short ++ (1 to 40).map(i => s"l$i")
+    val docs = Seq(
+      (0L, short.mkString(" "), "en", "s0"),
+      (1L, long.mkString(" "), "en", "s1") // different source: unblocked pairing must still find it
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = Dedup.containmentPairs(Dedup.explodedShingles(docs)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // S: 16 shingles, all inside L's prefix; L: 56 shingles
+    assert(r.getDouble(2) === 1.0, "every shingle of the short doc is in the long one")
+    assert(r.getDouble(3) === 16.0 / 56.0)
+    val jaccard = 16.0 / (16 + 56 - 16)
+    assert(jaccard < 0.5, "the same pair sits below a 0.5 Jaccard threshold — asymmetry is the point")
+  }
+
+  test("containment: unrelated docs produce no pair") {
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"s$i").mkString(" "), "en", "s0"),
+      (1L, (1 to 20).map(i => s"t$i").mkString(" "), "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.containmentPairs(Dedup.explodedShingles(docs)).count() === 0L)
+  }
 }

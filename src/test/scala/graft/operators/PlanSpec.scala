@@ -283,6 +283,27 @@ class PlanSpec extends AnyFunSuite {
       "only the sampling pass may scan documents")
   }
 
+  test("q_dedup_spans: one documents scan, islands from one partitioned window, top-k without global sort") {
+    val df = q("q_dedup_spans")
+    assert(countNodes(df, "Scan parquet") === 1, "the positioned-gram frame comes from ONE documents scan")
+    assert(countNodes(df, "Window") === 1, "islands come from a single (pair, diagonal)-partitioned window")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-20 pairs must not global-sort")
+  }
+
+  test("q_dedup_containment serves shingles from the build-once artifact, joins stay broadcast") {
+    val df = q("q_dedup_containment")
+    assert(countNodes(df, "Scan parquet") === 0,
+      "shingles come from the cached artifact (shared with q_dedup_jaccard), never a re-scan")
+    assert(countNodes(df, "CartesianProduct") === 0, "pairing is bucket-grouped, never all-pairs")
+  }
+
+  test("q_text_boilerplate: one scan, one gram explode, top-k without global sort") {
+    val df = q("q_text_boilerplate")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(countNodes(df, "Generate") === 1, "exactly one gram explode")
+    assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-20 grams must not global-sort")
+  }
+
   test("no query in the entire surface plans a CartesianProduct") {
     // global invariant, statically checked (AQE can only REPLACE a static
     // cartesian with a broadcast NLJ, never introduce one): every crossJoin

@@ -175,6 +175,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate census surfaces a planted repeated 13-gram with exact occurrence counts") {
+    import spark.implicits._
+    val banner = (1 to 13).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, banner + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      (1L, (1 to 10).map(i => s"v$i").mkString(" ") + " " + banner),
+      (2L, banner + " " + banner), // repeated within ONE doc: n_occ counts both, n_docs once
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repeatedGrams(docs).collect()
+    // the banner's boundary rotations in the doubled doc each occur once, so
+    // ONLY the banner itself survives n_occ > 1
+    assert(rows.length === 1, s"only the banner repeats, got ${rows.toSeq}")
+    val hit = rows.head
+    assert(hit.getString(0) === banner)
+    assert(hit.getLong(1) === 4L, "2 solo occurrences + 2 in the doubled doc")
+    assert(hit.getLong(2) === 3L, "doc reach counts each doc once")
+    assert(hit.getLong(3) === 0L, "first_doc is the min doc_id")
+  }
+
   test("weighted sampling favors heavy docs and is deterministic") {
     val out1 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
     val out2 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
