@@ -197,6 +197,55 @@ object IvfSimilarity {
   private def buildAssignments(s: SparkSession, dir: String): DataFrame =
     assignPass(comp(s, dir), cent2(s, dir))
 
+  /** Semantic near-dup pairs within a k-means cluster (the SemDeDup shape,
+    * Abbas et al. 2023: cluster the embedding space, then compare pairs
+    * only WITHIN a cluster — the cluster assignment is the blocking key,
+    * so the pair cost is sum(cluster^2), never corpus x corpus, and k is
+    * the scale lever: at 10^9 vectors k ~ 10^5 keeps clusters at ~10^4).
+    * Frame-generic over (vec_id, embedding) + (vec_id, cid) so the spec
+    * plants twin vectors in and across clusters; `vec_a < vec_b` emits
+    * each unordered pair once, scored with exact cosine.
+    */
+  private[graft] def semanticPairs(emb: DataFrame, a2: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val withCid = emb
+      .select(col("vec_id"), col("embedding"))
+      .join(a2.select(col("vec_id"), col("cid")), "vec_id")
+    val a = withCid.alias("a")
+    val b = withCid.alias("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.cid").as("cid"),
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Per-cluster SemDeDup accounting (the `q_dedup_semantic` body):
+    * greedy keep-lowest-id — a vector is dropped iff SOME smaller-id
+    * vector in its cluster scores >= threshold against it (distinct
+    * vec_b of [[semanticPairs]]), the standard one-pass SemDeDup rule
+    * (no transitive closure: dedup is per ε-ball, not per component).
+    */
+  private[graft] def semanticDedupStats(emb: DataFrame, a2: DataFrame, threshold: Double): DataFrame = {
+    val dropped = semanticPairs(emb, a2, threshold)
+      .select(col("cid"), col("vec_b").as("vec_id"))
+      .distinct()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dropped"))
+    a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cid"), "left")
+      .select(
+        col("cid"),
+        col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped")
+      )
+      .orderBy(col("cid"))
+  }
+
   // ---- DuckDB twins (same structure, CTE chain) ----
 
   private val compSql =
@@ -417,6 +466,30 @@ object IvfSimilarity {
               |    (sqrt(${Quantize.qdotDuck("qcode", "qcode")}) * sqrt(${Quantize.qdotDuck("q_qcode", "q_qcode")})), 6) AS cos_q
               |FROM qcodes JOIN members USING (vec_id) CROSS JOIN q
               |ORDER BY cos_q DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_semantic",
+      "SemDeDup (Abbas et al. 2023): semantic near-dup removal blocked by the trained k-means clusters — within each cluster, a vector is dropped iff a smaller-id member scores cosine >= threshold against it (greedy keep-lowest-id, no transitive closure); per-cluster (n_members, n_dropped) accounting. The IVF assignments artifact does double duty as the dedup blocking key, so the pair cost is sum(cluster^2) with k the scale lever (at 10^9 vectors, k ~ 10^5 keeps clusters ~10^4); threshold 0.2 at the gate for the same reason as q_dedup_embed (the synthetic fixture holds no cos >= 0.85 twins, and 0 drops = 0 drops would hide a broken pair join)",
+      (s, dir) =>
+        semanticDedupStats(
+          Tables.fanout(Tables.embeddings(s, dir)),
+          assignments(s, dir),
+          threshold = 0.2
+        ),
+      Some(s"""WITH $assignmentsSql,
+              |wc AS (
+              |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)),
+              |pr AS (
+              |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE round(${Similarity.cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2),
+              |dr AS (
+              |  SELECT cid, count(1) AS n_dropped
+              |  FROM (SELECT DISTINCT cid, vec_b FROM pr) GROUP BY 1)
+              |SELECT a2.cid, count(1) AS n_members,
+              |  cast(coalesce(min(dr.n_dropped), 0) as bigint) AS n_dropped
+              |FROM a2 LEFT JOIN dr USING (cid)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

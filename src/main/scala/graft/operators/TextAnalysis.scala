@@ -116,6 +116,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_occ") > 1)
 
+  /** Per-doc Gopher-style rule flags (Rae et al. 2021 §A1.1 re-expressed
+    * over this corpus's whitespace tokens) — the `q_quality_gopher` body,
+    * frame-generic so the spec plants one-rule-violation docs. Emits the
+    * input columns plus the metrics and one boolean per rule
+    * (`fail_len`, `fail_meanlen`, `fail_ttr`, `fail_stopword`,
+    * `fail_repetition`) and `pass_all`. Map-only and codegen'd: every
+    * metric is a HOF over the token array, no shuffle at any corpus size.
+    * The repetition metric (top single-token frequency fraction) is
+    * O(distinct x n_tok) per doc — right for ~100-token web docs; for
+    * book-length inputs the exploded relational form (`q_text_topwords`'s
+    * shape grouped per doc) is the fallback, same rule different plan.
+    */
+  private[graft] def gopherFlags(
+      docs: org.apache.spark.sql.DataFrame,
+      minTok: Long = 50,
+      maxTok: Long = 100000,
+      minMeanTokLen: Double = 3.0,
+      maxMeanTokLen: Double = 10.0,
+      minTtr: Double = 0.0,
+      minStopHits: Long = 2,
+      maxTopTokFrac: Double = 1.0
+  ): org.apache.spark.sql.DataFrame = {
+    val nTok = size(col("t")).cast("long")
+    val mtl  = length(regexp_replace(col("text"), " ", "")).cast("long") / nTok
+    val ttr  = size(array_distinct(col("t"))).cast("long") / nTok
+    val topFrac =
+      expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))").cast("long") / nTok
+    docs
+      .withColumn("t", tokens(col("text")))
+      .select(
+        col("*"),
+        nTok.as("n_tok"),
+        mtl.as("mean_tok_len"),
+        ttr.as("ttr"),
+        stopHits(col("t"), stopwords.head._2).cast("long").as("stop_hits"),
+        topFrac.as("top_tok_frac")
+      )
+      .select(
+        col("*"),
+        (col("n_tok") < minTok || col("n_tok") > maxTok).as("fail_len"),
+        (col("mean_tok_len") < minMeanTokLen || col("mean_tok_len") > maxMeanTokLen).as("fail_meanlen"),
+        (col("ttr") < minTtr).as("fail_ttr"),
+        (col("stop_hits") < minStopHits).as("fail_stopword"),
+        (col("top_tok_frac") > maxTopTokFrac).as("fail_repetition")
+      )
+      .withColumn(
+        "pass_all",
+        !col("fail_len") && !col("fail_meanlen") && !col("fail_ttr") &&
+          !col("fail_stopword") && !col("fail_repetition")
+      )
+      .drop("t")
+  }
+
   /** Input columns + quality metrics (`n_tok`, `n_char`, `avg_tok_len`,
     * `punct_ratio`, `stop_ratio`, `quality`) — shared by query and tests.
     */
@@ -835,6 +888,51 @@ object TextAnalysis {
              |    AS avg_logp
              |FROM bgd JOIN terms USING (bg)
              |GROUP BY 1, 2 ORDER BY avg_logp, doc_id LIMIT 20""".stripMargin)
+    ),
+    QueryDef(
+      "q_quality_gopher",
+      "Gopher-style composite rule filter with per-rule drop accounting (the funnel every production corpus filter reports): token count in [50, 100k], mean token length in [4, 10], type-token ratio >= 0.4, >= 2 stopword hits, top single-token frequency <= 12.5% — thresholds tightened from Gopher's to discriminate on this corpus (defaults in the API keep the published bounds). One wide bigint row: total, per-rule failure counts (a doc can fail several), survivors. Map-only flag computation + a single partial-aggregated count row — no shuffle of doc data at any corpus size",
+      (s, dir) =>
+        gopherFlags(
+          Tables.fanout(Tables.documents(s, dir)),
+          minMeanTokLen = 4.0,
+          minTtr = 0.4,
+          maxTopTokFrac = 0.125
+        ).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("fail_len"), 1L).otherwise(0L)).cast("long").as("n_fail_len"),
+          sum(when(col("fail_meanlen"), 1L).otherwise(0L)).cast("long").as("n_fail_meanlen"),
+          sum(when(col("fail_ttr"), 1L).otherwise(0L)).cast("long").as("n_fail_ttr"),
+          sum(when(col("fail_stopword"), 1L).otherwise(0L)).cast("long").as("n_fail_stopword"),
+          sum(when(col("fail_repetition"), 1L).otherwise(0L)).cast("long").as("n_fail_repetition"),
+          sum(when(col("pass_all"), 1L).otherwise(0L)).cast("long").as("n_pass")
+        ),
+      Some(s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+              |m AS (
+              |  SELECT doc_id,
+              |    len(t) AS n_tok,
+              |    cast(length(replace(text, ' ', '')) as double) / len(t) AS mtl,
+              |    cast(len(list_distinct(t)) as double) / len(t) AS ttr,
+              |    ${stopHitsSql(stopwords.head._2)} AS stop_hits,
+              |    cast(list_max(list_transform(list_distinct(t),
+              |      x -> len(list_filter(t, y -> y = x)))) as double) / len(t) AS top_frac
+              |  FROM tk),
+              |f AS (
+              |  SELECT
+              |    CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END AS f_len,
+              |    CASE WHEN mtl < 4.0 OR mtl > 10.0 THEN 1 ELSE 0 END AS f_mtl,
+              |    CASE WHEN ttr < 0.4 THEN 1 ELSE 0 END AS f_ttr,
+              |    CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS f_stop,
+              |    CASE WHEN top_frac > 0.125 THEN 1 ELSE 0 END AS f_rep
+              |  FROM m)
+              |SELECT count(1) AS n_docs,
+              |  cast(sum(f_len) as bigint) AS n_fail_len,
+              |  cast(sum(f_mtl) as bigint) AS n_fail_meanlen,
+              |  cast(sum(f_ttr) as bigint) AS n_fail_ttr,
+              |  cast(sum(f_stop) as bigint) AS n_fail_stopword,
+              |  cast(sum(f_rep) as bigint) AS n_fail_repetition,
+              |  cast(sum(CASE WHEN f_len + f_mtl + f_ttr + f_stop + f_rep = 0 THEN 1 ELSE 0 END) as bigint) AS n_pass
+              |FROM f""".stripMargin)
     ),
     QueryDef(
       "q_text_boilerplate",

@@ -84,4 +84,42 @@ class IvfSimilaritySpec extends AnyFunSuite {
       assert(!new java.io.File(idx, "part-garbage.parquet").exists, "overwrite must clear partial files")
     } finally System.clearProperty("graft.artifact.root")
   }
+
+  test("semantic dedup: a planted twin is dropped within its cluster, its cross-cluster twin survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vec 1 ~ vec 2 (near-identical direction), vec 3 orthogonal; vec 4 in
+    // ANOTHER cluster is bit-identical to vec 1 — the blocking key must
+    // keep it un-paired (SemDeDup trades exactly this recall for scale)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.02f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val a2 = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("vec_id", "cid")
+
+    val pairs = IvfSimilarity.semanticPairs(emb, a2, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L)),
+      "only the within-cluster twin pairs up; the orthogonal member and the cross-cluster twin do not")
+
+    val stats = IvfSimilarity.semanticDedupStats(emb, a2, threshold = 0.9).collect()
+    assert(stats.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0, 3L, 1L), (1, 1L, 0L)),
+      "cluster 0 keeps 1 and 3, drops 2 (greedy keep-lowest-id); cluster 1 drops nothing")
+  }
+
+  test("semantic dedup greedy rule drops every vector with a smaller-id partner, not one per component") {
+    import spark.implicits._
+    // 1 ~ 2 ~ 3 all mutually similar: greedy keep-lowest-id drops BOTH 2
+    // and 3 (each has partner 1), i.e. the epsilon-ball rule, not CC
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.998f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val a2 = Seq((1L, 0), (2L, 0), (3L, 0)).toDF("vec_id", "cid")
+    val stats = IvfSimilarity.semanticDedupStats(emb, a2, threshold = 0.9).collect()
+    assert(stats.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq === Seq((0, 3L, 2L)))
+  }
 }

@@ -304,6 +304,19 @@ class PlanSpec extends AnyFunSuite {
     assert(countNodes(df, "TakeOrderedAndProject") >= 1, "top-20 grams must not global-sort")
   }
 
+  test("q_quality_gopher: map-only flags, one scan, no Generate and no join") {
+    val df = q("q_quality_gopher")
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(countNodes(df, "Generate") === 0, "every rule metric is a HOF over the token array, no explode")
+    assert(countNodes(df, "Join") === 0, "a composite filter must not join doc data")
+  }
+
+  test("q_dedup_semantic pairs within clusters only: no BroadcastNestedLoopJoin, artifact-served assignments") {
+    val df = q("q_dedup_semantic")
+    assert(countNodes(df, "BroadcastNestedLoopJoin") === 0, "the cluster id is an equi-join key")
+    assert(countNodes(df, "CartesianProduct") === 0, "pairing is cluster-blocked, never all-pairs")
+  }
+
   test("no query in the entire surface plans a CartesianProduct") {
     // global invariant, statically checked (AQE can only REPLACE a static
     // cartesian with a broadcast NLJ, never introduce one): every crossJoin

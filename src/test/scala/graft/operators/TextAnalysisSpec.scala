@@ -195,6 +195,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hit.getLong(3) === 0L, "first_doc is the min doc_id")
   }
 
+  test("gopher rule flags: five docs each violating exactly one rule, one passing all") {
+    import spark.implicits._
+    def words(n: Int, prefix: String) = (1 to n).map(i => (prefix + i.toString).padTo(5, 'x'))
+    // 58 distinct 2-char tokens from the aa..cf letter-pair range — no
+    // 2-char stopword (of/to/in/is) starts with a, b, or c
+    val twoChar  = (for { a <- 'a' to 'c'; b <- 'a' to 'z' } yield s"$a$b").take(58)
+    val pass     = ("the a " + words(58, "p").mkString(" "))                 // 60 tok, all rules green
+    val tooShort = ("the a " + words(8, "s").mkString(" "))                  // 10 tok: fail_len only
+    val shortToks = ("a the " + twoChar.mkString(" "))                       // mean len 2.0: fail_meanlen only
+    val lowTtr   = (Seq.fill(3)("the a " + words(18, "t").mkString(" "))).mkString(" ") // each tok 3x: ttr 1/3
+    val noStops  = words(60, "n").mkString(" ")                              // fail_stopword only
+    val repeated = ("the a " + Seq.fill(12)("zzzzz").mkString(" ") + " " + words(46, "r").mkString(" ")) // top frac 12/60
+    val docs = Seq(
+      (0L, pass), (1L, tooShort), (2L, shortToks), (3L, lowTtr), (4L, noStops), (5L, repeated)
+    ).toDF("doc_id", "text")
+    val flags = TextAnalysis
+      .gopherFlags(docs, minMeanTokLen = 4.0, minTtr = 0.4, maxTopTokFrac = 0.125)
+      .orderBy("doc_id")
+      .select("fail_len", "fail_meanlen", "fail_ttr", "fail_stopword", "fail_repetition", "pass_all")
+      .collect()
+      .map(r => (0 to 5).map(r.getBoolean))
+    assert(flags(0) === Seq(false, false, false, false, false, true), s"pass doc: ${flags(0)}")
+    assert(flags(1) === Seq(true, false, false, false, false, false), s"short doc: ${flags(1)}")
+    assert(flags(2) === Seq(false, true, false, false, false, false), s"short tokens: ${flags(2)}")
+    assert(flags(3) === Seq(false, false, true, false, false, false), s"low ttr: ${flags(3)}")
+    assert(flags(4) === Seq(false, false, false, true, false, false), s"no stopwords: ${flags(4)}")
+    assert(flags(5) === Seq(false, false, false, false, true, false), s"repeated token: ${flags(5)}")
+  }
+
   test("weighted sampling favors heavy docs and is deterministic") {
     val out1 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
     val out2 = graft.SparkEntry.queries("q_sample_weighted")(spark, TestSpark.sfDir).collect()
