@@ -100,6 +100,41 @@ object TextAnalysis {
       )
   }
 
+  /** Per-doc 13-gram novelty (doc_id, n_grams, n_novel, novel_frac) for
+    * any (doc_id, text) frame — the `q_text_novelty` body, exposed so the
+    * spec plants copies and disjoint docs. A gram is novel iff exactly one
+    * doc contains it (per-doc distinct grams, so within-doc repetition
+    * doesn't mask cross-doc redundancy); novel_frac is the doc's share of
+    * novel grams — the corpus-redundancy QA metric dedup runs are judged
+    * by. The distinct-gram frame feeds both the df count and the join
+    * back, so it's materialized once (lineage cut, same discipline as
+    * [[lmScores]]); grams travel as 16-hex md5 prefixes (fixed-width
+    * shuffle keys).
+    */
+  private[graft] def noveltyScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 13)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            expr("transform(sequence(1, size(t) - 12), i -> substring(md5(concat_ws(' ', slice(t, i, 13))), 1, 16))")
+          )
+        ).as("g")
+      )
+      .localCheckpoint() // df count + join back both read it
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams
+      .join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast("long").as("n_novel")
+      )
+      .withColumn("novel_frac", col("n_novel") / col("n_grams"))
+  }
+
   /** Repeated verbatim 13-gram census (g, n_occ, n_docs, first_doc) for any
     * (doc_id, text) frame — the `q_text_boilerplate` body, exposed so tests
     * plant a known repeated span and assert it surfaces.
@@ -933,6 +968,23 @@ object TextAnalysis {
               |  cast(sum(f_rep) as bigint) AS n_fail_repetition,
               |  cast(sum(CASE WHEN f_len + f_mtl + f_ttr + f_stop + f_rep = 0 THEN 1 ELSE 0 END) as bigint) AS n_pass
               |FROM f""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_novelty",
+      "per-doc 13-gram novelty: share of a doc's distinct grams appearing in NO other doc — the corpus-redundancy QA metric (a post-dedup corpus should trend toward 1.0); bottom-20 docs by novelty = the residual-redundancy review queue. One gram explode materialized once (df count + join back), md5-prefix shuffle keys, exact long/long -> double division",
+      (s, dir) =>
+        noveltyScores(Tables.fanout(Tables.documents(s, dir)))
+          .orderBy(col("novel_frac"), col("doc_id"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |pg AS (SELECT DISTINCT doc_id, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
+             |df AS (SELECT g, count(1) AS df FROM pg GROUP BY 1)
+             |SELECT doc_id, count(1) AS n_grams,
+             |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_novel,
+             |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as double) / count(1) AS novel_frac
+             |FROM pg JOIN df USING (g)
+             |GROUP BY 1 ORDER BY novel_frac, doc_id LIMIT 20""".stripMargin)
     ),
     QueryDef(
       "q_text_boilerplate",

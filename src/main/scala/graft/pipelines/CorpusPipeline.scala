@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * need).
   *
   * Returns the per-stage row accounting so callers can assert
-  * conservation: n_in = n_dropped_quality + n_dropped_exact +
-  * n_dropped_neardup + n_out.
+  * conservation: n_in = n_dropped_quality + n_dropped_rules +
+  * n_dropped_exact + n_dropped_neardup + n_out (the rules stage is the
+  * optional Gopher composite filter, 0 when disabled).
   */
 object CorpusPipeline {
 
@@ -41,7 +42,8 @@ object CorpusPipeline {
       nDroppedQuality: Long,
       nDroppedExact: Long,
       nDroppedNearDup: Long,
-      nOut: Long
+      nOut: Long,
+      nDroppedRules: Long = 0L
   )
 
   def run(
@@ -49,7 +51,8 @@ object CorpusPipeline {
       outPath: String,
       minQuality: Double = 0.3,
       filesPerSplit: Int = 2,
-      compactTargetBytes: Option[Long] = None
+      compactTargetBytes: Option[Long] = None,
+      gopherRules: Boolean = false
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -68,8 +71,17 @@ object CorpusPipeline {
     val kept    = scored.filter(col("quality") >= minQuality).select(docs.columns.toIndexedSeq.map(col): _*)
     val nKeptQ  = kept.count()
 
+    // 1b. optional Gopher-rule composite filter (published default
+    // thresholds — see TextAnalysis.gopherFlags) — still map-only, so
+    // stages 1+1b fuse into one codegen'd projection over the scan
+    val ruleKept =
+      if (gopherRules)
+        TextAnalysis.gopherFlags(kept).filter(col("pass_all")).select(docs.columns.toIndexedSeq.map(col): _*)
+      else kept
+    val nKeptR = if (gopherRules) ruleKept.count() else nKeptQ
+
     // 2. exact dedup on the normalized fingerprint, keep smallest doc_id
-    val fp = kept.withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val fp = ruleKept.withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
     val minPerFp = fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep_id"))
     val exact = fp
       .join(minPerFp, "_fp")
@@ -122,9 +134,10 @@ object CorpusPipeline {
     Stats(
       nIn = nIn,
       nDroppedQuality = nIn - nKeptQ,
-      nDroppedExact = nKeptQ - nExact,
+      nDroppedExact = nKeptR - nExact,
       nDroppedNearDup = nExact - nNear,
-      nOut = nNear
+      nOut = nNear,
+      nDroppedRules = nKeptQ - nKeptR
     )
   }
 

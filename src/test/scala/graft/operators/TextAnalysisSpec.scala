@@ -195,6 +195,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hit.getLong(3) === 0L, "first_doc is the min doc_id")
   }
 
+  test("novelty: a copied doc zeroes both copies' novelty, a disjoint doc scores 1.0") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val c = (1 to 20).map(i => s"v$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, a), (2L, c)).toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .noveltyScores(docs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 20 tokens -> 8 distinct 13-grams per doc
+    assert(rows.toSeq === Seq((0L, 8L, 0L, 0.0), (1L, 8L, 0L, 0.0), (2L, 8L, 8L, 1.0)),
+      "grams shared with the copy are non-novel for BOTH docs; the disjoint doc is fully novel")
+  }
+
   test("gopher rule flags: five docs each violating exactly one rule, one passing all") {
     import spark.implicits._
     def words(n: Int, prefix: String) = (1 to n).map(i => (prefix + i.toString).padTo(5, 'x'))

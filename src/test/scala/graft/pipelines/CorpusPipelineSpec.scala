@@ -53,6 +53,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"cluster representative must survive, got $planted")
   }
 
+  test("gopher-rule stage: drops counted in the funnel, survivors satisfy every rule, off by default") {
+    val out = Files.createTempDirectory("pipeline-gopher").toString + "/corpus"
+    val stats = CorpusPipeline.run(corpus, out, gopherRules = true)
+
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedRules + stats.nDroppedExact +
+      stats.nDroppedNearDup + stats.nOut,
+      s"conservation must include the rules stage: $stats")
+    // the fixture corpus has sub-50-token docs, so the published length
+    // bound must fire
+    assert(stats.nDroppedRules >= 1, s"rule stage must drop short docs: $stats")
+
+    val written = spark.read.parquet(out)
+    assert(written.count() === stats.nOut)
+    val minTok = written
+      .select(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .agg(org.apache.spark.sql.functions.min(col("n")))
+      .collect()(0)
+      .getInt(0)
+    assert(minTok >= 50, s"every survivor passes the length rule, min was $minTok")
+
+    // default path unchanged: no rules stage, field stays 0
+    val plain = CorpusPipeline.run(corpus, Files.createTempDirectory("pipeline-plain").toString + "/corpus")
+    assert(plain.nDroppedRules === 0L)
+  }
+
   test("compaction: identical content pre/post, file count sized by bytes/target per split") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val target  = 32L * 1024
