@@ -14,10 +14,11 @@ object Tables {
   /** Confs every graft session needs. Applied both at builder time (Verify /
     * Bench / tests) and defensively at runtime (all are dynamic SQLConfs).
     *
-    * - `nanosAsLong`: the `events` fixture stores `ts` as parquet
-    *   TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    * - `nanosAsLong`: some generations of the `events` fixture store `ts`
+    *   as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects
     *   ([PARQUET_TYPE_ILLEGAL]); reading it as a long and converting in
-    *   [[events]] keeps the scan vectorized.
+    *   [[events]] keeps the scan vectorized. Harmless when the fixture is
+    *   micros — [[events]] adapts to whichever type the scan surfaces.
     * - AQE on: at 100 TB, runtime coalescing / skew-join splitting matter
     *   far more than any static tuning we could do here.
     */
@@ -159,13 +160,35 @@ object Tables {
 
   /** The event-stream table (the stand-in for the reference's Pulsar topic).
     *
-    * `ts` is parquet TIMESTAMP(NANOS): read as long nanos
-    * (`nanosAsLong=true`), then converted with integer arithmetic —
-    * `ts div 1000` stays in long space; a double division would lose
-    * precision above 2^53 and corrupt microseconds. The fixture has zero
-    * sub-microsecond residue, so this equals DuckDB's native ns read.
+    * `ts` adapts to the fixture's PHYSICAL type — the same logical instant
+    * has two legal parquet encodings and the fixtures have shipped both:
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it natively
+    *     ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong=true` it arrives as
+    *     LONG nanos and is converted with integer arithmetic — `ts div
+    *     1000` stays in long space (a double division would lose precision
+    *     above 2^53 and corrupt microseconds).
+    *   - TIMESTAMP(MICROS) without timezone: arrives as TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP under the UTC session zone (a field-identity
+    *     cast) so downstream `unix_timestamp` emission matches DuckDB's
+    *     `epoch(ts)`, which reads the same naive value as UTC.
+    *
+    * Hard-coding either branch makes the whole events family fail analysis
+    * on the other encoding (round-9 postmortem); the reference's decoder
+    * is likewise tolerant of whatever the wire value parses as
+    * (PulsarJSONMessageDecoder.java:61-73). [[graft.sources.TsParitySpec]]
+    * pins NTZ→UTC epoch parity incl. DST-spanning and pre-1970 instants.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other (expected LONG nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
 }
