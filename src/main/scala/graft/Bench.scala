@@ -35,14 +35,21 @@ object Bench {
     val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "400").toInt
     val spark = Tables.localSession("graft-bench", cpus)
     // session warm-up outside the timed region: JIT, codegen, parquet footers,
-    // and the one-time event-log materialization (fixture setup, not query work)
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    // and the one-time event-log materialization (fixture setup, not query work).
+    // Each action is failure-ISOLATED (round-9 postmortem): a broken table
+    // must cost only the queries that read it — those fail inside the timed
+    // loop's own try and report -1 — never the whole artifact. BENCH_r09 was
+    // rc=1 with zero numbers because one analysis error here escaped.
+    def warm(what: String)(action: => Unit): Unit =
+      try action
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up '$what' FAILED (its queries will report -1): ${e.getMessage}") }
+    warm("jit")(spark.range(1000000).selectExpr("sum(id)").collect())
     // full-column noop writes, not count(): count() reads only footers, so
     // the first timed query would otherwise absorb the cold column scans
-    Seq(Tables.lineitem(spark, sfDir), Tables.documents(spark, sfDir), Tables.events(spark, sfDir))
-      .foreach(_.write.format("noop").mode("overwrite").save())
-    operators.SourceQueries.logDirFor(spark, sfDir)
-    operators.StarTree.cubeDirFor(spark, sfDir)
+    Seq("lineitem" -> Tables.lineitem _, "documents" -> Tables.documents _, "events" -> Tables.events _)
+      .foreach { case (n, t) => warm(n)(t(spark, sfDir).write.format("noop").mode("overwrite").save()) }
+    warm("eventlog")(operators.SourceQueries.logDirFor(spark, sfDir))
+    warm("cube")(operators.StarTree.cubeDirFor(spark, sfDir))
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
     val suiteStart = System.nanoTime()

@@ -127,5 +127,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.CharEntropy.builder(_)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bloom_agg"),
+        new ExpressionInfo(
+          classOf[functions.BloomAgg].getName,
+          "bloom_agg",
+          "bloom_agg(key, numBits, numHashes) - mergeable Bloom filter over string keys; output is self-describing (header carries numHashes)"
+        ),
+        functions.BloomFilter.aggBuild(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(
+          classOf[functions.BloomMightContain].getName,
+          "bloom_might_contain",
+          "bloom_might_contain(bloom_bytes, key) - codegen membership probe; numHashes is read from the filter's header (no false negatives possible)"
+        ),
+        functions.BloomFilter.probeBuild(_)
+      )
+    )
   }
 }

@@ -24,7 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * bloom prefilter -> broadcast exact verify, end-to-end hash-exact.
   *
   * Design choices:
-  *   - bits are `Array[Long]` words; `m` is rounded up to a multiple of 64.
+  *   - the SERIALIZED filter is self-describing: an 8-byte header (magic
+ *     "GBF", version, numHashes, 3 reserved zero bytes) precedes the
+ *     little-endian bit words, and the probe reads k FROM the header. A
+ *     raw-bits format would make a build/probe k mismatch silently
+ *     produce FALSE NEGATIVES (probing bits the build never set) — in a
+ *     decontamination prefilter that means contamination slipping
+ *     through undetected; Spark's own BloomFilterImpl serializes
+ *     version+numHashes for the same reason. Two filters built with the
+ *     same sizing still OR-combine with a plain byte-wise OR: identical
+ *     headers OR to themselves.
+ *   - bits are `Array[Long]` words; `m` is rounded up to a multiple of 64.
   *   - double hashing (Kirsch-Mitzenmacher 2006): two 32-bit Murmur3 hashes
   *     of the UTF-8 bytes (seeds 0xA5F1 and 0x9E37) combine as
   *     `h1 + i*h2` for the i-th probe — k independent hash families are
@@ -47,13 +57,54 @@ object BloomFilter {
   private val Seed1 = 0xa5f1
   private val Seed2 = 0x9e37
 
-  /** (numBits, numHashes) for an expected key count and target fpp. */
+  /** Serialized-filter header: magic "GBF" + version byte, then numHashes,
+    * then 3 reserved zero bytes (8 total keeps the bit words 8-aligned).
+    */
+  val HeaderLen = 8
+  private val Magic   = Array[Byte]('G', 'B', 'F')
+  private val Version = 1.toByte
+
+  def header(numHashes: Int): Array[Byte] = {
+    require(numHashes >= 1 && numHashes <= MaxHashes, s"numHashes out of range: $numHashes")
+    Array[Byte](Magic(0), Magic(1), Magic(2), Version, numHashes.toByte, 0, 0, 0)
+  }
+
+  /** numHashes recovered from a serialized filter; throws on anything that
+    * is not a version-1 graft bloom (a truncated buffer, raw bits from an
+    * older build, or a foreign format must fail loudly, not probe wrong
+    * bit positions).
+    */
+  def numHashesOf(bytes: Array[Byte]): Int = {
+    require(
+      bytes.length >= HeaderLen && bytes.length % 8 == 0 &&
+        bytes(0) == Magic(0) && bytes(1) == Magic(1) && bytes(2) == Magic(2),
+      s"not a graft bloom filter (len=${bytes.length})")
+    require(bytes(3) == Version, s"unsupported bloom version ${bytes(3)} (expected $Version)")
+    val k = bytes(4).toInt
+    require(k >= 1 && k <= MaxHashes, s"corrupt bloom header: numHashes=$k")
+    k
+  }
+
+  /** Upper bound on k accepted by build and probe. Optimal k = ln(2)*m/n
+    * exceeds 16 only below fpp ~1e-5 — sizes where the prefilter+verify
+    * pattern gains nothing over 16 (the verify join removes the residue
+    * either way).
+    */
+  val MaxHashes = 16
+
+  /** (numBits, numHashes) for an expected key count and target fpp. Both
+    * returned values are always accepted by [[BloomAgg]]: numBits is a
+    * positive multiple of 64 capped at the largest such value fitting Int
+    * (the naive round-up of a near-Int.MaxValue m would wrap negative),
+    * and k is clamped to [1, MaxHashes].
+    */
   def suggest(expectedKeys: Long, fpp: Double): (Int, Int) = {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1, s"bad bloom sizing ($expectedKeys, $fpp)")
-    val bits = math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2)))
-    val m    = math.min(Int.MaxValue.toDouble, math.max(64.0, bits)).toLong
-    val mUp  = ((m + 63) / 64) * 64
-    val k    = math.max(1, math.round(0.6931 * mUp / expectedKeys).toInt)
+    val maxBits = (Int.MaxValue.toLong / 64) * 64
+    val bits    = math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2)))
+    val m       = math.min(maxBits.toDouble, math.max(64.0, bits)).toLong
+    val mUp     = math.min(maxBits, ((m + 63) / 64) * 64)
+    val k       = math.max(1L, math.min(MaxHashes.toLong, math.round(0.6931 * mUp / expectedKeys))).toInt
     (mUp.toInt, k)
   }
 
@@ -72,13 +123,16 @@ object BloomFilter {
     }
   }
 
-  /** Membership probe against the SERIALIZED little-endian word bytes —
-    * shared verbatim by the interpreted eval and (by name) the generated
-    * code, so the two paths cannot drift. False negatives are impossible;
+  /** Membership probe against the SERIALIZED filter (header + little-endian
+    * word bytes) — shared verbatim by the interpreted eval and (by name)
+    * the generated code, so the two paths cannot drift. `numHashes` comes
+    * from the filter's own header, so a build/probe k mismatch is
+    * structurally impossible. False negatives are impossible;
     * false-positive rate follows the standard (1-e^{-kn/m})^k bound.
     */
-  def mightContain(bytes: Array[Byte], numHashes: Int, key: UTF8String): Boolean = {
-    val numBits = bytes.length * 8
+  def mightContain(bytes: Array[Byte], key: UTF8String): Boolean = {
+    val numHashes = numHashesOf(bytes)
+    val numBits   = (bytes.length - HeaderLen) * 8
     if (numBits == 0) return false
     val h1 = Murmur3_x86_32.hashUnsafeBytes(key.getBaseObject, key.getBaseOffset, key.numBytes, Seed1)
     val h2 = Murmur3_x86_32.hashUnsafeBytes(key.getBaseObject, key.getBaseOffset, key.numBytes, Seed2)
@@ -86,20 +140,35 @@ object BloomFilter {
     while (i < numHashes) {
       val combined = h1 + i * h2
       val idx      = java.lang.Math.floorMod(combined, numBits)
-      if ((bytes(idx >>> 3) & (1 << (idx & 7))) == 0) return false
+      if ((bytes(HeaderLen + (idx >>> 3)) & (1 << (idx & 7))) == 0) return false
       i += 1
     }
     true
   }
 
-  /** Word array -> little-endian bytes (the aggregate's output encoding). */
-  def toBytes(words: Array[Long]): Array[Byte] = {
+  /** Word array -> serialized filter: header then little-endian bit words
+    * (the aggregate's OUTPUT encoding; partial buffers shuffle as raw
+    * words via [[toRawBytes]] — they never leave the aggregation tree).
+    */
+  def toBytes(words: Array[Long], numHashes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(HeaderLen + words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(header(numHashes))
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  /** Headerless word serialization for the PARTIAL-buffer shuffle (k is a
+    * plan constant there; a header would be 8 dead bytes per partial).
+    */
+  def toRawBytes(words: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     words.foreach(bb.putLong)
     bb.array()
   }
 
-  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+  def fromRawBytes(bytes: Array[Byte]): Array[Long] = {
     val bb  = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Long](bytes.length / 8)
     var i = 0
@@ -118,17 +187,13 @@ object BloomFilter {
     )
   }
 
-  /** Registry builder: `bloom_might_contain(bloom_bytes, key[, numHashes])`
-    * — numHashes defaults to 4 and must match the build's k (a foldable).
+  /** Registry builder: `bloom_might_contain(bloom_bytes, key)` — numHashes
+    * travels INSIDE the filter bytes (see [[header]]); a separate argument
+    * would reintroduce the silently-mismatched-k false-negative mode.
     */
   def probeBuild(exprs: Seq[Expression]): Expression = {
-    Arity.require("bloom_might_contain", "2 or 3 (bloom_might_contain(bloom_bytes, key[, numHashes]))", exprs, 2, 3)
-    val k =
-      if (exprs.length == 3) {
-        require(exprs(2).foldable, "bloom_might_contain numHashes must be a literal")
-        exprs(2).eval().asInstanceOf[Number].intValue()
-      } else 4
-    BloomMightContain(exprs.head, exprs(1), k)
+    Arity.require("bloom_might_contain", "2 (bloom_might_contain(bloom_bytes, key))", exprs, 2, 2)
+    BloomMightContain(exprs.head, exprs(1))
   }
 
   /** Register both functions for `expr(...)`/SQL use. Idempotent. */
@@ -159,8 +224,9 @@ case class BloomAgg(
       TypeCheckResult.TypeCheckFailure(s"bloom_agg expects string key, got ${child.dataType.sql}")
     else if (numBits < 64 || numBits % 64 != 0)
       TypeCheckResult.TypeCheckFailure(s"bloom_agg numBits must be a positive multiple of 64, got $numBits")
-    else if (numHashes < 1 || numHashes > 16)
-      TypeCheckResult.TypeCheckFailure(s"bloom_agg numHashes must be in [1,16], got $numHashes")
+    else if (numHashes < 1 || numHashes > BloomFilter.MaxHashes)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_agg numHashes must be in [1,${BloomFilter.MaxHashes}], got $numHashes")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
@@ -177,10 +243,10 @@ case class BloomAgg(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = BloomFilter.toBytes(buf)
+  override def eval(buf: Array[Long]): Any = BloomFilter.toBytes(buf, numHashes)
 
-  override def serialize(buf: Array[Long]): Array[Byte]     = BloomFilter.toBytes(buf)
-  override def deserialize(bytes: Array[Byte]): Array[Long] = BloomFilter.fromBytes(bytes)
+  override def serialize(buf: Array[Long]): Array[Byte]     = BloomFilter.toRawBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = BloomFilter.fromRawBytes(bytes)
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean  = false
@@ -201,13 +267,12 @@ case class BloomAgg(
   * The filter bytes are typically a broadcast literal (`lit(bytes)`), so
   * codegen hoists them into a reference object — zero per-row decode.
   *
-  * numHashes is recovered from the PROBE side convention: callers pass it
-  * via the companion column builder, which closes over the same literal k
-  * the build used. Getting k wrong cannot produce false negatives for k' <=
-  * k (probing a subset of set bits) but would weaken fpp — the spec pins
-  * the round-trip.
+  * numHashes is read from the filter's own header ([[BloomFilter.header]]):
+  * the build writes k into the bytes it emits, so the probe structurally
+  * cannot disagree with the build — the spec pins the round-trip and the
+  * header-validation failure modes.
   */
-case class BloomMightContain(left: Expression, right: Expression, numHashes: Int = 4)
+case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
@@ -221,14 +286,14 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(bloom: Any, key: Any): Any =
-    BloomFilter.mightContain(bloom.asInstanceOf[Array[Byte]], numHashes, key.asInstanceOf[UTF8String])
+    BloomFilter.mightContain(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
       (bloom, key) =>
-        s"${ev.value} = graft.functions.BloomFilter.mightContain($bloom, $numHashes, $key);"
+        s"${ev.value} = graft.functions.BloomFilter.mightContain($bloom, $key);"
     )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

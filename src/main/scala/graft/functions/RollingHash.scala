@@ -13,9 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The fast fingerprint path for exact-dup detection at corpus scale —
   * ~20x cheaper than md5 (no digest allocation, single pass, codegen'd
-  * tight loop) when cryptographic strength is not needed. The md5-based
-  * `q_text_fingerprint` stays as the oracle-checkable twin; this one is
-  * rows-only (DuckDB has no matching primitive).
+  * tight loop) when cryptographic strength is not needed. Hash-verified
+  * against DuckDB: no native primitive matches, but the arithmetic is
+  * SQL-expressible (hex-decoded bytes x recursive-CTE power table in
+  * hugeint) — see `q_text_fingerprint_fast`'s oracle.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 

@@ -355,7 +355,7 @@ object TextAnalysis {
     ),
     QueryDef(
       "q_text_fingerprint_fast",
-      "rolling-hash fingerprints via the codegen RollingHash expression (~20x cheaper than md5; rows-only — no DuckDB primitive matches)",
+      "rolling-hash fingerprints via the codegen RollingHash expression (~20x cheaper than md5). Hash-verified: DuckDB has no rolling-hash primitive, but the polynomial-mod-Mersenne arithmetic is expressible in SQL — UTF-8 bytes via hex(encode(text)), 131^i mod 2^61-1 via a recursive CTE (hugeint keeps every product exact: terms < 2^69, the 500-doc sums < 2^83), then sum mod M",
       (s, dir) => {
         graft.functions.RollingHash.register(s)
         Tables
@@ -367,7 +367,21 @@ object TextAnalysis {
           .orderBy(col("doc_id"))
           .limit(500)
       },
-      None
+      Some("""WITH RECURSIVE docs AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |  FROM documents ORDER BY doc_id LIMIT 500),
+             |pows(i, p) AS (
+             |  SELECT 0, 1::hugeint
+             |  UNION ALL
+             |  SELECT i + 1, (p * 131) % 2305843009213693951::hugeint FROM pows
+             |  WHERE i < (SELECT max(n) FROM docs) - 1),
+             |bytes AS (
+             |  SELECT doc_id, unnest(generate_series(0, n - 1)) AS i, hx FROM docs)
+             |SELECT b.doc_id,
+             |  cast(sum((('0x' || substr(b.hx, 2 * b.i + 1, 2))::int::hugeint + 1) * pw.p)
+             |       % 2305843009213693951::hugeint AS bigint) AS fingerprint
+             |FROM bytes b JOIN pows pw ON b.i = pw.i
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
     ),
     QueryDef(
       "q_text_heavyhitters",
@@ -589,6 +603,70 @@ object TextAnalysis {
         val testGrams  = gramDocs.filter(col("split") === "test")
         val hits       = testGrams.join(trainGrams, Seq("g"), "left_semi")
         val nTest      = toks.filter(col("split") === "test").agg(count(lit(1)).as("n_test_docs"))
+        hits
+          .agg(
+            countDistinct(col("doc_id")).as("n_contaminated"),
+            countDistinct(col("g")).as("n_shared_grams")
+          )
+          .crossJoin(broadcast(nTest))
+          .select(col("n_contaminated"), col("n_test_docs"), col("n_shared_grams"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    CASE WHEN ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int < 204 THEN 'train'
+             |         WHEN ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int < 230 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |idx AS (
+             |  SELECT doc_id, split, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, split, md5(array_to_string(t[i:i+12], ' ')) AS g FROM idx),
+             |trg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+             |teg AS (SELECT doc_id, g FROM grams WHERE split = 'test')
+             |SELECT
+             |  (SELECT count(DISTINCT doc_id) FROM teg JOIN trg USING (g)) AS n_contaminated,
+             |  (SELECT count(1) FROM toks WHERE split = 'test') AS n_test_docs,
+             |  (SELECT count(DISTINCT teg.g) FROM teg JOIN trg USING (g)) AS n_shared_grams""".stripMargin)
+    ),
+    QueryDef(
+      "q_contamination_bloom",
+      "bloom-prefiltered 13-gram decontamination (the GPT-3/Dolma production shape): build a self-describing Bloom filter over the TRAIN grams (one mergeable aggregate — a few MB of bits, no shuffle of the big side), broadcast it, map-side probe every TEST gram, and exact-verify only the probable hits with a semi-join. End-to-end EXACT (the verify join removes the fpp residue), so the oracle is the same SQL as q_contamination_ngram — at 100 TB the win is that the semi-join's left side shrinks from all test grams to true hits + an fpp-bounded trickle",
+      (s, dir) => {
+        graft.functions.BloomFilter.register(s)
+        val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+        val toks = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            col("doc_id"),
+            split(col("text"), " ").as("t"),
+            when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split")
+          )
+        val gramDocs = toks
+          .select(
+            col("doc_id"),
+            col("split"),
+            explode(
+              when(
+                size(col("t")) >= 13,
+                expr("transform(sequence(0, size(t) - 13), i -> md5(concat_ws(' ', slice(t, i + 1, 13))))")
+              ).otherwise(expr("array()"))
+            ).as("g")
+          )
+          .distinct()
+          // referenced three times (filter build, verify side, test side)
+          .localCheckpoint()
+        val trainGrams = gramDocs.filter(col("split") === "train").select(col("g")).distinct()
+        // ~1M grams/GB of text: 2^23 bits / k=5 holds fpp < 1% up to ~1M
+        // keys; at real scale size via BloomFilter.suggest from a corpus
+        // stat. The filter is ONE row — broadcast, never shuffled.
+        val bloom = trainGrams.agg(expr(s"bloom_agg(g, ${1 << 23}, 5)").as("bf"))
+        val candidates = gramDocs
+          .filter(col("split") === "test")
+          .crossJoin(broadcast(bloom))
+          .filter(expr("bloom_might_contain(bf, g)"))
+          .select(col("doc_id"), col("g"))
+        val hits  = candidates.join(trainGrams, Seq("g"), "left_semi")
+        val nTest = toks.filter(col("split") === "test").agg(count(lit(1)).as("n_test_docs"))
         hits
           .agg(
             countDistinct(col("doc_id")).as("n_contaminated"),

@@ -270,7 +270,16 @@ object EventLogWriter {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File(logDir)
     dir.mkdirs()
-    val rows = graft.Tables
+    val target = dir.getAbsolutePath
+    // Executor-side writes (round-9 fix): the old driver-side collect() was
+    // a driver-memory bomb at any real sf — Bench warms this against sfDir.
+    // Hash-repartitioning on `p` puts each log partition wholly inside one
+    // Spark partition (possibly sharing it with others), and the
+    // within-partition sort makes (p, event_id) groups contiguous, so each
+    // file is written exactly once, in offset order, by the executor that
+    // owns it. Local-FS note: the event log is the single-host stand-in for
+    // a broker; on a real cluster `target` would be shared storage.
+    graft.Tables
       .events(spark, sfDir)
       .select(
         (col("event_id") % numPartitions).cast("int").as("p"),
@@ -278,19 +287,25 @@ object EventLogWriter {
         to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
           .as("payload")
       )
-      .collect()
-    (0 until numPartitions).foreach { p =>
-      val f = new java.io.PrintWriter(new java.io.File(dir, s"partition-$p.log"), "UTF-8")
-      try rows
-        .filter(_.getInt(0) == p)
-        .sortBy(_.getLong(1))
-        .foreach { r =>
-          val id     = r.getLong(1)
-          val offset = OffsetCodec.encode(id / 1000, id % 1000)
-          f.println(s"$offset\t${r.getString(2)}")
-        }
-      finally f.close()
-    }
+      .repartition(numPartitions, col("p"))
+      .sortWithinPartitions(col("p"), col("event_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var curP = -1
+        var w: java.io.PrintWriter = null
+        try {
+          while (it.hasNext) {
+            val r = it.next()
+            val p = r.getInt(0)
+            if (p != curP) {
+              if (w != null) w.close()
+              curP = p
+              w = new java.io.PrintWriter(new java.io.File(target, s"partition-$p.log"), "UTF-8")
+            }
+            val id = r.getLong(1)
+            w.println(s"${OffsetCodec.encode(id / 1000, id % 1000)}\t${r.getString(2)}")
+          }
+        } finally if (w != null) w.close()
+      }
     logDir
   }
 }
