@@ -184,6 +184,76 @@ object StreamingPipelines {
   ): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Build the serialized gram Bloom filter a [[decontaminateStream]]
+    * probe needs: one mergeable `bloom_agg` over the benchmark/eval
+    * corpus's distinct n-grams. The single-row collect is the FILTER (a
+    * few MB of bits, bounded by numBits/8) — never the grams; the
+    * aggregation tree ships one partial buffer per partition. At 100 TB
+    * the eval corpus is the small side by construction (benchmarks are
+    * MBs, the contamination target is the stream).
+    */
+  def buildGramBloom(
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      gramN: Int = 13,
+      numBits: Int = 1 << 23,
+      numHashes: Int = 5
+  ): Array[Byte] = {
+    graft.functions.BloomFilter.register(evalDocs.sparkSession)
+    evalDocs
+      .select(split(col(textCol), " ").as("_t"))
+      .select(
+        explode(
+          when(
+            size(col("_t")) >= gramN,
+            expr(s"transform(sequence(0, size(_t) - $gramN), i -> md5(concat_ws(' ', slice(_t, i + 1, $gramN))))")
+          ).otherwise(expr("array()"))
+        ).as("g")
+      )
+      .agg(expr(s"bloom_agg(g, $numBits, $numHashes)"))
+      .head()
+      .getAs[Array[Byte]](0)
+  }
+
+  /** Streaming decontamination-on-ingest: tag each arriving document with
+    * how many of its n-grams hit a PRE-BUILT broadcast Bloom filter of
+    * eval-corpus grams ([[buildGramBloom]]).
+    *
+    * Deliberately MAP-ONLY — no explode-then-regroup (a streaming
+    * aggregation would need a watermark and per-doc state): grams are
+    * computed and probed inside higher-order functions on the row, so the
+    * operator is stateless, shuffle-free, and works identically in batch
+    * and streaming. The filter bytes travel as a literal the codegen
+    * hoists into a reference object — zero per-row decode.
+    *
+    * Guarantee: NO false negatives (a doc sharing any n-gram with the eval
+    * corpus is always flagged); `n_suspect` overcounts by the filter's fpp
+    * only, and flagged docs are the fpp-bounded trickle an exact
+    * verify (batch semi-join, see `q_contamination_bloom`) finishes off.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      bloomBytes: Array[Byte],
+      textCol: String = "text",
+      gramN: Int = 13
+  ): DataFrame = {
+    graft.functions.BloomFilter.register(docs.sparkSession)
+    docs
+      .withColumn("_bf", lit(bloomBytes))
+      .withColumn("_t", split(col(textCol), " "))
+      .withColumn(
+        "_grams",
+        when(
+          size(col("_t")) >= gramN,
+          expr(s"transform(sequence(0, size(_t) - $gramN), i -> md5(concat_ws(' ', slice(_t, i + 1, $gramN))))")
+        ).otherwise(expr("array()"))
+      )
+      .withColumn("n_grams", size(col("_grams")))
+      .withColumn("n_suspect", size(expr("filter(_grams, g -> bloom_might_contain(_bf, g))")))
+      .withColumn("contaminated", col("n_suspect") > 0)
+      .drop("_bf", "_t", "_grams")
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * `KeyValueGroupedDataset` custom-state seam (SURVEY §2.2 streaming
     * rows). Unlike [[sessionized]] (built-in `session_window`), this keeps
