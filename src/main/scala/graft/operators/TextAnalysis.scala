@@ -630,7 +630,7 @@ object TextAnalysis {
     ),
     QueryDef(
       "q_contamination_bloom",
-      "bloom-prefiltered 13-gram decontamination (the GPT-3/Dolma production shape): build a self-describing Bloom filter over the TRAIN grams (one mergeable aggregate — a few MB of bits, no shuffle of the big side), broadcast it, map-side probe every TEST gram, and exact-verify only the probable hits with a semi-join. End-to-end EXACT (the verify join removes the fpp residue), so the oracle is the same SQL as q_contamination_ngram — at 100 TB the win is that the semi-join's left side shrinks from all test grams to true hits + an fpp-bounded trickle",
+      "bloom-prefiltered 13-gram decontamination (the GPT-3/Dolma production shape): build a self-describing Bloom filter over the SMALL side (the test/eval grams — one mergeable aggregate, a few MB of bits), broadcast it, and stream the HUGE side (every train gram) through a map-only probe — the train corpus is never shuffled; only the fpp-bounded candidate grams reach a shuffle, and an exact join against the test grams removes the false-positive residue. End-to-end EXACT, same oracle as q_contamination_ngram; at 100 TB this is the only shape that works — the unfiltered query must distinct-shuffle every gram of the full corpus",
       (s, dir) => {
         graft.functions.BloomFilter.register(s)
         val b = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
@@ -641,10 +641,19 @@ object TextAnalysis {
             split(col("text"), " ").as("t"),
             when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split")
           )
-        val gramDocs = toks
+        // RAW exploded grams, no distinct and no materialization: bloom
+        // inserts are idempotent and the exact-verify join tolerates
+        // duplicate keys, so the full-gram-set distinct shuffle the plain
+        // n-gram query needs never happens here. The small (test) side is
+        // exploded twice — build and verify — which costs far less than
+        // one materialization of the full gram set; the big (train) side
+        // is exploded exactly once and never shuffled: its only consumer
+        // is the map-side probe, and only the fpp-bounded candidates
+        // continue.
+        def grams(side: String) = toks
+          .filter(col("split") === side)
           .select(
             col("doc_id"),
-            col("split"),
             explode(
               when(
                 size(col("t")) >= 13,
@@ -652,20 +661,27 @@ object TextAnalysis {
               ).otherwise(expr("array()"))
             ).as("g")
           )
-          .distinct()
-          // referenced three times (filter build, verify side, test side)
-          .localCheckpoint()
-        val trainGrams = gramDocs.filter(col("split") === "train").select(col("g")).distinct()
         // ~1M grams/GB of text: 2^23 bits / k=5 holds fpp < 1% up to ~1M
         // keys; at real scale size via BloomFilter.suggest from a corpus
-        // stat. The filter is ONE row — broadcast, never shuffled.
-        val bloom = trainGrams.agg(expr(s"bloom_agg(g, ${1 << 23}, 5)").as("bf"))
-        val candidates = gramDocs
-          .filter(col("split") === "test")
-          .crossJoin(broadcast(bloom))
-          .filter(expr("bloom_might_contain(bf, g)"))
-          .select(col("doc_id"), col("g"))
-        val hits  = candidates.join(trainGrams, Seq("g"), "left_semi")
+        // stat. The filter is ONE size-bounded row (numBits/8 bytes)
+        // collected to the driver and re-emitted as a LITERAL: joining it
+        // in as a column makes every probe pay an UnsafeRow.getBinary
+        // COPY of the full filter (measured 2.5x slower than the
+        // unfiltered query at sf0.1); as a literal, projection collapse
+        // inlines it and codegen hoists it into one reference object.
+        val testDocs = Tables.documents(s, dir).filter(b >= 230)
+        val bloomBytes =
+          graft.streaming.StreamingPipelines.buildGramBloom(testDocs, numBits = 1 << 23, numHashes = 5)
+        // train grams that might be test grams: candidates are exact on
+        // the train side (they ARE train grams) and fpp-loose on the test
+        // side — the equi-join against real test grams below removes that
+        // residue, so the result is exact
+        val candidates = grams("train")
+          .select(col("g"), lit(bloomBytes).as("_bf"))
+          .filter(expr("bloom_might_contain(_bf, g)"))
+          .select(col("g"))
+          .distinct()
+        val hits  = grams("test").join(candidates, Seq("g"), "left_semi")
         val nTest = toks.filter(col("split") === "test").agg(count(lit(1)).as("n_test_docs"))
         hits
           .agg(
