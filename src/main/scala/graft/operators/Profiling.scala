@@ -277,6 +277,52 @@ object Profiling {
              |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_drift_psi",
+      "distribution-drift monitor: per-source Population Stability Index of the doc-length distribution vs the whole corpus (the between-snapshot check a training pipeline runs on every new crawl; PSI > 0.2 conventionally flags actionable drift). Fixed-width capped buckets, Laplace 0.5-smoothing so empty buckets contribute their full drift term instead of a log(0); each term is cast to decimal(18,12) before the per-source sum so the <=10-term addition is order-independent and hash-matches the oracle",
+      (s, dir) => {
+        val b = Tables
+          .documents(s, dir)
+          .select(col("source"), least(lit(9L), expr("n_chars div 200")).as("bkt"))
+        val sb     = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb"))
+        val srcTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+        val cb     = b.groupBy(col("bkt")).agg(count(lit(1)).as("n_b"))
+        val tot    = b.agg(count(lit(1)).as("n"))
+        // grid: every (source x observed bucket), so a source MISSING a
+        // bucket the corpus has still pays that bucket's drift term —
+        // that absence IS the drift signal. Buckets/sources are small
+        // (<=10 x n_sources); the doc table itself never joins.
+        val p = (coalesce(col("n_sb"), lit(0L)) + lit(0.5)) / (col("n_s") + lit(5.0))
+        val q = (col("n_b") + lit(0.5)) / (col("n") + lit(5.0))
+        srcTot
+          .crossJoin(broadcast(cb))
+          .crossJoin(broadcast(tot))
+          .join(sb, Seq("source", "bkt"), "left_outer")
+          .select(col("source"), col("n_s"), ((p - q) * log(p / q)).cast("decimal(18,12)").as("term"))
+          .groupBy(col("source"), col("n_s"))
+          .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+          .select(col("source"), col("n_s").cast("long").as("n_docs"), col("psi"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source, least(9, n_chars // 200) AS bkt FROM documents),
+             |sb AS (SELECT source, bkt, count(1) AS n_sb FROM b GROUP BY 1, 2),
+             |st AS (SELECT source, count(1) AS n_s FROM b GROUP BY 1),
+             |cb AS (SELECT bkt, count(1) AS n_b FROM b GROUP BY 1),
+             |tot AS (SELECT count(1) AS n FROM b),
+             |terms AS (
+             |  SELECT st.source, st.n_s,
+             |    cast(
+             |      (((coalesce(sb.n_sb, 0) + 0.5) / (st.n_s + 5.0))
+             |        - ((cb.n_b + 0.5) / (tot.n + 5.0)))
+             |      * ln(((coalesce(sb.n_sb, 0) + 0.5) / (st.n_s + 5.0))
+             |           / ((cb.n_b + 0.5) / (tot.n + 5.0)))
+             |      as decimal(18,12)) AS term
+             |  FROM st CROSS JOIN cb CROSS JOIN tot
+             |  LEFT JOIN sb ON sb.source = st.source AND sb.bkt = cb.bkt)
+             |SELECT source, cast(n_s as bigint) AS n_docs,
+             |  round(cast(cast(sum(term) as varchar) as double), 6) AS psi
+             |FROM terms GROUP BY source, n_s ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
       "q_event_gapfill",
       "time-series resample with gap-fill: hourly counts left-joined onto a generated dense hour dimension (zero for silent hours)",
       (s, dir) => {
