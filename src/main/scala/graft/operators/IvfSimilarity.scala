@@ -286,6 +286,45 @@ object IvfSimilarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q_drift_semantic",
+      s"EMBEDDING-SPACE drift monitor: per-label PSI over the IVF cluster-occupancy distribution vs the whole corpus — the semantic companion of q_drift_psi (length drift can be flat while a label quietly occupies different regions of embedding space; cluster ids are the buckets, so the check reuses the build-once IVF artifact instead of touching raw vectors). Same Laplace-smoothed, decimal-term PSI construction; the embeddings table never joins anything bigger than the $K-row cluster census",
+      (s, dir) => {
+        val a   = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val b   = Tables.embeddings(s, dir).select(col("vec_id"), col("label")).join(a, "vec_id")
+        val sb  = b.groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n_sb"))
+        val st  = sb.groupBy(col("label")).agg(sum(col("n_sb")).as("n_s"))
+        val cb  = b.groupBy(col("cid")).agg(count(lit(1)).as("n_b"))
+        val tot = b.agg(count(lit(1)).as("n"))
+        val p   = (coalesce(col("n_sb"), lit(0L)) + lit(0.5)) / (col("n_s") + lit(0.5 * K))
+        val q   = (col("n_b") + lit(0.5)) / (col("n") + lit(0.5 * K))
+        st.crossJoin(broadcast(cb))
+          .crossJoin(broadcast(tot))
+          .join(sb, Seq("label", "cid"), "left_outer")
+          .select(col("label"), col("n_s"), ((p - q) * log(p / q)).cast("decimal(18,12)").as("term"))
+          .groupBy(col("label"), col("n_s"))
+          .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+          .select(col("label"), col("n_s").cast("long").as("n_vecs"), col("psi"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $assignmentsSql,
+              |b AS (SELECT e.label, a2.cid FROM embeddings e JOIN a2 USING (vec_id)),
+              |sb AS (SELECT label, cid, count(1) AS n_sb FROM b GROUP BY 1, 2),
+              |st AS (SELECT label, count(1) AS n_s FROM b GROUP BY 1),
+              |cb AS (SELECT cid, count(1) AS n_b FROM b GROUP BY 1),
+              |tot AS (SELECT count(1) AS n FROM b),
+              |terms AS (
+              |  SELECT st.label, st.n_s,
+              |    cast((((coalesce(sb.n_sb, 0) + 0.5) / (st.n_s + ${0.5 * K}))
+              |        - ((cb.n_b + 0.5) / (tot.n + ${0.5 * K})))
+              |      * ln(((coalesce(sb.n_sb, 0) + 0.5) / (st.n_s + ${0.5 * K}))
+              |           / ((cb.n_b + 0.5) / (tot.n + ${0.5 * K}))) as decimal(18,12)) AS term
+              |  FROM st CROSS JOIN cb CROSS JOIN tot
+              |  LEFT JOIN sb ON sb.label = st.label AND sb.cid = cb.cid)
+              |SELECT label, cast(n_s as bigint) AS n_vecs,
+              |  round(cast(cast(sum(term) as varchar) as double), 6) AS psi
+              |FROM terms GROUP BY label, n_s ORDER BY label""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_ivf_build",
       s"IVF index build: deterministic k-means ($K clusters, 2 Lloyd iterations, first-$K init) — cluster census with mean within-cluster distance",
       (s, dir) =>
