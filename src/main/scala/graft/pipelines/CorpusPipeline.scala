@@ -172,6 +172,12 @@ object CorpusPipeline {
     *     park rename are carried forward for BATCH writers, but the sink
     *     log would still reference compacted-away paths).
     *
+    * With `decontaminateBloom` set (built once over the eval corpus via
+    * [[graft.streaming.StreamingPipelines.buildGramBloom]]), a
+    * decontamination-on-ingest stage runs between quality and dedup:
+    * stateless map-only gram probes, contaminated docs dropped, per-batch
+    * counts observable as `corpus_decon`.
+    *
     * Returns the started [[StreamingQuery]]; the caller owns its lifecycle.
     */
   def runStreaming(
@@ -182,7 +188,8 @@ object CorpusPipeline {
       schema: org.apache.spark.sql.types.StructType = graft.sources.JsonlCorpus.documentsSchema,
       minQuality: Double = 0.3,
       dedupHorizon: String = "10 minutes",
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      decontaminateBloom: Option[Array[Byte]] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = graft.sources.JsonlCorpus
       .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
@@ -199,7 +206,26 @@ object CorpusPipeline {
       .qualityFrame(raw)
       .filter(col("quality") >= minQuality)
       .select(raw.columns.toIndexedSeq.map(col): _*)
-    val deduped = kept
+    // optional decontamination-on-ingest: drop any doc sharing a 13-gram
+    // with the eval corpus the bloom was built over
+    // ([[graft.streaming.StreamingPipelines.buildGramBloom]]). The bloom
+    // guarantees no false negatives, so nothing contaminated gets through;
+    // the fpp-bounded over-drop is the accepted trade at ingest time (an
+    // exact verify needs the eval grams, a batch-side join) and is
+    // OBSERVABLE per micro-batch via the corpus_decon metric.
+    val decontaminated = decontaminateBloom match {
+      case None => kept
+      case Some(bytes) =>
+        graft.streaming.StreamingPipelines
+          .decontaminateStream(kept, bytes)
+          .observe(
+            "corpus_decon",
+            coalesce(sum(col("contaminated").cast("long")), lit(0L)).as("n_contaminated")
+          )
+          .filter(!col("contaminated"))
+          .drop("n_grams", "n_suspect", "contaminated")
+    }
+    val deduped = decontaminated
       .withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
       .withColumn("_arrival", current_timestamp())
       .withWatermark("_arrival", dedupHorizon)

@@ -324,6 +324,39 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest with decontamination: eval-overlapping docs dropped at ingest, counted") {
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("pipeline-decon").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+
+    // eval corpus = one benchmark doc; the bloom is built over its 13-grams
+    val evalText = "what is the capital of france the answer is paris and it has been since the tenth century"
+    val bloom = graft.streaming.StreamingPipelines.buildGramBloom(
+      Seq((999L, evalText)).toDF("doc_id", "text"), numBits = 1 << 18, numHashes = 5)
+
+    val clean = "a long and perfectly original passage about columnar storage formats and their row group statistics in modern analytics engines"
+    landFile(
+      "arrival-0.jsonl",
+      doc(1, clean),                                         // survives
+      doc(2, s"leaked prefix $evalText trailing words here") // shares 13-grams with eval -> dropped
+    )
+    val q = CorpusPipeline.runStreaming(
+      spark, land, s"$dir/corpus", s"$dir/ckpt",
+      minQuality = 0.3, dedupHorizon = "10 minutes", decontaminateBloom = Some(bloom))
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), s"contaminated doc must be dropped at ingest: $ids")
+      val observed = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("corpus_decon"))).toSeq
+      assert(observed.map(_.getLong(0)).sum === 1L, "the drop must be counted, not silent")
+    } finally q.stop()
+  }
+
   test("streaming NEAR-dup on arrival: durable band index drops cross-batch near-dups, CC drops within-batch ones") {
     val dir  = Files.createTempDirectory("pipeline-neardup").toString
     val land = s"$dir/landing"
