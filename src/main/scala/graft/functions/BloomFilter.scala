@@ -25,16 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Design choices:
   *   - the SERIALIZED filter is self-describing: an 8-byte header (magic
- *     "GBF", version, numHashes, 3 reserved zero bytes) precedes the
- *     little-endian bit words, and the probe reads k FROM the header. A
- *     raw-bits format would make a build/probe k mismatch silently
- *     produce FALSE NEGATIVES (probing bits the build never set) — in a
- *     decontamination prefilter that means contamination slipping
- *     through undetected; Spark's own BloomFilterImpl serializes
- *     version+numHashes for the same reason. Two filters built with the
- *     same sizing still OR-combine with a plain byte-wise OR: identical
- *     headers OR to themselves.
- *   - bits are `Array[Long]` words; `m` is rounded up to a multiple of 64.
+  *     "GBF", version, numHashes, 3 reserved zero bytes) precedes the
+  *     little-endian bit words, and the probe reads k FROM the header. A
+  *     raw-bits format would make a build/probe k mismatch silently
+  *     produce FALSE NEGATIVES (probing bits the build never set) — in a
+  *     decontamination prefilter that means contamination slipping
+  *     through undetected; Spark's own BloomFilterImpl serializes
+  *     version+numHashes for the same reason. Two filters built with the
+  *     same sizing still OR-combine with a plain byte-wise OR: identical
+  *     headers OR to themselves.
+  *   - bits are `Array[Long]` words; `m` is rounded up to a multiple of 64.
   *   - double hashing (Kirsch-Mitzenmacher 2006): two 32-bit Murmur3 hashes
   *     of the UTF-8 bytes (seeds 0xA5F1 and 0x9E37) combine as
   *     `h1 + i*h2` for the i-th probe — k independent hash families are
