@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.JsonDecode
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -253,6 +253,79 @@ object StreamingPipelines {
       .withColumn("contaminated", col("n_suspect") > 0)
       .drop("_bf", "_t", "_grams")
   }
+
+  /** Doc-length bucketizer shared by the drift monitor and its batch twin
+    * (`q_drift_psi`): fixed-width 200-char buckets capped at 10 — fixed
+    * edges, so distributions from different snapshots/batches are
+    * comparable without a quantile pass.
+    */
+  def lengthBucket(nChars: Column): Column =
+    least(lit(9L), floor(nChars / 200).cast("long"))
+
+  /** The reference distribution a [[driftMonitor]] compares against:
+    * bucket -> probability from the training snapshot. Driver collect is
+    * bounded by the bucket count (<= 10 rows), computed ONCE per model
+    * generation, not per batch.
+    */
+  def referenceDistribution(snapshot: DataFrame, bucket: Column): Map[Long, Double] = {
+    val rows = snapshot
+      .select(bucket.as("bkt"))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_b"))
+      .collect()
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    rows.map(r => r.getLong(0) -> r.getLong(1) / n).toMap
+  }
+
+  /** PSI of one batch's bucket distribution vs the reference — one output
+    * row (n_docs, psi). Same Laplace-smoothed construction as
+    * `q_drift_psi`; reference buckets ABSENT from the batch still
+    * contribute their term (the absence is the drift), and the reference
+    * probability is floored at 1e-6 so a bucket the reference never saw
+    * stays finite instead of dividing by zero.
+    */
+  def batchPsi(batch: DataFrame, refDist: Map[Long, Double], bucket: Column): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val B    = math.max(1, refDist.size)
+    val sb   = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b"))
+    val tot  = sb.agg(coalesce(sum(col("n_b")), lit(0L)).as("n"))
+    val ref  = refDist.toSeq.toDF("bkt", "q0")
+    val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5 * B))
+    val q    = greatest(col("q0"), lit(1e-6))
+    ref
+      .crossJoin(broadcast(tot))
+      .join(sb, Seq("bkt"), "left_outer")
+      .select(col("n"), ((p - q) * log(p / q)).cast("decimal(18,12)").as("term"))
+      .groupBy(col("n"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("n").cast("long").as("n_docs"), col("psi"))
+  }
+
+  /** Streaming distribution-drift monitor: one PSI row per micro-batch
+    * against the fixed reference, appended as a replay-safe per-batch dir
+    * (same idempotency pattern as [[idempotentParquetSink]] — a replayed
+    * batch overwrites its own dir, never duplicates). The per-batch work
+    * is one tiny aggregation (<= B groups); the alerting query downstream
+    * is a plain read of `outPath` filtered on `psi > threshold` (0.2 is
+    * the conventional actionable-drift line).
+    */
+  def driftMonitor(
+      docs: DataFrame,
+      refDist: Map[Long, Double],
+      outPath: String,
+      checkpoint: String,
+      bucket: Column = lengthBucket(col("n_chars"))
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchPsi(batch, refDist, bucket)
+          .write
+          .mode("overwrite")
+          .parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * `KeyValueGroupedDataset` custom-state seam (SURVEY §2.2 streaming

@@ -88,6 +88,20 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(bits == (Int.MaxValue.toLong / 64) * 64, "cap should be the largest 64-multiple fitting Int")
   }
 
+  test("serialized filters OR-combine byte-wise into the union filter (multi-benchmark merge)") {
+    // the advertised downstream-union property: two eval sets' filters,
+    // built with the same sizing, OR into exactly the jointly-built filter
+    // — identical headers OR to themselves, bit words OR to the union
+    val (a, b)  = ((0 until 400).map("bench1-" + _), (0 until 400).map("bench2-" + _))
+    val (bits, k) = (8192, 5)
+    val fa    = buildLocal(a, bits, k)
+    val fb    = buildLocal(b, bits, k)
+    val union = fa.zip(fb).map { case (x, y) => (x | y).toByte }
+    assert(union.toSeq == buildLocal(a ++ b, bits, k).toSeq)
+    assert(BloomFilter.numHashesOf(union) == k)
+    assert((a ++ b).forall(s => BloomFilter.mightContain(union, UTF8String.fromString(s))))
+  }
+
   test("SQL aggregate + probe: distributed build equals local build, codegen and interpreted") {
     BloomFilter.register(spark)
     import spark.implicits._
