@@ -47,6 +47,33 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture content shape holds: props has $.k, docs tokenize, embeddings are uniform") {
+    import org.apache.spark.sql.functions._
+    // the content assumptions 20+ queries bake in — if the driver
+    // regenerates fixtures with a different JSON key / empty text /
+    // ragged embedding dims, THIS fails by name instead of a query wall
+    for (dir <- sfDirs.take(2)) {
+      val kNonNull = Tables
+        .events(spark, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .count()
+      assert(kNonNull > 0, s"events.props@$dir no longer carries a numeric $$.k key")
+
+      val docRow = Tables
+        .documents(spark, dir)
+        .agg(
+          sum((size(split(col("text"), " ")) >= 2).cast("long")).as("multi_token"),
+          count(lit(1)).as("n")
+        )
+        .head()
+      assert(docRow.getLong(0) > docRow.getLong(1) / 2, s"documents.text@$dir no longer tokenizes on spaces")
+
+      val dims = Tables.embeddings(spark, dir).select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+      assert(dims.length == 1 && dims.head > 0, s"embeddings@$dir dims not uniform: ${dims.toSeq}")
+    }
+  }
+
   test("events.ts epoch emission is stable across sf dirs (sanity on real data)") {
     // epoch seconds must be in a plausible range (the fixtures are 2023-24
     // era synthetic events) — catches unit mistakes (ns-as-s would be year
