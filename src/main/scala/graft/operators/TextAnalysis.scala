@@ -797,6 +797,49 @@ object TextAnalysis {
              |GROUP BY source ORDER BY source""".stripMargin)
     ),
     QueryDef(
+      "q_mixture_plan",
+      "training-mixture planner (the stage whose output q_sample_temperature consumes): per-source TOKEN counts, temperature-weighted shares (n_tokens^0.5 — sqrt for the same IEEE-correctly-rounded reason as the sampler), and expected EPOCHS per source under a half-corpus token budget. Epochs > 1 flags sources the plan would repeat (the repeats-hurt-after-4-epochs accounting a data-constrained run needs BEFORE training); the whole query is one token-count aggregation plus arithmetic over the |sources|-row frame",
+      (s, dir) => {
+        val stats = Tables
+          .fanout(Tables.documents(s, dir))
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).cast("long").as("n_tokens"))
+          .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(18,12)"))
+          .localCheckpoint()
+        val tot = stats.agg(
+          sum(col("w")).cast("double").as("sw"),
+          sum(col("n_tokens")).cast("long").as("t_tot")
+        )
+        stats
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source"),
+            col("n_tokens"),
+            round(col("w").cast("double") / col("sw"), 6).as("share"),
+            round(
+              col("w").cast("double") / col("sw") * (col("t_tot").cast("double") * lit(0.5)) /
+                col("n_tokens").cast("double"),
+              6
+            ).as("epochs")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH stats AS (
+             |  SELECT source,
+             |    cast(sum(cast(len(string_split(text, ' ')) as bigint)) as bigint) AS n_tokens,
+             |    cast(sqrt(cast(sum(cast(len(string_split(text, ' ')) as bigint)) as double)) as decimal(18,12)) AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (
+             |  SELECT cast(cast(sum(w) as varchar) as double) AS sw,
+             |    cast(sum(n_tokens) as bigint) AS t_tot
+             |  FROM stats)
+             |SELECT source, n_tokens,
+             |  round(cast(w as double) / sw, 6) AS share,
+             |  round(cast(w as double) / sw * (cast(t_tot as double) * 0.5)
+             |        / cast(n_tokens as double), 6) AS epochs
+             |FROM stats CROSS JOIN tot ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_temperature",
       "temperature-based source rebalancing (alpha = 0.5, the multilingual-LM upsampling standard): per-source sampling mass proportional to n^alpha flattens the source distribution — big sources downsample, small ones keep everything — with a 20%-of-corpus budget. alpha is 0.5 BECAUSE sqrt is the one power IEEE guarantees correctly rounded, so the keep fractions are bit-identical across engines with no rounding defense (pow/exp/ln differ by 1 ulp between StrictMath and libm); generalizing to other alphas needs an engine-pinned pow. Selection is the deterministic md5-bucket rule, so the sample is reproducible across runs and engines",
       (s, dir) => {
