@@ -289,12 +289,15 @@ object IvfSimilarity {
       "q_drift_semantic",
       s"EMBEDDING-SPACE drift monitor: per-label PSI over the IVF cluster-occupancy distribution vs the whole corpus — the semantic companion of q_drift_psi (length drift can be flat while a label quietly occupies different regions of embedding space; cluster ids are the buckets, so the check reuses the build-once IVF artifact instead of touching raw vectors). Same Laplace-smoothed, decimal-term PSI construction; the embeddings table never joins anything bigger than the $K-row cluster census",
       (s, dir) => {
-        val a   = assignments(s, dir).select(col("vec_id"), col("cid"))
-        val b   = Tables.embeddings(s, dir).select(col("vec_id"), col("label")).join(a, "vec_id")
-        val sb  = b.groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n_sb"))
+        val a = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val b = Tables.embeddings(s, dir).select(col("vec_id"), col("label")).join(a, "vec_id")
+        // one pass over the joined frame; everything else re-aggregates
+        // the tiny (label x cid) census (reference-once rule, as in
+        // q_drift_psi — PlanSpec pins the single embeddings scan)
+        val sb  = b.groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n_sb")).localCheckpoint()
         val st  = sb.groupBy(col("label")).agg(sum(col("n_sb")).as("n_s"))
-        val cb  = b.groupBy(col("cid")).agg(count(lit(1)).as("n_b"))
-        val tot = b.agg(count(lit(1)).as("n"))
+        val cb  = sb.groupBy(col("cid")).agg(sum(col("n_sb")).as("n_b"))
+        val tot = sb.agg(sum(col("n_sb")).as("n"))
         val p   = (coalesce(col("n_sb"), lit(0L)) + lit(0.5)) / (col("n_s") + lit(0.5 * K))
         val q   = (col("n_b") + lit(0.5)) / (col("n") + lit(0.5 * K))
         st.crossJoin(broadcast(cb))

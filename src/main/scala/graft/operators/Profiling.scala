@@ -283,10 +283,15 @@ object Profiling {
         val b = Tables
           .documents(s, dir)
           .select(col("source"), least(lit(9L), expr("n_chars div 200")).as("bkt"))
-        val sb     = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb"))
+        // ONE documents scan: every downstream frame re-aggregates the
+        // tiny (source x bucket) census — deriving cb/tot straight from
+        // `b` would duplicate the scan per reference (the repo's
+        // reference-an-unmaterialized-frame-once rule; PlanSpec pins the
+        // single scan)
+        val sb     = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb")).localCheckpoint()
         val srcTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
-        val cb     = b.groupBy(col("bkt")).agg(count(lit(1)).as("n_b"))
-        val tot    = b.agg(count(lit(1)).as("n"))
+        val cb     = sb.groupBy(col("bkt")).agg(sum(col("n_sb")).as("n_b"))
+        val tot    = sb.agg(sum(col("n_sb")).as("n"))
         // grid: every (source x observed bucket), so a source MISSING a
         // bucket the corpus has still pays that bucket's drift term —
         // that absence IS the drift signal. Buckets/sources are small

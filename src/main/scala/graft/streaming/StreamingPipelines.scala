@@ -287,9 +287,11 @@ object StreamingPipelines {
   def batchPsi(batch: DataFrame, refDist: Map[Long, Double], bucket: Column): DataFrame = {
     val sp = batch.sparkSession
     import sp.implicits._
-    val B    = math.max(1, refDist.size)
-    val sb   = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b"))
-    val tot  = sb.agg(coalesce(sum(col("n_b")), lit(0L)).as("n"))
+    val B = math.max(1, refDist.size)
+    // materialize the tiny bucket census: tot and the grid join both read
+    // it, and unmaterialized that duplicates the batch aggregation pass
+    val sb  = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b")).localCheckpoint()
+    val tot = sb.agg(coalesce(sum(col("n_b")), lit(0L)).as("n"))
     val ref  = refDist.toSeq.toDF("bkt", "q0")
     val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5 * B))
     val q    = greatest(col("q0"), lit(1e-6))

@@ -283,6 +283,50 @@ class PlanSpec extends AnyFunSuite {
       "only the sampling pass may scan documents")
   }
 
+  test("q_drift_psi: ONE documents scan — every other frame re-aggregates the checkpointed census") {
+    val df = q("q_drift_psi")
+    // the eager census checkpoint carries the single scan at build time,
+    // so the executed query itself shows at most one (often zero) — the
+    // pin is that it can never be the 3 scans the naive cb/tot forms cost
+    assert(countNodes(df, "Scan parquet") <= 1,
+      "cb/tot must derive from the (source x bucket) census, not re-scan documents")
+  }
+
+  test("q_drift_semantic: ONE embeddings parquet scan — census reuse, artifact-backed assignments") {
+    val df = q("q_drift_semantic")
+    assert(countNodes(df, "Scan parquet") <= 2, // embeddings + (artifact parquet when durable root set)
+      "label/cluster census must be re-aggregated, not re-joined from scratch")
+  }
+
+  test("q_json_variant: straight-line decode — no joins, no generate, one scan") {
+    val df    = q("q_json_variant")
+    val nodes = allNodes(executed(df))
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!nodes.exists(_.nodeName.contains("Join")), "variant decode must not join")
+    assert(!nodes.exists(_.nodeName.contains("Generate")), "variant decode must not explode")
+  }
+
+  test("q_contamination_bloom: the bloom probe filters train grams BEFORE any shuffle") {
+    val df    = q("q_contamination_bloom")
+    val nodes = allNodes(executed(df))
+    val probeFilters = nodes.filter(n =>
+      n.nodeName.contains("Filter") && n.toString.contains("bloom_might_contain"))
+    assert(probeFilters.nonEmpty, "the literal bloom probe must appear as a Filter")
+    // between the gram Generate and the probe Filter there must be NO
+    // shuffle: the probe is map-side on the train explode, so only the
+    // fpp-bounded candidates ever reach an exchange
+    probeFilters.foreach { f =>
+      def path(p: SparkPlan): Seq[SparkPlan] =
+        if (p.nodeName.contains("Generate")) Seq(p)
+        else p.children.headOption.map(c => p +: path(c)).getOrElse(Seq(p))
+      val between = path(f).drop(1)
+      assert(between.exists(_.nodeName.contains("Generate")),
+        "probe filter must sit above the gram explode")
+      assert(!between.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "no shuffle between the gram explode and the bloom probe")
+    }
+  }
+
   test("q_dedup_spans: one documents scan, islands from one partitioned window, top-k without global sort") {
     val df = q("q_dedup_spans")
     assert(countNodes(df, "Scan parquet") === 1, "the positioned-gram frame comes from ONE documents scan")
