@@ -40,9 +40,11 @@ object Bench {
     // must cost only the queries that read it — those fail inside the timed
     // loop's own try and report -1 — never the whole artifact. BENCH_r09 was
     // rc=1 with zero numbers because one analysis error here escaped.
+    // NonFatal only: an OOM/LinkageError during warm-up means the JVM is
+    // already corrupt — aborting with rc!=0 beats publishing 133 -1s.
     def warm(what: String)(action: => Unit): Unit =
       try action
-      catch { case e: Throwable => System.err.println(s"[bench] warm-up '$what' FAILED (its queries will report -1): ${e.getMessage}") }
+      catch { case scala.util.control.NonFatal(e) => System.err.println(s"[bench] warm-up '$what' FAILED (its queries will report -1): ${e.getMessage}") }
     warm("jit")(spark.range(1000000).selectExpr("sum(id)").collect())
     // full-column noop writes, not count(): count() reads only footers, so
     // the first timed query would otherwise absorb the cold column scans

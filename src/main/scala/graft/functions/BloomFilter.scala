@@ -205,10 +205,15 @@ object BloomFilter {
 }
 
 /** The distributed filter build: one `Array[Long]` bit buffer per partial
-  * buffer, OR-merge up the aggregation tree, binary output. The output is
-  * pure bits (the probe takes numHashes explicitly), so two filters built
-  * with the same sizing OR-combine downstream with a plain byte-wise OR —
-  * no re-aggregation needed to union corpora.
+  * buffer, OR-merge up the aggregation tree, binary output. Only the
+  * partial-buffer shuffle (serialize/deserialize) uses the raw-word bit
+  * encoding; `eval` prefixes the final bytes with the 8-byte
+  * self-describing header (magic + version + numHashes — see
+  * [[BloomFilter.header]]), and the probe reads k from that header
+  * rather than taking it as an argument. Two filters built with the same
+  * sizing AND the same k still OR-combine downstream (byte-wise OR of the
+  * bit region behind identical headers) — no re-aggregation needed to
+  * union corpora.
   */
 case class BloomAgg(
     child: Expression,

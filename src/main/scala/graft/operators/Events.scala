@@ -82,27 +82,39 @@ object Events {
     ),
     QueryDef(
       "q_json_variant",
-      "Spark-4 VARIANT decode path: parse_json ONCE into the binary variant encoding, then typed variant_get extraction — at 100 TB this replaces per-call-site string re-parsing (get_json_object re-parses the JSON text at every extraction; variant parses once and each access is a binary traversal, with shredded-column pushdown on variant-aware scans). Missing keys surface as NULL via the typed get, counted explicitly — the drop-on-malformed accounting the reference decoder keeps (PulsarJSONMessageDecoder.java:61-73)",
+      "Spark-4 VARIANT decode path: try_parse_json ONCE into the binary variant encoding, then typed variant_get extraction — at 100 TB this replaces per-call-site string re-parsing (get_json_object re-parses the JSON text at every extraction; variant parses once and each access is a binary traversal, with shredded-column pushdown on variant-aware scans). try_parse_json (not strict parse_json) nulls out a malformed document instead of failing the query, and the malformed count is reported alongside missing keys — the full drop-on-malformed accounting the reference decoder keeps (PulsarJSONMessageDecoder.java:61-73)",
       (s, dir) =>
         Tables
           .events(s, dir)
-          .select(col("event_type"), expr("parse_json(props)").as("v"))
-          .select(col("event_type"), expr("variant_get(v, '$.k', 'bigint')").as("k_val"))
+          .select(col("event_type"), expr("try_parse_json(props)").as("v"))
+          .select(
+            col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+            col("v").isNull.cast("long").as("malformed")
+          )
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n"),
             sum(col("k_val")).as("sum_k"),
             min(col("k_val")).as("min_k"),
             max(col("k_val")).as("max_k"),
-            sum(col("k_val").isNull.cast("long")).as("n_missing")
+            sum(col("k_val").isNull.cast("long")).as("n_missing"),
+            sum(col("malformed")).as("n_malformed")
           )
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, count(1) AS n,
-             |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
-             |  cast(min(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS min_k,
-             |  cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS max_k,
-             |  cast(sum(cast(json_extract_string(props, '$.k') IS NULL as bigint)) as bigint) AS n_missing
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      Some("""WITH v AS (
+             |  SELECT event_type,
+             |    CASE WHEN json_valid(props)
+             |         THEN cast(json_extract_string(props, '$.k') as bigint) END AS k,
+             |    CASE WHEN coalesce(json_valid(props), FALSE) THEN 0 ELSE 1 END AS malformed
+             |  FROM events)
+             |SELECT event_type, count(1) AS n,
+             |  cast(sum(k) as bigint) AS sum_k,
+             |  cast(min(k) as bigint) AS min_k,
+             |  cast(max(k) as bigint) AS max_k,
+             |  cast(sum(cast(k IS NULL as bigint)) as bigint) AS n_missing,
+             |  cast(sum(malformed) as bigint) AS n_malformed
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     QueryDef(
       "q_event_window_tumbling",

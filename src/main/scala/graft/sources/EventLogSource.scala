@@ -266,6 +266,17 @@ object EventLogWriter {
       sfDir: String,
       logDir: String,
       numPartitions: Int = 4
+  ): String =
+    materializeFrom(graft.Tables.events(spark, sfDir), logDir, numPartitions)
+
+  /** Frame-accepting variant (the spec seam for data-skew cases, e.g. a
+    * frame whose ids all hash to one partition). `events` must carry
+    * `event_id, user_id, event_type, value`.
+    */
+  def materializeFrom(
+      events: org.apache.spark.sql.DataFrame,
+      logDir: String,
+      numPartitions: Int = 4
   ): String = {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File(logDir)
@@ -279,8 +290,16 @@ object EventLogWriter {
     // file is written exactly once, in offset order, by the executor that
     // owns it. Local-FS note: the event log is the single-host stand-in for
     // a broker; on a real cluster `target` would be shared storage.
-    graft.Tables
-      .events(spark, sfDir)
+    //
+    // The partition SET must not depend on data distribution: the read side
+    // discovers partitions by directory listing, so a partition that happens
+    // to own zero events still needs its file. Pre-create all numPartitions
+    // files empty on the driver; executors atomically replace the ones that
+    // own data.
+    (0 until numPartitions).foreach { p =>
+      new java.io.PrintWriter(new java.io.File(dir, s"partition-$p.log"), "UTF-8").close()
+    }
+    events
       .select(
         (col("event_id") % numPartitions).cast("int").as("p"),
         col("event_id"),
@@ -290,21 +309,39 @@ object EventLogWriter {
       .repartition(numPartitions, col("p"))
       .sortWithinPartitions(col("p"), col("event_id"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // Task retries / speculative attempts rewrite the same partition:
+        // each attempt writes to its own dot-prefixed temp file (invisible
+        // to partitionFiles' listing) and commits with an atomic rename, so
+        // a reader never observes a torn file and the last attempt wins
+        // whole-file. A failed attempt deletes its temp and leaves the
+        // previously-committed (or pre-created empty) file untouched.
         var curP = -1
         var w: java.io.PrintWriter = null
+        var tmp: java.io.File = null
+        def commit(): Unit = if (w != null) {
+          w.close(); w = null
+          java.nio.file.Files.move(
+            tmp.toPath,
+            new java.io.File(target, s"partition-$curP.log").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING
+          )
+        }
         try {
           while (it.hasNext) {
             val r = it.next()
             val p = r.getInt(0)
             if (p != curP) {
-              if (w != null) w.close()
+              commit()
               curP = p
-              w = new java.io.PrintWriter(new java.io.File(target, s"partition-$p.log"), "UTF-8")
+              tmp = new java.io.File(target, s".partition-$p.log.tmp-${java.util.UUID.randomUUID()}")
+              w = new java.io.PrintWriter(tmp, "UTF-8")
             }
             val id = r.getLong(1)
             w.println(s"${OffsetCodec.encode(id / 1000, id % 1000)}\t${r.getString(2)}")
           }
-        } finally if (w != null) w.close()
+          commit()
+        } finally if (w != null) { w.close(); tmp.delete() }
       }
     logDir
   }

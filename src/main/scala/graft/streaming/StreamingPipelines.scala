@@ -279,25 +279,32 @@ object StreamingPipelines {
 
   /** PSI of one batch's bucket distribution vs the reference — one output
     * row (n_docs, psi). Same Laplace-smoothed construction as
-    * `q_drift_psi`; reference buckets ABSENT from the batch still
-    * contribute their term (the absence is the drift), and the reference
-    * probability is floored at 1e-6 so a bucket the reference never saw
-    * stays finite instead of dividing by zero.
+    * `q_drift_psi`, but over the UNION of reference and observed buckets
+    * (full-outer on bucket id): reference buckets ABSENT from the batch
+    * still contribute their term (the absence is the drift), and a bucket
+    * the reference never saw enters the grid with its probability floored
+    * at 1e-6 — novel-bucket drift is counted, not silently dropped.
+    * (`q_drift_psi` needs no union: its grid is built from the whole-corpus
+    * census, so a per-source bucket is always a subset of the grid.)
     */
   def batchPsi(batch: DataFrame, refDist: Map[Long, Double], bucket: Column): DataFrame = {
     val sp = batch.sparkSession
     import sp.implicits._
-    val B = math.max(1, refDist.size)
     // materialize the tiny bucket census: tot and the grid join both read
     // it, and unmaterialized that duplicates the batch aggregation pass
     val sb  = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b")).localCheckpoint()
     val tot = sb.agg(coalesce(sum(col("n_b")), lit(0L)).as("n"))
     val ref  = refDist.toSeq.toDF("bkt", "q0")
-    val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5 * B))
-    val q    = greatest(col("q0"), lit(1e-6))
-    ref
+    // union grid, materialized once (tiny: <= #ref + #observed buckets);
+    // its row count sizes the Laplace denominator by the ACTUAL grid,
+    // novel buckets included
+    val grid = ref.join(sb, Seq("bkt"), "full_outer").localCheckpoint()
+    val gcnt = grid.agg(count(lit(1)).as("gb"))
+    val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5) * col("gb"))
+    val q    = greatest(coalesce(col("q0"), lit(0.0)), lit(1e-6))
+    grid
       .crossJoin(broadcast(tot))
-      .join(sb, Seq("bkt"), "left_outer")
+      .crossJoin(broadcast(gcnt))
       .select(col("n"), ((p - q) * log(p / q)).cast("decimal(18,12)").as("term"))
       .groupBy(col("n"))
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"))

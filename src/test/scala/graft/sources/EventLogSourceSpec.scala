@@ -27,6 +27,24 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(df.select(col("partition")).distinct().count() === 4)
   }
 
+  test("zero-event partitions still materialize as files: partition set is data-independent") {
+    import spark.implicits._
+    // all event_ids = 0 (mod 4) -> partitions 1..3 own no events
+    val skewed = Seq(0L, 4L, 8L, 12L)
+      .map(id => (id, id, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-log-skew").toString
+    EventLogWriter.materializeFrom(skewed, dir)
+    val parts = EventLogSource.partitionFiles(dir)
+    assert(parts.map(_._1) === Seq(0, 1, 2, 3), "empty partitions must not vanish from discovery")
+    val df = spark.read.format(EventLogSource.ShortName).option("path", dir).load()
+    assert(df.count() === 4)
+    assert(df.select(col("partition")).distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    // no stray temp files left behind by the atomic-rename commit
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"temp files must be renamed or deleted: ${leftovers.toSeq}")
+  }
+
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
     val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
     val offsets = df.select(col("offset")).collect().map(_.getLong(0))

@@ -57,6 +57,28 @@ class JsonDecodeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("variant decode path (q_json_variant shape): malformed doc nulls out and is counted, not thrown") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      """{"k": 3}""",
+      """{"other": 1}""", // well-formed, key missing
+      """{"k": """,       // truncated
+      "not json"
+    ).toDF("props")
+    val out = rows
+      .select(expr("try_parse_json(props)").as("v"))
+      .select(expr("variant_get(v, '$.k', 'bigint')").as("k_val"), col("v").isNull.cast("long").as("malformed"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"),
+        sum(col("k_val").isNull.cast("long")).as("n_missing"),
+        sum(col("malformed")).as("n_malformed")
+      )
+      .collect()
+      .head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) === ((4L, 3L, 3L, 2L)))
+  }
+
   test("nested object/array values tolerated when typed as such") {
     val nested = StructType(
       Seq(

@@ -47,4 +47,29 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(psiIn < 0.2, s"in-distribution batch must sit under the actionable line: $psiIn")
     assert(psiCollapsed > 1.0, s"a fully collapsed distribution must scream: $psiCollapsed")
   }
+
+  test("novel buckets absent from the reference contribute drift (union grid)") {
+    import spark.implicits._
+    val bucket = StreamingPipelines.lengthBucket(col("len"))
+    // reference: uniform over buckets 0 and 1
+    val ref = Map(0L -> 0.5, 1L -> 0.5)
+
+    def psiOf(lens: Seq[Long]): Double =
+      StreamingPipelines
+        .batchPsi(lens.toDF("len"), ref, bucket)
+        .collect()
+        .head
+        .getDouble(1)
+
+    // fully in-distribution: half bucket 0, half bucket 1 -> ~0
+    val inDist = psiOf(Seq.fill(50)(10L) ++ Seq.fill(50)(250L))
+    assert(inDist < 0.05, s"matching batch must be ~0: $inDist")
+
+    // half the mass lands in bucket 5, which the reference never saw.
+    // With a ref-only grid that mass vanishes (PSI ~2.3, just the bucket-1
+    // absence term); the union grid adds the floored-q novel term (~6.5),
+    // so the score must clear 5.
+    val novel = psiOf(Seq.fill(50)(10L) ++ Seq.fill(50)(1050L))
+    assert(novel > 5.0, s"novel-bucket mass must be counted as drift: $novel")
+  }
 }
