@@ -92,14 +92,79 @@ object Tables {
     * Parquet scan parallelism is bounded by row-group count; the fixtures
     * are single-row-group files, so without this every post-scan pipeline
     * runs as ONE task (measured: the whole dedup/IVF family serialized on
-    * one core). On a many-split 100 TB input the scan already provides
-    * parallelism and this is a cheap even-out of explode skew — the shuffle
-    * moves the small pre-explode rows, never the exploded data. Round-robin
-    * repartition local-sorts for retry determinism (SPARK-23207), so plans
-    * stay correct under stage recomputation.
+    * one core). That reasoning INVERTS at corpus scale: a 100 TB input's
+    * scan already yields thousands of splits, and an unconditional
+    * repartition would shuffle the whole corpus (text column included)
+    * for nothing. So the behavior is mode-gated via
+    * `spark.graft.fanout.mode`:
+    *   - "force": always repartition — the local/fixture default
+    *     (single-JVM master), zero extra planning cost.
+    *   - "auto":  repartition only when the physical scan is starved
+    *     (fewer partitions than defaultParallelism) — the cluster
+    *     default; costs one physical-plan pass to inspect.
+    *   - "off":   no-op, for deployments that pre-size their scans.
+    * Round-robin repartition local-sorts for retry determinism
+    * (SPARK-23207), so plans stay correct under stage recomputation.
     */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def fanout(df: DataFrame): DataFrame = {
+    val sp   = df.sparkSession
+    val sc   = sp.sparkContext
+    val mode = sp.conf.get("spark.graft.fanout.mode", if (sc.isLocal) "force" else "auto")
+    mode match {
+      case "off"   => df
+      case "force" => df.repartition(sc.defaultParallelism)
+      case _ =>
+        if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
+        else df.repartition(sc.defaultParallelism)
+    }
+  }
+
+  /** Materialize a frame that multiple downstream consumers (or an
+    * iterative loop) will re-read, exactly once. Mode-gated via
+    * `spark.graft.pin.mode` because the right mechanism differs by
+    * deployment:
+    *   - "local" (default on a local master): eager `localCheckpoint` —
+    *     fastest, but the blocks live on executors ONLY and lineage is
+    *     truncated, so one lost executor fails every later reuse. Right
+    *     for single-JVM bench/test runs, wrong on preemptible clusters.
+    *   - "persist" (default otherwise): `persist(DISK_ONLY)` + eager
+    *     materialization. Lineage is KEPT — a lost executor's blocks
+    *     recompute from source instead of failing the job. DISK_ONLY so
+    *     the pinned frame never competes with shuffle/exec memory.
+    *   - "reliable": eager `checkpoint()` to the session's checkpoint dir
+    *     (shared storage) — survives executor loss without recompute;
+    *     requires `sparkContext.setCheckpointDir` on durable storage.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val sp   = df.sparkSession
+    val mode = sp.conf.get("spark.graft.pin.mode", if (sp.sparkContext.isLocal) "local" else "persist")
+    mode match {
+      case "reliable" => df.checkpoint()
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count() // eager: consumers must share ONE materialization
+        p
+      case _ => df.localCheckpoint()
+    }
+  }
+
+  /** Chainable syntax for [[pin]]: `df.groupBy(...).agg(...).pin()`. */
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pin(): DataFrame = Tables.pin(df)
+  }
+
+  /** Release a [[pin]]ned frame's stored blocks — handles both mechanisms
+    * (localCheckpoint/checkpoint frames expose a `LogicalRDD`; persisted
+    * frames unpersist through the Dataset). Safe only once every consumer
+    * has either finished or been eagerly pinned itself.
+    */
+  def unpin(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _                                             => ()
+    }
+    df.unpersist(blocking = false)
+  }
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.Tables.PinOps
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -98,7 +99,7 @@ object Dedup {
               }
               if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)
             }
-          case None => build.localCheckpoint()
+          case None => build.pin()
         }
         Option(artifactCache.putIfAbsent(key, built)).getOrElse(built)
       }
@@ -350,36 +351,35 @@ object Dedup {
     * dataflows always cut lineage per round — at real scale this is a
     * reliable checkpoint to cluster storage.
     */
-  /** Drop a `localCheckpoint`ed frame's cached blocks. Safe only once every
-    * frame derived from it has itself been (eagerly) checkpointed — eager
-    * checkpoints truncate lineage at materialization, so nothing can ask
-    * the unpersisted RDD to recompute. Without this, block-manager storage
-    * grows by one full label-frame generation per round — O(log diameter)
-    * normally, but up to `maxRounds` generations on slow-converging inputs.
+  /** Drop a [[graft.Tables.pin]]ned frame's stored blocks. Safe only once
+    * every frame derived from it has itself been eagerly pinned (or fully
+    * consumed) — in localCheckpoint/checkpoint mode nothing can then ask
+    * the unpersisted RDD to recompute, and in persist mode a recompute is
+    * possible-but-correct via retained lineage. Without this,
+    * block-manager storage grows by one full label-frame generation per
+    * round — O(log diameter) normally, but up to `maxRounds` generations
+    * on slow-converging inputs.
     */
   private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _                                             => ()
-    }
+    Tables.unpin(df)
 
   private[graft] def clusters(
       pairs: org.apache.spark.sql.DataFrame, // (doc_a, doc_b) with doc_a < doc_b
       maxRounds: Int = 20
   ): org.apache.spark.sql.DataFrame = {
-    val p = pairs.localCheckpoint()
+    val p = pairs.pin()
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // referenced every round
+      .pin() // referenced every round
     unpersistCheckpoint(p) // edges (eager) carries everything downstream
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .pin()
     def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+      l.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = prevSum == null // empty pair set: nothing to propagate
@@ -400,7 +400,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
         )
         // materialized: the doubling self-join references it twice
-        .localCheckpoint()
+        .pin()
       // pointer doubling: labels are node ids, so `step` has exactly one
       // row for every label value — the self-join below is 1:1
       val a = step.alias("a")
@@ -408,7 +408,7 @@ object Dedup {
       val next = a
         .join(b, col("a.label") === col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"), least(col("a.label"), col("b.label")).as("label"))
-        .localCheckpoint()
+        .pin()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -513,17 +513,35 @@ object Dedup {
     * frame — the `q_dedup_containment` body, exposed for planted-pair
     * tests. C(a,b) = |A n B| / |A|; keeps pairs where either side's
     * containment reaches `minC`.
+    *
+    * Shingle buckets above `maxBucket` docs are deterministically
+    * sub-sampled to their `maxBucket` smallest doc_ids — the same
+    * pathological-bucket guard as [[pairsFromSignatures]], because on a
+    * boilerplate-heavy corpus a high-df shingle (a repeated header, a
+    * license block) would otherwise emit bucket² occurrence pairs. The cap
+    * UNDERCOUNTS `common` only for pairs cut from a capped bucket (their
+    * containment estimate drops, never rises — capping cannot create a
+    * false pair), and it is not silent: the `graft.containment_pairs`
+    * observed metric reports capped-bucket count and the largest bucket.
+    * At the fixtures' 5-gram df ~ 1 the cap never binds, which is what
+    * keeps `q_dedup_containment` oracle-exact.
     */
   private[graft] def containmentPairs(
       sh: org.apache.spark.sql.DataFrame,
-      minC: Double = 0.5
+      minC: Double = 0.5,
+      maxBucket: Int = MaxLshBucket
   ): org.apache.spark.sql.DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val common = sh
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
+      .observe(
+        "graft.containment_pairs",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+      )
+      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -769,7 +787,7 @@ object Dedup {
     ),
     QueryDef(
       "q_dedup_containment",
-      "asymmetric containment pairs C(a,b) = |A n B| / |A| over 5-token shingle sets — the subset-copy detector: a short doc pasted inside a long one scores c ~ 1.0 on its side while Jaccard (common / union) stays low, so a symmetric threshold misses it. Deliberately UNBLOCKED (no lang/source buckets, unlike q_dedup_jaccard): mirror copies cross source boundaries, and the bucket join stays linear anyway because 5-gram df ~ 1 — blocking there is a recall policy, not a scale requirement. Integer counts and single-divide doubles, bit-identical across engines",
+      "asymmetric containment pairs C(a,b) = |A n B| / |A| over 5-token shingle sets — the subset-copy detector: a short doc pasted inside a long one scores c ~ 1.0 on its side while Jaccard (common / union) stays low, so a symmetric threshold misses it. Deliberately UNBLOCKED (no lang/source buckets, unlike q_dedup_jaccard): mirror copies cross source boundaries. Scale guard: shingle buckets above 1024 docs are capped to their smallest doc_ids with an observed drop metric (same guard as the LSH pair generator — a boilerplate shingle on a real corpus would emit bucket-squared pairs); at the fixtures' 5-gram df ~ 1 the cap never binds, so the query stays oracle-exact. Integer counts and single-divide doubles, bit-identical across engines",
       (s, dir) =>
         containmentPairs(shingleFrame(s, dir))
           .orderBy(col("doc_a"), col("doc_b")),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.Tables.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -121,7 +122,7 @@ object IvfSimilarity {
         case Some(r) =>
           val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
           graft.sources.Sinks.durableArtifact(s, path)(p => durableWrite.get(build, p))
-        case None => build.localCheckpoint()
+        case None => build.pin()
       }
       Option(cache.putIfAbsent(key, built)).getOrElse(built)
     }
@@ -294,7 +295,7 @@ object IvfSimilarity {
         // one pass over the joined frame; everything else re-aggregates
         // the tiny (label x cid) census (reference-once rule, as in
         // q_drift_psi — PlanSpec pins the single embeddings scan)
-        val sb  = b.groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n_sb")).localCheckpoint()
+        val sb  = b.groupBy(col("label"), col("cid")).agg(count(lit(1)).as("n_sb")).pin()
         val st  = sb.groupBy(col("label")).agg(sum(col("n_sb")).as("n_s"))
         val cb  = sb.groupBy(col("cid")).agg(sum(col("n_sb")).as("n_b"))
         val tot = sb.agg(sum(col("n_sb")).as("n"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.Tables.PinOps
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling / OLAP utility operators a training-data pipeline runs
@@ -288,7 +289,7 @@ object Profiling {
         // `b` would duplicate the scan per reference (the repo's
         // reference-an-unmaterialized-frame-once rule; PlanSpec pins the
         // single scan)
-        val sb     = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb")).localCheckpoint()
+        val sb     = b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb")).pin()
         val srcTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
         val cb     = sb.groupBy(col("bkt")).agg(sum(col("n_sb")).as("n_b"))
         val tot    = sb.agg(sum(col("n_sb")).as("n"))

@@ -212,22 +212,26 @@ object Similarity {
     * flips yield distinct buckets, so a corpus vector pairs with a given
     * query at most once (no candidate dedup step needed).
     *
-    * `broadcastProbes = true` (default) hints the probe side broadcast —
-    * the common eval/dedup shape (queries << corpus, q x 9 rows). A query
-    * set too large to broadcast (dedup of one large corpus against
-    * another) MUST pass `broadcastProbes = false`: the join runs unhinted
-    * on the bucket key, both sides shuffle on the byte-sized key and AQE
-    * picks the strategy from runtime sizes — rather than forcing a
-    * driver/executor-OOM broadcast. The unhinted plan shape (no
-    * BroadcastExchange when the threshold rules it out) is pinned in
-    * PlanSpec.
+    * `broadcastProbes` picks the probe-side strategy; the default (`None`)
+    * is SIZE-AWARE: the probe side is broadcast-hinted only when
+    * Catalyst's own size estimate fits `autoBroadcastJoinThreshold`
+    * (stats-only inspection, no job). Over the estimate — or when the
+    * threshold is disabled — the join runs unhinted on the bucket key,
+    * both sides shuffle on the byte-sized key and AQE picks the strategy
+    * from runtime sizes, so a corpus-sized probe set (dedup of one large
+    * corpus against another) can never force a driver/executor-OOM
+    * broadcast by default. `Some(true)` forces the hint for callers that
+    * KNOW queries << corpus (size estimates without CBO don't shrink
+    * through filters, so the eval-probe shape would otherwise
+    * pessimize); `Some(false)` forces the shuffle path. Both plan shapes
+    * are pinned in PlanSpec.
     */
   def knnJoin(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       maxHamming: Int = 1,
-      broadcastProbes: Boolean = true,
+      broadcastProbes: Option[Boolean] = None,
       scoreQuantized: Boolean = false
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 1, "supported probe radius: 0 or 1")
@@ -250,7 +254,14 @@ object Similarity {
     val probes = qScored
       .select((Seq("q_id", "q_bucket") ++ scoreCols).map(col) :+ explode(array(flips: _*)).as("flip"): _*)
       .select((Seq("q_id") ++ scoreCols).map(col) :+ col("q_bucket").bitwiseXOR(col("flip")).as("probe_bucket"): _*)
-    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val probeSide = broadcastProbes match {
+      case Some(true)  => broadcast(probes)
+      case Some(false) => probes
+      case None =>
+        val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+        val est       = probes.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (threshold > 0 && est <= BigInt(threshold)) broadcast(probes) else probes
+    }
     val corpusSide =
       if (scoreQuantized) Quantize.withQcode(corpus.withColumn("bucket", expr(bucketSpark)), "embedding", "qcode")
       else corpus.withColumn("bucket", expr(bucketSpark))
@@ -429,7 +440,8 @@ object Similarity {
           emb.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
           emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding")),
           k = 3,
-          maxHamming = 1
+          maxHamming = 1,
+          broadcastProbes = Some(true) // 3 probe vectors by construction; stats can't see through the filter
         )
       },
       Some(s"""WITH bk AS (
@@ -457,6 +469,7 @@ object Similarity {
           emb.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding")),
           k = 3,
           maxHamming = 1,
+          broadcastProbes = Some(true), // as q_sim_knn_join
           scoreQuantized = true
         )
       },

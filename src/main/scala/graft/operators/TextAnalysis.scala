@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.Tables.PinOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -80,11 +81,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("e.w1").as("w1"), col("e.bg").as("bg"))
       // referenced twice (bigram stats + per-doc join): without the cut
       // Catalyst re-runs the split+explode per reference
-      .localCheckpoint()
+      .pin()
     val c2 = bgdoc
       .groupBy(col("w1"), col("bg"))
       .agg(count(lit(1)).as("n2"))
-      .localCheckpoint() // context counts, vocab, and the term join all read it
+      .pin() // context counts, vocab, and the term join all read it
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).cast("long").as("n1"))
     val v  = c2.agg(countDistinct(col("w1")).cast("long").as("v"))
     val terms = c2
@@ -123,7 +124,7 @@ object TextAnalysis {
           )
         ).as("g")
       )
-      .localCheckpoint() // df count + join back both read it
+      .pin() // df count + join back both read it
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams
       .join(df, "g")
@@ -598,7 +599,7 @@ object TextAnalysis {
           .distinct()
           // referenced twice below (train-gram set + test side): without the
           // cut Catalyst re-runs the explode+distinct per reference
-          .localCheckpoint()
+          .pin()
         val trainGrams = gramDocs.filter(col("split") === "train").select(col("g")).distinct()
         val testGrams  = gramDocs.filter(col("split") === "test")
         val hits       = testGrams.join(trainGrams, Seq("g"), "left_semi")
@@ -805,7 +806,7 @@ object TextAnalysis {
           .groupBy(col("source"))
           .agg(sum(size(split(col("text"), " ")).cast("long")).cast("long").as("n_tokens"))
           .withColumn("w", sqrt(col("n_tokens").cast("double")).cast("decimal(18,12)"))
-          .localCheckpoint()
+          .pin()
         val tot = stats.agg(
           sum(col("w")).cast("double").as("sw"),
           sum(col("n_tokens")).cast("long").as("t_tot")
@@ -853,7 +854,7 @@ object TextAnalysis {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("w", sqrt(col("n_docs").cast("double")).cast("decimal(18,12)"))
-          .localCheckpoint()
+          .pin()
         val tot = stats.agg(
           sum(col("w")).cast("double").as("sw"),
           sum(col("n_docs")).cast("long").as("n_tot")

@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import graft.operators.{Dedup, TextAnalysis}
+import graft.Tables.PinOps
 import graft.sources.Sinks
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -316,8 +317,8 @@ object CorpusPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val b = batch.localCheckpoint() // referenced by signatures AND the survivor anti-join
-          val sig = Dedup.signatures(b).localCheckpoint()
+          val b = batch.pin() // referenced by signatures AND the survivor anti-join
+          val sig = Dedup.signatures(b).pin()
           val bands = sig.select(
             col("doc_id"),
             posexplode(array((0 until NumBands).map(i => col(s"band$i")): _*))
@@ -341,7 +342,7 @@ object CorpusPipeline {
             .select(col("doc_id"))
           val dropIds = priorDupIds
             .fold(withinDupIds)(p => p.union(withinDupIds).distinct())
-            .localCheckpoint() // consumed by BOTH anti-joins below
+            .pin() // consumed by BOTH anti-joins below
           b.join(dropIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
           bands

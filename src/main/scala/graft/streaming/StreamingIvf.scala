@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.IvfSimilarity
+import graft.Tables.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,8 +95,8 @@ object StreamingIvf {
     */
   private def writeSnapshot(spark: SparkSession, emb: DataFrame, indexDir: String, v: Int): Unit = {
     val vdir = versionDir(indexDir, v)
-    val e    = emb.localCheckpoint() // comp + assignment + join re-read it
-    val c    = compFrame(e).localCheckpoint()
+    val e    = emb.pin() // comp + assignment + join re-read it
+    val c    = compFrame(e).pin()
     val cent = trainCentroids(c)
     cent.write.mode("overwrite").parquet(s"$vdir/centroids")
     val assigned = e.join(
@@ -134,7 +135,7 @@ object StreamingIvf {
           val s    = batch.sparkSession
           val v    = currentVersion(s, indexDir)
           val vdir = versionDir(indexDir, v)
-          val b    = batch.localCheckpoint() // comp and the posting join both read it
+          val b    = batch.pin() // comp and the posting join both read it
           val assigned = b.join(
             assignPass(compFrame(b), s.read.parquet(s"$vdir/centroids")).select(col("vec_id"), col("cid")),
             "vec_id"

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables.PinOps
 import graft.sources.JsonDecode
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -292,13 +293,13 @@ object StreamingPipelines {
     import sp.implicits._
     // materialize the tiny bucket census: tot and the grid join both read
     // it, and unmaterialized that duplicates the batch aggregation pass
-    val sb  = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b")).localCheckpoint()
+    val sb  = batch.select(bucket.as("bkt")).groupBy(col("bkt")).agg(count(lit(1)).as("n_b")).pin()
     val tot = sb.agg(coalesce(sum(col("n_b")), lit(0L)).as("n"))
     val ref  = refDist.toSeq.toDF("bkt", "q0")
     // union grid, materialized once (tiny: <= #ref + #observed buckets);
     // its row count sizes the Laplace denominator by the ACTUAL grid,
     // novel buckets included
-    val grid = ref.join(sb, Seq("bkt"), "full_outer").localCheckpoint()
+    val grid = ref.join(sb, Seq("bkt"), "full_outer").pin()
     val gcnt = grid.agg(count(lit(1)).as("gb"))
     val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5) * col("gb"))
     val q    = greatest(coalesce(col("q0"), lit(0.0)), lit(1e-6))

@@ -310,4 +310,28 @@ class DedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source")
     assert(Dedup.containmentPairs(Dedup.explodedShingles(docs)).count() === 0L)
   }
+
+  test("containment pathological-bucket cap: boilerplate shingle bucket is sub-sampled, counted, never overcounts") {
+    // 12 identical docs: every shingle bucket holds all 12 ids. Capped at 4,
+    // pairs can only form among the 4 smallest doc_ids, and each kept pair's
+    // common count stays exact (identical docs -> c = 1.0 both sides).
+    val boiler = (0 until 12).map(i => (i.toLong, base, "en", "s0"))
+    val capped = Dedup.containmentPairs(
+      Dedup.explodedShingles(boiler.toDF("doc_id", "text", "lang", "source")),
+      maxBucket = 4
+    )
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length === 6, "C(4,2) pairs over the 4 smallest ids")
+    assert(rows.flatMap(p => Seq(p._1, p._2)).toSet === (0L until 4L).toSet)
+    assert(rows.forall(p => p._3 === 1.0 && p._4 === 1.0), "kept pairs keep exact counts")
+    val m = capped.queryExecution.observedMetrics("graft.containment_pairs")
+    assert(m.getAs[Long]("capped_buckets") > 0L, "the drop must be observable")
+    assert(m.getAs[Int]("max_bucket") === 12)
+    // default cap leaves small corpora untouched
+    assert(
+      Dedup
+        .containmentPairs(Dedup.explodedShingles(boiler.toDF("doc_id", "text", "lang", "source")))
+        .count() === 12L * 11 / 2
+    )
+  }
 }

@@ -388,7 +388,7 @@ class PlanSpec extends AnyFunSuite {
     val prev    = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val unhinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1, broadcastProbes = false)
+      val unhinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1, broadcastProbes = Some(false))
       val nodes    = allNodes(executed(unhinted))
       assert(!nodes.exists(_.nodeName.contains("BroadcastExchange")),
         "unhinted path must not broadcast the probe side")
@@ -396,10 +396,16 @@ class PlanSpec extends AnyFunSuite {
         nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
         s"unhinted path must plan a shuffle equi-join, got:\n${nodes.map(_.nodeName).mkString("\n")}"
       )
-      // the default hint still broadcasts regardless of the threshold...
-      val hinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1)
+      // the size-aware DEFAULT must respect a disabled threshold: with -1
+      // no probe frame "fits", so auto must take the shuffle path too —
+      // the OOM-footgun the default used to be
+      val auto = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1)
+      assert(!allNodes(executed(auto)).exists(_.nodeName.contains("BroadcastExchange")),
+        "auto default must not broadcast when the threshold rules it out")
+      // the explicit hint still broadcasts regardless of the threshold...
+      val hinted = Similarity.knnJoin(queries, corpus, k = 3, maxHamming = 1, broadcastProbes = Some(true))
       assert(allNodes(executed(hinted)).exists(_.nodeName.contains("BroadcastExchange")),
-        "broadcastProbes=true must hint the broadcast even over the threshold")
+        "broadcastProbes=Some(true) must hint the broadcast even over the threshold")
       // ...and strategy choice must never change the answer
       assert(unhinted.collect().map(_.toString).toSeq === hinted.collect().map(_.toString).toSeq,
         "join strategy must not change knnJoin results")
