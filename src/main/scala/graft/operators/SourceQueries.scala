@@ -69,6 +69,30 @@ object SourceQueries {
               |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value,
               |  min(event_id) AS min_event, max(event_id) AS max_event
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_source_extractor",
+      "S16 config-driven decode seam: the graft-events scan loads a RecordExtractor BY CLASS NAME from table config (reference RECORD_EXTRACTOR_CONFIG_KEY / PluginManager.createInstance, PulsarJSONMessageDecoder.java:50-57) and decodes INSIDE the source — the frame leaves the scan already typed, no downstream decode step. Oracle reads the same facts from parquet directly, so a decode drift in the plugged extractor breaks the hash",
+      (s, dir) => {
+        val decoded = s.read
+          .format(EventLogSource.ShortName)
+          .option("path", logDirFor(s, dir))
+          .option(graft.sources.RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+          .load()
+        decoded
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("user_id")).as("min_user"),
+            max(col("user_id")).as("max_user"),
+            QueryDef.sumScaled(col("value"), 2).as("sum_value")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(1) AS n,
+              |  min(user_id) AS min_user, max(user_id) AS max_user,
+              |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -46,7 +46,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ported: micro-batches are bounded reads by construction.
   *
   * JSON decode (S13-S16) stays a separate downstream layer ([[JsonDecode]]),
-  * mirroring the consumer/decoder split of the reference.
+  * mirroring the consumer/decoder split of the reference — OR plugs into
+  * the scan itself via the config-driven [[RecordExtractor]] seam
+  * (`.option("recordExtractorClass", <fqcn>)`), the S16 by-class-name
+  * decoder selection (`PulsarJSONMessageDecoder.java:50-57`).
   *
   * Scale: against a real broker the driver-side file scans in
   * `latestOffset`/`initialOffset` become metadata RPCs (partition discovery,
@@ -63,6 +66,22 @@ object EventLogSource {
       StructField("value", BinaryType, nullable = false)
     )
   )
+
+  /** Scan schema: the raw envelope+bytes by default; with a configured
+    * extractor (S16), the envelope plus the extractor's declared fields —
+    * the raw `value` column disappears because decode happened in-scan.
+    */
+  def schemaFor(extractorClass: Option[String]): StructType =
+    extractorClass match {
+      case None => schema
+      case Some(cls) =>
+        StructType(
+          Seq(
+            StructField("partition", IntegerType, nullable = false),
+            StructField("offset", LongType, nullable = false)
+          ) ++ RecordExtractor.instantiate(cls).schema.fields
+        )
+    }
 
   def partitionFiles(dir: String): Seq[(Int, java.io.File)] = {
     val d = new java.io.File(dir)
@@ -109,7 +128,8 @@ object EventLogOffset {
 
 class EventLogDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = EventLogSource.ShortName
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = EventLogSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventLogSource.schemaFor(Option(options.get(RecordExtractor.OptionKey)))
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -123,34 +143,38 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
   private val config = SourceConfig.fromMap(
     options + (SourceConfig.BrokerListKey -> options.getOrElse(SourceConfig.BrokerListKey, path))
   )
+  // S16: config-driven decode hook, loaded by class name at CONFIG time —
+  // a bad class name fails table resolution, not the first task
+  private val extractorClass: Option[String] = options.get(RecordExtractor.OptionKey)
+  extractorClass.foreach(RecordExtractor.instantiate)
 
   override def name(): String = s"${EventLogSource.ShortName}:$path"
-  override def schema(): StructType = EventLogSource.schema
+  override def schema(): StructType = EventLogSource.schemaFor(extractorClass)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
-      override def readSchema(): StructType = EventLogSource.schema
-      override def toBatch: Batch = new EventLogBatch(path)
+      override def readSchema(): StructType = EventLogSource.schemaFor(extractorClass)
+      override def toBatch: Batch = new EventLogBatch(path, extractorClass)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new EventLogMicroBatchStream(path, config)
+        new EventLogMicroBatchStream(path, config, extractorClass)
     }
 }
 
 /** Batch scan: the whole log, one task per partition. */
-class EventLogBatch(path: String) extends Batch {
+class EventLogBatch(path: String, extractorClass: Option[String] = None) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     EventLogSource
       .partitionFiles(path)
-      .map { case (p, f) => EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue) }
+      .map { case (p, f) => EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue, extractorClass) }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
 }
 
 /** Micro-batch stream with per-trigger admission control. */
-class EventLogMicroBatchStream(path: String, config: SourceConfig)
+class EventLogMicroBatchStream(path: String, config: SourceConfig, extractorClass: Option[String] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -219,7 +243,7 @@ class EventLogMicroBatchStream(path: String, config: SourceConfig)
       .flatMap { case (p, f) =>
         val from = s.getOrElse(p, OffsetCodec.Earliest)
         val to   = e.getOrElse(p, OffsetCodec.Earliest)
-        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to))
+        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass))
         else None
       }
       .toArray
@@ -234,22 +258,59 @@ class EventLogMicroBatchStream(path: String, config: SourceConfig)
 }
 
 /** One topic partition slice: rows with start < offset <= end. */
-case class EventLogInputPartition(partition: Int, file: String, start: Long, end: Long)
-    extends InputPartition
+case class EventLogInputPartition(
+    partition: Int,
+    file: String,
+    start: Long,
+    end: Long,
+    extractorClass: Option[String] = None
+) extends InputPartition
 
 object EventLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventLogInputPartition]
-    new PartitionReader[InternalRow] {
-      private val it =
-        EventLogSource
-          .readLog(new java.io.File(p.file))
-          .iterator
-          .filter { case (o, _) => o > p.start && o <= p.end }
-      private var current: (Long, Array[Byte]) = _
-      override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-      override def get(): InternalRow = InternalRow(p.partition, current._1, current._2)
-      override def close(): Unit = ()
+    p.extractorClass match {
+      case None => new PartitionReader[InternalRow] {
+        private val it =
+          EventLogSource
+            .readLog(new java.io.File(p.file))
+            .iterator
+            .filter { case (o, _) => o > p.start && o <= p.end }
+        private var current: (Long, Array[Byte]) = _
+        override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
+        override def get(): InternalRow = InternalRow(p.partition, current._1, current._2)
+        override def close(): Unit = ()
+      }
+      case Some(cls) => new PartitionReader[InternalRow] {
+        // one extractor instance per reader, built by name executor-side —
+        // the reference's decoder lifecycle (init once per consumer)
+        private val ext = RecordExtractor.instantiate(cls)
+        private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(EventLogSource.schemaFor(Some(cls)))
+        private val it =
+          EventLogSource
+            .readLog(new java.io.File(p.file))
+            .iterator
+            .filter { case (o, _) => o > p.start && o <= p.end }
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          // skip (drop) messages the extractor rejects — drop-on-malformed
+          while (it.hasNext) {
+            val (offset, payload) = it.next()
+            ext.extract(payload) match {
+              case Some(row) =>
+                current = toCatalyst(
+                  org.apache.spark.sql.Row.fromSeq(Seq(p.partition, offset) ++ row.toSeq)
+                ).asInstanceOf[InternalRow]
+                return true
+              case None => () // dropped
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
     }
   }
 }

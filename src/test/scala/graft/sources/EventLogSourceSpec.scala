@@ -45,6 +45,64 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"temp files must be renamed or deleted: ${leftovers.toSeq}")
   }
 
+  test("S16 extractor seam: by-class-name decode inside the scan, schema from the extractor") {
+    val df = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .load()
+    assert(df.columns.toSeq === Seq("partition", "offset", "event_id", "user_id", "event_type", "value"),
+      "scan schema must be envelope ++ extractor.schema (raw value column gone)")
+    assert(df.count() === eventsCount, "stock JSON extractor decodes every well-formed payload")
+    // decoded values match the fixture read directly from parquet
+    val viaExtractor = df.agg(sum(col("user_id")), countDistinct(col("event_type"))).collect().head
+    val direct = graft.Tables.events(spark, TestSpark.sfDir)
+      .agg(sum(col("user_id")), countDistinct(col("event_type"))).collect().head
+    assert(viaExtractor === direct)
+  }
+
+  test("S16 extractor seam: a rejecting extractor drops messages (drop-on-malformed contract)") {
+    val df = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.OddDroppingExtractor")
+      .load()
+    val ids = df.select(col("event_id")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % 2 == 0), "extractor-rejected messages must vanish from the scan")
+  }
+
+  test("S16 extractor seam: a bad class name fails at table resolution, not first task") {
+    val e = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", logDir)
+        .option(RecordExtractor.OptionKey, "graft.sources.NoSuchExtractor")
+        .load()
+    }
+    assert(e.toString.contains("NoSuchExtractor") || e.getCause != null)
+  }
+
+  test("S16 extractor seam: streaming scan decodes through the configured extractor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext-stream").toString
+    val q = spark.readStream
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory")
+      .queryName("ext_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val n = spark.sql("SELECT sum(n) FROM ext_stream").collect().head.getLong(0)
+    assert(n === eventsCount)
+  }
+
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
     val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
     val offsets = df.select(col("offset")).collect().map(_.getLong(0))
@@ -228,4 +286,15 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(rows.length === 2, "only well-formed offset\\tpayload lines survive")
     assert(rows.map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).sorted.toSeq === Seq("payload-a", "payload-b"))
   }
+}
+
+/** Custom user extractor for the S16 by-class-name seam test: decodes the
+  * standard JSON payload but REJECTS odd event_ids — stands in for a
+  * malformed-heavy feed, proving extractor-level drops vanish from the scan.
+  */
+class OddDroppingExtractor extends RecordExtractor {
+  private val inner = new JsonEventExtractor
+  override val schema = inner.schema
+  override def extract(payload: Array[Byte]): Option[org.apache.spark.sql.Row] =
+    inner.extract(payload).filter(r => r.getLong(0) % 2 == 0)
 }
