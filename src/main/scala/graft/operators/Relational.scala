@@ -255,7 +255,7 @@ object Relational {
     ),
     QueryDef(
       "q_approx_distinct",
-      "approximate distinct (Pinot DISTINCTCOUNTHLL ≅ approx_count_distinct); sketch values are engine-specific so no SQL oracle — rows-only here, 5%-of-exact error bound asserted in RelationalSketchSpec",
+      "approximate distinct (Pinot DISTINCTCOUNTHLL ≅ approx_count_distinct); sketch values are engine-specific so no SQL oracle — rows-only here, 5%-of-exact error bound asserted in RelationalSketchSpec; q_kmv_distinct and q_hll_md5 are the oracle-EXACT reproducible-hash twins",
       (s, dir) =>
         Tables
           .lineitem(s, dir)
@@ -301,8 +301,45 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_percentile_sampled",
+      "oracle-EXACT approximate percentiles via deterministic hash sampling — the 100 TB percentile scale path that, unlike the t-digest/GK sketch of q_approx_percentile, BOTH engines can recompute bit-for-bit: an md5-bucket Bernoulli sample (~10%, keyed on the (orderkey, linenumber) row identity so it is reproducible across runs and engines) feeds the same exact-interpolation percentile as q_percentile. Rank error ~ O(1/sqrt(n*p)) — the sample IS the sketch, and the estimate hash-matches the oracle",
+      (s, dir) => {
+        graft.functions.ExactPercentiles.register(s)
+        val keep = conv(
+          substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 2),
+          16,
+          10
+        ).cast("int") < 26
+        Tables
+          .lineitem(s, dir)
+          .filter(keep)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            expr("exact_percentiles(l_extendedprice, 0.25D, 0.5D, 0.75D, 0.95D)").as("ps")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n_sampled"),
+            round(col("ps")(0), 4).as("p25"),
+            round(col("ps")(1), 4).as("p50"),
+            round(col("ps")(2), 4).as("p75"),
+            round(col("ps")(3), 4).as("p95")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(1) AS n_sampled,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+             |FROM lineitem
+             |WHERE ('0x' || substring(md5(concat(cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar))), 1, 2))::int < 26
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
       "q_hll_sketch",
-      "mergeable HLL sketches (Pinot DISTINCTCOUNTHLL's real shape): per-group DataSketches HLL built with hll_sketch_agg, estimated with hll_sketch_estimate; sketch bytes are engine-specific — rows-only (mergeability proven in RelationalSketchSpec)",
+      "mergeable HLL sketches (Pinot DISTINCTCOUNTHLL's real shape): per-group DataSketches HLL built with hll_sketch_agg, estimated with hll_sketch_estimate; sketch bytes are engine-specific — rows-only (mergeability proven in RelationalSketchSpec; q_hll_md5 is the oracle-EXACT reproducible-hash HLL twin)",
       (s, dir) =>
         // hand-rolled two-phase distinct (q_kmv_distinct's pattern): an HLL
         // sketch of a multiset equals the sketch of its distinct set, so
@@ -323,8 +360,86 @@ object Relational {
       None
     ),
     QueryDef(
+      "q_hll_md5",
+      "oracle-EXACT HyperLogLog (the q_kmv_distinct trick applied to HLL): registers built from an engine-reproducible 60-bit md5 hash (top 8 bits bucket -> m=256 registers, rho = leading-zero rank of the 52-bit suffix via length(bin(w)) in BOTH engines), and the harmonic mean kept transcendental-free by summing 2^(53-reg) as exact integers — one final double division (plus the standard linear-counting branch for small cardinalities) so DuckDB recomputes the SAME estimate and the gate hash-matches a probabilistic sketch",
+      (s, dir) => {
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10).cast("long")
+        // dedupe first (sketch of a multiset == sketch of its distinct set),
+        // so md5 runs on ~distinct keys, not every lineitem row
+        Tables
+          .lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
+          .select(
+            col("l_returnflag"),
+            shiftright(h, 52).as("bucket"),
+            h.bitwiseAND(lit((1L << 52) - 1)).as("w")
+          )
+          .select(
+            col("l_returnflag"),
+            col("bucket"),
+            when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rho")
+          )
+          .groupBy(col("l_returnflag"), col("bucket"))
+          .agg(max(col("rho")).as("reg"), count(lit(1)).as("nb"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("nb")).cast("long").as("n_exact"),
+            count(lit(1)).as("npresent"),
+            sum(expr("shiftleft(cast(1 as bigint), 53 - reg)")).as("s_present")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n_exact"),
+            // absent registers hold 0 -> each contributes 2^53 to the scaled sum
+            (col("s_present") + (lit(256L) - col("npresent")) * lit(9007199254740992L)).as("s_all"),
+            (lit(256L) - col("npresent")).as("v")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n_exact"),
+            round(
+              when(
+                // alpha_256 * m^2 * 2^53 / scaled_sum, literals spelled
+                // identically in the oracle so the doubles match bit-for-bit
+                (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) * lit(9.007199254740992e15) / col("s_all").cast("double")) <= lit(640.0) && col("v") > 0L,
+                lit(256.0) * log(lit(256.0) / col("v").cast("double"))
+              ).otherwise(
+                lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) * lit(9.007199254740992e15) / col("s_all").cast("double")
+              ),
+              4
+            ).as("hll_est")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+             |h AS (SELECT l_returnflag,
+             |        ('0x' || substring(md5(cast(l_partkey as varchar)), 1, 15))::bigint AS hv
+             |      FROM d),
+             |b AS (SELECT l_returnflag, hv >> 52 AS bucket, hv & 4503599627370495 AS w FROM h),
+             |r AS (SELECT l_returnflag, bucket,
+             |        CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+             |      FROM b),
+             |reg AS (SELECT l_returnflag, bucket, max(rho) AS reg, count(1) AS nb
+             |        FROM r GROUP BY 1, 2),
+             |agg AS (SELECT l_returnflag,
+             |          cast(sum(nb) as bigint) AS n_exact,
+             |          count(1) AS npresent,
+             |          sum((1::bigint << (53 - reg))) AS s_present
+             |        FROM reg GROUP BY 1),
+             |fin AS (SELECT l_returnflag, n_exact,
+             |          cast(s_present + (256 - npresent) * 9007199254740992 as double) AS s_all,
+             |          256 - npresent AS v
+             |        FROM agg)
+             |SELECT l_returnflag, n_exact,
+             |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / s_all <= 640.0 AND v > 0
+             |             THEN 256.0 * ln(256.0 / cast(v as double))
+             |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / s_all END, 4) AS hll_est
+             |FROM fin ORDER BY l_returnflag""".stripMargin)
+    ),
+    QueryDef(
       "q_approx_percentile",
-      "approximate percentiles (Pinot PERCENTILETDIGEST ≅ percentile_approx); sketch-dependent values so no SQL oracle — rows-only here, rank-error bound asserted in RelationalSketchSpec",
+      "approximate percentiles (Pinot PERCENTILETDIGEST ≅ percentile_approx); sketch-dependent values so no SQL oracle — rows-only here, rank-error bound asserted in RelationalSketchSpec; q_percentile_sampled is the oracle-EXACT deterministic-sampling twin",
       (s, dir) =>
         Tables
           .lineitem(s, dir)

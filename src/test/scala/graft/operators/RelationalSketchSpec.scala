@@ -197,4 +197,43 @@ class RelationalSketchSpec extends AnyFunSuite {
       )
     }
   }
+
+  test("q_percentile_sampled: sampled p50's rank in the FULL data is near 0.5") {
+    import org.apache.spark.sql.functions._
+    val sampled = graft.SparkEntry
+      .queries("q_percentile_sampled")(spark, TestSpark.sfDir)
+      .select(col("l_returnflag"), col("n_sampled"), col("p50"))
+    val ranked = graft.Tables
+      .lineitem(spark, TestSpark.sfDir)
+      .join(broadcast(sampled), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg((col("l_extendedprice") <= col("p50")).cast("double")).as("rank50"),
+        min(col("n_sampled")).as("n_sampled")
+      )
+      .collect()
+    assert(ranked.nonEmpty)
+    ranked.foreach { r =>
+      // binomial rank error at ~10% sampling: 3 * sqrt(0.25 / n_sampled)
+      val tol = 3 * math.sqrt(0.25 / r.getAs[Long]("n_sampled")) + 0.01
+      assert(math.abs(r.getAs[Double]("rank50") - 0.5) <= tol,
+        s"sampled p50 rank ${r.getAs[Double]("rank50")} off for group ${r.get(0)} (tol $tol)")
+    }
+  }
+
+  test("q_hll_md5: reproducible-hash HLL estimate within the m=256 error envelope of exact") {
+    // standard error for HLL at m=256 is ~1.04/sqrt(256) = 6.5%; allow 3
+    // sigma. The oracle gate proves DuckDB reproduces the NUMBER; this
+    // proves the number is a sane cardinality estimate.
+    val rows = graft.SparkEntry
+      .queries("q_hll_md5")(spark, TestSpark.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est   = r.getAs[Double]("hll_est")
+      assert(math.abs(est - exact) / exact <= 3 * 1.04 / 16.0,
+        s"estimate $est too far from exact $exact for group ${r.get(0)}")
+    }
+  }
 }
