@@ -301,6 +301,91 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_hll_md5_union",
+      "oracle-EXACT HLL MERGE (the union capability Pinot ships mergeable HLL for): per-segment ORDER-key register sets for l_returnflag A and N (order sets genuinely differ per flag, so union > each segment) built from the same reproducible md5 hash as q_hll_md5, then max-merged per register — sketch-of-union == merge-of-sketches by construction, and all three estimates (A, N, union) hash-match the DuckDB oracle recomputing the identical integer-scaled harmonic means",
+      (s, dir) => {
+        val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10).cast("long")
+        val d = Tables
+          .lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag"), col("l_orderkey"))
+          .distinct()
+        val regs = d
+          .select(
+            col("l_returnflag"),
+            shiftright(h, 52).as("bucket"),
+            h.bitwiseAND(lit((1L << 52) - 1)).as("w")
+          )
+          .select(
+            col("l_returnflag"),
+            col("bucket"),
+            when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rho")
+          )
+          .groupBy(col("bucket"))
+          .agg(
+            max(when(col("l_returnflag") === "A", col("rho"))).as("ra"),
+            max(when(col("l_returnflag") === "N", col("rho"))).as("rb")
+          )
+          .agg(
+            count(lit(1)).as("nb"),
+            count(col("ra")).as("pa"),
+            count(col("rb")).as("pb"),
+            // per-bucket scaled term: 2^(53-reg); a bucket this segment
+            // never hit holds reg=0 -> exactly the 2^53 absent term
+            sum(expr("shiftleft(cast(1 as bigint), 53 - coalesce(ra, 0))")).as("sa_part"),
+            sum(expr("shiftleft(cast(1 as bigint), 53 - coalesce(rb, 0))")).as("sb_part"),
+            sum(expr("shiftleft(cast(1 as bigint), 53 - greatest(coalesce(ra, 0), coalesce(rb, 0)))")).as("su_part")
+          )
+        // est formula shared with q_hll_md5: raw = alpha*m^2*2^53/s, linear
+        // counting below 2.5m with empty registers
+        def est(sPart: Column, nb: Column, p: Column): Column = {
+          val sAll = (sPart + (lit(256L) - nb) * lit(9007199254740992L)).cast("double")
+          val raw  = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) * lit(9.007199254740992e15) / sAll
+          val v    = (lit(256L) - p).cast("double")
+          round(when(raw <= lit(640.0) && v > 0.0, lit(256.0) * log(lit(256.0) / v)).otherwise(raw), 4)
+        }
+        val exact = d.agg(countDistinct(col("l_orderkey")).as("n_exact_union"))
+        regs
+          .crossJoin(broadcast(exact))
+          .select(
+            col("n_exact_union"),
+            est(col("sa_part"), col("nb"), col("pa")).as("hll_a"),
+            est(col("sb_part"), col("nb"), col("pb")).as("hll_b"),
+            est(col("su_part"), col("nb"), col("nb")).as("hll_union")
+          )
+      },
+      Some("""WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+             |           WHERE l_returnflag IN ('A', 'N')),
+             |h AS (SELECT l_returnflag,
+             |        ('0x' || substring(md5(cast(l_orderkey as varchar)), 1, 15))::bigint AS hv
+             |      FROM d),
+             |r AS (SELECT l_returnflag, hv >> 52 AS bucket,
+             |        CASE WHEN hv & 4503599627370495 = 0 THEN 53
+             |             ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
+             |      FROM h),
+             |reg AS (SELECT bucket,
+             |          max(CASE WHEN l_returnflag = 'A' THEN rho END) AS ra,
+             |          max(CASE WHEN l_returnflag = 'N' THEN rho END) AS rb
+             |        FROM r GROUP BY bucket),
+             |agg AS (SELECT count(1) AS nb, count(ra) AS pa, count(rb) AS pb,
+             |          sum((1::bigint << (53 - coalesce(ra, 0)))) AS sa_part,
+             |          sum((1::bigint << (53 - coalesce(rb, 0)))) AS sb_part,
+             |          sum((1::bigint << (53 - greatest(coalesce(ra, 0), coalesce(rb, 0))))) AS su_part
+             |        FROM reg),
+             |exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact_union FROM d)
+             |SELECT n_exact_union,
+             |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(sa_part + (256 - nb) * 9007199254740992 as double) <= 640.0 AND 256 - pa > 0
+             |             THEN 256.0 * ln(256.0 / cast(256 - pa as double))
+             |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(sa_part + (256 - nb) * 9007199254740992 as double) END, 4) AS hll_a,
+             |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(sb_part + (256 - nb) * 9007199254740992 as double) <= 640.0 AND 256 - pb > 0
+             |             THEN 256.0 * ln(256.0 / cast(256 - pb as double))
+             |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(sb_part + (256 - nb) * 9007199254740992 as double) END, 4) AS hll_b,
+             |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(su_part + (256 - nb) * 9007199254740992 as double) <= 640.0 AND 256 - nb > 0
+             |             THEN 256.0 * ln(256.0 / cast(256 - nb as double))
+             |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(su_part + (256 - nb) * 9007199254740992 as double) END, 4) AS hll_union
+             |FROM agg CROSS JOIN exact""".stripMargin)
+    ),
+    QueryDef(
       "q_percentile_sampled",
       "oracle-EXACT approximate percentiles via deterministic hash sampling — the 100 TB percentile scale path that, unlike the t-digest/GK sketch of q_approx_percentile, BOTH engines can recompute bit-for-bit: an md5-bucket Bernoulli sample (~10%, keyed on the (orderkey, linenumber) row identity so it is reproducible across runs and engines) feeds the same exact-interpolation percentile as q_percentile. Rank error ~ O(1/sqrt(n*p)) — the sample IS the sketch, and the estimate hash-matches the oracle",
       (s, dir) => {

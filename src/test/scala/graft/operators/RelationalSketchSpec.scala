@@ -221,6 +221,18 @@ class RelationalSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hll_md5_union: merged registers estimate the union within envelope, never below a segment") {
+    val r = graft.SparkEntry
+      .queries("q_hll_md5_union")(spark, TestSpark.sfDir)
+      .collect()
+      .head
+    val exact = r.getAs[Long]("n_exact_union").toDouble
+    val (a, b, u) = (r.getAs[Double]("hll_a"), r.getAs[Double]("hll_b"), r.getAs[Double]("hll_union"))
+    // max-merge is monotone: the union registers dominate each segment's
+    assert(u >= a - 1e-9 && u >= b - 1e-9, s"union estimate $u below a segment ($a, $b)")
+    assert(math.abs(u - exact) / exact <= 3 * 1.04 / 16.0, s"union estimate $u too far from exact $exact")
+  }
+
   test("q_hll_md5: reproducible-hash HLL estimate within the m=256 error envelope of exact") {
     // standard error for HLL at m=256 is ~1.04/sqrt(256) = 6.5%; allow 3
     // sigma. The oracle gate proves DuckDB reproduces the NUMBER; this
