@@ -306,6 +306,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("Generate")), "variant decode must not explode")
   }
 
+  test("q_hll_md5: one 2-column lineitem scan, pure hash-aggregate pipeline (no joins)") {
+    val df    = q("q_hll_md5")
+    val nodes = allNodes(executed(df))
+    assert(countNodes(df, "Scan parquet") === 1)
+    assert(!nodes.exists(_.nodeName.contains("Join")), "register build must not join")
+    val scan = nodes.find(_.nodeName.contains("Scan parquet")).get.toString
+    assert(scan.contains("l_partkey") && scan.contains("l_returnflag") && !scan.contains("l_extendedprice"),
+      "scan must read only the 2 needed columns")
+  }
+
+  test("q_source_extractor: extractor decodes in-scan — no downstream JSON parse in the plan") {
+    val df    = q("q_source_extractor")
+    val nodes = allNodes(executed(df))
+    assert(!nodes.exists(_.toString.contains("from_json")),
+      "decode must happen inside the DSv2 reader, not as a from_json projection")
+    assert(!nodes.exists(_.nodeName.contains("Join")))
+  }
+
   test("q_contamination_bloom: the bloom probe filters train grams BEFORE any shuffle") {
     val df    = q("q_contamination_bloom")
     val nodes = allNodes(executed(df))
