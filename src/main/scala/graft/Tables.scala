@@ -148,9 +148,30 @@ object Tables {
     }
   }
 
-  /** Chainable syntax for [[pin]]: `df.groupBy(...).agg(...).pin()`. */
+  /** [[pin]] for ITERATIVE loops (pointer doubling, Lloyd iterations):
+    * these must TRUNCATE lineage every round — a lineage-retaining persist
+    * doubles the logical plan per self-joining round (round k carries 2^k
+    * copies of round 0's tree; measured: analyzer OOM within ~8 rounds of
+    * the CC loop), so "persist" mode is structurally wrong here no matter
+    * how fault-tolerant it is. Cluster modes therefore route to a RELIABLE
+    * `checkpoint()` when a checkpoint dir is configured (shared-storage
+    * truncation: survives executor loss), falling back to
+    * `localCheckpoint` — the fast, non-reliable truncation — when not.
+    */
+  def pinIter(df: DataFrame): DataFrame = {
+    val sp   = df.sparkSession
+    val sc   = sp.sparkContext
+    val mode = sp.conf.get("spark.graft.pin.mode", if (sc.isLocal) "local" else "persist")
+    if (mode != "local" && sc.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+  }
+
+  /** Chainable syntax for [[pin]]/[[pinIter]]:
+    * `df.groupBy(...).agg(...).pin()`.
+    */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
-    def pin(): DataFrame = Tables.pin(df)
+    def pin(): DataFrame     = Tables.pin(df)
+    def pinIter(): DataFrame = Tables.pinIter(df)
   }
 
   /** Release a [[pin]]ned frame's stored blocks — handles both mechanisms

@@ -343,13 +343,17 @@ object Dedup {
     * corpus. `maxRounds` is a runaway backstop (doubling covers diameter
     * 2^20 within 20), never the convergence criterion.
     *
-    * The PAIR set is materialized ONCE (eager local checkpoint) before
-    * anything else: the symmetric edge union references it twice and the
-    * labels lineage references edges every iteration and itself twice per
-    * round, so an unbroken lineage re-executes the upstream pair pipeline
-    * exponentially many times (measured 7s vs 2s at sf0.1). Iterative
-    * dataflows always cut lineage per round — at real scale this is a
-    * reliable checkpoint to cluster storage.
+    * The PAIR set is materialized ONCE before anything else: the symmetric
+    * edge union references it twice and the labels lineage references
+    * edges every iteration and itself twice per round, so an unbroken
+    * lineage re-executes the upstream pair pipeline exponentially many
+    * times (measured 7s vs 2s at sf0.1). Iterative dataflows always cut
+    * lineage per round — via [[graft.Tables.pinIter]], NOT the
+    * lineage-retaining `pin`: each round self-joins the previous frame, so
+    * retained lineage doubles the logical plan per round (2^k copies of
+    * round 0 by round k — reproduced analyzer OOM). Under cluster pin
+    * modes pinIter truncates through a reliable `checkpoint()` when a
+    * checkpoint dir is configured.
     */
   /** Drop a [[graft.Tables.pin]]ned frame's stored blocks. Safe only once
     * every frame derived from it has itself been eagerly pinned (or fully
@@ -367,17 +371,17 @@ object Dedup {
       pairs: org.apache.spark.sql.DataFrame, // (doc_a, doc_b) with doc_a < doc_b
       maxRounds: Int = 20
   ): org.apache.spark.sql.DataFrame = {
-    val p = pairs.pin()
+    val p = pairs.pinIter()
     val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .pin() // referenced every round
+      .pinIter() // referenced every round
     unpersistCheckpoint(p) // edges (eager) carries everything downstream
     var labels = edges
       .select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .pin()
+      .pinIter()
     def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -400,7 +404,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")
         )
         // materialized: the doubling self-join references it twice
-        .pin()
+        .pinIter()
       // pointer doubling: labels are node ids, so `step` has exactly one
       // row for every label value — the self-join below is 1:1
       val a = step.alias("a")
@@ -408,7 +412,7 @@ object Dedup {
       val next = a
         .join(b, col("a.label") === col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"), least(col("a.label"), col("b.label")).as("label"))
-        .pin()
+        .pinIter()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -18,7 +18,10 @@ class TablesScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def dp = spark.sparkContext.defaultParallelism
 
-  private def withMode(key: String, value: String)(body: => Unit): Unit = {
+  private def withMode(key: String, value: String)(body: => Unit): Unit =
+    withModeValue(key, value)(body)
+
+  private def withModeValue[T](key: String, value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)
     try body
@@ -63,6 +66,44 @@ class TablesScaleSpec extends AnyFunSuite {
       Tables.unpin(pinned)
       assert(pinned.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
     }
+  }
+
+  test("cluster pin modes: the iterative CC loop truncates lineage (pinIter) and matches local-mode labels") {
+    import spark.implicits._
+    // A lineage-RETAINING persist in this loop is structurally wrong: each
+    // pointer-doubling round self-joins the previous frame, so round k's
+    // logical plan carries 2^k copies of round 0's tree (reproduced: heap
+    // OOM in the analyzer within ~8 rounds). pinIter must therefore
+    // truncate every round — reliable checkpoint() under cluster modes.
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString)
+    // a 30-node chain (worst-case diameter) plus a disjoint triangle
+    val pairs = ((0L until 29L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("doc_a", "doc_b")
+    def run(): Seq[(Long, Long)] =
+      operators.Dedup
+        .clusters(pairs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+        .toSeq
+    val localLabels = run()
+    val persistedLabels = withModeValue("spark.graft.pin.mode", "persist")(run())
+    assert(persistedLabels === localLabels, "pin mode must never change results")
+    assert(localLabels.filter(_._1 <= 29L).forall(_._2 == 0L), "chain collapses to min label")
+    assert(localLabels.filter(_._1 >= 100L).forall(_._2 == 100L), "triangle collapses to min label")
+  }
+
+  test("pin persist mode: batchPsi equals local mode") {
+    import spark.implicits._
+    val bucket = streaming.StreamingPipelines.lengthBucket(col("len"))
+    val ref    = Map(0L -> 0.5, 1L -> 0.5)
+    val batch  = (Seq.fill(40)(10L) ++ Seq.fill(60)(250L)).toDF("len")
+    def psi(): Double =
+      streaming.StreamingPipelines.batchPsi(batch, ref, bucket).collect().head.getDouble(1)
+    val a = psi()
+    val b = withModeValue("spark.graft.pin.mode", "persist")(psi())
+    assert(a === b)
   }
 
   test("pin local mode (default): eager localCheckpoint semantics, unpin releases blocks") {
