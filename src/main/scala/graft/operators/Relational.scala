@@ -302,7 +302,7 @@ object Relational {
     ),
     QueryDef(
       "q_hll_md5_union",
-      "oracle-EXACT HLL MERGE (the union capability Pinot ships mergeable HLL for): per-segment ORDER-key register sets for l_returnflag A and N (order sets genuinely differ per flag, so union > each segment) built from the same reproducible md5 hash as q_hll_md5, then max-merged per register — sketch-of-union == merge-of-sketches by construction, and all three estimates (A, N, union) hash-match the DuckDB oracle recomputing the identical integer-scaled harmonic means",
+      "oracle-EXACT HLL MERGE (the union capability Pinot ships mergeable HLL for): per-segment ORDER-key register sets for l_returnflag A and N (order sets genuinely differ per flag, so union > each segment) built from the same reproducible md5 hash as q_hll_md5, then max-merged per register — sketch-of-union == merge-of-sketches by construction, and all three estimates (A, N, union) hash-match the DuckDB oracle recomputing the identical integer-scaled harmonic means. Single lineitem scan: the exact comparison column counts distinct 60-bit hashes riding the register shuffle (a hash determines its bucket, so per-bucket distinct counts sum globally; equals distinct orderkeys up to a ~1e-8 collision, and both engines count the SAME hashes either way)",
       (s, dir) => {
         val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10).cast("long")
         val d = Tables
@@ -313,23 +313,30 @@ object Relational {
         val regs = d
           .select(
             col("l_returnflag"),
+            h.as("hv"),
             shiftright(h, 52).as("bucket"),
             h.bitwiseAND(lit((1L << 52) - 1)).as("w")
           )
           .select(
             col("l_returnflag"),
+            col("hv"),
             col("bucket"),
             when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rho")
           )
           .groupBy(col("bucket"))
           .agg(
             max(when(col("l_returnflag") === "A", col("rho"))).as("ra"),
-            max(when(col("l_returnflag") === "N", col("rho"))).as("rb")
+            max(when(col("l_returnflag") === "N", col("rho"))).as("rb"),
+            // a hash determines its bucket, so per-bucket distinct-hash
+            // counts sum to the GLOBAL distinct count — the exact column
+            // rides the register shuffle instead of re-scanning lineitem
+            countDistinct(col("hv")).as("nhv")
           )
           .agg(
             count(lit(1)).as("nb"),
             count(col("ra")).as("pa"),
             count(col("rb")).as("pb"),
+            sum(col("nhv")).cast("long").as("n_exact_union"),
             // per-bucket scaled term: 2^(53-reg); a bucket this segment
             // never hit holds reg=0 -> exactly the 2^53 absent term
             sum(expr("shiftleft(cast(1 as bigint), 53 - coalesce(ra, 0))")).as("sa_part"),
@@ -344,9 +351,7 @@ object Relational {
           val v    = (lit(256L) - p).cast("double")
           round(when(raw <= lit(640.0) && v > 0.0, lit(256.0) * log(lit(256.0) / v)).otherwise(raw), 4)
         }
-        val exact = d.agg(countDistinct(col("l_orderkey")).as("n_exact_union"))
         regs
-          .crossJoin(broadcast(exact))
           .select(
             col("n_exact_union"),
             est(col("sa_part"), col("nb"), col("pa")).as("hll_a"),
@@ -359,20 +364,21 @@ object Relational {
              |h AS (SELECT l_returnflag,
              |        ('0x' || substring(md5(cast(l_orderkey as varchar)), 1, 15))::bigint AS hv
              |      FROM d),
-             |r AS (SELECT l_returnflag, hv >> 52 AS bucket,
+             |r AS (SELECT l_returnflag, hv, hv >> 52 AS bucket,
              |        CASE WHEN hv & 4503599627370495 = 0 THEN 53
              |             ELSE 53 - length(bin(hv & 4503599627370495)) END AS rho
              |      FROM h),
              |reg AS (SELECT bucket,
              |          max(CASE WHEN l_returnflag = 'A' THEN rho END) AS ra,
-             |          max(CASE WHEN l_returnflag = 'N' THEN rho END) AS rb
+             |          max(CASE WHEN l_returnflag = 'N' THEN rho END) AS rb,
+             |          count(DISTINCT hv) AS nhv
              |        FROM r GROUP BY bucket),
              |agg AS (SELECT count(1) AS nb, count(ra) AS pa, count(rb) AS pb,
+             |          cast(sum(nhv) as bigint) AS n_exact_union,
              |          sum((1::bigint << (53 - coalesce(ra, 0)))) AS sa_part,
              |          sum((1::bigint << (53 - coalesce(rb, 0)))) AS sb_part,
              |          sum((1::bigint << (53 - greatest(coalesce(ra, 0), coalesce(rb, 0))))) AS su_part
-             |        FROM reg),
-             |exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact_union FROM d)
+             |        FROM reg)
              |SELECT n_exact_union,
              |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(sa_part + (256 - nb) * 9007199254740992 as double) <= 640.0 AND 256 - pa > 0
              |             THEN 256.0 * ln(256.0 / cast(256 - pa as double))
@@ -383,7 +389,7 @@ object Relational {
              |  round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(su_part + (256 - nb) * 9007199254740992 as double) <= 640.0 AND 256 - nb > 0
              |             THEN 256.0 * ln(256.0 / cast(256 - nb as double))
              |             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9.007199254740992e15 / cast(su_part + (256 - nb) * 9007199254740992 as double) END, 4) AS hll_union
-             |FROM agg CROSS JOIN exact""".stripMargin)
+             |FROM agg""".stripMargin)
     ),
     QueryDef(
       "q_percentile_sampled",
