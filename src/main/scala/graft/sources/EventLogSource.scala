@@ -154,28 +154,49 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan {
+    new ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+      // Column pruning reaches the DECODER: Catalyst hands the scan the
+      // required subset, the reader emits only those columns, and the
+      // extractor is initialized with the pruned field names — the
+      // reference's `extractor.init(fieldsToRead)` contract
+      // (PulsarJSONMessageDecoder.java:57-58) realized as DSv2 pushdown.
+      private var required: StructType = EventLogSource.schemaFor(extractorClass)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // Spark only ever asks for a subset of what inferSchema declared;
+        // an empty prune (count-only scans) is legal and yields 0-col rows
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = EventLogSource.schemaFor(extractorClass)
-      override def toBatch: Batch = new EventLogBatch(path, extractorClass)
+      override def readSchema(): StructType = required
+      override def toBatch: Batch =
+        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new EventLogMicroBatchStream(path, config, extractorClass)
+        new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq)
     }
 }
 
 /** Batch scan: the whole log, one task per partition. */
-class EventLogBatch(path: String, extractorClass: Option[String] = None) extends Batch {
+class EventLogBatch(
+    path: String,
+    extractorClass: Option[String] = None,
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
+) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     EventLogSource
       .partitionFiles(path)
-      .map { case (p, f) => EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue, extractorClass) }
+      .map { case (p, f) =>
+        EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue, extractorClass, requiredCols)
+      }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
 }
 
 /** Micro-batch stream with per-trigger admission control. */
-class EventLogMicroBatchStream(path: String, config: SourceConfig, extractorClass: Option[String] = None)
-    extends MicroBatchStream
+class EventLogMicroBatchStream(
+    path: String,
+    config: SourceConfig,
+    extractorClass: Option[String] = None,
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
+) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -243,7 +264,7 @@ class EventLogMicroBatchStream(path: String, config: SourceConfig, extractorClas
       .flatMap { case (p, f) =>
         val from = s.getOrElse(p, OffsetCodec.Earliest)
         val to   = e.getOrElse(p, OffsetCodec.Earliest)
-        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass))
+        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass, requiredCols))
         else None
       }
       .toArray
@@ -263,7 +284,8 @@ case class EventLogInputPartition(
     file: String,
     start: Long,
     end: Long,
-    extractorClass: Option[String] = None
+    extractorClass: Option[String] = None,
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
 ) extends InputPartition
 
 object EventLogReaderFactory extends PartitionReaderFactory {
@@ -271,6 +293,12 @@ object EventLogReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[EventLogInputPartition]
     p.extractorClass match {
       case None => new PartitionReader[InternalRow] {
+        // pruned projection of the raw (partition, offset, value) envelope
+        private val proj: Seq[((Long, Array[Byte])) => Any] = p.requiredCols.map {
+          case "partition" => (_: (Long, Array[Byte])) => p.partition
+          case "offset"    => (cur: (Long, Array[Byte])) => cur._1
+          case "value"     => (cur: (Long, Array[Byte])) => cur._2
+        }
         private val it =
           EventLogSource
             .readLog(new java.io.File(p.file))
@@ -278,15 +306,31 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             .filter { case (o, _) => o > p.start && o <= p.end }
         private var current: (Long, Array[Byte]) = _
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
-        override def get(): InternalRow = InternalRow(p.partition, current._1, current._2)
+        override def get(): InternalRow = InternalRow(proj.map(_(current)): _*)
         override def close(): Unit = ()
       }
       case Some(cls) => new PartitionReader[InternalRow] {
         // one extractor instance per reader, built by name executor-side —
-        // the reference's decoder lifecycle (init once per consumer)
-        private val ext = RecordExtractor.instantiate(cls)
+        // the reference's decoder lifecycle (init once per consumer), and
+        // init'd with the PRUNED field set so the decoder can skip fields
+        // the query never reads (`extractor.init(fieldsToRead)`,
+        // PulsarJSONMessageDecoder.java:57-58)
+        private val ext       = RecordExtractor.instantiate(cls)
+        private val extFields = ext.schema.fieldNames
+        ext.init(p.requiredCols.filter(extFields.contains))
+        private val extIndex = extFields.zipWithIndex.toMap
+        // project (envelope ++ extracted) down to the pruned schema, in
+        // Catalyst's requested order
+        private val prunedSchema = StructType(
+          p.requiredCols.map(n => EventLogSource.schemaFor(Some(cls)).apply(n))
+        )
         private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToCatalystConverter(EventLogSource.schemaFor(Some(cls)))
+          .createToCatalystConverter(prunedSchema)
+        private val proj: Seq[(Long, org.apache.spark.sql.Row) => Any] = p.requiredCols.map {
+          case "partition" => (_: Long, _: org.apache.spark.sql.Row) => p.partition
+          case "offset"    => (off: Long, _: org.apache.spark.sql.Row) => off
+          case name        => (_: Long, row: org.apache.spark.sql.Row) => row.get(extIndex(name))
+        }
         private val it =
           EventLogSource
             .readLog(new java.io.File(p.file))
@@ -300,7 +344,7 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             ext.extract(payload) match {
               case Some(row) =>
                 current = toCatalyst(
-                  org.apache.spark.sql.Row.fromSeq(Seq(p.partition, offset) ++ row.toSeq)
+                  org.apache.spark.sql.Row.fromSeq(proj.map(_(offset, row)))
                 ).asInstanceOf[InternalRow]
                 return true
               case None => () // dropped

@@ -28,6 +28,16 @@ trait RecordExtractor {
   /** Decoded fields, appended after the (partition, offset) envelope. */
   def schema: StructType
 
+  /** Called once per partition reader, before any [[extract]], with the
+    * subset of [[schema]] field names the query actually reads — DSv2
+    * column pruning delivering the reference's
+    * `extractor.init(fieldsToRead)` hint
+    * (`PulsarJSONMessageDecoder.java:57-58`). Rows must still match
+    * [[schema]]'s arity; un-requested fields may decode as null (the scan
+    * drops them anyway). Default ignores the hint.
+    */
+  def init(fieldsToRead: Seq[String]): Unit = ()
+
   /** Decode one message payload into external Spark row values matching
     * [[schema]] (missing fields as null). `None` drops the message.
     */
@@ -77,6 +87,11 @@ class JsonEventExtractor extends RecordExtractor {
     )
   )
 
+  // fieldsToRead honored: un-requested fields skip their JsonNode lookup
+  // and decode as null (the pruned scan drops them regardless)
+  private var wanted: Set[String] = schema.fieldNames.toSet
+  override def init(fieldsToRead: Seq[String]): Unit = wanted = fieldsToRead.toSet
+
   private def longAt(n: JsonNode, f: String): Any = {
     val v = n.get(f)
     if (v == null || v.isNull || !v.canConvertToLong) null else v.asLong()
@@ -99,10 +114,10 @@ class JsonEventExtractor extends RecordExtractor {
       else
         Some(
           Row(
-            longAt(n, "event_id"),
-            longAt(n, "user_id"),
-            strAt(n, "event_type"),
-            dblAt(n, "value")
+            if (wanted("event_id")) longAt(n, "event_id") else null,
+            if (wanted("user_id")) longAt(n, "user_id") else null,
+            if (wanted("event_type")) strAt(n, "event_type") else null,
+            if (wanted("value")) dblAt(n, "value") else null
           )
         )
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -71,6 +71,34 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(ids.nonEmpty && ids.forall(_ % 2 == 0), "extractor-rejected messages must vanish from the scan")
   }
 
+  test("column pruning reaches the scan and the extractor (fieldsToRead)") {
+    // raw source: selecting one envelope column prunes the others
+    val raw = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
+      .select(col("offset"))
+    val rawScan = raw.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(rawScan.contains("offset") && !rawScan.contains("value"),
+      s"raw scan must prune the payload column: $rawScan")
+    assert(raw.count() === eventsCount)
+
+    // extractor source: only event_type requested -> scan emits just it,
+    // and results stay correct (the extractor may null un-requested fields)
+    val decoded = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val scan = decoded.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("event_type") && !scan.contains("user_id") && !scan.contains("event_id"),
+      s"pruned extractor scan must carry only the requested field: $scan")
+    val viaExtractor = decoded.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val direct = graft.Tables.events(spark, TestSpark.sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(viaExtractor === direct)
+  }
+
   test("S16 extractor seam: a bad class name fails at table resolution, not first task") {
     val e = intercept[Exception] {
       spark.read
@@ -295,6 +323,9 @@ class EventLogSourceSpec extends AnyFunSuite {
 class OddDroppingExtractor extends RecordExtractor {
   private val inner = new JsonEventExtractor
   override val schema = inner.schema
+  override def init(fieldsToRead: Seq[String]): Unit =
+    // the drop rule reads event_id even when the query doesn't
+    inner.init((fieldsToRead :+ "event_id").distinct)
   override def extract(payload: Array[Byte]): Option[org.apache.spark.sql.Row] =
     inner.extract(payload).filter(r => r.getLong(0) % 2 == 0)
 }
