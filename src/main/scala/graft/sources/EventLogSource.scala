@@ -154,7 +154,7 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // Column pruning reaches the DECODER: Catalyst hands the scan the
       // required subset, the reader emits only those columns, and the
       // extractor is initialized with the pruned field names — the
@@ -165,26 +165,102 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
         // Spark only ever asks for a subset of what inferSchema declared;
         // an empty prune (count-only scans) is legal and yields 0-col rows
         required = requiredSchema
+
+      // Envelope-filter pushdown: partition equality/IN skips whole log
+      // files (the broker analogue: subscribe to fewer partitions) and
+      // offset comparisons clamp each reader's range (batch-mode "seek",
+      // S3). ADVISORY-BUT-EXACT: every filter is also returned as residual
+      // so Spark re-applies it post-scan — a path that ignores the bounds
+      // (e.g. streaming, where the checkpoint already bounds ranges) stays
+      // correct by construction, and the pruning can never drop a row the
+      // filter wouldn't.
+      private var pushed: EventLogPushdown = EventLogPushdown.none
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]
+      ): Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = EventLogPushdown.from(filters)
+        filters // all residual (see above)
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed.accepted
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch =
-        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq)
+        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq)
     }
+}
+
+/** Envelope bounds extracted from pushed-down filters: an optional
+  * partition allow-set and an offset window translated to the reader's
+  * `start < offset <= end` convention.
+  */
+case class EventLogPushdown(
+    partitions: Option[Set[Int]],
+    startExclusive: Long,
+    endInclusive: Long,
+    accepted: Array[org.apache.spark.sql.sources.Filter]
+) {
+  def keepsPartition(p: Int): Boolean = partitions.forall(_.contains(p))
+}
+
+object EventLogPushdown {
+  import org.apache.spark.sql.sources._
+
+  val none: EventLogPushdown = EventLogPushdown(None, -1L, Long.MaxValue, Array.empty)
+
+  private def asInt(v: Any): Option[Int] = v match {
+    case i: Int  => Some(i)
+    case l: Long if l.isValidInt => Some(l.toInt)
+    case _       => None
+  }
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case _       => None
+  }
+
+  def from(filters: Array[Filter]): EventLogPushdown = {
+    var parts: Option[Set[Int]] = None
+    var start = -1L
+    var end   = Long.MaxValue
+    val acc   = scala.collection.mutable.ArrayBuffer[Filter]()
+    def intersect(s: Set[Int]): Unit = parts = Some(parts.fold(s)(_ intersect s))
+    filters.foreach {
+      case f @ EqualTo("partition", v) if asInt(v).isDefined =>
+        intersect(Set(asInt(v).get)); acc += f
+      case f @ In("partition", vs) if vs.forall(asInt(_).isDefined) =>
+        intersect(vs.flatMap(asInt).toSet); acc += f
+      case f @ GreaterThan("offset", v) if asLong(v).isDefined =>
+        start = math.max(start, asLong(v).get); acc += f
+      case f @ GreaterThanOrEqual("offset", v) if asLong(v).isDefined =>
+        start = math.max(start, asLong(v).get - 1); acc += f
+      case f @ LessThan("offset", v) if asLong(v).isDefined =>
+        end = math.min(end, asLong(v).get - 1); acc += f
+      case f @ LessThanOrEqual("offset", v) if asLong(v).isDefined =>
+        end = math.min(end, asLong(v).get); acc += f
+      case _ => () // anything else: residual-only, no pruning
+    }
+    EventLogPushdown(parts, start, end, acc.toArray)
+  }
 }
 
 /** Batch scan: the whole log, one task per partition. */
 class EventLogBatch(
     path: String,
     extractorClass: Option[String] = None,
-    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
+    pushdown: EventLogPushdown = EventLogPushdown.none
 ) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     EventLogSource
       .partitionFiles(path)
+      .filter { case (p, _) => pushdown.keepsPartition(p) } // file skip
       .map { case (p, f) =>
-        EventLogInputPartition(p, f.getAbsolutePath, -1L, Long.MaxValue, extractorClass, requiredCols)
+        EventLogInputPartition(
+          p, f.getAbsolutePath, pushdown.startExclusive, pushdown.endInclusive,
+          extractorClass, requiredCols)
       }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory

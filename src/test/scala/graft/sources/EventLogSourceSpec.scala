@@ -99,6 +99,29 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(viaExtractor === direct)
   }
 
+  test("envelope filter pushdown: partition filter skips files, offset filter clamps ranges") {
+    val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
+    // partition equality plans ONE input partition (file skip)
+    val onePart = df.filter(col("partition") === 2)
+    assert(onePart.rdd.getNumPartitions === 1,
+      "partition=2 must plan exactly one reader (other log files skipped)")
+    val expected = df.collect().count(_.getInt(0) == 2)
+    assert(onePart.count() === expected.toLong, "pruning must not change results")
+
+    // offset window: same rows as the post-scan filter, and the residual
+    // double-apply keeps it exact at the boundary
+    val lo = OffsetCodec.encode(0, 100)
+    val hi = OffsetCodec.encode(0, 200)
+    val windowed = df.filter(col("offset") > lo && col("offset") <= hi)
+    val naive    = df.collect().count(r => r.getLong(1) > lo && r.getLong(1) <= hi)
+    assert(windowed.count() === naive.toLong)
+
+    // IN-list partition filter
+    val two = df.filter(col("partition").isin(0, 3))
+    assert(two.rdd.getNumPartitions === 2)
+    assert(two.count() === df.collect().count(r => Set(0, 3)(r.getInt(0))).toLong)
+  }
+
   test("S16 extractor seam: a bad class name fails at table resolution, not first task") {
     val e = intercept[Exception] {
       spark.read
