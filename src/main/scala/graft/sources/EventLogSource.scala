@@ -154,7 +154,11 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder
+      with Scan
+      with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters
+      with SupportsReportStatistics {
       // Column pruning reaches the DECODER: Catalyst hands the scan the
       // required subset, the reader emits only those columns, and the
       // extractor is initialized with the pruned field names — the
@@ -182,6 +186,22 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
         filters // all residual (see above)
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed.accepted
+
+      // Source-reported statistics: file bytes of the (pushdown-pruned)
+      // partition set. This is what lets Catalyst/AQE treat a small topic
+      // like any small table — e.g. auto-broadcast the log side of a join
+      // without a hint — instead of assuming an unknown-size black box.
+      // The broker analogue is partition backlog metadata; here it is one
+      // directory listing (no data read).
+      override def estimateStatistics(): Statistics = new Statistics {
+        private val bytes = EventLogSource
+          .partitionFiles(path)
+          .filter { case (p, _) => pushed.keepsPartition(p) }
+          .map(_._2.length())
+          .sum
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
 
       override def build(): Scan = this
       override def readSchema(): StructType = required

@@ -122,6 +122,41 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(two.count() === df.collect().count(r => Set(0, 3)(r.getInt(0))).toLong)
   }
 
+  test("source-reported statistics: log bytes reach Catalyst, small log auto-broadcasts in a join") {
+    import spark.implicits._
+    val src = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
+    // stats = sum of partition file bytes (a directory listing, no data read)
+    val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val actual = EventLogSource.partitionFiles(logDir).map(_._2.length()).sum
+    assert(est === BigInt(actual), s"plan stats $est must equal file bytes $actual")
+    // a join against the small log must auto-broadcast WITHOUT a hint
+    val other = spark.range(0, 4).toDF("partition").withColumn("partition", col("partition").cast("int"))
+    val joined = other.join(src, "partition")
+    joined.collect() // finalize AQE
+    val planText = joined.queryExecution.executedPlan.toString
+    assert(planText.contains("BroadcastHashJoin"),
+      s"small source side should broadcast from reported stats, got:\n$planText")
+  }
+
+  test("EventLogPushdown.from: bound conversions and intersection semantics") {
+    import org.apache.spark.sql.sources._
+    val pd = EventLogPushdown.from(Array(
+      GreaterThanOrEqual("offset", 100L), // o >= 100 == o > 99
+      LessThan("offset", 200L),           // o < 200 == o <= 199
+      EqualTo("partition", 1),
+      In("partition", Array(1, 2))        // intersects to {1}
+    ))
+    assert(pd.startExclusive === 99L && pd.endInclusive === 199L)
+    assert(pd.partitions === Some(Set(1)))
+    assert(pd.keepsPartition(1) && !pd.keepsPartition(2))
+    // contradictory partition filters -> empty set, every file skipped
+    val none = EventLogPushdown.from(Array(EqualTo("partition", 1), EqualTo("partition", 2)))
+    assert(none.partitions === Some(Set.empty[Int]))
+    // an unsupported filter contributes nothing and is not claimed as pushed
+    val alien = EventLogPushdown.from(Array(StringStartsWith("value", "x")))
+    assert(alien.accepted.isEmpty && alien.partitions.isEmpty)
+  }
+
   test("S16 extractor seam: a bad class name fails at table resolution, not first task") {
     val e = intercept[Exception] {
       spark.read
