@@ -205,6 +205,11 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
 
       override def build(): Scan = this
       override def readSchema(): StructType = required
+      // drop-on-malformed observability: the reference logs each discarded
+      // row (PulsarJSONMessageDecoder.java:70-71); here the per-reader drop
+      // count is a DSv2 custom metric, aggregated in the SQL UI
+      override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+        Array(new DroppedMessagesMetric)
       override def toBatch: Batch =
         new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -223,6 +228,12 @@ case class EventLogPushdown(
     accepted: Array[org.apache.spark.sql.sources.Filter]
 ) {
   def keepsPartition(p: Int): Boolean = partitions.forall(_.contains(p))
+}
+
+/** Sum-aggregated count of messages the configured extractor rejected. */
+class DroppedMessagesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "droppedMessages"
+  override def description(): String = "messages dropped by the record extractor (malformed/rejected)"
 }
 
 object EventLogPushdown {
@@ -433,6 +444,7 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             .iterator
             .filter { case (o, _) => o > p.start && o <= p.end }
         private var current: InternalRow = _
+        private var dropped: Long = 0L
         override def next(): Boolean = {
           // skip (drop) messages the extractor rejects — drop-on-malformed
           while (it.hasNext) {
@@ -443,12 +455,17 @@ object EventLogReaderFactory extends PartitionReaderFactory {
                   org.apache.spark.sql.Row.fromSeq(proj.map(_(offset, row)))
                 ).asInstanceOf[InternalRow]
                 return true
-              case None => () // dropped
+              case None => dropped += 1
             }
           }
           false
         }
         override def get(): InternalRow = current
+        override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+            override def name(): String = "droppedMessages"
+            override def value(): Long = dropped
+          })
         override def close(): Unit = ()
       }
     }

@@ -138,6 +138,26 @@ class EventLogSourceSpec extends AnyFunSuite {
       s"small source side should broadcast from reported stats, got:\n$planText")
   }
 
+  test("dropped-messages custom metric counts extractor rejections per reader") {
+    // partition 1 holds event_ids = 1 (mod 4) — all odd, so every message
+    // is rejected by the odd-dropping extractor
+    val (p1, file) = EventLogSource.partitionFiles(logDir).find(_._1 == 1).get
+    val reader = EventLogReaderFactory.createReader(
+      EventLogInputPartition(
+        p1, file.getAbsolutePath, -1L, Long.MaxValue,
+        Some("graft.sources.OddDroppingExtractor"),
+        EventLogSource.schemaFor(Some("graft.sources.OddDroppingExtractor")).fieldNames.toSeq
+      )
+    )
+    var kept = 0L
+    while (reader.next()) kept += 1
+    val total = EventLogSource.readLog(file).size.toLong
+    val metric = reader.currentMetricsValues().find(_.name == "droppedMessages").get
+    assert(metric.value === total - kept, "every rejection must be counted")
+    assert(metric.value > 0L, "the odd-dropping extractor must have dropped something")
+    reader.close()
+  }
+
   test("EventLogPushdown.from: bound conversions and intersection semantics") {
     import org.apache.spark.sql.sources._
     val pd = EventLogPushdown.from(Array(
