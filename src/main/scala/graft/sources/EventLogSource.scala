@@ -427,10 +427,10 @@ object EventLogReaderFactory extends PartitionReaderFactory {
         ext.init(p.requiredCols.filter(extFields.contains))
         private val extIndex = extFields.zipWithIndex.toMap
         // project (envelope ++ extracted) down to the pruned schema, in
-        // Catalyst's requested order
-        private val prunedSchema = StructType(
-          p.requiredCols.map(n => EventLogSource.schemaFor(Some(cls)).apply(n))
-        )
+        // Catalyst's requested order (full schema resolved ONCE — schemaFor
+        // instantiates the extractor to read its field list)
+        private val fullSchema   = EventLogSource.schemaFor(Some(cls))
+        private val prunedSchema = StructType(p.requiredCols.map(fullSchema.apply))
         private val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(prunedSchema)
         private val proj: Seq[(Long, org.apache.spark.sql.Row) => Any] = p.requiredCols.map {
