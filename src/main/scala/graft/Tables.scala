@@ -174,15 +174,27 @@ object Tables {
     def pinIter(): DataFrame = Tables.pinIter(df)
   }
 
-  /** Release a [[pin]]ned frame's stored blocks — handles both mechanisms
-    * (localCheckpoint/checkpoint frames expose a `LogicalRDD`; persisted
-    * frames unpersist through the Dataset). Safe only once every consumer
-    * has either finished or been eagerly pinned itself.
+  /** Release a [[pin]]/[[pinIter]]ned frame's storage — handles all three
+    * mechanisms: localCheckpoint/checkpoint frames expose a `LogicalRDD`
+    * (blocks unpersisted; for a RELIABLE checkpoint the materialized files
+    * are deleted too — Spark's own cleaner only reclaims them at context
+    * shutdown unless `cleanCheckpoints` is set, so an iterative loop would
+    * otherwise stack one full frame copy per round on shared storage), and
+    * persisted frames unpersist through the Dataset. Safe only once every
+    * consumer has either finished or been eagerly pinned itself.
     */
   def unpin(df: DataFrame): Unit = {
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _                                             => ()
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p  = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+          } catch { case scala.util.control.NonFatal(_) => () } // best-effort reclaim
+        }
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
     df.unpersist(blocking = false)
   }

@@ -144,9 +144,21 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     options + (SourceConfig.BrokerListKey -> options.getOrElse(SourceConfig.BrokerListKey, path))
   )
   // S16: config-driven decode hook, loaded by class name at CONFIG time —
-  // a bad class name fails table resolution, not the first task
-  private val extractorClass: Option[String] = options.get(RecordExtractor.OptionKey)
-  extractorClass.foreach(RecordExtractor.instantiate)
+  // a bad class name fails table resolution, not the first task. DSv2
+  // options are case-insensitive; getTable receives the case-preserving
+  // map, so match the key case-insensitively (a case-variant key must
+  // select the extractor, never silently fall back to raw bytes).
+  private val extractorClass: Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(RecordExtractor.OptionKey) => v }
+  extractorClass.foreach { cls =>
+    val ext = RecordExtractor.instantiate(cls)
+    // envelope names are reserved: a colliding extractor field would be
+    // silently shadowed by the reader's envelope projection — fail loud here
+    val clash = ext.schema.fieldNames.map(_.toLowerCase).toSet
+      .intersect(Set("partition", "offset"))
+    require(clash.isEmpty,
+      s"extractor $cls declares reserved envelope field name(s): ${clash.mkString(", ")}")
+  }
 
   override def name(): String = s"${EventLogSource.ShortName}:$path"
   override def schema(): StructType = EventLogSource.schemaFor(extractorClass)
@@ -266,9 +278,18 @@ object EventLogPushdown {
       case f @ GreaterThan("offset", v) if asLong(v).isDefined =>
         start = math.max(start, asLong(v).get); acc += f
       case f @ GreaterThanOrEqual("offset", v) if asLong(v).isDefined =>
-        start = math.max(start, asLong(v).get - 1); acc += f
+        // o >= MinValue is always true: v-1 would wrap to MaxValue and
+        // prune everything, unrecoverably (residuals only see survivors)
+        val lv = asLong(v).get
+        if (lv != Long.MinValue) { start = math.max(start, lv - 1) }
+        acc += f
       case f @ LessThan("offset", v) if asLong(v).isDefined =>
-        end = math.min(end, asLong(v).get - 1); acc += f
+        // o < MinValue is always false: v-1 would wrap to MaxValue and
+        // accidentally keep everything for the pruning (harmless) — clamp
+        // to an empty window instead so the scan skips the files outright
+        val lv = asLong(v).get
+        end = if (lv == Long.MinValue) -1L else math.min(end, lv - 1)
+        acc += f
       case f @ LessThanOrEqual("offset", v) if asLong(v).isDefined =>
         end = math.min(end, asLong(v).get); acc += f
       case _ => () // anything else: residual-only, no pruning
@@ -559,7 +580,12 @@ object EventLogWriter {
             w.println(s"${OffsetCodec.encode(id / 1000, id % 1000)}\t${r.getString(2)}")
           }
           commit()
-        } finally if (w != null) { w.close(); tmp.delete() }
+        } finally {
+          if (w != null) w.close()
+          // a failed attempt (including a commit() rename failure after w
+          // was already closed+nulled) must not orphan its temp file
+          if (tmp != null && tmp.exists()) tmp.delete()
+        }
       }
     logDir
   }

@@ -106,6 +106,24 @@ class TablesScaleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("pinIter reliable path: unpin reclaims the checkpoint files, not just the blocks") {
+    import spark.implicits._
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt-reclaim").toString)
+    withModeValue("spark.graft.pin.mode", "persist") {
+      val pinned = Tables.pinIter(Seq(1L, 2L, 3L).toDF("id"))
+      val ckptFile = pinned.queryExecution.analyzed
+        .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile }
+        .flatten.headOption
+      assert(ckptFile.isDefined, "cluster-mode pinIter with a checkpoint dir must checkpoint reliably")
+      val dir = new java.io.File(new java.net.URI(ckptFile.get).getPath)
+      assert(dir.exists, "checkpoint files must exist while pinned")
+      Tables.unpin(pinned)
+      assert(!dir.exists,
+        "unpin must delete the round's checkpoint files — Spark's cleaner only reclaims at shutdown")
+    }
+  }
+
   test("pin local mode (default): eager localCheckpoint semantics, unpin releases blocks") {
     val df     = spark.range(0, 50).toDF("id")
     val pinned = Tables.pin(df)

@@ -175,6 +175,33 @@ class EventLogSourceSpec extends AnyFunSuite {
     // an unsupported filter contributes nothing and is not claimed as pushed
     val alien = EventLogPushdown.from(Array(StringStartsWith("value", "x")))
     assert(alien.accepted.isEmpty && alien.partitions.isEmpty)
+    // Long.MinValue edges must not wrap: >= MinValue is always true (no
+    // bound), < MinValue is always false (empty window)
+    val geMin = EventLogPushdown.from(Array(GreaterThanOrEqual("offset", Long.MinValue)))
+    assert(geMin.startExclusive === -1L && geMin.endInclusive === Long.MaxValue)
+    val ltMin = EventLogPushdown.from(Array(LessThan("offset", Long.MinValue)))
+    assert(ltMin.endInclusive === -1L)
+  }
+
+  test("extractor option key matches case-insensitively; reserved envelope names fail loud") {
+    // DSv2 options are case-insensitive: a case-variant key must still
+    // select the extractor, never silently fall back to raw bytes
+    val df = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", logDir)
+      .option("RECORDEXTRACTORCLASS", "graft.sources.JsonEventExtractor")
+      .load()
+    assert(df.columns.contains("event_id"), s"case-variant option ignored: ${df.columns.toSeq}")
+    // an extractor whose schema collides with the envelope would be
+    // silently shadowed by the reader's projection — must be rejected
+    val e = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", logDir)
+        .option(RecordExtractor.OptionKey, "graft.sources.EnvelopeClashExtractor")
+        .load()
+    }
+    assert(e.getMessage.contains("reserved envelope"), e.getMessage)
   }
 
   test("S16 extractor seam: a bad class name fails at table resolution, not first task") {
@@ -406,4 +433,13 @@ class OddDroppingExtractor extends RecordExtractor {
     inner.init((fieldsToRead :+ "event_id").distinct)
   override def extract(payload: Array[Byte]): Option[org.apache.spark.sql.Row] =
     inner.extract(payload).filter(r => r.getLong(0) % 2 == 0)
+}
+
+/** Deliberately-invalid extractor: declares a field named like the
+  * envelope's `offset` — the table must reject it at resolution.
+  */
+class EnvelopeClashExtractor extends RecordExtractor {
+  override val schema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.StringType)))
+  override def extract(payload: Array[Byte]): Option[org.apache.spark.sql.Row] = None
 }
