@@ -8,11 +8,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * columns with typed metadata, decoded / feature-extracted by a
   * per-partition batch operator.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub ([[StubDecoder]]) behind the same seam
-  * a real decoder would use; the Spark-side plumbing — binary schema,
-  * partition-batched execution, typed output, pushdown-friendly metadata —
-  * is real and tested (`MultimodalSpec`).
+  * Two decoders are bound behind the seam: [[ImageIoDecoder]] — the JDK's
+  * real PNG codec (`javax.imageio`, zero external deps) over genuine PNG
+  * payloads synthesized by [[pngTable]] — and [[StubDecoder]], the
+  * deterministic fake kept for payloads with no in-container codec
+  * (JPEG/video). [[wavTable]] does the same for audio with real RIFF/WAVE
+  * files from `javax.sound.sampled`. The Spark-side plumbing — binary
+  * schema, partition-batched execution, typed output, pushdown-friendly
+  * metadata, codegen-only header parses — is real and tested
+  * (`MultimodalSpec`).
   *
   * Scale notes: decode runs via `mapPartitions` over a `Dataset[MediaRow]`
   * (the Scala analogue of `mapInPandas` batch UDFs): one decoder init per
@@ -66,6 +70,127 @@ object Multimodal {
       )
     }
   }
+
+  /** REAL image codec bound at the same seam (round 11+): the JDK's
+    * `javax.imageio` PNG reader — no external dependency, works headless.
+    * `n_frames` is 1 (PNG is single-frame); dims come from the actual
+    * decode, not the envelope.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null, s"payload of doc ${row.doc_id} is not a decodable image")
+      MediaFeatures(
+        doc_id = row.doc_id,
+        media_type = row.media_type,
+        n_bytes = row.payload.length.toLong,
+        width = img.getWidth,
+        height = img.getHeight,
+        n_frames = 1,
+        checksum = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(row.payload)
+          .map("%02x".format(_))
+          .mkString
+      )
+    }
+  }
+
+  /** Deterministic dims for the synthesized PNG of a document whose UTF-8
+    * text is `nTextBytes` long — the ONE formula shared by [[pngTable]]'s
+    * writer, the specs, and the DuckDB oracles (which recompute it from
+    * `octet_length(encode(text))`).
+    */
+  def pngDims(nTextBytes: Int): (Int, Int) =
+    (4 + nTextBytes % 29, 4 + (nTextBytes / 3) % 29)
+
+  /** A REAL image table: per document, a genuine PNG (JDK `ImageIO` writer,
+    * byte-deterministic for fixed pixel input) whose dims derive from the
+    * text's UTF-8 byte length via [[pngDims]] and whose pixels derive from
+    * `doc_id` — so correctness of the decode path is oracle-checkable
+    * without the oracle ever touching a codec. Encoding is map-side typed
+    * work (one row in, one row out, no shuffle); at 100 TB the same shape
+    * holds: payload synthesis/decode never crosses an exchange.
+    */
+  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, text) =>
+          val n      = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val (w, h) = pngDims(n)
+          val img    = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((docId * 2654435761L + x * 31 + y * 7) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(docId, "image/png", bos.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** Synthesized-WAV parameters for a document — shared by [[wavTable]]'s
+    * writer and the oracle formulas: rate in {8,16,24} kHz from the text
+    * byte length, mono/stereo from doc_id parity, 16-bit PCM,
+    * `16 + n % 101` frames.
+    */
+  def wavParams(docId: Long, nTextBytes: Int): (Int, Int, Int) =
+    (8000 * (1 + nTextBytes % 3), 1 + (docId % 2).toInt, 16 + nTextBytes % 101)
+
+  /** A REAL audio table: per document, a genuine RIFF/WAVE file written by
+    * the JDK's `javax.sound.sampled.AudioSystem` (canonical 44-byte PCM
+    * header + data), parameters from [[wavParams]], sample bytes from
+    * `doc_id` — again deterministic so header-parse queries oracle against
+    * the closed-form formulas.
+    */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, text) =>
+          val n                       = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val (rate, channels, nFrames) = wavParams(docId, n)
+          val pcm                     = new Array[Byte](nFrames * channels * 2)
+          var i = 0
+          while (i < pcm.length) { pcm(i) = ((docId * 31 + i) & 0xff).toByte; i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+          val bos = new java.io.ByteArrayOutputStream(64 + pcm.length)
+          javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(docId, "audio/wav", bos.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** Little-endian unsigned int read from a binary column: bytes
+    * [pos, pos+nBytes) (1-indexed, like `substring`) reversed then parsed as
+    * hex. Pure codegen built-ins — the 100 TB path for container-header
+    * metadata (no decoder, no UDF, reads only the first bytes).
+    */
+  def leUint(c: org.apache.spark.sql.Column, pos: Int, nBytes: Int): org.apache.spark.sql.Column = {
+    val bytes = (0 until nBytes).reverse.map(i => hex(substring(c, pos + i, 1)))
+    conv(concat(bytes: _*), 16, 10).cast("long")
+  }
+
+  /** Big-endian unsigned int read from a binary column (PNG convention). */
+  def beUint(c: org.apache.spark.sql.Column, pos: Int, nBytes: Int): org.apache.spark.sql.Column =
+    conv(hex(substring(c, pos, nBytes)), 16, 10).cast("long")
 
   /** Fake a media table from documents: text bytes stand in for image
     * payloads (binary column + envelope metadata).
@@ -245,6 +370,79 @@ object Multimodal {
              |  cast(sum((1 + octet_length(encode(text)) % 30 + 1) // 2) as bigint) AS total_sampled,
              |  max((1 + octet_length(encode(text)) % 30 + 1) // 2) AS max_sampled
              |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_png_decode",
+      "REAL image decode through the Decoder seam: genuine PNGs (JDK ImageIO writer, dims a closed-form function of the text's UTF-8 byte length) decoded back by javax.imageio — the oracle recomputes the dims formula without touching a codec, so a wrong decode (or a wrong encode) breaks the hash",
+      (s, dir) =>
+        extractFeatures(pngTable(s, dir), ImageIoDecoder)
+          .select(
+            col("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""SELECT doc_id,
+             |  cast(4 + octet_length(encode(text)) % 29 as bigint) AS width,
+             |  cast(4 + (octet_length(encode(text)) // 3) % 29 as bigint) AS height
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_png_header",
+      "container-header metadata WITHOUT decode (the 100 TB path): parse the PNG signature + IHDR (big-endian width/height/bit-depth/color-type) from the first 26 payload bytes with pure codegen built-ins (substring/hex/conv), then census — n_valid_rgb8 = n_images asserts every synthesized payload really is an 8-bit truecolor PNG",
+      (s, dir) =>
+        pngTable(s, dir)
+          .select(
+            (hex(substring(col("payload"), 1, 8)) === lit("89504E470D0A1A0A")).as("sig_ok"),
+            beUint(col("payload"), 17, 4).as("w"),
+            beUint(col("payload"), 21, 4).as("h"),
+            beUint(col("payload"), 25, 1).as("bit_depth"),
+            beUint(col("payload"), 26, 1).as("color_type")
+          )
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(
+              when(col("sig_ok") && col("bit_depth") === 8 && col("color_type") === 2, 1L)
+                .otherwise(0L)
+            ).as("n_valid_rgb8"),
+            sum(col("w")).as("total_w"),
+            sum(col("h")).as("total_h"),
+            min(col("w")).as("min_w"),
+            max(col("h")).as("max_h")
+          ),
+      Some("""SELECT cast(count(1) as bigint) AS n_images,
+             |  cast(count(1) as bigint) AS n_valid_rgb8,
+             |  cast(sum(4 + octet_length(encode(text)) % 29) as bigint) AS total_w,
+             |  cast(sum(4 + (octet_length(encode(text)) // 3) % 29) as bigint) AS total_h,
+             |  cast(min(4 + octet_length(encode(text)) % 29) as bigint) AS min_w,
+             |  cast(max(4 + (octet_length(encode(text)) // 3) % 29) as bigint) AS max_h
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_wav_meta",
+      "audio container metadata: genuine RIFF/WAVE files (JDK AudioSystem writer, params a closed-form function of doc_id + text length) parsed by a codegen-only little-endian header read (channels/rate/bits/data size at the canonical 44-byte PCM offsets) — no decoder in the plan, scales to any corpus",
+      (s, dir) =>
+        wavTable(s, dir)
+          .select(
+            col("doc_id"),
+            (hex(substring(col("payload"), 1, 4)) === lit("52494646") &&
+              hex(substring(col("payload"), 9, 4)) === lit("57415645")).as("riff_ok"),
+            leUint(col("payload"), 23, 2).as("channels"),
+            leUint(col("payload"), 25, 4).as("sample_rate"),
+            leUint(col("payload"), 35, 2).as("bits"),
+            leUint(col("payload"), 41, 4).as("data_bytes")
+          )
+          .withColumn("n_frames", (col("data_bytes") / (col("channels") * lit(2))).cast("long"))
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""SELECT doc_id, TRUE AS riff_ok,
+             |  cast(1 + doc_id % 2 as bigint) AS channels,
+             |  cast(8000 * (1 + octet_length(encode(text)) % 3) as bigint) AS sample_rate,
+             |  cast(16 as bigint) AS bits,
+             |  cast((16 + octet_length(encode(text)) % 101) * (1 + doc_id % 2) * 2 as bigint) AS data_bytes,
+             |  cast(16 + octet_length(encode(text)) % 101 as bigint) AS n_frames
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
     )
   )
 }

@@ -76,4 +76,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.checksum === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(f.n_bytes === 5L)
   }
+
+  test("pngTable payloads are genuine PNGs that ImageIO decodes to the formula dims") {
+    import spark.implicits._
+    val rows = Multimodal
+      .pngTable(spark, TestSpark.sfDir)
+      .as[Multimodal.MediaRow]
+      .limit(25)
+      .collect()
+    assert(rows.length === 25)
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    rows.foreach { r =>
+      val f = Multimodal.ImageIoDecoder.decode(r)
+      val n = docs(r.doc_id).getBytes("UTF-8").length
+      val (w, h) = Multimodal.pngDims(n)
+      assert((f.width, f.height) === (w, h), s"doc ${r.doc_id}")
+      // IHDR header parse (offsets 16..23, big-endian) agrees with the decode
+      val p  = r.payload
+      val hw = ((p(16) & 0xff) << 24) | ((p(17) & 0xff) << 16) | ((p(18) & 0xff) << 8) | (p(19) & 0xff)
+      val hh = ((p(20) & 0xff) << 24) | ((p(21) & 0xff) << 16) | ((p(22) & 0xff) << 8) | (p(23) & 0xff)
+      assert((hw, hh) === (w, h))
+    }
+  }
+
+  test("PNG synthesis is byte-deterministic (same doc -> same payload)") {
+    import spark.implicits._
+    val a = Multimodal.pngTable(spark, TestSpark.sfDir).as[Multimodal.MediaRow].limit(10).collect()
+    val b = Multimodal.pngTable(spark, TestSpark.sfDir).as[Multimodal.MediaRow].limit(10).collect()
+    assert(a.map(r => (r.doc_id, r.payload.toSeq)).toSeq === b.map(r => (r.doc_id, r.payload.toSeq)).toSeq)
+  }
+
+  test("ImageIoDecoder rejects non-image payloads instead of fabricating features") {
+    val bad = Multimodal.MediaRow(7L, "image/png", "not a png".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Multimodal.ImageIoDecoder.decode(bad))
+  }
+
+  test("wavTable payloads are genuine RIFF/WAVE files AudioSystem can parse") {
+    import spark.implicits._
+    val rows = Multimodal
+      .wavTable(spark, TestSpark.sfDir)
+      .as[Multimodal.MediaRow]
+      .limit(25)
+      .collect()
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    rows.foreach { r =>
+      val aff = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(r.payload))
+      val n = docs(r.doc_id).getBytes("UTF-8").length
+      val (rate, channels, nFrames) = Multimodal.wavParams(r.doc_id, n)
+      assert(aff.getFormat.getSampleRate === rate.toFloat, s"doc ${r.doc_id}")
+      assert(aff.getFormat.getChannels === channels)
+      assert(aff.getFormat.getSampleSizeInBits === 16)
+      assert(aff.getFrameLength === nFrames)
+    }
+  }
+
+  test("q_multimodal_png_header census: every payload validates as 8-bit truecolor") {
+    val out = graft.SparkEntry.queries("q_multimodal_png_header")(spark, TestSpark.sfDir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_images") > 0)
+    assert(r.getAs[Long]("n_valid_rgb8") === r.getAs[Long]("n_images"))
+  }
+
+  test("q_multimodal_wav_meta header parse matches wavParams closed forms") {
+    val out = graft.SparkEntry.queries("q_multimodal_wav_meta")(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    import spark.implicits._
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    out.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val n     = docs(docId).getBytes("UTF-8").length
+      val (rate, channels, nFrames) = Multimodal.wavParams(docId, n)
+      assert(r.getAs[Boolean]("riff_ok"))
+      assert(r.getAs[Long]("channels") === channels.toLong)
+      assert(r.getAs[Long]("sample_rate") === rate.toLong)
+      assert(r.getAs[Long]("bits") === 16L)
+      assert(r.getAs[Long]("data_bytes") === nFrames.toLong * channels * 2)
+      assert(r.getAs[Long]("n_frames") === nFrames.toLong)
+    }
+  }
 }
