@@ -774,6 +774,69 @@ object TextAnalysis {
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(
+      "q_pii_redact",
+      "PII REDACTION (the masking transform q_pii_scan only censuses): plant deterministic synthetic email/phone/IPv4 strings per doc (closed forms of doc_id, so both engines build the identical input), mask each class with a placeholder token via chained regexp_replace — map-only codegen, no shuffle at any corpus size — and emit per-doc match counts plus the md5 of the redacted text, which the oracle reproduces bit-for-bit",
+      (s, dir) => {
+        val seeded = concat(
+          col("text"),
+          lit(" contact u"),
+          col("doc_id").cast("string"),
+          lit("@ex"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".com tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")
+        )
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "555-[0-9]{4}"
+        val ipPat    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .withColumn("seeded", seeded)
+          .select(
+            col("doc_id"),
+            // lit() patterns, NOT expr() SQL literals: the SQL parser would
+            // unescape '\.' to '.' and silently diverge from the oracle's RE2
+            size(regexp_extract_all(col("seeded"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("seeded"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+            size(regexp_extract_all(col("seeded"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+            md5(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(col("seeded"), emailPat, "<EMAIL>"),
+                  phonePat,
+                  "<PHONE>"
+                ),
+                ipPat,
+                "<IP>"
+              )
+            ).as("redacted_md5")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some("""WITH seeded AS (
+             |  SELECT doc_id,
+             |    text || ' contact u' || cast(doc_id as varchar)
+             |      || '@ex' || cast(doc_id % 7 as varchar)
+             |      || '.com tel 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+             |      || ' ip 10.' || cast(doc_id % 256 as varchar)
+             |      || '.0.' || cast((doc_id * 7) % 256 as varchar) AS s
+             |  FROM documents)
+             |SELECT doc_id,
+             |  cast(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+             |  cast(len(regexp_extract_all(s, '555-[0-9]{4}')) as bigint) AS n_phones,
+             |  cast(len(regexp_extract_all(s, '([0-9]{1,3}\.){3}[0-9]{1,3}')) as bigint) AS n_ips,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '555-[0-9]{4}', '<PHONE>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+             |FROM seeded ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_stratified",
       "stratified hash sampling: per-source rates (50/25/10%) for class balancing — deterministic md5 buckets, reproducible across runs and engines",
       (s, dir) => {

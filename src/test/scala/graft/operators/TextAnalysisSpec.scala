@@ -254,4 +254,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     val sampleMean = out1.map(_.getLong(1)).sum.toDouble / out1.length
     assert(sampleMean > corpusMean, s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
+
+  test("q_pii_redact finds the planted PII and the masked text carries none") {
+    val out = graft.SparkEntry.queries("q_pii_redact")(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // every doc gets exactly one planted email/phone/IP; word-soup text
+      // can only add to the counts, never subtract
+      assert(r.getAs[Long]("n_emails") >= 1L)
+      assert(r.getAs[Long]("n_phones") >= 1L)
+      assert(r.getAs[Long]("n_ips") >= 1L)
+      assert(r.getAs[String]("redacted_md5").length === 32)
+    }
+    // end-to-end masking check on a hand-built row: redact, then re-scan
+    import spark.implicits._
+    val masked = Seq("write a@b.co or 555-1234 from 192.168.0.1 twice a@b.co")
+      .toDF("seeded")
+      .select(
+        org.apache.spark.sql.functions
+          .regexp_replace(
+            org.apache.spark.sql.functions.regexp_replace(
+              org.apache.spark.sql.functions
+                .regexp_replace(col("seeded"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+              "555-[0-9]{4}",
+              "<PHONE>"
+            ),
+            "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+            "<IP>"
+          )
+          .as("r")
+      )
+      .collect()(0)
+      .getString(0)
+    assert(masked === "write <EMAIL> or <PHONE> from <IP> twice <EMAIL>", masked)
+  }
 }
