@@ -438,4 +438,28 @@ class PlanSpec extends AnyFunSuite {
       )
     }
   }
+
+  test("PII redaction is map-only: nothing shuffles but the local-mode fanout") {
+    val nodes    = allNodes(executed(q("q_pii_redact")))
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 1,
+      s"only the fanout repartition may shuffle, got $shuffles:\n${nodes.map(_.nodeName).mkString("\n")}")
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "ORDER BY doc_id LIMIT must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("media header parses never shuffle payloads (wav per-row path is exchange-free)") {
+    // per-row header read -> TakeOrdered: payload bytes stay on the scan side
+    val wav = allNodes(executed(q("q_multimodal_wav_meta")))
+    assert(!wav.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"wav header parse must be map-only, got:\n${wav.map(_.nodeName).mkString("\n")}")
+    // the PNG census aggregates AFTER projecting header fields: any shuffle
+    // carries only the tiny partial-agg rows, never the payload column
+    val png = executed(q("q_multimodal_png_header"))
+    val shuffles = allNodes(png).collect { case s: ShuffleExchangeLike => s }
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name.toLowerCase).mkString(",")
+      assert(!cols.contains("payload"), s"payload column must not cross an exchange: $cols")
+    }
+  }
 }
