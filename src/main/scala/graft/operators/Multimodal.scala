@@ -115,8 +115,7 @@ object Multimodal {
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+      .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (docId, text) =>
@@ -157,8 +156,7 @@ object Multimodal {
   def wavTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+      .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (docId, text) =>

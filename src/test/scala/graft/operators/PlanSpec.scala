@@ -448,18 +448,20 @@ class PlanSpec extends AnyFunSuite {
       "ORDER BY doc_id LIMIT must plan as TakeOrderedAndProject, not a global sort")
   }
 
-  test("media header parses never shuffle payloads (wav per-row path is exchange-free)") {
-    // per-row header read -> TakeOrdered: payload bytes stay on the scan side
-    val wav = allNodes(executed(q("q_multimodal_wav_meta")))
-    assert(!wav.exists(_.isInstanceOf[ShuffleExchangeLike]),
-      s"wav header parse must be map-only, got:\n${wav.map(_.nodeName).mkString("\n")}")
-    // the PNG census aggregates AFTER projecting header fields: any shuffle
-    // carries only the tiny partial-agg rows, never the payload column
-    val png = executed(q("q_multimodal_png_header"))
-    val shuffles = allNodes(png).collect { case s: ShuffleExchangeLike => s }
-    shuffles.foreach { s =>
-      val cols = s.output.map(_.name.toLowerCase).mkString(",")
-      assert(!cols.contains("payload"), s"payload column must not cross an exchange: $cols")
+  test("media header parses never shuffle payloads") {
+    // payload synthesis happens AFTER the local-mode fanout and the header
+    // census aggregates AFTER projecting header fields: whatever shuffles
+    // exist carry only (doc_id, text) or the tiny partial-agg rows — the
+    // binary payload column itself must never cross an exchange
+    for (name <- Seq("q_multimodal_wav_meta", "q_multimodal_png_header")) {
+      val plan     = executed(q(name))
+      val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
+      shuffles.foreach { s =>
+        val cols = s.output.map(_.name.toLowerCase).mkString(",")
+        assert(!cols.contains("payload"), s"$name: payload must not cross an exchange: $cols")
+      }
     }
+    // and the per-row wav output is bounded by TakeOrdered, not a global sort
+    assert(countNodes(q("q_multimodal_wav_meta"), "TakeOrderedAndProject") >= 1)
   }
 }
