@@ -837,6 +837,51 @@ object TextAnalysis {
              |FROM seeded ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_quality_classifier",
+      "fastText-style hashed linear quality classifier (the learned-filter step of corpus pipelines, next to the rule-based q_quality_gopher): each token hashes to one of 64 weight buckets (md5 prefix, engine-reproducible), the doc's logit is the bucket-weight sum — integer-exact tenths, summed in one map-only HOF aggregate, no explode, no shuffle of text — normalized by token count; keep = positive logit. Weights here are a closed form of the bucket id so the oracle is exact; production swaps in trained weights via the same broadcast-literal shape",
+      (s, dir) => {
+        val toks = TextShared.tokens(col("text"))
+        // weight*10 per token: ((h % 64) % 7) - 3  in [-3, 3] — integers, so
+        // the sum is exact in both engines regardless of order
+        val w10 = aggregate(
+          transform(
+            toks,
+            t => (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % 64 % 7) - 3
+          ),
+          lit(0L),
+          (acc, x) => acc + x
+        )
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tok"),
+            w10.as("w10_sum")
+          )
+          .select(
+            col("doc_id"),
+            col("n_tok"),
+            col("w10_sum"),
+            (col("w10_sum").cast("double") / (lit(10.0) * col("n_tok").cast("double"))).as("score"),
+            (col("w10_sum") > 0L).as("keep")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |scored AS (
+             |  SELECT doc_id,
+             |    cast(len(toks) as bigint) AS n_tok,
+             |    cast(list_sum(list_transform(toks,
+             |      x -> ((('0x' || substring(md5(x), 1, 4))::bigint % 64) % 7) - 3)) as bigint) AS w10_sum
+             |  FROM t)
+             |SELECT doc_id, n_tok, w10_sum,
+             |  cast(w10_sum as double) / (10.0 * cast(n_tok as double)) AS score,
+             |  w10_sum > 0 AS keep
+             |FROM scored ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_stratified",
       "stratified hash sampling: per-source rates (50/25/10%) for class balancing — deterministic md5 buckets, reproducible across runs and engines",
       (s, dir) => {

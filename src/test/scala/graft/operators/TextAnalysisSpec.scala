@@ -288,4 +288,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       .getString(0)
     assert(masked === "write <EMAIL> or <PHONE> from <IP> twice <EMAIL>", masked)
   }
+
+  test("q_quality_classifier: hashed-bucket weights bound the logit and keep tracks its sign") {
+    val out = graft.SparkEntry.queries("q_quality_classifier")(spark, TestSpark.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nTok  = r.getAs[Long]("n_tok")
+      val w10   = r.getAs[Long]("w10_sum")
+      val score = r.getAs[Double]("score")
+      assert(nTok >= 1L)
+      // per-token weight is in [-0.3, 0.3], so the mean is too
+      assert(math.abs(score) <= 0.3 + 1e-12, s"score $score out of the weight envelope")
+      assert(score === w10.toDouble / (10.0 * nTok))
+      assert(r.getAs[Boolean]("keep") === (w10 > 0L))
+    }
+    // hand-check one token against the bucket formula the doc promises:
+    // bucket = first 4 hex chars of md5, weight*10 = bucket % 64 % 7 - 3
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = java.lang.Long.parseLong(md5hex.take(4), 16)
+    val expected = (bucket % 64 % 7) - 3
+    import spark.implicits._
+    val got = Seq("hello").toDF("text")
+      .select(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.split(col("text"), " "),
+            t => (org.apache.spark.sql.functions
+              .conv(org.apache.spark.sql.functions.substring(org.apache.spark.sql.functions.md5(t), 1, 4), 16, 10)
+              .cast("long") % 64 % 7) - 3
+          ),
+          org.apache.spark.sql.functions.lit(0L),
+          (acc, x) => acc + x
+        ).as("w")
+      )
+      .collect()(0)
+      .getLong(0)
+    assert(got === expected)
+  }
 }
