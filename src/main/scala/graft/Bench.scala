@@ -120,9 +120,37 @@ object Bench {
     //  2) stdout emits each map as its own line with the per-query MIN map
     //     nearest the end, so the tail window preserves as much of the
     //     steady-state map as it can even if the file is missed.
-    val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
+    // Regression list vs the PREVIOUS artifact (read before we overwrite
+    // it): per-query min vs prior min, flagged when both absolute
+    // (>0.25 s) and relative (>1.5x) thresholds trip — either alone would
+    // drown the list in this host's 60-240% noise on sub-100ms queries.
+    // Advisory output, never a gate; parse failures (first run, schema
+    // drift) degrade to an empty map.
     val fullPath = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_FULL", "BENCH_FULL.json")).getAbsoluteFile
+    val priorMin: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(fullPath).get("queries")
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
+        b.result()
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val regressions = results.toSeq
+      .flatMap { case (name, now) =>
+        priorMin.get(name) match {
+          case Some(prev) if prev >= 0 && now >= 0 && now > prev + 0.25 && now > prev * 1.5 =>
+            Some(name -> (now - prev))
+          case _ => None
+        }
+      }
+      .sortBy(-_._2)
+    val regressionsJson = regressions
+      .take(10) // bounded: the driver keeps only a ~2000-char stdout tail
+      .map { case (n, d) => s"\"" + n + "\":" + r3(d) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -130,7 +158,7 @@ object Bench {
     println(s"""{"metric":"queries_cold","total_cold":${r3(totalCold)},"queries_cold":$qsCold,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_median","total_median":${r3(totalMedian)},"queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_min","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
