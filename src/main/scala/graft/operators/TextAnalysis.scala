@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** PII masking patterns + transform, shared by the batch query
+    * (`q_pii_redact`), its DuckDB oracle, and the streaming twin
+    * (`StreamingPipelines.redactPiiStream`). Stateless per-row codegen:
+    * identical semantics in batch and micro-batch by construction.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "555-[0-9]{4}"
+  val IpPat    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Chained masking: email -> phone -> IPv4, each class to its own
+    * placeholder token (order matters only in that placeholders carry no
+    * digits/at-signs, so later passes can't re-match earlier output).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"),
+      IpPat,
+      "<IP>"
+    )
+
   import TextShared._
 
   /** BPE-ish segmentation: letter runs | digit runs | single non-alnum. */
@@ -790,9 +810,7 @@ object TextAnalysis {
           lit(".0."),
           ((col("doc_id") * 7) % 256).cast("string")
         )
-        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phonePat = "555-[0-9]{4}"
-        val ipPat    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val (emailPat, phonePat, ipPat) = (EmailPat, PhonePat, IpPat)
         Tables
           .fanout(Tables.documents(s, dir))
           .withColumn("seeded", seeded)
@@ -803,17 +821,7 @@ object TextAnalysis {
             size(regexp_extract_all(col("seeded"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
             size(regexp_extract_all(col("seeded"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
             size(regexp_extract_all(col("seeded"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
-            md5(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(col("seeded"), emailPat, "<EMAIL>"),
-                  phonePat,
-                  "<PHONE>"
-                ),
-                ipPat,
-                "<IP>"
-              )
-            ).as("redacted_md5")
+            md5(redactPii(col("seeded"))).as("redacted_md5")
           )
           .orderBy(col("doc_id"))
           .limit(500)

@@ -255,6 +255,16 @@ object StreamingPipelines {
       .drop("_bf", "_t", "_grams")
   }
 
+  /** Streaming PII redaction on arrival: the same chained masking
+    * transform as the batch `q_pii_redact` (shared patterns+expression in
+    * `TextAnalysis.redactPii`), applied per arriving row. Stateless pure
+    * codegen — no watermark, no state store, batch/micro-batch identical
+    * by construction (spec-pinned) — so a landing-zone stream can be
+    * scrubbed before anything durable is written.
+    */
+  def redactPiiStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, graft.operators.TextAnalysis.redactPii(col(textCol)))
+
   /** Doc-length bucketizer shared by the drift monitor and its batch twin
     * (`q_drift_psi`): fixed-width 200-char buckets capped at 10 — fixed
     * edges, so distributions from different snapshots/batches are

@@ -880,4 +880,35 @@ class StreamingPipelinesSpec extends AnyFunSuite {
       "restarted instance must re-rank the checkpointed leaderboard, equal to an uninterrupted run"
     )
   }
+
+  test("streaming PII redaction equals the batch transform row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      "mail me at first.last@corp.example.org today",
+      "call 555-0199 or 555-12345 from 10.0.0.7",     // 5-digit run: only the first 4 match
+      "plain text with no pii at all",
+      "a@b.io b@c.net 192.168.001.255"
+    )
+    val input = MemoryStream[String]
+    val q = StreamingPipelines
+      .redactPiiStream(input.toDF().withColumnRenamed("value", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("pii_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_out").as[String].collect().sorted.toSeq
+      val batch = docs.toDF("text")
+        .select(graft.operators.TextAnalysis.redactPii(org.apache.spark.sql.functions.col("text")))
+        .as[String].collect().sorted.toSeq
+      assert(streamed === batch, "stateless transform must be batch/stream identical")
+      assert(streamed.exists(_.contains("<EMAIL>")) && streamed.exists(_.contains("<PHONE>"))
+        && streamed.exists(_.contains("<IP>")))
+      assert(!streamed.exists(s => s.contains("@corp") || s.contains("555-0199") || s.contains("10.0.0.7")))
+    } finally q.stop()
+  }
 }
