@@ -14,6 +14,51 @@ object Profiling {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q_corpus_diff",
+      "corpus snapshot diff (data versioning: what changed between crawl N and N+1): derive snapshot B from the fixture by deterministic drop/modify/add rules, full-outer join the two content manifests (doc_id -> md5(text)) and census added/removed/changed/unchanged. The manifests are (id, 32-byte hash) — the full-outer join moves hashes, never text; at 100 TB both snapshots live bucketed by doc_id (Sinks.writeBucketed) and the diff is a zero-shuffle co-partitioned merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val a    = docs.select(col("doc_id"), md5(col("text")).as("ha"))
+        val b = docs
+          .filter(col("doc_id") % 17 =!= 0) // dropped pages
+          .select(
+            col("doc_id"),
+            md5(
+              when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2"))) // re-crawled edits
+                .otherwise(col("text"))
+            ).as("hb")
+          )
+          .unionByName(
+            docs
+              .filter(col("doc_id") % 11 === 0) // newly discovered pages
+              .select((col("doc_id") + 1000000L).as("doc_id"), md5(concat(lit("new "), col("text"))).as("hb"))
+          )
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("ha").isNull, "added")
+              .when(col("hb").isNull, "removed")
+              .when(col("ha") =!= col("hb"), "changed")
+              .otherwise("unchanged")
+              .as("status")
+          )
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS hb
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5('new ' || text) FROM documents WHERE doc_id % 11 = 0),
+             |j AS (SELECT a.ha, b.hb FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+             |SELECT CASE WHEN ha IS NULL THEN 'added' WHEN hb IS NULL THEN 'removed'
+             |            WHEN ha <> hb THEN 'changed' ELSE 'unchanged' END AS status,
+             |  cast(count(1) as bigint) AS n
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q_profile_documents",
       "single-pass column profile: null/distinct/min/max per column (the pre-flight check of any ingest)",
       (s, dir) =>
