@@ -140,6 +140,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        FunctionIdentifier("redact_pii"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+          "redact_pii",
+          "redact_pii(s) - mask email/phone/IPv4 substrings with placeholder tokens (chained codegen regexp_replace; same definition as the batch/streaming operators)"
+        ),
+        operators.TextAnalysis.redactPiiBuilder(_)
+      )
+    )
+    ext.injectFunction(
+      (
         FunctionIdentifier("bloom_might_contain"),
         new ExpressionInfo(
           classOf[functions.BloomMightContain].getName,

@@ -48,6 +48,11 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
+      // catalog-level native functions (kmv_*, bloom_*, redact_pii, ...):
+      // the same injection a cluster deployment gets from
+      // spark.sql.extensions=graft.GraftExtensions; per-session register()
+      // helpers remain available and keep the identical builders
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     sessionConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

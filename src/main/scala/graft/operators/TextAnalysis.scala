@@ -35,6 +35,24 @@ object TextAnalysis {
       "<IP>"
     )
 
+  /** SQL-surface builder for `redact_pii(text)` (injected by
+    * `GraftExtensions`): expands to the same chained RegExpReplace tree as
+    * [[redactPii]] — pattern literals bound at build time, so the SQL form
+    * can never drift from the Column form.
+    */
+  def redactPiiBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+  ): org.apache.spark.sql.catalyst.expressions.Expression = {
+    graft.functions.Arity.require("redact_pii", "1", exprs, 1, 1)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    def rep(
+        child: org.apache.spark.sql.catalyst.expressions.Expression,
+        pat: String,
+        to: String
+    ) = RegExpReplace(child, Literal(pat), Literal(to))
+    rep(rep(rep(exprs.head, EmailPat, "<EMAIL>"), PhonePat, "<PHONE>"), IpPat, "<IP>")
+  }
+
   import TextShared._
 
   /** BPE-ish segmentation: letter runs | digit runs | single non-alnum. */

@@ -87,6 +87,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(j > 0.1 && j < 0.45, s"jaccard estimate $j implausible for true ~0.25")
   }
 
+  test("redact_pii is callable from plain SQL and equals the Column-API transform") {
+    val out = spark
+      .sql("SELECT redact_pii('ask a@b.io or 555-0101 at 10.1.2.3') AS r")
+      .collect()(0)
+      .getString(0)
+    assert(out === "ask <EMAIL> or <PHONE> at <IP>", out)
+    // same expression tree as the Column form on a table round-trip
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql("SELECT redact_pii(text) AS r FROM documents LIMIT 50").collect().map(_.getString(0))
+    val viaCol = spark
+      .table("documents")
+      .select(operators.TextAnalysis.redactPii(col("text")).as("r"))
+      .limit(50)
+      .collect()
+      .map(_.getString(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("star join in SQL picks the same broadcast plan family") {
     val sql = spark.sql(
       """SELECT r_name, count(1) AS n
