@@ -160,5 +160,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.BloomFilter.probeBuild(_)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cms_agg"),
+        new ExpressionInfo(
+          classOf[functions.CmsAgg].getName,
+          "cms_agg",
+          "cms_agg(buckets_array, depth, width) - mergeable count-min sketch over pre-hashed bucket indices; output is self-describing (header carries depth/width)"
+        ),
+        functions.CountMinSketch.aggBuild(_)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cms_query"),
+        new ExpressionInfo(
+          classOf[functions.CmsQuery].getName,
+          "cms_query",
+          "cms_query(sketch_bytes, buckets_array) - codegen point query: min counter over the sketch's hash rows (estimate >= truth always); geometry is read from the sketch's header"
+        ),
+        functions.CountMinSketch.queryBuild(_)
+      )
+    )
   }
 }

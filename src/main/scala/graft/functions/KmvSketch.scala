@@ -273,4 +273,36 @@ object KmvSketch {
     val unionEst = if (union.size < k) union.size.toDouble else (k - 1).toDouble / union.last
     (jaccard, jaccard * unionEst)
   }
+
+  /** A-NOT-B estimate columns — the third theta-sketch set operation
+    * (DataSketches `AnotB`; Pinot `DISTINCTCOUNTRAWTHETASKETCH` exposes it
+    * as SET_DIFF). Same estimator family as [[intersectColumns]]: the k
+    * smallest union hashes are a uniform sample of A ∪ B, so the fraction
+    * of them that lie in A but NOT in B estimates |A \ B| / |A ∪ B|, and
+    * multiplying by the union estimate gives |A \ B|. Membership is
+    * decidable inside the sample window: every union-top-k hash is below
+    * BOTH sketches' retention horizons (each sketch keeps its k smallest,
+    * and the union top-k is bounded by min of the two k-th values whenever
+    * the window is full), so "not in sketch B" there means "not in B".
+    * Pure builtin array expressions — stays in codegen, oracle-recomputable.
+    * Returns (a_only_frac, a_not_b_est).
+    */
+  def aNotBColumns(a: Column, b: Column, k: Int): (Column, Column) = {
+    val unionTopK = slice(array_sort(array_union(a, b)), 1, k)
+    val nAOnly    = size(array_intersect(unionTopK, array_except(a, b)))
+    val frac = when(size(unionTopK) === 0, 0.0)
+      .otherwise(nAOnly.cast("double") / size(unionTopK))
+    (frac, frac * estimate(unionTopK, k))
+  }
+
+  /** Driver-side twin of [[aNotBColumns]]: (a_only_frac, a_not_b_est). */
+  def aNotBEstimate(a: Seq[Double], b: Seq[Double], k: Int): (Double, Double) = {
+    val union = (a ++ b).distinct.sorted.take(k)
+    val bSet  = b.toSet
+    val aSet  = a.toSet
+    val only  = union.count(h => aSet(h) && !bSet(h))
+    val frac     = if (union.isEmpty) 0.0 else only.toDouble / union.size
+    val unionEst = if (union.size < k) union.size.toDouble else (k - 1).toDouble / union.last
+    (frac, frac * unionEst)
+  }
 }

@@ -652,6 +652,66 @@ object Relational {
              |FROM est""".stripMargin)
     ),
     QueryDef(
+      "q_kmv_anotb",
+      "KMV theta-sketch A-NOT-B (set difference — DataSketches AnotB, the third theta set op Pinot's DISTINCTCOUNTRAWTHETASKETCH exposes): estimates of |A \\ B| and |B \\ A| between the A/N l_returnflag part-key sets from the same merged k-minimum-values sketches as q_kmv_intersect; every union-top-k hash lies below both sketches' retention horizons, so sketch membership decides true membership inside the sample window and the oracle recomputes the identical order statistics",
+      (s, dir) => {
+        graft.functions.KmvSketch.register(s)
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        // same single-aggregation sketch build as q_kmv_intersect: dedupe
+        // (flag, partkey) first so md5 runs once per distinct pair, then ONE
+        // global agg produces both segment sketches.
+        val sk = Tables
+          .lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "N"))
+          .select(col("l_returnflag"), col("l_partkey"))
+          .distinct()
+          .select(col("l_returnflag"), h.as("h"))
+          .agg(
+            expr("kmv_hashes(case when l_returnflag = 'A' then h end, 256)").as("hs_a"),
+            expr("kmv_hashes(case when l_returnflag = 'N' then h end, 256)").as("hs_b")
+          )
+        val (aFrac, aNotB) =
+          graft.functions.KmvSketch.aNotBColumns(col("hs_a"), col("hs_b"), 256)
+        val (bFrac, bNotA) =
+          graft.functions.KmvSketch.aNotBColumns(col("hs_b"), col("hs_a"), 256)
+        sk.select(
+          round(aFrac, 4).as("a_only_frac"),
+          round(aNotB, 4).as("a_not_b_est"),
+          round(bFrac, 4).as("b_only_frac"),
+          round(bNotA, 4).as("b_not_a_est")
+        )
+      },
+      Some("""WITH hashed AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    ('0x' || substring(md5(cast(l_partkey as varchar)), 1, 8))::bigint / 4294967296.0 AS h
+             |  FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+             |topk AS (
+             |  SELECT l_returnflag, h FROM (
+             |    SELECT l_returnflag, h,
+             |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+             |    FROM hashed)
+             |  WHERE rn <= 256),
+             |u AS (SELECT DISTINCT h FROM topk ORDER BY h LIMIT 256),
+             |stats AS (
+             |  SELECT count(1) AS nu, max(h) AS hk,
+             |    count(1) FILTER (
+             |      WHERE h IN (SELECT h FROM topk WHERE l_returnflag = 'A')
+             |        AND h NOT IN (SELECT h FROM topk WHERE l_returnflag = 'N')) AS na_only,
+             |    count(1) FILTER (
+             |      WHERE h IN (SELECT h FROM topk WHERE l_returnflag = 'N')
+             |        AND h NOT IN (SELECT h FROM topk WHERE l_returnflag = 'A')) AS nb_only
+             |  FROM u),
+             |est AS (
+             |  SELECT cast(na_only as double) / nu AS a_frac,
+             |    cast(nb_only as double) / nu AS b_frac,
+             |    CASE WHEN nu < 256 THEN cast(nu as double) ELSE 255.0 / hk END AS union_est
+             |  FROM stats)
+             |SELECT round(a_frac, 4) AS a_only_frac, round(a_frac * union_est, 4) AS a_not_b_est,
+             |  round(b_frac, 4) AS b_only_frac, round(b_frac * union_est, 4) AS b_not_a_est
+             |FROM est""".stripMargin)
+    ),
+    QueryDef(
       "q_rollup",
       "ROLLUP grouping sets with grouping() indicators",
       (s, dir) =>

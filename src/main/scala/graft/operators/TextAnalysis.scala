@@ -469,6 +469,73 @@ object TextAnalysis {
              |ORDER BY n DESC, tok""".stripMargin)
     ),
     QueryDef(
+      "q_cms_freq",
+      "count-min sketch point queries (Cormode-Muthukrishnan; the frequency-sketch family Pinot exposes via DataSketches) — a 4x64 mergeable counter grid over the corpus token stream (one primitive-buffer cms_agg partial per partition, element-wise-add merge, self-describing header), probed for 5 tokens via the codegen cms_query min-over-rows. Hashing is engine-reproducible md5 rows (seed-prefixed), so the oracle recomputes the IDENTICAL counters relationally and the probabilistic estimates hash-match exactly; exact counts ride along to expose the guaranteed est >= truth over-count",
+      (s, dir) => {
+        graft.functions.CountMinSketch.register(s)
+        val depth = 4
+        val width = 64
+        // one md5 row per seed prefix "d:" — d independent hash functions,
+        // bit-reproducible in DuckDB (same string in, same bucket out)
+        def buckets(t: Column) = array((0 until depth).map { d =>
+          (conv(substring(md5(concat(lit(s"$d:"), t)), 1, 8), 16, 10).cast("long") % width)
+            .cast("int")
+        }: _*)
+        val toks = Tables
+          .fanout(Tables.documents(s, dir))
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val sketch = toks
+          .select(buckets(col("tok")).as("bks"))
+          .agg(expr(s"cms_agg(bks, $depth, $width)").as("sk"))
+        import s.implicits._
+        val probes = Seq("merge", "query", "spark", "table", "zzz_unseen").toDF("tok")
+        // exact counts for the probe tokens only: broadcast the 5-row probe
+        // frame into the token stream — never a full-vocabulary census
+        val exact = toks
+          .join(broadcast(probes), Seq("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("exact_n"))
+        probes
+          .withColumn("bks", buckets(col("tok")))
+          .crossJoin(broadcast(sketch)) // 1-row sketch frame
+          .withColumn("est", expr("cms_query(sk, bks)"))
+          .join(exact, Seq("tok"), "left_outer")
+          .select(
+            col("tok"),
+            col("est"),
+            coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+            (col("est") - coalesce(col("exact_n"), lit(0L))).as("overcount")
+          )
+          .orderBy(col("tok"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT t AS tok FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE t <> ''),
+             |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+             |cells AS (
+             |  SELECT d, ('0x' || substring(md5(cast(d as varchar) || ':' || tok), 1, 8))::bigint % 64 AS bkt,
+             |    count(1) AS c
+             |  FROM toks CROSS JOIN ds GROUP BY 1, 2),
+             |probes AS (SELECT unnest(['merge', 'query', 'spark', 'table', 'zzz_unseen']) AS tok),
+             |pcells AS (
+             |  SELECT p.tok, ds.d,
+             |    ('0x' || substring(md5(cast(ds.d as varchar) || ':' || p.tok), 1, 8))::bigint % 64 AS bkt
+             |  FROM probes p CROSS JOIN ds),
+             |est AS (
+             |  SELECT pc.tok, cast(min(coalesce(c.c, 0)) as bigint) AS est
+             |  FROM pcells pc LEFT JOIN cells c ON pc.d = c.d AND pc.bkt = c.bkt
+             |  GROUP BY pc.tok),
+             |exact AS (
+             |  SELECT tok, count(1) AS exact_n FROM toks
+             |  WHERE tok IN (SELECT tok FROM probes) GROUP BY tok)
+             |SELECT e.tok, e.est, cast(coalesce(x.exact_n, 0) as bigint) AS exact_n,
+             |  e.est - cast(coalesce(x.exact_n, 0) as bigint) AS overcount
+             |FROM est e LEFT JOIN exact x ON e.tok = x.tok
+             |ORDER BY e.tok""".stripMargin)
+    ),
+    QueryDef(
       "q_sample_hash",
       "deterministic content-hash sampling (training-data op): ~10% of docs by md5 bucket, stable across runs/engines",
       (s, dir) =>

@@ -55,6 +55,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs === Seq(0.0, 0.1, 0.2, 0.3), "4 smallest distinct hashes, ascending")
   }
 
+  test("cms_agg + cms_query resolve from SQL without a register() call") {
+    // 100 rows of key id%4: every estimate >= the true 25, exact when no
+    // bucket of a key collides with another key's bucket in every row
+    val est = spark
+      .sql("""SELECT cms_query(sk, array(cast(id % 8 as int), cast(id % 8 as int))) AS est
+             |FROM (
+             |  SELECT cms_agg(array(cast(k % 8 as int), cast(k % 8 as int)), 2, 8) AS sk
+             |  FROM (SELECT id % 4 AS k FROM range(100))
+             |) CROSS JOIN (SELECT 0 AS id)""".stripMargin)
+      .collect()(0)
+      .getLong(0)
+    assert(est == 25L, s"collision-free CMS point query must be exact, got $est")
+  }
+
   test("kmv_estimate composes with kmv_hashes in plain SQL (exact below k, order statistic at k)") {
     // 7 distinct hashes, k=16 > 7: the sketch holds the full set -> exact 7
     val exact = spark

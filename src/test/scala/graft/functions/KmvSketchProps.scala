@@ -72,4 +72,22 @@ object KmvSketchProps extends Properties("KmvState") {
       (math.abs(jac - nShared.toDouble / union) < 1e-12 &&
         math.abs(inter - nShared.toDouble) < 1e-9)
     }
+
+  property("driver-side A-NOT-B estimate is exact below k, and A\\B + B\\A + A∩B == A∪B") =
+    Prop.forAll(Gen.choose(0, 40), Gen.choose(0, 40), Gen.choose(0, 40)) { (nA, nShared, nB) =>
+      val shared = (200 until 200 + nShared).map(_ / 1000.0)
+      val a      = (0 until nA).map(_ / 1000.0) ++ shared
+      val b      = (100 until 100 + nB).map(_ / 1000.0) ++ shared
+      val k      = 256
+      val sa     = state(a, k).toSeq
+      val sb     = state(b, k).toSeq
+      val (_, aNotB)    = KmvSketch.aNotBEstimate(sa, sb, k)
+      val (_, bNotA)    = KmvSketch.aNotBEstimate(sb, sa, k)
+      val (_, inter)    = KmvSketch.intersectionEstimate(sa, sb, k)
+      val union = (a ++ b).distinct.size
+      (union == 0 && aNotB == 0.0 && bNotA == 0.0) ||
+      (math.abs(aNotB - nA.toDouble) < 1e-9 &&
+        math.abs(bNotA - nB.toDouble) < 1e-9 &&
+        math.abs((aNotB + bNotA + inter) - union.toDouble) < 1e-9)
+    }
 }
