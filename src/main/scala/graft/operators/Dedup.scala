@@ -557,6 +557,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("c_a"), col("c_b"))
   }
 
+  /** Segment-level dedup with document rewrite (the `q_dedup_segments`
+    * body, exposed for planted-corpus tests): cut each doc into
+    * non-overlapping `segLen`-token segments, keep only the corpus-wide
+    * FIRST occurrence of each distinct segment text (ordered by
+    * (doc_id, seg_idx)), and reassemble every doc from its surviving
+    * segments in order. This is the sub-document pass of CCNet's paragraph
+    * dedup / Lee et al. 2022's exact-substring dedup, at the fixed-window
+    * granularity production pipelines use when true suffix arrays don't
+    * fit the cluster.
+    *
+    * Scale shape: segments are map-only slice lambdas; the first-occurrence
+    * shuffle keys on md5(segment) — 32 bytes however long the segment is —
+    * via a groupBy min(struct), not a rank window (no per-group sort of the
+    * corpus); the rebuild is one collect_list per doc of only the KEPT
+    * segments. Docs whose every segment was seen earlier rebuild to ''.
+    *
+    * Output: (doc_id, n_segs, n_kept, rebuilt) — `rebuilt` is the deduped
+    * corpus text itself (the production artifact; the gate query hashes it).
+    */
+  private[graft] def segmentDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      segLen: Int = 8
+  ): org.apache.spark.sql.DataFrame = {
+    val t = split(col("text"), " ")
+    // ceil(n/segLen) segments; slice returns the short tail as-is. Empty
+    // text guard: sequence(0, -1) would generate DESCENDING — emit no
+    // segments instead (matches the oracle's i*segLen < len(t) filter).
+    val segArr = when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), floor((size(t) - lit(1)) / lit(segLen.toDouble)).cast("int")),
+          i => array_join(slice(t, i * lit(segLen) + lit(1), lit(segLen)), " ")
+        )
+      )
+    val segs = docs
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_h", md5(col("seg")))
+    val firsts = segs
+      .groupBy(col("seg_h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val rebuilt = segs
+      .join(firsts, "seg_h")
+      .filter(struct(col("doc_id"), col("seg_idx")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")
+          ),
+          " "
+        ).as("rebuilt")
+      )
+    segs
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt")
+      )
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -809,6 +875,42 @@ object Dedup {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE greatest(common / sa.nsh, common / sb.nsh) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_segments",
+      "segment-level dedup WITH document rewrite — the CCNet/ExactSubstr-style sub-document pass the doc-level family can't do: every doc is cut into non-overlapping 8-token segments (map-only slice lambdas), the corpus-wide FIRST occurrence of each distinct segment (ordered by doc_id, seg_idx) survives, later copies are dropped, and each doc is REASSEMBLED from its kept segments in order. Scale shape: the shuffle key is md5(segment) — 32 bytes, never the text; first-occurrence is a groupBy min(struct), not a rank window; rebuild is one collect_list per doc. Output pins the rebuilt text by md5 per doc, so the oracle hash-proves the full cut-dedup-reassemble round trip",
+      (s, dir) =>
+        segmentDedup(Tables.fanout(Tables.documents(s, dir)))
+          .select(
+            col("doc_id"),
+            col("n_segs"),
+            col("n_kept"),
+            md5(col("rebuilt")).as("kept_hash")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |segs AS (
+             |  SELECT doc_id, i AS seg_idx,
+             |    array_to_string(t[(i*8+1):((i+1)*8)], ' ') AS seg
+             |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i)
+             |  WHERE i*8 < len(t)),
+             |kept AS (
+             |  SELECT doc_id, seg_idx, seg FROM (
+             |    SELECT doc_id, seg_idx, seg,
+             |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+             |    FROM segs)
+             |  WHERE rn = 1),
+             |reb AS (
+             |  SELECT doc_id, count(1) AS n_kept,
+             |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_hash
+             |  FROM kept GROUP BY doc_id),
+             |base AS (SELECT doc_id, count(1) AS n_segs FROM segs GROUP BY doc_id)
+             |SELECT b.doc_id, b.n_segs, cast(coalesce(r.n_kept, 0) as bigint) AS n_kept,
+             |  coalesce(r.kept_hash, md5('')) AS kept_hash
+             |FROM base b LEFT JOIN reb r USING (doc_id)
+             |ORDER BY b.doc_id LIMIT 500""".stripMargin)
     )
   )
 }

@@ -334,4 +334,35 @@ class DedupSpec extends AnyFunSuite {
         .count() === 12L * 11 / 2
     )
   }
+
+  test("segmentDedup: first occurrence survives, later copies drop, docs rebuild in order") {
+    // segLen=4: doc 0 = segments [A, B]; doc 1 = verbatim copy (all drop);
+    // doc 2 = fresh segment C then copied segment B (partial rewrite);
+    // doc 3 = short unique doc (tail segment shorter than segLen kept as-is)
+    val A = "alpha beta gamma delta"
+    val B = "epsilon zeta eta theta"
+    val C = "iota kappa lambda mu"
+    val docs = Seq(
+      (0L, s"$A $B", "en", "s0"),
+      (1L, s"$A $B", "en", "s0"),
+      (2L, s"$C $B", "en", "s0"),
+      (3L, "nu xi", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup
+      .segmentDedup(docs, segLen = 4)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((0L, 2L, 2L, s"$A $B")), "first doc keeps everything verbatim")
+    assert(out(1) === ((1L, 2L, 0L, "")), "verbatim copy loses every segment")
+    assert(out(2) === ((2L, 2L, 1L, C)), "copied segment drops, fresh segment stays")
+    assert(out(3) === ((3L, 1L, 1L, "nu xi")), "short tail segment is its own unit")
+  }
+
+  test("segmentDedup: within-doc repetition dedups to the first instance") {
+    val A    = "one two three four"
+    val docs = Seq((7L, s"$A $A $A", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val r    = Dedup.segmentDedup(docs, segLen = 4).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, A)))
+  }
 }
