@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *     -> exact dedup      (normalized-fingerprint, keep smallest doc_id)
   *     -> near-dup dedup   (MinHash/LSH candidate pairs -> connected
   *                          components -> keep cluster representative)
+  *     -> segment rewrite  (optional: cross-doc repeated 8-token segments
+  *                          cut out, docs reassembled from survivors —
+  *                          [[graft.operators.Dedup.segmentDedup]]; docs
+  *                          rebuilt to '' drop)
   *     -> split assignment (deterministic content-hash 80/10/10)
   *     -> partitioned write (hive layout by split, salted file counts)
   *     -> small-files compaction (optional: rewrite each split to
@@ -33,8 +37,10 @@ import org.apache.spark.sql.functions._
   *
   * Returns the per-stage row accounting so callers can assert
   * conservation: n_in = n_dropped_quality + n_dropped_rules +
-  * n_dropped_exact + n_dropped_neardup + n_out (the rules stage is the
-  * optional Gopher composite filter, 0 when disabled).
+  * n_dropped_exact + n_dropped_neardup + n_dropped_seg_empty + n_out
+  * (the rules and segment stages are optional, 0 when disabled;
+  * n_segments_dropped additionally counts segments cut from SURVIVING
+  * docs — an edit metric, outside the row conservation).
   */
 object CorpusPipeline {
 
@@ -44,7 +50,9 @@ object CorpusPipeline {
       nDroppedExact: Long,
       nDroppedNearDup: Long,
       nOut: Long,
-      nDroppedRules: Long = 0L
+      nDroppedRules: Long = 0L,
+      nDroppedSegEmpty: Long = 0L,
+      nSegmentsDropped: Long = 0L
   )
 
   def run(
@@ -53,7 +61,8 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       filesPerSplit: Int = 2,
       compactTargetBytes: Option[Long] = None,
-      gopherRules: Boolean = false
+      gopherRules: Boolean = false,
+      segmentRewriteLen: Option[Int] = None
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -99,9 +108,45 @@ object CorpusPipeline {
       .drop("label")
     val nNear = nearDup.count()
 
+    // 3b. optional segment-level rewrite (Dedup.segmentDedup): cross-doc
+    // repeated 8-token-window segments — boilerplate banners, license
+    // headers, quoted reposts that survived DOC-level dedup because the
+    // rest of the doc is unique — are cut out and each doc's text is
+    // REASSEMBLED from its surviving segments; docs left with nothing
+    // drop entirely. Runs after near-dup so the cheap doc-level stages
+    // shrink the segment shuffle's input first. Two accounting numbers:
+    // docs dropped empty (participates in row conservation) and total
+    // segments removed (the no-silent-rewrite observability).
+    val (rewritten, nSegDocs, nSegsDropped) = segmentRewriteLen match {
+      case Some(len) =>
+        val reb = Dedup
+          .segmentDedup(nearDup, len)
+          .select(
+            col("doc_id"),
+            col("rebuilt"),
+            (col("n_segs") - col("n_kept")).as("_segs_dropped")
+          )
+        val joined = nearDup
+          .drop("text")
+          .join(reb.withColumnRenamed("rebuilt", "text"), "doc_id")
+          .pin() // two consumers below (stats agg + survivors); one materialization
+        val agg = joined
+          .agg(
+            sum(when(col("text") === "", 1L).otherwise(0L)).as("empty"),
+            sum(col("_segs_dropped")).as("segs")
+          )
+          .head()
+        val out = joined
+          .filter(col("text") =!= "")
+          .select(docs.columns.toIndexedSeq.map(col): _*)
+        (out, agg.getLong(0), agg.getLong(1))
+      case None => (nearDup, 0L, 0L)
+    }
+    val nRewritten = if (segmentRewriteLen.isDefined) nNear - nSegDocs else nNear
+
     // 4. deterministic split assignment (same rule as q_split_assign)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
-    val split = nearDup.withColumn(
+    val split = rewritten.withColumn(
       "split",
       when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
     )
@@ -137,8 +182,10 @@ object CorpusPipeline {
       nDroppedQuality = nIn - nKeptQ,
       nDroppedExact = nKeptR - nExact,
       nDroppedNearDup = nExact - nNear,
-      nOut = nNear,
-      nDroppedRules = nKeptQ - nKeptR
+      nOut = nRewritten,
+      nDroppedRules = nKeptQ - nKeptR,
+      nDroppedSegEmpty = nSegDocs,
+      nSegmentsDropped = nSegsDropped
     )
   }
 

@@ -78,6 +78,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedRules === 0L)
   }
 
+  test("segment-rewrite stage: shared banner cut from survivors, funnel extended, off by default") {
+    val out = Files.createTempDirectory("pipeline-seg").toString + "/corpus"
+    // 8-token banner shared by two otherwise-unique long docs: doc-level
+    // dedup keeps both (low Jaccard), the segment stage must strip the
+    // banner from the LATER doc only. Tails are 50+ tokens so the quality
+    // stage keeps them.
+    val banner = "standard legal disclaimer applies to this entire document"
+    def tail(seed: String) =
+      (1 to 56).map(i => s"$seed$i").mkString(" ")
+    val planted = Seq(
+      (910001L, s"$banner ${tail("alpha")}", "en", "seg"),
+      (910002L, s"$banner ${tail("beta")}", "en", "seg")
+    ).toDF("doc_id", "text", "lang", "source")
+    val stats = CorpusPipeline.run(corpus.union(planted), out, segmentRewriteLen = Some(8))
+
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup +
+      stats.nDroppedSegEmpty + stats.nOut,
+      s"conservation must include the segment stage: $stats")
+    assert(stats.nSegmentsDropped >= 1, s"the shared banner segment must be cut: $stats")
+
+    val written = spark.read.parquet(out)
+    assert(written.count() === stats.nOut)
+    val texts = written
+      .filter(col("source") === "seg")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(texts(910001L).startsWith(banner), "first occurrence keeps the banner")
+    assert(!texts(910002L).contains(banner), s"later doc must lose the banner: ${texts(910002L).take(80)}")
+    assert(texts(910002L).contains("beta1"), "unique content survives the rewrite")
+
+    // default path unchanged: no rewrite, fields stay 0
+    val plain = CorpusPipeline.run(corpus, Files.createTempDirectory("pipeline-noseg").toString + "/corpus")
+    assert(plain.nDroppedSegEmpty === 0L && plain.nSegmentsDropped === 0L)
+  }
+
   test("compaction: identical content pre/post, file count sized by bytes/target per split") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val target  = 32L * 1024
