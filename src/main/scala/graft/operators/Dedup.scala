@@ -567,11 +567,18 @@ object Dedup {
     * granularity production pipelines use when true suffix arrays don't
     * fit the cluster.
     *
-    * Scale shape: segments are map-only slice lambdas; the first-occurrence
-    * shuffle keys on md5(segment) — 32 bytes however long the segment is —
-    * via a groupBy min(struct), not a rank window (no per-group sort of the
-    * corpus); the rebuild is one collect_list per doc of only the KEPT
-    * segments. Docs whose every segment was seen earlier rebuild to ''.
+    * Scale shape: segments are map-only slice lambdas, and the whole
+    * keep-first selection is ONE aggregation — `groupBy(md5(seg))
+    * .agg(min(struct(doc_id, seg_idx, seg)))`. The struct min is ordered
+    * by the unique (doc_id, seg_idx) prefix, so the minimum IS the first
+    * instance and carries its text along: no join-back to the segment
+    * stream, no rank window, and the partial agg means at most one
+    * instance's text per distinct segment per partition crosses the wire
+    * (a naive first-occurrence join ships every duplicate instance twice;
+    * the first cut of this operator did exactly that and planned 3 scans +
+    * 3 explodes — the referenced-twice-aggregate trap in SCALE.md). The
+    * per-doc census needs no explode at all: `size(segArr)` map-side.
+    * Docs whose every segment was seen earlier rebuild to ''.
     *
     * Output: (doc_id, n_segs, n_kept, rebuilt) — `rebuilt` is the deduped
     * corpus text itself (the production artifact; the gate query hashes it).
@@ -583,7 +590,10 @@ object Dedup {
     val t = split(col("text"), " ")
     // ceil(n/segLen) segments; slice returns the short tail as-is. Empty
     // text guard: sequence(0, -1) would generate DESCENDING — emit no
-    // segments instead (matches the oracle's i*segLen < len(t) filter).
+    // segments instead (matches the oracle's i*segLen < len(t) filter;
+    // note split always yields >= 1 element, so this guards a synthetic
+    // empty-array input, not ''-text, which segments to one '' segment in
+    // both engines).
     val segArr = when(size(t) === 0, array().cast("array<string>"))
       .otherwise(
         transform(
@@ -591,15 +601,12 @@ object Dedup {
           i => array_join(slice(t, i * lit(segLen) + lit(1), lit(segLen)), " ")
         )
       )
-    val segs = docs
+    val kept = docs
       .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
-      .withColumn("seg_h", md5(col("seg")))
-    val firsts = segs
-      .groupBy(col("seg_h"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
-    val rebuilt = segs
-      .join(firsts, "seg_h")
-      .filter(struct(col("doc_id"), col("seg_idx")) === col("first"))
+      .groupBy(md5(col("seg")).as("seg_h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.seg_idx").as("seg_idx"), col("f.seg").as("seg"))
+    val rebuilt = kept
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_kept"),
@@ -611,9 +618,8 @@ object Dedup {
           " "
         ).as("rebuilt")
       )
-    segs
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"))
+    docs
+      .select(col("doc_id"), size(segArr).cast("long").as("n_segs"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
