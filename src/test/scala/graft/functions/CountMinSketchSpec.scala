@@ -24,14 +24,17 @@ class CountMinSketchSpec extends AnyFunSuite {
   private val Depth = 4
   private val Width = 32
 
-  /** The same seed-prefixed md5 bucket rule the query uses, driver-side. */
-  private def buckets(key: String): Array[Int] =
+  /** The same sliced-md5 bucket rule the query uses, driver-side: one
+    * digest, 8-hex-digit windows as the d hash rows.
+    */
+  private def buckets(key: String): Array[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
     (0 until Depth).map { d =>
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d:$key".getBytes("UTF-8"))
-      val hex  = md5.take(4).map(b => f"${b & 0xff}%02x").mkString
-      (java.lang.Long.parseLong(hex, 16) % Width).toInt
+      (java.lang.Long.parseLong(hex.substring(8 * d, 8 * d + 8), 16) % Width).toInt
     }.toArray
+  }
 
   private def buildLocal(keys: Seq[String]): Array[Byte] = {
     val counters = new Array[Long](Depth * Width)
@@ -104,7 +107,7 @@ class CountMinSketchSpec extends AnyFunSuite {
     import spark.implicits._
     val keys = (0 until 2000).map(i => s"tok-${i % 211}")
     def bucketCol(t: org.apache.spark.sql.Column) = array((0 until Depth).map { d =>
-      (conv(substring(md5(concat(lit(s"$d:"), t)), 1, 8), 16, 10).cast("long") % Width).cast("int")
+      (conv(substring(md5(t), 1 + 8 * d, 8), 16, 10).cast("long") % Width).cast("int")
     }: _*)
     val built = keys.toDF("t").select(bucketCol(col("t")).as("bks"))
       .agg(expr(s"cms_agg(bks, $Depth, $Width)")).head().getAs[Array[Byte]](0)
