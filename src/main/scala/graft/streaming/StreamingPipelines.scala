@@ -117,6 +117,47 @@ object StreamingPipelines {
       )
   }
 
+  /** Streaming frequency tracking via the count-min sketch — the
+    * real-time point-query companion to [[streamingKmvDistinct]] (Pinot
+    * serves the DataSketches frequency family over stream-ingested tables
+    * the same way). [[graft.functions.CmsAgg]]'s buffer (one d*w primitive
+    * long array) IS the state-store entry; counters merge by element-wise
+    * ADD per micro-batch, and since counter merge is LOSSLESS the
+    * streaming estimate after any number of batches equals the batch
+    * estimate over the concatenated input BIT-FOR-BIT (pinned in the
+    * spec) — not just within sketch error. State is O(d*w) total for a
+    * global sketch regardless of stream length or key cardinality: the
+    * property that makes per-key frequency monitoring viable on an
+    * unbounded feed where exact per-key counters grow with the vocabulary.
+    *
+    * Emits one row per probe key per trigger (update/complete output —
+    * unwatermarked global aggregate): (probe_key, est), est >= the true
+    * running count always. The bucket rule is the sliced-md5 scheme of
+    * `q_cms_freq`, so a batch oracle can recompute any estimate exactly.
+    */
+  def streamingCmsFrequency(
+      events: DataFrame,
+      probeKeys: Seq[String],
+      keyCol: String = "event_type",
+      depth: Int = 4,
+      width: Int = 64
+  ): DataFrame = {
+    require(probeKeys.nonEmpty, "streamingCmsFrequency needs at least one probe key")
+    graft.functions.CountMinSketch.register(events.sparkSession)
+    def buckets(t: Column) = {
+      val h = md5(t)
+      array((0 until depth).map { d =>
+        (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
+      }: _*)
+    }
+    events
+      .select(buckets(col(keyCol).cast("string")).as("bks"))
+      .agg(expr(s"cms_agg(bks, $depth, $width)").as("sk"))
+      .select(explode(array(probeKeys.map(lit): _*)).as("probe_key"), col("sk"))
+      .withColumn("bks", buckets(col("probe_key")))
+      .select(col("probe_key"), expr("cms_query(sk, bks)").as("est"))
+  }
+
   /** Streaming per-window top-k via the [[graft.functions.TopK]] typed
     * aggregate — the leaderboard-over-a-stream shape (top users by value
     * per hour). Same state math as the batch `q_topk_pergroup` rationale:

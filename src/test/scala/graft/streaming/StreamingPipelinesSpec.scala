@@ -98,6 +98,44 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS frequency: counters merge losslessly across batches, estimate == batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val probes = Seq("click", "view", "absent")
+    val q = StreamingPipelines
+      .streamingCmsFrequency(input.toDF(), probeKeys = probes, keyCol = "event_type")
+      .writeStream
+      .format("memory")
+      .queryName("cms_stream_out")
+      .outputMode("complete")
+      .start()
+    def est() = spark.table("cms_stream_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch1 = (1 to 17).map(u => Ev(ts(1), "click", u.toLong, 1.0))
+    val batch2 = (1 to 9).map(u => Ev(ts(2), "click", u.toLong, 1.0)) ++
+      (1 to 4).map(u => Ev(ts(2), "view", u.toLong, 1.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val e1 = est()
+      assert(e1("click") >= 17L && e1("view") >= 0L, s"one-sided after batch 1: $e1")
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val e2 = est()
+      assert(e2("click") >= 26L && e2("view") >= 4L, s"running counts after merge: $e2")
+      // lossless merge: the streaming estimates equal a BATCH sketch over
+      // the concatenated input bit-for-bit (counters are sums), for every
+      // probe including the absent key's collision noise
+      val batchEst = StreamingPipelines
+        .streamingCmsFrequency((batch1 ++ batch2).toDF(), probeKeys = probes, keyCol = "event_type")
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      assert(e2 === batchEst, s"streaming $e2 != batch $batchEst")
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k: typed aggregate state merges across batches, k bounds output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
