@@ -182,5 +182,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.CountMinSketch.queryBuild(_)
       )
     )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cms_inner"),
+        new ExpressionInfo(
+          classOf[functions.CmsInner].getName,
+          "cms_inner",
+          "cms_inner(sketch_a, sketch_b) - join-size / inner-product estimate from two same-geometry sketches (min over rows of the counter dot product; >= truth always)"
+        ),
+        functions.CountMinSketch.innerBuild(_)
+      )
+    )
   }
 }

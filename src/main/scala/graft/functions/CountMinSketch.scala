@@ -125,6 +125,38 @@ object CountMinSketch {
     min
   }
 
+  /** Inner-product estimate from two sketches of the SAME geometry
+    * (Cormode & Muthukrishnan §4.2): min over the d rows of
+    * sum_w a[d][w] * b[d][w]. The true inner product of the two key
+    * frequency vectors is sum_k f_A(k) * f_B(k) — which is EXACTLY the
+    * equi-join output size |A JOIN B ON key|, so this is sketch-based
+    * join-size estimation: collisions only ADD cross terms, making the
+    * estimate one-sided (>= truth) like the point query. Both sketches
+    * must agree on geometry AND bucket rule; geometry is checked here,
+    * the bucket rule is the caller's contract (same hash => same cells).
+    */
+  def inner(aBytes: Array[Byte], bBytes: Array[Byte]): Long = {
+    val (depth, width) = geometryOf(aBytes)
+    require(geometryOf(bBytes) == ((depth, width)),
+      s"cms_inner sketch geometries differ: ${geometryOf(aBytes)} vs ${geometryOf(bBytes)}")
+    val a = java.nio.ByteBuffer.wrap(aBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val b = java.nio.ByteBuffer.wrap(bBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var min = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var sum = 0L
+      var w = 0
+      while (w < width) {
+        val off = HeaderLen + (d * width + w) * 8
+        sum += a.getLong(off) * b.getLong(off)
+        w += 1
+      }
+      if (sum < min) min = sum
+      d += 1
+    }
+    min
+  }
+
   /** Registry builder: `cms_agg(buckets_array, depth, width)` (foldable
     * geometry; buckets_array is array<int> of length depth).
     */
@@ -146,11 +178,20 @@ object CountMinSketch {
     CmsQuery(exprs.head, exprs(1))
   }
 
-  /** Register both functions for `expr(...)`/SQL use. Idempotent. */
+  /** Registry builder: `cms_inner(sketch_a, sketch_b)` — join-size /
+    * inner-product estimate; geometries must match (checked at eval).
+    */
+  def innerBuild(exprs: Seq[Expression]): Expression = {
+    Arity.require("cms_inner", "2 (cms_inner(sketch_a, sketch_b))", exprs, 2, 2)
+    CmsInner(exprs.head, exprs(1))
+  }
+
+  /** Register the three functions for `expr(...)`/SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cms_agg", aggBuild, "built-in")
     reg.createOrReplaceTempFunction("cms_query", queryBuild, "built-in")
+    reg.createOrReplaceTempFunction("cms_inner", innerBuild, "built-in")
   }
 }
 
@@ -245,6 +286,36 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
       ev,
       (sketch, buckets) =>
         s"${ev.value} = graft.functions.CountMinSketch.query($sketch, $buckets);"
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cms_inner(sketch_a, sketch_b)` with whole-stage codegen — the
+  * join-size estimator (see [[CountMinSketch.inner]]). Typically both
+  * inputs are 1-row aggregate results crossJoined together, so this runs
+  * once per pair, not per data row.
+  */
+case class CmsInner(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_inner expects two binary sketches, got ${left.dataType.sql}, ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMinSketch.inner(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = graft.functions.CountMinSketch.inner($a, $b);"
     )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -712,6 +712,73 @@ object Relational {
              |FROM est""".stripMargin)
     ),
     QueryDef(
+      "q_cms_join_size",
+      "sketch-based JOIN-SIZE estimation (Cormode-Muthukrishnan §4.2, the AGMS use case): |click ⋈ view ON user_id| estimated as the count-min inner product min_d sum_w a[d][w]*b[d][w] — the true join size IS the frequency-vector inner product Σ_u f_click(u)·f_view(u), and collisions only add cross terms, so est >= truth (one-sided, like the point query). The 100 TB use: cardinality statistics for join planning from two O(d·w) sketches built in one pass each, no join executed. Exact join size rides along; both grids use the engine-reproducible sliced-md5 rule, so DuckDB recomputes the identical estimate",
+      (s, dir) => {
+        graft.functions.CountMinSketch.register(s)
+        val depth = 4
+        val width = 1024
+        def buckets(t: Column) = {
+          val h = md5(t)
+          array((0 until depth).map { d =>
+            (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
+          }: _*)
+        }
+        val ev = Tables
+          .events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_type"), col("user_id"))
+        // both segment sketches out of ONE aggregation over one scan
+        // (cms_agg skips the null bucket arrays of the other segment)
+        val sks = ev
+          .select(col("event_type"), buckets(col("user_id").cast("string")).as("bks"))
+          .agg(
+            expr(s"cms_agg(case when event_type = 'click' then bks end, $depth, $width)").as("sk_a"),
+            expr(s"cms_agg(case when event_type = 'view' then bks end, $depth, $width)").as("sk_b")
+          )
+        val exact = ev
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("fc"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("fv")
+          )
+          .agg(sum(col("fc") * col("fv")).cast("long").as("exact_size"))
+        sks
+          .crossJoin(broadcast(exact)) // two 1-row frames
+          .select(
+            expr("cms_inner(sk_a, sk_b)").as("est_size"),
+            col("exact_size"),
+            (expr("cms_inner(sk_a, sk_b)") - col("exact_size")).as("overcount")
+          )
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, cast(user_id as varchar) AS k
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+             |cells AS (
+             |  SELECT event_type, d,
+             |    ('0x' || substring(md5(k), 1 + 8 * d, 8))::bigint % 1024 AS bkt,
+             |    count(1) AS c
+             |  FROM ev CROSS JOIN ds GROUP BY 1, 2, 3),
+             |prods AS (
+             |  SELECT a.d, sum(a.c * b.c) AS s
+             |  FROM cells a JOIN cells b
+             |    ON a.d = b.d AND a.bkt = b.bkt
+             |    AND a.event_type = 'click' AND b.event_type = 'view'
+             |  GROUP BY a.d),
+             |per_d AS (
+             |  SELECT ds.d, coalesce(p.s, 0) AS s FROM ds LEFT JOIN prods p ON ds.d = p.d),
+             |est AS (SELECT cast(min(s) as bigint) AS est_size FROM per_d),
+             |exact AS (
+             |  SELECT cast(sum(fc * fv) as bigint) AS exact_size FROM (
+             |    SELECT k,
+             |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc,
+             |      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv
+             |    FROM ev GROUP BY k))
+             |SELECT e.est_size, x.exact_size, e.est_size - x.exact_size AS overcount
+             |FROM est e CROSS JOIN exact x""".stripMargin)
+    ),
+    QueryDef(
       "q_rollup",
       "ROLLUP grouping sets with grouping() indicators",
       (s, dir) =>

@@ -102,6 +102,26 @@ class CountMinSketchSpec extends AnyFunSuite {
       CountMinSketch.query(bytes, new GenericArrayData(Array(0, 0, 0, Width))))
   }
 
+  test("inner product: >= true join size for every input, exact under no collisions, geometry checked") {
+    // frequency vectors over a small key set: join size = sum f_a * f_b
+    val a = (0 until 200).map(i => s"u-${i % 11}")
+    val b = (0 until 300).map(i => s"u-${i % 7}")
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = fa.keys.map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+    val est = CountMinSketch.inner(buildLocal(a), buildLocal(b))
+    assert(est >= truth, s"CMS inner under-estimated: $est < $truth")
+
+    // two singleton sketches of the same key: inner == 1 exactly
+    assert(CountMinSketch.inner(buildLocal(Seq("k")), buildLocal(Seq("k"))) == 1L)
+    // disjoint singletons: collisions aside, usually 0 — at minimum one-sided
+    assert(CountMinSketch.inner(buildLocal(Seq("k1")), buildLocal(Seq("k2"))) >= 0L)
+
+    // geometry mismatch fails loudly
+    val other = CountMinSketch.toBytes(new Array[Long](2 * Width), 2, Width)
+    assertThrows[IllegalArgumentException](CountMinSketch.inner(buildLocal(Seq("x")), other))
+  }
+
   test("SQL aggregate + probe: distributed build equals local build, codegen and interpreted") {
     CountMinSketch.register(spark)
     import spark.implicits._
