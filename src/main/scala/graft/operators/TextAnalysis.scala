@@ -285,6 +285,30 @@ object TextAnalysis {
     docs.select(col("*"), topC.as("top_c"), size(sorted).cast("long").as("n_tok"))
   }
 
+  /** Zipf-law fit over a documents frame (the `q_text_zipf` body, exposed
+    * for planted-distribution tests): token census -> frequency rank ->
+    * log-log linear regression. Natural text gives slope ~ -1; uniform /
+    * templated corpora flatten toward 0. The unpartitioned rank window
+    * sorts only the post-aggregation VOCABULARY frame (corpus-sublinear by
+    * Heaps' law), never the token stream.
+    */
+  private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .agg(
+        round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(n), ln(rank))"), 4).as("zipf_intercept"),
+        round(expr("regr_r2(ln(n), ln(rank))"), 6).as("r2"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("n")).cast("long").as("n_tokens")
+      )
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_langid",
@@ -538,6 +562,24 @@ object TextAnalysis {
              |  e.est - cast(coalesce(x.exact_n, 0) as bigint) AS overcount
              |FROM est e LEFT JOIN exact x ON e.tok = x.tok
              |ORDER BY e.tok""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_zipf",
+      "Zipf-law fit — the corpus-health distributional check (natural text fits ln(freq) = a + s*ln(rank) with slope s ~ -1; synthetic/templated corpora flatten, boilerplate-heavy ones steepen): token census -> rank by frequency -> log-log linear regression via the same rounded regr_* aggregates as q_stat_regression (ln runs on INTEGER rank/count args, so per-row values agree across engines). The unpartitioned rank window runs over the VOCABULARY census only, never the token stream — vocab is corpus-sublinear (Heaps' law), so the single-partition sort is a post-aggregation frame at any corpus size",
+      (s, dir) => zipfFit(Tables.fanout(Tables.documents(s, dir))),
+      Some("""WITH toks AS (
+             |  SELECT t AS tok FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE t <> ''),
+             |counts AS (SELECT tok, count(1) AS n FROM toks GROUP BY tok),
+             |ranked AS (
+             |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM counts)
+             |SELECT round(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+             |  round(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+             |  round(regr_r2(ln(n), ln(rank)), 6) AS r2,
+             |  count(1) AS vocab_size,
+             |  cast(sum(n) as bigint) AS n_tokens
+             |FROM ranked""".stripMargin)
     ),
     QueryDef(
       "q_sample_hash",

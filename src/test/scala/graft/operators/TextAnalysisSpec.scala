@@ -326,4 +326,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .getLong(0)
     assert(got === expected)
   }
+
+  test("zipfFit: a planted power-law corpus scores slope near -1, a uniform one near 0") {
+    // rank-k token appears floor(400/k) times -> ln(freq) = ln(400) - ln(rank)
+    val zipfToks = (1 to 40).flatMap(k => Seq.fill(400 / k)(s"w$k"))
+    val uniToks  = (1 to 40).flatMap(k => Seq.fill(10)(s"w$k"))
+    def fit(toks: Seq[String]) = {
+      val r = TextAnalysis
+        .zipfFit(Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"))
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(2), r.getLong(3), r.getLong(4))
+    }
+    val (zSlope, zR2, zVocab, zN) = fit(zipfToks)
+    assert(zVocab === 40L && zN === zipfToks.size.toLong)
+    assert(zSlope < -0.9 && zSlope > -1.1, s"power-law corpus must fit slope ~ -1, got $zSlope")
+    assert(zR2 > 0.95, s"power-law fit must be tight, got r2=$zR2")
+    val (uSlope, _, uVocab, _) = fit(uniToks)
+    assert(uVocab === 40L)
+    assert(math.abs(uSlope) < 0.05, s"uniform corpus must fit flat, got $uSlope")
+  }
 }
