@@ -309,6 +309,54 @@ object TextAnalysis {
       )
   }
 
+  /** Heaps'-law vocabulary-growth fit (the `q_text_heaps` body): vocab
+    * size V(n) vs tokens seen n across 10 NESTED corpus prefixes, fit as
+    * ln V = ln K + beta * ln n (natural text: beta ~ 0.5-0.8; a templated
+    * corpus saturates its vocabulary early and flattens; runaway junk
+    * grows beta toward 1). Prefixes are doc_id % 10 < d — nested by
+    * construction, map-only, deterministic, and no global doc sort (an
+    * ntile window over the corpus would sort 100 TB for an ordering the
+    * fit doesn't care about). One explode pass: vocab-at-step comes from
+    * each token's FIRST step (groupBy(tok).min(step) then a 10-row
+    * cumulative), token-counts-at-step from a map-side size(split) sum
+    * per step — no second explode.
+    */
+  private[graft] def heapsFit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val step = (col("doc_id") % 10).cast("int")
+    val firstStep = docs
+      .select(step.as("m"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(min(col("m")).as("fm"))
+      .groupBy(col("fm"))
+      .agg(count(lit(1)).as("nv"))
+    val tokCnt = docs
+      .select(step.as("m"), size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("nt"))
+      .groupBy(col("m"))
+      .agg(sum(col("nt")).as("ntm"))
+    // 10-row frames: cumulative over the step axis, then the regression
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstStep
+      .withColumnRenamed("fm", "d")
+      .join(tokCnt.withColumnRenamed("m", "d"), Seq("d"), "full_outer")
+      .select(
+        col("d"),
+        coalesce(col("nv"), lit(0L)).as("nv"),
+        coalesce(col("ntm"), lit(0L)).as("ntm")
+      )
+      .withColumn("v", sum(col("nv")).over(w))
+      .withColumn("n", sum(col("ntm")).over(w))
+      .filter(col("n") > 0)
+      .agg(
+        round(expr("regr_slope(ln(v), ln(n))"), 4).as("heaps_beta"),
+        round(expr("regr_intercept(ln(v), ln(n))"), 4).as("heaps_lnk"),
+        round(expr("regr_r2(ln(v), ln(n))"), 6).as("r2"),
+        max(col("v")).cast("long").as("vocab_final"),
+        max(col("n")).cast("long").as("tokens_final")
+      )
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_langid",
@@ -580,6 +628,36 @@ object TextAnalysis {
              |  count(1) AS vocab_size,
              |  cast(sum(n) as bigint) AS n_tokens
              |FROM ranked""".stripMargin)
+    ),
+    QueryDef(
+      "q_text_heaps",
+      "Heaps'-law vocabulary-growth fit — the companion corpus-health check to q_text_zipf (V(n) = K*n^beta; natural text beta ~ 0.5-0.8, templated corpora saturate and flatten, junk floods grow toward 1): 10 nested doc_id%10 prefixes (map-only, no global doc sort), vocab-at-step from each token's first step, token counts from a map-side size(split) sum, log-log regr_* fit over the 10-row growth curve",
+      (s, dir) => heapsFit(Tables.fanout(Tables.documents(s, dir))),
+      Some("""WITH steps AS (
+             |  SELECT doc_id % 10 AS m, string_split(text, ' ') AS t FROM documents),
+             |firsts AS (
+             |  SELECT fm AS d, count(1) AS nv FROM (
+             |    SELECT tok, min(m) AS fm FROM (
+             |      SELECT m, unnest(t) AS tok FROM steps) u
+             |    WHERE tok <> '' GROUP BY tok)
+             |  GROUP BY fm),
+             |cnts AS (
+             |  SELECT m AS d, cast(sum(len(list_filter(t, x -> x <> ''))) as bigint) AS ntm
+             |  FROM steps GROUP BY m),
+             |grid AS (
+             |  SELECT coalesce(f.d, c.d) AS d, coalesce(f.nv, 0) AS nv, coalesce(c.ntm, 0) AS ntm
+             |  FROM firsts f FULL JOIN cnts c ON f.d = c.d),
+             |cum AS (
+             |  SELECT d,
+             |    sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             |    sum(ntm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+             |  FROM grid)
+             |SELECT round(regr_slope(ln(v), ln(n)), 4) AS heaps_beta,
+             |  round(regr_intercept(ln(v), ln(n)), 4) AS heaps_lnk,
+             |  round(regr_r2(ln(v), ln(n)), 6) AS r2,
+             |  cast(max(v) as bigint) AS vocab_final,
+             |  cast(max(n) as bigint) AS tokens_final
+             |FROM cum WHERE n > 0""".stripMargin)
     ),
     QueryDef(
       "q_sample_hash",

@@ -345,4 +345,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(uVocab === 40L)
     assert(math.abs(uSlope) < 0.05, s"uniform corpus must fit flat, got $uSlope")
   }
+
+  test("heapsFit: all-fresh vocabulary fits beta ~ 1, a saturated corpus fits beta 0") {
+    // 40 docs, ids spread over every mod-10 step, 10 tokens each
+    def corpus(fresh: Boolean) = (1 to 40).map { k =>
+      val toks =
+        if (fresh) (1 to 10).map(i => s"w$k-$i") else (1 to 10).map(i => s"w$i")
+      (k.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def fit(fresh: Boolean) = {
+      val r = TextAnalysis.heapsFit(corpus(fresh)).collect()(0)
+      (r.getDouble(0), r.getDouble(2), r.getLong(3), r.getLong(4))
+    }
+    val (bFresh, r2Fresh, vFresh, nFresh) = fit(true)
+    assert(vFresh === 400L && nFresh === 400L)
+    assert(math.abs(bFresh - 1.0) < 1e-6 && math.abs(r2Fresh - 1.0) < 1e-6,
+      s"every-token-fresh growth must fit V = n exactly: beta=$bFresh r2=$r2Fresh")
+    val (bSat, _, vSat, _) = fit(false)
+    assert(vSat === 10L)
+    assert(math.abs(bSat) < 1e-6, s"saturated vocabulary must fit flat: beta=$bSat")
+  }
 }
