@@ -116,6 +116,7 @@ object CountMinSketch {
     var min = Long.MaxValue
     var d = 0
     while (d < depth) {
+      require(!buckets.isNullAt(d), s"CMS probe bucket $d is null (nullable bucket expression?)")
       val b = buckets.getInt(d)
       require(b >= 0 && b < width, s"CMS probe bucket $b outside [0,$width)")
       val c = bb.getLong(HeaderLen + (d.toLong * width + b).toInt * 8)
@@ -155,6 +156,24 @@ object CountMinSketch {
       d += 1
     }
     min
+  }
+
+  /** THE bucket rule, shared by every CMS call site (batch, streaming, and
+    * the DuckDB oracles' relational twin): one md5 of the key, sliced into
+    * d consecutive 8-hex-digit windows, each mod width. This is the
+    * cross-engine contract — the oracles and the streaming==batch parity
+    * spec recompute it bit-for-bit (`('0x' || substring(md5(k), 1+8*d, 8))
+    * ::bigint % width` in DuckDB) — so there is exactly ONE Spark rendering
+    * of it; a drifted copy would silently break sketch parity for just its
+    * call site. All expressions are codegen builtins.
+    */
+  def bucketsCol(key: org.apache.spark.sql.Column, depth: Int, width: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(depth >= 1 && depth <= 4, s"bucketsCol slices one md5: depth in [1,4], got $depth")
+    val h = md5(key)
+    array((0 until depth).map { d =>
+      (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
+    }: _*)
   }
 
   /** Registry builder: `cms_agg(buckets_array, depth, width)` (foldable
@@ -197,8 +216,11 @@ object CountMinSketch {
 
 /** The distributed counter build: one primitive d*w long buffer per partial,
   * element-wise-add merge, self-describing binary output (see
-  * [[CountMinSketch]]). A null buckets array (e.g. a filtered-out row
-  * under a CASE) is skipped, matching every other graft aggregate.
+  * [[CountMinSketch]]). A null buckets ARRAY (e.g. a filtered-out row
+  * under a CASE) is skipped, matching every other graft aggregate; a null
+  * ELEMENT inside the array (a nullable bucket expression leaking through)
+  * fails loudly — ArrayData.getInt would silently read it as bucket 0 and
+  * corrupt the sketch.
   */
 case class CmsAgg(
     child: Expression,
@@ -227,6 +249,7 @@ case class CmsAgg(
         s"cms_agg row has ${arr.numElements()} bucket indices, depth is $depth")
       var d = 0
       while (d < depth) {
+        require(!arr.isNullAt(d), s"cms_agg bucket $d is null (nullable bucket expression?)")
         val b = arr.getInt(d)
         require(b >= 0 && b < width, s"cms_agg bucket $b outside [0,$width)")
         buf(d * width + b) += 1L

@@ -897,11 +897,14 @@ object Dedup {
           .limit(500),
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(0, cast((len(t) + 7) // 8 as bigint) - 1)) AS seg_idx
+             |  FROM toks),
              |segs AS (
-             |  SELECT doc_id, i AS seg_idx,
-             |    array_to_string(t[(i*8+1):((i+1)*8)], ' ') AS seg
-             |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i)
-             |  WHERE i*8 < len(t)),
+             |  SELECT doc_id, seg_idx,
+             |    array_to_string(t[(seg_idx*8+1):((seg_idx+1)*8)], ' ') AS seg
+             |  FROM idx),
              |kept AS (
              |  SELECT doc_id, seg_idx, seg FROM (
              |    SELECT doc_id, seg_idx, seg,

@@ -718,12 +718,7 @@ object Relational {
         graft.functions.CountMinSketch.register(s)
         val depth = 4
         val width = 1024
-        def buckets(t: Column) = {
-          val h = md5(t)
-          array((0 until depth).map { d =>
-            (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
-          }: _*)
-        }
+        def buckets(t: Column) = graft.functions.CountMinSketch.bucketsCol(t, depth, width)
         val ev = Tables
           .events(s, dir)
           .filter(col("event_type").isin("click", "view"))

@@ -348,10 +348,31 @@ object TextAnalysis {
       .withColumn("v", sum(col("nv")).over(w))
       .withColumn("n", sum(col("ntm")).over(w))
       .filter(col("n") > 0)
+      // A SATURATED corpus (every distinct token seen in step 0 — true of
+      // the synthetic fixture, whose doc generator draws from a small word
+      // pool) makes ln(v) CONSTANT, so regr_r2's variance term is pure
+      // floating-point cancellation noise: both engines' parallel
+      // aggregation nondeterministically yields 0 or ~1e-30, and r2 is
+      // then garbage-over-garbage. Detect the degenerate case EXACTLY —
+      // integer compare over scaled-long ln values (the engine-parity
+      // trick: ln of an integer is bit-identical across engines, *1e6 and
+      // floor are single deterministic IEEE ops) — and pin r2 to its
+      // defined limit 1.0 deterministically in both engines.
+      .withColumn("ly", floor(log(col("v")) * lit(1e6)).cast("long"))
       .agg(
-        round(expr("regr_slope(ln(v), ln(n))"), 4).as("heaps_beta"),
-        round(expr("regr_intercept(ln(v), ln(n))"), 4).as("heaps_lnk"),
-        round(expr("regr_r2(ln(v), ln(n))"), 6).as("r2"),
+        // degenerate limits: slope's covariance is noise too (and can round
+        // to the string-visible -0.0), intercept collapses to ln(v_const) —
+        // computable exactly as ln(max(v)) since v IS constant here
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")), lit(0.0))
+          .otherwise(round(expr("regr_slope(ln(v), ln(n))"), 4))
+          .as("heaps_beta"),
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")),
+          round(log(max(col("v"))), 4))
+          .otherwise(round(expr("regr_intercept(ln(v), ln(n))"), 4))
+          .as("heaps_lnk"),
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")), lit(1.0))
+          .otherwise(round(expr("regr_r2(ln(v), ln(n))"), 6))
+          .as("r2"),
         max(col("v")).cast("long").as("vocab_final"),
         max(col("n")).cast("long").as("tokens_final")
       )
@@ -551,12 +572,7 @@ object TextAnalysis {
         // 8-digit windows — d rows from independent hash bits at a quarter
         // of the per-prefix-rehash cost (measured: 4 md5 calls dominated
         // the explode), still bit-reproducible in DuckDB
-        def buckets(t: Column) = {
-          val h = md5(t)
-          array((0 until depth).map { d =>
-            (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
-          }: _*)
-        }
+        def buckets(t: Column) = graft.functions.CountMinSketch.bucketsCol(t, depth, width)
         val toks = Tables
           .fanout(Tables.documents(s, dir))
           .select(explode(tokens(col("text"))).as("tok"))
@@ -651,13 +667,18 @@ object TextAnalysis {
              |  SELECT d,
              |    sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
              |    sum(ntm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
-             |  FROM grid)
-             |SELECT round(regr_slope(ln(v), ln(n)), 4) AS heaps_beta,
-             |  round(regr_intercept(ln(v), ln(n)), 4) AS heaps_lnk,
-             |  round(regr_r2(ln(v), ln(n)), 6) AS r2,
+             |  FROM grid),
+             |fit AS (SELECT v, n, cast(floor(ln(v) * 1e6) as bigint) AS ly FROM cum WHERE n > 0)
+             |SELECT
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN 0.0
+             |       ELSE round(regr_slope(ln(v), ln(n)), 4) END AS heaps_beta,
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN round(ln(max(v)), 4)
+             |       ELSE round(regr_intercept(ln(v), ln(n)), 4) END AS heaps_lnk,
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN 1.0
+             |       ELSE round(regr_r2(ln(v), ln(n)), 6) END AS r2,
              |  cast(max(v) as bigint) AS vocab_final,
              |  cast(max(n) as bigint) AS tokens_final
-             |FROM cum WHERE n > 0""".stripMargin)
+             |FROM fit""".stripMargin)
     ),
     QueryDef(
       "q_sample_hash",

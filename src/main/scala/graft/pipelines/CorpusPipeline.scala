@@ -130,10 +130,12 @@ object CorpusPipeline {
           .drop("text")
           .join(reb.withColumnRenamed("rebuilt", "text"), "doc_id")
           .pin() // two consumers below (stats agg + survivors); one materialization
+        // coalesce: sum() over an EMPTY joined frame (upstream stages dropped
+        // every doc) is null, and the stage must report zeros, not NPE.
         val agg = joined
           .agg(
-            sum(when(col("text") === "", 1L).otherwise(0L)).as("empty"),
-            sum(col("_segs_dropped")).as("segs")
+            coalesce(sum(when(col("text") === "", 1L).otherwise(0L)), lit(0L)).as("empty"),
+            coalesce(sum(col("_segs_dropped")), lit(0L)).as("segs")
           )
           .head()
         val out = joined

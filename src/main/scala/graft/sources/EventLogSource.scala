@@ -532,9 +532,16 @@ object EventLogWriter {
     //
     // The partition SET must not depend on data distribution: the read side
     // discovers partitions by directory listing, so a partition that happens
-    // to own zero events still needs its file. Pre-create all numPartitions
-    // files empty on the driver; executors atomically replace the ones that
-    // own data.
+    // to own zero events still needs its file. Re-materializing into a dir
+    // that previously held MORE partitions must not leave the extras behind
+    // (the listing would serve their stale events), so stale partition files
+    // and orphaned temp files are removed before the pre-create.
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val stale =
+        f.getName.matches("partition-\\d+\\.log") &&
+          f.getName.stripPrefix("partition-").stripSuffix(".log").toInt >= numPartitions
+      if (stale || f.getName.startsWith(".partition-")) f.delete()
+    }
     (0 until numPartitions).foreach { p =>
       new java.io.PrintWriter(new java.io.File(dir, s"partition-$p.log"), "UTF-8").close()
     }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import graft.Tables.PinOps
 import graft.sources.JsonDecode
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
@@ -144,12 +145,7 @@ object StreamingPipelines {
   ): DataFrame = {
     require(probeKeys.nonEmpty, "streamingCmsFrequency needs at least one probe key")
     graft.functions.CountMinSketch.register(events.sparkSession)
-    def buckets(t: Column) = {
-      val h = md5(t)
-      array((0 until depth).map { d =>
-        (conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long") % width).cast("int")
-      }: _*)
-    }
+    def buckets(t: Column) = graft.functions.CountMinSketch.bucketsCol(t, depth, width)
     events
       .select(buckets(col(keyCol).cast("string")).as("bks"))
       .agg(expr(s"cms_agg(bks, $depth, $width)").as("sk"))
@@ -354,13 +350,21 @@ object StreamingPipelines {
     val gcnt = grid.agg(count(lit(1)).as("gb"))
     val p    = (coalesce(col("n_b"), lit(0L)) + lit(0.5)) / (col("n") + lit(0.5) * col("gb"))
     val q    = greatest(coalesce(col("q0"), lit(0.0)), lit(1e-6))
-    grid
+    val out = grid
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(gcnt))
       .select(col("n"), ((p - q) * log(p / q)).cast("decimal(18,12)").as("term"))
       .groupBy(col("n"))
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
       .select(col("n").cast("long").as("n_docs"), col("psi"))
+    // The result is ONE row; realize it and release the two pinned frames
+    // here — inside a per-trigger foreachBatch, frames pinned per batch and
+    // never unpinned accumulate cached blocks for the stream's lifetime.
+    val rows = out.collect().toIndexedSeq
+    val schema = out.schema
+    Tables.unpin(sb)
+    Tables.unpin(grid)
+    sp.createDataFrame(sp.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Streaming distribution-drift monitor: one PSI row per micro-batch

@@ -100,6 +100,32 @@ class CountMinSketchSpec extends AnyFunSuite {
     // probe bucket outside width fails loudly
     assertThrows[IllegalArgumentException](
       CountMinSketch.query(bytes, new GenericArrayData(Array(0, 0, 0, Width))))
+    // a NULL bucket element fails loudly (ArrayData.getInt would silently
+    // read it as bucket 0 and probe/count the wrong cell)
+    assertThrows[IllegalArgumentException](
+      CountMinSketch.query(bytes, new GenericArrayData(Array[Any](0, null, 0, 0))))
+  }
+
+  test("aggregate rejects a null bucket ELEMENT; skips a null bucket ARRAY") {
+    CountMinSketch.register(spark)
+    import spark.implicits._
+    // whole-array null (filtered-out row under a CASE): skipped like every
+    // other graft aggregate — sketch equals the non-null rows' sketch
+    val withNullRow = Seq(Some("a"), None, Some("b")).toDF("t")
+      .select(when(col("t").isNotNull, CountMinSketch.bucketsCol(col("t"), Depth, Width)).as("bks"))
+      .agg(expr(s"cms_agg(bks, $Depth, $Width)")).head().getAs[Array[Byte]](0)
+    assert(withNullRow.toSeq == buildLocal(Seq("a", "b")).toSeq)
+    // null ELEMENT inside the array: loud failure, not a silent bucket-0 count
+    val ex = intercept[Exception] {
+      Seq("a").toDF("t")
+        .select(array(lit(null).cast("int"), lit(0), lit(0), lit(0)).as("bks"))
+        .agg(expr(s"cms_agg(bks, $Depth, $Width)")).head()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("null")),
+      s"expected a loud null-bucket failure, got: ${ex.getMessage}")
   }
 
   test("inner product: >= true join size for every input, exact under no collisions, geometry checked") {
@@ -126,9 +152,7 @@ class CountMinSketchSpec extends AnyFunSuite {
     CountMinSketch.register(spark)
     import spark.implicits._
     val keys = (0 until 2000).map(i => s"tok-${i % 211}")
-    def bucketCol(t: org.apache.spark.sql.Column) = array((0 until Depth).map { d =>
-      (conv(substring(md5(t), 1 + 8 * d, 8), 16, 10).cast("long") % Width).cast("int")
-    }: _*)
+    def bucketCol(t: org.apache.spark.sql.Column) = CountMinSketch.bucketsCol(t, Depth, Width)
     val built = keys.toDF("t").select(bucketCol(col("t")).as("bks"))
       .agg(expr(s"cms_agg(bks, $Depth, $Width)")).head().getAs[Array[Byte]](0)
     assert(built.toSeq == buildLocal(keys).toSeq, "distributed build != local build")

@@ -115,6 +115,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedSegEmpty === 0L && plain.nSegmentsDropped === 0L)
   }
 
+  test("segment-rewrite stage survives upstream stages dropping every doc (zeros, not NPE)") {
+    val out = Files.createTempDirectory("pipeline-seg-empty").toString + "/corpus"
+    // every doc fails the quality gate, so the segment stage sees an
+    // empty frame: sum() over it is null and must coalesce to 0 stats
+    val junk = Seq(
+      (920001L, "!!! ??? ###", "xx", "junk"),
+      (920002L, "$$$ %%% ^^^", "xx", "junk")
+    ).toDF("doc_id", "text", "lang", "source")
+    val stats = CorpusPipeline.run(junk, out, segmentRewriteLen = Some(8))
+    assert(stats.nOut === 0L)
+    assert(stats.nDroppedSegEmpty === 0L)
+    assert(stats.nSegmentsDropped === 0L)
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup +
+      stats.nDroppedSegEmpty + stats.nOut, s"conservation on the all-dropped path: $stats")
+  }
+
   test("compaction: identical content pre/post, file count sized by bytes/target per split") {
     val baseDir = Files.createTempDirectory("pipeline").toString
     val target  = 32L * 1024

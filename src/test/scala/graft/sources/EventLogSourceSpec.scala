@@ -45,6 +45,23 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"temp files must be renamed or deleted: ${leftovers.toSeq}")
   }
 
+  test("re-materializing with fewer partitions removes the stale higher-numbered files") {
+    import spark.implicits._
+    def frame(ids: Seq[Long]) =
+      ids.map(id => (id, id, "click", 1.0)).toDF("event_id", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-log-shrink").toString
+    // first materialization: 8 partitions, ids 0..7 land one per partition
+    EventLogWriter.materializeFrom(frame(0L to 7L), dir, numPartitions = 8)
+    assert(EventLogSource.partitionFiles(dir).map(_._1) === (0 to 7))
+    // shrink to 4: partitions 4..7 must disappear, not serve stale events
+    EventLogWriter.materializeFrom(frame(Seq(0L, 1L)), dir, numPartitions = 4)
+    assert(
+      EventLogSource.partitionFiles(dir).map(_._1) === (0 to 3),
+      "stale partition files from the wider materialization must be removed")
+    val df = spark.read.format(EventLogSource.ShortName).option("path", dir).load()
+    assert(df.count() === 2, "reads must see only the fresh events")
+  }
+
   test("S16 extractor seam: by-class-name decode inside the scan, schema from the extractor") {
     val df = spark.read
       .format(EventLogSource.ShortName)
