@@ -564,6 +564,84 @@ object Similarity {
              |  round(max(norm), 6) AS max_norm,
              |  round(cast(sum(cast(norm as decimal(18,12))) as double) / count(1), 6) AS avg_norm
              |FROM n GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_label_margin",
+      "label-centroid cohesion/margin audit — the embedding-space quality check a labeled training set needs before the labels are trusted (nearest-centroid-classifier view of the space): per-label mean centroid (decimal-exact component sums, so the centroid is order-independent and engine-reproducible), then every vector scores cosine against ALL label centroids — mean intra-label cosine (cohesion), mean margin over the best OTHER centroid (separation), and the count of vectors whose nearest centroid is a different label (confusable points, the label-noise review queue). Scale shape: centroids are L x dim rows built with map-side partial aggregation, packed into ONE broadcast row; per-vector scoring and the own-vs-best-other reduction happen in a single map-side HOF projection (no x L row fan-out, no per-vec shuffle) — the corpus never shuffles, the only exchange is the L-group rollup",
+      (s, dir) => labelCentroidMargin(Tables.fanout(Tables.embeddings(s, dir))),
+      Some(s"""WITH comp AS (
+              |  SELECT vec_id, label, i AS d, cast(embedding[i] as double) AS x
+              |  FROM embeddings
+              |  CROSS JOIN (SELECT unnest(generate_series(1,
+              |      (SELECT max(len(embedding)) FROM embeddings))) AS i) dims
+              |  WHERE i <= len(embedding)),
+              |cent AS (
+              |  SELECT label AS c_label, d,
+              |    cast(cast(cast(sum(cast(x as decimal(18,12))) as varchar) as double)
+              |      / count(1) as real) AS cx
+              |  FROM comp GROUP BY 1, 2),
+              |cvec AS (SELECT c_label, list(cx ORDER BY d) AS c_vec FROM cent GROUP BY 1),
+              |scored AS (
+              |  SELECT e.vec_id, e.label, c.c_label,
+              |    ${cosDuck("e.embedding", "c.c_vec")} AS cos
+              |  FROM embeddings e CROSS JOIN cvec c),
+              |perv AS (
+              |  SELECT vec_id, label,
+              |    max(CASE WHEN c_label = label THEN cos END) AS own,
+              |    max(CASE WHEN c_label <> label THEN cos END) AS other
+              |  FROM scored GROUP BY 1, 2)
+              |SELECT label, count(1) AS n_vecs,
+              |  round(cast(cast(sum(cast(own as decimal(18,12))) as varchar) as double) / count(1), 6) AS mean_intra,
+              |  round(cast(cast(sum(cast(own - other as decimal(18,12))) as varchar) as double) / count(1), 6) AS mean_margin,
+              |  cast(sum(cast(other > own as bigint)) as bigint) AS n_misassigned
+              |FROM perv GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
+
+  /** The `q_sim_label_margin` body, frame-generic over (vec_id, label,
+    * embedding). Centroid components are decimal-exact means (the
+    * [[IvfSimilarity]] cent2 recipe: exact sum, one correctly-rounded
+    * double conversion, one division), then narrowed to float so the
+    * scoring side runs the same codegen [[graft.functions.CosineSimilarity]]
+    * loop as every other similarity query — and so the oracle can
+    * reproduce the exact centroid (`cast(... as real)`). Scoring packs ALL
+    * L centroids into ONE broadcast row and computes own/best-other per
+    * vector with array HOFs in a single map-side projection — no x L
+    * row fan-out and, crucially, no (vec_id)-keyed shuffle of corpus x L
+    * scored rows (at 10^9 vectors that shuffle would dwarf the metric
+    * itself); the only shuffle left is the L-group final rollup.
+    */
+  private[graft] def labelCentroidMargin(emb: DataFrame): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val comp = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("label"), (col("pos") + 1).as("d"), col("xf").cast("double").as("x"))
+    val cent = comp
+      .groupBy(col("label"), col("d"))
+      .agg((sum(col("x").cast("decimal(18,12)")).cast("double") / count(lit(1))).as("cxd"))
+      .select(col("label").as("c_label"), col("d"), col("cxd").cast("float").as("cx"))
+    val centArr = cent
+      .groupBy(col("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cx))), s -> s.cx)").as("c_vec"))
+    val centsRow = centArr.agg(collect_list(struct(col("c_label"), col("c_vec"))).as("cents"))
+    val perVec = emb
+      .crossJoin(broadcast(centsRow))
+      .select(
+        col("label"),
+        expr("element_at(transform(filter(cents, c -> c.c_label = label), c -> cosine_sim(embedding, c.c_vec)), 1)")
+          .as("own"),
+        expr("array_max(transform(filter(cents, c -> c.c_label != label), c -> cosine_sim(embedding, c.c_vec)))")
+          .as("other")
+      )
+    perVec
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("own").cast("decimal(18,12)")).cast("double") / count(lit(1)), 6).as("mean_intra"),
+        round(sum((col("own") - col("other")).cast("decimal(18,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_margin"),
+        sum((col("other") > col("own")).cast("long")).as("n_misassigned")
+      )
+      .orderBy(col("label"))
+  }
 }

@@ -309,4 +309,33 @@ class SimilarityRecallSpec extends AnyFunSuite {
       .map(_._1)
     assert(got === expected, s"probe must be the exact top-5 of its bucket: got $got expected $expected")
   }
+
+  test("label-centroid margin: tight clusters cohere, a planted mislabeled vector is the one confusable point") {
+    // two orthogonal directions, tight noise: label 0 lives on +e0, label 1
+    // on +e1. Vector 9 carries label 0 but sits on +e1 — the mislabel.
+    val dim = 8
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(axis) = 1.0f; a((axis + 2) % dim) = eps; a
+    }
+    val rows =
+      (0L to 3L).map(i => (i, v(0, 0.01f * (i + 1)), 0)) ++
+        (4L to 7L).map(i => (i, v(1, 0.01f * (i + 1)), 1)) :+
+        ((9L, v(1, 0.05f), 0)) // mislabeled: label 0, but an e1 vector
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val byName = Similarity
+      .labelCentroidMargin(emb)
+      .collect()
+      .map(r =>
+        r.getAs[Int]("label") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_intra"),
+            r.getAs[Double]("mean_margin"), r.getAs[Long]("n_misassigned"))))
+      .toMap
+    assert(byName(0)._1 === 5L && byName(1)._1 === 4L)
+    // label 1 is pure: high cohesion, positive margin, nothing misassigned
+    assert(byName(1)._2 > 0.9, s"pure cluster must cohere: ${byName(1)}")
+    assert(byName(1)._3 > 0.5, s"pure cluster must separate: ${byName(1)}")
+    assert(byName(1)._4 === 0L)
+    // label 0 contains exactly the planted mislabel as its confusable point
+    assert(byName(0)._4 === 1L, s"the planted mislabel must be the one confusable point: ${byName(0)}")
+  }
 }
