@@ -677,6 +677,29 @@ object Dedup {
               |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin)
     ),
     QueryDef(
+      "q_dedup_source_matrix",
+      "cross-source duplication matrix — which sources copy from which: every MinHash candidate pair mapped to its (source, source) cell, unordered (least/greatest), counted. Off-diagonal cells are syndication/mirror traffic BETWEEN sources (the corpus-governance signal doc-level dedup counts can't show); the diagonal is within-source redundancy. Scale shape: the pair frame is the banded generator's near-linear output joined twice against the slim (doc_id, source) projection — never the text — and the output is at most S^2 cells",
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        minhashPairs(s, dir)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select(least(col("sa"), col("sb")).as("source_a"), greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH $pairsCteSql,
+              |cells AS (
+              |  SELECT least(sa.source, sb.source) AS source_a,
+              |    greatest(sa.source, sb.source) AS source_b
+              |  FROM pairs p
+              |  JOIN documents sa ON sa.doc_id = p.doc_a
+              |  JOIN documents sb ON sb.doc_id = p.doc_b)
+              |SELECT source_a, source_b, count(1) AS n_pairs
+              |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
       "q_dedup_clusters",
       "near-dup clusters: EXACT connected components over MinHash candidate pairs (pointer-doubling label propagation, converges in O(log diameter) rounds) — cluster census; oracle is a recursive-CTE transitive closure, so the gate proves convergence, not a mirrored iteration count",
       (s, dir) =>

@@ -365,4 +365,17 @@ class DedupSpec extends AnyFunSuite {
     val r    = Dedup.segmentDedup(docs, segLen = 4).collect()(0)
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, A)))
   }
+
+  test("source matrix: unordered cells, and total pairs conserve against the pair generator") {
+    val cells = graft.SparkEntry
+      .queries("q_dedup_source_matrix")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cells.forall { case (a, b, _) => a <= b }, "cells must be unordered (least, greatest)")
+    assert(cells.map { case (a, b, _) => (a, b) }.distinct.length === cells.length)
+    val nPairs = graft.SparkEntry
+      .queries("q_dedup_minhash_pairs")(spark, TestSpark.sfDir)
+      .count()
+    assert(cells.map(_._3).sum === nPairs, "every candidate pair lands in exactly one cell")
+  }
 }
