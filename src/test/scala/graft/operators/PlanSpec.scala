@@ -464,4 +464,27 @@ class PlanSpec extends AnyFunSuite {
     // and the per-row wav output is bounded by TakeOrdered, not a global sort
     assert(countNodes(q("q_multimodal_wav_meta"), "TakeOrderedAndProject") >= 1)
   }
+
+  test("q_sim_label_margin: one broadcast centroid row, no per-vector shuffle of scored rows") {
+    val df    = q("q_sim_label_margin")
+    val nodes = allNodes(executed(df))
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "the packed centroid row must broadcast")
+    // no exchange may be keyed by vec_id: the own/best-other reduction is
+    // map-side (the corpus x L scored-row shuffle is the scale killer)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name.toLowerCase)
+      assert(!cols.contains("vec_id"), s"no shuffle may carry per-vector rows: ${cols.mkString(",")}")
+    }
+  }
+
+  test("q_dedup_source_matrix: pair->source joins never carry text across an exchange") {
+    val nodes = allNodes(executed(q("q_dedup_source_matrix")))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")), "no unbroadcast cartesian")
+    nodes.collect { case s: ShuffleExchangeLike => s }.foreach { s =>
+      val cols = s.output.map(_.name.toLowerCase).mkString(",")
+      assert(!cols.contains("text"), s"the text column must never shuffle: $cols")
+    }
+  }
 }
