@@ -223,6 +223,40 @@ object Events {
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)
     ),
     QueryDef(
+      "q_event_transitions",
+      "per-user behavioral transition matrix (first-order Markov census): each user's event stream ordered by (ts, event_id), every adjacent (type -> next type) step counted corpus-wide, with the row-conditional probability p = n / sum(n per from_type) — the session-model / next-event-prediction baseline and the input a funnel designer reads to find the real paths. Scale shape: ONE user-keyed shuffle for the lead() window (users are independent, so the window never sees more than one user's rows), then the census aggregates T^2 cells — the matrix side is constant-size, and the probability join touches only those cells",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val steps = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = steps.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        steps
+          .join(broadcast(totals), "from_type")
+          .select(
+            col("from_type"),
+            col("to_type"),
+            col("n"),
+            round(col("n") / col("tot"), 6).as("p")
+          )
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type AS from_type, next_type AS to_type, count(1) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, cast(sum(n) as bigint) AS tot FROM m GROUP BY 1)
+             |SELECT m.from_type, m.to_type, m.n, round(m.n / t.tot, 6) AS p
+             |FROM m JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
       "q_event_type_stats",
       "per-type stats incl. stddev/variance (rounded: parallel-aggregation order differs)",
       (s, dir) =>

@@ -85,4 +85,20 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(top === Map("a b" -> 2L, "b c" -> 1L))
   }
+
+  test("transition matrix: adjacent per-user steps only, probabilities row-conditional") {
+    // u1 view->click->purchase, u2 view->click, u3 click->view, u4 single
+    val cells = Events.defs
+      .find(_.name == "q_event_transitions")
+      .get
+      .build(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cells === Map(
+      ("view", "click")     -> ((2L, 1.0)),
+      ("click", "purchase") -> ((1L, 0.5)),
+      ("click", "view")     -> ((1L, 0.5))
+    ))
+  }
 }
