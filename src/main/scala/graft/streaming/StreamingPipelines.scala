@@ -18,6 +18,12 @@ case class SessState(startMs: Long, lastMs: Long, n: Long)
 /** Typed rows for the streaming funnel. */
 case class TypedEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String)
 
+/** Per-user last-event state for [[StreamingPipelines.transitionStream]]. */
+case class TransState(lastMs: Long, lastType: String)
+
+/** One observed step for [[StreamingPipelines.transitionStream]]. */
+case class Transition(from_type: String, to_type: String)
+
 /** Per-user funnel state: timestamp at which each stage index was committed
   * (in order; stages.length entries max), plus a bounded buffer of
   * not-yet-committed stage events (stage index + event-time ms, parallel
@@ -391,6 +397,48 @@ object StreamingPipelines {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Streaming twin of `q_event_transitions`: per-user first-order
+    * transition steps emitted ON ARRIVAL via `flatMapGroupsWithState`.
+    * State is ONE (lastMs, lastType) pair per active user — O(1), the
+    * 100 TB property — so the transition model updates incrementally
+    * without ever re-reading history. Within a batch, a user's rows
+    * process in (ts, event_type) order (the type tie-break keeps replays
+    * deterministic when two events share a timestamp); an event OLDER
+    * than the stored last event (late beyond the state, despite the
+    * watermark) is dropped rather than spliced — splicing would require
+    * unbounded history, and the batch census is the exact-repair path.
+    * Downstream counting is a plain groupBy over the emitted steps;
+    * in-order feeds yield exactly the batch matrix (spec-pinned).
+    */
+  def transitionStream(
+      events: Dataset[TypedEvent],
+      watermark: String = "10 minutes"
+  ): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))
+          var last   = state.getOption
+          val out    = Seq.newBuilder[Transition]
+          sorted.foreach { r =>
+            val t = r.ts.getTime
+            last match {
+              case Some(s) if t >= s.lastMs =>
+                out += Transition(s.lastType, r.event_type)
+                last = Some(TransState(t, r.event_type))
+              case Some(_) => () // older than the recorded last event: dropped
+              case None    => last = Some(TransState(t, r.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
     * `KeyValueGroupedDataset` custom-state seam (SURVEY §2.2 streaming

@@ -189,6 +189,46 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition stream: steps emitted on arrival equal the batch matrix; state bridges batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .transitionStream(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("trans_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: u1 view@0 -> click@5 (one in-batch step); u2 view@3 (opens state)
+      input.addData(
+        TypedEvent(ts(0), 1L, "view"),
+        TypedEvent(ts(5), 1L, "click"),
+        TypedEvent(ts(3), 2L, "view"))
+      q.processAllAvailable()
+      // batch 2: u1 purchase@10 (CROSS-BATCH step from the stored state);
+      // u2 click@7; u2 stale view@1 (older than state) must be dropped
+      input.addData(
+        TypedEvent(ts(10), 1L, "purchase"),
+        TypedEvent(ts(7), 2L, "click"),
+        TypedEvent(ts(1), 2L, "view"))
+      q.processAllAvailable()
+
+      val got = spark
+        .table("trans_out")
+        .groupBy("from_type", "to_type")
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got === Map(
+        ("view", "click")     -> 2L, // u1 in-batch + u2 across batches
+        ("click", "purchase") -> 1L  // u1 across batches (state bridged)
+      ), s"got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap closes in-batch, timeout closes via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
