@@ -359,6 +359,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3) === ((3L, 1L, 1L, "nu xi")), "short tail segment is its own unit")
   }
 
+  test("segmentDedup: a 2500-token doc is fully segmented (no 256-segment truncation)") {
+    // guards the oracle-parity contract: the DuckDB twin once capped
+    // enumeration at 256 segments/doc, silently diverging past 2048
+    // tokens at segLen=8 — the engine side must segment the WHOLE doc
+    val long  = (0 until 2500).map(i => s"w$i").mkString(" ")
+    val docs  = Seq((0L, long, "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val r     = Dedup.segmentDedup(docs, segLen = 8).collect()(0)
+    val nSegs = r.getLong(1)
+    assert(nSegs === 313L, s"2500 tokens / 8 = 313 segments (ceil), got $nSegs")
+    assert(r.getLong(2) === 313L, "a unique doc keeps every segment")
+    assert(r.getString(3) === long, "rebuild must round-trip the full text")
+  }
+
   test("segmentDedup: within-doc repetition dedups to the first instance") {
     val A    = "one two three four"
     val docs = Seq((7L, s"$A $A $A", "en", "s0")).toDF("doc_id", "text", "lang", "source")
