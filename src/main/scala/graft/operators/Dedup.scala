@@ -743,6 +743,43 @@ object Dedup {
               |FROM flagged""".stripMargin)
     ),
     QueryDef(
+      "q_dedup_keep_best",
+      "QUALITY-AWARE survivor selection per near-dup cluster — what production pipelines actually keep (the min-id rule is deterministic but blind: it happily keeps the boilerplate-mangled copy and drops the clean one). Per cluster: the member with the highest composite quality score wins, ties to the smallest doc_id, plus a `changed` flag marking clusters where the quality rule picks a DIFFERENT survivor than the naive min-id rule. Scale shape: clusters come from the banded pair generator + pointer-doubling CC; quality is map-only; the argmax is a max(struct(quality, -doc_id)) aggregate — no per-cluster window sort; join cost is |clustered docs|, not the corpus",
+      (s, dir) => {
+        val labels = clusters(minhashPairs(s, dir))
+        val q = TextAnalysis
+          .qualityFrame(Tables.fanout(Tables.documents(s, dir)))
+          .select(col("doc_id"), col("quality"))
+        labels
+          .join(q, "doc_id")
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best")
+          )
+          .select(
+            col("label"),
+            col("n_members"),
+            (-col("best.neg_id")).as("keep_id"),
+            col("best.quality").as("keep_quality"),
+            (-col("best.neg_id") =!= col("label")).as("changed")
+          )
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH RECURSIVE $clustersCteSql,
+              |${TextAnalysis.qualityMetricsCteSql},
+              |qual AS (SELECT doc_id, ${TextAnalysis.qualityColSql} AS quality FROM m),
+              |ranked AS (
+              |  SELECT cc.label, cc.doc_id, q.quality,
+              |    row_number() OVER (PARTITION BY cc.label ORDER BY q.quality DESC, cc.doc_id) AS rn,
+              |    count(1) OVER (PARTITION BY cc.label) AS n_members
+              |  FROM cc JOIN qual q USING (doc_id))
+              |SELECT label, cast(n_members as bigint) AS n_members,
+              |  doc_id AS keep_id, quality AS keep_quality,
+              |  doc_id <> label AS changed
+              |FROM ranked WHERE rn = 1 ORDER BY label""".stripMargin)
+    ),
+    QueryDef(
       "q_dedup_simhash",
       "16-bit SimHash fingerprints (token-frequency-weighted bit majority over md5 bits)",
       (s, dir) => simhashFrame(s, dir).orderBy(col("doc_id")).limit(500),

@@ -64,6 +64,34 @@ object TextAnalysis {
   private def stopHitsSql(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN ${inListSql(words)}))"
 
+  /** DuckDB CTE chain computing the per-doc quality metrics `m` (the
+    * [[qualityFrame]] twin) — ONE rendering shared by every oracle that
+    * reads the composite score (`q_text_quality`, `q_dedup_keep_best`):
+    * the score formula is a cross-engine parity contract, and a drifted
+    * copy would silently break whichever oracle kept the old one.
+    */
+  private[operators] def qualityMetricsCteSql: String = {
+    val stop = stopHitsSql(stopwords.head._2)
+    s"""base AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    cast(len(t) as bigint) AS n_tok,
+       |    cast(length(text) as bigint) AS n_char,
+       |    cast(length(replace(text, ' ', '')) as bigint) / cast(len(t) as bigint) AS avg_tok_len,
+       |    cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as bigint)
+       |      / cast(length(text) as bigint) AS punct_ratio,
+       |    cast($stop as bigint) / cast(len(t) as bigint) AS stop_ratio
+       |  FROM base)""".stripMargin
+  }
+
+  /** The composite-quality column over the `m` CTE of
+    * [[qualityMetricsCteSql]] — the SQL twin of [[qualityFrame]]'s
+    * `quality` expression.
+    */
+  private[operators] val qualityColSql: String =
+    "least(avg_tok_len / 8.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"
+
   /** Input columns + per-language stopword scores + `predicted` — exposed so
     * tests drive THIS scoring pipeline, not a copy.
     */
@@ -422,25 +450,11 @@ object TextAnalysis {
           )
           .orderBy(col("doc_id"))
           .limit(500),
-      Some {
-        val stop = stopHitsSql(stopwords.head._2)
-        s"""WITH base AS (
-           |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-           |m AS (
-           |  SELECT doc_id,
-           |    cast(len(t) as bigint) AS n_tok,
-           |    cast(length(text) as bigint) AS n_char,
-           |    cast(length(replace(text, ' ', '')) as bigint) / cast(len(t) as bigint) AS avg_tok_len,
-           |    cast(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) as bigint)
-           |      / cast(length(text) as bigint) AS punct_ratio,
-           |    cast($stop as bigint) / cast(len(t) as bigint) AS stop_ratio
-           |  FROM base)
-           |SELECT doc_id, n_tok, n_char,
-           |  avg_tok_len, punct_ratio, stop_ratio,
-           |  least(avg_tok_len / 8.0, 1.0) * 0.5 + stop_ratio * 0.3
-           |    + (1.0 - punct_ratio) * 0.2 AS quality
-           |FROM m ORDER BY doc_id LIMIT 500""".stripMargin
-      }
+      Some(s"""WITH $qualityMetricsCteSql
+              |SELECT doc_id, n_tok, n_char,
+              |  avg_tok_len, punct_ratio, stop_ratio,
+              |  $qualityColSql AS quality
+              |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_text_tokens",

@@ -379,6 +379,25 @@ class DedupSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((3L, 1L, A)))
   }
 
+  test("keep-best: same clusters as the census, survivor is a member, changed flag consistent") {
+    val best = graft.SparkEntry
+      .queries("q_dedup_keep_best")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val census = graft.SparkEntry
+      .queries("q_dedup_clusters")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(best.map(_._1).toSeq === census.keys.toSeq.sorted, "same cluster set as the census")
+    best.foreach { case (label, n, keepId, changed) =>
+      assert(n === census(label), s"cluster $label member count must match the census")
+      assert(keepId >= label, s"label is the min member id, so keep_id >= label: $label -> $keepId")
+      assert(changed === (keepId != label), s"changed must mark divergence from the min-id rule")
+    }
+    assert(best.exists(_._4), "the fixture has clusters where quality beats min-id")
+  }
+
   test("source matrix: unordered cells, and total pairs conserve against the pair generator") {
     val cells = graft.SparkEntry
       .queries("q_dedup_source_matrix")(spark, TestSpark.sfDir)
