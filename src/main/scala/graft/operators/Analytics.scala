@@ -209,6 +209,55 @@ object Analytics {
              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin)
     ),
     QueryDef(
+      "q_text_distinct_ngrams",
+      "distinct-n diversity census per source (the distinct-1/distinct-2 metric of generation-quality QA, applied as a corpus-health check: a templated or over-duplicated source shows a LOW distinct-bigram ratio long before doc-level dedup notices): unigram and bigram totals vs distinct counts and their ratios, one pass — both gram orders ride one explode as tagged structs, so the corpus scans once and the shuffle carries (source, ord, gram) keys only",
+      (s, dir) =>
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .select(col("source"), tokens(col("text")).as("t"))
+          .select(
+            col("source"),
+            expr("""explode(concat(
+                   |  transform(t, x -> struct(1 as ord, x as gram)),
+                   |  if(size(t) >= 2,
+                   |     transform(sequence(1, size(t) - 1),
+                   |       i -> struct(2 as ord, concat(element_at(t, i), ' ', element_at(t, i + 1)) as gram)),
+                   |     cast(array() as array<struct<ord:int, gram:string>>))))""".stripMargin).as("g")
+          )
+          .select(col("source"), col("g.ord").as("ord"), col("g.gram").as("gram"))
+          .filter(col("gram") =!= "")
+          .groupBy(col("source"), col("ord"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("gram")).as("d"))
+          .groupBy(col("source"))
+          .agg(
+            max(when(col("ord") === 1, col("n"))).as("n_uni"),
+            max(when(col("ord") === 1, col("d"))).as("d_uni"),
+            max(when(col("ord") === 1, col("d") / col("n"))).as("r_uni"),
+            max(when(col("ord") === 2, col("n"))).as("n_bi"),
+            max(when(col("ord") === 2, col("d"))).as("d_bi"),
+            max(when(col("ord") === 2, col("d") / col("n"))).as("r_bi")
+          )
+          .orderBy(col("source")),
+      Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+             |g AS (
+             |  SELECT source, 1 AS ord, unnest(t) AS gram FROM toks
+             |  UNION ALL
+             |  SELECT source, 2 AS ord,
+             |    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS gram
+             |  FROM toks WHERE len(t) >= 2),
+             |a AS (
+             |  SELECT source, ord, count(1) AS n, count(DISTINCT gram) AS d
+             |  FROM g WHERE gram <> '' GROUP BY 1, 2)
+             |SELECT source,
+             |  max(CASE WHEN ord = 1 THEN n END) AS n_uni,
+             |  max(CASE WHEN ord = 1 THEN d END) AS d_uni,
+             |  max(CASE WHEN ord = 1 THEN d / n END) AS r_uni,
+             |  max(CASE WHEN ord = 2 THEN n END) AS n_bi,
+             |  max(CASE WHEN ord = 2 THEN d END) AS d_bi,
+             |  max(CASE WHEN ord = 2 THEN d / n END) AS r_bi
+             |FROM a GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    QueryDef(
       "q_text_bm25",
       "BM25 document ranking (k1=1.2, b=0.75) for a fixed 3-term query — the standard retrieval scorer curation pipelines rank with (TF-IDF's production successor). Per-doc stats (dl, per-term tf) are MAP-ONLY array ops (no explode); corpus stats broadcast from one tiny aggregate; per-term scores go through decimal(18,12) casts so the cross-term sum is order-free and the DuckDB oracle hash-matches",
       (s, dir) => {

@@ -86,6 +86,31 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top === Map("a b" -> 2L, "b c" -> 1L))
   }
 
+  test("distinct-ngram diversity: repetitive source scores low, diverse source scores 1.0") {
+    val sp = spark
+    import sp.implicits._
+    // own dir: Tables.documents memoizes the resolved relation per dir, and
+    // the bigram test parks a 2-column documents.parquet under the shared one
+    val ngDir = java.nio.file.Files.createTempDirectory("analytics-ngrams").toString
+    Seq(
+      (1L, "a a a a", "en", "rep"),
+      (2L, "a b c", "en", "div")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write
+      .mode("overwrite")
+      .parquet(s"$ngDir/documents.parquet")
+    val rows = Analytics.defs
+      .find(_.name == "q_text_distinct_ngrams")
+      .get
+      .build(spark, ngDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(rows("rep") === ((4L, 1L, 0.25, 3L, 1L, 1.0 / 3.0)), s"got ${rows("rep")}")
+    assert(rows("div") === ((3L, 3L, 1.0, 2L, 2L, 1.0)), s"got ${rows("div")}")
+  }
+
   test("transition matrix: adjacent per-user steps only, probabilities row-conditional") {
     // u1 view->click->purchase, u2 view->click, u3 click->view, u4 single
     val cells = Events.defs
