@@ -108,16 +108,25 @@ object Dedup {
   private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "minhash_sig")(signatures(Tables.documents(s, dir)))
 
-  /** MinHash band signatures for any frame with (doc_id, text) — exposed so
-    * tests exercise THIS pipeline on synthetic corpora rather than a copy.
+  /** Raw MinHash values (doc_id, h0..h{n-1}) for any frame with
+    * (doc_id, text) — the pre-banding stage of [[signatures]], exposed for
+    * the estimator-calibration query (the estimate IS the fraction of
+    * equal h's, so it needs the h's, not the band digests).
     */
-  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def rawSignatures(docs: org.apache.spark.sql.DataFrame) = {
     val exploded = graft.Tables
       .fanout(docs)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val hashAggs = (0 until NumHashes)
       .map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"h$j"))
-    val sig = exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  /** MinHash band signatures for any frame with (doc_id, text) — exposed so
+    * tests exercise THIS pipeline on synthetic corpora rather than a copy.
+    */
+  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) = {
+    val sig = rawSignatures(docs)
     sig.select(
       col("doc_id") +:
         (0 until NumBands).map { b =>
@@ -741,6 +750,69 @@ object Dedup {
               |  cast(count(1) - sum(cast(is_dropped as bigint)) as bigint) AS n_survivors,
               |  min(CASE WHEN NOT is_dropped THEN doc_id END) AS first_survivor
               |FROM flagged""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_minhash_calib",
+      "MinHash estimator CALIBRATION over the candidate pairs: per pair, the sketch's Jaccard estimate (fraction of the 8 minhashes that agree — the unbiased MinHash estimator) against the EXACT distinct-shingle Jaccard, with the signed error. The tuning readout for the banding parameters: a systematic gap between est_j and exact_j on real candidates means the hash count is too low for the threshold in use. Scale shape: every join is keyed by doc id over the pair-linear candidate frame — signatures and distinct-shingle sizes join per paired doc, never corpus x corpus",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir)
+        val raw   = rawSignatures(Tables.fanout(Tables.documents(s, dir)))
+        val ex    = shingleFrame(s, dir).select(col("doc_id"), col("sh"))
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val nEq = (0 until NumHashes)
+          .map(j => (col(s"ha.h$j") === col(s"hb.h$j")).cast("int"))
+          .reduce(_ + _)
+        val withEst = pairs
+          .join(raw.as("ha"), col("doc_a") === col("ha.doc_id"))
+          .join(raw.as("hb"), col("doc_b") === col("hb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), (nEq.cast("double") / NumHashes).as("est_j"))
+        val common = pairs
+          .join(ex.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+          .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        withEst
+          .join(common, Seq("doc_a", "doc_b"), "left")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+          .withColumn(
+            "exact_j",
+            coalesce(col("common"), lit(0L)) / (col("na") + col("nb") - coalesce(col("common"), lit(0L)))
+          )
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            col("est_j"),
+            col("exact_j"),
+            (col("est_j") - col("exact_j")).as("err")
+          )
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $pairsCteSql,
+              |ex AS (
+              |  SELECT doc_id, substring(md5(ush), 1, 16) AS shp
+              |  FROM (SELECT doc_id, unnest(list_distinct(s)) AS ush FROM sh) u),
+              |sizes AS (SELECT doc_id, count(1) AS nsh FROM ex GROUP BY 1),
+              |common AS (
+              |  SELECT p.doc_a, p.doc_b, count(1) AS common
+              |  FROM pairs p
+              |  JOIN ex a ON a.doc_id = p.doc_a
+              |  JOIN ex b ON b.doc_id = p.doc_b AND b.shp = a.shp
+              |  GROUP BY 1, 2),
+              |est AS (
+              |  SELECT p.doc_a, p.doc_b,
+              |    (${(0 until NumHashes).map(j => s"cast(a.h$j = b.h$j as int)").mkString(" + ")}) / ${NumHashes}.0 AS est_j
+              |  FROM pairs p
+              |  JOIN sigraw a ON a.doc_id = p.doc_a
+              |  JOIN sigraw b ON b.doc_id = p.doc_b)
+              |SELECT e.doc_a, e.doc_b, e.est_j,
+              |  coalesce(c.common, 0) / (sa.nsh + sb.nsh - coalesce(c.common, 0)) AS exact_j,
+              |  e.est_j - coalesce(c.common, 0) / (sa.nsh + sb.nsh - coalesce(c.common, 0)) AS err
+              |FROM est e
+              |LEFT JOIN common c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+              |JOIN sizes sa ON sa.doc_id = e.doc_a
+              |JOIN sizes sb ON sb.doc_id = e.doc_b
+              |ORDER BY 1, 2""".stripMargin)
     ),
     QueryDef(
       "q_dedup_keep_best",

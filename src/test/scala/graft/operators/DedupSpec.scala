@@ -398,6 +398,25 @@ class DedupSpec extends AnyFunSuite {
     assert(best.exists(_._4), "the fixture has clusters where quality beats min-id")
   }
 
+  test("calibration: est_j is an eighth-step in [0,1], exact_j bounded, err consistent, pairs conserved") {
+    val rows = graft.SparkEntry
+      .queries("q_dedup_minhash_calib")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val nPairs = graft.SparkEntry.queries("q_dedup_minhash_pairs")(spark, TestSpark.sfDir).count()
+    assert(rows.length.toLong === nPairs, "every candidate pair gets a calibration row")
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8).isWhole,
+        s"est_j must be k/8: ($a,$b) -> $est")
+      assert(exact > 0.0 && exact <= 1.0,
+        s"candidate pairs share a band, so they share at least one shingle: ($a,$b) -> $exact")
+      assert(err === est - exact)
+    }
+    // LSH candidates are similarity-biased: the mean estimate must sit well
+    // above the ~0 similarity of random fixture pairs
+    assert(rows.map(_._3).sum / rows.length > 0.5, "candidates should estimate as similar")
+  }
+
   test("source matrix: unordered cells, and total pairs conserve against the pair generator") {
     val cells = graft.SparkEntry
       .queries("q_dedup_source_matrix")(spark, TestSpark.sfDir)
