@@ -112,6 +112,55 @@ object Multimodal {
     * work (one row in, one row out, no shuffle); at 100 TB the same shape
     * holds: payload synthesis/decode never crosses an exchange.
     */
+  /** 8x8 average-hash over the decoded raster of each media row — the
+    * `q_multimodal_ahash` body. Pixel x maps to block column x*8/w (int
+    * div) and likewise rows, so uneven dims distribute deterministically;
+    * the bit rule is the exact integer cross-multiplication
+    * `block_sum * n_pixels > total_sum * block_count` (no division, no
+    * floats — bounded: v < 2^24, n <= 33*33, products < 2^40). Empty
+    * blocks (dims below 8px leave grid slots with no pixels) read '0'.
+    * Map-only typed work; the payload never crosses an exchange.
+    */
+  private[graft] def ahashFrame(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, s"payload of doc ${m.doc_id} is not a decodable image")
+          val w        = img.getWidth
+          val h        = img.getHeight
+          val blockSum = new Array[Long](64)
+          val blockCnt = new Array[Long](64)
+          var total    = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (img.getRGB(x, y) & 0xffffff).toLong
+              val b = (y * 8 / h) * 8 + (x * 8 / w)
+              blockSum(b) += v
+              blockCnt(b) += 1
+              total += v
+              x += 1
+            }
+            y += 1
+          }
+          val n    = w.toLong * h
+          val bits = new java.lang.StringBuilder(64)
+          var b = 0
+          while (b < 64) {
+            bits.append(if (blockSum(b) * n > total * blockCnt(b)) '1' else '0')
+            b += 1
+          }
+          (m.doc_id, bits.toString)
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
@@ -385,6 +434,36 @@ object Multimodal {
              |  cast(4 + octet_length(encode(text)) % 29 as bigint) AS width,
              |  cast(4 + (octet_length(encode(text)) // 3) % 29 as bigint) AS height
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_ahash",
+      "perceptual AVERAGE-HASH over the REAL decoded raster — the image near-dup primitive (aHash: 8x8 block means thresholded by the global mean, 64 bits): javax.imageio decodes each genuine PNG and every pixel feeds an integer-exact block census, while the oracle recomputes the identical bits from the pixel-synthesis formula WITHOUT a codec — one wrong pixel anywhere in encode or decode flips a bit and breaks the hash, so this is a pixel-exact proof of the whole codec round trip, not just the dims. Bits use the exact integer compare block_sum * n_pixels > total_sum * block_count (no division, no floats); empty blocks of sub-8px dims read 0. Scale shape: decode + hash is map-only typed work, one row in, one 72-byte row out — the payload never crosses an exchange",
+      (s, dir) =>
+        ahashFrame(pngTable(s, dir))
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + octet_length(encode(text)) % 29 AS w,
+             |    4 + (octet_length(encode(text)) // 3) % 29 AS h
+             |  FROM documents),
+             |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+             |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |pv AS (
+             |  SELECT doc_id,
+             |    (y * 8 // h) * 8 + (x * 8 // w) AS b,
+             |    (doc_id * 2654435761 + x * 31 + y * 7) % 16777216 AS v
+             |  FROM px),
+             |blocks AS (SELECT doc_id, b, sum(v) AS bs, count(1) AS bc FROM pv GROUP BY 1, 2),
+             |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b FROM dims),
+             |blk AS (
+             |  SELECT g.doc_id, g.b, coalesce(bl.bs, 0) AS bs, coalesce(bl.bc, 0) AS bc
+             |  FROM grid g LEFT JOIN blocks bl ON bl.doc_id = g.doc_id AND bl.b = g.b),
+             |tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS n FROM blk GROUP BY 1)
+             |SELECT doc_id,
+             |  string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+             |FROM blk JOIN tot USING (doc_id)
+             |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_multimodal_png_header",

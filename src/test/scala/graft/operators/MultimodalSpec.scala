@@ -171,4 +171,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_frames") === nFrames.toLong)
     }
   }
+
+  test("ahash: uniform image is all-zero bits; planted bright quadrant sets exactly its blocks") {
+    import spark.implicits._
+    def png(docId: Long)(pixel: (Int, Int) => Int): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream(256)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(docId, "image/png", bos.toByteArray)
+    }
+    val uniform = png(1L)((_, _) => 0x808080)
+    // bright top-left 8x8 quadrant = ahash blocks with bx < 4 and by < 4
+    val quadrant = png(2L)((x, y) => if (x < 8 && y < 8) 0xffffff else 0x000000)
+    val rows = Multimodal
+      .ahashFrame(Seq(uniform, quadrant).toDF())
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(rows(1L) === "0" * 64, "no block of a uniform image exceeds the mean")
+    val expected = (0 until 64)
+      .map(b => if (b % 8 < 4 && b / 8 < 4) '1' else '0')
+      .mkString
+    assert(rows(2L) === expected, s"bright quadrant must set exactly its 16 blocks: ${rows(2L)}")
+    // decode is pixel-exact: identical pixel content through separate
+    // encodes hashes identically
+    val again = Multimodal.ahashFrame(Seq(png(3L)((x, y) => if (x < 8 && y < 8) 0xffffff else 0x000000)).toDF())
+      .collect()(0).getString(1)
+    assert(again === expected)
+  }
 }
