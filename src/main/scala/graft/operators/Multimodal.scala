@@ -161,6 +161,57 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
+  /** Segment-energy fingerprint over the DECODED PCM stream — the audio
+    * twin of [[ahashFrame]] (`q_multimodal_audio_fp` body): the interleaved
+    * 16-bit sample sequence splits into 8 segments (sample k -> segment
+    * k*8/n), each segment's mean |amplitude| thresholds against the global
+    * mean with the same exact integer cross-multiplication, giving an
+    * 8-bit loudness-contour fingerprint. AudioSystem does the real decode
+    * (header parse + PCM extraction); one wrong sample byte flips energy
+    * sums and breaks the oracle hash. Map-only typed work.
+    */
+  private[graft] def audioFingerprintFrame(media: DataFrame): DataFrame = {
+    val sp = media.sparkSession
+    import sp.implicits._
+    media
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val ais = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          require(
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"doc ${m.doc_id}: expected 16-bit little-endian PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          val n   = pcm.length / 2
+          val segSum = new Array[Long](8)
+          val segCnt = new Array[Long](8)
+          var total  = 0L
+          var k = 0
+          while (k < n) {
+            val lo = pcm(2 * k) & 0xff
+            val hi = pcm(2 * k + 1) // SIGNED high byte carries the sample sign
+            val v  = (hi << 8) | lo
+            val av = math.abs(v.toLong)
+            val s  = k * 8 / n
+            segSum(s) += av
+            segCnt(s) += 1
+            total += av
+            k += 1
+          }
+          val bits = new java.lang.StringBuilder(8)
+          var s = 0
+          while (s < 8) {
+            bits.append(if (segSum(s) * n > total * segCnt(s)) '1' else '0')
+            s += 1
+          }
+          (m.doc_id, n.toLong, bits.toString)
+        }
+      }
+      .toDF("doc_id", "n_samples", "afp")
+  }
+
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
@@ -463,6 +514,33 @@ object Multimodal {
              |SELECT doc_id,
              |  string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
              |FROM blk JOIN tot USING (doc_id)
+             |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_audio_fp",
+      "segment-energy fingerprint over the REAL decoded PCM stream — the audio near-dup primitive (loudness contour: 8 sample segments, mean |amplitude| vs global mean, exact integer cross-multiplication): AudioSystem decodes each genuine WAV and every 16-bit sample feeds the census, while the oracle recomputes the identical bits from the sample-synthesis formula with no audio stack — a sample-exact proof of the PCM round trip, the audio twin of q_multimodal_ahash. Map-only typed decode; payload never crosses an exchange",
+      (s, dir) =>
+        audioFingerprintFrame(wavTable(s, dir))
+          .orderBy(col("doc_id"))
+          .limit(500),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    (1 + doc_id % 2) * (16 + octet_length(encode(text)) % 101) AS n
+             |  FROM documents),
+             |k AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM p),
+             |v AS (
+             |  SELECT doc_id, n, i * 8 // n AS seg,
+             |    abs(CASE WHEN lo + hi * 256 >= 32768
+             |             THEN lo + hi * 256 - 65536 ELSE lo + hi * 256 END) AS av
+             |  FROM (SELECT doc_id, n, i,
+             |          (doc_id * 31 + 2 * i) % 256 AS lo,
+             |          (doc_id * 31 + 2 * i + 1) % 256 AS hi
+             |        FROM k) t),
+             |segs AS (SELECT doc_id, n, seg, sum(av) AS ss, count(1) AS sc FROM v GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, sum(ss) AS ts FROM segs GROUP BY 1)
+             |SELECT doc_id, cast(max(n) as bigint) AS n_samples,
+             |  string_agg(CASE WHEN ss * n > ts * sc THEN '1' ELSE '0' END, '' ORDER BY seg) AS afp
+             |FROM segs JOIN tot USING (doc_id)
              |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(

@@ -200,4 +200,35 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()(0).getString(1)
     assert(again === expected)
   }
+
+  test("audio fingerprint: silence is all-zero bits; a loud second half sets exactly its segments") {
+    import spark.implicits._
+    def wav(docId: Long, samples: Array[Short]): Multimodal.MediaRow = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, k) =>
+        pcm(2 * k) = (s & 0xff).toByte
+        pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream(64 + pcm.length)
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      Multimodal.MediaRow(docId, "audio/wav", bos.toByteArray)
+    }
+    val silence = wav(1L, Array.fill[Short](64)(0))
+    val loudTail = wav(2L, Array.tabulate[Short](64)(k => if (k < 32) 0 else 1000))
+    val rows = Multimodal
+      .audioFingerprintFrame(Seq(silence, loudTail).toDF())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(rows(1L) === ((64L, "00000000")), "silence has no segment above the (zero) mean")
+    assert(rows(2L) === ((64L, "00001111")), s"loud second half must set exactly segments 4-7: ${rows(2L)}")
+    // negative amplitudes count as energy: a loud NEGATIVE tail reads the same
+    val negTail = Multimodal
+      .audioFingerprintFrame(Seq(wav(3L, Array.tabulate[Short](64)(k => if (k < 32) 0 else -1000))).toDF())
+      .collect()(0).getString(2)
+    assert(negTail === "00001111")
+  }
 }
