@@ -212,6 +212,51 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "afp")
   }
 
+  /** Banded near-dup FINGERPRINT pairs over [[ahashFrame]] output — the
+    * [[graft.operators.Dedup.simhashBandPairs]] shape applied to image
+    * hashes: duplicate mass collapses first to (ahash, rep_doc, n_docs),
+    * 4 bands x 16 bits block the candidate join (pigeonhole: any pair at
+    * Hamming <= 3 of 64 shares at least one untouched band, so banding is
+    * LOSSLESS at the default threshold — the oracle's exhaustive join
+    * proves it), and the exact Hamming filter runs only on band-colliding
+    * candidates. Pair cost is bounded by fingerprint diversity, never
+    * corpus size.
+    */
+  private[graft] def ahashBandPairs(ah: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole guarantee requires maxHamming < 4 bands")
+    val reps = ah
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+    val banded = reps.select(
+      col("ahash"),
+      col("rep_doc"),
+      col("n_docs"),
+      posexplode(array((0 until 4).map(b => substring(col("ahash"), 1 + 16 * b, 16)): _*))
+        .as(Seq("band_idx", "band_val"))
+    )
+    val a   = banded.alias("a")
+    val b   = banded.alias("b")
+    val ham = (1 to 64)
+      .map(i => (substring(col("ah_a"), i, 1) =!= substring(col("ah_b"), i, 1)).cast("int"))
+      .reduce(_ + _)
+    a.join(
+      b,
+      col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+        col("a.ahash") < col("b.ahash")
+    ).select(
+        col("a.ahash").as("ah_a"),
+        col("b.ahash").as("ah_b"),
+        col("a.rep_doc").as("doc_a"),
+        col("b.rep_doc").as("doc_b"),
+        col("a.n_docs").as("docs_a"),
+        col("b.n_docs").as("docs_b")
+      )
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair sharing several bands carries identical columns
+      .orderBy(col("ah_a"), col("ah_b"))
+  }
+
   def pngTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
@@ -542,6 +587,41 @@ object Multimodal {
              |  string_agg(CASE WHEN ss * n > ts * sc THEN '1' ELSE '0' END, '' ORDER BY seg) AS afp
              |FROM segs JOIN tot USING (doc_id)
              |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_ahash_pairs",
+      "image near-dup candidate pairs over the perceptual hashes (the simhash-banded shape applied to aHash): distinct fingerprints collapse duplicate mass to (ahash, rep_doc, n_docs) first, 4x16-bit band blocking generates candidates (pigeonhole-lossless at Hamming <= 3 of 64 — the oracle's EXHAUSTIVE Hamming join proves no pair is missed), exact Hamming filters the collisions. The end of the image-dedup pipeline: decode -> pixel-exact hash -> blocked pair generation, all under the gate",
+      (s, dir) => ahashBandPairs(ahashFrame(pngTable(s, dir))),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + octet_length(encode(text)) % 29 AS w,
+             |    4 + (octet_length(encode(text)) // 3) % 29 AS h
+             |  FROM documents),
+             |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+             |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+             |pv AS (
+             |  SELECT doc_id,
+             |    (y * 8 // h) * 8 + (x * 8 // w) AS b,
+             |    (doc_id * 2654435761 + x * 31 + y * 7) % 16777216 AS v
+             |  FROM px),
+             |blocks AS (SELECT doc_id, b, sum(v) AS bs, count(1) AS bc FROM pv GROUP BY 1, 2),
+             |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b FROM dims),
+             |blk AS (
+             |  SELECT g.doc_id, g.b, coalesce(bl.bs, 0) AS bs, coalesce(bl.bc, 0) AS bc
+             |  FROM grid g LEFT JOIN blocks bl ON bl.doc_id = g.doc_id AND bl.b = g.b),
+             |tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS n FROM blk GROUP BY 1),
+             |ah AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+             |  FROM blk JOIN tot USING (doc_id) GROUP BY doc_id),
+             |reps AS (SELECT ahash, min(doc_id) AS rep_doc, count(1) AS n_docs FROM ah GROUP BY 1)
+             |SELECT a.ahash AS ah_a, b.ahash AS ah_b,
+             |  a.rep_doc AS doc_a, b.rep_doc AS doc_b,
+             |  a.n_docs AS docs_a, b.n_docs AS docs_b,
+             |  cast(len(list_filter(generate_series(1, 64), i -> a.ahash[i] <> b.ahash[i])) as bigint) AS hamming
+             |FROM reps a JOIN reps b ON a.ahash < b.ahash
+             |WHERE len(list_filter(generate_series(1, 64), i -> a.ahash[i] <> b.ahash[i])) <= 3
+             |ORDER BY ah_a, ah_b""".stripMargin)
     ),
     QueryDef(
       "q_multimodal_png_header",

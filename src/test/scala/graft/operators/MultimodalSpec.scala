@@ -231,4 +231,33 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()(0).getString(2)
     assert(negTail === "00001111")
   }
+
+  test("ahash band pairs equal the exhaustive Hamming join on a synthetic fingerprint set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def randHash() = (0 until 64).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+    def flip(h: String, positions: Int*) =
+      positions.foldLeft(h)((s, p) => s.updated(p, if (s(p) == '1') '0' else '1'))
+    val base = randHash()
+    val hashes = Seq(
+      (1L, base),
+      (2L, flip(base, 0, 20, 40)), // Hamming 3, flips spread over 3 DIFFERENT bands
+      (3L, flip(base, 5)),         // Hamming 1
+      (4L, base),                  // exact dup: collapses into rep 1
+      (5L, randHash())             // unrelated
+    )
+    val got = Multimodal
+      .ahashBandPairs(hashes.toDF("doc_id", "ahash"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(6)))
+      .toSet
+    // driver-side exhaustive reference over distinct hashes
+    val reps = hashes.map(_._2).distinct
+    val expected = (for {
+      a <- reps; b <- reps if a < b
+      hd = a.zip(b).count { case (x, y) => x != y } if hd <= 3
+    } yield (a, b, hd.toLong)).toSet
+    assert(got === expected, s"banded must equal exhaustive: got ${got.size}, want ${expected.size}")
+    assert(expected.exists(_._3 == 3L), "the planted cross-band Hamming-3 pair must be present")
+  }
 }
