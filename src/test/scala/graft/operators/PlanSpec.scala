@@ -453,7 +453,8 @@ class PlanSpec extends AnyFunSuite {
     // census aggregates AFTER projecting header fields: whatever shuffles
     // exist carry only (doc_id, text) or the tiny partial-agg rows — the
     // binary payload column itself must never cross an exchange
-    for (name <- Seq("q_multimodal_wav_meta", "q_multimodal_png_header")) {
+    for (name <- Seq("q_multimodal_wav_meta", "q_multimodal_png_header",
+                     "q_multimodal_ahash", "q_multimodal_audio_fp", "q_multimodal_ahash_pairs")) {
       val plan     = executed(q(name))
       val shuffles = allNodes(plan).collect { case s: ShuffleExchangeLike => s }
       shuffles.foreach { s =>
