@@ -59,6 +59,7 @@ object Dedup {
     */
   private val durableKey = Map(
     "minhash_sig"       -> "doc_id",
+    "minhash_sigraw"    -> "doc_id",
     "minhash_pairs"     -> "doc_a",
     "simhash"           -> "doc_id",
     "jaccard_shingles"  -> "doc_id"
@@ -105,8 +106,16 @@ object Dedup {
       }
     }
 
+  /** Cached raw-minhash frame (doc_id, h0..h7) — the shingle explode + 8
+    * min-md5 aggregations is the slowest minhash stage, so it materializes
+    * ONCE and both consumers (the banded signature frame and the
+    * calibration query) derive from it; banding is a cheap projection.
+    */
+  private def rawSigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached(s, dir, "minhash_sigraw")(rawSignatures(Tables.documents(s, dir)))
+
   private def sigFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
-    cached(s, dir, "minhash_sig")(signatures(Tables.documents(s, dir)))
+    cached(s, dir, "minhash_sig")(bandSignatures(rawSigFrame(s, dir)))
 
   /** Raw MinHash values (doc_id, h0..h{n-1}) for any frame with
     * (doc_id, text) — the pre-banding stage of [[signatures]], exposed for
@@ -122,19 +131,23 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
-  /** MinHash band signatures for any frame with (doc_id, text) — exposed so
-    * tests exercise THIS pipeline on synthetic corpora rather than a copy.
+  /** Band digests over a raw-minhash frame (doc_id, h0..h7) — a cheap
+    * projection, so it re-runs freely over the cached/durable raw frame.
     */
-  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) = {
-    val sig = rawSignatures(docs)
-    sig.select(
+  private[graft] def bandSignatures(sigRaw: org.apache.spark.sql.DataFrame) =
+    sigRaw.select(
       col("doc_id") +:
         (0 until NumBands).map { b =>
           val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => col(s"h$j"))
           md5(concat_ws("|", cols: _*)).as(s"band$b")
         }: _*
     )
-  }
+
+  /** MinHash band signatures for any frame with (doc_id, text) — exposed so
+    * tests exercise THIS pipeline on synthetic corpora rather than a copy.
+    */
+  private[graft] def signatures(docs: org.apache.spark.sql.DataFrame) =
+    bandSignatures(rawSignatures(docs))
 
   /** MinHash+LSH candidate pairs (doc_a < doc_b, distinct).
     *
@@ -756,7 +769,7 @@ object Dedup {
       "MinHash estimator CALIBRATION over the candidate pairs: per pair, the sketch's Jaccard estimate (fraction of the 8 minhashes that agree — the unbiased MinHash estimator) against the EXACT distinct-shingle Jaccard, with the signed error. The tuning readout for the banding parameters: a systematic gap between est_j and exact_j on real candidates means the hash count is too low for the threshold in use. Scale shape: every join is keyed by doc id over the pair-linear candidate frame — signatures and distinct-shingle sizes join per paired doc, never corpus x corpus",
       (s, dir) => {
         val pairs = minhashPairs(s, dir)
-        val raw   = rawSignatures(Tables.fanout(Tables.documents(s, dir)))
+        val raw   = rawSigFrame(s, dir) // shared materialization with sigFrame
         val ex    = shingleFrame(s, dir).select(col("doc_id"), col("sh"))
         val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         val nEq = (0 until NumHashes)

@@ -224,9 +224,9 @@ object Events {
     ),
     QueryDef(
       "q_event_transitions",
-      "per-user behavioral transition matrix (first-order Markov census): each user's event stream ordered by (ts, event_id), every adjacent (type -> next type) step counted corpus-wide, with the row-conditional probability p = n / sum(n per from_type) — the session-model / next-event-prediction baseline and the input a funnel designer reads to find the real paths. Scale shape: ONE user-keyed shuffle for the lead() window (users are independent, so the window never sees more than one user's rows), then the census aggregates T^2 cells — the matrix side is constant-size, and the probability join touches only those cells",
+      "per-user behavioral transition matrix (first-order Markov census): each user's event stream ordered by (ts, event_type, event_id) — the type tiebreak matches the streaming twin, which has no event_id; events tying on both ts and type are interchangeable for the matrix, so the order is deterministic in effect — every adjacent (type -> next type) step counted corpus-wide, with the row-conditional probability p = n / sum(n per from_type) — the session-model / next-event-prediction baseline and the input a funnel designer reads to find the real paths. Scale shape: ONE user-keyed shuffle for the lead() window (users are independent, so the window never sees more than one user's rows), then the census aggregates T^2 cells — the matrix side is constant-size, and the probability join touches only those cells",
       (s, dir) => {
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"), col("event_id"))
         val steps = Tables
           .events(s, dir)
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -247,7 +247,7 @@ object Events {
       },
       Some("""WITH seq AS (
              |  SELECT event_type,
-             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id) AS next_type
              |  FROM events),
              |m AS (
              |  SELECT event_type AS from_type, next_type AS to_type, count(1) AS n

@@ -212,6 +212,39 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "afp")
   }
 
+  /** DuckDB CTE chain ending in `ah(doc_id, ahash)` — the codec-free twin
+    * of [[ahashFrame]] over the synthesized PNG table: dims and pixels
+    * from the closed-form [[pngDims]]/[[pngTable]] formulas, the block
+    * census, and the exact integer threshold. ONE rendering shared by
+    * every oracle that reads the perceptual hash (`q_multimodal_ahash`,
+    * `q_multimodal_ahash_pairs`) — the pixel formula and bit rule are a
+    * cross-engine parity contract; a drifted copy would silently break
+    * whichever oracle kept the old one.
+    */
+  private val ahashCteSql: String =
+    """dims AS (
+      |  SELECT doc_id,
+      |    4 + octet_length(encode(text)) % 29 AS w,
+      |    4 + (octet_length(encode(text)) // 3) % 29 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+      |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      |pv AS (
+      |  SELECT doc_id,
+      |    (y * 8 // h) * 8 + (x * 8 // w) AS b,
+      |    (doc_id * 2654435761 + x * 31 + y * 7) % 16777216 AS v
+      |  FROM px),
+      |blocks AS (SELECT doc_id, b, sum(v) AS bs, count(1) AS bc FROM pv GROUP BY 1, 2),
+      |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b FROM dims),
+      |blk AS (
+      |  SELECT g.doc_id, g.b, coalesce(bl.bs, 0) AS bs, coalesce(bl.bc, 0) AS bc
+      |  FROM grid g LEFT JOIN blocks bl ON bl.doc_id = g.doc_id AND bl.b = g.b),
+      |tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS n FROM blk GROUP BY 1),
+      |ah AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+      |  FROM blk JOIN tot USING (doc_id) GROUP BY doc_id)""".stripMargin
+
   /** Banded near-dup FINGERPRINT pairs over [[ahashFrame]] output — the
     * [[graft.operators.Dedup.simhashBandPairs]] shape applied to image
     * hashes: duplicate mass collapses first to (ahash, rep_doc, n_docs),
@@ -538,28 +571,8 @@ object Multimodal {
         ahashFrame(pngTable(s, dir))
           .orderBy(col("doc_id"))
           .limit(500),
-      Some("""WITH dims AS (
-             |  SELECT doc_id,
-             |    4 + octet_length(encode(text)) % 29 AS w,
-             |    4 + (octet_length(encode(text)) // 3) % 29 AS h
-             |  FROM documents),
-             |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
-             |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
-             |pv AS (
-             |  SELECT doc_id,
-             |    (y * 8 // h) * 8 + (x * 8 // w) AS b,
-             |    (doc_id * 2654435761 + x * 31 + y * 7) % 16777216 AS v
-             |  FROM px),
-             |blocks AS (SELECT doc_id, b, sum(v) AS bs, count(1) AS bc FROM pv GROUP BY 1, 2),
-             |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b FROM dims),
-             |blk AS (
-             |  SELECT g.doc_id, g.b, coalesce(bl.bs, 0) AS bs, coalesce(bl.bc, 0) AS bc
-             |  FROM grid g LEFT JOIN blocks bl ON bl.doc_id = g.doc_id AND bl.b = g.b),
-             |tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS n FROM blk GROUP BY 1)
-             |SELECT doc_id,
-             |  string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
-             |FROM blk JOIN tot USING (doc_id)
-             |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin)
+      Some(s"""WITH $ahashCteSql
+              |SELECT doc_id, ahash FROM ah ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_multimodal_audio_fp",
@@ -592,29 +605,8 @@ object Multimodal {
       "q_multimodal_ahash_pairs",
       "image near-dup candidate pairs over the perceptual hashes (the simhash-banded shape applied to aHash): distinct fingerprints collapse duplicate mass to (ahash, rep_doc, n_docs) first, 4x16-bit band blocking generates candidates (pigeonhole-lossless at Hamming <= 3 of 64 — the oracle's EXHAUSTIVE Hamming join proves no pair is missed), exact Hamming filters the collisions. The end of the image-dedup pipeline: decode -> pixel-exact hash -> blocked pair generation, all under the gate",
       (s, dir) => ahashBandPairs(ahashFrame(pngTable(s, dir))),
-      Some("""WITH dims AS (
-             |  SELECT doc_id,
-             |    4 + octet_length(encode(text)) % 29 AS w,
-             |    4 + (octet_length(encode(text)) // 3) % 29 AS h
-             |  FROM documents),
-             |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
-             |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
-             |pv AS (
-             |  SELECT doc_id,
-             |    (y * 8 // h) * 8 + (x * 8 // w) AS b,
-             |    (doc_id * 2654435761 + x * 31 + y * 7) % 16777216 AS v
-             |  FROM px),
-             |blocks AS (SELECT doc_id, b, sum(v) AS bs, count(1) AS bc FROM pv GROUP BY 1, 2),
-             |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b FROM dims),
-             |blk AS (
-             |  SELECT g.doc_id, g.b, coalesce(bl.bs, 0) AS bs, coalesce(bl.bc, 0) AS bc
-             |  FROM grid g LEFT JOIN blocks bl ON bl.doc_id = g.doc_id AND bl.b = g.b),
-             |tot AS (SELECT doc_id, sum(bs) AS ts, sum(bc) AS n FROM blk GROUP BY 1),
-             |ah AS (
-             |  SELECT doc_id,
-             |    string_agg(CASE WHEN bs * n > ts * bc THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
-             |  FROM blk JOIN tot USING (doc_id) GROUP BY doc_id),
-             |reps AS (SELECT ahash, min(doc_id) AS rep_doc, count(1) AS n_docs FROM ah GROUP BY 1)
+      Some(s"""WITH $ahashCteSql,
+              |reps AS (SELECT ahash, min(doc_id) AS rep_doc, count(1) AS n_docs FROM ah GROUP BY 1)
              |SELECT a.ahash AS ah_a, b.ahash AS ah_b,
              |  a.rep_doc AS doc_a, b.rep_doc AS doc_b,
              |  a.n_docs AS docs_a, b.n_docs AS docs_b,

@@ -537,9 +537,13 @@ object EventLogWriter {
     // (the listing would serve their stale events), so stale partition files
     // and orphaned temp files are removed before the pre-create.
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      // toLongOption: a numeric name too big even for Long (matches \d+
+      // but overflows) is certainly not one of ours — treat as stale
+      // rather than crash the whole materialization on NumberFormatException
       val stale =
         f.getName.matches("partition-\\d+\\.log") &&
-          f.getName.stripPrefix("partition-").stripSuffix(".log").toInt >= numPartitions
+          f.getName.stripPrefix("partition-").stripSuffix(".log").toLongOption
+            .forall(_ >= numPartitions)
       if (stale || f.getName.startsWith(".partition-")) f.delete()
     }
     (0 until numPartitions).foreach { p =>

@@ -400,43 +400,56 @@ object StreamingPipelines {
 
   /** Streaming twin of `q_event_transitions`: per-user first-order
     * transition steps emitted ON ARRIVAL via `flatMapGroupsWithState`.
-    * State is ONE (lastMs, lastType) pair per active user — O(1), the
-    * 100 TB property — so the transition model updates incrementally
-    * without ever re-reading history. Within a batch, a user's rows
-    * process in (ts, event_type) order (the type tie-break keeps replays
-    * deterministic when two events share a timestamp); an event OLDER
-    * than the stored last event (late beyond the state, despite the
-    * watermark) is dropped rather than spliced — splicing would require
-    * unbounded history, and the batch census is the exact-repair path.
-    * Downstream counting is a plain groupBy over the emitted steps;
-    * in-order feeds yield exactly the batch matrix (spec-pinned).
+    * State is ONE (lastMs, lastType) pair per active user, and idle
+    * users EXPIRE once the watermark passes `last + idleTtl` (event-time
+    * timeout, like the sessionizer) — so state is O(active users), never
+    * O(users ever seen); a user returning after expiry just reopens with
+    * no step, the same information loss as any bounded-state model.
+    * Within a batch, a user's rows process in (ts, event_type) order —
+    * the SAME tie rule as the batch census (two events tying on both ts
+    * and type are interchangeable for the matrix, so this order is
+    * deterministic in effect); an event OLDER than the stored last event
+    * (late beyond the state, despite the watermark) is dropped rather
+    * than spliced — splicing would require unbounded history, and the
+    * batch census is the exact-repair path. Downstream counting is a
+    * plain groupBy over the emitted steps; in-order feeds yield exactly
+    * the batch matrix (spec-pinned).
     */
   def transitionStream(
       events: Dataset[TypedEvent],
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      idleTtlMs: Long = 7L * 24 * 3600 * 1000
   ): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TransState, Transition](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[TransState, Transition](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows, state: GroupState[TransState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))
-          var last   = state.getOption
-          val out    = Seq.newBuilder[Transition]
-          sorted.foreach { r =>
-            val t = r.ts.getTime
-            last match {
-              case Some(s) if t >= s.lastMs =>
-                out += Transition(s.lastType, r.event_type)
-                last = Some(TransState(t, r.event_type))
-              case Some(_) => () // older than the recorded last event: dropped
-              case None    => last = Some(TransState(t, r.event_type))
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL: drop the last-event pair
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))
+            var last   = state.getOption
+            val out    = Seq.newBuilder[Transition]
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              last match {
+                case Some(s) if t >= s.lastMs =>
+                  out += Transition(s.lastType, r.event_type)
+                  last = Some(TransState(t, r.event_type))
+                case Some(_) => () // older than the recorded last event: dropped
+                case None    => last = Some(TransState(t, r.event_type))
+              }
             }
+            last.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + idleTtlMs)
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 
