@@ -229,6 +229,37 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition stream: idle users expire at the TTL — no bridging step after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .transitionStream(input.toDS(), watermark = "0 seconds", idleTtlMs = 60 * 1000L)
+      .writeStream
+      .format("memory")
+      .queryName("trans_ttl_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(TypedEvent(ts(0), 1L, "view"))
+      q.processAllAvailable()
+      // another user's far-future event advances the watermark past u1's TTL
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      // u1 returns AFTER expiry: reopens with no step (state was dropped)
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-01 15:00:00"), 1L, "click"))
+      q.processAllAvailable()
+      val steps = spark.table("trans_ttl_out").collect()
+      assert(steps.isEmpty,
+        s"expired state must not bridge a transition: ${steps.mkString(", ")}")
+      // and the reopened state works: a follow-up event emits a fresh step
+      input.addData(TypedEvent(Timestamp.valueOf("2024-01-01 15:01:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      val after = spark.table("trans_ttl_out").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(after.toSeq === Seq(("click", "purchase")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap closes in-batch, timeout closes via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
