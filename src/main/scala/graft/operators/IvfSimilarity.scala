@@ -406,6 +406,70 @@ object IvfSimilarity {
               |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     ),
     QueryDef(
+      "q_sim_ivf_recall",
+      "gate-visible RECALL AUDIT of the IVF probe: top-10 by exact cosine among the query's cluster vs the brute-force global top-10 — one row (k, n_candidates, hits, recall@10). The spec pins recall >= 0.7 as a bound; this query makes the NUMBER itself a tracked, oracle-verified artifact, the per-index health readout an ANN deployment logs after every (re)build (recall collapsing after a retrain is the classic silent ANN failure). Scale shape: the probe side scores ~1/k of the corpus (cluster members only), the brute side is the map-only decimal-exact scoring pass, and the final intersection joins two 10-row frames",
+      (s, dir) => {
+        val a2    = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val c     = comp(s, dir)
+        val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        def scoredOf(memberIds: Option[DataFrame]) = {
+          val base = memberIds.map(m => c.join(m, "vec_id")).getOrElse(c).filter(col("vec_id") =!= 0)
+          base
+            .join(broadcast(qComp), "d")
+            .groupBy(col("vec_id"))
+            .agg(
+              sumTerm(col("x") * col("qx")).as("dot"),
+              sumTerm(col("x") * col("x")).as("nx"),
+              sumTerm(col("qx") * col("qx")).as("nq")
+            )
+            .select(
+              col("vec_id"),
+              round(
+                col("dot").cast("double") /
+                  (sqrt(col("nx").cast("double")) * sqrt(col("nq").cast("double"))),
+                6
+              ).as("cos_sim")
+            )
+        }
+        val qcid    = a2.filter(col("vec_id") === 0).select(col("cid"))
+        val members = a2.join(broadcast(qcid), "cid").filter(col("vec_id") =!= 0).select("vec_id")
+        val brute   = scoredOf(None).orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
+        val probe =
+          scoredOf(Some(members)).orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
+        brute
+          .join(probe, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(members.agg(count(lit(1)).as("n_candidates"))))
+          .select(
+            lit(10L).as("k"),
+            col("n_candidates"),
+            col("hits"),
+            (col("hits") / lit(10.0)).as("recall")
+          )
+      },
+      Some(s"""WITH $assignmentsSql,
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |sall AS (
+              |  SELECT comp.vec_id,
+              |    round(cast(cast(sum(cast(comp.x * qcomp.qx as decimal(18,12))) as varchar) as double)
+              |      / (sqrt(cast(cast(sum(cast(comp.x * comp.x as decimal(18,12))) as varchar) as double))
+              |         * sqrt(cast(cast(sum(cast(qcomp.qx * qcomp.qx as decimal(18,12))) as varchar) as double))), 6) AS cos_sim
+              |  FROM comp JOIN qcomp USING (d) WHERE comp.vec_id <> 0 GROUP BY 1),
+              |qc AS (SELECT cid AS qcid FROM a2 WHERE vec_id = 0),
+              |members AS (SELECT a2.vec_id FROM a2, qc WHERE a2.cid = qc.qcid AND a2.vec_id <> 0),
+              |brute AS (SELECT vec_id FROM (
+              |    SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn FROM sall) t
+              |  WHERE rn <= 10),
+              |probe AS (SELECT vec_id FROM (
+              |    SELECT s.vec_id, row_number() OVER (ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+              |    FROM sall s JOIN members USING (vec_id)) t
+              |  WHERE rn <= 10)
+              |SELECT cast(10 as bigint) AS k,
+              |  (SELECT count(1) FROM members) AS n_candidates,
+              |  (SELECT count(1) FROM brute JOIN probe USING (vec_id)) AS hits,
+              |  (SELECT count(1) FROM brute JOIN probe USING (vec_id)) / 10.0 AS recall""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_ivf_probe2",
       "multi-probe IVF (nprobe=2), the standard recall lever: rank the query vector against the trained centroids, search the 2 nearest clusters (~2/k of the corpus) — candidate recall rises at 2x the scoring cost, same decimal-exact arithmetic",
       (s, dir) => {
