@@ -62,7 +62,8 @@ object CorpusPipeline {
       filesPerSplit: Int = 2,
       compactTargetBytes: Option[Long] = None,
       gopherRules: Boolean = false,
-      segmentRewriteLen: Option[Int] = None
+      segmentRewriteLen: Option[Int] = None,
+      keepBestQuality: Boolean = false
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -99,13 +100,34 @@ object CorpusPipeline {
       .drop("_fp", "_keep_id")
     val nExact = exact.count()
 
-    // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives
+    // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives.
+    // Default survivor rule: smallest doc_id (= the cluster label). With
+    // `keepBestQuality`, the highest composite-quality member wins instead
+    // (ties to smallest id) — the q_dedup_keep_best rule as a pipeline
+    // stage: min-id is blind to which copy is the clean one. Same drop
+    // COUNT either way, only the chosen survivor differs; quality scores
+    // are reused from stage 1's map-only frame, and the argmax is one
+    // aggregate over |clustered docs| rows (no per-cluster window).
     val pairs  = Dedup.pairsFromSignatures(Dedup.signatures(exact))
     val labels = Dedup.clusters(pairs) // (doc_id, label = smallest id in component)
-    val nearDup = exact
-      .join(labels, Seq("doc_id"), "left_outer")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .drop("label")
+    val nearDup =
+      if (!keepBestQuality)
+        exact
+          .join(labels, Seq("doc_id"), "left_outer")
+          .filter(col("label").isNull || col("label") === col("doc_id"))
+          .drop("label")
+      else {
+        val best = labels
+          .join(scored.select(col("doc_id"), col("quality")), "doc_id")
+          .groupBy(col("label"))
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
+          .select(col("label"), (-col("b.neg")).as("_keep_id"))
+        exact
+          .join(labels, Seq("doc_id"), "left_outer")
+          .join(best, Seq("label"), "left_outer")
+          .filter(col("label").isNull || col("doc_id") === col("_keep_id"))
+          .drop("label", "_keep_id")
+      }
     val nNear = nearDup.count()
 
     // 3b. optional segment-level rewrite (Dedup.segmentDedup): cross-doc

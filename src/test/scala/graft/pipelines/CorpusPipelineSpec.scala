@@ -115,6 +115,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedSegEmpty === 0L && plain.nSegmentsDropped === 0L)
   }
 
+  test("keepBestQuality: the cleaner near-dup copy survives regardless of id order") {
+    // A (small id) ends in a junk token, B (large id) in a real word ->
+    // same shingle mass (near-dups) but quality(B) > quality(A) via the
+    // mean-token-length term. Default rule keeps A (min id); the
+    // quality rule must keep B, with identical drop accounting. The stem
+    // is DISTINCT from `base` so this cluster stays disjoint from the
+    // fixture's planted 9000xx cluster (whose min id would win both).
+    val stem =
+      "seventeen engineers carefully reviewed the ancient manuscript before the museum accepted its donation every winter"
+    val a = (990001L, stem + " zz", "en", "kb")
+    val b = (990002L, stem + " quietly", "en", "kb")
+    val corpus2 = corpus.union(Seq(a, b).toDF("doc_id", "text", "lang", "source"))
+
+    val outMin  = Files.createTempDirectory("pipeline-kb-min").toString + "/corpus"
+    val outBest = Files.createTempDirectory("pipeline-kb-best").toString + "/corpus"
+    val sMin  = CorpusPipeline.run(corpus2, outMin)
+    val sBest = CorpusPipeline.run(corpus2, outBest, keepBestQuality = true)
+    assert(sMin.nDroppedNearDup === sBest.nDroppedNearDup,
+      "survivor CHOICE must not change the drop count")
+    def survivors(p: String) =
+      spark.read.parquet(p).filter(col("source") === "kb").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(survivors(outMin) === Set(990001L), "default rule keeps the min id")
+    assert(survivors(outBest) === Set(990002L), "quality rule keeps the cleaner copy")
+  }
+
   test("segment-rewrite stage survives upstream stages dropping every doc (zeros, not NPE)") {
     val out = Files.createTempDirectory("pipeline-seg-empty").toString + "/corpus"
     // every doc fails the quality gate, so the segment stage sees an
