@@ -945,6 +945,46 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     )
   }
 
+  test("transition stream: per-user state survives checkpoint restart (cross-run bridging step)") {
+    // run 1 checkpoints u1's last event; run 2 delivers the next event in a
+    // FRESH query instance — the bridging step only exists if the
+    // flatMapGroupsWithState state store recovered from the checkpoint.
+    import spark.implicits._
+    val inDir  = java.nio.file.Files.createTempDirectory("graft-trans-in").toString
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft-trans-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-trans-out").toString
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts timestamp, user_id long, event_type string")
+        .parquet(inDir)
+        .as[TypedEvent]
+      val q = StreamingPipelines
+        .transitionStream(stream, watermark = "10 minutes")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def steps() = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+    Seq(TypedEvent(ts(1), 1L, "view"), TypedEvent(ts(2), 1L, "click"))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(steps() === Seq(("view", "click")))
+
+    Seq(TypedEvent(ts(9), 1L, "purchase"))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    runOnce()
+    assert(steps() === Seq(("click", "purchase"), ("view", "click")),
+      "the restart must bridge from the checkpointed last event")
+  }
+
   test("streaming windowed top-k: leaderboard state survives checkpoint restart") {
     // Same recovery shape for the TopK typed aggregate: run 2's single
     // event must displace rank 3 of a leaderboard checkpointed by run 1.
