@@ -616,6 +616,44 @@ object Multimodal {
              |ORDER BY ah_a, ah_b""".stripMargin)
     ),
     QueryDef(
+      "q_multimodal_ahash_clusters",
+      "image duplicate CLUSTERS — the last stage of the image-dedup pipeline (decode -> pixel-exact aHash -> banded pairs -> connected components): exact CC over the fingerprint-pair graph via the same pointer-doubling propagation the text dedup uses, with duplicate mass carried as per-fingerprint image counts. Per cluster: label (min member rep), member fingerprints, TOTAL images — the survivor census an image corpus dedups by. The oracle states the fixpoint with a recursive transitive closure, so the gate proves convergence, not a mirrored iteration count. Scale: CC runs over the near-linear rep-pair graph, never per image",
+      (s, dir) => {
+        val ah = ahashFrame(pngTable(s, dir))
+        val reps = ah
+          .groupBy(col("ahash"))
+          .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+        val pairs  = ahashBandPairs(ah).select(col("doc_a"), col("doc_b"))
+        val labels = graft.operators.Dedup.clusters(pairs)
+        reps
+          .join(labels.withColumnRenamed("doc_id", "rep_doc"), Seq("rep_doc"), "left_outer")
+          .select(coalesce(col("label"), col("rep_doc")).as("label"), col("n_docs"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_fingerprints"), sum(col("n_docs")).cast("long").as("n_images"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH RECURSIVE $ahashCteSql,
+              |reps AS (SELECT ahash, min(doc_id) AS rep_doc, count(1) AS n_docs FROM ah GROUP BY 1),
+              |fp AS (
+              |  SELECT a.rep_doc AS doc_a, b.rep_doc AS doc_b
+              |  FROM reps a JOIN reps b ON a.ahash < b.ahash
+              |  WHERE len(list_filter(generate_series(1, 64), i -> a.ahash[i] <> b.ahash[i])) <= 3),
+              |edges AS (
+              |  SELECT doc_a AS src, doc_b AS dst FROM fp
+              |  UNION ALL SELECT doc_b, doc_a FROM fp),
+              |reach AS (
+              |  SELECT src AS rep_doc, src AS label FROM edges
+              |  UNION
+              |  SELECT e.src AS rep_doc, r.label
+              |  FROM edges e JOIN reach r ON e.dst = r.rep_doc),
+              |cc AS (SELECT rep_doc, min(label) AS label FROM reach GROUP BY rep_doc)
+              |SELECT coalesce(cc.label, reps.rep_doc) AS label,
+              |  count(1) AS n_fingerprints,
+              |  cast(sum(reps.n_docs) as bigint) AS n_images
+              |FROM reps LEFT JOIN cc USING (rep_doc)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q_multimodal_png_header",
       "container-header metadata WITHOUT decode (the 100 TB path): parse the PNG signature + IHDR (big-endian width/height/bit-depth/color-type) from the first 26 payload bytes with pure codegen built-ins (substring/hex/conv), then census — n_valid_rgb8 = n_images asserts every synthesized payload really is an 8-bit truecolor PNG",
       (s, dir) =>

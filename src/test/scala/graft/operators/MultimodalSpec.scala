@@ -232,6 +232,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(negTail === "00001111")
   }
 
+  test("ahash clusters conserve images and fingerprints against the hash frame") {
+    val clusters = graft.SparkEntry
+      .queries("q_multimodal_ahash_clusters")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ah = Multimodal.ahashFrame(Multimodal.pngTable(spark, TestSpark.sfDir)).collect()
+    assert(clusters.map(_._3).sum === ah.length.toLong, "every image lands in exactly one cluster")
+    assert(clusters.map(_._2).sum === ah.map(_.getString(1)).distinct.length.toLong,
+      "every distinct fingerprint lands in exactly one cluster")
+    clusters.foreach { case (label, nf, ni) =>
+      assert(nf >= 1L && ni >= nf, s"cluster $label: images ($ni) can't be fewer than fingerprints ($nf)")
+    }
+  }
+
   test("ahash band pairs equal the exhaustive Hamming join on a synthetic fingerprint set") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
