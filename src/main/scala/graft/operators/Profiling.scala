@@ -323,6 +323,53 @@ object Profiling {
              |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
     ),
     QueryDef(
+      "q_outlier_mad",
+      "MAD-fence outlier census per group — the ROBUST twin of q_outlier_iqr (median absolute deviation tolerates up to 50% contamination where the IQR fence degrades at 25%; the 1.4826 factor scales MAD to sigma-equivalence under normality, so the 3-MAD fence reads like a 3-sigma rule that outliers can't drag): exact interpolated medians in two passes (value median, then deviation median — the second is ORDER-dependent on the first, so two passes is the lower bound), then a broadcast-fence census over the long-tailed events.value (~5% of each type sits beyond the 3-MAD fence at this fixture, so the counting arm is exercised — a 0-outlier column would hide a broken fence). All medians are the engine-identical exact_percentiles/quantile_cont pair (q_percentile precedent); the fence multiply keeps one operand order in both engines",
+      (s, dir) => {
+        graft.functions.ExactPercentiles.register(s)
+        val med = Tables
+          .events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("exact_percentiles(value, 0.5D)")(0).as("med"))
+        val dev = Tables
+          .events(s, dir)
+          .join(broadcast(med), "event_type")
+          .groupBy(col("event_type"))
+          .agg(expr("exact_percentiles(abs(value - med), 0.5D)")(0).as("mad"))
+        val st = med
+          .join(dev, "event_type")
+          .withColumn("thr", col("mad") * lit(3.0) * lit(1.4826))
+        Tables
+          .events(s, dir)
+          .join(broadcast(st), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((abs(col("value") - col("med")) > col("thr")).cast("long"))
+              .cast("long")
+              .as("n_outliers"),
+            round(min(col("med")), 4).as("med_r"),
+            round(min(col("mad")), 4).as("mad_r")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type, quantile_cont("value", 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (
+             |  SELECT e.event_type, quantile_cont(abs(e."value" - m.med), 0.5) AS mad
+             |  FROM events e JOIN med m USING (event_type) GROUP BY 1),
+             |st AS (
+             |  SELECT med.event_type, med.med, dev.mad, dev.mad * 3.0 * 1.4826 AS thr
+             |  FROM med JOIN dev USING (event_type))
+             |SELECT e.event_type, count(1) AS n,
+             |  cast(sum(cast(abs(e."value" - st.med) > st.thr as bigint)) as bigint) AS n_outliers,
+             |  round(min(st.med), 4) AS med_r,
+             |  round(min(st.mad), 4) AS mad_r
+             |FROM events e JOIN st USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q_drift_psi",
       "distribution-drift monitor: per-source Population Stability Index of the doc-length distribution vs the whole corpus (the between-snapshot check a training pipeline runs on every new crawl; PSI > 0.2 conventionally flags actionable drift). Fixed-width capped buckets, Laplace 0.5-smoothing so empty buckets contribute their full drift term instead of a log(0); each term is cast to decimal(18,12) before the per-source sum so the <=10-term addition is order-independent and hash-matches the oracle",
       (s, dir) => {
