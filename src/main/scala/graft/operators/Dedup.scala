@@ -131,6 +131,32 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
+  /** THE quality-aware survivor rule, shared by `q_dedup_keep_best` and
+    * `CorpusPipeline.run(keepBestQuality = true)`: per cluster label, the
+    * member with the highest quality wins, ties to the SMALLEST doc_id —
+    * encoded as one `max(struct(quality, -doc_id))` aggregate (no
+    * per-cluster window sort). One rendering so the pipeline stage can't
+    * silently diverge from the oracle-checked query. Output:
+    * (label, n_members, keep_id, keep_quality).
+    */
+  private[graft] def bestPerCluster(
+      labels: org.apache.spark.sql.DataFrame,  // (doc_id, label)
+      quality: org.apache.spark.sql.DataFrame  // (doc_id, quality)
+  ): org.apache.spark.sql.DataFrame =
+    labels
+      .join(quality, "doc_id")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best")
+      )
+      .select(
+        col("label"),
+        col("n_members"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.quality").as("keep_quality")
+      )
+
   /** Band digests over a raw-minhash frame (doc_id, h0..h7) — a cheap
     * projection, so it re-runs freely over the cached/durable raw frame.
     */
@@ -835,19 +861,13 @@ object Dedup {
         val q = TextAnalysis
           .qualityFrame(Tables.fanout(Tables.documents(s, dir)))
           .select(col("doc_id"), col("quality"))
-        labels
-          .join(q, "doc_id")
-          .groupBy(col("label"))
-          .agg(
-            count(lit(1)).as("n_members"),
-            max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best")
-          )
+        bestPerCluster(labels, q)
           .select(
             col("label"),
             col("n_members"),
-            (-col("best.neg_id")).as("keep_id"),
-            col("best.quality").as("keep_quality"),
-            (-col("best.neg_id") =!= col("label")).as("changed")
+            col("keep_id"),
+            col("keep_quality"),
+            (col("keep_id") =!= col("label")).as("changed")
           )
           .orderBy(col("label"))
       },

@@ -412,9 +412,8 @@ object IvfSimilarity {
         val a2    = assignments(s, dir).select(col("vec_id"), col("cid"))
         val c     = comp(s, dir)
         val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
-        def scoredOf(memberIds: Option[DataFrame]) = {
-          val base = memberIds.map(m => c.join(m, "vec_id")).getOrElse(c).filter(col("vec_id") =!= 0)
-          base
+        def scoredOf() =
+          c.filter(col("vec_id") =!= 0)
             .join(broadcast(qComp), "d")
             .groupBy(col("vec_id"))
             .agg(
@@ -430,12 +429,16 @@ object IvfSimilarity {
                 6
               ).as("cos_sim")
             )
-        }
         val qcid    = a2.filter(col("vec_id") === 0).select(col("cid"))
         val members = a2.join(broadcast(qcid), "cid").filter(col("vec_id") =!= 0).select("vec_id")
-        val brute   = scoredOf(None).orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
+        // ONE scoring pass (pinned): the probe ranking is the global scored
+        // frame restricted to the cluster members — exactly the oracle's
+        // `sall JOIN members` shape — instead of a second comp-join
+        // aggregation over the members
+        val scoredAll = graft.Tables.pin(scoredOf())
+        val brute     = scoredAll.orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
         val probe =
-          scoredOf(Some(members)).orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
+          scoredAll.join(members, "vec_id").orderBy(col("cos_sim").desc, col("vec_id")).limit(10).select("vec_id")
         brute
           .join(probe, "vec_id")
           .agg(count(lit(1)).as("hits"))

@@ -619,7 +619,10 @@ object Multimodal {
       "q_multimodal_ahash_clusters",
       "image duplicate CLUSTERS — the last stage of the image-dedup pipeline (decode -> pixel-exact aHash -> banded pairs -> connected components): exact CC over the fingerprint-pair graph via the same pointer-doubling propagation the text dedup uses, with duplicate mass carried as per-fingerprint image counts. Per cluster: label (min member rep), member fingerprints, TOTAL images — the survivor census an image corpus dedups by. The oracle states the fixpoint with a recursive transitive closure, so the gate proves convergence, not a mirrored iteration count. Scale: CC runs over the near-linear rep-pair graph, never per image",
       (s, dir) => {
-        val ah = ahashFrame(pngTable(s, dir))
+        // pin: the decode+hash pass is the dominant cost and BOTH consumers
+        // below (the pair generator and the reps census) re-read it — one
+        // materialization, not two full-corpus decodes
+        val ah = graft.Tables.pin(ahashFrame(pngTable(s, dir)))
         val reps = ah
           .groupBy(col("ahash"))
           .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))

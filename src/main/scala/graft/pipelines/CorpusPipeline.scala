@@ -117,11 +117,9 @@ object CorpusPipeline {
           .filter(col("label").isNull || col("label") === col("doc_id"))
           .drop("label")
       else {
-        val best = labels
-          .join(scored.select(col("doc_id"), col("quality")), "doc_id")
-          .groupBy(col("label"))
-          .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
-          .select(col("label"), (-col("b.neg")).as("_keep_id"))
+        val best = Dedup
+          .bestPerCluster(labels, scored.select(col("doc_id"), col("quality")))
+          .select(col("label"), col("keep_id").as("_keep_id"))
         exact
           .join(labels, Seq("doc_id"), "left_outer")
           .join(best, Seq("label"), "left_outer")
