@@ -515,8 +515,23 @@ object Dedup {
     * diagonal (ib - ia) is a shared span of L+12 tokens, recovered by
     * gaps-and-islands: island id = ia - row_number, valid because a doc
     * position carries exactly one gram so ia is unique per (pair, diag).
+    *
+    * Per-gram occurrence buckets above `maxBucket` are deterministically
+    * sub-sampled to their `maxBucket` smallest (doc_id, pos) occurrences —
+    * the same pathological-bucket guard as [[pairsFromSignatures]]: a
+    * boilerplate 13-gram present in 10^6 docs would otherwise emit a
+    * single-bucket O(M^2) pair blowup and a straggler task. Capping can
+    * shorten a reported span for pairs touching a capped bucket (never
+    * lengthen one), and it is not silent: the `graft.span_pairs` observed
+    * metric reports capped-bucket count and the largest bucket. The cap is
+    * mirrored in the oracle SQL (rank <= cap over the same (doc_id, pos)
+    * order) so the gate stays hash-exact even if a fixture gram ever runs
+    * hot.
     */
-  private[graft] def spanExtent(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def spanExtent(
+      docs: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = MaxLshBucket
+  ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pg = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -537,7 +552,14 @@ object Dedup {
       .groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
       .filter(size(col("occ")) > 1)
-      .select(explode(TextShared.orderedPairs(col("occ"))).as("p"))
+      // no-silent-caps: hot-gram trimming is observable per-run
+      .observe(
+        "graft.span_pairs",
+        sum(when(size(col("occ")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(size(col("occ"))), lit(0)).as("max_bucket")
+      )
+      // slice is a no-op for buckets at/below the cap
+      .select(explode(TextShared.orderedPairs(slice(col("occ"), 1, maxBucket))).as("p"))
       // cross-doc occurrence pairs only; sorted buckets give doc_a <= doc_b
       .filter(col("p.doc_a.doc_id") < col("p.doc_b.doc_id"))
       .select(
@@ -603,6 +625,54 @@ object Dedup {
       .withColumn("c_b", col("common") / col("nsh_b"))
       .filter(greatest(col("c_a"), col("c_b")) >= minC)
       .select(col("doc_a"), col("doc_b"), col("c_a"), col("c_b"))
+  }
+
+  /** n-gram Jaccard pairs for any exploded (doc_id, lang, source, sh)
+    * shingle frame — the `q_dedup_jaccard` body, exposed for planted-corpus
+    * tests. Bucket-grouped pair counting, not an exploded-shingle
+    * self-join: one groupBy on the (lang, source, shingle) key collects the
+    * buckets and pairs are emitted bucket-locally before a count per pair.
+    *
+    * Buckets above `maxBucket` docs (a stock phrase with df in the
+    * thousands on a web corpus) are deterministically sub-sampled to their
+    * `maxBucket` smallest doc_ids — the same pathological-bucket guard as
+    * [[pairsFromSignatures]]/[[containmentPairs]]. `common` can only
+    * UNDERCOUNT for pairs touching a capped bucket, so the jaccard estimate
+    * drops, never rises (capping cannot create a false pair), and the drop
+    * is not silent: the `graft.jaccard_pairs` observed metric reports
+    * capped-bucket count and the largest bucket. Set sizes come from the
+    * full (uncapped) frame — only the intersection estimate is trimmed. At
+    * the fixtures' 5-gram df ~ 1 the cap never binds; the rank<=cap is
+    * mirrored in the oracle SQL regardless, so the gate stays hash-exact
+    * even on a fixture with hot shingles.
+    */
+  private[graft] def jaccardPairs(
+      sh: org.apache.spark.sql.DataFrame,
+      minJ: Double = 0.05,
+      maxBucket: Int = MaxLshBucket
+  ): org.apache.spark.sql.DataFrame = {
+    // derive set sizes from the exploded frame rather than re-running the
+    // CodegenFallback shingle lambda per row
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val common = sh
+      .groupBy(col("lang"), col("source"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe(
+        "graft.jaccard_pairs",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+      )
+      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "nsh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nsh_b"), "doc_b")
+      // raw division: exact ints both sides -> bit-identical double
+      .withColumn("jaccard", col("common") / (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Segment-level dedup with document rewrite (the `q_dedup_segments`
@@ -922,39 +992,19 @@ object Dedup {
     ),
     QueryDef(
       "q_dedup_jaccard",
-      "n-gram Jaccard near-dup pairs within (lang, source) buckets via exploded-shingle join (shingle join stays linear: 5-gram df ~ 1)",
-      (s, dir) => {
-        val sh = shingleFrame(s, dir)
-        // derive set sizes from the exploded frame rather than re-running the
-        // CodegenFallback shingle lambda per row
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        // bucket-grouped pair counting, not an exploded-shingle self-join:
-        // the self-join recomputed the shingle+md5 pipeline per side; one
-        // groupBy on the shingle key collects the (tiny, df~1) buckets and
-        // pairs are emitted bucket-locally before a count per pair
-        val common = sh
-          .groupBy(col("lang"), col("source"), col("sh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "nsh_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nsh_b"), "doc_b")
-          // raw division: exact ints both sides -> bit-identical double
-          .withColumn("jaccard", col("common") / (col("nsh_a") + col("nsh_b") - col("common")))
-          .filter(col("jaccard") >= 0.05)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      "n-gram Jaccard near-dup pairs within (lang, source) buckets via bucket-grouped shingle counting; high-df shingle buckets capped at MaxLshBucket smallest doc_ids with an observable drop metric (graft.jaccard_pairs), rank<=cap mirrored in the oracle",
+      (s, dir) => jaccardPairs(shingleFrame(s, dir)).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $shinglesCte,
               |ex0 AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle_raw FROM sh),
               |ex AS (SELECT doc_id, lang, source, substring(md5(shingle_raw), 1, 16) AS shingle FROM ex0),
               |sizes AS (SELECT doc_id, count(1) AS nsh FROM ex GROUP BY doc_id),
+              |exr AS (SELECT doc_id, lang, source, shingle,
+              |          row_number() OVER (PARTITION BY lang, source, shingle ORDER BY doc_id) AS rk
+              |        FROM ex),
+              |exc AS (SELECT doc_id, lang, source, shingle FROM exr WHERE rk <= $MaxLshBucket),
               |common AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS common
-              |  FROM ex a JOIN ex b
+              |  FROM exc a JOIN exc b
               |    ON a.shingle = b.shingle AND a.lang = b.lang
               |   AND a.source = b.source AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2)
@@ -1006,16 +1056,19 @@ object Dedup {
     ),
     QueryDef(
       "q_dedup_spans",
-      "verbatim shared-span extent per doc pair (the exact-substring-dedup signal set similarity can't give: Jaccard says HOW MUCH overlaps, this says HOW LONG the longest verbatim run is): 13-token-window matches grouped on alignment diagonals (ib - ia), gaps-and-islands over window starts turns each maximal diagonal run of length L into a shared span of L+12 tokens — top-20 pairs by longest span. Scale: occurrence pairs come from bucket-grouped gram collection (never a gram self-join); the islands window partitions by (pair, diagonal) so no global sort; hot grams (boilerplate) are exactly what q_text_boilerplate surfaces and what the LSH cap machinery would trim in production",
+      "verbatim shared-span extent per doc pair (the exact-substring-dedup signal set similarity can't give: Jaccard says HOW MUCH overlaps, this says HOW LONG the longest verbatim run is): 13-token-window matches grouped on alignment diagonals (ib - ia), gaps-and-islands over window starts turns each maximal diagonal run of length L into a shared span of L+12 tokens — top-20 pairs by longest span. Scale: occurrence pairs come from bucket-grouped gram collection (never a gram self-join); the islands window partitions by (pair, diagonal) so no global sort; hot grams (boilerplate) are capped at MaxLshBucket occurrences with an observable drop metric (graft.span_pairs), mirrored rank<=cap in the oracle",
       (s, dir) =>
         spanExtent(Tables.fanout(Tables.documents(s, dir)))
           .orderBy(col("max_span").desc, col("doc_a"), col("doc_b"))
           .limit(20),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
              |pg AS (SELECT doc_id, i, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
+             |pgr AS (SELECT doc_id, i, g,
+             |               row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rk FROM pg),
+             |pgc AS (SELECT doc_id, i, g FROM pgr WHERE rk <= $MaxLshBucket),
              |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS ia, b.i AS ib
-             |      FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+             |      FROM pgc a JOIN pgc b ON a.g = b.g AND a.doc_id < b.doc_id),
              |isl AS (SELECT doc_a, doc_b, ib - ia AS diag, ia,
              |               ia - row_number() OVER (PARTITION BY doc_a, doc_b, ib - ia ORDER BY ia) AS island
              |        FROM m),

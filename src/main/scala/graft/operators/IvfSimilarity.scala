@@ -166,7 +166,17 @@ object IvfSimilarity {
       )
 
     val a1 = assignPass(c, cent1).select(col("vec_id"), col("cid"))
-    c.join(broadcast(a1), "vec_id")
+    // The assignment frame has ONE ROW PER CORPUS VECTOR — at 10^8-10^9
+    // vectors a broadcast hint here would exceed the driver/broadcast limit
+    // and hard-fail the build. The broadcastable side of this algorithm is
+    // the CENTROIDS (K x dims, a few KB, hinted in assignPass); the
+    // vector-assignment join must stay a shuffle join on vec_id. No hint:
+    // AQE still chooses a broadcast at fixture scale, and at corpus scale
+    // both sides hash-partition on vec_id (SCALE.md "broadcast centroids,
+    // one shuffle per Lloyd iteration"). PlanSpec pins this: with AQE and
+    // auto-broadcast off, the vec_id join plans as SortMergeJoin while the
+    // centroid joins stay broadcast (hinted).
+    c.join(a1, "vec_id")
       .groupBy(col("cid"), col("d"))
       .agg((sumTerm(col("x")).cast("double") / count(lit(1))).as("cx"))
       .groupBy(col("d"))

@@ -286,6 +286,51 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.spanExtent(docs).count() === 0L)
   }
 
+  test("span extent pathological-gram cap: a boilerplate 13-gram bucket is sub-sampled, counted, deterministic") {
+    // 1000 identical 13-token docs -> ONE gram bucket of 1000 occurrences.
+    // Uncapped that is C(1000,2) ~ 5x10^5 occurrence pairs out of a single
+    // bucket (the 10^6-doc banner version is 5x10^11 — a straggler task
+    // that kills the stage); capped at 8 it must emit exactly C(8,2) = 28
+    // pairs over the 8 smallest doc_ids, each with its exact span length.
+    val boilerGram = (1 to 13).map(i => s"b$i").mkString(" ")
+    val docs   = (0 until 1000).map(i => (i.toLong, boilerGram)).toDF("doc_id", "text")
+    val capped = Dedup.spanExtent(docs, maxBucket = 8)
+    val rows   = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 28, "capped bucket must emit C(8,2) pairs")
+    assert(rows.flatMap(p => Seq(p._1, p._2)).toSet === (0L until 8L).toSet,
+      "cap keeps the smallest (doc_id, pos) occurrences")
+    assert(rows.forall(_._3 === 13L), "kept pairs keep the exact span length")
+    // no-silent-caps: the drop is observable
+    val m = capped.queryExecution.observedMetrics("graft.span_pairs")
+    assert(m.getAs[Long]("capped_buckets") === 1L)
+    assert(m.getAs[Int]("max_bucket") === 1000)
+  }
+
+  test("jaccard pathological-bucket cap: boilerplate shingle buckets sub-sampled, counted; kept pairs stay exact") {
+    // 60 identical docs in one (lang, source) block: every shingle bucket
+    // holds all 60 ids. Capped at 8, pairs can only form among the 8
+    // smallest doc_ids — and because EVERY bucket keeps the same smallest
+    // ids, each kept pair's common count stays exact (J = 1.0 precisely).
+    val boiler = (0 until 60).map(i => (i.toLong, base, "en", "s0"))
+    val capped = Dedup.jaccardPairs(
+      Dedup.explodedShingles(boiler.toDF("doc_id", "text", "lang", "source")),
+      maxBucket = 8
+    )
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 28, "C(8,2) pairs over the 8 smallest ids")
+    assert(rows.flatMap(p => Seq(p._1, p._2)).toSet === (0L until 8L).toSet)
+    assert(rows.forall(_._3 === 1.0), "kept pairs keep exact jaccard")
+    val m = capped.queryExecution.observedMetrics("graft.jaccard_pairs")
+    assert(m.getAs[Long]("capped_buckets") > 0L, "the drop must be observable")
+    assert(m.getAs[Int]("max_bucket") === 60)
+    // default cap leaves small corpora untouched
+    assert(
+      Dedup
+        .jaccardPairs(Dedup.explodedShingles(boiler.toDF("doc_id", "text", "lang", "source")))
+        .count() === 60L * 59 / 2
+    )
+  }
+
   test("containment flags a subset copy that the symmetric Jaccard threshold misses") {
     val short = (1 to 20).map(i => s"s$i")
     val long  = short ++ (1 to 40).map(i => s"l$i")

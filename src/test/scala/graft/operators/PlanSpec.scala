@@ -430,6 +430,33 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF k-means build never forces a broadcast of a corpus-cardinality frame") {
+    // With the broadcast threshold off (which also pins AQE's runtime
+    // conversion), the only way a BroadcastExchange can appear is an
+    // explicit hint. The build may hint ONLY the centroid frames (dims
+    // rows, K columns wide, a few KB); the per-vector assignment join in
+    // the centroid-update step must stay an unhinted shuffle join on
+    // vec_id — a hinted broadcast there ships one row per corpus vector
+    // and hard-fails past the broadcast limit at 10^8+ vectors.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val comp  = IvfSimilarity.compFrame(graft.Tables.embeddings(spark, TestSpark.sfDir))
+      val nodes = allNodes(executed(IvfSimilarity.trainCentroids(comp)))
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.contains("vec_id"),
+          s"a per-vector frame must never be broadcast in the build: ${cols.mkString(",")}")
+      }
+      assert(nodes.exists(_.nodeName.contains("BroadcastExchange")),
+        "the centroid frame hint must survive (broadcast centroids, shuffle vectors)")
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        s"the assignment join must plan as a shuffle join, got:\n${nodes.map(_.nodeName).mkString("\n")}"
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hot relational paths run inside WholeStageCodegen") {
     for (name <- Seq("q1_agg", "q_scan_project", "q_filter_pred")) {
       assert(
