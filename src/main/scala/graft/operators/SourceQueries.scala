@@ -93,6 +93,26 @@ object SourceQueries {
               |  min(user_id) AS min_user, max(user_id) AS max_user,
               |  ${QueryDef.sumDecSql("\"value\"", 2)} AS sum_value
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_source_compacted",
+      "S7 readCompacted AS A SOURCE OPTION (reference subscribes readCompacted(true), PulsarPartitionLevelConsumer.java:68): .option(\"readCompacted\",\"true\") plans the latest-per-key view inside the scan itself, per partition exactly like a broker — the fixture log routes by event_id (NOT keyed-producer routing), so the oracle mirrors latest per (key, partition = event_id % 4); the keyed-routing global view is pinned by EventLogSourceSpec against q_event_compacted",
+      (s, dir) =>
+        s.read
+          .format(EventLogSource.ShortName)
+          .option("path", logDirFor(s, dir))
+          .option(graft.sources.RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+          .option(EventLogSource.ReadCompactedKey, "true")
+          .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+          .load()
+          .select(col("partition"), col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"), col("partition")),
+      Some("""SELECT cast(event_id % 4 as int) AS partition, user_id, event_id, event_type, "value"
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 4
+             |                               ORDER BY event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id, partition""".stripMargin)
     )
   )
 }

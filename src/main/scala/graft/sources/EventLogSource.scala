@@ -59,6 +59,29 @@ import org.apache.spark.unsafe.types.UTF8String
 object EventLogSource {
   val ShortName = "graft-events"
 
+  /** `.option("readCompacted", "true")` — the reference subscribes with
+    * `readCompacted(true)` at consumer build time
+    * (`PulsarPartitionLevelConsumer.java:68`); here the scan itself plans
+    * the latest-per-key view. Compaction is PER PARTITION, exactly like a
+    * broker (a keyed producer routes each key to one partition, so
+    * per-partition latest IS topic latest for that key); the message-key
+    * stand-in is a named payload/extractor field (`compaction.keyField`),
+    * since the file-backed log has no key envelope. Messages without a
+    * parseable key are retained as-is — Pulsar compaction only compacts
+    * keyed messages. Retained messages keep their original positions
+    * (offset order), and the per-reader compaction state is O(distinct
+    * keys in the partition) — the same bound as the broker's compaction
+    * ledger. On the streaming path each planned range is compacted the
+    * same way: a Trigger.AvailableNow catch-up in one admission batch sees
+    * the fully compacted view, and rows past the compaction horizon arrive
+    * as-is, matching a broker read that crosses the horizon. Admission
+    * caps count raw (pre-compaction) messages, as a broker backlog does.
+    */
+  val ReadCompactedKey = "readCompacted"
+
+  /** Payload/extractor field acting as the message key for compaction. */
+  val CompactionKeyFieldKey = "compaction.keyField"
+
   val schema: StructType = StructType(
     Seq(
       StructField("partition", IntegerType, nullable = false),
@@ -160,6 +183,37 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
       s"extractor $cls declares reserved envelope field name(s): ${clash.mkString(", ")}")
   }
 
+  // S7 readCompacted: resolved at CONFIG time, fail-loud like the extractor
+  // seam — a typo'd key field must never silently disable compaction.
+  private val readCompacted: Boolean =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(EventLogSource.ReadCompactedKey) => v }
+      .map(_.trim.toLowerCase)
+      .map {
+        case "true"  => true
+        case "false" => false
+        case other =>
+          throw new IllegalArgumentException(
+            s"${EventLogSource.ReadCompactedKey} must be true/false, got '$other'")
+      }
+      .getOrElse(false)
+  private val compactionKey: Option[String] = {
+    val kf = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(EventLogSource.CompactionKeyFieldKey) => v
+    }
+    if (!readCompacted) None
+    else {
+      val f = kf.getOrElse(throw new IllegalArgumentException(
+        s"${EventLogSource.ReadCompactedKey}=true requires ${EventLogSource.CompactionKeyFieldKey} " +
+          "(the payload/extractor field acting as the message key)"))
+      extractorClass.foreach { cls =>
+        val fields = RecordExtractor.instantiate(cls).schema.fieldNames
+        require(fields.contains(f),
+          s"${EventLogSource.CompactionKeyFieldKey} '$f' is not a field of extractor $cls")
+      }
+      Some(f)
+    }
+  }
+
   override def name(): String = s"${EventLogSource.ShortName}:$path"
   override def schema(): StructType = EventLogSource.schemaFor(extractorClass)
   override def capabilities(): util.Set[TableCapability] =
@@ -223,9 +277,9 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
       override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
         Array(new DroppedMessagesMetric)
       override def toBatch: Batch =
-        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed)
+        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed, compactionKey)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq)
+        new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq, compactionKey)
     }
 }
 
@@ -303,7 +357,8 @@ class EventLogBatch(
     path: String,
     extractorClass: Option[String] = None,
     requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
-    pushdown: EventLogPushdown = EventLogPushdown.none
+    pushdown: EventLogPushdown = EventLogPushdown.none,
+    compactKeyField: Option[String] = None
 ) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     EventLogSource
@@ -312,7 +367,7 @@ class EventLogBatch(
       .map { case (p, f) =>
         EventLogInputPartition(
           p, f.getAbsolutePath, pushdown.startExclusive, pushdown.endInclusive,
-          extractorClass, requiredCols)
+          extractorClass, requiredCols, compactKeyField)
       }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
@@ -323,7 +378,8 @@ class EventLogMicroBatchStream(
     path: String,
     config: SourceConfig,
     extractorClass: Option[String] = None,
-    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
+    compactKeyField: Option[String] = None
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -392,7 +448,8 @@ class EventLogMicroBatchStream(
       .flatMap { case (p, f) =>
         val from = s.getOrElse(p, OffsetCodec.Earliest)
         val to   = e.getOrElse(p, OffsetCodec.Earliest)
-        if (to > from) Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass, requiredCols))
+        if (to > from)
+          Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass, requiredCols, compactKeyField))
         else None
       }
       .toArray
@@ -413,10 +470,25 @@ case class EventLogInputPartition(
     start: Long,
     end: Long,
     extractorClass: Option[String] = None,
-    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq
+    requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
+    compactKeyField: Option[String] = None
 ) extends InputPartition
 
 object EventLogReaderFactory extends PartitionReaderFactory {
+
+  /** Per-partition compaction of a planned slice: keep, for each key, only
+    * the row holding the key's HIGHEST offset in the slice; unkeyed rows
+    * (key extractor returns None/null) are retained as-is, and retained
+    * rows keep their original offset order — Pulsar's compacted-read
+    * contract. State is O(distinct keys), the broker's own bound.
+    */
+  private def compactByKey[R](rows: Seq[(Long, R)], keyOf: R => Option[Any]): Seq[(Long, R)] = {
+    val keyed = rows.map { case (o, r) => (o, r, keyOf(r)) }
+    val last  = scala.collection.mutable.HashMap[Any, Long]()
+    keyed.foreach { case (o, _, k) => k.foreach(last.update(_, o)) }
+    keyed.collect { case (o, r, k) if k.forall(last(_) == o) => (o, r) }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventLogInputPartition]
     p.extractorClass match {
@@ -427,11 +499,24 @@ object EventLogReaderFactory extends PartitionReaderFactory {
           case "offset"    => (cur: (Long, Array[Byte])) => cur._1
           case "value"     => (cur: (Long, Array[Byte])) => cur._2
         }
-        private val it =
+        private val slice =
           EventLogSource
             .readLog(new java.io.File(p.file))
-            .iterator
             .filter { case (o, _) => o > p.start && o <= p.end }
+        // readCompacted on the raw path: the message-key stand-in is a JSON
+        // payload field; an unparseable payload or missing field = unkeyed
+        // (retained), consistent with Pulsar compacting only keyed messages
+        private val it = (p.compactKeyField match {
+          case None => slice
+          case Some(kf) =>
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            compactByKey[Array[Byte]](slice, payload =>
+              try {
+                val n = mapper.readTree(payload)
+                val v = if (n == null) null else n.get(kf)
+                if (v == null || v.isNull) None else Some(v.asText())
+              } catch { case scala.util.control.NonFatal(_) => None })
+        }).iterator
         private var current: (Long, Array[Byte]) = _
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
         override def get(): InternalRow = InternalRow(proj.map(_(current)): _*)
@@ -445,7 +530,9 @@ object EventLogReaderFactory extends PartitionReaderFactory {
         // PulsarJSONMessageDecoder.java:57-58)
         private val ext       = RecordExtractor.instantiate(cls)
         private val extFields = ext.schema.fieldNames
-        ext.init(p.requiredCols.filter(extFields.contains))
+        // the compaction key must decode even when the query prunes it away
+        // (compaction happens before projection, like the broker's)
+        ext.init((p.requiredCols ++ p.compactKeyField).distinct.filter(extFields.contains))
         private val extIndex = extFields.zipWithIndex.toMap
         // project (envelope ++ extracted) down to the pruned schema, in
         // Catalyst's requested order (full schema resolved ONCE — schemaFor
@@ -459,27 +546,38 @@ object EventLogReaderFactory extends PartitionReaderFactory {
           case "offset"    => (off: Long, _: org.apache.spark.sql.Row) => off
           case name        => (_: Long, row: org.apache.spark.sql.Row) => row.get(extIndex(name))
         }
-        private val it =
-          EventLogSource
+        private var dropped: Long = 0L
+        // decode (dropping messages the extractor rejects — drop-on-
+        // malformed), then compact on the extracted key field if configured
+        private lazy val it: Iterator[(Long, org.apache.spark.sql.Row)] = {
+          val decoded = EventLogSource
             .readLog(new java.io.File(p.file))
             .iterator
             .filter { case (o, _) => o > p.start && o <= p.end }
-        private var current: InternalRow = _
-        private var dropped: Long = 0L
-        override def next(): Boolean = {
-          // skip (drop) messages the extractor rejects — drop-on-malformed
-          while (it.hasNext) {
-            val (offset, payload) = it.next()
-            ext.extract(payload) match {
-              case Some(row) =>
-                current = toCatalyst(
-                  org.apache.spark.sql.Row.fromSeq(proj.map(_(offset, row)))
-                ).asInstanceOf[InternalRow]
-                return true
-              case None => dropped += 1
+            .flatMap { case (offset, payload) =>
+              ext.extract(payload) match {
+                case Some(row) => Some(offset -> row)
+                case None      => dropped += 1; None
+              }
             }
+          p.compactKeyField match {
+            case None => decoded
+            case Some(kf) =>
+              val ki = extIndex(kf)
+              compactByKey[org.apache.spark.sql.Row](
+                decoded.toSeq, row => Option(row.get(ki))).iterator
           }
-          false
+        }
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          val has = it.hasNext
+          if (has) {
+            val (offset, row) = it.next()
+            current = toCatalyst(
+              org.apache.spark.sql.Row.fromSeq(proj.map(_(offset, row)))
+            ).asInstanceOf[InternalRow]
+          }
+          has
         }
         override def get(): InternalRow = current
         override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -511,11 +609,19 @@ object EventLogWriter {
   /** Frame-accepting variant (the spec seam for data-skew cases, e.g. a
     * frame whose ids all hash to one partition). `events` must carry
     * `event_id, user_id, event_type, value`.
+    *
+    * `routeBy` picks the partition-routing column (`partition = routeBy %
+    * numPartitions`). The default routes by event_id (spreads every user
+    * over all partitions); `routeBy = "user_id"` is the KEYED-PRODUCER
+    * layout — each key lives in exactly one partition, the precondition
+    * under which per-partition readCompacted equals the global
+    * latest-per-key view, exactly as for a broker.
     */
   def materializeFrom(
       events: org.apache.spark.sql.DataFrame,
       logDir: String,
-      numPartitions: Int = 4
+      numPartitions: Int = 4,
+      routeBy: String = "event_id"
   ): String = {
     import org.apache.spark.sql.functions._
     val dir = new java.io.File(logDir)
@@ -551,7 +657,7 @@ object EventLogWriter {
     }
     events
       .select(
-        (col("event_id") % numPartitions).cast("int").as("p"),
+        (col(routeBy) % numPartitions).cast("int").as("p"),
         col("event_id"),
         to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value")))
           .as("payload")

@@ -253,6 +253,133 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(n === eventsCount)
   }
 
+  // keyed-producer layout: each user_id routes to exactly one partition, the
+  // precondition under which per-partition compaction IS the global view
+  private lazy val keyedLogDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log-keyed").toString
+    EventLogWriter.materializeFrom(
+      graft.Tables.events(spark, TestSpark.sfDir), dir, numPartitions = 4, routeBy = "user_id")
+    dir
+  }
+
+  // the downstream q_event_compacted semantics on the same facts: global
+  // latest event per user_id
+  private def globalLatestPerUser: Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+      .collect()
+      .map(_.toString)
+      .toSeq
+  }
+
+  test("readCompacted on a keyed-routed log: batch scan equals q_event_compacted's global latest-per-key") {
+    val got = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .option(EventLogSource.ReadCompactedKey, "true")
+      .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+      .load()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+      .collect()
+      .map(_.toString)
+      .toSeq
+    assert(got === globalLatestPerUser,
+      "the source-level compacted view must match the downstream latest-per-key view")
+  }
+
+  test("readCompacted raw path (no extractor): JSON key field drives compaction, latest payload survives") {
+    val users = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id")).distinct().count()
+    val df = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .option(EventLogSource.ReadCompactedKey, "true")
+      .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+      .load()
+    assert(df.count() === users, "one surviving raw message per key")
+    // surviving payloads are the LATEST per user (max event_id)
+    val maxIds = graft.Tables.events(spark, TestSpark.sfDir)
+      .groupBy(col("user_id")).agg(max(col("event_id")).as("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decoded = df
+      .select(get_json_object(col("value").cast("string"), "$.user_id").cast("long").as("u"),
+              get_json_object(col("value").cast("string"), "$.event_id").cast("long").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded === maxIds)
+  }
+
+  test("readCompacted: compaction key decodes even when the query prunes it away") {
+    val users = graft.Tables.events(spark, TestSpark.sfDir)
+      .select(col("user_id")).distinct().count()
+    val n = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .option(EventLogSource.ReadCompactedKey, "true")
+      .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+      .load()
+      .select(col("event_type")) // user_id pruned out of the projection
+      .count()
+    assert(n === users, "pruning the key column must not disable compaction")
+  }
+
+  test("readCompacted streaming: a single catch-up batch equals the batch compacted view") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-compact-ckpt").toString
+    val q = spark.readStream
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+      .option(EventLogSource.ReadCompactedKey, "true")
+      .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+      // one admission batch covers the whole log -> the planned range is the
+      // full topic and per-batch compaction IS the compacted view
+      .option(SourceConfig.MaxMsgsKey, "10000000")
+      .load()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .format("memory")
+      .queryName("compacted_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark
+      .sql("SELECT user_id, event_id, event_type, value FROM compacted_stream ORDER BY user_id")
+      .collect()
+      .map(_.toString)
+      .toSeq
+    assert(got === globalLatestPerUser)
+  }
+
+  test("readCompacted validation fails loud: missing key field, or key not in the extractor schema") {
+    val noKey = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(EventLogSource.ReadCompactedKey, "true")
+        .load()
+    }
+    assert(noKey.getMessage.contains(EventLogSource.CompactionKeyFieldKey))
+    val badField = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+        .option(EventLogSource.ReadCompactedKey, "true")
+        .option(EventLogSource.CompactionKeyFieldKey, "nope")
+        .load()
+    }
+    assert(badField.getMessage.contains("nope"))
+  }
+
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
     val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
     val offsets = df.select(col("offset")).collect().map(_.getLong(0))
