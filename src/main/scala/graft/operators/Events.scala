@@ -234,14 +234,18 @@ object Events {
           .filter(col("next_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
           .agg(count(lit(1)).as("n"))
-        val totals = steps.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        // row totals via a window over the T^2-row census, NOT a self-join:
+        // referencing `steps` twice re-plans its whole subtree — a second
+        // events scan and a second user-keyed lead window (the
+        // referenced-twice-aggregate trap, SCALE.md) — while the window
+        // re-partitions only the constant-size matrix
+        val wt = Window.partitionBy(col("from_type"))
         steps
-          .join(broadcast(totals), "from_type")
           .select(
             col("from_type"),
             col("to_type"),
             col("n"),
-            round(col("n") / col("tot"), 6).as("p")
+            round(col("n") / sum(col("n")).over(wt), 6).as("p")
           )
           .orderBy(col("from_type"), col("to_type"))
       },

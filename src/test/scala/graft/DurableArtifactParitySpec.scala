@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The executor-loss story at scale, proven under the gate's own queries:
+  * with `graft.artifact.root` set, every build-once artifact (dedup
+  * signatures/pairs/shingles, IVF centroids/assignments) routes through the
+  * [[graft.sources.Sinks]] durable layouts — first use writes parquet +
+  * `_SUCCESS`, the returned frame IS the read-back — instead of
+  * session-scoped `localCheckpoint` blocks. This spec runs the whole
+  * dedup + IVF query family both ways and asserts BIT-IDENTICAL results:
+  * a durable deployment (restarts, probe-from-another-job, executor loss)
+  * answers exactly what the in-session path answers. The artifact root is
+  * part of the build-once cache key, so flipping the property mid-session
+  * rebuilds rather than serving the old blocks — which is precisely what
+  * lets one JVM compare both paths.
+  */
+class DurableArtifactParitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Every gate query whose plan traverses a durable-capable artifact:
+    * minhash raw/banded signatures + LSH pairs, simhash fingerprints,
+    * jaccard shingles, IVF comp/centroids/assignments (+ SQ8 codes and the
+    * semantic-dedup blocking reuse).
+    */
+  private val family = Seq(
+    "q_dedup_minhash_sig",
+    "q_dedup_minhash_pairs",
+    "q_dedup_clusters",
+    "q_dedup_survivors",
+    "q_dedup_minhash_calib",
+    "q_dedup_keep_best",
+    "q_dedup_source_matrix",
+    "q_dedup_simhash",
+    "q_dedup_simhash_dupes",
+    "q_dedup_simhash_banded",
+    "q_dedup_jaccard",
+    "q_sim_ivf_build",
+    "q_sim_ivf_probe",
+    "q_sim_ivf_probe2",
+    "q_sim_ivf_sq8_probe",
+    "q_sim_ivf_recall",
+    "q_dedup_semantic"
+  )
+
+  test("dedup + IVF family: durable-artifact runs are bit-identical to the local-checkpoint path") {
+    family.foreach(name => assert(SparkEntry.queries.contains(name), s"unknown query $name"))
+    // baseline: in-session localCheckpoint artifacts
+    val baseline: Map[String, Seq[String]] = family.map { name =>
+      name -> SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    }.toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-parity-artifacts").toString
+    System.setProperty("graft.artifact.root", root)
+    try {
+      family.foreach { name =>
+        val durable = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+        assert(durable === baseline(name), s"$name: durable-artifact result differs from in-session result")
+      }
+      // the family's artifacts actually committed to the root (this was a
+      // real durable run, not a silent fall-through to the session path)
+      val dirKey = Tables.artifactDirKey(TestSpark.sfDir)
+      Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
+          "jaccard_shingles", "ivf_cent2", "ivf_assignments").foreach { artifact =>
+        assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
+          s"expected committed durable artifact $artifact under $root")
+      }
+    } finally System.clearProperty("graft.artifact.root")
+  }
+}

@@ -507,6 +507,76 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_keep_best: survivor argmax is an aggregate, never a per-cluster window sort") {
+    // the scale property: max(struct(quality, -doc_id)) reduces each cluster
+    // map-side; a row_number() window would sort every cluster's members on
+    // one partition — the plan must contain NO Window node at all
+    val nodes = allNodes(executed(q("q_dedup_keep_best")))
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      s"argmax must not plan a window:\n${nodes.map(_.nodeName).mkString("\n")}")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("q_event_transitions: exactly one user-keyed shuffle feeds the lead window") {
+    // users are independent: the per-user step derivation must shuffle the
+    // event stream on user_id exactly once; every later exchange carries
+    // only the T^2 census cells (keyed by event types), never per-event rows
+    val nodes = allNodes(executed(q("q_event_transitions")))
+    val userShuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      .count(_.output.map(_.name.toLowerCase).contains("user_id"))
+    assert(userShuffles === 1,
+      s"expected exactly 1 user-keyed exchange, got $userShuffles")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("q_multimodal_ahash_pairs: duplicate mass collapses to distinct fingerprints before banding") {
+    // the pair generator must aggregate to (ahash, rep_doc, n_docs) BEFORE
+    // enumerating band candidates — banding raw per-image rows would square
+    // the duplicate mass instead of pairing distinct hashes once
+    val nodes = allNodes(executed(q("q_multimodal_ahash_pairs")))
+    val collapse = nodes.exists { n =>
+      n.nodeName.contains("HashAggregate") && {
+        val cols = n.output.map(_.name.toLowerCase)
+        cols.contains("rep_doc") && cols.exists(_.contains("ahash"))
+      }
+    }
+    assert(collapse, "expected the (ahash -> rep_doc, n_docs) collapse aggregate in the plan")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("q_multimodal_ahash_clusters: iterative CC truncates lineage every round") {
+    // pointer-doubling converges in O(log d) rounds ONLY if each round's
+    // plan builds on the previous round's materialized labels; without
+    // per-round truncation the final plan re-derives the whole chain (and
+    // re-decodes every image) — so the executed fixpoint plan must read
+    // pinned blocks, not parquet
+    val nodes = allNodes(executed(q("q_multimodal_ahash_clusters")))
+    assert(!nodes.exists(_.nodeName.contains("Scan parquet")),
+      s"fixpoint plan must build on pinned labels, not re-derive from the source:\n${nodes.map(_.nodeName).mkString("\n")}")
+  }
+
+  test("q_outlier_mad: median/MAD come from aggregates, not sorts of the fact table") {
+    // exact_percentiles is a TypedImperativeAggregate (ObjectHashAggregate):
+    // the robust fences reduce per-group map-side; a sort-based median would
+    // plan per-group global sorts of lineitem
+    val nodes = allNodes(executed(q("q_outlier_mad")))
+    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "percentile aggregation must plan as ObjectHashAggregate")
+    assert(!nodes.exists(_.nodeName.contains("Window")))
+    assert(nodes.count(_.nodeName == "Sort") <= 1,
+      "only the final tiny-census ordering may sort")
+  }
+
+  test("zipf/heaps corpus fits: one token explode feeds the whole pipeline") {
+    // the token explode is the expensive map fan-out; counts, first-seen
+    // steps and the log-log fit must all derive from ONE Generate — a
+    // second explode doubles the corpus-size stage
+    for (name <- Seq("q_text_zipf", "q_text_heaps")) {
+      val generates = countNodes(q(name), "Generate")
+      assert(generates === 1, s"$name: expected a single explode, got $generates")
+    }
+  }
+
   test("q_dedup_source_matrix: pair->source joins never carry text across an exchange") {
     val nodes = allNodes(executed(q("q_dedup_source_matrix")))
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")), "no unbroadcast cartesian")
