@@ -112,14 +112,31 @@ object Multimodal {
     * work (one row in, one row out, no shuffle); at 100 TB the same shape
     * holds: payload synthesis/decode never crosses an exchange.
     */
+  /** Exact `a*b > c*d` for non-negative longs via 128-bit comparison
+    * (`Math.multiplyHigh` + unsigned low word). The fingerprint bit rules
+    * cross-multiply pixel/sample sums against counts; on the synthesized
+    * fixtures the products stay far under 2^63, but these are GENERIC
+    * media primitives — a real-world ~6 MP image (or ~9 min of 44.1 kHz
+    * stereo) pushes `sum * n` past Long and a wrapped product would
+    * silently flip hash bits. 128-bit compare costs nothing next to the
+    * codec decode and removes the size ceiling entirely.
+    */
+  private[graft] def prodGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /** 8x8 average-hash over the decoded raster of each media row — the
     * `q_multimodal_ahash` body. Pixel x maps to block column x*8/w (int
     * div) and likewise rows, so uneven dims distribute deterministically;
     * the bit rule is the exact integer cross-multiplication
     * `block_sum * n_pixels > total_sum * block_count` (no division, no
-    * floats — bounded: v < 2^24, n <= 33*33, products < 2^40). Empty
-    * blocks (dims below 8px leave grid slots with no pixels) read '0'.
-    * Map-only typed work; the payload never crosses an exchange.
+    * floats), compared in 128 bits ([[prodGt]]) so real-world image sizes
+    * can't overflow it. Empty blocks (dims below 8px leave grid slots
+    * with no pixels) read '0'. Map-only typed work; the payload never
+    * crosses an exchange.
     */
   private[graft] def ahashFrame(media: DataFrame): DataFrame = {
     val sp = media.sparkSession
@@ -152,7 +169,7 @@ object Multimodal {
           val bits = new java.lang.StringBuilder(64)
           var b = 0
           while (b < 64) {
-            bits.append(if (blockSum(b) * n > total * blockCnt(b)) '1' else '0')
+            bits.append(if (prodGt(blockSum(b), n, total, blockCnt(b))) '1' else '0')
             b += 1
           }
           (m.doc_id, bits.toString)
@@ -203,7 +220,7 @@ object Multimodal {
           val bits = new java.lang.StringBuilder(8)
           var s = 0
           while (s < 8) {
-            bits.append(if (segSum(s) * n > total * segCnt(s)) '1' else '0')
+            bits.append(if (prodGt(segSum(s), n.toLong, total, segCnt(s))) '1' else '0')
             s += 1
           }
           (m.doc_id, n.toLong, bits.toString)

@@ -650,7 +650,14 @@ object EventLogWriter {
         f.getName.matches("partition-\\d+\\.log") &&
           f.getName.stripPrefix("partition-").stripSuffix(".log").toLongOption
             .forall(_ >= numPartitions)
-      if (stale || f.getName.startsWith(".partition-")) f.delete()
+      if (stale || f.getName.startsWith(".partition-")) {
+        // a silently-failed delete leaves a higher-numbered partition file
+        // behind and the directory-listing read side would serve its stale
+        // events — fail the materialization instead
+        if (!f.delete() && f.exists())
+          throw new java.io.IOException(
+            s"failed to remove stale log file ${f.getAbsolutePath}")
+      }
     }
     (0 until numPartitions).foreach { p =>
       new java.io.PrintWriter(new java.io.File(dir, s"partition-$p.log"), "UTF-8").close()

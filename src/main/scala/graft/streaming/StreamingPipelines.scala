@@ -431,6 +431,14 @@ object StreamingPipelines {
             state.remove() // idle past the TTL: drop the last-event pair
             Iterator.empty
           } else {
+            // a user returning in the SAME micro-batch in which their TTL
+            // would fire arrives as a data call (hasTimedOut=false) with the
+            // stale pre-expiry state still stored — honor the expiry FIRST
+            // (the watermark already passed last + TTL), so the return
+            // reopens with no bridging step, exactly as if the timeout had
+            // fired before the data arrived
+            if (state.exists && state.getCurrentWatermarkMs() >= state.get.lastMs + idleTtlMs)
+              state.remove()
             val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))
             var last   = state.getOption
             val out    = Seq.newBuilder[Transition]

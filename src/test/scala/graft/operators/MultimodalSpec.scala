@@ -172,6 +172,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("prodGt: the fingerprint bit rule survives products past Long range") {
+    // the hash threshold compares sum*n against total*cnt; a ~6 MP image
+    // (or ~9 min of audio) pushes those products past 2^63 — the naive Long
+    // multiply wraps and silently flips bits. 2^40 * 2^40 = 2^80 wraps to
+    // 0, so the naive compare answers false against 2^39 * 2^39 = 2^78:
+    val big = 1L << 40
+    assert(Multimodal.prodGt(big, big, big >> 1, big >> 1), "2^80 > 2^78 must hold past Long range")
+    assert((big * big > (big >> 1) * (big >> 1)) === false, "the naive compare really does wrap")
+    // equal 128-bit products are NOT greater (low-word unsigned compare)
+    assert(!Multimodal.prodGt(big, big >> 2, big >> 1, big >> 1))
+    // in-range values agree with plain Long arithmetic
+    for ((a, b, c, d) <- Seq((3L, 7L, 4L, 5L), (10L, 10L, 100L, 1L), (0L, 5L, 1L, 1L)))
+      assert(Multimodal.prodGt(a, b, c, d) === (a * b > c * d))
+  }
+
   test("ahash: uniform image is all-zero bits; planted bright quadrant sets exactly its blocks") {
     import spark.implicits._
     def png(docId: Long)(pixel: (Int, Int) => Int): Multimodal.MediaRow = {
