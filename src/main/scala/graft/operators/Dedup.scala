@@ -747,6 +747,102 @@ object Dedup {
       )
   }
 
+  /** TRUE exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): remove every duplicated token
+    * run of length >= `minLen` from all but its corpus-wide FIRST
+    * occurrence — including self-repetition inside one document. This is
+    * the pass [[segmentDedup]]'s fixed non-overlapping windows cannot do:
+    * a copied run that straddles a segment boundary matches none of the
+    * aligned segments and survives segment dedup, but every one of its
+    * minLen-token SLIDING windows collides here (spec-pinned with a
+    * planted straddling copy).
+    *
+    * Production pipelines run this over a suffix array; the Spark-shaped
+    * equivalent uses the sliding-window gram stream the span machinery
+    * already owns:
+    *   1. every minLen-token window hashed (map-only explode, one pass);
+    *   2. corpus-wide first occurrence per gram = ONE aggregation
+    *      `min(struct(doc_id, pos))` — partial-agg combines map-side, so a
+    *      boilerplate gram in 10^6 docs reduces per-partition (no window
+    *      over the gram stream, no hot-bucket quadratic: later occurrences
+    *      are linear in count, and they are exactly the rows being cut);
+    *   3. non-first window starts mark intervals [pos, pos+minLen-1];
+    *      the duplicated-token count is the exact interval-union length
+    *      via a per-doc running-max window (O(1) state, no position
+    *      explode);
+    *   4. the rewrite keeps tokens outside every interval — a
+    *      higher-order filter over the collected per-doc start list
+    *      (bounded by the doc's own window count), never a per-token join.
+    *
+    * A window straddling what remains after a cut can re-duplicate —
+    * Lee et al. accept the same single-pass semantics (their cuts are
+    * per-occurrence too); run to fixpoint if needed.
+    *
+    * Output: (doc_id, n_tokens, n_dup_tokens, rebuilt).
+    */
+  private[graft] def exactSubstrDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      minLen: Int = 13
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val pg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= L)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(t) - ${L - 1}), i -> " +
+              s"named_struct('pos', i, 'g', substring(md5(concat_ws(' ', slice(t, i, $L))), 1, 16)))"
+          )
+        ).as("e")
+      )
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+    val first = pg
+      .groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dup = pg
+      .join(first, "g")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+      .select(col("doc_id"), col("pos"))
+    // exact interval-union length per doc: running max of interval ends
+    // over the start-sorted duplicate windows (pos is unique per doc)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val census = dup
+      .withColumn("pmax", max(col("pos") + lit(L - 1)).over(w))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        greatest(
+          lit(0),
+          (col("pos") + lit(L - 1)) - greatest(coalesce(col("pmax"), col("pos") - 1), col("pos") - 1)
+        ).as("c")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_dup_tokens"), sort_array(collect_list(col("pos"))).as("ss"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .join(census, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        // token i (0-based) survives unless a duplicate window start s
+        // covers it: s <= i+1 <= s+L-1 over the doc's own start list
+        concat_ws(
+          " ",
+          filter(
+            col("t"),
+            (x, i) =>
+              size(filter(coalesce(col("ss"), array().cast("array<int>")),
+                s => s <= i + 1 && i + 1 < s + lit(L))) === 0
+          )
+        ).as("rebuilt")
+      )
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -1138,6 +1234,31 @@ object Dedup {
              |  coalesce(r.kept_hash, md5('')) AS kept_hash
              |FROM base b LEFT JOIN reb r USING (doc_id)
              |ORDER BY b.doc_id LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_exact_substr",
+      "TRUE exact-substring dedup (Lee et al. 2022): every duplicated >=13-token run is cut from all but its corpus-wide first occurrence — sliding windows, so a copied run STRADDLING q_dedup_segments' fixed 8-token boundaries is caught (spec-pinned). Scale: one window explode, first-occurrence = ONE min(struct) aggregation (map-side partial combine tames boilerplate grams), duplicated-token count = exact interval-union length via per-doc running-max window (no position explode), rewrite via a higher-order filter over each doc's own start list",
+      (s, dir) => exactSubstrDedup(Tables.fanout(Tables.documents(s, dir))).orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |pg AS (SELECT doc_id, i AS pos, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
+             |pgr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk FROM pg),
+             |dup AS (SELECT doc_id, pos FROM pgr WHERE rk > 1),
+             |cov AS (SELECT doc_id, pos,
+             |         max(pos + 12) OVER (PARTITION BY doc_id ORDER BY pos
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |        FROM dup),
+             |cnt AS (SELECT doc_id, sum(greatest(0, (pos + 12) - greatest(coalesce(pmax, pos - 1), pos - 1))) AS nd
+             |        FROM cov GROUP BY 1),
+             |ss AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM dup GROUP BY 1)
+             |SELECT tk.doc_id,
+             |  cast(len(tk.t) as bigint) AS n_tokens,
+             |  cast(coalesce(c.nd, 0) as bigint) AS n_dup_tokens,
+             |  coalesce(array_to_string(list_filter(tk.t, (x, i) ->
+             |    len(list_filter(coalesce(s.starts, CAST([] AS BIGINT[])),
+             |                    st -> st <= i AND i < st + 13)) = 0), ' '), '') AS rebuilt
+             |FROM toks tk LEFT JOIN cnt c USING (doc_id) LEFT JOIN ss s USING (doc_id)
+             |ORDER BY tk.doc_id""".stripMargin)
     )
   )
 }

@@ -331,6 +331,59 @@ class DedupSpec extends AnyFunSuite {
     )
   }
 
+  test("exact-substring dedup: a copied run straddling the segment boundary is caught and cut") {
+    // doc A = 24 unique tokens; doc B copies A[5..17] (13 tokens) between
+    // unique padding. In B the copy sits at positions 6..18, crossing the
+    // 8-token segment boundaries at 8|9 and 16|17 — none of B's ALIGNED
+    // segments matches any of A's, so segment dedup keeps B verbatim; the
+    // sliding-window pass must cut exactly those 13 tokens.
+    val a    = (1 to 24).map(i => s"w$i")
+    val copy = a.slice(4, 17) // w5..w17, 13 tokens
+    val b    = (1 to 5).map(i => s"p$i") ++ copy ++ (1 to 6).map(i => s"q$i")
+    val docs = Seq(
+      (0L, a.mkString(" "), "en", "s0"),
+      (1L, b.mkString(" "), "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    // segment dedup (fixed aligned windows) misses the straddling copy
+    val seg = Dedup.segmentDedup(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(seg(1L) === b.mkString(" "), "aligned segments must miss the straddling copy (the gap this op closes)")
+
+    val out = Dedup.exactSubstrDedup(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((24L, 0L, a.mkString(" "))), "the first occurrence is untouched")
+    assert(out(1L)._1 === 24L)
+    assert(out(1L)._2 === 13L, "exactly the copied run's tokens count as duplicated")
+    assert(out(1L)._3 === ((1 to 5).map(i => s"p$i") ++ (1 to 6).map(i => s"q$i")).mkString(" "),
+      "the rewrite cuts the copied run and keeps everything else in order")
+  }
+
+  test("exact-substring dedup: self-repetition within one doc and overlapping windows merge to one cut") {
+    // doc = X ++ filler ++ X with |X| = 15 > minLen: the repeated X spawns
+    // THREE overlapping duplicate windows (starts 21, 22, 23); the interval
+    // union must count 15 tokens once, not 3 x 13, and cut the whole block
+    val x    = (1 to 15).map(i => s"x$i")
+    val fill = (1 to 5).map(i => s"f$i")
+    val doc  = x ++ fill ++ x
+    val out = Dedup.exactSubstrDedup(Seq((7L, doc.mkString(" "))).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getLong(1) === 35L)
+    assert(out.getLong(2) === 15L, "overlapping duplicate windows union to the run length")
+    assert(out.getString(3) === (x ++ fill).mkString(" "), "the second X is cut, first kept")
+  }
+
+  test("exact-substring dedup: short docs and dup-free docs pass through unchanged") {
+    val docs = Seq(
+      (0L, "tiny doc below the window"),               // < minLen tokens
+      (1L, (1 to 20).map(i => s"u$i").mkString(" "))   // >= minLen, no dups
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) === ((0L, "tiny doc below the window")))
+    assert(out(1L) === ((0L, (1 to 20).map(i => s"u$i").mkString(" "))))
+  }
+
   test("containment flags a subset copy that the symmetric Jaccard threshold misses") {
     val short = (1 to 20).map(i => s"s$i")
     val long  = short ++ (1 to 40).map(i => s"l$i")
