@@ -843,6 +843,73 @@ object Dedup {
       )
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive hashes, and select each window's minimum — ties to the
+    * RIGHTMOST position (the paper's rule, here the struct-min trick
+    * `min(struct(h, -p))`). The selected set is position-robust: any
+    * shared run of >= w+k-1 tokens between two docs is GUARANTEED to
+    * contribute at least one common fingerprint, while only ~2/(w+1) of
+    * grams are kept — the local-sampling guarantee plain minhash lacks.
+    *
+    * Scale shape: the gram hash stream is one map-only explode; the
+    * sliding min is ONE doc-keyed window over contiguous rows (O(w) state,
+    * users^0 cross-talk: each doc independent); the census aggregates
+    * per doc. No pair generation here — the selected fingerprints are the
+    * artifact a matcher would bucket-join on (with the MaxLshBucket cap).
+    *
+    * Output: (doc_id, n_grams, n_windows, n_fps, density); docs shorter
+    * than k+w-1 tokens have no full window and drop out, like the paper's
+    * guarantee threshold.
+    */
+  private[graft] def winnowFrame(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 4,
+      w: Int = 5
+  ): org.apache.spark.sql.DataFrame =
+    winnowSelected(docs, k, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("ng")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_windows"),
+        countDistinct(col("sel")).cast("long").as("n_fps")
+      )
+      // raw exact-int division: bit-identical double in both engines
+      .withColumn("density", col("n_fps").cast("double") / col("n_windows").cast("double"))
+
+  /** One row per full window with the window's selected fingerprint
+    * `sel = struct(h, np = -p)` (the position-carrying MOSS fingerprint) —
+    * exposed so tests pin the paper's guarantee (a shared run of
+    * >= w+k-1 tokens contributes a common HASH) and the rightmost tie
+    * rule. Columns: (doc_id, ng, p, h, sel).
+    */
+  private[graft] def winnowSelected(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int,
+      w: Int
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(
+        col("doc_id"),
+        (size(col("t")) - lit(k - 1)).as("ng"),
+        explode(
+          expr(
+            s"transform(sequence(1, size(t) - ${k - 1}), i -> " +
+              s"named_struct('p', i, 'h', substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 16)))"
+          )
+        ).as("e")
+      )
+      .select(col("doc_id"), col("ng"), col("e.p").as("p"), col("e.h").as("h"))
+    val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    pos
+      .withColumn("sel", min(struct(col("h"), (-col("p")).as("np"))).over(wn))
+      .filter(col("p") <= col("ng") - lit(w - 1))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dedup_exact",
@@ -1259,6 +1326,30 @@ object Dedup {
              |                    st -> st <= i AND i < st + 13)) = 0), ' '), '') AS rebuilt
              |FROM toks tk LEFT JOIN cnt c USING (doc_id) LEFT JOIN ss s USING (doc_id)
              |ORDER BY tk.doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_winnow",
+      "winnowing fingerprint selection (Schleimer et al. 2003 / MOSS): 4-token gram hashes, sliding window of 5, keep each window's min hash with ties to the RIGHTMOST position (min(struct(h, -p))) — guarantees any shared run of >= 8 tokens contributes a common fingerprint while keeping ~2/(w+1) of grams. Scale: one map-only gram explode, one doc-keyed contiguous window (O(w) state), per-doc census; fingerprints are the bucket-join artifact for matching. Census: grams, full windows, distinct selected fingerprints, density",
+      (s, dir) => winnowFrame(Tables.fanout(Tables.documents(s, dir))).orderBy(col("doc_id")).limit(300),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, len(t) AS m, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS p
+             |        FROM toks WHERE len(t) >= 4),
+             |hs AS (SELECT doc_id, m - 3 AS ng, p,
+             |         substring(md5(array_to_string(t[p:p+3], ' ')), 1, 16) AS h
+             |       FROM idx),
+             |sel AS (
+             |  SELECT doc_id, ng, p,
+             |    min(struct_pack(h := h, np := -p)) OVER (
+             |      PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS w
+             |  FROM hs),
+             |census AS (
+             |  SELECT doc_id, max(ng) AS n_grams, count(1) AS n_windows, count(DISTINCT w) AS n_fps
+             |  FROM sel WHERE p <= ng - 4 GROUP BY 1)
+             |SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+             |  cast(n_windows as bigint) AS n_windows, cast(n_fps as bigint) AS n_fps,
+             |  cast(n_fps as double) / cast(n_windows as double) AS density
+             |FROM census ORDER BY doc_id LIMIT 300""".stripMargin)
     )
   )
 }

@@ -384,6 +384,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) === ((0L, (1 to 20).map(i => s"u$i").mkString(" "))))
   }
 
+  test("winnowing: a shared run of w+k-1 tokens guarantees a common fingerprint hash") {
+    // k=4, w=5: the paper's guarantee threshold is t = w+k-1 = 8 tokens.
+    // A shares exactly 8 consecutive tokens with B amid unrelated text —
+    // the run spans 5 grams = one full window on each side, whose selected
+    // min hash is identical, so the fingerprint HASH sets must intersect.
+    val run  = (1 to 8).map(i => s"r$i")
+    val a    = (1 to 10).map(i => s"a$i") ++ run ++ (1 to 10).map(i => s"b$i")
+    val b    = (1 to 7).map(i => s"c$i") ++ run ++ (1 to 13).map(i => s"d$i")
+    val none = (1 to 30).map(i => s"n$i")
+    val docs = Seq(
+      (0L, a.mkString(" ")), (1L, b.mkString(" ")), (2L, none.mkString(" "))
+    ).toDF("doc_id", "text")
+    val sel = Dedup.winnowSelected(docs, k = 4, w = 5)
+      .select(col("doc_id"), col("sel.h").as("h")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = sel.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert(byDoc(0L).intersect(byDoc(1L)).nonEmpty,
+      "the guaranteed-length shared run must surface a common fingerprint")
+    assert(byDoc(0L).intersect(byDoc(2L)).isEmpty, "unrelated docs share nothing")
+  }
+
+  test("winnowing: rightmost tie rule — an all-repeated doc selects every window's last position") {
+    // one repeated token -> every gram hash identical -> each window's min
+    // ties across all w positions and must resolve to the RIGHTMOST; the
+    // selected (hash, position) fingerprints are then all distinct, so
+    // density pins to exactly 1.0 (any other tie rule collapses them)
+    val docs = Seq((5L, Seq.fill(12)("z").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.winnowFrame(docs).collect().head
+    assert(r.getLong(1) === 9L, "12 tokens -> 9 grams")
+    assert(r.getLong(2) === 5L, "9 grams -> 5 full windows")
+    assert(r.getLong(3) === 5L)
+    assert(r.getDouble(4) === 1.0)
+  }
+
   test("containment flags a subset copy that the symmetric Jaccard threshold misses") {
     val short = (1 to 20).map(i => s"s$i")
     val long  = short ++ (1 to 40).map(i => s"l$i")
