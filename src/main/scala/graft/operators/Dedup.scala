@@ -1350,6 +1350,65 @@ object Dedup {
              |  cast(n_windows as bigint) AS n_windows, cast(n_fps as bigint) AS n_fps,
              |  cast(n_fps as double) / cast(n_windows as double) AS density
              |FROM census ORDER BY doc_id LIMIT 300""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_winnow_matches",
+      "winnow-fingerprint match pairs (the MOSS matcher): docs sharing >= 2 selected fingerprint HASHES, with overlap = shared / min(|fps_a|, |fps_b|) — near-1 overlap flags containment/duplication from the ~2/(w+1)-density fingerprint sets instead of full shingle sets (the whole point of winnowing: the joined frame is 3x smaller than the gram stream). Bucket-grouped pair counting with the standard MaxLshBucket cap + observable drop metric (graft.winnow_pairs), rank<=cap mirrored in the oracle; top-50 by shared count via TakeOrdered",
+      (s, dir) => {
+        val fps = winnowSelected(Tables.fanout(Tables.documents(s, dir)), k = 4, w = 5)
+          .select(col("doc_id"), col("sel.h").as("h"))
+          .distinct()
+        val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+        val pairs = fps
+          .groupBy(col("h"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .observe(
+            "graft.winnow_pairs",
+            sum(when(size(col("ids")) > MaxLshBucket, 1L).otherwise(0L)).as("capped_buckets"),
+            coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+          )
+          .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, MaxLshBucket))).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+          .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+          .filter(col("shared") >= 2)
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            col("shared"),
+            (col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")).cast("double")).as("overlap")
+          )
+          .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+              |idx AS (SELECT doc_id, t, len(t) AS m, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS p
+              |        FROM toks WHERE len(t) >= 4),
+              |hs AS (SELECT doc_id, m - 3 AS ng, p,
+              |         substring(md5(array_to_string(t[p:p+3], ' ')), 1, 16) AS h
+              |       FROM idx),
+              |sel AS (
+              |  SELECT doc_id, ng, p,
+              |    min(struct_pack(h := h, np := -p)) OVER (
+              |      PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS w
+              |  FROM hs),
+              |fps AS (SELECT DISTINCT doc_id, w.h AS h FROM sel WHERE p <= ng - 4),
+              |fpr AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM fps),
+              |fpc AS (SELECT doc_id, h FROM fpr WHERE rk <= $MaxLshBucket),
+              |nf  AS (SELECT doc_id, count(1) AS nfp FROM fps GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS shared
+              |  FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, shared,
+              |  cast(shared as double) / cast(least(na.nfp, nb.nfp) as double) AS overlap
+              |FROM pairs JOIN nf na ON na.doc_id = doc_a JOIN nf nb ON nb.doc_id = doc_b
+              |WHERE shared >= 2
+              |ORDER BY shared DESC, doc_a, doc_b LIMIT 50""".stripMargin)
     )
   )
 }
