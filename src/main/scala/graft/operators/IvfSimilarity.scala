@@ -208,6 +208,80 @@ object IvfSimilarity {
   private def buildAssignments(s: SparkSession, dir: String): DataFrame =
     assignPass(comp(s, dir), cent2(s, dir))
 
+  /** Product quantization (Jégou et al. 2011, the Faiss PQ primitive): the
+    * embedding splits into [[PqM]] contiguous 16-dim subspaces, each with
+    * its OWN deterministic [[K]]-centroid codebook — [[trainCentroids]] /
+    * [[assignPass]] run unchanged per subspace on the locally re-indexed
+    * component frame, so the PQ build inherits the IVF build's proven
+    * math and oracle parity wholesale. A vector's code is its M argmin
+    * cluster ids: 4 x 3 bits here vs 64 x 32-bit floats — the memory lever
+    * that lets a 10^9-vector index live in RAM. The ADC probe never
+    * reconstructs vectors: the query precomputes a (sub, cid) distance
+    * table (M*K = 32 rows, broadcast) and each corpus vector's
+    * approximate distance is the sum of its M table lookups — decimal
+    * sums, so the total is exact given the table.
+    */
+  val PqM = 4
+
+  private def subComp(c: DataFrame, m: Int): DataFrame =
+    c.filter(floor((col("d") - 1) / 16).cast("int") === m)
+      .select(col("vec_id"), (col("d") - lit(16 * m)).as("d"), col("x"))
+
+  private val pqCentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Long-form codebooks (sub, dl, cid, cx) — one frame for all M
+    * subspaces; the probe's distance table reads it directly.
+    */
+  private def pqCent(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildPqCent(s, dir)
+    else cachedIn(pqCentCache, s, dir, "pq_cent",
+      Some((df, p) => graft.sources.Sinks.writeRangeSorted(df, p, "sub", 1))
+    )(buildPqCent(s, dir))
+
+  private def buildPqCent(s: SparkSession, dir: String): DataFrame =
+    (0 until PqM)
+      .map { m =>
+        trainCentroids(subComp(comp(s, dir), m))
+          .select(
+            col("d").as("dl"),
+            explode(
+              array((0 until K).map(k => struct(lit(k).as("cid"), col(s"cx$k").as("cx"))): _*)
+            ).as("e")
+          )
+          .select(lit(m).as("sub"), col("dl"), col("e.cid").as("cid"), col("e.cx").as("cx"))
+      }
+      .reduce(_ unionByName _)
+
+  /** PQ codes (vec_id, sub, cid, dist): the quantized corpus. Durable
+    * layout range-sorts on vec_id — the probe streams it map-only.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildPqCodes(s, dir)
+    else cachedIn(pqCodesCache, s, dir, "pq_codes",
+      Some((df, p) => graft.sources.Sinks.writeRangeSorted(df, p, "vec_id", 4))
+    )(buildPqCodes(s, dir))
+
+  private def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
+    val cent = pqCent(s, dir)
+    (0 until PqM)
+      .map { m =>
+        val wide = cent
+          .filter(col("sub") === m)
+          .groupBy(col("dl"))
+          .agg(
+            max(when(col("cid") === 0, col("cx"))).as("cx0"),
+            (1 until K).map(k => max(when(col("cid") === k, col("cx"))).as(s"cx$k")): _*
+          )
+          .withColumnRenamed("dl", "d")
+        assignPass(subComp(comp(s, dir), m), wide)
+          .select(col("vec_id"), lit(m).as("sub"), col("cid"), col("dist"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Semantic near-dup pairs within a k-means cluster (the SemDeDup shape,
     * Abbas et al. 2023: cluster the embedding space, then compare pairs
     * only WITHIN a cluster — the cluster assignment is the blocking key,
@@ -295,7 +369,118 @@ object IvfSimilarity {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM dist2) t WHERE rn = 1)""".stripMargin
 
+  /** DuckDB mirror of the per-subspace PQ build: the IVF k-means chain
+    * with `sub` added to every key — pcent1/pdist1/pa1/pcent2/pdist2/pa2
+    * are [[assignmentsSql]]'s CTEs per subspace.
+    */
+  private val pqSql =
+    s"""$compSql,
+       |pqcomp AS (
+       |  SELECT vec_id, (d - 1) // 16 AS sub, d - 16 * ((d - 1) // 16) AS dl, x FROM comp),
+       |pcent1 AS (SELECT vec_id AS cid, sub, dl, x AS cx FROM pqcomp WHERE vec_id < $K),
+       |pdist1 AS (
+       |  SELECT c.vec_id, c.sub, k.cid,
+       |    sum(cast((c.x - k.cx) * (c.x - k.cx) as decimal(18,12))) AS dist
+       |  FROM pqcomp c JOIN pcent1 k ON k.sub = c.sub AND k.dl = c.dl
+       |  GROUP BY 1, 2, 3),
+       |pa1 AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM pdist1) t WHERE rn = 1),
+       |pcent2 AS (
+       |  SELECT a.cid, c.sub, c.dl,
+       |    cast(cast(sum(cast(c.x as decimal(18,12))) as varchar) as double) / count(1) AS cx
+       |  FROM pqcomp c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub
+       |  GROUP BY 1, 2, 3),
+       |pdist2 AS (
+       |  SELECT c.vec_id, c.sub, k.cid,
+       |    sum(cast((c.x - k.cx) * (c.x - k.cx) as decimal(18,12))) AS dist
+       |  FROM pqcomp c JOIN pcent2 k ON k.sub = c.sub AND k.dl = c.dl
+       |  GROUP BY 1, 2, 3),
+       |pa2 AS (
+       |  SELECT vec_id, sub, cid, dist FROM (
+       |    SELECT vec_id, sub, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM pdist2) t WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_sim_pq_codes",
+      s"product-quantization codebook build (Jegou et al. 2011 / Faiss PQ): $PqM 16-dim subspaces, each trained with the SAME deterministic $K-centroid k-means as the IVF build (trainCentroids/assignPass reused per subspace, so the oracle mirrors the proven chain with `sub` added to every key) — per-(subspace, code) census with quantization-error mass; a vector's 4x3-bit code replaces 256 float bytes, the memory lever behind RAM-resident 10^9-vector indexes",
+      (s, dir) =>
+        pqCodes(s, dir)
+          .groupBy(col("sub"), col("cid"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            sum(col("dist")).cast("double").as("sum_qerr"),
+            min(col("vec_id")).as("first_vec")
+          )
+          .orderBy(col("sub"), col("cid")),
+      Some(s"""WITH $pqSql
+              |SELECT sub, cid, count(1) AS n_members,
+              |  cast(cast(sum(dist) as varchar) as double) AS sum_qerr,
+              |  min(vec_id) AS first_vec
+              |FROM pa2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_pq_probe",
+      s"PQ asymmetric-distance probe (ADC): the query precomputes a ($PqM x $K)-row distance table against the subspace codebooks (broadcast, ~32 rows), and every corpus vector's approximate distance is the sum of its $PqM table lookups over the CODES — no vector reconstruction, no float column scanned. Decimal table entries make the per-vector sum exact, so ordering is engine-identical; top-5 selected on the exact decimal, then audited against the true 64-dim distance (adc <= true_d2 + quantization error, both reported)",
+      (s, dir) => {
+        val c     = comp(s, dir)
+        val cent  = pqCent(s, dir)
+        val codes = pqCodes(s, dir)
+        val sub   = floor((col("d") - 1) / 16).cast("int")
+        val qpq = c
+          .filter(col("vec_id") === 0)
+          .select(sub.as("sub"), (col("d") - lit(16) * sub).as("dl"), col("x").as("qx"))
+        val dtab = cent
+          .join(broadcast(qpq), Seq("sub", "dl"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sumTerm((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dq"))
+        val top = codes
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(dtab), Seq("sub", "cid"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("dq")).as("adc"))
+          .orderBy(col("adc"), col("vec_id"))
+          .limit(5)
+        val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        top
+          .join(c, "vec_id")
+          .join(broadcast(qComp), "d")
+          .groupBy(col("vec_id"), col("adc"))
+          .agg(sumTerm((col("x") - col("qx")) * (col("x") - col("qx"))).as("d2"))
+          .select(
+            col("vec_id"),
+            round(col("adc").cast("double"), 6).as("adc"),
+            round(col("d2").cast("double"), 6).as("true_d2")
+          )
+          .orderBy(col("adc"), col("vec_id"))
+      },
+      Some(s"""WITH $pqSql,
+              |qpq AS (SELECT sub, dl, x AS qx FROM pqcomp WHERE vec_id = 0),
+              |dtab AS (
+              |  SELECT k.sub, k.cid,
+              |    sum(cast((q.qx - k.cx) * (q.qx - k.cx) as decimal(18,12))) AS dq
+              |  FROM pcent2 k JOIN qpq q ON q.sub = k.sub AND q.dl = k.dl
+              |  GROUP BY 1, 2),
+              |topv AS (
+              |  SELECT a.vec_id, sum(t.dq) AS adc
+              |  FROM pa2 a JOIN dtab t ON t.sub = a.sub AND t.cid = a.cid
+              |  WHERE a.vec_id <> 0 GROUP BY 1
+              |  ORDER BY adc, vec_id LIMIT 5),
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |ex AS (
+              |  SELECT c.vec_id, sum(cast((c.x - q.qx) * (c.x - q.qx) as decimal(18,12))) AS d2
+              |  FROM comp c JOIN topv USING (vec_id) JOIN qcomp q ON q.d = c.d
+              |  GROUP BY 1)
+              |SELECT topv.vec_id,
+              |  round(cast(cast(topv.adc as varchar) as double), 6) AS adc,
+              |  round(cast(cast(ex.d2 as varchar) as double), 6) AS true_d2
+              |FROM topv JOIN ex USING (vec_id)
+              |ORDER BY 2, 1""".stripMargin)
+    ),
     QueryDef(
       "q_drift_semantic",
       s"EMBEDDING-SPACE drift monitor: per-label PSI over the IVF cluster-occupancy distribution vs the whole corpus — the semantic companion of q_drift_psi (length drift can be flat while a label quietly occupies different regions of embedding space; cluster ids are the buckets, so the check reuses the build-once IVF artifact instead of touching raw vectors). Same Laplace-smoothed, decimal-term PSI construction; the embeddings table never joins anything bigger than the $K-row cluster census",

@@ -41,6 +41,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_ivf_probe2",
     "q_sim_ivf_sq8_probe",
     "q_sim_ivf_recall",
+    "q_sim_pq_codes",
+    "q_sim_pq_probe",
     "q_dedup_semantic"
   )
 
@@ -61,7 +63,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       // real durable run, not a silent fall-through to the session path)
       val dirKey = Tables.artifactDirKey(TestSpark.sfDir)
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
-          "jaccard_shingles", "ivf_cent2", "ivf_assignments").foreach { artifact =>
+          "jaccard_shingles", "ivf_cent2", "ivf_assignments",
+          "pq_cent", "pq_codes").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

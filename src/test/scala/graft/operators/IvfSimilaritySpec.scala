@@ -27,6 +27,37 @@ class IvfSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ codes conserve the corpus: every vector carries exactly PqM subspace codes") {
+    import org.apache.spark.sql.functions._
+    val census = SparkEntry.queries("q_sim_pq_codes")(spark, TestSpark.sfDir)
+    val nVecs = graft.Tables.embeddings(spark, TestSpark.sfDir).count()
+    // sum of members over the (sub, cid) census = PqM rows per vector
+    val total = census.agg(sum(col("n_members"))).collect().head.getLong(0)
+    assert(total === nVecs * IvfSimilarity.PqM,
+      "each vector must be coded once per subspace (no drops, no dupes)")
+    // every subspace uses at least 2 codes on this fixture (a degenerate
+    // single-cluster codebook would make ADC a constant — useless)
+    val perSub = census.groupBy(col("sub")).count().collect().map(r => r.getLong(1))
+    assert(perSub.length === IvfSimilarity.PqM)
+    assert(perSub.forall(_ >= 2L))
+  }
+
+  test("PQ ADC probe: approximate distances track the true distances it reports") {
+    // ADC replaces each corpus subvector with its centroid, so the
+    // approximation error is bounded by the quantization error — on this
+    // fixture the relative gap stays under 100% (measured ~0.59) — and the
+    // output arrives ranked by adc with both columns positive
+    val rows = SparkEntry
+      .queries("q_sim_pq_probe")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 5)
+    assert(rows.forall { case (adc, d2) => adc > 0 && d2 > 0 })
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sortBy(identity).toSeq, "ranked by adc ascending")
+    assert(rows.forall { case (adc, d2) => math.abs(adc - d2) / d2 < 1.0 },
+      s"quantized distance must track the true distance: ${rows.mkString(", ")}")
+  }
+
   test("durable artifact: index written via Sinks inverted-file layout, probe served from read-back") {
     // baseline from the session-scoped (localCheckpoint) path
     val baseline = SparkEntry
