@@ -482,6 +482,77 @@ object IvfSimilarity {
               |ORDER BY 2, 1""".stripMargin)
     ),
     QueryDef(
+      "q_sim_ivfpq_probe",
+      s"IVF-PQ probe — the full Faiss IVFPQ composition: the coarse IVF quantizer prunes to the query's cluster (~1/$K of the corpus via inverted-file partition pruning), then ADC ranks ONLY the members' PQ codes against the broadcast distance table. Both index artifacts are reused as built (coarse assignments + subspace codes); the scan touches cluster-member code rows only — at 10^9 vectors that is 1/$K of a 3-bit-per-subspace frame, the shape that serves million-QPS ANN from RAM",
+      (s, dir) => {
+        val c     = comp(s, dir)
+        val a2    = assignments(s, dir).select(col("vec_id"), col("cid").as("coarse_cid"))
+        val cent  = pqCent(s, dir)
+        val codes = pqCodes(s, dir)
+        val qcid  = a2.filter(col("vec_id") === 0).select(col("coarse_cid"))
+        val members = a2.join(broadcast(qcid), "coarse_cid").filter(col("vec_id") =!= 0)
+        val sub = floor((col("d") - 1) / 16).cast("int")
+        val qpq = c
+          .filter(col("vec_id") === 0)
+          .select(sub.as("sub"), (col("d") - lit(16) * sub).as("dl"), col("x").as("qx"))
+        val dtab = cent
+          .join(broadcast(qpq), Seq("sub", "dl"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sumTerm((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dq"))
+        codes
+          .join(members.select("vec_id"), "vec_id")
+          .join(broadcast(dtab), Seq("sub", "cid"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("dq")).as("adc"))
+          .orderBy(col("adc"), col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), round(col("adc").cast("double"), 6).as("adc"))
+      },
+      Some(s"""WITH $pqSql,
+              |cent1 AS (
+              |  SELECT vec_id AS cid, d, x AS cx FROM comp WHERE vec_id < $K),
+              |dist1 AS (
+              |  SELECT comp.vec_id, cent1.cid,
+              |    sum(cast((comp.x - cent1.cx) * (comp.x - cent1.cx) as decimal(18,12))) AS dist
+              |  FROM comp JOIN cent1 USING (d) GROUP BY 1, 2),
+              |a1 AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |    FROM dist1) t WHERE rn = 1),
+              |cent2 AS (
+              |  SELECT a1.cid, comp.d,
+              |    cast(cast(sum(cast(comp.x as decimal(18,12))) as varchar) as double)
+              |      / count(1) AS cx
+              |  FROM comp JOIN a1 USING (vec_id) GROUP BY 1, 2),
+              |dist2 AS (
+              |  SELECT comp.vec_id, cent2.cid,
+              |    sum(cast((comp.x - cent2.cx) * (comp.x - cent2.cx) as decimal(18,12))) AS dist
+              |  FROM comp JOIN cent2 USING (d) GROUP BY 1, 2),
+              |a2 AS (
+              |  SELECT vec_id, cid FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |    FROM dist2) t WHERE rn = 1),
+              |qc AS (SELECT cid AS qcid FROM a2 WHERE vec_id = 0),
+              |members AS (
+              |  SELECT a2.vec_id FROM a2, qc WHERE a2.cid = qc.qcid AND a2.vec_id <> 0),
+              |qpq AS (SELECT sub, dl, x AS qx FROM pqcomp WHERE vec_id = 0),
+              |dtab AS (
+              |  SELECT k.sub, k.cid,
+              |    sum(cast((q.qx - k.cx) * (q.qx - k.cx) as decimal(18,12))) AS dq
+              |  FROM pcent2 k JOIN qpq q ON q.sub = k.sub AND q.dl = k.dl
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT p.vec_id, sum(t.dq) AS adc
+              |  FROM pa2 p
+              |  JOIN members m ON m.vec_id = p.vec_id
+              |  JOIN dtab t ON t.sub = p.sub AND t.cid = p.cid
+              |  GROUP BY 1)
+              |SELECT vec_id, round(cast(cast(adc as varchar) as double), 6) AS adc
+              |FROM scored ORDER BY scored.adc, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
       "q_drift_semantic",
       s"EMBEDDING-SPACE drift monitor: per-label PSI over the IVF cluster-occupancy distribution vs the whole corpus — the semantic companion of q_drift_psi (length drift can be flat while a label quietly occupies different regions of embedding space; cluster ids are the buckets, so the check reuses the build-once IVF artifact instead of touching raw vectors). Same Laplace-smoothed, decimal-term PSI construction; the embeddings table never joins anything bigger than the $K-row cluster census",
       (s, dir) => {

@@ -58,6 +58,19 @@ class IvfSimilaritySpec extends AnyFunSuite {
       s"quantized distance must track the true distance: ${rows.mkString(", ")}")
   }
 
+  test("IVF-PQ probe searches only the coarse cluster: per-rank ADC dominates the global PQ probe") {
+    // cluster pruning can only REMOVE candidates, so the pruned top-5
+    // approximate distance at every rank is >= the global ADC top-5's
+    val global = SparkEntry.queries("q_sim_pq_probe")(spark, TestSpark.sfDir)
+      .collect().map(_.getDouble(1)).toSeq
+    val pruned = SparkEntry.queries("q_sim_ivfpq_probe")(spark, TestSpark.sfDir)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(pruned.length === 5)
+    pruned.zip(global).zipWithIndex.foreach { case ((p, g), i) =>
+      assert(p >= g, s"rank $i: pruned adc $p must not beat the unrestricted $g")
+    }
+  }
+
   test("durable artifact: index written via Sinks inverted-file layout, probe served from read-back") {
     // baseline from the session-scoped (localCheckpoint) path
     val baseline = SparkEntry
