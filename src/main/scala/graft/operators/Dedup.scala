@@ -213,6 +213,36 @@ object Dedup {
     * cut from one capped band can still surface from any of the other
     * NumBands-1 bands.
     */
+  /** THE shared guarded pair generator — every bucket-grouped candidate
+    * pipeline (LSH bands, containment shingles, jaccard shingles, span
+    * grams, winnow fingerprints) funnels through this one block so the
+    * cap rule and the no-silent-caps metric shape can never drift apart
+    * per site. Collects each bucket's items SORTED, deterministically
+    * sub-samples buckets above `maxBucket` to their smallest items,
+    * reports (capped_buckets, max_bucket) under `metricName`, and emits
+    * each bucket's unordered item pairs as `p` = struct(doc_a, doc_b).
+    * Every caller's oracle mirrors the cap as rank <= maxBucket over the
+    * same sort order. slice is a no-op for buckets at/below the cap.
+    */
+  private[graft] def cappedBucketPairs(
+      items: org.apache.spark.sql.DataFrame,
+      bucketKeys: Seq[org.apache.spark.sql.Column],
+      item: org.apache.spark.sql.Column,
+      metricName: String,
+      maxBucket: Int
+  ): org.apache.spark.sql.DataFrame =
+    items
+      .groupBy(bucketKeys: _*)
+      .agg(sort_array(collect_list(item)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // no-silent-caps: capping is observable per-run via named metrics
+      .observe(
+        metricName,
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+      )
+      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+
   private[graft] def pairsFromSignatures(
       sig: org.apache.spark.sql.DataFrame,
       maxBucket: Int = MaxLshBucket
@@ -221,18 +251,8 @@ object Dedup {
       col("doc_id"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band"))
     )
-    bands
-      .groupBy(col("band_idx"), col("band"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // no-silent-caps: capping is observable per-run via named metrics
-      .observe(
-        "graft.lsh_pairs",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
-      )
-      // slice is a no-op for buckets at/below the cap (length > size(ids))
-      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+    cappedBucketPairs(bands, Seq(col("band_idx"), col("band")), col("doc_id"),
+        "graft.lsh_pairs", maxBucket)
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
@@ -548,18 +568,8 @@ object Dedup {
         ).as("e")
       )
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
-    val m = pg
-      .groupBy(col("g"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("occ"))
-      .filter(size(col("occ")) > 1)
-      // no-silent-caps: hot-gram trimming is observable per-run
-      .observe(
-        "graft.span_pairs",
-        sum(when(size(col("occ")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(size(col("occ"))), lit(0)).as("max_bucket")
-      )
-      // slice is a no-op for buckets at/below the cap
-      .select(explode(TextShared.orderedPairs(slice(col("occ"), 1, maxBucket))).as("p"))
+    val m = cappedBucketPairs(pg, Seq(col("g")), struct(col("doc_id"), col("pos")),
+        "graft.span_pairs", maxBucket)
       // cross-doc occurrence pairs only; sorted buckets give doc_a <= doc_b
       .filter(col("p.doc_a.doc_id") < col("p.doc_b.doc_id"))
       .select(
@@ -606,16 +616,8 @@ object Dedup {
       maxBucket: Int = MaxLshBucket
   ): org.apache.spark.sql.DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val common = sh
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe(
-        "graft.containment_pairs",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
-      )
-      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+    val common = cappedBucketPairs(sh, Seq(col("sh")), col("doc_id"),
+        "graft.containment_pairs", maxBucket)
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -654,16 +656,8 @@ object Dedup {
     // derive set sizes from the exploded frame rather than re-running the
     // CodegenFallback shingle lambda per row
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val common = sh
-      .groupBy(col("lang"), col("source"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe(
-        "graft.jaccard_pairs",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
-      )
-      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+    val common = cappedBucketPairs(sh, Seq(col("lang"), col("source"), col("sh")), col("doc_id"),
+        "graft.jaccard_pairs", maxBucket)
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -1359,16 +1353,8 @@ object Dedup {
           .select(col("doc_id"), col("sel.h").as("h"))
           .distinct()
         val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-        val pairs = fps
-          .groupBy(col("h"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .observe(
-            "graft.winnow_pairs",
-            sum(when(size(col("ids")) > MaxLshBucket, 1L).otherwise(0L)).as("capped_buckets"),
-            coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
-          )
-          .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, MaxLshBucket))).as("p"))
+        val pairs = cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
+            "graft.winnow_pairs", MaxLshBucket)
           .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
           .agg(count(lit(1)).as("shared"))
         pairs

@@ -381,23 +381,30 @@ object TextAnalysis {
       // pool) makes ln(v) CONSTANT, so regr_r2's variance term is pure
       // floating-point cancellation noise: both engines' parallel
       // aggregation nondeterministically yields 0 or ~1e-30, and r2 is
-      // then garbage-over-garbage. Detect the degenerate case on the EXACT
-      // integer v values — min(v) = max(v) — which is both precise (a
-      // quantized-log compare misclassified sub-ppm vocabulary growth as
-      // saturated) and cheaper, then pin r2 to its defined limit 1.0
-      // deterministically in both engines.
+      // then garbage-over-garbage. The degeneracy test is deliberately on
+      // QUANTIZED logs (ln(v) constant at 1e-6), NOT on the exact integer
+      // v values: min(v) = max(v) would be "more precise", but a corpus
+      // whose vocabulary grows by less than ~1 ppm per step has
+      // var(ln v) ~ 1e-12 of mean^2 — the regression inputs are
+      // indistinguishable at the precision the two engines share, regr_r2
+      // is STILL cancellation noise there, and only the quantized guard
+      // pins that whole regime deterministically. (An exact-integer guard
+      // was tried in round 12 and reverted for exactly this reason: it
+      // computes a "correct" fit that the engines cannot agree on.)
+      .withColumn("ly", floor(log(col("v")) * lit(1e6)).cast("long"))
       .agg(
         // degenerate limits: slope's covariance is noise too (and can round
         // to the string-visible -0.0), intercept collapses to ln(v_const) —
-        // computable exactly as ln(max(v)) since v IS constant here
-        when(min(col("v")) === max(col("v")), lit(0.0))
+        // computable exactly as ln(max(v)) since v is constant at the
+        // shared precision here
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")), lit(0.0))
           .otherwise(round(expr("regr_slope(ln(v), ln(n))"), 4))
           .as("heaps_beta"),
-        when(min(col("v")) === max(col("v")),
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")),
           round(log(max(col("v"))), 4))
           .otherwise(round(expr("regr_intercept(ln(v), ln(n))"), 4))
           .as("heaps_lnk"),
-        when(min(col("v")) === max(col("v")), lit(1.0))
+        when(count(lit(1)) * sum(col("ly") * col("ly")) === sum(col("ly")) * sum(col("ly")), lit(1.0))
           .otherwise(round(expr("regr_r2(ln(v), ln(n))"), 6))
           .as("r2"),
         max(col("v")).cast("long").as("vocab_final"),
@@ -681,13 +688,13 @@ object TextAnalysis {
              |    sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
              |    sum(ntm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
              |  FROM grid),
-             |fit AS (SELECT v, n FROM cum WHERE n > 0)
+             |fit AS (SELECT v, n, cast(floor(ln(v) * 1e6) as bigint) AS ly FROM cum WHERE n > 0)
              |SELECT
-             |  CASE WHEN min(v) = max(v) THEN 0.0
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN 0.0
              |       ELSE round(regr_slope(ln(v), ln(n)), 4) END AS heaps_beta,
-             |  CASE WHEN min(v) = max(v) THEN round(ln(max(v)), 4)
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN round(ln(max(v)), 4)
              |       ELSE round(regr_intercept(ln(v), ln(n)), 4) END AS heaps_lnk,
-             |  CASE WHEN min(v) = max(v) THEN 1.0
+             |  CASE WHEN count(1) * sum(ly * ly) = sum(ly) * sum(ly) THEN 1.0
              |       ELSE round(regr_r2(ln(v), ln(n)), 6) END AS r2,
              |  cast(max(v) as bigint) AS vocab_final,
              |  cast(max(n) as bigint) AS tokens_final

@@ -200,8 +200,14 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     val kf = options.collectFirst {
       case (k, v) if k.equalsIgnoreCase(EventLogSource.CompactionKeyFieldKey) => v
     }
-    if (!readCompacted) None
-    else {
+    if (!readCompacted) {
+      // a key field without readCompacted=true is a misconfiguration, not
+      // a no-op: the user expected a compacted view and would silently get
+      // the full log — the same silent-disable failure the class rejects
+      require(kf.isEmpty,
+        s"${EventLogSource.CompactionKeyFieldKey} is set but ${EventLogSource.ReadCompactedKey} is not true")
+      None
+    } else {
       val f = kf.getOrElse(throw new IllegalArgumentException(
         s"${EventLogSource.ReadCompactedKey}=true requires ${EventLogSource.CompactionKeyFieldKey} " +
           "(the payload/extractor field acting as the message key)"))
@@ -480,13 +486,24 @@ object EventLogReaderFactory extends PartitionReaderFactory {
     * the row holding the key's HIGHEST offset in the slice; unkeyed rows
     * (key extractor returns None/null) are retained as-is, and retained
     * rows keep their original offset order — Pulsar's compacted-read
-    * contract. State is O(distinct keys), the broker's own bound.
+    * contract. Single streaming pass holding one survivor per key (plus
+    * the retained unkeyed rows): state is O(distinct keys), the broker's
+    * own compaction-ledger bound — never O(slice), however long the
+    * partition's history is.
     */
-  private def compactByKey[R](rows: Seq[(Long, R)], keyOf: R => Option[Any]): Seq[(Long, R)] = {
-    val keyed = rows.map { case (o, r) => (o, r, keyOf(r)) }
-    val last  = scala.collection.mutable.HashMap[Any, Long]()
-    keyed.foreach { case (o, _, k) => k.foreach(last.update(_, o)) }
-    keyed.collect { case (o, r, k) if k.forall(last(_) == o) => (o, r) }
+  private def compactByKey[R](
+      rows: Iterator[(Long, R)],
+      keyOf: R => Option[Any]
+  ): Iterator[(Long, R)] = {
+    val survivors = scala.collection.mutable.LinkedHashMap[Any, (Long, R)]()
+    val unkeyed   = scala.collection.mutable.ArrayBuffer[(Long, R)]()
+    rows.foreach { case (o, r) =>
+      keyOf(r) match {
+        case Some(k) => survivors.update(k, (o, r))
+        case None    => unkeyed += ((o, r))
+      }
+    }
+    (survivors.valuesIterator ++ unkeyed.iterator).toArray.sortBy(_._1).iterator
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -506,17 +523,17 @@ object EventLogReaderFactory extends PartitionReaderFactory {
         // readCompacted on the raw path: the message-key stand-in is a JSON
         // payload field; an unparseable payload or missing field = unkeyed
         // (retained), consistent with Pulsar compacting only keyed messages
-        private val it = (p.compactKeyField match {
-          case None => slice
+        private val it = p.compactKeyField match {
+          case None => slice.iterator
           case Some(kf) =>
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            compactByKey[Array[Byte]](slice, payload =>
+            compactByKey[Array[Byte]](slice.iterator, payload =>
               try {
                 val n = mapper.readTree(payload)
                 val v = if (n == null) null else n.get(kf)
                 if (v == null || v.isNull) None else Some(v.asText())
               } catch { case scala.util.control.NonFatal(_) => None })
-        }).iterator
+        }
         private var current: (Long, Array[Byte]) = _
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
         override def get(): InternalRow = InternalRow(proj.map(_(current)): _*)
@@ -564,8 +581,7 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             case None => decoded
             case Some(kf) =>
               val ki = extIndex(kf)
-              compactByKey[org.apache.spark.sql.Row](
-                decoded.toSeq, row => Option(row.get(ki))).iterator
+              compactByKey[org.apache.spark.sql.Row](decoded, row => Option(row.get(ki)))
           }
         }
         private var current: InternalRow = _

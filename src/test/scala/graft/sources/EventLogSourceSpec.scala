@@ -378,6 +378,17 @@ class EventLogSourceSpec extends AnyFunSuite {
         .load()
     }
     assert(badField.getMessage.contains("nope"))
+    // a key field WITHOUT readCompacted is a misconfiguration, not a no-op:
+    // serving the full log to a user who asked for a compacted view is the
+    // silent-disable failure the config-time validation exists to prevent
+    val orphanKey = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+        .load()
+    }
+    assert(orphanKey.getMessage.contains(EventLogSource.ReadCompactedKey))
   }
 
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
