@@ -793,6 +793,10 @@ object Dedup {
         ).as("e")
       )
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+      // referenced twice (first-occurrence agg AND the dup probe side):
+      // materialize the gram stream once or the corpus-wide explode runs
+      // twice — the transition-matrix lesson, applied here
+      .pin()
     val first = pg
       .groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
@@ -1352,6 +1356,9 @@ object Dedup {
         val fps = winnowSelected(Tables.fanout(Tables.documents(s, dir)), k = 4, w = 5)
           .select(col("doc_id"), col("sel.h").as("h"))
           .distinct()
+          // referenced twice (set sizes AND the pair generator): one
+          // materialization, not two selection passes
+          .pin()
         val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
         val pairs = cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
             "graft.winnow_pairs", MaxLshBucket)

@@ -491,7 +491,7 @@ object EventLogReaderFactory extends PartitionReaderFactory {
     * own compaction-ledger bound — never O(slice), however long the
     * partition's history is.
     */
-  private def compactByKey[R](
+  private[sources] def compactByKey[R](
       rows: Iterator[(Long, R)],
       keyOf: R => Option[Any]
   ): Iterator[(Long, R)] = {

@@ -567,6 +567,19 @@ class PlanSpec extends AnyFunSuite {
       "only the final tiny-census ordering may sort")
   }
 
+  test("exact-substring dedup and winnow matcher derive their expensive stream once") {
+    // both frames are referenced twice (first-occurrence agg + dup probe;
+    // set sizes + pair generator): the pinned materialization means the
+    // executed query plan must NOT contain a second explode re-deriving
+    // the gram/fingerprint stream from the source
+    assert(countNodes(q("q_dedup_exact_substr"), "Generate") <= 1,
+      "the 13-gram window explode must run once, not once per consumer")
+    // the one allowed Generate is the pair explode over the CAPPED bucket
+    // arrays (bounded by MaxLshBucket) — never the corpus gram stream
+    assert(countNodes(q("q_dedup_winnow_matches"), "Generate") <= 1,
+      "the matcher must read the pinned fingerprint set, not re-winnow the corpus")
+  }
+
   test("zipf/heaps corpus fits: one token explode feeds the whole pipeline") {
     // the token explode is the expensive map fan-out; counts, first-seen
     // steps and the log-log fit must all derive from ONE Generate — a

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Properties of the readCompacted reader-side compaction: for ANY message
+  * sequence (strictly increasing offsets; keys optional), the compacted
+  * slice must equal Pulsar's compacted-read contract — one survivor per
+  * key (the key's highest offset), every unkeyed message retained, and
+  * retained messages in offset order.
+  */
+object CompactByKeyProps extends Properties("compactByKey") {
+
+  // a log slice: strictly increasing offsets, each payload = optional key
+  private val slices: Gen[List[(Long, Option[String])]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 1L << 40), Gen.option(Gen.oneOf("a", "b", "c", "d", "e"))))
+      .map(_.distinctBy(_._1).sortBy(_._1))
+
+  private def compact(rows: List[(Long, Option[String])]): List[(Long, Option[String])] =
+    EventLogReaderFactory
+      .compactByKey[Option[String]](rows.iterator, identity)
+      .toList
+
+  property("one survivor per key, holding the key's highest offset") = Prop.forAll(slices) { rows =>
+    val out   = compact(rows)
+    val byKey = out.collect { case (o, Some(k)) => k -> o }
+    byKey.map(_._1).distinct.length == byKey.length &&
+    byKey.forall { case (k, o) =>
+      o == rows.collect { case (ro, Some(rk)) if rk == k => ro }.max
+    }
+  }
+
+  property("every unkeyed message is retained verbatim") = Prop.forAll(slices) { rows =>
+    compact(rows).filter(_._2.isEmpty) == rows.filter(_._2.isEmpty)
+  }
+
+  property("retained messages keep offset order and are a subset of the input") =
+    Prop.forAll(slices) { rows =>
+      val out = compact(rows)
+      out.map(_._1) == out.map(_._1).sorted && out.toSet.subsetOf(rows.toSet)
+    }
+
+  property("compacting a compacted slice is a no-op (idempotence)") = Prop.forAll(slices) { rows =>
+    val once = compact(rows)
+    compact(once) == once
+  }
+
+  property("key set is preserved: no key vanishes, none appears") = Prop.forAll(slices) { rows =>
+    compact(rows).flatMap(_._2).toSet == rows.flatMap(_._2).toSet
+  }
+}
