@@ -52,7 +52,9 @@ object CorpusPipeline {
       nOut: Long,
       nDroppedRules: Long = 0L,
       nDroppedSegEmpty: Long = 0L,
-      nSegmentsDropped: Long = 0L
+      nSegmentsDropped: Long = 0L,
+      nDroppedSubstrEmpty: Long = 0L,
+      nDupTokensCut: Long = 0L
   )
 
   def run(
@@ -63,7 +65,8 @@ object CorpusPipeline {
       compactTargetBytes: Option[Long] = None,
       gopherRules: Boolean = false,
       segmentRewriteLen: Option[Int] = None,
-      keepBestQuality: Boolean = false
+      keepBestQuality: Boolean = false,
+      exactSubstrMinLen: Option[Int] = None
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -166,9 +169,40 @@ object CorpusPipeline {
     }
     val nRewritten = if (segmentRewriteLen.isDefined) nNear - nSegDocs else nNear
 
+    // 3c. optional TRUE exact-substring rewrite (Dedup.exactSubstrDedup):
+    // the finer companion to 3b — duplicated >= minLen-token SLIDING
+    // windows are cut from all but their corpus-wide first occurrence, so
+    // copied runs that STRADDLE 3b's fixed segment boundaries (or repeat
+    // within one doc) are removed too. Runs last among the rewrite stages
+    // because it is the most expensive per surviving byte; docs cut to
+    // nothing drop with their own accounting, and the total duplicated
+    // tokens removed is the rewrite's no-silent-edit observability.
+    val (substrOut, nSubEmpty, nTokensCut) = exactSubstrMinLen match {
+      case Some(len) =>
+        val reb = Dedup
+          .exactSubstrDedup(rewritten, len)
+          .select(col("doc_id"), col("rebuilt"), col("n_dup_tokens"))
+        val joined = rewritten
+          .drop("text")
+          .join(reb.withColumnRenamed("rebuilt", "text"), "doc_id")
+          .pin() // two consumers below (stats agg + survivors)
+        val agg = joined
+          .agg(
+            coalesce(sum(when(col("text") === "", 1L).otherwise(0L)), lit(0L)).as("empty"),
+            coalesce(sum(col("n_dup_tokens")), lit(0L)).as("cut")
+          )
+          .head()
+        val out = joined
+          .filter(col("text") =!= "")
+          .select(docs.columns.toIndexedSeq.map(col): _*)
+        (out, agg.getLong(0), agg.getLong(1))
+      case None => (rewritten, 0L, 0L)
+    }
+    val nFinal = nRewritten - nSubEmpty
+
     // 4. deterministic split assignment (same rule as q_split_assign)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
-    val split = rewritten.withColumn(
+    val split = substrOut.withColumn(
       "split",
       when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
     )
@@ -204,10 +238,12 @@ object CorpusPipeline {
       nDroppedQuality = nIn - nKeptQ,
       nDroppedExact = nKeptR - nExact,
       nDroppedNearDup = nExact - nNear,
-      nOut = nRewritten,
+      nOut = nFinal,
       nDroppedRules = nKeptQ - nKeptR,
       nDroppedSegEmpty = nSegDocs,
-      nSegmentsDropped = nSegsDropped
+      nSegmentsDropped = nSegsDropped,
+      nDroppedSubstrEmpty = nSubEmpty,
+      nDupTokensCut = nTokensCut
     )
   }
 

@@ -115,6 +115,44 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedSegEmpty === 0L && plain.nSegmentsDropped === 0L)
   }
 
+  test("exact-substring stage: a copy straddling segment boundaries is cut; funnel extended, off by default") {
+    val out = Files.createTempDirectory("pipeline-substr").toString + "/corpus"
+    // doc B embeds a 13-token run copied from doc A at an UNALIGNED
+    // offset: the run crosses every 8-token segment boundary, so the
+    // segment stage (also on) misses it — only the sliding-window pass
+    // cuts it. Both docs otherwise unique and long enough for quality.
+    val runTok = (1 to 13).map(i => s"copyrun$i")
+    val aDoc   = (1 to 25).map(i => s"alfa$i") ++ runTok ++ (1 to 25).map(i => s"bravo$i")
+    val bDoc   = (1 to 22).map(i => s"golf$i") ++ runTok ++ (1 to 28).map(i => s"hotel$i")
+    val planted = Seq(
+      (920001L, aDoc.mkString(" "), "en", "substr"),
+      (920002L, bDoc.mkString(" "), "en", "substr")
+    ).toDF("doc_id", "text", "lang", "source")
+    val stats = CorpusPipeline.run(
+      corpus.union(planted), out,
+      segmentRewriteLen = Some(8), exactSubstrMinLen = Some(13))
+
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup +
+      stats.nDroppedSegEmpty + stats.nDroppedSubstrEmpty + stats.nOut,
+      s"conservation must include the substring stage: $stats")
+    assert(stats.nDupTokensCut >= 13L, s"the straddling run's tokens must be counted: $stats")
+
+    val texts = spark.read.parquet(out)
+      .filter(col("source") === "substr")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(texts(920001L).contains("copyrun1"), "the first occurrence keeps its run")
+    assert(!texts(920002L).contains("copyrun1"), s"the later copy must be cut: ${texts(920002L).take(100)}")
+    assert(texts(920002L).contains("golf1") && texts(920002L).contains("hotel1"),
+      "unique content survives the rewrite")
+
+    // default path unchanged: stage off, fields stay 0
+    val plain = CorpusPipeline.run(corpus, Files.createTempDirectory("pipeline-nosub").toString + "/corpus")
+    assert(plain.nDroppedSubstrEmpty === 0L && plain.nDupTokensCut === 0L)
+  }
+
   test("keepBestQuality: the cleaner near-dup copy survives regardless of id order") {
     // A (small id) ends in a junk token, B (large id) in a real word ->
     // same shingle mass (near-dups) but quality(B) > quality(A) via the
