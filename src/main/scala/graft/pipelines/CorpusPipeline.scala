@@ -459,6 +459,109 @@ object CorpusPipeline {
       .start()
   }
 
+  /** Streaming CONTAINMENT detection on arrival via winnowing fingerprints
+    * — the capability the MinHash band index of [[runStreamingNearDup]]
+    * structurally lacks: a long new doc QUOTING a paragraph from a prior
+    * survivor has low global Jaccard (no band collision) but is exactly
+    * what the winnow guarantee catches — any shared run of >= w+k-1 = 8
+    * tokens contributes a common selected fingerprint. Each arriving doc's
+    * fingerprint set probes a durable fingerprint index of prior
+    * survivors; a doc sharing >= `minShared` fingerprints with any single
+    * prior survivor (or with a smaller-id doc in its own batch) drops.
+    * First-arrival-wins, like the band stream.
+    *
+    * The index REUSES the near-dup index machinery wholesale by storing
+    * fingerprints in the same (doc_id, band_idx = 0, band = h) schema:
+    * per-batch `batch_id=N` overwrite dirs (replay-safe, current batch
+    * excluded from the probe), [[bandPrefix]]-pruned `base/` layout via
+    * the SAME [[relayoutNearDupIndex]] maintenance job, and
+    * [[recoverIndexBase]] healing — one hardened index implementation,
+    * two candidate keys. Within-batch pairs go through the shared
+    * [[graft.operators.Dedup.cappedBucketPairs]] guard (observable
+    * `graft.stream_winnow_pairs` metric), so a viral fingerprint cannot go
+    * quadratic inside a batch either.
+    */
+  def runStreamingWinnow(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      indexPath: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType = graft.sources.JsonlCorpus.documentsSchema,
+      minQuality: Double = 0.3,
+      minShared: Int = 2,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    locally {
+      val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
+      val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(idxRoot)) recoverIndexBase(fs, idxRoot)
+    }
+    val raw = graft.sources.JsonlCorpus
+      .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
+      .observe(
+        "winnow_ingest",
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("_corrupt"), 1L).otherwise(0L)), lit(0L)).as("n_malformed")
+      )
+      .filter(!col("_corrupt"))
+      .drop("_corrupt")
+    val kept = TextAnalysis
+      .qualityFrame(raw)
+      .filter(col("quality") >= minQuality)
+      .select(raw.columns.toIndexedSeq.map(col): _*)
+    kept.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.pin() // referenced by fingerprints AND the survivor anti-join
+          val fps = Dedup
+            .winnowSelected(b, k = 4, w = 5)
+            .select(col("doc_id"), col("sel.h").as("h"))
+            .distinct()
+            .pin() // probe, within-batch pairs, and the index append all read it
+          val bands = fps.select(col("doc_id"), lit(0).as("band_idx"), col("h").as("band"))
+          val prior = priorNearDupIndex(
+            s,
+            indexPath,
+            batchId,
+            bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq
+          )
+          // >= minShared fingerprints in common with ONE prior survivor —
+          // per-(new, prior) counting join, not a bare semi-join: a single
+          // accidental hash collision with some old doc must not drop a doc
+          val priorDupIds = prior.map { idx =>
+            bands
+              .join(idx.withColumnRenamed("doc_id", "prior_id"), Seq("band_idx", "band"))
+              .groupBy(col("doc_id"), col("prior_id"))
+              .agg(count(lit(1)).as("shared"))
+              .filter(col("shared") >= minShared)
+              .select(col("doc_id"))
+              .distinct()
+          }
+          // within-batch: shared-fingerprint pairs, smallest id wins
+          val withinDupIds = Dedup
+            .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
+              "graft.stream_winnow_pairs", Dedup.MaxLshBucket)
+            .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+            .agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= minShared)
+            .select(col("doc_b").as("doc_id"))
+            .distinct()
+          val dropIds = priorDupIds
+            .fold(withinDupIds)(p => p.union(withinDupIds).distinct())
+            .pin() // consumed by BOTH anti-joins below
+          b.join(dropIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          bands
+            .join(dropIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Band-prefix partition value for the near-dup survivor index: first two
     * hex chars of the 32-char md5 band → 256 partitions, uniform by
     * construction. The leading literal keeps Spark's hive partition-value

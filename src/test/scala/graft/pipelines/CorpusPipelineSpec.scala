@@ -512,6 +512,93 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow containment: quoting a prior survivor drops on arrival; within-batch quotes drop the larger id") {
+    val dir  = Files.createTempDirectory("pipeline-winnow").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    // a 20-token run guarantees >= 3 distinct shared winnow fingerprints
+    // (13 full windows inside the run, one gram selectable by at most 5),
+    // clearing minShared = 2 deterministically
+    val run = (1 to 20).map(i => s"quoted$i").mkString(" ")
+    def uniq(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    val d1  = s"${uniq("alpha", 20)} $run ${uniq("beta", 20)}"
+    val d2  = s"${uniq("gamma", 15)} $run ${uniq("delta", 25)}"   // quotes d1, same batch
+    val d5  = uniq("epsilon", 50)                                 // unrelated
+    val d10 = s"${uniq("zeta", 18)} $run ${uniq("eta", 22)}"      // quotes d1, later batch
+    val d11 = uniq("theta", 50)                                   // fresh
+
+    landFile("b0.jsonl", doc(1, d1), doc(2, d2), doc(5, d5))
+    val q = CorpusPipeline.runStreamingWinnow(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt", minQuality = 0.0)
+    try {
+      q.processAllAvailable()
+      landFile("b1.jsonl", doc(10, d10), doc(11, d11))
+      q.processAllAvailable()
+
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 5L, 11L),
+        s"within-batch quote 2 drops (smaller id 1 wins), cross-batch quote 10 drops via the index: $ids")
+
+      // the fingerprint index carries SURVIVORS only, in the shared
+      // (doc_id, band_idx, band) schema the relayout machinery folds
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 5L, 11L))
+      assert(idx.select("band_idx").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+
+      // the band (global-similarity) stream on the SAME landing data KEEPS
+      // the quoting docs — global Jaccard is low — which is precisely the
+      // gap the winnow stream closes; both answers are deterministic
+      val q2 = CorpusPipeline.runStreamingNearDup(
+        spark, land, s"$dir/corpus2", s"$dir/index2", s"$dir/ckpt2", minQuality = 0.0)
+      try {
+        q2.processAllAvailable()
+        val bandIds = spark.read.parquet(s"$dir/corpus2")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(bandIds.contains(10L) && bandIds.contains(2L),
+          s"the band index must MISS the low-Jaccard quotes the winnow stream catches: $bandIds")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("winnow fingerprint index folds through the shared relayout; the pruned base still catches quotes") {
+    val dir  = Files.createTempDirectory("pipeline-winnow-relayout").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    def start() = CorpusPipeline.runStreamingWinnow(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt", minQuality = 0.0)
+    val run = (1 to 20).map(i => s"folded$i").mkString(" ")
+    def uniq(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+
+    landFile("b0.jsonl", doc(1, s"${uniq("iota", 20)} $run ${uniq("kappa", 20)}"))
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+
+    // the SAME maintenance job as the band index — one hardened relayout
+    CorpusPipeline.relayoutNearDupIndex(spark, s"$dir/index")
+    val rootNames = new java.io.File(s"$dir/index").listFiles().map(_.getName).toSet
+    assert(!rootNames.exists(_.startsWith("batch_id=")), s"tail dirs must fold into the base: $rootNames")
+
+    // a quote arriving AFTER the fold must still drop — through the
+    // partition-pruned base, since no tail dirs remain
+    landFile("b1.jsonl", doc(10, s"${uniq("lambda", 18)} $run ${uniq("mu", 22)}"), doc(11, uniq("nu", 50)))
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val ids = spark.read.parquet(s"$dir/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 11L),
+      s"10 must collide with folded survivor 1 through the pruned base: $ids")
+  }
+
   test("streaming near-dup survives stop/restart: checkpoint resumes, index state carries across generations") {
     val dir  = Files.createTempDirectory("pipeline-neardup-restart").toString
     val land = s"$dir/landing"
