@@ -179,10 +179,15 @@ object CorpusPipeline {
     // tokens removed is the rewrite's no-silent-edit observability.
     val (substrOut, nSubEmpty, nTokensCut) = exactSubstrMinLen match {
       case Some(len) =>
+        // `rewritten` is consumed THREE times here (the gram source and the
+        // rebuild base inside exactSubstrDedup, plus the join's left side);
+        // without the segment stage it is the whole quality->exact->LSH->CC
+        // chain — pin it or the chain runs three times
+        val in = rewritten.pin()
         val reb = Dedup
-          .exactSubstrDedup(rewritten, len)
+          .exactSubstrDedup(in, len)
           .select(col("doc_id"), col("rebuilt"), col("n_dup_tokens"))
-        val joined = rewritten
+        val joined = in
           .drop("text")
           .join(reb.withColumnRenamed("rebuilt", "text"), "doc_id")
           .pin() // two consumers below (stats agg + survivors)
@@ -397,66 +402,27 @@ object CorpusPipeline {
       maxFilesPerTrigger: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.TextShared.NumBands
-    // Heal a relayout torn by a crashed maintenance run BEFORE any batch
-    // probes the index (a torn state parks the only base copy at a
-    // dot-prefixed path the probe would miss).
-    locally {
-      val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
-      val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(idxRoot)) recoverIndexBase(fs, idxRoot)
-    }
-    val raw = graft.sources.JsonlCorpus
-      .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
-      .observe(
-        "neardup_ingest",
-        count(lit(1)).as("n_lines"),
-        coalesce(sum(when(col("_corrupt"), 1L).otherwise(0L)), lit(0L)).as("n_malformed")
-      )
-      .filter(!col("_corrupt"))
-      .drop("_corrupt")
-    val kept = TextAnalysis
-      .qualityFrame(raw)
-      .filter(col("quality") >= minQuality)
-      .select(raw.columns.toIndexedSeq.map(col): _*)
-    kept.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          val b = batch.pin() // referenced by signatures AND the survivor anti-join
-          val sig = Dedup.signatures(b).pin()
-          val bands = sig.select(
-            col("doc_id"),
-            posexplode(array((0 until NumBands).map(i => col(s"band$i")): _*))
-              .as(Seq("band_idx", "band"))
-          )
-          val prior = priorNearDupIndex(
-            s,
-            indexPath,
-            batchId,
-            // the batch's own band prefixes — what the base probe can prune
-            // to; bounded by min(4·|batch|, 256) values, so this collect is
-            // a fixed-size driver action, not a data collect
-            bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq
-          )
-          val priorDupIds = prior.map { idx =>
-            bands.join(idx, Seq("band_idx", "band"), "left_semi").select(col("doc_id")).distinct()
-          }
-          val withinDupIds = Dedup
-            .clusters(Dedup.pairsFromSignatures(sig))
-            .filter(col("label") =!= col("doc_id"))
-            .select(col("doc_id"))
-          val dropIds = priorDupIds
-            .fold(withinDupIds)(p => p.union(withinDupIds).distinct())
-            .pin() // consumed by BOTH anti-joins below
-          b.join(dropIds, Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-          bands
-            .join(dropIds, Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
-        }
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    streamingIndexDedup(
+      spark, inPath, outPath, indexPath, checkpoint, schema, minQuality,
+      maxFilesPerTrigger, ingestMetric = "neardup_ingest")(
+      perBatch = { b =>
+        val sig = Dedup.signatures(b).pin()
+        val bands = sig.select(
+          col("doc_id"),
+          posexplode(array((0 until NumBands).map(i => col(s"band$i")): _*))
+            .as(Seq("band_idx", "band"))
+        )
+        val within = Dedup
+          .clusters(Dedup.pairsFromSignatures(sig))
+          .filter(col("label") =!= col("doc_id"))
+          .select(col("doc_id"))
+        (bands, within, Seq(sig))
+      },
+      // ANY band collision with a prior survivor drops (LSH semantics);
+      // the semi-join is duplicate-insensitive by construction
+      priorDrop = (bands, idx) =>
+        bands.join(idx, Seq("band_idx", "band"), "left_semi").select(col("doc_id")).distinct()
+    )
   }
 
   /** Streaming CONTAINMENT detection on arrival via winnowing fingerprints
@@ -491,7 +457,75 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       minShared: Int = 2,
       maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingIndexDedup(
+      spark, inPath, outPath, indexPath, checkpoint, schema, minQuality,
+      maxFilesPerTrigger, ingestMetric = "winnow_ingest")(
+      perBatch = { b =>
+        val fps = Dedup
+          .winnowSelected(b, k = 4, w = 5)
+          .select(col("doc_id"), col("sel.h").as("h"))
+          .distinct()
+          .pin() // within-batch pairs AND the bands projection read it
+        val bands = fps.select(col("doc_id"), lit(0).as("band_idx"), col("h").as("band"))
+        // within-batch: shared-fingerprint pairs, smallest id wins
+        val within = Dedup
+          .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
+            "graft.stream_winnow_pairs", Dedup.MaxLshBucket)
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+        (bands, within, Seq(fps))
+      },
+      // >= minShared DISTINCT fingerprints in common with ONE prior
+      // survivor — countDistinct, not a raw row count: the index can
+      // legitimately hold duplicate rows for a survivor (e.g. a relayout
+      // crash window leaves a fingerprint in both a folded tail dir and
+      // the base), and double-counted rows must not let a single
+      // accidental collision clear the minShared bar
+      priorDrop = (bands, idx) =>
+        bands
+          .join(idx.withColumnRenamed("doc_id", "prior_id"), Seq("band_idx", "band"))
+          .groupBy(col("doc_id"), col("prior_id"))
+          .agg(countDistinct(col("band")).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select(col("doc_id"))
+          .distinct()
+    )
+
+  /** The ONE hardened streaming index-dedup driver both arrival streams
+    * share — index recovery, counted JSONL ingest, quality filter, the
+    * replay-safe per-batch probe/write protocol, and per-batch cache
+    * reclamation all live here exactly once; [[runStreamingNearDup]] and
+    * [[runStreamingWinnow]] differ only in their candidate key
+    * (`perBatch`: pinned batch -> (bands, within-batch drop ids, extra
+    * pinned frames to reclaim)) and their prior-collision rule
+    * (`priorDrop`: (bands, prior index) -> drop ids).
+    *
+    * Per-batch pins are UNPINNED after the two writes commit: a
+    * long-running stream must not accumulate one cached frame per
+    * micro-batch forever (persist'd plans are held by Spark's
+    * CacheManager, never reclaimed by GC).
+    */
+  private def streamingIndexDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      indexPath: String,
+      checkpoint: String,
+      schema: org.apache.spark.sql.types.StructType,
+      minQuality: Double,
+      maxFilesPerTrigger: Option[Int],
+      ingestMetric: String
+  )(
+      perBatch: DataFrame => (DataFrame, DataFrame, Seq[DataFrame]),
+      priorDrop: (DataFrame, DataFrame) => DataFrame
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Heal a relayout torn by a crashed maintenance run BEFORE any batch
+    // probes the index (a torn state parks the only base copy at a
+    // dot-prefixed path the probe would miss).
     locally {
       val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
       val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -500,7 +534,7 @@ object CorpusPipeline {
     val raw = graft.sources.JsonlCorpus
       .readStreamCounted(spark, inPath, schema, maxFilesPerTrigger)
       .observe(
-        "winnow_ingest",
+        ingestMetric,
         count(lit(1)).as("n_lines"),
         coalesce(sum(when(col("_corrupt"), 1L).otherwise(0L)), lit(0L)).as("n_malformed")
       )
@@ -514,48 +548,28 @@ object CorpusPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val b = batch.pin() // referenced by fingerprints AND the survivor anti-join
-          val fps = Dedup
-            .winnowSelected(b, k = 4, w = 5)
-            .select(col("doc_id"), col("sel.h").as("h"))
-            .distinct()
-            .pin() // probe, within-batch pairs, and the index append all read it
-          val bands = fps.select(col("doc_id"), lit(0).as("band_idx"), col("h").as("band"))
+          val b = batch.pin() // referenced by the candidate pass AND the survivor anti-join
+          val (bands, within, extraPinned) = perBatch(b)
           val prior = priorNearDupIndex(
             s,
             indexPath,
             batchId,
+            // the batch's own band prefixes — what the base probe can prune
+            // to; bounded by min(bands-per-doc·|batch|, 256) values, so this
+            // collect is a fixed-size driver action, not a data collect
             bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq
           )
-          // >= minShared fingerprints in common with ONE prior survivor —
-          // per-(new, prior) counting join, not a bare semi-join: a single
-          // accidental hash collision with some old doc must not drop a doc
-          val priorDupIds = prior.map { idx =>
-            bands
-              .join(idx.withColumnRenamed("doc_id", "prior_id"), Seq("band_idx", "band"))
-              .groupBy(col("doc_id"), col("prior_id"))
-              .agg(count(lit(1)).as("shared"))
-              .filter(col("shared") >= minShared)
-              .select(col("doc_id"))
-              .distinct()
-          }
-          // within-batch: shared-fingerprint pairs, smallest id wins
-          val withinDupIds = Dedup
-            .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
-              "graft.stream_winnow_pairs", Dedup.MaxLshBucket)
-            .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-            .agg(count(lit(1)).as("shared"))
-            .filter(col("shared") >= minShared)
-            .select(col("doc_b").as("doc_id"))
-            .distinct()
-          val dropIds = priorDupIds
-            .fold(withinDupIds)(p => p.union(withinDupIds).distinct())
+          val dropIds = prior
+            .map(priorDrop(bands, _))
+            .fold(within)(p => p.union(within).distinct())
             .pin() // consumed by BOTH anti-joins below
           b.join(dropIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
           bands
             .join(dropIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          // both writes committed: reclaim this batch's cached frames
+          (Seq(dropIds, b) ++ extraPinned).foreach(graft.Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -76,11 +76,14 @@ class DedupDifferentialSpec extends AnyFunSuite {
     val base = (0 until nDocs).map { i =>
       i.toLong -> randomDoc(8 + rng.nextInt(40))
     }
-    // splice copied spans into half the docs to force real duplicate runs
+    // splice copied spans into half the docs to force real duplicate runs;
+    // the donor must itself be long enough to yield a >= 13-token span, or
+    // the splice plants no guaranteed duplicate run
+    val donors = base.filter(_._2.length >= 19)
     base.map { case (id, t) =>
-      if (id % 2 == 1 && base.head._2.length >= 15) {
-        val donor = base(rng.nextInt(base.length))._2
-        val span  = donor.take(math.min(donor.length, 13 + rng.nextInt(6)))
+      if (id % 2 == 1 && donors.nonEmpty) {
+        val donor = donors(rng.nextInt(donors.length))._2
+        val span  = donor.take(13 + rng.nextInt(6))
         val cut   = rng.nextInt(t.length + 1)
         id -> (t.take(cut) ++ span ++ t.drop(cut)).mkString(" ")
       } else id -> t.mkString(" ")
