@@ -482,6 +482,67 @@ object IvfSimilarity {
               |ORDER BY 2, 1""".stripMargin)
     ),
     QueryDef(
+      "q_sim_pq_recall",
+      "gate-visible RECALL AUDIT of the PQ quantizer: top-10 by ADC over the codes vs the brute-force exact-L2 top-10 — one row (k, hits, recall@10), the post-(re)build health number an ANN deployment tracks (quantizer recall collapsing after a codebook retrain is the silent PQ failure mode). Scale shape: the ADC side scans only the code frame with a broadcast 32-row table; the exact side is the map-only decimal scoring pass; the intersection joins two 10-row frames",
+      (s, dir) => {
+        val c     = comp(s, dir)
+        val cent  = pqCent(s, dir)
+        val codes = pqCodes(s, dir)
+        val sub   = floor((col("d") - 1) / 16).cast("int")
+        val qpq = c
+          .filter(col("vec_id") === 0)
+          .select(sub.as("sub"), (col("d") - lit(16) * sub).as("dl"), col("x").as("qx"))
+        val dtab = cent
+          .join(broadcast(qpq), Seq("sub", "dl"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sumTerm((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dq"))
+        val adcTop = codes
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(dtab), Seq("sub", "cid"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("dq")).as("adc"))
+          .orderBy(col("adc"), col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+        val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        val exactTop = c
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(qComp), "d")
+          .groupBy(col("vec_id"))
+          .agg(sumTerm((col("x") - col("qx")) * (col("x") - col("qx"))).as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+        exactTop
+          .join(adcTop, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(10L).as("k"), col("hits"), (col("hits") / lit(10.0)).as("recall"))
+      },
+      Some(s"""WITH $pqSql,
+              |qpq AS (SELECT sub, dl, x AS qx FROM pqcomp WHERE vec_id = 0),
+              |dtab AS (
+              |  SELECT k.sub, k.cid,
+              |    sum(cast((q.qx - k.cx) * (q.qx - k.cx) as decimal(18,12))) AS dq
+              |  FROM pcent2 k JOIN qpq q ON q.sub = k.sub AND q.dl = k.dl
+              |  GROUP BY 1, 2),
+              |adctop AS (SELECT vec_id FROM (
+              |    SELECT a.vec_id, row_number() OVER (ORDER BY sum(t.dq), a.vec_id) AS rn
+              |    FROM pa2 a JOIN dtab t ON t.sub = a.sub AND t.cid = a.cid
+              |    WHERE a.vec_id <> 0 GROUP BY a.vec_id) x
+              |  WHERE rn <= 10),
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |exacttop AS (SELECT vec_id FROM (
+              |    SELECT c.vec_id,
+              |      row_number() OVER (
+              |        ORDER BY sum(cast((c.x - q.qx) * (c.x - q.qx) as decimal(18,12))), c.vec_id) AS rn
+              |    FROM comp c JOIN qcomp q ON q.d = c.d
+              |    WHERE c.vec_id <> 0 GROUP BY c.vec_id) y
+              |  WHERE rn <= 10)
+              |SELECT cast(10 as bigint) AS k,
+              |  (SELECT count(1) FROM exacttop JOIN adctop USING (vec_id)) AS hits,
+              |  (SELECT count(1) FROM exacttop JOIN adctop USING (vec_id)) / 10.0 AS recall""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_ivfpq_probe",
       s"IVF-PQ probe — the full Faiss IVFPQ composition: the coarse IVF quantizer prunes to the query's cluster (~1/$K of the corpus via inverted-file partition pruning), then ADC ranks ONLY the members' PQ codes against the broadcast distance table. Both index artifacts are reused as built (coarse assignments + subspace codes); the scan touches cluster-member code rows only — at 10^9 vectors that is 1/$K of a 3-bit-per-subspace frame, the shape that serves million-QPS ANN from RAM",
       (s, dir) => {
