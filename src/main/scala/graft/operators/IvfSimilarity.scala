@@ -413,13 +413,18 @@ object IvfSimilarity {
           .groupBy(col("sub"), col("cid"))
           .agg(
             count(lit(1)).as("n_members"),
-            sum(col("dist")).cast("double").as("sum_qerr"),
+            // rounded at 6: the (x-cx)^2 terms carry ~15 significant digits
+            // into their decimal(18,12) casts, so at large member counts a
+            // single term rounding differently across engines can flip the
+            // raw sum's 12th decimal (observed at sf0.1) — the 1e-6 wrap
+            // absorbs it, same convention as every cosine/distance output
+            round(sum(col("dist")).cast("double"), 6).as("sum_qerr"),
             min(col("vec_id")).as("first_vec")
           )
           .orderBy(col("sub"), col("cid")),
       Some(s"""WITH $pqSql
               |SELECT sub, cid, count(1) AS n_members,
-              |  cast(cast(sum(dist) as varchar) as double) AS sum_qerr,
+              |  round(cast(cast(sum(dist) as varchar) as double), 6) AS sum_qerr,
               |  min(vec_id) AS first_vec
               |FROM pa2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
@@ -663,16 +668,19 @@ object IvfSimilarity {
           .groupBy(col("cid"))
           .agg(
             count(lit(1)).as("n_members"),
-            // exact decimal total emitted as double; the oracle's varchar
-            // bridge keeps DuckDB's int128 -> double conversion correctly
-            // rounded like Spark's BigDecimal path
-            sum(col("dist")).cast("double").as("sum_dist"),
+            // decimal total emitted as rounded double (oracle mirrors via
+            // the varchar bridge): the (x-cx)^2 terms carry ~15 significant
+            // digits into their decimal(18,12) casts, so at large member
+            // counts one term can round differently across engines and flip
+            // the raw sum's last decimal — q_sim_pq_codes hit exactly that
+            // at sf0.1; the 1e-6 wrap absorbs it
+            round(sum(col("dist")).cast("double"), 6).as("sum_dist"),
             min(col("vec_id")).as("first_vec")
           )
           .orderBy(col("cid")),
       Some(s"""WITH $assignmentsSql
               |SELECT cid, count(1) AS n_members,
-              |  cast(cast(sum(dist) as varchar) as double) AS sum_dist,
+              |  round(cast(cast(sum(dist) as varchar) as double), 6) AS sum_dist,
               |  min(vec_id) AS first_vec
               |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin)
     ),
