@@ -54,7 +54,8 @@ object CorpusPipeline {
       nDroppedSegEmpty: Long = 0L,
       nSegmentsDropped: Long = 0L,
       nDroppedSubstrEmpty: Long = 0L,
-      nDupTokensCut: Long = 0L
+      nDupTokensCut: Long = 0L,
+      nDroppedContainment: Long = 0L
   )
 
   def run(
@@ -66,7 +67,9 @@ object CorpusPipeline {
       gopherRules: Boolean = false,
       segmentRewriteLen: Option[Int] = None,
       keepBestQuality: Boolean = false,
-      exactSubstrMinLen: Option[Int] = None
+      exactSubstrMinLen: Option[Int] = None,
+      winnowContainment: Boolean = false,
+      winnowMinShared: Int = 2
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -131,6 +134,35 @@ object CorpusPipeline {
       }
     val nNear = nearDup.count()
 
+    // 3a'. optional CONTAINMENT drop (the batch twin of
+    // [[runStreamingWinnow]]): docs sharing >= winnowMinShared winnow
+    // fingerprints with a SMALLER-id doc drop whole — a long doc quoting
+    // a paragraph from another has low global Jaccard (survives 3) but is
+    // mostly recycled content. Runs before the rewrite stages: a doc
+    // that is a containment duplicate should drop, not be rewritten.
+    // Fingerprint sets are ~2/(w+1) of the gram stream; pairs go through
+    // the shared cappedBucketPairs guard.
+    val (contained, nContain) =
+      if (!winnowContainment) (nearDup, 0L)
+      else {
+        val in = nearDup.pin() // fingerprint source AND the anti-join left side
+        val fps = Dedup
+          .winnowSelected(in, k = 4, w = 5)
+          .select(col("doc_id"), col("sel.h").as("h"))
+          .distinct()
+        val dropIds = Dedup
+          .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
+            "graft.pipeline_winnow_pairs", Dedup.MaxLshBucket)
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= winnowMinShared)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+        val out = in.join(dropIds, Seq("doc_id"), "left_anti")
+        val n   = out.count()
+        (out, nNear - n)
+      }
+
     // 3b. optional segment-level rewrite (Dedup.segmentDedup): cross-doc
     // repeated 8-token-window segments — boilerplate banners, license
     // headers, quoted reposts that survived DOC-level dedup because the
@@ -143,13 +175,13 @@ object CorpusPipeline {
     val (rewritten, nSegDocs, nSegsDropped) = segmentRewriteLen match {
       case Some(len) =>
         val reb = Dedup
-          .segmentDedup(nearDup, len)
+          .segmentDedup(contained, len)
           .select(
             col("doc_id"),
             col("rebuilt"),
             (col("n_segs") - col("n_kept")).as("_segs_dropped")
           )
-        val joined = nearDup
+        val joined = contained
           .drop("text")
           .join(reb.withColumnRenamed("rebuilt", "text"), "doc_id")
           .pin() // two consumers below (stats agg + survivors); one materialization
@@ -165,9 +197,9 @@ object CorpusPipeline {
           .filter(col("text") =!= "")
           .select(docs.columns.toIndexedSeq.map(col): _*)
         (out, agg.getLong(0), agg.getLong(1))
-      case None => (nearDup, 0L, 0L)
+      case None => (contained, 0L, 0L)
     }
-    val nRewritten = if (segmentRewriteLen.isDefined) nNear - nSegDocs else nNear
+    val nRewritten = nNear - nContain - nSegDocs
 
     // 3c. optional TRUE exact-substring rewrite (Dedup.exactSubstrDedup):
     // the finer companion to 3b — duplicated >= minLen-token SLIDING
@@ -248,7 +280,8 @@ object CorpusPipeline {
       nDroppedSegEmpty = nSegDocs,
       nSegmentsDropped = nSegsDropped,
       nDroppedSubstrEmpty = nSubEmpty,
-      nDupTokensCut = nTokensCut
+      nDupTokensCut = nTokensCut,
+      nDroppedContainment = nContain
     )
   }
 

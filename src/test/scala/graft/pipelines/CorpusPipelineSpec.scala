@@ -153,6 +153,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedSubstrEmpty === 0L && plain.nDupTokensCut === 0L)
   }
 
+  test("winnowContainment stage: a batch doc quoting another drops whole; funnel extended, off by default") {
+    val out = Files.createTempDirectory("pipeline-contain").toString + "/corpus"
+    // doc B quotes a 20-token run from doc A amid its own unique text:
+    // global Jaccard is low so the LSH near-dup stage keeps both; the
+    // containment stage must drop the larger id whole (not rewrite it)
+    val run  = (1 to 20).map(i => s"quoted$i")
+    val aDoc = ((1 to 20).map(i => s"alfa$i") ++ run ++ (1 to 20).map(i => s"bravo$i")).mkString(" ")
+    val bDoc = ((1 to 18).map(i => s"golf$i") ++ run ++ (1 to 22).map(i => s"hotel$i")).mkString(" ")
+    val planted = Seq(
+      (930001L, aDoc, "en", "contain"),
+      (930002L, bDoc, "en", "contain")
+    ).toDF("doc_id", "text", "lang", "source")
+    val stats = CorpusPipeline.run(corpus.union(planted), out, winnowContainment = true)
+
+    assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup +
+      stats.nDroppedContainment + stats.nOut,
+      s"conservation must include the containment stage: $stats")
+    assert(stats.nDroppedContainment >= 1L, s"the quoting doc must drop: $stats")
+
+    val ids = spark.read.parquet(out)
+      .filter(col("source") === "contain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(930001L), s"smaller id keeps its place, the quoting doc drops whole: $ids")
+
+    // without the stage both survive (LSH alone misses the low-Jaccard quote)
+    val plain = CorpusPipeline.run(
+      corpus.union(planted), Files.createTempDirectory("pipeline-nocontain").toString + "/corpus")
+    assert(plain.nDroppedContainment === 0L)
+    assert(plain.nOut === stats.nOut + stats.nDroppedContainment,
+      "the containment drops are exactly the docs the default path keeps")
+  }
+
   test("keepBestQuality: the cleaner near-dup copy survives regardless of id order") {
     // A (small id) ends in a junk token, B (large id) in a real word ->
     // same shingle mass (near-dups) but quality(B) > quality(A) via the
