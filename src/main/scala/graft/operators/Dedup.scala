@@ -243,6 +243,39 @@ object Dedup {
       )
       .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
 
+  /** Containment drop ids over a distinct winnow-fingerprint frame
+    * (doc_id, h) — THE shared rule for both corpus-pipeline containment
+    * stages (batch and streaming within-batch), so the two twins cannot
+    * drift. A pair qualifies when it shares >= `minShared` fingerprints
+    * AND the shared count reaches `minOverlap` of the SMALLER side's
+    * fingerprint set — the same normalized-overlap criterion as
+    * `q_dedup_winnow_matches`: an absolute count alone would let two long
+    * unrelated docs that both carry a couple of boilerplate runs kill each
+    * other. Qualifying pairs form edges; connected components keep their
+    * smallest-id REPRESENTATIVE (the near-dup stage's rule) — so a doc
+    * never drops for matching another doc that is itself dropped without
+    * the shared content surviving somewhere in the component.
+    */
+  private[graft] def containmentDropIds(
+      fps: org.apache.spark.sql.DataFrame,
+      minShared: Int,
+      minOverlap: Double,
+      metricName: String
+  ): org.apache.spark.sql.DataFrame = {
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val edges = cappedBucketPairs(fps, Seq(col("h")), col("doc_id"), metricName, MaxLshBucket)
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+      .filter(
+        col("shared") >= minShared &&
+          col("shared") >= lit(minOverlap) * least(col("nfp_a"), col("nfp_b"))
+      )
+      .select(col("doc_a"), col("doc_b"))
+    clusters(edges).filter(col("label") =!= col("doc_id")).select(col("doc_id"))
+  }
+
   private[graft] def pairsFromSignatures(
       sig: org.apache.spark.sql.DataFrame,
       maxBucket: Int = MaxLshBucket

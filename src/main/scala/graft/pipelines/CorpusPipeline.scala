@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   *     -> exact dedup      (normalized-fingerprint, keep smallest doc_id)
   *     -> near-dup dedup   (MinHash/LSH candidate pairs -> connected
   *                          components -> keep cluster representative)
+  *     -> containment drop (optional: winnow-fingerprint overlap >=
+  *                          minOverlap of the smaller set — mostly-quoted
+  *                          docs drop whole, components keep their
+  *                          smallest-id representative —
+  *                          [[graft.operators.Dedup.containmentDropIds]])
   *     -> segment rewrite  (optional: cross-doc repeated 8-token segments
   *                          cut out, docs reassembled from survivors —
   *                          [[graft.operators.Dedup.segmentDedup]]; docs
   *                          rebuilt to '' drop)
+  *     -> exact-substring rewrite (optional: duplicated >= minLen-token
+  *                          sliding runs cut from all but their first
+  *                          occurrence — [[graft.operators.Dedup.exactSubstrDedup]])
   *     -> split assignment (deterministic content-hash 80/10/10)
   *     -> partitioned write (hive layout by split, salted file counts)
   *     -> small-files compaction (optional: rewrite each split to
@@ -37,10 +45,11 @@ import org.apache.spark.sql.functions._
   *
   * Returns the per-stage row accounting so callers can assert
   * conservation: n_in = n_dropped_quality + n_dropped_rules +
-  * n_dropped_exact + n_dropped_neardup + n_dropped_seg_empty + n_out
-  * (the rules and segment stages are optional, 0 when disabled;
-  * n_segments_dropped additionally counts segments cut from SURVIVING
-  * docs — an edit metric, outside the row conservation).
+  * n_dropped_exact + n_dropped_neardup + n_dropped_containment +
+  * n_dropped_seg_empty + n_dropped_substr_empty + n_out (every optional
+  * stage contributes 0 when disabled; n_segments_dropped and
+  * n_dup_tokens_cut additionally count EDITS to surviving docs — outside
+  * the row conservation).
   */
 object CorpusPipeline {
 
@@ -69,7 +78,8 @@ object CorpusPipeline {
       keepBestQuality: Boolean = false,
       exactSubstrMinLen: Option[Int] = None,
       winnowContainment: Boolean = false,
-      winnowMinShared: Int = 2
+      winnowMinShared: Int = 2,
+      winnowMinOverlap: Double = 0.5
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -135,13 +145,16 @@ object CorpusPipeline {
     val nNear = nearDup.count()
 
     // 3a'. optional CONTAINMENT drop (the batch twin of
-    // [[runStreamingWinnow]]): docs sharing >= winnowMinShared winnow
-    // fingerprints with a SMALLER-id doc drop whole — a long doc quoting
-    // a paragraph from another has low global Jaccard (survives 3) but is
-    // mostly recycled content. Runs before the rewrite stages: a doc
-    // that is a containment duplicate should drop, not be rewritten.
-    // Fingerprint sets are ~2/(w+1) of the gram stream; pairs go through
-    // the shared cappedBucketPairs guard.
+    // [[runStreamingWinnow]]'s within-batch stage, via the SAME
+    // [[Dedup.containmentDropIds]] rule): docs whose winnow-fingerprint
+    // overlap with another doc reaches winnowMinOverlap of the smaller
+    // set (and >= winnowMinShared absolute) are mostly recycled content —
+    // a mostly-quoted doc has low global Jaccard (survives 3) but drops
+    // here, while a long doc with one small quote keeps its unique
+    // content (the exact-substring stage is the tool for cutting the
+    // quote itself). Qualifying pairs cluster and each component keeps
+    // its smallest-id representative. Runs before the rewrite stages: a
+    // containment duplicate should drop, not be rewritten.
     val (contained, nContain) =
       if (!winnowContainment) (nearDup, 0L)
       else {
@@ -150,15 +163,11 @@ object CorpusPipeline {
           .winnowSelected(in, k = 4, w = 5)
           .select(col("doc_id"), col("sel.h").as("h"))
           .distinct()
-        val dropIds = Dedup
-          .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
-            "graft.pipeline_winnow_pairs", Dedup.MaxLshBucket)
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= winnowMinShared)
-          .select(col("doc_b").as("doc_id"))
-          .distinct()
-        val out = in.join(dropIds, Seq("doc_id"), "left_anti")
+        val dropIds =
+          Dedup.containmentDropIds(fps, winnowMinShared, winnowMinOverlap, "graft.pipeline_winnow_pairs")
+        // pinned: the heavy winnow+cluster chain must run once, not once
+        // per downstream consumer (count + the rewrite stages + the write)
+        val out = in.join(dropIds, Seq("doc_id"), "left_anti").pin()
         val n   = out.count()
         (out, nNear - n)
       }
@@ -489,41 +498,49 @@ object CorpusPipeline {
       schema: org.apache.spark.sql.types.StructType = graft.sources.JsonlCorpus.documentsSchema,
       minQuality: Double = 0.3,
       minShared: Int = 2,
+      minOverlap: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
     streamingIndexDedup(
       spark, inPath, outPath, indexPath, checkpoint, schema, minQuality,
-      maxFilesPerTrigger, ingestMetric = "winnow_ingest")(
+      maxFilesPerTrigger, ingestMetric = "winnow_ingest",
+      indexExtraCols = Seq("nfp"))(
       perBatch = { b =>
         val fps = Dedup
           .winnowSelected(b, k = 4, w = 5)
           .select(col("doc_id"), col("sel.h").as("h"))
           .distinct()
-          .pin() // within-batch pairs AND the bands projection read it
-        val bands = fps.select(col("doc_id"), lit(0).as("band_idx"), col("h").as("band"))
-        // within-batch: shared-fingerprint pairs, smallest id wins
-        val within = Dedup
-          .cappedBucketPairs(fps, Seq(col("h")), col("doc_id"),
-            "graft.stream_winnow_pairs", Dedup.MaxLshBucket)
-          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= minShared)
-          .select(col("doc_b").as("doc_id"))
-          .distinct()
+          .pin() // within-batch rule AND the bands projection read it
+        // the index row carries the doc's own fingerprint-set size so a
+        // LATER batch can normalize its overlap against the prior side
+        // without re-scanning the whole index for that doc
+        val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+        val bands = fps
+          .select(col("doc_id"), lit(0).as("band_idx"), col("h").as("band"))
+          .join(nf, "doc_id")
+        // within-batch: the SAME normalized-overlap + representative rule
+        // as the batch pipeline stage — one implementation, two twins
+        val within = Dedup.containmentDropIds(
+          fps, minShared, minOverlap, "graft.stream_winnow_pairs")
         (bands, within, Seq(fps))
       },
-      // >= minShared DISTINCT fingerprints in common with ONE prior
-      // survivor — countDistinct, not a raw row count: the index can
-      // legitimately hold duplicate rows for a survivor (e.g. a relayout
-      // crash window leaves a fingerprint in both a folded tail dir and
-      // the base), and double-counted rows must not let a single
-      // accidental collision clear the minShared bar
+      // cross-batch: >= minShared DISTINCT fingerprints shared with ONE
+      // prior survivor (countDistinct, not a raw row count — the index can
+      // legitimately hold duplicate rows for a survivor after a relayout
+      // crash window, and double-counting must not clear the bar), AND the
+      // shared count reaching minOverlap of the smaller fingerprint set —
+      // both sides' sizes ride along (the batch's nfp on bands, the
+      // survivor's nfp stored in its index rows)
       priorDrop = (bands, idx) =>
         bands
-          .join(idx.withColumnRenamed("doc_id", "prior_id"), Seq("band_idx", "band"))
-          .groupBy(col("doc_id"), col("prior_id"))
+          .join(
+            idx.withColumnRenamed("doc_id", "prior_id").withColumnRenamed("nfp", "nfp_prior"),
+            Seq("band_idx", "band"))
+          .groupBy(col("doc_id"), col("prior_id"), col("nfp"), col("nfp_prior"))
           .agg(countDistinct(col("band")).as("shared"))
-          .filter(col("shared") >= minShared)
+          .filter(
+            col("shared") >= minShared &&
+              col("shared") >= lit(minOverlap) * least(col("nfp"), col("nfp_prior")))
           .select(col("doc_id"))
           .distinct()
     )
@@ -551,7 +568,8 @@ object CorpusPipeline {
       schema: org.apache.spark.sql.types.StructType,
       minQuality: Double,
       maxFilesPerTrigger: Option[Int],
-      ingestMetric: String
+      ingestMetric: String,
+      indexExtraCols: Seq[String] = Nil
   )(
       perBatch: DataFrame => (DataFrame, DataFrame, Seq[DataFrame]),
       priorDrop: (DataFrame, DataFrame) => DataFrame
@@ -590,7 +608,8 @@ object CorpusPipeline {
             // the batch's own band prefixes — what the base probe can prune
             // to; bounded by min(bands-per-doc·|batch|, 256) values, so this
             // collect is a fixed-size driver action, not a data collect
-            bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq
+            bands.select(bandPrefix(col("band")).as("bp")).distinct().collect().map(_.getString(0)).toSeq,
+            indexExtraCols
           )
           val dropIds = prior
             .map(priorDrop(bands, _))
@@ -636,8 +655,10 @@ object CorpusPipeline {
       s: org.apache.spark.sql.SparkSession,
       indexPath: String,
       batchId: Long,
-      bandPrefixes: => Seq[String]
+      bandPrefixes: => Seq[String],
+      extraCols: Seq[String] = Nil
   ): Option[DataFrame] = {
+    val probeCols = Seq("doc_id", "band_idx", "band") ++ extraCols
     val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
     val fs      = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxRoot)) return None
@@ -654,7 +675,7 @@ object CorpusPipeline {
             .option("basePath", indexPath) // keeps batch_id as a partition column
             .parquet(batchDirs: _*)
             .filter(col("batch_id") =!= batchId)
-            .select("doc_id", "band_idx", "band")
+            .select(probeCols.map(col): _*)
         )
       else None
     val base =
@@ -664,7 +685,7 @@ object CorpusPipeline {
             .parquet(basePath.toString)
             .filter(col("bp").isin(bandPrefixes: _*))
             .filter(col("batch_id") =!= batchId)
-            .select("doc_id", "band_idx", "band")
+            .select(probeCols.map(col): _*)
         )
       else None
     (tail, base) match {
@@ -710,15 +731,18 @@ object CorpusPipeline {
     // batch_id comes off the hive dir name with INFERRED type (int for
     // small ids) while the base stores it as data — pin long on both sides
     // so the union never meets mixed widths.
+    // withColumn, not a fixed select: the winnow index carries extra data
+    // columns (nfp) that the fold must preserve
     val tail = spark.read
       .option("basePath", indexPath)
       .parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
-      .select(col("doc_id"), col("band_idx"), col("band"), col("batch_id").cast("long").as("batch_id"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
     val combined =
       (if (fs.exists(basePath))
          spark.read
            .parquet(basePath.toString)
-           .select(col("doc_id"), col("band_idx"), col("band"), col("batch_id").cast("long").as("batch_id"))
+           .drop("bp")
+           .withColumn("batch_id", col("batch_id").cast("long"))
            .unionByName(tail)
        else tail)
         .distinct()

@@ -153,31 +153,38 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(plain.nDroppedSubstrEmpty === 0L && plain.nDupTokensCut === 0L)
   }
 
-  test("winnowContainment stage: a batch doc quoting another drops whole; funnel extended, off by default") {
+  test("winnowContainment stage: a MOSTLY-quoted doc drops whole, a lightly-quoting doc survives") {
     val out = Files.createTempDirectory("pipeline-contain").toString + "/corpus"
-    // doc B quotes a 20-token run from doc A amid its own unique text:
-    // global Jaccard is low so the LSH near-dup stage keeps both; the
-    // containment stage must drop the larger id whole (not rewrite it)
-    val run  = (1 to 20).map(i => s"quoted$i")
-    val aDoc = ((1 to 20).map(i => s"alfa$i") ++ run ++ (1 to 20).map(i => s"bravo$i")).mkString(" ")
-    val bDoc = ((1 to 18).map(i => s"golf$i") ++ run ++ (1 to 22).map(i => s"hotel$i")).mkString(" ")
+    // A carries two distinct 20-token runs. B is essentially run1 with
+    // thin padding (overlap vs the smaller fingerprint set ~0.8): drops
+    // whole. D quotes run2 amid 50 unique tokens (overlap ~0.3): the
+    // normalized criterion must KEEP it — an absolute shared count alone
+    // would kill D for a couple of boilerplate fingerprints. (D quotes a
+    // run B does not carry, so no transitive edge through B.)
+    val run1 = (1 to 20).map(i => s"quotedx$i")
+    val run2 = (1 to 20).map(i => s"quotedy$i")
+    val aDoc = ((1 to 10).map(i => s"alfa$i") ++ run1 ++ run2 ++ (1 to 10).map(i => s"bravo$i")).mkString(" ")
+    val bDoc = ((1 to 3).map(i => s"golf$i") ++ run1 ++ (1 to 3).map(i => s"hotel$i")).mkString(" ")
+    val dDoc = ((1 to 25).map(i => s"india$i") ++ run2 ++ (1 to 25).map(i => s"julia$i")).mkString(" ")
     val planted = Seq(
       (930001L, aDoc, "en", "contain"),
-      (930002L, bDoc, "en", "contain")
+      (930002L, bDoc, "en", "contain"),
+      (930003L, dDoc, "en", "contain")
     ).toDF("doc_id", "text", "lang", "source")
     val stats = CorpusPipeline.run(corpus.union(planted), out, winnowContainment = true)
 
     assert(stats.nIn === stats.nDroppedQuality + stats.nDroppedExact + stats.nDroppedNearDup +
       stats.nDroppedContainment + stats.nOut,
       s"conservation must include the containment stage: $stats")
-    assert(stats.nDroppedContainment >= 1L, s"the quoting doc must drop: $stats")
+    assert(stats.nDroppedContainment >= 1L, s"the mostly-quoted doc must drop: $stats")
 
     val ids = spark.read.parquet(out)
       .filter(col("source") === "contain")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids === Set(930001L), s"smaller id keeps its place, the quoting doc drops whole: $ids")
+    assert(ids === Set(930001L, 930003L),
+      s"the representative keeps its place, the mostly-quoted doc drops, the light quoter survives: $ids")
 
-    // without the stage both survive (LSH alone misses the low-Jaccard quote)
+    // without the stage all three survive (LSH alone misses the quotes)
     val plain = CorpusPipeline.run(
       corpus.union(planted), Files.createTempDirectory("pipeline-nocontain").toString + "/corpus")
     assert(plain.nDroppedContainment === 0L)
@@ -552,16 +559,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
     def doc(id: Long, text: String) =
       s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
-    // a 20-token run guarantees >= 3 distinct shared winnow fingerprints
-    // (13 full windows inside the run, one gram selectable by at most 5),
-    // clearing minShared = 2 deterministically
-    val run = (1 to 20).map(i => s"quoted$i").mkString(" ")
+    // a 30-token shared run guarantees several distinct common winnow
+    // fingerprints; a MOSTLY-quote doc (thin padding) has overlap vs the
+    // smaller fingerprint set near 1 and drops, while a long doc quoting
+    // the same run amid ~60 unique tokens stays under the 0.5 overlap bar
+    val run = (1 to 30).map(i => s"quoted$i").mkString(" ")
     def uniq(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
     val d1  = s"${uniq("alpha", 20)} $run ${uniq("beta", 20)}"
-    val d2  = s"${uniq("gamma", 15)} $run ${uniq("delta", 25)}"   // quotes d1, same batch
+    val d2  = s"${uniq("gamma", 3)} $run ${uniq("delta", 3)}"     // mostly-quote of d1, same batch
     val d5  = uniq("epsilon", 50)                                 // unrelated
-    val d10 = s"${uniq("zeta", 18)} $run ${uniq("eta", 22)}"      // quotes d1, later batch
+    val d10 = s"${uniq("zeta", 4)} $run ${uniq("eta", 4)}"        // mostly-quote, later batch
     val d11 = uniq("theta", 50)                                   // fresh
+    val d12 = s"${uniq("iotaz", 30)} $run ${uniq("kappaz", 30)}"  // LIGHT quoter: must survive
 
     landFile("b0.jsonl", doc(1, d1), doc(2, d2), doc(5, d5))
     val q = CorpusPipeline.runStreamingWinnow(
@@ -570,29 +579,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
       q.processAllAvailable()
       landFile("b1.jsonl", doc(10, d10), doc(11, d11))
       q.processAllAvailable()
+      // the light quoter arrives alone: probes prior survivors (d1) with
+      // overlap ~0.3 < 0.5 — the normalized criterion must keep it
+      landFile("b2.jsonl", doc(12, d12))
+      q.processAllAvailable()
 
       val ids = spark.read.parquet(s"$dir/corpus")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(ids === Set(1L, 5L, 11L),
-        s"within-batch quote 2 drops (smaller id 1 wins), cross-batch quote 10 drops via the index: $ids")
+      assert(ids === Set(1L, 5L, 11L, 12L),
+        s"within-batch mostly-quote 2 drops, cross-batch mostly-quote 10 drops, light quoter 12 survives: $ids")
 
       // the fingerprint index carries SURVIVORS only, in the shared
-      // (doc_id, band_idx, band) schema the relayout machinery folds
+      // (doc_id, band_idx, band) schema (+ nfp) the relayout machinery folds
       val idx = spark.read.parquet(s"$dir/index")
-      assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 5L, 11L))
+      assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 5L, 11L, 12L))
       assert(idx.select("band_idx").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+      assert(idx.columns.contains("nfp"), "index rows must carry the fingerprint-set size")
 
       // the band (global-similarity) stream on the SAME landing data KEEPS
-      // the quoting docs — global Jaccard is low — which is precisely the
-      // gap the winnow stream closes; both answers are deterministic
+      // the mostly-quote doc 2 — its Jaccard vs the longer source doc 1 is
+      // ~0.36, below the band-collision range — which is precisely the gap
+      // the winnow stream closes; both answers are deterministic. (Doc 10
+      // the band stream drops too, but only via its high MUTUAL Jaccard
+      // with the surviving doc 2, not by detecting the quote from doc 1.)
       val q2 = CorpusPipeline.runStreamingNearDup(
         spark, land, s"$dir/corpus2", s"$dir/index2", s"$dir/ckpt2", minQuality = 0.0)
       try {
         q2.processAllAvailable()
         val bandIds = spark.read.parquet(s"$dir/corpus2")
           .select("doc_id").collect().map(_.getLong(0)).toSet
-        assert(bandIds.contains(10L) && bandIds.contains(2L),
-          s"the band index must MISS the low-Jaccard quotes the winnow stream catches: $bandIds")
+        assert(bandIds.contains(2L),
+          s"the band index must MISS the low-Jaccard mostly-quote the winnow stream catches: $bandIds")
       } finally q2.stop()
     } finally q.stop()
   }
@@ -620,9 +637,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val rootNames = new java.io.File(s"$dir/index").listFiles().map(_.getName).toSet
     assert(!rootNames.exists(_.startsWith("batch_id=")), s"tail dirs must fold into the base: $rootNames")
 
-    // a quote arriving AFTER the fold must still drop — through the
-    // partition-pruned base, since no tail dirs remain
-    landFile("b1.jsonl", doc(10, s"${uniq("lambda", 18)} $run ${uniq("mu", 22)}"), doc(11, uniq("nu", 50)))
+    // a MOSTLY-quote doc arriving AFTER the fold must still drop (overlap
+    // vs its own small fingerprint set ~0.8) — through the partition-pruned
+    // base, since no tail dirs remain
+    landFile("b1.jsonl", doc(10, s"${uniq("lambda", 3)} $run ${uniq("mu", 3)}"), doc(11, uniq("nu", 50)))
     val q2 = start()
     try q2.processAllAvailable()
     finally q2.stop()
