@@ -246,15 +246,20 @@ object Dedup {
   /** Containment drop ids over a distinct winnow-fingerprint frame
     * (doc_id, h) — THE shared rule for both corpus-pipeline containment
     * stages (batch and streaming within-batch), so the two twins cannot
-    * drift. A pair qualifies when it shares >= `minShared` fingerprints
-    * AND the shared count reaches `minOverlap` of the SMALLER side's
-    * fingerprint set — the same normalized-overlap criterion as
-    * `q_dedup_winnow_matches`: an absolute count alone would let two long
-    * unrelated docs that both carry a couple of boilerplate runs kill each
-    * other. Qualifying pairs form edges; connected components keep their
-    * smallest-id REPRESENTATIVE (the near-dup stage's rule) — so a doc
-    * never drops for matching another doc that is itself dropped without
-    * the shared content surviving somewhere in the component.
+    * drift. The criterion is ASYMMETRIC: a doc drops only when it is
+    * itself mostly contained — it shares >= `minShared` fingerprints with
+    * some other doc AND the shared count reaches `minOverlap` of its OWN
+    * fingerprint set — and only to a doc that outranks it (larger
+    * fingerprint set; ties break to the smaller doc_id). A symmetric
+    * `least(nfp_a, nfp_b)` test would also drop the long ORIGINAL when
+    * the mostly-quoted copy happens to hold the smaller id, losing the
+    * original's unique content — the opposite of the stage's intent.
+    * Drops are DIRECT (no connected-component closure): a doc never
+    * drops for merely touching another dropped doc, and because the
+    * outranking relation is a total order — (nfp desc, doc_id asc) — the
+    * top-ranked doc of any containment chain always survives; a chain
+    * X ⊂ Y ⊂ Z collapses onto Z, whose content transitively covers the
+    * dropped quotes.
     */
   private[graft] def containmentDropIds(
       fps: org.apache.spark.sql.DataFrame,
@@ -263,17 +268,26 @@ object Dedup {
       metricName: String
   ): org.apache.spark.sql.DataFrame = {
     val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    val edges = cappedBucketPairs(fps, Seq(col("h")), col("doc_id"), metricName, MaxLshBucket)
+    // at most ONE side of a pair can drop (the conditions partition on
+    // nfp_b > nfp_a vs nfp_a >= nfp_b), so a single when-chain emits the
+    // dropped id — or nothing — in one pass over the pair frame
+    cappedBucketPairs(fps, Seq(col("h")), col("doc_id"), metricName, MaxLshBucket)
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .join(nf.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
       .join(nf.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
-      .filter(
-        col("shared") >= minShared &&
-          col("shared") >= lit(minOverlap) * least(col("nfp_a"), col("nfp_b"))
-      )
-      .select(col("doc_a"), col("doc_b"))
-    clusters(edges).filter(col("label") =!= col("doc_id")).select(col("doc_id"))
+      .filter(col("shared") >= minShared)
+      .select(
+        explode(
+          when(
+            col("shared") >= lit(minOverlap) * col("nfp_a") && col("nfp_b") > col("nfp_a"),
+            array(col("doc_a")))
+            .when(
+              col("shared") >= lit(minOverlap) * col("nfp_b") && col("nfp_a") >= col("nfp_b"),
+              array(col("doc_b")))
+            .otherwise(array().cast("array<bigint>"))
+        ).as("doc_id"))
+      .distinct()
   }
 
   private[graft] def pairsFromSignatures(

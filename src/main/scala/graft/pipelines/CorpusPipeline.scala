@@ -146,15 +146,16 @@ object CorpusPipeline {
 
     // 3a'. optional CONTAINMENT drop (the batch twin of
     // [[runStreamingWinnow]]'s within-batch stage, via the SAME
-    // [[Dedup.containmentDropIds]] rule): docs whose winnow-fingerprint
-    // overlap with another doc reaches winnowMinOverlap of the smaller
-    // set (and >= winnowMinShared absolute) are mostly recycled content —
-    // a mostly-quoted doc has low global Jaccard (survives 3) but drops
-    // here, while a long doc with one small quote keeps its unique
-    // content (the exact-substring stage is the tool for cutting the
-    // quote itself). Qualifying pairs cluster and each component keeps
-    // its smallest-id representative. Runs before the rewrite stages: a
-    // containment duplicate should drop, not be rewritten.
+    // [[Dedup.containmentDropIds]] rule): a doc drops only when its
+    // winnow-fingerprint overlap with a LARGER-fingerprint-set doc
+    // reaches winnowMinOverlap of its OWN set (and >= winnowMinShared
+    // absolute) — it is mostly recycled content. The test is asymmetric
+    // on purpose: a mostly-quoted copy has low global Jaccard (survives
+    // 3) but drops here, while the long original — whatever its id — and
+    // a long doc with one small quote keep their unique content (the
+    // exact-substring stage is the tool for cutting the quote itself).
+    // Runs before the rewrite stages: a containment duplicate should
+    // drop, not be rewritten.
     val (contained, nContain) =
       if (!winnowContainment) (nearDup, 0L)
       else {
@@ -474,8 +475,11 @@ object CorpusPipeline {
     * what the winnow guarantee catches — any shared run of >= w+k-1 = 8
     * tokens contributes a common selected fingerprint. Each arriving doc's
     * fingerprint set probes a durable fingerprint index of prior
-    * survivors; a doc sharing >= `minShared` fingerprints with any single
-    * prior survivor (or with a smaller-id doc in its own batch) drops.
+    * survivors; a doc drops when it shares >= `minShared` fingerprints
+    * with a single prior survivor (or an outranking doc in its own batch)
+    * AND the shared count reaches `minOverlap` of its OWN fingerprint set
+    * — the asymmetric mostly-contained rule of
+    * [[graft.operators.Dedup.containmentDropIds]].
     * First-arrival-wins, like the band stream.
     *
     * The index REUSES the near-dup index machinery wholesale by storing
@@ -528,19 +532,23 @@ object CorpusPipeline {
       // prior survivor (countDistinct, not a raw row count — the index can
       // legitimately hold duplicate rows for a survivor after a relayout
       // crash window, and double-counting must not clear the bar), AND the
-      // shared count reaching minOverlap of the smaller fingerprint set —
-      // both sides' sizes ride along (the batch's nfp on bands, the
-      // survivor's nfp stored in its index rows)
+      // shared count reaching minOverlap of the BATCH doc's OWN
+      // fingerprint set — the same asymmetric mostly-contained test as
+      // [[graft.operators.Dedup.containmentDropIds]]. First-arrival-wins
+      // means the prior survivor always outranks, so only the arriving
+      // side is ever tested: a long new doc lightly quoting a short prior
+      // survivor keeps its unique content (under the old symmetric
+      // least() rule the prior's small nfp could drop it whole).
       priorDrop = (bands, idx) =>
         bands
           .join(
             idx.withColumnRenamed("doc_id", "prior_id").withColumnRenamed("nfp", "nfp_prior"),
             Seq("band_idx", "band"))
-          .groupBy(col("doc_id"), col("prior_id"), col("nfp"), col("nfp_prior"))
+          .groupBy(col("doc_id"), col("prior_id"), col("nfp"))
           .agg(countDistinct(col("band")).as("shared"))
           .filter(
             col("shared") >= minShared &&
-              col("shared") >= lit(minOverlap) * least(col("nfp"), col("nfp_prior")))
+              col("shared") >= lit(minOverlap) * col("nfp"))
           .select(col("doc_id"))
           .distinct()
     )

@@ -467,6 +467,47 @@ class DedupSpec extends AnyFunSuite {
     )
   }
 
+  test("containmentDropIds is asymmetric: the long original survives even when the quote holds the smaller id") {
+    // Q (id 50) is mostly a quote of A (id 100): shared 8 of Q's 10
+    // fingerprints (0.8 >= 0.5 of Q's OWN set) -> Q drops to the larger-set
+    // A. The old symmetric least() + smallest-id-representative rule formed
+    // the same pair but kept id 50 and dropped the ORIGINAL.
+    val fps = (
+      (1 to 20).map(h => (100L, s"a$h".hashCode.toLong)) ++
+        (1 to 8).map(h => (50L, s"a$h".hashCode.toLong)) ++
+        Seq((50L, 901L), (50L, 902L))
+    ).toDF("doc_id", "h")
+    val drops = Dedup
+      .containmentDropIds(fps, minShared = 2, minOverlap = 0.5, "graft.test_contain")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(50L), s"only the mostly-quoted copy drops, never the original: $drops")
+  }
+
+  test("containmentDropIds drops are direct, not transitive: touching a dropped doc is not containment") {
+    // B (8 fps) is mostly inside A -> drops. D (20 fps) shares the same 6
+    // fingerprints with B and A but that is only 0.3 of D's OWN set: under
+    // the old CC closure the qualifying D-B edge pulled D into A's
+    // component and dropped it; the asymmetric rule must keep D.
+    val common = (1 to 6).map(h => s"c$h".hashCode.toLong)
+    val fps = (
+      (common ++ (1 to 14).map(h => s"a$h".hashCode.toLong)).map((1L, _)) ++
+        (common ++ Seq(801L, 802L)).map((2L, _)) ++
+        (common ++ (1 to 14).map(h => s"d$h".hashCode.toLong)).map((3L, _))
+    ).toDF("doc_id", "h")
+    val drops = Dedup
+      .containmentDropIds(fps, minShared = 2, minOverlap = 0.5, "graft.test_contain")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(2L), s"B drops to the outranking A; D's unique content survives: $drops")
+  }
+
+  test("containmentDropIds tie-break: equal fingerprint sets keep the smaller id") {
+    val fps = (1 to 10).flatMap(h => Seq((7L, h.toLong), (9L, h.toLong))).toDF("doc_id", "h")
+    val drops = Dedup
+      .containmentDropIds(fps, minShared = 2, minOverlap = 0.5, "graft.test_contain")
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(9L), "exactly one of two identical docs drops, and it is the larger id")
+  }
+
   test("segmentDedup: first occurrence survives, later copies drop, docs rebuild in order") {
     // segLen=4: doc 0 = segments [A, B]; doc 1 = verbatim copy (all drop);
     // doc 2 = fresh segment C then copied segment B (partial rewrite);
