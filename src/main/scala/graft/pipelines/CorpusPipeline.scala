@@ -491,7 +491,14 @@ object CorpusPipeline {
     * two candidate keys. Within-batch pairs go through the shared
     * [[graft.operators.Dedup.cappedBucketPairs]] guard (observable
     * `graft.stream_winnow_pairs` metric), so a viral fingerprint cannot go
-    * quadratic inside a batch either.
+    * quadratic inside a batch either. The CROSS-batch side is bounded the
+    * same way: each fingerprint's posting list in the durable index is
+    * capped via [[capPostingLists]] at ingest (per-batch contribution,
+    * `graft.winnow_ingest_index_cap` metric) and re-trimmed globally by
+    * the relayout fold (pass `indexPostingCap` to
+    * [[relayoutNearDupIndex]]'s `maxPostings`), so the probe join's
+    * per-hash fan-out can never go quadratic against the accumulated
+    * survivor set.
     */
   def runStreamingWinnow(
       spark: org.apache.spark.sql.SparkSession,
@@ -503,12 +510,13 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       minShared: Int = 2,
       minOverlap: Double = 0.5,
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      indexPostingCap: Int = graft.operators.Dedup.MaxLshBucket
   ): org.apache.spark.sql.streaming.StreamingQuery =
     streamingIndexDedup(
       spark, inPath, outPath, indexPath, checkpoint, schema, minQuality,
       maxFilesPerTrigger, ingestMetric = "winnow_ingest",
-      indexExtraCols = Seq("nfp"))(
+      indexExtraCols = Seq("nfp"), indexPostingCap = Some(indexPostingCap))(
       perBatch = { b =>
         val fps = Dedup
           .winnowSelected(b, k = 4, w = 5)
@@ -577,7 +585,8 @@ object CorpusPipeline {
       minQuality: Double,
       maxFilesPerTrigger: Option[Int],
       ingestMetric: String,
-      indexExtraCols: Seq[String] = Nil
+      indexExtraCols: Seq[String] = Nil,
+      indexPostingCap: Option[Int] = None
   )(
       perBatch: DataFrame => (DataFrame, DataFrame, Seq[DataFrame]),
       priorDrop: (DataFrame, DataFrame) => DataFrame
@@ -625,8 +634,14 @@ object CorpusPipeline {
             .pin() // consumed by BOTH anti-joins below
           b.join(dropIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-          bands
-            .join(dropIds, Seq("doc_id"), "left_anti")
+          val survivorBands = bands.join(dropIds, Seq("doc_id"), "left_anti")
+          // this batch's contribution to each posting list is capped at
+          // ingest; [[relayoutNearDupIndex]] re-applies the same cap
+          // globally when folding tail dirs into the base, so the
+          // cross-batch probe's per-fingerprint fan-out stays bounded
+          // between AND across maintenance runs
+          indexPostingCap
+            .fold(survivorBands)(c => capPostingLists(survivorBands, c, s"graft.${ingestMetric}_index_cap"))
             .write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
           // both writes committed: reclaim this batch's cached frames
           (Seq(dropIds, b) ++ extraPinned).foreach(graft.Tables.unpin)
@@ -634,6 +649,41 @@ object CorpusPipeline {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Cap every (band_idx, band) posting list to its `cap` smallest doc_ids,
+    * preserving any extra data columns (nfp, batch_id) — the durable-index
+    * twin of [[graft.operators.Dedup.cappedBucketPairs]]'s rule. The winnow
+    * containment probe joins arriving fingerprints against the index per
+    * fingerprint hash, so a single viral 8-token boilerplate run shared by
+    * thousands of (individually unique, legitimately surviving) docs would
+    * make that join quadratic in the posting-list length. MOSS itself drops
+    * over-common fingerprints; here the cap keeps the smallest doc_ids (the
+    * deterministic choice every other capped bucket in the repo makes) and
+    * reports (capped_postings, max_posting) under `metricName` — no silent
+    * caps. A doc capped OUT of one viral posting still probes/serves every
+    * other fingerprint it carries, so only matches whose ENTIRE overlap is
+    * over-common boilerplate can be missed — exactly the matches the
+    * containment stage should not act on anyway.
+    */
+  private[graft] def capPostingLists(
+      bands: DataFrame,
+      cap: Int,
+      metricName: String
+  ): DataFrame = {
+    val extra = bands.columns.toSeq.filterNot(Set("doc_id", "band_idx", "band"))
+    val outCols = col("band_idx") +: col("band") +: col("r.doc_id").as("doc_id") +:
+      extra.map(c => col(s"r.$c").as(c))
+    bands
+      .groupBy(col("band_idx"), col("band"))
+      .agg(sort_array(collect_list(struct((col("doc_id") +: extra.map(col)): _*))).as("ids"))
+      .observe(
+        metricName,
+        sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("capped_postings"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_posting")
+      )
+      .select(col("band_idx"), col("band"), explode(slice(col("ids"), 1, cap)).as("r"))
+      .select(outCols: _*)
   }
 
   /** Band-prefix partition value for the near-dup survivor index: first two
@@ -725,7 +775,11 @@ object CorpusPipeline {
     * the corpus, and this is scheduled maintenance, not the per-batch
     * path.
     */
-  def relayoutNearDupIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+  def relayoutNearDupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      maxPostings: Option[Int] = None
+  ): Unit = {
     val idxRoot = new org.apache.hadoop.fs.Path(indexPath)
     val fs      = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxRoot)) return
@@ -745,7 +799,7 @@ object CorpusPipeline {
       .option("basePath", indexPath)
       .parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val combined =
+    val folded =
       (if (fs.exists(basePath))
          spark.read
            .parquet(basePath.toString)
@@ -754,15 +808,31 @@ object CorpusPipeline {
            .unionByName(tail)
        else tail)
         .distinct()
-        .withColumn("bp", bandPrefix(col("band")))
+    // the GLOBAL posting-list cap (the ingest-time cap in
+    // [[streamingIndexDedup]] only bounds one batch's contribution; a viral
+    // fingerprint accumulates cap-per-batch rows across batches until this
+    // fold re-trims it). Applied before the bp column so the capped frame's
+    // grouping key is exactly (band_idx, band).
+    val capMetric = "graft.index_relayout_cap"
+    val combined = maxPostings
+      .fold(folded)(c => capPostingLists(folded, c, capMetric))
+      .withColumn("bp", bandPrefix(col("band")))
     val tmp = new org.apache.hadoop.fs.Path(idxRoot, ".base-tmp")
     val old = new org.apache.hadoop.fs.Path(idxRoot, ".base-old")
-    combined
-      .repartition(col("bp")) // one shuffle; files land grouped per partition
-      .write
-      .mode("overwrite")
-      .partitionBy("bp")
-      .parquet(tmp.toString)
+    val writeTmp: Unit => Unit = _ =>
+      combined
+        .repartition(col("bp")) // one shuffle; files land grouped per partition
+        .write
+        .mode("overwrite")
+        .partitionBy("bp")
+        .parquet(tmp.toString)
+    // no-silent-caps survives the fold: the cap counters fire on the write
+    // plan, and land as _metrics.json INSIDE .base-tmp so they promote (or
+    // vanish) atomically with the base they describe
+    if (maxPostings.isDefined) {
+      val m = graft.sources.Sinks.captureObservedMetrics(spark, Set(capMetric))(writeTmp(()))
+      graft.sources.Sinks.writeMetricsJson(spark, tmp.toString, m)
+    } else writeTmp(())
     if (fs.exists(basePath))
       require(fs.rename(basePath, old), s"index relayout: failed to park $basePath at $old")
     require(!fs.exists(basePath), s"index relayout: $basePath recreated mid-swap; refusing to promote")

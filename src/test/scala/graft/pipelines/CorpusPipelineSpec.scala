@@ -649,6 +649,81 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"10 must collide with folded survivor 1 through the pruned base: $ids")
   }
 
+  test("viral fingerprint: index posting lists are capped at ingest and re-trimmed by the relayout fold, with visible metrics") {
+    val dir  = Files.createTempDirectory("pipeline-winnow-viral").toString
+    val land = s"$dir/landing"
+    assert(new java.io.File(land).mkdirs())
+    def landFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(land, name), java.util.Arrays.asList(lines: _*))
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s", "n_chars": ${text.length}}"""
+    // every doc: 30 unique tokens + ONE shared 8-token boilerplate run +
+    // 30 unique tokens. The run guarantees a common winnow fingerprint
+    // (>= w+k-1 = 8 tokens) across ALL docs, but each doc's overlap vs its
+    // own large fingerprint set stays far below 0.5 — every doc must
+    // SURVIVE containment, so without a cap the index would accumulate one
+    // posting list as long as the whole corpus and the cross-batch probe
+    // join would go quadratic on that hash.
+    val viral = (1 to 8).map(i => s"boilerplate$i").mkString(" ")
+    def uniq(seed: String, n: Int) = (1 to n).map(i => s"$seed$i").mkString(" ")
+    def mkDoc(id: Long) = doc(id, s"${uniq(s"pre$id-x", 30)} $viral ${uniq(s"post$id-y", 30)}")
+    val cap = 4
+    def start() = CorpusPipeline.runStreamingWinnow(
+      spark, land, s"$dir/corpus", s"$dir/index", s"$dir/ckpt",
+      minQuality = 0.0, indexPostingCap = cap)
+
+    landFile("b0.jsonl", (1L to 40L).map(mkDoc): _*)
+    // the micro-batch session is CLONED at stream start and copies the
+    // session's listeners then — so the metric listener must be registered
+    // before start(), not just before processAllAvailable()
+    val ingestMetrics =
+      graft.sources.Sinks.captureObservedMetrics(spark, Set("graft.winnow_ingest_index_cap")) {
+        val q1 = start()
+        try q1.processAllAvailable()
+        finally q1.stop()
+      }
+
+    // all 40 unique-heavy docs survive: capping the index must not turn
+    // shared boilerplate into containment drops
+    val survivors0 = spark.read.parquet(s"$dir/corpus").select("doc_id").distinct().count()
+    assert(survivors0 === 40L, s"every unique-heavy doc survives: $survivors0")
+    // the ingest-time cap bounds every posting list in the batch dir
+    val postings0 = spark.read.parquet(s"$dir/index")
+      .groupBy("band").count().agg(max("count")).collect().head.getLong(0)
+    assert(postings0 <= cap.toLong, s"ingest cap must bound the viral posting list: $postings0")
+    val m = ingestMetrics("graft.winnow_ingest_index_cap")
+    assert(m.getAs[Long]("capped_postings") >= 1L, s"the drop must be observable: $m")
+    assert(m.getAs[Int]("max_posting") >= 40, s"the viral hash had the full batch before the cap: $m")
+
+    // a second batch adds its own capped contribution; the GLOBAL re-trim
+    // happens at the relayout fold
+    landFile("b1.jsonl", (101L to 140L).map(mkDoc): _*)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    CorpusPipeline.relayoutNearDupIndex(spark, s"$dir/index", maxPostings = Some(cap))
+    val basePostings = spark.read.parquet(s"$dir/index/base")
+      .groupBy("band").count().agg(max("count")).collect().head.getLong(0)
+    assert(basePostings <= cap.toLong, s"the fold re-trims accumulated posting lists: $basePostings")
+    // the fold's cap metrics promote atomically with the base
+    assert(new java.io.File(s"$dir/index/base/_metrics.json").isFile,
+      "relayout cap counters must persist next to the base they describe")
+    val mj = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/index/base/_metrics.json")), "UTF-8")
+    assert(mj.contains("graft.index_relayout_cap") && mj.contains("capped_postings"), mj)
+
+    // capped index still catches a real mostly-quote: a doc that is mostly
+    // a copy of survivor 1's text (small id — inside every capped posting)
+    val d1Text = s"${uniq("pre1-x", 30)} $viral ${uniq("post1-y", 30)}"
+    landFile("b2.jsonl", doc(900L, d1Text.split(" ").take(40).mkString(" ")))
+    val q3 = start()
+    try q3.processAllAvailable()
+    finally q3.stop()
+    val finalIds = spark.read.parquet(s"$dir/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!finalIds.contains(900L), "a mostly-quote of an indexed survivor still drops through the capped index")
+    assert(finalIds.size === 80, s"all prior unique-heavy docs remain: ${finalIds.size}")
+  }
+
   test("streaming near-dup survives stop/restart: checkpoint resumes, index state carries across generations") {
     val dir  = Files.createTempDirectory("pipeline-neardup-restart").toString
     val land = s"$dir/landing"
