@@ -808,12 +808,19 @@ object Dedup {
     *      over the gram stream, no hot-bucket quadratic: later occurrences
     *      are linear in count, and they are exactly the rows being cut);
     *   3. non-first window starts mark intervals [pos, pos+minLen-1];
-    *      the duplicated-token count is the exact interval-union length
-    *      via a per-doc running-max window (O(1) state, no position
-    *      explode);
+    *      a per-doc running-max window (O(1) state, no position explode)
+    *      MERGES overlapping windows into disjoint intervals
+    *      (gaps-and-islands over the same sort), whose summed lengths are
+    *      the exact interval-union duplicated-token count;
     *   4. the rewrite keeps tokens outside every interval — a
-    *      higher-order filter over the collected per-doc start list
-    *      (bounded by the doc's own window count), never a per-token join.
+    *      higher-order filter over the collected per-doc MERGED interval
+    *      list, never a per-token join. Filtering against merged intervals
+    *      instead of raw starts matters on degenerate docs: a 10^5-token
+    *      doc of alternating duplicated runs has ~n_tokens/2 raw starts
+    *      (an O(tokens x starts) straggler task) but only
+    *      as-many-merged-intervals-as-runs, so per-token lambda work is
+    *      bounded by the doc's disjoint duplicated-run count (1 for a
+    *      fully-duplicated doc).
     *
     * A window straddling what remains after a cut can re-duplicate —
     * Lee et al. accept the same single-pass semantics (their cuts are
@@ -851,40 +858,61 @@ object Dedup {
       .join(first, "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
       .select(col("doc_id"), col("pos"))
-    // exact interval-union length per doc: running max of interval ends
-    // over the start-sorted duplicate windows (pos is unique per doc)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val census = dup
-      .withColumn("pmax", max(col("pos") + lit(L - 1)).over(w))
-      .select(
-        col("doc_id"),
-        col("pos"),
-        greatest(
-          lit(0),
-          (col("pos") + lit(L - 1)) - greatest(coalesce(col("pmax"), col("pos") - 1), col("pos") - 1)
-        ).as("c")
-      )
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_dup_tokens"), sort_array(collect_list(col("pos"))).as("ss"))
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .join(census, Seq("doc_id"), "left_outer")
+      .join(exactSubstrCensus(dup, L), Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        // token i (0-based) survives unless a duplicate window start s
-        // covers it: s <= i+1 <= s+L-1 over the doc's own start list
+        // token i (0-based) survives unless a MERGED interval [s, e]
+        // covers it — the per-token lambda scans the doc's disjoint
+        // duplicated runs, not its raw window-start list
         concat_ws(
           " ",
           filter(
             col("t"),
             (x, i) =>
-              size(filter(coalesce(col("ss"), array().cast("array<int>")),
-                s => s <= i + 1 && i + 1 < s + lit(L))) === 0
+              size(filter(coalesce(col("iv"), array().cast("array<struct<s:int,e:int>>")),
+                v => v.getField("s") <= i + 1 && i + 1 <= v.getField("e"))) === 0
           )
         ).as("rebuilt")
+      )
+  }
+
+  /** Merged duplicate-interval census per doc from a (doc_id, pos) frame of
+    * duplicate window starts: running max of interval ends over the
+    * start-sorted windows detects island breaks (a window starting past
+    * every prior end), a cumulative-sum island id groups each island, and
+    * min/max per island yield the disjoint MERGED intervals `iv` =
+    * sorted array<struct<s, e>> (1-based inclusive token positions).
+    * `n_dup_tokens` = sum of merged lengths = the exact interval-union
+    * length (the running-max census and the island census are the same
+    * computation factored differently). Both windows share one
+    * partitioning and sort, so they plan into a single exchange.
+    */
+  private[graft] def exactSubstrCensus(
+      dup: org.apache.spark.sql.DataFrame,
+      minLen: Int
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dup
+      .withColumn("pmax", max(col("pos") + lit(L - 1)).over(wPrev))
+      .withColumn(
+        "isl",
+        sum(when(col("pmax").isNull || col("pos") > col("pmax"), 1L).otherwise(0L)).over(wCum))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(L - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("e") - col("s") + lit(1)).cast("long").as("n_dup_tokens"),
+        sort_array(collect_list(struct(col("s").cast("int").as("s"), col("e").cast("int").as("e"))))
+          .as("iv")
       )
   }
 

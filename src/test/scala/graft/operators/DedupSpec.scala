@@ -373,6 +373,52 @@ class DedupSpec extends AnyFunSuite {
     assert(out.getString(3) === (x ++ fill).mkString(" "), "the second X is cut, first kept")
   }
 
+  test("exact-substring rebuild filters against MERGED intervals: degenerate alternating-run doc stays bounded") {
+    // The straggler shape the merged-interval rebuild exists for: a long
+    // doc of ALTERNATING duplicated runs. 50 runs of 100 tokens, each a
+    // verbatim copy from a smaller-id source doc, separated by one unique
+    // token -> ~10^4 tokens, 50 x 88 = 4400 raw duplicate window starts,
+    // but only 50 disjoint merged intervals. Filtering per token against
+    // raw starts is O(tokens x 4400); against merged intervals it is
+    // O(tokens x 50) — the census must emit exactly the 50 islands.
+    val runs = (1 to 50).map(r => (1 to 100).map(i => s"run$r-t$i"))
+    val original   = (5L, runs.flatten.mkString(" "))
+    val degenerate = (9L, runs.zipWithIndex.flatMap { case (r, i) => r :+ s"sep$i" }.mkString(" "))
+    val docs = Seq(original, degenerate).toDF("doc_id", "text")
+
+    val iv = Dedup
+      .exactSubstrCensus(
+        {
+          val L  = 13
+          val pg = docs
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .select(col("doc_id"), explode(expr(
+              s"transform(sequence(1, size(t) - ${L - 1}), i -> " +
+                s"named_struct('pos', i, 'g', substring(md5(concat_ws(' ', slice(t, i, $L))), 1, 16)))")).as("e"))
+            .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+          val first = pg.groupBy(col("g")).agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+          pg.join(first, "g")
+            .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
+            .select(col("doc_id"), col("pos"))
+        },
+        minLen = 13
+      )
+      .filter(col("doc_id") === 9L)
+      .collect().head
+    val intervals = iv.getSeq[org.apache.spark.sql.Row](iv.fieldIndex("iv"))
+    assert(intervals.length === 50,
+      s"merged-interval count equals the disjoint duplicated-run count, not the 4400 raw starts: ${intervals.length}")
+    assert(iv.getLong(iv.fieldIndex("n_dup_tokens")) === 50L * 100,
+      "island census still counts the exact interval union")
+
+    // end-to-end: only the unique separators survive the rebuild
+    val out = Dedup.exactSubstrDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(9L) === (0 until 50).map(i => s"sep$i").mkString(" "),
+      "every duplicated run is cut, every separator kept, in order")
+    assert(out(5L) === runs.flatten.mkString(" "), "the first occurrence is untouched")
+  }
+
   test("exact-substring dedup: short docs and dup-free docs pass through unchanged") {
     val docs = Seq(
       (0L, "tiny doc below the window"),               // < minLen tokens
