@@ -486,24 +486,32 @@ object EventLogReaderFactory extends PartitionReaderFactory {
     * the row holding the key's HIGHEST offset in the slice; unkeyed rows
     * (key extractor returns None/null) are retained as-is, and retained
     * rows keep their original offset order — Pulsar's compacted-read
-    * contract. Single streaming pass holding one survivor per key (plus
-    * the retained unkeyed rows): state is O(distinct keys), the broker's
-    * own compaction-ledger bound — never O(slice), however long the
-    * partition's history is.
+    * contract. Two passes over the (offset-ordered) slice: pass 1 records
+    * each key's max offset — the same O(distinct-keys) ledger the broker's
+    * own compaction keeps; pass 2 streams rows in native offset order,
+    * emitting every unkeyed row and each keyed row whose offset equals its
+    * key's ledger entry. Nothing is buffered or sorted — reader memory is
+    * O(distinct keys) even on an unkeyed-heavy BATCH slice spanning the
+    * whole partition history (a single-pass variant would have to park all
+    * unkeyed rows while keyed survivors settle). The price is evaluating
+    * `keyOf` twice per row (the raw path re-parses JSON, the extractor
+    * path re-decodes) — the standard streaming two-pass trade.
+    *
+    * `rows` is a THUNK because pass 2 needs a fresh iterator;
+    * `onKeyedCount` fires between the passes with the ledger size, the
+    * seam the raw path uses to fail loud on a typo'd key field.
     */
   private[sources] def compactByKey[R](
-      rows: Iterator[(Long, R)],
-      keyOf: R => Option[Any]
+      rows: () => Iterator[(Long, R)],
+      keyOf: R => Option[Any],
+      onKeyedCount: Long => Unit = _ => ()
   ): Iterator[(Long, R)] = {
-    val survivors = scala.collection.mutable.LinkedHashMap[Any, (Long, R)]()
-    val unkeyed   = scala.collection.mutable.ArrayBuffer[(Long, R)]()
-    rows.foreach { case (o, r) =>
-      keyOf(r) match {
-        case Some(k) => survivors.update(k, (o, r))
-        case None    => unkeyed += ((o, r))
-      }
+    val ledger = scala.collection.mutable.HashMap[Any, Long]()
+    rows().foreach { case (o, r) =>
+      keyOf(r).foreach { k => if (ledger.getOrElse(k, Long.MinValue) < o) ledger.update(k, o) }
     }
-    (survivors.valuesIterator ++ unkeyed.iterator).toArray.sortBy(_._1).iterator
+    onKeyedCount(ledger.size.toLong)
+    rows().filter { case (o, r) => keyOf(r).forall(k => ledger(k) == o) }
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -527,12 +535,30 @@ object EventLogReaderFactory extends PartitionReaderFactory {
           case None => slice.iterator
           case Some(kf) =>
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            compactByKey[Array[Byte]](slice.iterator, payload =>
-              try {
-                val n = mapper.readTree(payload)
-                val v = if (n == null) null else n.get(kf)
-                if (v == null || v.isNull) None else Some(v.asText())
-              } catch { case scala.util.control.NonFatal(_) => None })
+            // the raw path has no schema to validate the key field against
+            // at config time (unlike the extractor path), so validate
+            // against DATA: a configured key field matching ZERO messages
+            // in a non-empty slice is overwhelmingly a typo'd field name,
+            // and serving the full log uncompacted on a typo is exactly
+            // the silent-disable failure config-time validation exists to
+            // prevent — fail loud instead. An intentionally unkeyed topic
+            // should not configure readCompacted with a key field.
+            compactByKey[Array[Byte]](
+              () => slice.iterator,
+              payload =>
+                try {
+                  val n = mapper.readTree(payload)
+                  val v = if (n == null) null else n.get(kf)
+                  if (v == null || v.isNull) None else Some(v.asText())
+                } catch { case scala.util.control.NonFatal(_) => None },
+              onKeyedCount = n =>
+                require(
+                  n > 0 || slice.isEmpty,
+                  s"readCompacted: compaction.keyField '$kf' matched no message in a non-empty " +
+                    s"slice of partition ${p.partition} (${slice.size} rows) — likely a mistyped " +
+                    "field name; raw-path key fields can only be validated against data"
+                )
+            )
         }
         private var current: (Long, Array[Byte]) = _
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
@@ -565,9 +591,13 @@ object EventLogReaderFactory extends PartitionReaderFactory {
         }
         private var dropped: Long = 0L
         // decode (dropping messages the extractor rejects — drop-on-
-        // malformed), then compact on the extracted key field if configured
-        private lazy val it: Iterator[(Long, org.apache.spark.sql.Row)] = {
-          val decoded = EventLogSource
+        // malformed), then compact on the extracted key field if configured.
+        // The drop counter RESETS per decode pass: two-pass compaction
+        // decodes the slice twice, and double-counting would misreport the
+        // droppedMessages metric.
+        private def decoded(): Iterator[(Long, org.apache.spark.sql.Row)] = {
+          dropped = 0
+          EventLogSource
             .readLog(new java.io.File(p.file))
             .iterator
             .filter { case (o, _) => o > p.start && o <= p.end }
@@ -577,13 +607,14 @@ object EventLogReaderFactory extends PartitionReaderFactory {
                 case None      => dropped += 1; None
               }
             }
+        }
+        private lazy val it: Iterator[(Long, org.apache.spark.sql.Row)] =
           p.compactKeyField match {
-            case None => decoded
+            case None => decoded()
             case Some(kf) =>
               val ki = extIndex(kf)
-              compactByKey[org.apache.spark.sql.Row](decoded, row => Option(row.get(ki)))
+              compactByKey[org.apache.spark.sql.Row](() => decoded(), row => Option(row.get(ki)))
           }
-        }
         private var current: InternalRow = _
         override def next(): Boolean = {
           val has = it.hasNext

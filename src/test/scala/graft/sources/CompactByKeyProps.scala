@@ -15,9 +15,17 @@ object CompactByKeyProps extends Properties("compactByKey") {
     Gen.listOf(Gen.zip(Gen.chooseNum(0L, 1L << 40), Gen.option(Gen.oneOf("a", "b", "c", "d", "e"))))
       .map(_.distinctBy(_._1).sortBy(_._1))
 
+  // the shape the two-pass design exists for: almost every row unkeyed
+  // (a single-pass implementation buffers all of these)
+  private val unkeyedHeavy: Gen[List[(Long, Option[String])]] =
+    Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 1L << 40),
+      Gen.frequency(9 -> Gen.const(Option.empty[String]), 1 -> Gen.some(Gen.oneOf("a", "b")))
+    )).map(_.distinctBy(_._1).sortBy(_._1))
+
   private def compact(rows: List[(Long, Option[String])]): List[(Long, Option[String])] =
     EventLogReaderFactory
-      .compactByKey[Option[String]](rows.iterator, identity)
+      .compactByKey[Option[String]](() => rows.iterator, identity)
       .toList
 
   property("one survivor per key, holding the key's highest offset") = Prop.forAll(slices) { rows =>
@@ -47,4 +55,23 @@ object CompactByKeyProps extends Properties("compactByKey") {
   property("key set is preserved: no key vanishes, none appears") = Prop.forAll(slices) { rows =>
     compact(rows).flatMap(_._2).toSet == rows.flatMap(_._2).toSet
   }
+
+  property("unkeyed-heavy slices: full contract holds, retained rows stream in offset order") =
+    Prop.forAll(unkeyedHeavy) { rows =>
+      val out = compact(rows)
+      out.filter(_._2.isEmpty) == rows.filter(_._2.isEmpty) &&
+      out.map(_._1) == out.map(_._1).sorted &&
+      out.collect { case (o, Some(k)) => k -> o }.forall { case (k, o) =>
+        o == rows.collect { case (ro, Some(rk)) if rk == k => ro }.max
+      }
+    }
+
+  property("the keyed-count seam reports the distinct key count between passes") =
+    Prop.forAll(slices) { rows =>
+      var seen = -1L
+      EventLogReaderFactory
+        .compactByKey[Option[String]](() => rows.iterator, identity, n => seen = n)
+        .toList
+      seen == rows.flatMap(_._2).distinct.length.toLong
+    }
 }

@@ -391,6 +391,26 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(orphanKey.getMessage.contains(EventLogSource.ReadCompactedKey))
   }
 
+  test("readCompacted raw path fails loud on a typo'd key field (zero keyed messages in a non-empty slice)") {
+    // the raw path has no extractor schema to validate against, so the
+    // typo can only surface from data: every payload parses but the field
+    // is absent -> all rows unkeyed -> without the guard the full log is
+    // served uncompacted, silently
+    val ex = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(EventLogSource.ReadCompactedKey, "true")
+        .option(EventLogSource.CompactionKeyFieldKey, "user_idd")
+        .load()
+        .count()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("user_idd"), s"the mistyped field must be named: $msgs")
+    assert(msgs.contains("matched no message"), msgs)
+  }
+
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
     val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
     val offsets = df.select(col("offset")).collect().map(_.getLong(0))
