@@ -436,8 +436,13 @@ object StreamingPipelines {
             // stale pre-expiry state still stored — honor the expiry FIRST
             // (the watermark already passed last + TTL), so the return
             // reopens with no bridging step, exactly as if the timeout had
-            // fired before the data arrived
-            if (state.exists && state.getCurrentWatermarkMs() >= state.get.lastMs + idleTtlMs)
+            // fired before the data arrived. Strict >, not >=: Spark's
+            // EventTimeTimeout fires only once the watermark EXCEEDS the
+            // set timestamp, so at watermark == last + TTL the timeout
+            // path would NOT have fired yet and the bridging transition
+            // must still be emitted — both expiry paths agree at the
+            // boundary.
+            if (state.exists && state.getCurrentWatermarkMs() > state.get.lastMs + idleTtlMs)
               state.remove()
             val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_type))
             var last   = state.getOption

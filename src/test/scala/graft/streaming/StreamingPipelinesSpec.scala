@@ -260,6 +260,34 @@ class StreamingPipelinesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transition stream: watermark EXACTLY at last+TTL still bridges (EventTimeTimeout fires only on >)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = StreamingPipelines
+      .transitionStream(input.toDS(), watermark = "0 seconds", idleTtlMs = 60 * 1000L)
+      .writeStream
+      .format("memory")
+      .queryName("trans_ttl_edge_out")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(TypedEvent(ts(0), 1L, "view"))
+      q.processAllAvailable()
+      // u2 advances the watermark to EXACTLY u1's last + TTL (10:00 + 60s).
+      // GroupStateTimeout.EventTimeTimeout fires only when the watermark
+      // strictly EXCEEDS the set timestamp, so u1's timeout has NOT fired —
+      // the data-path expiry guard must agree and still bridge.
+      input.addData(TypedEvent(ts(1), 2L, "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(ts(2), 1L, "click"))
+      q.processAllAvailable()
+      val steps = spark.table("trans_ttl_edge_out").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(steps.toSeq === Seq(("view", "click")),
+        s"at watermark == last+TTL the timeout has not fired; the data path must bridge: ${steps.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: gap closes in-batch, timeout closes via watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
