@@ -876,6 +876,80 @@ object IvfSimilarity {
               |FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
     ),
     QueryDef(
+      "q_sim_ivf_probe_batch",
+      "BATCHED IVF probe: 5 query vectors answered in ONE plan — routing table (qid, cid) from the index, one cid join fans each query to its cluster's members, one (qid, vec_id) aggregation scores every candidate pair, top-3 per query via a qid-partitioned window. This is the query-serving shape that actually runs in production (requests arrive in batches, not one at a time): per-query driver round-trips are replaced by set-at-a-time joins, so 10^6 queries cost one more join row each, not 10^6 Spark jobs. At fixture scale the query frames broadcast; at real query volume both become shuffle joins on cid / (qid, d) — the plan shape is unchanged, only the join strategy flips, which AQE decides from size",
+      (s, dir) => {
+        val nQ   = 5
+        val topK = 3
+        val a2   = assignments(s, dir).select(col("vec_id"), col("cid"))
+        val c    = comp(s, dir)
+        // (qid, cid) routing rows for the query batch — tiny, broadcast
+        val qRoute = a2.filter(col("vec_id") < nQ).select(col("vec_id").as("qid"), col("cid"))
+        // query components long-form (qid, d, qx): nQ x dims rows
+        val qComp = c.filter(col("vec_id") < nQ).select(col("vec_id").as("qid"), col("d"), col("x").as("qx"))
+        // each query's candidates = its cluster's members (self-match excluded):
+        // ONE join against the inverted file serves the whole batch
+        val cands = a2
+          .join(broadcast(qRoute), "cid")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"))
+        val scored = c
+          .join(cands, "vec_id")
+          .join(broadcast(qComp), Seq("qid", "d"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(
+            sumTerm(col("x") * col("qx")).as("dot"),
+            sumTerm(col("x") * col("x")).as("nx"),
+            sumTerm(col("qx") * col("qx")).as("nq")
+          )
+          .select(
+            col("qid"),
+            col("vec_id"),
+            round(
+              col("dot").cast("double") /
+                (sqrt(col("nx").cast("double")) * sqrt(col("nq").cast("double"))),
+              6
+            ).as("cos_sim")
+          )
+        // per-QUERY top-k: the window partitions on qid (bounded candidate
+        // set per partition), never a global sort
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= topK)
+          .select(col("qid"), col("rn"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some(s"""WITH $assignmentsSql,
+              |qroute AS (SELECT vec_id AS qid, cid FROM a2 WHERE vec_id < 5),
+              |qcomp AS (SELECT vec_id AS qid, d, x AS qx FROM comp WHERE vec_id < 5),
+              |cands AS (
+              |  SELECT q.qid, a2.vec_id FROM a2 JOIN qroute q ON a2.cid = q.cid
+              |  WHERE a2.vec_id <> q.qid),
+              |scored AS (
+              |  SELECT cands.qid, comp.vec_id,
+              |    sum(cast(comp.x * qcomp.qx as decimal(18,12))) AS dot,
+              |    sum(cast(comp.x * comp.x as decimal(18,12))) AS nx,
+              |    sum(cast(qcomp.qx * qcomp.qx as decimal(18,12))) AS nq
+              |  FROM comp
+              |  JOIN cands ON cands.vec_id = comp.vec_id
+              |  JOIN qcomp ON qcomp.qid = cands.qid AND qcomp.d = comp.d
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT qid, vec_id,
+              |    round(cast(cast(dot as varchar) as double)
+              |          / (sqrt(cast(cast(nx as varchar) as double))
+              |             * sqrt(cast(cast(nq as varchar) as double))), 6) AS cos_sim
+              |  FROM scored)
+              |SELECT qid, rn, vec_id, cos_sim FROM (
+              |  SELECT qid, vec_id, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+              |  FROM ranked) t
+              |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_ivf_sq8_probe",
       "IVF-SQ8 probe (the Faiss IVF-SQ design): cluster membership from the trained index, but members scored with int8-quantized cosine — the inverted file stores 72-byte codes instead of 256-byte float vectors, so a probe scans a quarter of the bytes; recall vs the exact probe pinned in QuantizeSpec",
       (s, dir) => {

@@ -27,6 +27,27 @@ class IvfSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batched probe agrees with the single probe: qid=0's top-3 is q_sim_ivf_probe's prefix") {
+    val single = SparkEntry
+      .queries("q_sim_ivf_probe")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .take(3)
+      .toSeq
+    val batched = SparkEntry
+      .queries("q_sim_ivf_probe_batch")(spark, TestSpark.sfDir)
+      .collect()
+      .filter(_.getLong(0) == 0L)
+      .sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(batched === single, s"batched qid=0 must reproduce the single probe: $batched vs $single")
+    // and the batch answers every query: 5 qids x 3 ranks
+    val all = SparkEntry.queries("q_sim_ivf_probe_batch")(spark, TestSpark.sfDir).collect()
+    assert(all.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(all.length === 15)
+  }
+
   test("PQ codes conserve the corpus: every vector carries exactly PqM subspace codes") {
     import org.apache.spark.sql.functions._
     val census = SparkEntry.queries("q_sim_pq_codes")(spark, TestSpark.sfDir)
