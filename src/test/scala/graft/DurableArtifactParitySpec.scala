@@ -39,10 +39,13 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_ivf_build",
     "q_sim_ivf_probe",
     "q_sim_ivf_probe2",
+    "q_sim_ivf_probe_batch",
     "q_sim_ivf_sq8_probe",
     "q_sim_ivf_recall",
     "q_sim_pq_codes",
     "q_sim_pq_probe",
+    "q_sim_pq_recall",
+    "q_sim_ivfpq_probe",
     "q_dedup_semantic"
   )
 
