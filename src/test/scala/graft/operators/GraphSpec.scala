@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the purchase-graph analytics family at
+  * sf0.001 (150 customers, 10 suppliers — every supplier lands in the
+  * top-10/top-20 outputs, which makes whole-side properties checkable
+  * from the gate queries' own bounded results).
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("pagerank: descending order, positive mass, hubs (suppliers) dominate the top ranks") {
+    val rows = SparkEntry
+      .queries("q_graph_pagerank")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length === 20)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 }, "scores must be non-increasing")
+    // with 150 customers vs 10 suppliers, supplier degree is ~14x customer
+    // degree — all 10 suppliers must outrank every customer
+    val top10 = rows.take(10).map(_._1)
+    assert(top10.forall(_.startsWith("s")), s"top-10 must be suppliers: ${top10.mkString(",")}")
+    assert(top10.toSet.size === 10)
+  }
+
+  test("pagerank: a supplier's score strictly exceeds the uniform prior (it received real mass)") {
+    val rows = SparkEntry
+      .queries("q_graph_pagerank")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val uniform = 1.0 / 160 // 150 customers + 10 suppliers
+    rows.take(10).foreach { case (node, score) =>
+      assert(score > uniform, s"$node: $score must exceed the uniform prior $uniform")
+    }
+  }
+
+  test("hits: authority vector is L2-normalized (all 10 suppliers are in the output at sf0.001)") {
+    val auth = SparkEntry
+      .queries("q_graph_hits")(spark, TestSpark.sfDir)
+      .collect()
+      .map(_.getDouble(1))
+    assert(auth.length === 10)
+    val sumSq = auth.map(a => a * a).sum
+    assert(math.abs(sumSq - 1.0) < 1e-6, s"sum of squared authorities $sumSq must be ~1")
+    assert(auth.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("degree census: both kinds count the same edge set, degrees bound each other") {
+    val rows = SparkEntry
+      .queries("q_graph_degrees")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq("customer", "supplier"))
+    val Seq(cust, supp) = rows.toSeq
+    assert(cust._3 === supp._3, "edge endpoints counted from either side must agree")
+    assert(cust._2 * cust._5 >= cust._3, "n_nodes * max_deg bounds the edge count")
+    assert(supp._5 <= cust._2, "a supplier's degree is at most the number of customers")
+  }
+}
