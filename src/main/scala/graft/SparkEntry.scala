@@ -25,7 +25,8 @@ object SparkEntry {
       operators.IvfSimilarity.defs ++
       operators.Analytics.defs ++
       operators.StarTree.defs ++
-      operators.Graph.defs
+      operators.Graph.defs ++
+      operators.Dsir.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The complete reference pipeline: graft-events DSv2 partitioned scan ->

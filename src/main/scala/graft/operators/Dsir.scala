@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023) — the
+  * published recipe for choosing pre-training documents that LOOK like a
+  * target distribution: estimate importance weight w(x) =
+  * p_target(x)/p_raw(x) with hashed bag-of-ngram language models, then
+  * sample documents with probability proportional to w via Gumbel top-k.
+  * Here the target is the English slice of the corpus (`lang = 'en'`)
+  * standing in for "high-quality reference domain"; production swaps the
+  * target filter for a curated reference set, same plan.
+  *
+  * Spark-first shape and the 100 TB story:
+  *   - Token -> bucket hashing reuses the engine-reproducible md5-prefix
+  *     formula of [[TextAnalysis]]'s hashed classifier (64 buckets).
+  *   - Both bucket LMs (target + raw) come from ONE pass over ONE
+  *     materialized (doc_id, lang, bucket) token frame — the raw counts,
+  *     target counts, and totals are three aggregations of the same
+  *     pinned frame, and the per-doc weight sum joins it against a
+  *     64-row broadcast log-ratio table. The token stream is shuffled
+  *     once, by doc_id, for the weight sum — the same irreducible
+  *     shuffle as TF-IDF; everything model-sized (the 64-bucket tables,
+  *     the totals) is a broadcast.
+  *   - Parity: the per-bucket log-ratio is the ONLY transcendental; it is
+  *     rounded to 12 decimals and cast to decimal(16,12) in a 64-row
+  *     table, so every per-doc weight is an ORDER-FREE exact decimal sum
+  *     of identical terms in both engines (no per-token ln anywhere).
+  *     Gumbel keys use the md5-uniform convention of `q_sample_weighted`
+  *     (+1/2^32+1 shift keeps u in (0,1), so ln(-ln u) is finite).
+  */
+object Dsir {
+
+  private val B = 64
+
+  private def bucket(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("long") % B
+
+  /** Per-doc importance weights (doc_id, lang, logw double, unrounded):
+    * one token-frame pass + 64-row broadcast join.
+    */
+  private def docWeights(s: SparkSession, dir: String): DataFrame = {
+    // (doc_id, lang, bucket) token frame — FOUR consumers (raw counts,
+    // target counts, totals, the weight sum), so it is pinned once
+    val tb = Tables.pin(
+      Tables
+        .fanout(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), explode(TextShared.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("lang"), bucket(col("t")).as("b"))
+    )
+    val rc = tb.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tc = tb.filter(col("lang") === "en").groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = tb.agg(
+      count(lit(1)).as("totr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tott")
+    )
+    // add-1-smoothed log p_target(b) - log p_raw(b), rounded then decimal:
+    // the one transcendental, frozen into a 64-row broadcast table
+    val lr = rc
+      .join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("b"),
+        round(
+          log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tott") + lit(64.0))) -
+            log((col("rc") + lit(1.0)) / (col("totr") + lit(64.0))),
+          12
+        ).cast("decimal(16,12)").as("lr")
+      )
+    tb.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("lang")).as("lang"),
+        sum(col("lr")).cast("double").as("logw")
+      )
+  }
+
+  /** Shared oracle CTE chain ending in `docw(doc_id, lang, logw)`. */
+  private val docwSql =
+    """tb AS (
+      |  SELECT doc_id, lang, ('0x' || substring(md5(t), 1, 4))::bigint % 64 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)),
+      |rc AS (SELECT b, count(1) AS rc FROM tb GROUP BY b),
+      |tc AS (SELECT b, count(1) AS tc FROM tb WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(1) FROM tb) AS totr,
+      |               (SELECT count(1) FROM tb WHERE lang = 'en') AS tott),
+      |lr AS (
+      |  SELECT rc.b,
+      |    cast(round(ln((coalesce(tc.tc, 0) + 1.0) / (tot.tott + 64.0))
+      |             - ln((rc.rc + 1.0) / (tot.totr + 64.0)), 12) as decimal(16,12)) AS lr
+      |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+      |docw AS (
+      |  SELECT tb.doc_id, max(tb.lang) AS lang,
+      |    cast(cast(sum(lr.lr) as varchar) as double) AS logw
+      |  FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dsir_weights",
+      "DSIR importance-weight census per language: hashed-64-bucket target (en) vs raw unigram LMs, per-doc log-weight = exact decimal sum of per-bucket rounded log-ratios; n_docs / decimal-exact avg / min / max per lang. The health readout before resampling: the target language must separate upward, and a degenerate weight distribution (all mass on a few docs) shows up here before the sample does",
+      (s, dir) =>
+        docWeights(s, dir)
+          .select(col("lang"), round(col("logw"), 6).as("logw"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(sum(col("logw").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+              .as("avg_logw"),
+            round(min(col("logw")), 6).as("min_logw"),
+            round(max(col("logw")), 6).as("max_logw")
+          )
+          .orderBy(col("lang")),
+      Some(s"""WITH $docwSql,
+              |r AS (SELECT lang, round(logw, 6) AS logw FROM docw)
+              |SELECT lang, cast(count(1) as bigint) AS n_docs,
+              |  round(cast(cast(sum(cast(logw as decimal(18,6))) as varchar) as double)
+              |        / count(1), 6) AS avg_logw,
+              |  round(min(logw), 6) AS min_logw, round(max(logw), 6) AS max_logw
+              |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_dsir_select",
+      "DSIR Gumbel top-k selection: sampling WITHOUT replacement proportional to the importance weight via key = logw + Gumbel(md5-uniform) — deterministic across runs, retries, and engines; top-20 selected docs with their weights and keys. TakeOrderedAndProject keeps it per-partition-heap at any corpus size; the selected-set size is the only driver-bound quantity",
+      (s, dir) => {
+        val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + lit(1.0)) / lit(4294967297.0)
+        docWeights(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            round(col("logw"), 6).as("logw"),
+            round(col("logw") - log(-log(u)), 6).as("gumbel_key")
+          )
+          .orderBy(col("gumbel_key").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH $docwSql
+              |SELECT doc_id, lang, round(logw, 6) AS logw,
+              |  round(logw - ln(-ln((('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::bigint + 1.0)
+              |                      / 4294967297.0)), 6) AS gumbel_key
+              |FROM docw ORDER BY gumbel_key DESC, doc_id LIMIT 20""".stripMargin)
+    )
+  )
+}
