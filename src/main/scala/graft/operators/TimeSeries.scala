@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over the event stream: autocorrelation,
+  * CUSUM changepoint detection, and seasonal-naive forecast evaluation —
+  * the monitoring layer an ingestion pipeline runs over its own volume
+  * curves (ingest-rate seasonality, regime shifts after a deploy, "is
+  * today's volume explainable by last week's").
+  *
+  * Scale design: every query aggregates events to the SERIES GRAIN first
+  * (one shuffle: groupBy day or (event_type, day) with map-side partial
+  * counts — the only pass over the raw stream), and the series math runs
+  * on the days-sized frame. Global-order windows therefore act on
+  * hundreds-to-thousands of rows regardless of corpus size — the
+  * documented exception to the no-global-window rule (same as the
+  * post-aggregation windows in q_drift_psi/q_event_gapfill). CUSUM stays
+  * in INTEGER space (n*prefix - t*total) so the argmax needs no rounding
+  * at all; ACF wraps `corr` in round(6) like q_stat_corr (moment merges
+  * are order-sensitive); forecast errors are integer or decimal-cast
+  * sums.
+  */
+object TimeSeries {
+
+  private def day = (unix_timestamp(col("ts")) / 86400).cast("long").as("day")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ts_acf",
+      "autocorrelation function of the daily event-count series at lags 1..7: one groupBy to the day grain, one global-order window adding the 7 lag columns (days-sized frame), Pearson corr per lag (null pairs skipped identically in both engines), rounded 6. Lag-7 spikes reveal weekly seasonality; a slow decay reveals trend — the standard pre-forecast readout",
+      (s, dir) => {
+        val d = Tables
+          .events(s, dir)
+          .select(day)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("day"))
+        val l = d.select(
+          col("cnt") +: (1 to 7).map(k => lag(col("cnt"), k).over(w).as(s"l$k")): _*
+        )
+        val a = l.agg(
+          round(corr(col("cnt"), col("l1")), 6).as("a1"),
+          (2 to 7).map(k => round(corr(col("cnt"), col(s"l$k")), 6).as(s"a$k")): _*
+        )
+        a.select(
+          explode(
+            array((1 to 7).map(k => struct(lit(k.toLong).as("lag"), col(s"a$k").as("acf"))): _*)
+          ).as("e")
+        ).select(col("e.lag").as("lag"), col("e.acf").as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH d AS (
+             |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+             |    cast(count(1) as bigint) AS cnt
+             |  FROM events GROUP BY 1),
+             |l AS (
+             |  SELECT cnt,
+             |    lag(cnt, 1) OVER (ORDER BY day) AS l1, lag(cnt, 2) OVER (ORDER BY day) AS l2,
+             |    lag(cnt, 3) OVER (ORDER BY day) AS l3, lag(cnt, 4) OVER (ORDER BY day) AS l4,
+             |    lag(cnt, 5) OVER (ORDER BY day) AS l5, lag(cnt, 6) OVER (ORDER BY day) AS l6,
+             |    lag(cnt, 7) OVER (ORDER BY day) AS l7
+             |  FROM d),
+             |a AS (SELECT round(corr(cnt, l1), 6) AS a1, round(corr(cnt, l2), 6) AS a2,
+             |  round(corr(cnt, l3), 6) AS a3, round(corr(cnt, l4), 6) AS a4,
+             |  round(corr(cnt, l5), 6) AS a5, round(corr(cnt, l6), 6) AS a6,
+             |  round(corr(cnt, l7), 6) AS a7 FROM l)
+             |SELECT * FROM (
+             |  SELECT cast(1 as bigint) AS lag, a1 AS acf FROM a
+             |  UNION ALL SELECT 2, a2 FROM a UNION ALL SELECT 3, a3 FROM a
+             |  UNION ALL SELECT 4, a4 FROM a UNION ALL SELECT 5, a5 FROM a
+             |  UNION ALL SELECT 6, a6 FROM a UNION ALL SELECT 7, a7 FROM a) x
+             |ORDER BY lag""".stripMargin)
+    ),
+    QueryDef(
+      "q_ts_cusum",
+      "CUSUM changepoint detection on the daily event-count series: S_t = prefix_t - t*mean, changepoint = argmax |S_t|. Kept ENTIRELY in integer space (n*prefix_t - t*total — the mean never materializes as a double), so the argmax is exact with no rounding anywhere; only the reported magnitude divides back by n at the end. One shuffle to the day grain, days-sized windows, 1-row output",
+      (s, dir) => {
+        val d = Tables
+          .events(s, dir)
+          .select(day)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val t = d.agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"))
+        val w = Window.orderBy(col("day"))
+        val p = d.select(
+          col("day"),
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("prefix"),
+          row_number().over(w).cast("long").as("t_idx")
+        )
+        p.crossJoin(broadcast(t))
+          .select(
+            col("day"),
+            col("n"),
+            col("total"),
+            abs(col("n") * col("prefix") - col("t_idx") * col("total")).as("absn")
+          )
+          .orderBy(col("absn").desc, col("day"))
+          .limit(1)
+          .select(
+            col("n").as("n_days"),
+            col("total").as("total_events"),
+            col("day").as("cp_day"),
+            round(col("absn").cast("double") / col("n"), 4).as("max_abs_cusum")
+          )
+      },
+      Some("""WITH d AS (
+             |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+             |    cast(count(1) as bigint) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT cast(count(1) as bigint) AS n, cast(sum(cnt) as bigint) AS total FROM d),
+             |p AS (
+             |  SELECT day,
+             |    cast(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) as bigint) AS prefix,
+             |    cast(row_number() OVER (ORDER BY day) as bigint) AS t_idx
+             |  FROM d)
+             |SELECT t.n AS n_days, t.total AS total_events, p.day AS cp_day,
+             |  round(abs(t.n * p.prefix - p.t_idx * t.total) / cast(t.n as double), 4) AS max_abs_cusum
+             |FROM p CROSS JOIN t
+             |ORDER BY abs(t.n * p.prefix - p.t_idx * t.total) DESC, p.day LIMIT 1""".stripMargin)
+    ),
+    QueryDef(
+      "q_ts_forecast",
+      "seasonal-naive forecast evaluation per event type: predict day t's count with day t-7's (the standard do-no-harm baseline every real forecaster must beat), score MAE + MAPE over the evaluable days. Per-type lag-7 via a type-partitioned window on the (type, day) grain; MAE numerator is an integer sum, MAPE terms decimal-cast so the cross-day sum is order-free; both rounded 6",
+      (s, dir) => {
+        val d = Tables
+          .events(s, dir)
+          .select(col("event_type"), day)
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        d.select(col("event_type"), col("cnt"), lag(col("cnt"), 7).over(w).as("pred"))
+          .filter(col("pred").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_eval"),
+            round(sum(abs(col("cnt") - col("pred"))).cast("double") / count(lit(1)), 6).as("mae"),
+            round(
+              sum((abs(col("cnt") - col("pred")) * lit(1.0) / col("cnt")).cast("decimal(18,12)"))
+                .cast("double") / count(lit(1)),
+              6
+            ).as("mape")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type, cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+             |    cast(count(1) as bigint) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |l AS (
+             |  SELECT event_type, cnt,
+             |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+             |  FROM d)
+             |SELECT event_type, cast(count(1) as bigint) AS n_eval,
+             |  round(cast(cast(sum(abs(cnt - pred)) as varchar) as double) / count(1), 6) AS mae,
+             |  round(cast(cast(sum(cast(abs(cnt - pred) * 1.0 / cnt as decimal(18,12))) as varchar) as double)
+             |        / count(1), 6) AS mape
+             |FROM l WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential checks: the distributed series queries must agree with a
+  * straightforward in-memory recomputation from the same fixture.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def dailyCounts(): Seq[(Long, Long)] =
+    graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .selectExpr("cast(unix_timestamp(ts) / 86400 as long) as day")
+      .groupBy("day")
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+
+  test("acf: 7 lags, every coefficient in [-1, 1]") {
+    val rows = SparkEntry
+      .queries("q_ts_acf")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq === (1L to 7L))
+    rows.foreach { case (k, a) => assert(math.abs(a) <= 1.0, s"lag $k acf $a out of range") }
+  }
+
+  test("cusum: changepoint and magnitude match an in-memory recomputation") {
+    val series = dailyCounts()
+    val n      = series.length.toLong
+    val total  = series.map(_._2).sum
+    var prefix = 0L
+    val scores = series.map { case (day, cnt) => prefix += cnt; (day, prefix) }
+      .zipWithIndex
+      .map { case ((day, pre), i) => (day, math.abs(n * pre - (i + 1).toLong * total)) }
+    val (expDay, expAbsn) = scores.maxBy(s => (s._2, -s._1))
+    val row = SparkEntry.queries("q_ts_cusum")(spark, TestSpark.sfDir).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === total)
+    assert(row.getLong(2) === expDay, "changepoint day must match the reference argmax")
+    assert(
+      math.abs(row.getDouble(3) - expAbsn.toDouble / n) < 1e-3,
+      s"magnitude ${row.getDouble(3)} vs ${expAbsn.toDouble / n}"
+    )
+  }
+
+  test("seasonal-naive forecast: MAE matches an in-memory recomputation for every type") {
+    val perType = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "cast(unix_timestamp(ts) / 86400 as long) as day")
+      .groupBy("event_type", "day")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = perType.map { case (tpe, rows) =>
+      val cnts  = rows.sortBy(_._2).map(_._3)
+      val pairs = cnts.drop(7).zip(cnts.dropRight(7))
+      tpe -> (pairs.length.toLong, pairs.map { case (a, p) => math.abs(a - p) }.sum.toDouble / pairs.length)
+    }
+    val got = SparkEntry
+      .queries("q_ts_forecast")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, (nEval, mae)) =>
+      assert(got(tpe)._1 === nEval, s"$tpe n_eval")
+      assert(math.abs(got(tpe)._2 - mae) < 1e-6, s"$tpe mae ${got(tpe)._2} vs $mae")
+    }
+  }
+}
