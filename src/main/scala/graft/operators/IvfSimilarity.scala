@@ -242,9 +242,18 @@ object IvfSimilarity {
     )(buildPqCent(s, dir))
 
   private def buildPqCent(s: SparkSession, dir: String): DataFrame =
+    pqCentFrom(comp(s, dir))
+
+  /** Frame-generic long-form PQ codebooks (sub, dl, cid, cx) from any
+    * exploded component frame — deterministic in the row SET like
+    * [[trainCentroids]], so a streamed-then-retrained index reproduces
+    * the batch build bit-for-bit ([[graft.streaming.StreamingIvf]]'s PQ
+    * retrain pin).
+    */
+  private[graft] def pqCentFrom(c: DataFrame): DataFrame =
     (0 until PqM)
       .map { m =>
-        trainCentroids(subComp(comp(s, dir), m))
+        trainCentroids(subComp(c, m))
           .select(
             col("d").as("dl"),
             explode(
@@ -264,8 +273,13 @@ object IvfSimilarity {
       Some((df, p) => graft.sources.Sinks.writeRangeSorted(df, p, "vec_id", 4))
     )(buildPqCodes(s, dir))
 
-  private def buildPqCodes(s: SparkSession, dir: String): DataFrame = {
-    val cent = pqCent(s, dir)
+  private def buildPqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesFrom(comp(s, dir), pqCent(s, dir))
+
+  /** Frame-generic PQ encoding (vec_id, sub, cid, dist) of a component
+    * frame against long-form codebooks.
+    */
+  private[graft] def pqCodesFrom(c: DataFrame, cent: DataFrame): DataFrame =
     (0 until PqM)
       .map { m =>
         val wide = cent
@@ -276,11 +290,10 @@ object IvfSimilarity {
             (1 until K).map(k => max(when(col("cid") === k, col("cx"))).as(s"cx$k")): _*
           )
           .withColumnRenamed("dl", "d")
-        assignPass(subComp(comp(s, dir), m), wide)
+        assignPass(subComp(c, m), wide)
           .select(col("vec_id"), lit(m).as("sub"), col("cid"), col("dist"))
       }
       .reduce(_ unionByName _)
-  }
 
   /** Semantic near-dup pairs within a k-means cluster (the SemDeDup shape,
     * Abbas et al. 2023: cluster the embedding space, then compare pairs

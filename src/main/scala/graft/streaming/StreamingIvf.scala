@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingIvf {
 
-  import IvfSimilarity.{assignPass, compFrame, trainCentroids}
+  import IvfSimilarity.{assignPass, compFrame, pqCentFrom, pqCodesFrom, trainCentroids}
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,7 +91,10 @@ object StreamingIvf {
   }
 
   /** Materialize `v=$v` completely: train on `emb`, fold every vector's
-    * posting row into `batch_id=-1` partitioned by cid.
+    * posting row into `batch_id=-1` partitioned by cid, and train + store
+    * the PQ layer (long-form codebooks + every vector's M-subspace code)
+    * from the SAME component frame — a snapshot serves both exact-cosine
+    * probes (postings) and ADC probes (codes) after one build.
     */
   private def writeSnapshot(spark: SparkSession, emb: DataFrame, indexDir: String, v: Int): Unit = {
     val vdir = versionDir(indexDir, v)
@@ -109,6 +112,23 @@ object StreamingIvf {
       .mode("overwrite")
       .partitionBy("cid")
       .parquet(s"$vdir/postings/batch_id=-1")
+    pqCentFrom(c).write.mode("overwrite").parquet(s"$vdir/pq_cent")
+    pqCodesFrom(c, spark.read.parquet(s"$vdir/pq_cent"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$vdir/pq_codes")
+  }
+
+  /** The live snapshot's PQ artifacts (codebooks, codes) — the ADC frame
+    * an IVFPQ-style probe scores instead of raw embeddings. NOTE: codes
+    * cover the vectors present at build/[[retrain]] time; streamed
+    * arrivals join the PQ layer at the next retrain (the standard
+    * Faiss-ops split: postings serve arrivals exactly, the compressed
+    * layer refreshes on the maintenance cadence).
+    */
+  def pqLayer(spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
+    val vdir = versionDir(indexDir, currentVersion(spark, indexDir))
+    (spark.read.parquet(s"$vdir/pq_cent"), spark.read.parquet(s"$vdir/pq_codes"))
   }
 
   /** Start the ingest stream: arriving parquet files of (vec_id,

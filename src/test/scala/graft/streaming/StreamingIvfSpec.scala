@@ -79,5 +79,19 @@ class StreamingIvfSpec extends AnyFunSuite {
       StreamingIvf.probe(spark, idx, query, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probeRows(s"$dir/index") === probeRows(s"$dir/batch-index"),
       "probe answers over the retrained index must equal the batch build's")
+
+    // the PQ layer retrains with the snapshot and converges identically:
+    // codebooks trained per subspace by the same deterministic k-means,
+    // codes assigned against them — both bit-for-bit vs the batch build
+    val (rCent, rCodes) = StreamingIvf.pqLayer(spark, s"$dir/index")
+    val (bCent, bCodes) = StreamingIvf.pqLayer(spark, s"$dir/batch-index")
+    def sorted(df: org.apache.spark.sql.DataFrame, keys: String*) =
+      df.orderBy(keys.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(sorted(rCent, "sub", "dl", "cid") === sorted(bCent, "sub", "dl", "cid"),
+      "retrained PQ codebooks must equal the batch build's bit-for-bit")
+    assert(sorted(rCodes, "vec_id", "sub") === sorted(bCodes, "vec_id", "sub"),
+      "retrained PQ codes must equal the batch build's bit-for-bit")
+    assert(rCodes.select("vec_id").distinct().count() === n,
+      "every vector carries a PQ code after retrain")
   }
 }
