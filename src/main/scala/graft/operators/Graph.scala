@@ -87,7 +87,9 @@ object Graph {
       "q_graph_pagerank",
       s"PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with, on the fixture's own entity graph. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable groupBy(dst); per-round lineage truncated via pinIter (the CC discipline); contribution sums decimal-exact so the result is partition-order-free and oracle-identical. Top-20 nodes by final score",
       (s, dir) => {
-        val cs = purchasePairs(s, dir)
+        // the symmetrizing union references the pair frame twice — pin it
+        // so the orders-lineitem join + distinct runs once
+        val cs = Tables.pin(purchasePairs(s, dir))
         val edges0 = cs
           .select(concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
           .unionByName(
@@ -103,23 +105,29 @@ object Graph {
           .crossJoin(broadcast(nn))
           .select(col("node"), round(lit(1.0) / col("n"), 9).as("score"))
         for (_ <- 1 to PrIters) {
+          // SYMMETRIZED graph invariant: every node has >= 1 in-edge, so
+          // the contribution frame already covers the full node set — no
+          // per-round left join back to `nodes` (the oracle keeps the
+          // general LEFT JOIN form; on this edge set the rows coincide)
           val contribs = edges
             .join(scores, edges("src") === scores("node"))
-            .groupBy(col("dst").as("cnode"))
+            .groupBy(col("dst").as("node"))
             .agg(sumTerm(col("score") / col("outd")).as("s"))
-          scores = Tables.pinIter(
-            nodes
-              .crossJoin(broadcast(nn))
-              .join(contribs, col("node") === col("cnode"), "left")
-              .select(
-                col("node"),
-                round(
-                  lit(1 - Damping) / col("n") +
-                    lit(Damping) * coalesce(col("s").cast("double"), lit(0.0)),
-                  9
-                ).as("score")
-              )
-          )
+          // NO per-round pin: each round references the previous scores
+          // frame exactly ONCE, so the lineage grows LINEARLY (a 5-deep
+          // join/agg chain Catalyst plans as one job) — the 2^k blowup
+          // that forces pinIter only bites SELF-joining rounds (the CC
+          // pointer-doubling case). The pinned edge frame is the one
+          // shared input, scanned from its materialized blocks each round.
+          scores = contribs
+            .crossJoin(broadcast(nn))
+            .select(
+              col("node"),
+              round(
+                lit(1 - Damping) / col("n") + lit(Damping) * col("s").cast("double"),
+                9
+              ).as("score")
+            )
         }
         scores.orderBy(col("score").desc, col("node")).limit(20)
       },
@@ -141,8 +149,11 @@ object Graph {
       "HITS hub/authority scoring (Kleinberg 1999) on the bipartite purchase graph: customers are hubs, suppliers are authorities; 2 full mutual-reinforcement rounds with L2 normalization after every half-step. The natural bipartite companion to PageRank (which needs symmetrization here); per half-step cost is one edge join + one decimal-exact aggregation, and each norm is a 1-row broadcast. Top-10 suppliers by authority",
       (s, dir) => {
         val cs = Tables.pin(purchasePairs(s, dir))
-        // L2-normalize a (key, raw) frame: norm is a 1-row broadcast
-        def normalized(raw: DataFrame, key: String, v: String): DataFrame = {
+        // L2-normalize a (key, raw) frame: norm is a 1-row broadcast.
+        // `raw` is referenced twice (norm + rescale) — pin it, or each
+        // half-step's edge join and aggregation run twice
+        def normalized(raw0: DataFrame, key: String, v: String): DataFrame = {
+          val raw = Tables.pin(raw0)
           val nrm = raw.agg(sumTerm(col(v) * col(v)).cast("double").as("nrm"))
           raw
             .crossJoin(broadcast(nrm))
@@ -193,7 +204,8 @@ object Graph {
       "q_graph_degrees",
       "degree census of the purchase graph: per node kind (customer/supplier) the node count, edge endpoint count, min/max degree and decimal-exact average degree — the first sanity readout over any derived entity graph (a degree distribution collapsing to hubs is how you catch a skewed join key before PageRank stragglers do)",
       (s, dir) => {
-        val cs = purchasePairs(s, dir)
+        // referenced once per kind in the union below — pin, same as above
+        val cs = Tables.pin(purchasePairs(s, dir))
         cs.select(lit("customer").as("kind"), col("c").as("node"))
           .unionByName(cs.select(lit("supplier").as("kind"), col("s").as("node")))
           .groupBy(col("kind"), col("node"))
