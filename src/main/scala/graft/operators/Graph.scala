@@ -88,12 +88,16 @@ object Graph {
       s"PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with, on the fixture's own entity graph. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable groupBy(dst); per-round lineage truncated via pinIter (the CC discipline); contribution sums decimal-exact so the result is partition-order-free and oracle-identical. Top-20 nodes by final score",
       (s, dir) => {
         // the symmetrizing union references the pair frame twice — pin it
-        // so the orders-lineitem join + distinct runs once
+        // so the orders-lineitem join + distinct runs once. Node ids are
+        // LONGS (custkey*2 / suppkey*2+1): the loop joins and shuffles on
+        // this key 5 times, and long hashing/compare beats string keys —
+        // the readable 'c…'/'s…' label is rendered only on the final 20
+        // rows (the oracle mirrors the same encode/decode)
         val cs = Tables.pin(purchasePairs(s, dir))
         val edges0 = cs
-          .select(concat(lit("c"), col("c")).as("src"), concat(lit("s"), col("s")).as("dst"))
+          .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
           .unionByName(
-            cs.select(concat(lit("s"), col("s")).as("src"), concat(lit("c"), col("c")).as("dst"))
+            cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
           )
         // degree folded INTO the edge frame once: the loop's join carries
         // (src, dst, outd) rows and never touches a separate degree table
@@ -129,20 +133,34 @@ object Graph {
               ).as("score")
             )
         }
-        scores.orderBy(col("score").desc, col("node")).limit(20)
+        // top-20 selected on the LONG key tiebreak, then rendered and
+        // re-ordered on the rendered label — both steps mirrored in SQL
+        scores
+          .orderBy(col("score").desc, col("node")).limit(20)
+          .select(
+            concat(
+              when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+              (col("node") / 2).cast("long")
+            ).as("node"),
+            col("score")
+          )
+          .orderBy(col("score").desc, col("node"))
       },
       Some(s"""WITH $pairsSql,
               |edges0 AS (
-              |  SELECT 'c' || c AS src, 's' || s AS dst FROM cs
+              |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
               |  UNION ALL
-              |  SELECT 's' || s AS src, 'c' || c AS dst FROM cs),
+              |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
               |deg AS (SELECT src, count(1) AS outd FROM edges0 GROUP BY 1),
               |edges AS (SELECT e.src, e.dst, d.outd FROM edges0 e JOIN deg d USING (src)),
               |nodes AS (SELECT DISTINCT src AS node FROM edges0),
               |nn AS (SELECT count(1) AS n FROM nodes),
               |it0 AS (SELECT node, round(1.0 / nn.n, 9) AS score FROM nodes CROSS JOIN nn),
               |${(1 to PrIters).map(prIterSql).mkString(",\n")}
-              |SELECT node, score FROM it$PrIters ORDER BY score DESC, node LIMIT 20""".stripMargin)
+              |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+              |            ELSE 's' || (node // 2) END AS node, score
+              |FROM (SELECT node, score FROM it$PrIters ORDER BY score DESC, node LIMIT 20) t
+              |ORDER BY score DESC, node""".stripMargin)
     ),
     QueryDef(
       "q_graph_hits",
@@ -199,6 +217,72 @@ object Graph {
               |a2 AS (SELECT s, round(ar / sqrt(nrm), 9) AS authority FROM a2r CROSS JOIN a2n)
               |SELECT s AS suppkey, authority FROM a2
               |ORDER BY authority DESC, suppkey LIMIT 10""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_triangles",
+      "triangle census of the thresholded co-purchase graph: parts co-occurring in >= 2 distinct orders form an edge (the weight threshold is THE scale lever — on a bigger corpus random co-occurrence gets rarer, so the graph sparsifies on its own; raise the threshold to sparsify further), triangles counted with the canonical edge-orientation join (a<b<c, every triangle found exactly once), global clustering coefficient = 3*triangles/wedges with the wedge count kept in integer space. One row: nodes, edges, wedges, triangles, coefficient",
+      (s, dir) => {
+        // distinct (order, part) incidences — the self-join input, pinned
+        val op = Tables.pin(
+          Tables
+            .lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .distinct()
+        )
+        val pairs = op
+          .alias("a")
+          .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("w"))
+        // the oriented edge list (pa < pb by construction), referenced by
+        // the degree census and THREE times by the triangle join — pinned
+        val e = Tables.pin(pairs.filter(col("w") >= 2).select(col("pa"), col("pb")))
+        val deg = e
+          .select(col("pa").as("node"))
+          .unionByName(e.select(col("pb").as("node")))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("d"))
+        val degStats = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          (sum(col("d") * (col("d") - 1)) / lit(2)).cast("long").as("n_wedges")
+        )
+        val tri = e
+          .alias("e1")
+          .join(e.alias("e2"), col("e2.pa") === col("e1.pb"))
+          .join(e.alias("e3"), col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nEdges = e.agg(count(lit(1)).as("n_edges"))
+        nEdges
+          .crossJoin(broadcast(degStats))
+          .crossJoin(broadcast(tri))
+          .select(
+            col("n_nodes"),
+            col("n_edges"),
+            col("n_wedges"),
+            col("n_triangles"),
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering_coeff")
+          )
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |pairs AS (
+             |  SELECT a.p AS pa, b.p AS pb, count(1) AS w
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY 1, 2),
+             |e AS (SELECT pa, pb FROM pairs WHERE w >= 2),
+             |deg AS (
+             |  SELECT node, count(1) AS d FROM (
+             |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) x GROUP BY 1),
+             |ds AS (SELECT cast(count(1) as bigint) AS n_nodes,
+             |              cast(sum(d * (d - 1)) as bigint) // 2 AS n_wedges FROM deg),
+             |tri AS (
+             |  SELECT cast(count(1) as bigint) AS n_triangles
+             |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+             |            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+             |SELECT ds.n_nodes, (SELECT cast(count(1) as bigint) FROM e) AS n_edges,
+             |  ds.n_wedges, tri.n_triangles,
+             |  round(3.0 * tri.n_triangles / ds.n_wedges, 6) AS clustering_coeff
+             |FROM ds CROSS JOIN tri""".stripMargin)
     ),
     QueryDef(
       "q_graph_degrees",

@@ -49,6 +49,37 @@ class GraphSpec extends AnyFunSuite {
     assert(auth.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("triangle census matches an in-memory recomputation on the thresholded graph") {
+    val edges = graft.Tables
+      .lineitem(spark, TestSpark.sfDir)
+      .selectExpr("l_orderkey as o", "l_partkey as p")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity)
+      // NOT `.collect { case (pair, occ) ... => pair }` — collect on a Map
+      // producing 2-tuples rebuilds a MAP, silently collapsing pairs that
+      // share a first element
+      .filter(_._2.size >= 2)
+      .keySet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expTri = edges.toSeq.map { case (a, b) =>
+      (adj.getOrElse(a, Set.empty) & adj.getOrElse(b, Set.empty)).size.toLong
+    }.sum
+    val degs = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2)).groupBy(identity).values.map(_.size.toLong)
+    val expWedges = degs.map(d => d * (d - 1) / 2).sum
+    val row = SparkEntry.queries("q_graph_triangles")(spark, TestSpark.sfDir).collect().head
+    assert(row.getLong(1) === edges.size.toLong, "edge count")
+    assert(row.getLong(2) === expWedges, "wedge count")
+    assert(row.getLong(3) === expTri, "triangle count")
+  }
+
   test("degree census: both kinds count the same edge set, degrees bound each other") {
     val rows = SparkEntry
       .queries("q_graph_degrees")(spark, TestSpark.sfDir)
