@@ -598,4 +598,64 @@ class PlanSpec extends AnyFunSuite {
       assert(!cols.contains("text"), s"the text column must never shuffle: $cols")
     }
   }
+
+  test("PageRank never broadcasts a node-cardinality frame (only the 1-row count rides a hint)") {
+    // At 10^9 nodes the score/edge frames must hash-partition; with the
+    // broadcast threshold off, any BroadcastExchange in the plan is an
+    // explicit hint — the only one allowed is the 1-row node count.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nodes = allNodes(executed(q("q_graph_pagerank")))
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(
+          !cols.exists(c => c == "node" || c == "src" || c == "dst" || c == "score"),
+          s"a per-node/per-edge frame must never broadcast in the PageRank loop: ${cols.mkString(",")}"
+        )
+      }
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        s"the edges-to-scores join must plan as a shuffle join, got:\n${nodes.map(_.nodeName).mkString("\n")}"
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("batched IVF probe: query-batch frames broadcast, the corpus frame never does") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nodes = allNodes(executed(q("q_sim_ivf_probe_batch")))
+      // hinted broadcasts are the routing table (qid, cid) and the query
+      // components (qid, d, qx) — neither carries vec_id, the
+      // corpus-cardinality column
+      val bcasts = nodes.filter(_.nodeName.contains("BroadcastExchange"))
+      assert(bcasts.nonEmpty, "the query-batch hints must survive")
+      bcasts.foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.contains("vec_id"),
+          s"a corpus-cardinality frame must never broadcast in the batched probe: ${cols.mkString(",")}")
+      }
+      // per-query top-k is a qid-PARTITIONED window — the plan's window
+      // sort is a local SortExec under the window, never a global order
+      // of the scored frame (the only global sort is over the <=15-row
+      // final output)
+      assert(nodes.exists(_.nodeName.contains("Window")), "per-query ranking must be a window")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("DSIR weights: the log-ratio table broadcasts, per-doc frames never do") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nodes = allNodes(executed(q("q_dsir_weights")))
+      val bcasts = nodes.filter(_.nodeName.contains("BroadcastExchange"))
+      assert(bcasts.nonEmpty, "the 64-row lr-table hint must survive")
+      bcasts.foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.contains("doc_id"),
+          s"a per-doc frame must never broadcast in DSIR: ${cols.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
