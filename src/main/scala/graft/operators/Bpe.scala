@@ -68,16 +68,27 @@ object Bpe {
             .agg(count(lit(1)).as("n"))
           // 1-row argmax, pinned: referenced by BOTH the rewrite and the
           // output union (unpinned, each reference re-derives the whole
-          // corpus pass)
+          // corpus pass). The mk pins stay live — the returned frame's
+          // union reads their checkpointed blocks when the CALLER
+          // evaluates.
           val mk = Tables.pin(pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1))
           merges += mk.select(lit(k.toLong).as("round"), col("a"), col("b"), col("n"))
-          val pat = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
-          val rep = concat(lit(" "), col("a"), lit("_"), col("b"), lit(" "))
-          var sNew: Column = col("s")
-          for (_ <- 1 to 4) sNew = call_function("replace", sNew, pat, rep)
-          docs = Tables.pinIter(
-            docs.crossJoin(broadcast(mk)).select(col("doc_id"), sNew.as("s"))
-          )
+          // the final round's merge needs no rewrite (nothing reads it) —
+          // and once round k+1's generation is eagerly materialized, round
+          // k's corpus copy is dead and its checkpoint storage is
+          // reclaimed (the CC-loop unpin discipline; without it K rounds
+          // hold K corpus copies)
+          if (k < Rounds) {
+            val pat = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+            val rep = concat(lit(" "), col("a"), lit("_"), col("b"), lit(" "))
+            var sNew: Column = col("s")
+            for (_ <- 1 to 4) sNew = call_function("replace", sNew, pat, rep)
+            val next = Tables.pinIter(
+              docs.crossJoin(broadcast(mk)).select(col("doc_id"), sNew.as("s"))
+            )
+            Tables.unpin(docs) // no-op on the un-checkpointed round-1 base
+            docs = next
+          }
         }
         merges.result().reduce(_ unionByName _).orderBy(col("round"))
       },

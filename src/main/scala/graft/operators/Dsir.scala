@@ -73,11 +73,17 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(
         max(col("lang")).as("lang"),
-        sum(col("lr")).cast("double").as("logw")
+        // both renderings of the weight: the EXACT decimal sum (for
+        // downstream re-aggregation in decimal space) and its one-time
+        // double cast (for per-doc emission / transcendental keys)
+        sum(col("lr")).as("logw_dec")
       )
+      .withColumn("logw", col("logw_dec").cast("double"))
   }
 
-  /** Shared oracle CTE chain ending in `docw(doc_id, lang, logw)`. */
+  /** Shared oracle CTE chain ending in `docw(doc_id, lang, logw_dec,
+    * logw)` — the decimal sum and its varchar-bridged double twin.
+    */
   private val docwSql =
     """tb AS (
       |  SELECT doc_id, lang, ('0x' || substring(md5(t), 1, 4))::bigint % 64 AS b
@@ -93,6 +99,7 @@ object Dsir {
       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
       |docw AS (
       |  SELECT tb.doc_id, max(tb.lang) AS lang,
+      |    sum(lr.lr) AS logw_dec,
       |    cast(cast(sum(lr.lr) as varchar) as double) AS logw
       |  FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)""".stripMargin
 
@@ -100,25 +107,26 @@ object Dsir {
     QueryDef(
       "q_dsir_weights",
       "DSIR importance-weight census per language: hashed-64-bucket target (en) vs raw unigram LMs, per-doc log-weight = exact decimal sum of per-bucket rounded log-ratios; n_docs / decimal-exact avg / min / max per lang. The health readout before resampling: the target language must separate upward, and a degenerate weight distribution (all mass on a few docs) shows up here before the sample does",
+      // per-doc weights stay DECIMAL through the per-language aggregation,
+      // and every emitted value is an exact rational cast to double ONCE —
+      // never round()ed (SCALE.md rule 3: rationals land on decimal
+      // halves, where the engines' round() semantics diverge)
       (s, dir) =>
         docWeights(s, dir)
-          .select(col("lang"), round(col("logw"), 6).as("logw"))
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
-            round(sum(col("logw").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-              .as("avg_logw"),
-            round(min(col("logw")), 6).as("min_logw"),
-            round(max(col("logw")), 6).as("max_logw")
+            (sum(col("logw_dec")).cast("double") / count(lit(1))).as("avg_logw"),
+            min(col("logw_dec")).cast("double").as("min_logw"),
+            max(col("logw_dec")).cast("double").as("max_logw")
           )
           .orderBy(col("lang")),
-      Some(s"""WITH $docwSql,
-              |r AS (SELECT lang, round(logw, 6) AS logw FROM docw)
+      Some(s"""WITH $docwSql
               |SELECT lang, cast(count(1) as bigint) AS n_docs,
-              |  round(cast(cast(sum(cast(logw as decimal(18,6))) as varchar) as double)
-              |        / count(1), 6) AS avg_logw,
-              |  round(min(logw), 6) AS min_logw, round(max(logw), 6) AS max_logw
-              |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+              |  cast(cast(sum(logw_dec) as varchar) as double) / count(1) AS avg_logw,
+              |  cast(cast(min(logw_dec) as varchar) as double) AS min_logw,
+              |  cast(cast(max(logw_dec) as varchar) as double) AS max_logw
+              |FROM docw GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     QueryDef(
       "q_dsir_select",
@@ -130,14 +138,17 @@ object Dsir {
           .select(
             col("doc_id"),
             col("lang"),
-            round(col("logw"), 6).as("logw"),
+            // logw is an exact rational (decimal sum cast once): emitted
+            // RAW per SCALE.md rule 3; the Gumbel key passes through ln so
+            // round(6) is the safe transcendental wrap (rule 4)
+            col("logw"),
             round(col("logw") - log(-log(u)), 6).as("gumbel_key")
           )
           .orderBy(col("gumbel_key").desc, col("doc_id"))
           .limit(20)
       },
       Some(s"""WITH $docwSql
-              |SELECT doc_id, lang, round(logw, 6) AS logw,
+              |SELECT doc_id, lang, logw,
               |  round(logw - ln(-ln((('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))::bigint + 1.0)
               |                      / 4294967297.0)), 6) AS gumbel_key
               |FROM docw ORDER BY gumbel_key DESC, doc_id LIMIT 20""".stripMargin)

@@ -22,20 +22,23 @@ import org.apache.spark.sql.functions._
   *     one groupBy(dst) aggregation with map-side partial sums. Nothing
   *     is ever collected to the driver; the per-node score frame stays
   *     distributed.
-  *   - Iterative lineage is truncated per round with [[Tables.pinIter]]
-  *     (the Dedup CC discipline): without it, round k's plan carries 2^k
-  *     copies of round 0's tree.
+  *   - PageRank's per-round lineage grows LINEARLY (each round references
+  *     the previous scores exactly once), so the loop runs UNPINNED as one
+  *     deep plan; the 2^k blowup that forces [[Tables.pinIter]] only bites
+  *     self-joining rounds (the Dedup CC pointer-doubling case). A future
+  *     round that references its predecessor twice must reintroduce the
+  *     per-round pin.
   *   - The 1-row node-count frame rides a broadcast crossJoin; degree is
   *     folded INTO the edge frame once (edges carry src out-degree), so
   *     the loop never re-joins a degree table.
-  *   - Contribution sums cast each score/out_deg term to decimal(27,12)
-  *     before summing — order-free exact addition, so results are
-  *     bit-identical across partitionings AND match the DuckDB oracle
-  *     (SCALE.md "Oracle-parity rules": decimal-cast terms at scale <= 12
-  *     keep both engines inside the ~15-significant-digit agreement zone
-  *     of double->decimal casts; per-iteration scores round to 9
-  *     decimals, below the cast scale, so the next round's inputs are
-  *     identical doubles in both engines).
+  *   - PageRank runs in FIXED-POINT INTEGER arithmetic (1e-12-unit scores,
+  *     floor-division damping — the q_ts_cusum discipline): bit-exact and
+  *     order-free with no rounding call anywhere. An earlier formulation
+  *     iterated round(double, 9) over pure rationals; at sf0.01 one hub
+  *     score landed on a decimal half and the engines' round() semantics
+  *     diverged — rationals land on halves, transcendentals don't
+  *     (SCALE.md rules 3/4). HITS keeps decimal-exact sums + round(9)
+  *     safely because every rounded value passes through sqrt first.
   *   - Dangling-node handling: the graph is symmetrized (each undirected
   *     purchase edge becomes two directed edges), so every node has
   *     out-degree >= 1 and no damping mass is lost — the standard
@@ -68,24 +71,24 @@ object Graph {
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
 
-  /** One PageRank iteration CTE — kept textually in lockstep with the
-    * Spark loop body in the query below.
+  /** One fixed-point PageRank iteration CTE — kept textually in lockstep
+    * with the Spark loop body in the query below. Scores are integer
+    * picoprobabilities (units of 1e-12); `//` is floor division, equal to
+    * Spark's `div` on the all-positive values here.
     */
   private def prIterSql(k: Int): String =
     s"""it$k AS (
-       |  SELECT n.node,
-       |    round(0.15 / nn.n + $Damping * coalesce(cast(cast(c.s as varchar) as double), 0.0), 9) AS score
-       |  FROM nodes n
-       |  CROSS JOIN nn
-       |  LEFT JOIN (
-       |    SELECT e.dst AS cnode, sum(cast(p.score / e.outd as decimal(27,12))) AS s
+       |  SELECT c.node, 150000000000000 // (100 * nn.n) + c.c AS s
+       |  FROM (
+       |    SELECT e.dst AS node, cast(sum((85 * p.s) // (100 * e.outd)) as bigint) AS c
        |    FROM edges e JOIN it${k - 1} p ON p.node = e.src
-       |    GROUP BY 1) c ON c.cnode = n.node)""".stripMargin
+       |    GROUP BY 1) c
+       |  CROSS JOIN nn)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_graph_pagerank",
-      s"PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with, on the fixture's own entity graph. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable groupBy(dst); per-round lineage truncated via pinIter (the CC discipline); contribution sums decimal-exact so the result is partition-order-free and oracle-identical. Top-20 nodes by final score",
+      s"FIXED-POINT PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with. Scores are integer picoprobabilities (units of 1e-12) and every operation is integer arithmetic with floor-division damping (the q_ts_cusum discipline): bit-exact, order-free, NO rounding call anywhere — an iterated round() of pure-rational doubles diverges between engines whenever a value lands on a decimal half, which one sf0.01 hub actually hit. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable integer groupBy(dst); the loop runs unpinned as one linear-depth plan (each round reads its predecessor once). Top-20 nodes by final score, emitted as the exact double s/1e12",
       (s, dir) => {
         // the symmetrizing union references the pair frame twice — pin it
         // so the orders-lineitem join + distinct runs once. Node ids are
@@ -105,18 +108,21 @@ object Graph {
         val edges = Tables.pin(edges0.join(deg, "src"))
         val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
         val nn    = nodes.agg(count(lit(1)).as("n"))
+        // integer picoprobability scores: s_0 = 1e12 div n per node
         var scores = nodes
           .crossJoin(broadcast(nn))
-          .select(col("node"), round(lit(1.0) / col("n"), 9).as("score"))
+          .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
         for (_ <- 1 to PrIters) {
           // SYMMETRIZED graph invariant: every node has >= 1 in-edge, so
           // the contribution frame already covers the full node set — no
-          // per-round left join back to `nodes` (the oracle keeps the
-          // general LEFT JOIN form; on this edge set the rows coincide)
+          // per-round left join back to `nodes`. Per-edge contribution
+          // (85*s) div (100*outd) and the teleport 15e12 div (100*n) stay
+          // in int64 (85*s <= 8.5e13); floor division == DuckDB's // on
+          // these all-positive values.
           val contribs = edges
             .join(scores, edges("src") === scores("node"))
             .groupBy(col("dst").as("node"))
-            .agg(sumTerm(col("score") / col("outd")).as("s"))
+            .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
           // NO per-round pin: each round references the previous scores
           // frame exactly ONCE, so the lineage grows LINEARLY (a 5-deep
           // join/agg chain Catalyst plans as one job) — the 2^k blowup
@@ -125,24 +131,20 @@ object Graph {
           // shared input, scanned from its materialized blocks each round.
           scores = contribs
             .crossJoin(broadcast(nn))
-            .select(
-              col("node"),
-              round(
-                lit(1 - Damping) / col("n") + lit(Damping) * col("s").cast("double"),
-                9
-              ).as("score")
-            )
+            .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n) + c").as("s"))
         }
-        // top-20 selected on the LONG key tiebreak, then rendered and
-        // re-ordered on the rendered label — both steps mirrored in SQL
+        // top-20 selected on the exact integer score (LONG key tiebreak),
+        // then rendered — both steps mirrored in SQL. The emitted double
+        // s/1e12 is exact IEEE division of an integer < 2^53: identical in
+        // both engines, no rounding call.
         scores
-          .orderBy(col("score").desc, col("node")).limit(20)
+          .orderBy(col("s").desc, col("node")).limit(20)
           .select(
             concat(
               when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
               (col("node") / 2).cast("long")
             ).as("node"),
-            col("score")
+            (col("s") / lit(1000000000000L)).as("score")
           )
           .orderBy(col("score").desc, col("node"))
       },
@@ -155,11 +157,12 @@ object Graph {
               |edges AS (SELECT e.src, e.dst, d.outd FROM edges0 e JOIN deg d USING (src)),
               |nodes AS (SELECT DISTINCT src AS node FROM edges0),
               |nn AS (SELECT count(1) AS n FROM nodes),
-              |it0 AS (SELECT node, round(1.0 / nn.n, 9) AS score FROM nodes CROSS JOIN nn),
+              |it0 AS (SELECT node, 1000000000000 // nn.n AS s FROM nodes CROSS JOIN nn),
               |${(1 to PrIters).map(prIterSql).mkString(",\n")}
               |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
-              |            ELSE 's' || (node // 2) END AS node, score
-              |FROM (SELECT node, score FROM it$PrIters ORDER BY score DESC, node LIMIT 20) t
+              |            ELSE 's' || (node // 2) END AS node,
+              |  s / 1000000000000.0 AS score
+              |FROM (SELECT node, s FROM it$PrIters ORDER BY s DESC, node LIMIT 20) t
               |ORDER BY score DESC, node""".stripMargin)
     ),
     QueryDef(
@@ -244,7 +247,11 @@ object Graph {
           .agg(count(lit(1)).as("d"))
         val degStats = deg.agg(
           count(lit(1)).as("n_nodes"),
-          (sum(col("d") * (col("d") - 1)) / lit(2)).cast("long").as("n_wedges")
+          // `div`, not `/`: Spark's `/` promotes to double, which loses low
+          // bits past 2^53 — at hub degrees of ~1e5 the wedge sum crosses
+          // that and the "integer space" claim (and oracle parity) breaks.
+          // Sum of d*(d-1) is even, so integer division is exact.
+          expr("sum(d * (d - 1)) div 2").as("n_wedges")
         )
         val tri = e
           .alias("e1")
@@ -260,7 +267,10 @@ object Graph {
             col("n_edges"),
             col("n_wedges"),
             col("n_triangles"),
-            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering_coeff")
+            // exact rational emitted raw: 3*tri is an exact double (< 2^53),
+            // one correctly-rounded IEEE division — identical both engines,
+            // and round() on a rational can land on a half (rule 3)
+            (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering_coeff")
           )
       },
       Some("""WITH op AS (
@@ -281,7 +291,7 @@ object Graph {
              |            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
              |SELECT ds.n_nodes, (SELECT cast(count(1) as bigint) FROM e) AS n_edges,
              |  ds.n_wedges, tri.n_triangles,
-             |  round(3.0 * tri.n_triangles / ds.n_wedges, 6) AS clustering_coeff
+             |  3.0 * tri.n_triangles / ds.n_wedges AS clustering_coeff
              |FROM ds CROSS JOIN tri""".stripMargin)
     ),
     QueryDef(
@@ -300,7 +310,9 @@ object Graph {
             sum(col("deg")).as("n_edges"),
             min(col("deg")).as("min_deg"),
             max(col("deg")).as("max_deg"),
-            round(sum(col("deg")).cast("double") / count(lit(1)), 6).as("avg_deg")
+            // exact integer numerator / exact count, one IEEE division,
+            // emitted raw (rule 2)
+            (sum(col("deg")).cast("double") / count(lit(1))).as("avg_deg")
           )
           .orderBy(col("kind"))
       },
@@ -312,7 +324,7 @@ object Graph {
               |SELECT kind, cast(count(1) as bigint) AS n_nodes,
               |  cast(sum(deg) as bigint) AS n_edges,
               |  min(deg) AS min_deg, max(deg) AS max_deg,
-              |  round(cast(cast(sum(deg) as varchar) as double) / count(1), 6) AS avg_deg
+              |  cast(cast(sum(deg) as varchar) as double) / count(1) AS avg_deg
               |FROM d GROUP BY kind ORDER BY kind""".stripMargin)
     )
   )

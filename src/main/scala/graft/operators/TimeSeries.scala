@@ -21,21 +21,49 @@ import org.apache.spark.sql.functions._
   * at all; ACF wraps `corr` in round(6) like q_stat_corr (moment merges
   * are order-sensitive); forecast errors are integer or decimal-cast
   * sums.
+  *
+  * The day grid is DENSIFIED before any lag/prefix math: a day with zero
+  * events is a real observation (cnt = 0), and a row-based lag over only
+  * the OBSERVED days would silently misalign every subsequent lag-k pair
+  * — lag-7 would stop meaning "one week earlier" after the first quiet
+  * day. The grid explode is bounded by the observation window, not the
+  * corpus.
   */
 object TimeSeries {
 
   private def day = (unix_timestamp(col("ts")) / 86400).cast("long").as("day")
 
+  /** Dense daily counts over [min day, max day]: observed counts
+    * gap-filled with genuine zeros. `d0` is tiny (days-sized) — pinned
+    * because the grid bounds and the left join both read it.
+    */
+  private def denseDaily(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d0 = Tables.pin(
+      Tables.events(s, dir).select(day).groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    )
+    d0.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(d0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Shared oracle CTE chain ending in dense `d(day, cnt)`. */
+  private val denseDailySql =
+    """d0 AS (
+      |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+      |    cast(count(1) as bigint) AS cnt
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+      |grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+      |d AS (SELECT grid.day, coalesce(d0.cnt, 0) AS cnt
+      |      FROM grid LEFT JOIN d0 USING (day))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ts_acf",
-      "autocorrelation function of the daily event-count series at lags 1..7: one groupBy to the day grain, one global-order window adding the 7 lag columns (days-sized frame), Pearson corr per lag (null pairs skipped identically in both engines), rounded 6. Lag-7 spikes reveal weekly seasonality; a slow decay reveals trend — the standard pre-forecast readout",
+      "autocorrelation function of the daily event-count series at lags 1..7: one groupBy to the day grain, gap-filled to the dense day grid (a quiet day is a real zero — without it every lag-k pair after a gap misaligns), one global-order window adding the 7 lag columns (days-sized frame), Pearson corr per lag (null pairs skipped identically in both engines), rounded 6. Lag-7 spikes reveal weekly seasonality; a slow decay reveals trend — the standard pre-forecast readout",
       (s, dir) => {
-        val d = Tables
-          .events(s, dir)
-          .select(day)
-          .groupBy(col("day"))
-          .agg(count(lit(1)).as("cnt"))
+        val d = denseDaily(s, dir)
         val w = Window.orderBy(col("day"))
         val l = d.select(
           col("cnt") +: (1 to 7).map(k => lag(col("cnt"), k).over(w).as(s"l$k")): _*
@@ -51,10 +79,7 @@ object TimeSeries {
         ).select(col("e.lag").as("lag"), col("e.acf").as("acf"))
           .orderBy(col("lag"))
       },
-      Some("""WITH d AS (
-             |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
-             |    cast(count(1) as bigint) AS cnt
-             |  FROM events GROUP BY 1),
+      Some(s"""WITH $denseDailySql,
              |l AS (
              |  SELECT cnt,
              |    lag(cnt, 1) OVER (ORDER BY day) AS l1, lag(cnt, 2) OVER (ORDER BY day) AS l2,
@@ -75,13 +100,9 @@ object TimeSeries {
     ),
     QueryDef(
       "q_ts_cusum",
-      "CUSUM changepoint detection on the daily event-count series: S_t = prefix_t - t*mean, changepoint = argmax |S_t|. Kept ENTIRELY in integer space (n*prefix_t - t*total — the mean never materializes as a double), so the argmax is exact with no rounding anywhere; only the reported magnitude divides back by n at the end. One shuffle to the day grain, days-sized windows, 1-row output",
+      "CUSUM changepoint detection on the dense daily event-count series (quiet days are real zeros — a regime shift TO silence is exactly what CUSUM must catch): S_t = prefix_t - t*mean, changepoint = argmax |S_t|. Kept ENTIRELY in integer space (n*prefix_t - t*total — the mean never materializes as a double), so the argmax is exact with no rounding anywhere; only the reported magnitude divides back by n at the end. One shuffle to the day grain, days-sized windows, 1-row output",
       (s, dir) => {
-        val d = Tables
-          .events(s, dir)
-          .select(day)
-          .groupBy(col("day"))
-          .agg(count(lit(1)).as("cnt"))
+        val d = denseDaily(s, dir)
         val t = d.agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"))
         val w = Window.orderBy(col("day"))
         val p = d.select(
@@ -102,13 +123,11 @@ object TimeSeries {
             col("n").as("n_days"),
             col("total").as("total_events"),
             col("day").as("cp_day"),
-            round(col("absn").cast("double") / col("n"), 4).as("max_abs_cusum")
+            // exact integer / integer, one IEEE division, emitted raw
+            (col("absn").cast("double") / col("n")).as("max_abs_cusum")
           )
       },
-      Some("""WITH d AS (
-             |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
-             |    cast(count(1) as bigint) AS cnt
-             |  FROM events GROUP BY 1),
+      Some(s"""WITH $denseDailySql,
              |t AS (SELECT cast(count(1) as bigint) AS n, cast(sum(cnt) as bigint) AS total FROM d),
              |p AS (
              |  SELECT day,
@@ -116,46 +135,66 @@ object TimeSeries {
              |    cast(row_number() OVER (ORDER BY day) as bigint) AS t_idx
              |  FROM d)
              |SELECT t.n AS n_days, t.total AS total_events, p.day AS cp_day,
-             |  round(abs(t.n * p.prefix - p.t_idx * t.total) / cast(t.n as double), 4) AS max_abs_cusum
+             |  abs(t.n * p.prefix - p.t_idx * t.total) / cast(t.n as double) AS max_abs_cusum
              |FROM p CROSS JOIN t
              |ORDER BY abs(t.n * p.prefix - p.t_idx * t.total) DESC, p.day LIMIT 1""".stripMargin)
     ),
     QueryDef(
       "q_ts_forecast",
-      "seasonal-naive forecast evaluation per event type: predict day t's count with day t-7's (the standard do-no-harm baseline every real forecaster must beat), score MAE + MAPE over the evaluable days. Per-type lag-7 via a type-partitioned window on the (type, day) grain; MAE numerator is an integer sum, MAPE terms decimal-cast so the cross-day sum is order-free; both rounded 6",
+      "seasonal-naive forecast evaluation per event type: predict day t's count with the count at day t-7 (the standard do-no-harm baseline every real forecaster must beat), scored MAE + MAPE over the evaluable days of the DENSE per-type day grid — without gap-filling, one quiet (event_type, day) cell would shift every later lag-7 pair off its weekday. MAE covers all eval days (zeros included); MAPE only days with a nonzero actual (the standard MAPE domain). MAE numerator is an integer sum, MAPE terms decimal-cast so the cross-day sum is order-free; both rounded 6",
       (s, dir) => {
-        val d = Tables
-          .events(s, dir)
-          .select(col("event_type"), day)
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("cnt"))
+        val d0 = Tables.pin(
+          Tables
+            .events(s, dir)
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("cnt"))
+        )
+        val grid = d0
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val d = d0
+          .select(col("event_type")).distinct()
+          .crossJoin(broadcast(grid))
+          .join(d0, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         d.select(col("event_type"), col("cnt"), lag(col("cnt"), 7).over(w).as("pred"))
           .filter(col("pred").isNotNull)
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n_eval"),
-            round(sum(abs(col("cnt") - col("pred"))).cast("double") / count(lit(1)), 6).as("mae"),
+            // integer error sum / exact count: raw (rule 2)
+            (sum(abs(col("cnt") - col("pred"))).cast("double") / count(lit(1))).as("mae"),
             round(
-              sum((abs(col("cnt") - col("pred")) * lit(1.0) / col("cnt")).cast("decimal(18,12)"))
-                .cast("double") / count(lit(1)),
+              sum(
+                when(col("cnt") > 0, (abs(col("cnt") - col("pred")) * lit(1.0) / col("cnt")).cast("decimal(18,12)"))
+              ).cast("double") / sum(when(col("cnt") > 0, 1L).otherwise(0L)),
               6
             ).as("mape")
           )
           .orderBy(col("event_type"))
       },
-      Some("""WITH d AS (
+      Some("""WITH d0 AS (
              |  SELECT event_type, cast(floor(epoch(ts)) as bigint) // 86400 AS day,
              |    cast(count(1) as bigint) AS cnt
              |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+             |grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+             |d AS (
+             |  SELECT t.event_type, grid.day, coalesce(d0.cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT event_type FROM d0) t
+             |  CROSS JOIN grid
+             |  LEFT JOIN d0 ON d0.event_type = t.event_type AND d0.day = grid.day),
              |l AS (
              |  SELECT event_type, cnt,
              |    lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
              |  FROM d)
              |SELECT event_type, cast(count(1) as bigint) AS n_eval,
-             |  round(cast(cast(sum(abs(cnt - pred)) as varchar) as double) / count(1), 6) AS mae,
-             |  round(cast(cast(sum(cast(abs(cnt - pred) * 1.0 / cnt as decimal(18,12))) as varchar) as double)
-             |        / count(1), 6) AS mape
+             |  cast(cast(sum(abs(cnt - pred)) as varchar) as double) / count(1) AS mae,
+             |  round(cast(cast(sum(CASE WHEN cnt > 0
+             |                  THEN cast(abs(cnt - pred) * 1.0 / cnt as decimal(18,12)) END) as varchar) as double)
+             |        / sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END), 6) AS mape
              |FROM l WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )

@@ -82,6 +82,15 @@ object EventLogSource {
   /** Payload/extractor field acting as the message key for compaction. */
   val CompactionKeyFieldKey = "compaction.keyField"
 
+  /** Raw-path data validation of the key field (default true): fail loud
+    * when a non-empty slice yields ZERO keyed messages — overwhelmingly a
+    * typo'd field name being silently ignored. Set false for the
+    * legitimate zero-keyed states the heuristic cannot distinguish: a
+    * backfill read of history predating the key field (schema evolution),
+    * or a slice of retained-but-unparseable payloads.
+    */
+  val CompactionValidateKey = "compaction.validateKeyField"
+
   val schema: StructType = StructType(
     Seq(
       StructField("partition", IntegerType, nullable = false),
@@ -115,19 +124,43 @@ object EventLogSource {
       .sortBy(_._1)
   }
 
-  /** Read one partition log: (offset, payload) in file (= offset) order. */
-  def readLog(file: java.io.File): Seq[(Long, Array[Byte])] = {
+  /** Read one partition log: (offset, payload) in file (= offset) order.
+    * Materializes the whole file — planning-side use (offset resolution,
+    * stats) on bounded prefixes. The READER path streams via
+    * [[readLogStream]] instead.
+    */
+  def readLog(file: java.io.File): Seq[(Long, Array[Byte])] =
+    withLogSource(file)(it => it.toList)
+
+  /** Streaming [[readLog]]: one line in memory at a time, so reader memory
+    * really is the documented O(distinct-keys) bound on compacted scans
+    * (a `.toList` here would silently make every reader O(slice) however
+    * careful the downstream state is). The open Source is handed to
+    * `onOpen` — the PartitionReader tracks and closes it in `close()`
+    * (iterator exhaustion alone must not close: compaction's second pass
+    * may still be pending on another handle).
+    */
+  def readLogStream(file: java.io.File, onOpen: scala.io.Source => Unit): Iterator[(Long, Array[Byte])] = {
     val src = scala.io.Source.fromFile(file, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).flatMap { line =>
+    onOpen(src)
+    parseLogLines(src)
+  }
+
+  private def withLogSource[A](file: java.io.File)(f: Iterator[(Long, Array[Byte])] => A): A = {
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try f(parseLogLines(src))
+    finally src.close()
+  }
+
+  private def parseLogLines(src: scala.io.Source): Iterator[(Long, Array[Byte])] =
+    src.getLines().filter(_.nonEmpty).flatMap { line =>
       // a corrupt line without the offset\tpayload separator is dropped,
       // consistent with the pipeline's drop-on-malformed posture (the
       // payload-level equivalent lives downstream in JsonDecode)
       val i = line.indexOf('\t')
       if (i < 0) None
       else line.substring(0, i).toLongOption.map(off => (off, line.substring(i + 1).getBytes("UTF-8")))
-    }.toList
-    finally src.close()
-  }
+    }
 }
 
 /** Checkpointed offsets: highest consumed offset per partition (-1 = none,
@@ -219,6 +252,22 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
       Some(f)
     }
   }
+  private val compactionValidate: Boolean = {
+    val v = options.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(EventLogSource.CompactionValidateKey) => v
+    }
+    if (compactionKey.isEmpty) {
+      require(v.isEmpty,
+        s"${EventLogSource.CompactionValidateKey} is set but readCompacted is not configured")
+      true
+    } else v.map(_.trim.toLowerCase).map {
+      case "true"  => true
+      case "false" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"${EventLogSource.CompactionValidateKey} must be true/false, got '$other'")
+    }.getOrElse(true)
+  }
 
   override def name(): String = s"${EventLogSource.ShortName}:$path"
   override def schema(): StructType = EventLogSource.schemaFor(extractorClass)
@@ -283,9 +332,9 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
       override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
         Array(new DroppedMessagesMetric)
       override def toBatch: Batch =
-        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed, compactionKey)
+        new EventLogBatch(path, extractorClass, required.fieldNames.toSeq, pushed, compactionKey, compactionValidate)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq, compactionKey)
+        new EventLogMicroBatchStream(path, config, extractorClass, required.fieldNames.toSeq, compactionKey, compactionValidate)
     }
 }
 
@@ -364,7 +413,8 @@ class EventLogBatch(
     extractorClass: Option[String] = None,
     requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
     pushdown: EventLogPushdown = EventLogPushdown.none,
-    compactKeyField: Option[String] = None
+    compactKeyField: Option[String] = None,
+    compactKeyValidate: Boolean = true
 ) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     EventLogSource
@@ -373,7 +423,7 @@ class EventLogBatch(
       .map { case (p, f) =>
         EventLogInputPartition(
           p, f.getAbsolutePath, pushdown.startExclusive, pushdown.endInclusive,
-          extractorClass, requiredCols, compactKeyField)
+          extractorClass, requiredCols, compactKeyField, compactKeyValidate)
       }
       .toArray
   override def createReaderFactory(): PartitionReaderFactory = EventLogReaderFactory
@@ -385,7 +435,8 @@ class EventLogMicroBatchStream(
     config: SourceConfig,
     extractorClass: Option[String] = None,
     requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
-    compactKeyField: Option[String] = None
+    compactKeyField: Option[String] = None,
+    compactKeyValidate: Boolean = true
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -455,7 +506,7 @@ class EventLogMicroBatchStream(
         val from = s.getOrElse(p, OffsetCodec.Earliest)
         val to   = e.getOrElse(p, OffsetCodec.Earliest)
         if (to > from)
-          Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass, requiredCols, compactKeyField))
+          Some(EventLogInputPartition(p, f.getAbsolutePath, from, to, extractorClass, requiredCols, compactKeyField, compactKeyValidate))
         else None
       }
       .toArray
@@ -477,7 +528,8 @@ case class EventLogInputPartition(
     end: Long,
     extractorClass: Option[String] = None,
     requiredCols: Seq[String] = EventLogSource.schema.fieldNames.toSeq,
-    compactKeyField: Option[String] = None
+    compactKeyField: Option[String] = None,
+    compactKeyValidate: Boolean = true
 ) extends InputPartition
 
 object EventLogReaderFactory extends PartitionReaderFactory {
@@ -497,20 +549,24 @@ object EventLogReaderFactory extends PartitionReaderFactory {
     * `keyOf` twice per row (the raw path re-parses JSON, the extractor
     * path re-decodes) — the standard streaming two-pass trade.
     *
-    * `rows` is a THUNK because pass 2 needs a fresh iterator;
-    * `onKeyedCount` fires between the passes with the ledger size, the
-    * seam the raw path uses to fail loud on a typo'd key field.
+    * `rows` is a THUNK because pass 2 needs a fresh iterator (and must be
+    * LAZY — a strict Seq here re-introduces the O(slice) buffer this
+    * design removes); `onPassOne` fires between the passes with the slice
+    * row count and the ledger size, the seam the raw path uses to fail
+    * loud on a typo'd key field without materializing the slice.
     */
   private[sources] def compactByKey[R](
       rows: () => Iterator[(Long, R)],
       keyOf: R => Option[Any],
-      onKeyedCount: Long => Unit = _ => ()
+      onPassOne: (Long, Long) => Unit = (_, _) => ()
   ): Iterator[(Long, R)] = {
     val ledger = scala.collection.mutable.HashMap[Any, Long]()
+    var n      = 0L
     rows().foreach { case (o, r) =>
+      n += 1
       keyOf(r).foreach { k => if (ledger.getOrElse(k, Long.MinValue) < o) ledger.update(k, o) }
     }
-    onKeyedCount(ledger.size.toLong)
+    onPassOne(n, ledger.size.toLong)
     rows().filter { case (o, r) => keyOf(r).forall(k => ledger(k) == o) }
   }
 
@@ -524,15 +580,20 @@ object EventLogReaderFactory extends PartitionReaderFactory {
           case "offset"    => (cur: (Long, Array[Byte])) => cur._1
           case "value"     => (cur: (Long, Array[Byte])) => cur._2
         }
-        private val slice =
+        // LAZY slice thunk: each call opens a fresh streaming pass over the
+        // file (one line in memory at a time); open handles are tracked
+        // and closed in close(), so reader memory is O(distinct keys) on
+        // the compacted path and O(1) otherwise — never O(slice)
+        private val openSources = scala.collection.mutable.ArrayBuffer.empty[scala.io.Source]
+        private def slice(): Iterator[(Long, Array[Byte])] =
           EventLogSource
-            .readLog(new java.io.File(p.file))
+            .readLogStream(new java.io.File(p.file), openSources += _)
             .filter { case (o, _) => o > p.start && o <= p.end }
         // readCompacted on the raw path: the message-key stand-in is a JSON
         // payload field; an unparseable payload or missing field = unkeyed
         // (retained), consistent with Pulsar compacting only keyed messages
         private val it = p.compactKeyField match {
-          case None => slice.iterator
+          case None => slice()
           case Some(kf) =>
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
             // the raw path has no schema to validate the key field against
@@ -541,29 +602,35 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             // in a non-empty slice is overwhelmingly a typo'd field name,
             // and serving the full log uncompacted on a typo is exactly
             // the silent-disable failure config-time validation exists to
-            // prevent — fail loud instead. An intentionally unkeyed topic
-            // should not configure readCompacted with a key field.
+            // prevent — fail loud by default. The legitimate zero-keyed
+            // states (backfill of pre-key-field history, all-malformed
+            // slices) opt out via compaction.validateKeyField=false.
             compactByKey[Array[Byte]](
-              () => slice.iterator,
+              () => slice(),
               payload =>
                 try {
                   val n = mapper.readTree(payload)
                   val v = if (n == null) null else n.get(kf)
                   if (v == null || v.isNull) None else Some(v.asText())
                 } catch { case scala.util.control.NonFatal(_) => None },
-              onKeyedCount = n =>
+              onPassOne = (nRows, nKeyed) =>
                 require(
-                  n > 0 || slice.isEmpty,
-                  s"readCompacted: compaction.keyField '$kf' matched no message in a non-empty " +
-                    s"slice of partition ${p.partition} (${slice.size} rows) — likely a mistyped " +
-                    "field name; raw-path key fields can only be validated against data"
+                  !p.compactKeyValidate || nKeyed > 0 || nRows == 0,
+                  s"readCompacted: ${EventLogSource.CompactionKeyFieldKey} '$kf' matched no message " +
+                    s"in a non-empty slice of partition ${p.partition} ($nRows rows) — likely a " +
+                    s"mistyped field name (raw-path key fields can only be validated against data); " +
+                    s"set ${EventLogSource.CompactionValidateKey}=false if this slice legitimately " +
+                    "predates the key field"
                 )
             )
         }
         private var current: (Long, Array[Byte]) = _
         override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
         override def get(): InternalRow = InternalRow(proj.map(_(current)): _*)
-        override def close(): Unit = ()
+        override def close(): Unit = openSources.foreach { s =>
+          try s.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
       case Some(cls) => new PartitionReader[InternalRow] {
         // one extractor instance per reader, built by name executor-side —
@@ -595,11 +662,13 @@ object EventLogReaderFactory extends PartitionReaderFactory {
         // The drop counter RESETS per decode pass: two-pass compaction
         // decodes the slice twice, and double-counting would misreport the
         // droppedMessages metric.
+        // streaming read (O(1) memory per pass); open handles tracked for
+        // close(), same as the raw path
+        private val openSources = scala.collection.mutable.ArrayBuffer.empty[scala.io.Source]
         private def decoded(): Iterator[(Long, org.apache.spark.sql.Row)] = {
           dropped = 0
           EventLogSource
-            .readLog(new java.io.File(p.file))
-            .iterator
+            .readLogStream(new java.io.File(p.file), openSources += _)
             .filter { case (o, _) => o > p.start && o <= p.end }
             .flatMap { case (offset, payload) =>
               ext.extract(payload) match {
@@ -632,7 +701,10 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             override def name(): String = "droppedMessages"
             override def value(): Long = dropped
           })
-        override def close(): Unit = ()
+        override def close(): Unit = openSources.foreach { s =>
+          try s.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
   }

@@ -10,16 +10,20 @@ class TimeSeriesSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def dailyCounts(): Seq[(Long, Long)] =
-    graft.Tables
+  /** Dense reference series: observed counts gap-filled with zeros over
+    * [min day, max day] — the queries' documented grid semantics.
+    */
+  private def dailyCounts(): Seq[(Long, Long)] = {
+    val observed = graft.Tables
       .events(spark, TestSpark.sfDir)
       .selectExpr("cast(unix_timestamp(ts) / 86400 as long) as day")
       .groupBy("day")
       .count()
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-      .toSeq
+      .toMap
+    (observed.keys.min to observed.keys.max).map(d => (d, observed.getOrElse(d, 0L)))
+  }
 
   test("acf: 7 lags, every coefficient in [-1, 1]") {
     val rows = SparkEntry
@@ -50,17 +54,18 @@ class TimeSeriesSpec extends AnyFunSuite {
   }
 
   test("seasonal-naive forecast: MAE matches an in-memory recomputation for every type") {
-    val perType = graft.Tables
+    val raw = graft.Tables
       .events(spark, TestSpark.sfDir)
       .selectExpr("event_type", "cast(unix_timestamp(ts) / 86400 as long) as day")
       .groupBy("event_type", "day")
       .count()
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val expected = perType.map { case (tpe, rows) =>
-      val cnts  = rows.sortBy(_._2).map(_._3)
-      val pairs = cnts.drop(7).zip(cnts.dropRight(7))
+    val (lo, hi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val expected = raw.groupBy(_._1).map { case (tpe, rows) =>
+      val observed = rows.map(r => r._2 -> r._3).toMap
+      val cnts     = (lo to hi).map(d => observed.getOrElse(d, 0L)) // dense per-type grid
+      val pairs    = cnts.drop(7).zip(cnts.dropRight(7))
       tpe -> (pairs.length.toLong, pairs.map { case (a, p) => math.abs(a - p) }.sum.toDouble / pairs.length)
     }
     val got = SparkEntry

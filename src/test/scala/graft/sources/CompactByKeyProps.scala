@@ -66,12 +66,14 @@ object CompactByKeyProps extends Properties("compactByKey") {
       }
     }
 
-  property("the keyed-count seam reports the distinct key count between passes") =
+  property("the pass-one seam reports the slice row count and distinct key count") =
     Prop.forAll(slices) { rows =>
-      var seen = -1L
+      var seenRows  = -1L
+      var seenKeyed = -1L
       EventLogReaderFactory
-        .compactByKey[Option[String]](() => rows.iterator, identity, n => seen = n)
+        .compactByKey[Option[String]](() => rows.iterator, identity, (n, k) => { seenRows = n; seenKeyed = k })
         .toList
-      seen == rows.flatMap(_._2).distinct.length.toLong
+      seenRows == rows.length.toLong &&
+      seenKeyed == rows.flatMap(_._2).distinct.length.toLong
     }
 }

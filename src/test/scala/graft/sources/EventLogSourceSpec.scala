@@ -411,6 +411,40 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(msgs.contains("matched no message"), msgs)
   }
 
+  test("compaction.validateKeyField=false serves a zero-keyed slice uncompacted without error") {
+    // the legitimate zero-keyed states (backfill of history predating the
+    // key field, all-malformed slices) are indistinguishable from a typo;
+    // the opt-out must serve the data instead of wedging the job
+    val uncompacted = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .load()
+      .count()
+    val optedOut = spark.read
+      .format(EventLogSource.ShortName)
+      .option("path", keyedLogDir)
+      .option(EventLogSource.ReadCompactedKey, "true")
+      .option(EventLogSource.CompactionKeyFieldKey, "user_idd")
+      .option(EventLogSource.CompactionValidateKey, "false")
+      .load()
+      .count()
+    assert(optedOut === uncompacted, "every row is unkeyed -> retained as-is")
+  }
+
+  test("compaction.validateKeyField without readCompacted fails loud (orphan option)") {
+    val ex = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(EventLogSource.CompactionValidateKey, "false")
+        .load()
+        .count()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains(EventLogSource.CompactionValidateKey), msgs)
+  }
+
   test("offsets are OffsetCodec-encoded and non-dense across ledgers") {
     val df = spark.read.format(EventLogSource.ShortName).option("path", logDir).load()
     val offsets = df.select(col("offset")).collect().map(_.getLong(0))
