@@ -222,6 +222,71 @@ object Graph {
               |ORDER BY authority DESC, suppkey LIMIT 10""".stripMargin)
     ),
     QueryDef(
+      "q_graph_components",
+      "connected components by synchronous MIN-LABEL PROPAGATION over the symmetrized purchase graph, 4 rounds: new label(v) = min(own label, labels of in-neighbors), all-integer (labels ARE the long node ids — zero rounding, zero parity risk). Output is the per-round convergence census (round, n_labels, min_lbl) — the readout that shows WHEN the graph collapsed to its components. Unlike PageRank's linear loop, each round references the previous label frame TWICE (source and destination side of the same join) — this is exactly the self-joining shape that forces per-round pinIter lineage truncation, with superseded generations unpinned (the Dedup CC discipline, here as a gate-visible query)",
+      (s, dir) => {
+        val cs = Tables.pin(purchasePairs(s, dir))
+        val edges = Tables.pin(
+          cs.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+            .unionByName(cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        )
+        def censusOf(round: Int, lab: DataFrame): DataFrame = Tables.pin(
+          lab.agg(
+            lit(round.toLong).as("round"),
+            countDistinct(col("lbl")).as("n_labels"),
+            min(col("lbl")).as("min_lbl")
+          )
+        )
+        var lab = Tables.pinIter(
+          edges.select(col("src").as("node")).distinct().select(col("node"), col("node").as("lbl"))
+        )
+        val census = Seq.newBuilder[DataFrame]
+        census += censusOf(0, lab)
+        for (k <- 1 to 4) {
+          // lab is read TWICE here (p = src side, q = dst side): without a
+          // per-round pin the plan doubles every round — the 2^k case
+          val next = Tables.pinIter(
+            edges
+              .alias("e")
+              .join(lab.alias("p"), col("e.src") === col("p.node"))
+              .join(lab.alias("q"), col("e.dst") === col("q.node"))
+              .groupBy(col("e.dst").as("node"))
+              .agg(least(min(col("p.lbl")), min(col("q.lbl"))).as("lbl"))
+          )
+          census += censusOf(k, next)
+          // this round's census and successor are both eagerly pinned, so
+          // the superseded generation's checkpoint storage is reclaimed
+          Tables.unpin(lab)
+          lab = next
+        }
+        census.result().reduce(_ unionByName _).orderBy(col("round"))
+      },
+      Some {
+        val iters = (1 to 4).map { k =>
+          s"""lab$k AS (
+             |  SELECT e.dst AS node, least(min(p.lbl), min(q.lbl)) AS lbl
+             |  FROM edges e
+             |  JOIN lab${k - 1} p ON p.node = e.src
+             |  JOIN lab${k - 1} q ON q.node = e.dst
+             |  GROUP BY 1)""".stripMargin
+        }
+        val sel = (0 to 4)
+          .map(k =>
+            s"SELECT cast($k as bigint) AS round, cast(count(DISTINCT lbl) as bigint) AS n_labels, " +
+              s"cast(min(lbl) as bigint) AS min_lbl FROM lab$k"
+          )
+          .mkString(" UNION ALL ")
+        s"""WITH $pairsSql,
+           |edges AS (
+           |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
+           |  UNION ALL
+           |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
+           |lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |${iters.mkString(",\n")}
+           |SELECT * FROM ($sel) x ORDER BY round""".stripMargin
+      }
+    ),
+    QueryDef(
       "q_graph_triangles",
       "triangle census of the thresholded co-purchase graph: parts co-occurring in >= 2 distinct orders form an edge (the weight threshold is THE scale lever — on a bigger corpus random co-occurrence gets rarer, so the graph sparsifies on its own; raise the threshold to sparsify further), triangles counted with the canonical edge-orientation join (a<b<c, every triangle found exactly once), global clustering coefficient = 3*triangles/wedges with the wedge count kept in integer space. One row: nodes, edges, wedges, triangles, coefficient",
       (s, dir) => {

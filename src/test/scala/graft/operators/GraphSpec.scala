@@ -49,6 +49,20 @@ class GraphSpec extends AnyFunSuite {
     assert(auth.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("label propagation: monotone non-increasing label count, converges to one component") {
+    val rows = SparkEntry
+      .queries("q_graph_components")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (0L to 4L))
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2 }, "label count must shrink")
+    assert(rows.head._2 === 160L, "round 0: every node its own label (150 customers + 10 suppliers)")
+    // the purchase graph at sf0.001 is one dense component: min label 0
+    // (customer 0) wins everywhere within the 4 rounds
+    assert(rows.last._2 === 1L, s"must converge to a single component: ${rows.mkString(",")}")
+    assert(rows.forall(_._3 === 0L))
+  }
+
   test("triangle census matches an in-memory recomputation on the thresholded graph") {
     val edges = graft.Tables
       .lineitem(spark, TestSpark.sfDir)
