@@ -66,12 +66,14 @@ object Bpe {
             .select(col("p.a").as("a"), col("p.b").as("b"))
             .groupBy(col("a"), col("b"))
             .agg(count(lit(1)).as("n"))
-          // 1-row argmax, pinned: referenced by BOTH the rewrite and the
-          // output union (unpinned, each reference re-derives the whole
-          // corpus pass). The mk pins stay live — the returned frame's
-          // union reads their checkpointed blocks when the CALLER
-          // evaluates.
-          val mk = Tables.pin(pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1))
+          // 1-row argmax, pinned with TRUNCATED lineage (pinIter, not
+          // pin): referenced by BOTH the rewrite and the output union —
+          // unpinned, each reference re-derives the whole corpus pass;
+          // lineage-retaining, an evicted mk block would recompute into
+          // the superseded generation's deleted checkpoint. The mk pins
+          // stay live — the returned frame's union reads their blocks
+          // when the CALLER evaluates.
+          val mk = Tables.pinIter(pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1))
           merges += mk.select(lit(k.toLong).as("round"), col("a"), col("b"), col("n"))
           // the final round's merge needs no rewrite (nothing reads it) —
           // and once round k+1's generation is eagerly materialized, round
@@ -90,6 +92,9 @@ object Bpe {
             docs = next
           }
         }
+        // the final generation fed the last round's (pinned) argmax and
+        // has no further consumer — reclaim the last corpus copy too
+        Tables.unpin(docs)
         merges.result().reduce(_ unionByName _).orderBy(col("round"))
       },
       Some {

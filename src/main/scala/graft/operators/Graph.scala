@@ -230,7 +230,12 @@ object Graph {
           cs.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
             .unionByName(cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
         )
-        def censusOf(round: Int, lab: DataFrame): DataFrame = Tables.pin(
+        // pinIter, not pin: the census row must TRUNCATE lineage (in
+        // cluster persist mode a lineage-retaining pin would still point
+        // at the superseded generation's checkpoint files, which the loop
+        // deletes below — an evicted census block would then be
+        // unrecoverable)
+        def censusOf(round: Int, lab: DataFrame): DataFrame = Tables.pinIter(
           lab.agg(
             lit(round.toLong).as("round"),
             countDistinct(col("lbl")).as("n_labels"),
@@ -254,11 +259,13 @@ object Graph {
               .agg(least(min(col("p.lbl")), min(col("q.lbl"))).as("lbl"))
           )
           census += censusOf(k, next)
-          // this round's census and successor are both eagerly pinned, so
-          // the superseded generation's checkpoint storage is reclaimed
+          // this round's census and successor are both eagerly pinned with
+          // truncated lineage, so the superseded generation's checkpoint
+          // storage is reclaimed
           Tables.unpin(lab)
           lab = next
         }
+        Tables.unpin(lab) // the final generation: its census is pinned, nothing else reads it
         census.result().reduce(_ unionByName _).orderBy(col("round"))
       },
       Some {

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * post-aggregation windows in q_drift_psi/q_event_gapfill). CUSUM stays
   * in INTEGER space (n*prefix - t*total) so the argmax needs no rounding
   * at all; ACF wraps `corr` in round(6) like q_stat_corr (moment merges
-  * are order-sensitive); forecast errors are integer or decimal-cast
-  * sums.
+  * are order-sensitive); forecast errors are integer sums (percentage
+  * errors as floor'd picounits), emitted through deterministic raw
+  * divisions — round() never touches a rational.
   *
   * The day grid is DENSIFIED before any lag/prefix math: a day with zero
   * events is a real observation (cnt = 0), and a row-based lag over only
@@ -33,19 +34,32 @@ object TimeSeries {
 
   private def day = (unix_timestamp(col("ts")) / 86400).cast("long").as("day")
 
-  /** Dense daily counts over [min day, max day]: observed counts
-    * gap-filled with genuine zeros. `d0` is tiny (days-sized) — pinned
-    * because the grid bounds and the left join both read it.
+  /** Gap-fill an observed `(keys..., day, cnt)` frame to the dense
+    * [min day, max day] grid (per key combination when `keys` is
+    * non-empty), absent cells becoming genuine zeros. `d0` is tiny
+    * (series-grain) — pinned because the bounds, the key set, and the
+    * left join all read it. ONE implementation for every series query:
+    * a grid fix applied here cannot silently diverge a sibling.
     */
-  private def denseDaily(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val d0 = Tables.pin(
-      Tables.events(s, dir).select(day).groupBy(col("day")).agg(count(lit(1)).as("cnt"))
-    )
-    d0.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+  private def dense(d0in: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
+    val d0 = Tables.pin(d0in)
+    val grid = d0
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(d0, Seq("day"), "left")
-      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cells =
+      if (keys.isEmpty) grid
+      else d0.select(keys.map(col): _*).distinct().crossJoin(broadcast(grid))
+    cells
+      .join(d0, keys :+ "day", "left")
+      .select(keys.map(col) ++ Seq(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
   }
+
+  /** Dense daily counts over [min day, max day]. */
+  private def denseDaily(s: org.apache.spark.sql.SparkSession, dir: String) =
+    dense(
+      Tables.events(s, dir).select(day).groupBy(col("day")).agg(count(lit(1)).as("cnt")),
+      Seq.empty
+    )
 
   /** Shared oracle CTE chain ending in dense `d(day, cnt)`. */
   private val denseDailySql =
@@ -141,23 +155,16 @@ object TimeSeries {
     ),
     QueryDef(
       "q_ts_forecast",
-      "seasonal-naive forecast evaluation per event type: predict day t's count with the count at day t-7 (the standard do-no-harm baseline every real forecaster must beat), scored MAE + MAPE over the evaluable days of the DENSE per-type day grid — without gap-filling, one quiet (event_type, day) cell would shift every later lag-7 pair off its weekday. MAE covers all eval days (zeros included); MAPE only days with a nonzero actual (the standard MAPE domain). MAE numerator is an integer sum, MAPE terms decimal-cast so the cross-day sum is order-free; both rounded 6",
+      "seasonal-naive forecast evaluation per event type: predict day t's count with the count at day t-7 (the standard do-no-harm baseline every real forecaster must beat), scored MAE + MAPE over the evaluable days of the DENSE per-type day grid — without gap-filling, one quiet (event_type, day) cell would shift every later lag-7 pair off its weekday. MAE covers all eval days (zeros included); MAPE only days with a nonzero actual (the standard MAPE domain). BOTH metrics stay in integer space until one final division chain (per-day percentage errors as floor'd picounits — the CUSUM discipline), so every emitted value is a raw deterministic double, never round()ed",
       (s, dir) => {
-        val d0 = Tables.pin(
+        val d = dense(
           Tables
             .events(s, dir)
             .select(col("event_type"), day)
             .groupBy(col("event_type"), col("day"))
-            .agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type")
         )
-        val grid = d0
-          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val d = d0
-          .select(col("event_type")).distinct()
-          .crossJoin(broadcast(grid))
-          .join(d0, Seq("event_type", "day"), "left")
-          .select(col("event_type"), col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         d.select(col("event_type"), col("cnt"), lag(col("cnt"), 7).over(w).as("pred"))
           .filter(col("pred").isNotNull)
@@ -166,12 +173,12 @@ object TimeSeries {
             count(lit(1)).as("n_eval"),
             // integer error sum / exact count: raw (rule 2)
             (sum(abs(col("cnt") - col("pred"))).cast("double") / count(lit(1))).as("mae"),
-            round(
-              sum(
-                when(col("cnt") > 0, (abs(col("cnt") - col("pred")) * lit(1.0) / col("cnt")).cast("decimal(18,12)"))
-              ).cast("double") / sum(when(col("cnt") > 0, 1L).otherwise(0L)),
-              6
-            ).as("mape")
+            // per-day APE as an integer picounit (|err|*1e12 div cnt) —
+            // exact, order-free; the final two IEEE divisions are spelled
+            // identically in the oracle, so the raw double matches
+            (sum(when(col("cnt") > 0, expr("(abs(cnt - pred) * 1000000000000) div cnt")))
+              .cast("double") / sum(when(col("cnt") > 0, 1L).otherwise(0L)) /
+              lit(1000000000000.0)).as("mape")
           )
           .orderBy(col("event_type"))
       },
@@ -192,9 +199,9 @@ object TimeSeries {
              |  FROM d)
              |SELECT event_type, cast(count(1) as bigint) AS n_eval,
              |  cast(cast(sum(abs(cnt - pred)) as varchar) as double) / count(1) AS mae,
-             |  round(cast(cast(sum(CASE WHEN cnt > 0
-             |                  THEN cast(abs(cnt - pred) * 1.0 / cnt as decimal(18,12)) END) as varchar) as double)
-             |        / sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END), 6) AS mape
+             |  cast(cast(sum(CASE WHEN cnt > 0
+             |                THEN (abs(cnt - pred) * 1000000000000) // cnt END) as varchar) as double)
+             |    / sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) / 1000000000000.0 AS mape
              |FROM l WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )

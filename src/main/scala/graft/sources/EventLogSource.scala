@@ -146,7 +146,7 @@ object EventLogSource {
     parseLogLines(src)
   }
 
-  private def withLogSource[A](file: java.io.File)(f: Iterator[(Long, Array[Byte])] => A): A = {
+  private[sources] def withLogSource[A](file: java.io.File)(f: Iterator[(Long, Array[Byte])] => A): A = {
     val src = scala.io.Source.fromFile(file, "UTF-8")
     try f(parseLogLines(src))
     finally src.close()
@@ -259,6 +259,15 @@ class EventLogTable(options: Map[String, String]) extends Table with SupportsRea
     if (compactionKey.isEmpty) {
       require(v.isEmpty,
         s"${EventLogSource.CompactionValidateKey} is set but readCompacted is not configured")
+      true
+    } else if (extractorClass.isDefined) {
+      // the extractor path validates the key field against the DECLARED
+      // SCHEMA at config time (above) — the data-side heuristic never
+      // runs there, so accepting this option would be the exact
+      // silent-no-op misconfiguration the orphan check rejects
+      require(v.isEmpty,
+        s"${EventLogSource.CompactionValidateKey} has no effect with a recordExtractorClass: " +
+          "the key field is schema-validated at config time")
       true
     } else v.map(_.trim.toLowerCase).map {
       case "true"  => true
@@ -458,11 +467,15 @@ class EventLogMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(config.maxBatchMessages.toLong)
 
-  /** Unbounded latest: last offset currently in each partition log. */
+  /** Unbounded latest: last offset currently in each partition log —
+    * STREAMED (fold to the final offset, one line in memory), not a
+    * driver-side materialization of the whole file per trigger.
+    */
   override def latestOffset(): Offset =
     EventLogOffset(EventLogSource.partitionFiles(path).map { case (p, f) =>
-      val log = EventLogSource.readLog(f)
-      p -> (if (log.isEmpty) OffsetCodec.Earliest else log.last._1)
+      p -> EventLogSource.withLogSource(f)(
+        _.foldLeft(OffsetCodec.Earliest) { case (_, (o, _)) => o }
+      )
     }.toMap)
 
   /** Admission-controlled latest: cap each partition's advance at maxMsgs
@@ -478,20 +491,21 @@ class EventLogMicroBatchStream(
     EventLogOffset(EventLogSource.partitionFiles(path).map { case (p, f) =>
       val from  = startOffsets.getOrElse(p, OffsetCodec.Earliest)
       var bytes = 0L
-      val taken = EventLogSource
-        .readLog(f)
-        .iterator
-        .filter(_._1 > from)
-        .take(maxRows)
-        .zipWithIndex
-        .takeWhile { case ((_, payload), idx) =>
-          // always admit the first message even if it alone exceeds the cap
-          // (Pulsar's batch policy does the same); never over-admit later ones
-          bytes += payload.length; idx == 0 || bytes <= config.maxBatchBytes
-        }
-        .map(_._1)
-        .toSeq
-      val advanced = if (taken.isEmpty) from else taken.last._1
+      // streamed: only the <= maxRows ADMITTED offsets materialize, never
+      // the file (the .toSeq must stay inside withLogSource's scope)
+      val taken = EventLogSource.withLogSource(f)(
+        _.filter(_._1 > from)
+          .take(maxRows)
+          .zipWithIndex
+          .takeWhile { case ((_, payload), idx) =>
+            // always admit the first message even if it alone exceeds the cap
+            // (Pulsar's batch policy does the same); never over-admit later ones
+            bytes += payload.length; idx == 0 || bytes <= config.maxBatchBytes
+          }
+          .map(_._1._1)
+          .toSeq
+      )
+      val advanced = if (taken.isEmpty) from else taken.last
       // under Trigger.AvailableNow, never advance past the prepared snapshot
       p -> availableNowEnd.map(e => math.min(advanced, e.getOrElse(p, advanced))).getOrElse(advanced)
     }.toMap)
@@ -567,7 +581,11 @@ object EventLogReaderFactory extends PartitionReaderFactory {
       keyOf(r).foreach { k => if (ledger.getOrElse(k, Long.MinValue) < o) ledger.update(k, o) }
     }
     onPassOne(n, ledger.size.toLong)
-    rows().filter { case (o, r) => keyOf(r).forall(k => ledger(k) == o) }
+    // getOrElse(k, o), NOT ledger(k): the two passes re-read the
+    // underlying source, and a row whose key appears only in pass 2 (a
+    // concurrent append to a live log between passes) must be RETAINED as
+    // its own latest, not crash the task on a missing ledger entry
+    rows().filter { case (o, r) => keyOf(r).forall(k => ledger.getOrElse(k, o) == o) }
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -591,8 +609,11 @@ object EventLogReaderFactory extends PartitionReaderFactory {
             .filter { case (o, _) => o > p.start && o <= p.end }
         // readCompacted on the raw path: the message-key stand-in is a JSON
         // payload field; an unparseable payload or missing field = unkeyed
-        // (retained), consistent with Pulsar compacting only keyed messages
-        private val it = p.compactKeyField match {
+        // (retained), consistent with Pulsar compacting only keyed messages.
+        // LAZY: the validation require below must fire inside next(), when
+        // Spark has already registered this reader for close() — a throw
+        // from the constructor would leak pass 1's open file handle
+        private lazy val it = p.compactKeyField match {
           case None => slice()
           case Some(kf) =>
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -66,6 +66,22 @@ object CompactByKeyProps extends Properties("compactByKey") {
       }
     }
 
+  property("a key first seen in pass 2 (live append between passes) is retained, never a crash") =
+    Prop.forAll(slices) { rows =>
+      // pass 2's thunk sees an extra late row with a brand-new key — the
+      // concurrent-append race on a live log. It must come through as its
+      // own latest survivor.
+      val late   = (rows.map(_._1).maxOption.getOrElse(0L) + 1, Some("zz-new"))
+      var pass   = 0
+      val out = EventLogReaderFactory
+        .compactByKey[Option[String]](
+          () => { pass += 1; if (pass == 1) rows.iterator else (rows :+ late).iterator },
+          identity
+        )
+        .toList
+      out.contains(late) && out.filterNot(_ == late) == compact(rows)
+    }
+
   property("the pass-one seam reports the slice row count and distinct key count") =
     Prop.forAll(slices) { rows =>
       var seenRows  = -1L

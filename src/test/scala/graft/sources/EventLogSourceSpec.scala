@@ -431,6 +431,26 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(optedOut === uncompacted, "every row is unkeyed -> retained as-is")
   }
 
+  test("compaction.validateKeyField with an extractor fails loud (schema-validated at config time)") {
+    // the extractor path never runs the data-side heuristic, so accepting
+    // the option would be a silent no-op — the misconfiguration class this
+    // source always rejects
+    val ex = intercept[Exception] {
+      spark.read
+        .format(EventLogSource.ShortName)
+        .option("path", keyedLogDir)
+        .option(RecordExtractor.OptionKey, "graft.sources.JsonEventExtractor")
+        .option(EventLogSource.ReadCompactedKey, "true")
+        .option(EventLogSource.CompactionKeyFieldKey, "user_id")
+        .option(EventLogSource.CompactionValidateKey, "false")
+        .load()
+        .count()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("schema-validated at config time"), msgs)
+  }
+
   test("compaction.validateKeyField without readCompacted fails loud (orphan option)") {
     val ex = intercept[Exception] {
       spark.read
