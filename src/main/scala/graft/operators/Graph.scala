@@ -71,6 +71,38 @@ object Graph {
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
 
+  /** Thresholded co-purchase edge list (pa < pb, both parts in >= 2
+    * shared orders) — the weight threshold is the sparsification lever;
+    * shared by the triangle census and the link-prediction scorer. The
+    * oriented edges are PINNED (each consumer references them 2-4 times).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables.pin(
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    )
+    Tables.pin(
+      op.alias("a")
+        .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa"), col("pb"))
+    )
+  }
+
+  /** DuckDB twin of [[coPurchaseEdges]], ending in `e(pa, pb)`. */
+  private val coEdgesSql =
+    """op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(1) AS w
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb FROM pairs WHERE w >= 2)""".stripMargin
+
   /** One fixed-point PageRank iteration CTE — kept textually in lockstep
     * with the Spark loop body in the query below. Scores are integer
     * picoprobabilities (units of 1e-12); `//` is floor division, equal to
@@ -297,21 +329,7 @@ object Graph {
       "q_graph_triangles",
       "triangle census of the thresholded co-purchase graph: parts co-occurring in >= 2 distinct orders form an edge (the weight threshold is THE scale lever — on a bigger corpus random co-occurrence gets rarer, so the graph sparsifies on its own; raise the threshold to sparsify further), triangles counted with the canonical edge-orientation join (a<b<c, every triangle found exactly once), global clustering coefficient = 3*triangles/wedges with the wedge count kept in integer space. One row: nodes, edges, wedges, triangles, coefficient",
       (s, dir) => {
-        // distinct (order, part) incidences — the self-join input, pinned
-        val op = Tables.pin(
-          Tables
-            .lineitem(s, dir)
-            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-            .distinct()
-        )
-        val pairs = op
-          .alias("a")
-          .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-          .agg(count(lit(1)).as("w"))
-        // the oriented edge list (pa < pb by construction), referenced by
-        // the degree census and THREE times by the triangle join — pinned
-        val e = Tables.pin(pairs.filter(col("w") >= 2).select(col("pa"), col("pb")))
+        val e = coPurchaseEdges(s, dir)
         val deg = e
           .select(col("pa").as("node"))
           .unionByName(e.select(col("pb").as("node")))
@@ -345,13 +363,7 @@ object Graph {
             (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering_coeff")
           )
       },
-      Some("""WITH op AS (
-             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-             |pairs AS (
-             |  SELECT a.p AS pa, b.p AS pb, count(1) AS w
-             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-             |  GROUP BY 1, 2),
-             |e AS (SELECT pa, pb FROM pairs WHERE w >= 2),
+      Some(s"""WITH $coEdgesSql,
              |deg AS (
              |  SELECT node, count(1) AS d FROM (
              |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) x GROUP BY 1),
@@ -365,6 +377,60 @@ object Graph {
              |  ds.n_wedges, tri.n_triangles,
              |  3.0 * tri.n_triangles / ds.n_wedges AS clustering_coeff
              |FROM ds CROSS JOIN tri""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_adamic_adar",
+      "Adamic-Adar link prediction on the thresholded co-purchase graph: for every 2-hop pair (a, c) that is NOT already an edge, score = sum over shared neighbors b of 1/ln(deg(b)) — the classic 'which products will be bought together next' recommender signal. Candidate pairs come from the wedge join (symmetrized edges self-joined on the shared endpoint, a < c), existing edges removed with one left_anti; a shared neighbor inside a wedge has degree >= 2 by construction, so ln(deg) is never zero. Per-term 1/ln(d) is decimal-cast for an order-free sum (the bm25 convention), output rounded 6 (transcendental — rule 4). Top-15 by score; the co-occurrence weight threshold is the same sparsification lever as the triangle census",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val sym = Tables.pin(
+          e.select(col("pa").as("u"), col("pb").as("v"))
+            .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+        )
+        val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        val cand = sym
+          .alias("s1")
+          .join(sym.alias("s2"), col("s2.u") === col("s1.u") && col("s1.v") < col("s2.v"))
+          .select(col("s1.v").as("a"), col("s1.u").as("b"), col("s2.v").as("c"))
+        val nonedge = cand.join(
+          e,
+          cand("a") === e("pa") && cand("c") === e("pb"),
+          "left_anti"
+        )
+        nonedge
+          .join(deg, col("b") === col("node"))
+          .groupBy(col("a").as("part_a"), col("c").as("part_b"))
+          .agg(
+            count(lit(1)).as("n_common"),
+            sum((lit(1.0) / log(col("d"))).cast("decimal(18,12)")).cast("double").as("aa_raw")
+          )
+          .select(
+            col("part_a"),
+            col("part_b"),
+            col("n_common"),
+            round(col("aa_raw"), 6).as("adamic_adar")
+          )
+          .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
+          .limit(15)
+      },
+      Some(s"""WITH $coEdgesSql,
+              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+              |deg AS (SELECT u AS node, cast(count(1) as bigint) AS d FROM sym GROUP BY 1),
+              |cand AS (
+              |  SELECT s1.v AS a, s1.u AS b, s2.v AS c
+              |  FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v),
+              |nonedge AS (
+              |  SELECT cand.a, cand.b, cand.c FROM cand
+              |  LEFT JOIN e ON e.pa = cand.a AND e.pb = cand.c
+              |  WHERE e.pa IS NULL),
+              |scored AS (
+              |  SELECT a, c,
+              |    cast(count(1) as bigint) AS n_common,
+              |    cast(cast(sum(cast(1.0 / ln(deg.d) as decimal(18,12))) as varchar) as double) AS aa_raw
+              |  FROM nonedge JOIN deg ON deg.node = nonedge.b
+              |  GROUP BY 1, 2)
+              |SELECT a AS part_a, c AS part_b, n_common, round(aa_raw, 6) AS adamic_adar
+              |FROM scored ORDER BY adamic_adar DESC, part_a, part_b LIMIT 15""".stripMargin)
     ),
     QueryDef(
       "q_graph_degrees",

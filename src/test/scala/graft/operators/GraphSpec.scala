@@ -94,6 +94,47 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(3) === expTri, "triangle count")
   }
 
+  test("adamic-adar: top-ranked candidates match an in-memory recomputation, none is an edge") {
+    val edges = graft.Tables
+      .lineitem(spark, TestSpark.sfDir)
+      .selectExpr("l_orderkey as o", "l_partkey as p")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity)
+      .filter(_._2.size >= 2)
+      .keySet
+    val neighbors = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    def aa(a: Long, c: Long): (Long, Double) = {
+      val common = neighbors(a) & neighbors(c)
+      (common.size.toLong,
+        common.toSeq.map(b => BigDecimal(1.0 / math.log(neighbors(b).size.toDouble)).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }
+    val got = SparkEntry
+      .queries("q_graph_adamic_adar")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 15)
+    got.foreach { case (a, c, nCommon, score) =>
+      assert(a < c, "candidate pairs are oriented")
+      assert(!edges.contains((a, c)), s"($a,$c) is already an edge — link prediction must exclude it")
+      val (expN, expScore) = aa(a, c)
+      assert(nCommon === expN, s"($a,$c) common-neighbor count")
+      assert(math.abs(score - expScore) < 1e-5, s"($a,$c): $score vs $expScore")
+    }
+    assert(got.map(_._4).sliding(2).forall { case Array(x, y) => x >= y })
+  }
+
   test("degree census: both kinds count the same edge set, degrees bound each other") {
     val rows = SparkEntry
       .queries("q_graph_degrees")(spark, TestSpark.sfDir)
