@@ -56,7 +56,12 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
     val suiteStart = System.nanoTime()
     var runsDone = 0
-    while (runsDone < runs && (runsDone == 0 || (System.nanoTime() - suiteStart) / 1e9 < budgetSec)) {
+    // >= 3 passes ALWAYS run (round-13 directive: a 2-run artifact carried
+    // 141% spread and made round-over-round comparison noise); the budget
+    // only gates passes beyond the third. runs_done in the artifact tells
+    // the reader exactly what they got.
+    val minRuns = math.min(3, runs)
+    while (runsDone < runs && (runsDone < minRuns || (System.nanoTime() - suiteStart) / 1e9 < budgetSec)) {
       names.foreach { name =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune computed

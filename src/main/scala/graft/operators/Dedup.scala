@@ -231,6 +231,42 @@ object Dedup {
       metricName: String,
       maxBucket: Int
   ): org.apache.spark.sql.DataFrame =
+    cappedBuckets(items, bucketKeys, item, metricName, maxBucket)
+      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+
+  /** [[cappedBucketPairs]] that KEEPS the bucket's grouping columns and its
+    * TRUE (pre-cap) size `bucket_n` on every emitted pair — the graph wedge
+    * generators need the shared endpoint (the wedge center) and its real
+    * degree on each candidate pair, and deriving them by a join-back would
+    * re-shuffle the pair frame for data the bucket aggregation already had.
+    * Same cap rule, same metric shape, same sorted-smallest-items
+    * sub-sampling as every other capped generator.
+    */
+  private[graft] def cappedBucketPairsKeyed(
+      items: org.apache.spark.sql.DataFrame,
+      bucketKeys: Seq[org.apache.spark.sql.Column],
+      item: org.apache.spark.sql.Column,
+      metricName: String,
+      maxBucket: Int
+  ): org.apache.spark.sql.DataFrame =
+    cappedBuckets(items, bucketKeys, item, metricName, maxBucket)
+      .select(
+        bucketKeys :+ size(col("ids")).as("bucket_n") :+
+          explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"): _*
+      )
+
+  /** The shared bucket-collect + cap-observe core of the capped pair
+    * generators: one row per bucket with >= 2 items, `ids` sorted ascending
+    * (still UNCAPPED here — finishers slice to `maxBucket`), and the
+    * no-silent-caps metrics attached to the executing plan.
+    */
+  private def cappedBuckets(
+      items: org.apache.spark.sql.DataFrame,
+      bucketKeys: Seq[org.apache.spark.sql.Column],
+      item: org.apache.spark.sql.Column,
+      metricName: String,
+      maxBucket: Int
+  ): org.apache.spark.sql.DataFrame =
     items
       .groupBy(bucketKeys: _*)
       .agg(sort_array(collect_list(item)).as("ids"))
@@ -241,7 +277,6 @@ object Dedup {
         sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
         coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
       )
-      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
 
   /** Containment drop ids over a distinct winnow-fingerprint frame
     * (doc_id, h) — THE shared rule for both corpus-pipeline containment
@@ -828,11 +863,18 @@ object Dedup {
     *
     * Output: (doc_id, n_tokens, n_dup_tokens, rebuilt).
     */
-  private[graft] def exactSubstrDedup(
+  /** Duplicate window starts (doc_id, pos) — every `minLen`-token sliding
+    * window that is NOT its gram's corpus-wide first occurrence (ordered by
+    * (doc_id, pos)). THE shared upstream of both exact-substring views: the
+    * interval-union rewrite ([[exactSubstrDedup]]) and the maximal-run
+    * decomposition (`q_dedup_substr_runs`). One map-only gram explode, one
+    * `min(struct)` first-occurrence aggregation (map-side partial combine
+    * tames boilerplate grams), one join-back over the pinned gram stream.
+    */
+  private[graft] def dupWindowStarts(
       docs: org.apache.spark.sql.DataFrame,
-      minLen: Int = 13
+      minLen: Int
   ): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val L = minLen
     val pg = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -854,13 +896,19 @@ object Dedup {
     val first = pg
       .groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val dup = pg
-      .join(first, "g")
+    pg.join(first, "g")
       .filter(struct(col("doc_id"), col("pos")) =!= col("f"))
       .select(col("doc_id"), col("pos"))
+  }
+
+  private[graft] def exactSubstrDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      minLen: Int = 13
+  ): org.apache.spark.sql.DataFrame = {
+    val dup = dupWindowStarts(docs, minLen)
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .join(exactSubstrCensus(dup, L), Seq("doc_id"), "left_outer")
+      .join(exactSubstrCensus(dup, minLen), Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -878,6 +926,35 @@ object Dedup {
           )
         ).as("rebuilt")
       )
+  }
+
+  /** Maximal duplicated-RUN decomposition (Lee et al. 2022's per-run view,
+    * which the interval-union census deliberately does not report): a
+    * maximal run is a maximal set of CONSECUTIVE duplicate window starts —
+    * starts p..p+k (step exactly 1) mean every `minLen`-window inside
+    * [p, p+k+minLen-1] is duplicated, so that whole span is a duplicated
+    * run of k+minLen tokens, while a missing start breaks the run (the
+    * straddling window is unique, so the longer span is NOT fully
+    * duplicated even when the intervals overlap and the union merges
+    * them). Gaps-and-islands on start positions per doc: island id =
+    * pos - row_number() (valid: one gram per doc position, so pos is
+    * unique per doc), run_len = starts-in-island + minLen - 1.
+    * Output: (doc_id, run_start, run_len), one row per maximal run.
+    */
+  private[graft] def substrRuns(
+      docs: org.apache.spark.sql.DataFrame,
+      minLen: Int = 13
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dupWindowStarts(docs, minLen)
+      .withColumn(
+        "grp",
+        col("pos") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("run_start"),
+        (count(lit(1)) + lit(minLen - 1)).cast("long").as("run_len"))
+      .select(col("doc_id"), col("run_start"), col("run_len"))
   }
 
   /** Merged duplicate-interval census per doc from a (doc_id, pos) frame of
@@ -1399,6 +1476,27 @@ object Dedup {
              |                    st -> st <= i AND i < st + 13)) = 0), ' '), '') AS rebuilt
              |FROM toks tk LEFT JOIN cnt c USING (doc_id) LEFT JOIN ss s USING (doc_id)
              |ORDER BY tk.doc_id""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_substr_runs",
+      "maximal duplicated-RUN decomposition (Lee et al. 2022's per-run report, the suffix-array-grade view q_dedup_exact_substr's interval-union length deliberately collapses): a run is a maximal block of CONSECUTIVE duplicate 13-token window starts — a missing start breaks the run because its straddling window is unique, even when the overlapping intervals would merge in the union. Same one-explode + one-min(struct) first-occurrence upstream as the rewrite query; runs fall out of a per-doc gaps-and-islands over start positions (island = pos - row_number, one gram per doc position). Top-20 runs by (run_len desc, doc_id, run_start) — the 'what got copied and how much of it' audit artifact",
+      (s, dir) =>
+        substrRuns(Tables.fanout(Tables.documents(s, dir)))
+          .orderBy(col("run_len").desc, col("doc_id"), col("run_start"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
+             |pg AS (SELECT doc_id, i AS pos, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
+             |pgr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk FROM pg),
+             |dup AS (SELECT doc_id, pos FROM pgr WHERE rk > 1),
+             |isl AS (SELECT doc_id, pos,
+             |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |        FROM dup),
+             |runs AS (SELECT doc_id, cast(min(pos) as bigint) AS run_start,
+             |           cast(count(1) + 12 as bigint) AS run_len
+             |         FROM isl GROUP BY doc_id, grp)
+             |SELECT doc_id, run_start, run_len FROM runs
+             |ORDER BY run_len DESC, doc_id, run_start LIMIT 20""".stripMargin)
     ),
     QueryDef(
       "q_dedup_winnow",

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the purchase graph (customer—supplier edges from
-  * orders ⋈ lineitem): PageRank, HITS hub/authority, and a degree census.
+  * orders ⋈ lineitem): PageRank, HITS hub/authority, connected components,
+  * a triangle census, Adamic-Adar link prediction, and a degree census.
   *
   * Why this belongs in a training-data engine: web-corpus curation ranks
   * DOMAINS on the hyperlink graph (a page from a well-linked domain is
@@ -25,9 +26,7 @@ import org.apache.spark.sql.functions._
   *   - PageRank's per-round lineage grows LINEARLY (each round references
   *     the previous scores exactly once), so the loop runs UNPINNED as one
   *     deep plan; the 2^k blowup that forces [[Tables.pinIter]] only bites
-  *     self-joining rounds (the Dedup CC pointer-doubling case). A future
-  *     round that references its predecessor twice must reintroduce the
-  *     per-round pin.
+  *     self-joining rounds (the CC census loop below, which pins per round).
   *   - The 1-row node-count frame rides a broadcast crossJoin; degree is
   *     folded INTO the edge frame once (edges carry src out-degree), so
   *     the loop never re-joins a degree table.
@@ -43,19 +42,99 @@ import org.apache.spark.sql.functions._
   *     purchase edge becomes two directed edges), so every node has
   *     out-degree >= 1 and no damping mass is lost — the standard
   *     formulation for undirected entity graphs.
+  *   - NO UNCAPPED WEDGE ENUMERATION. Wedge count is Σ deg(v)², so one
+  *     10^5-degree hub turns a naive neighbor self-join into ~10^10 rows
+  *     through a single key — the hot-bucket straggler the repo's capped
+  *     pair generators exist to kill. The triangle census orients every
+  *     edge from its lower-DEGREE endpoint (ties by id), which bounds
+  *     per-node out-degree by O(sqrt(m)) on ANY graph (the arboricity
+  *     argument behind Chiba–Nishizeki / Schank–Wagner counting) — the
+  *     count stays EXACT. Adamic-Adar candidates route through the shared
+  *     [[Dedup.cappedBucketPairsKeyed]] generator: per wedge-center node,
+  *     the `MaxNeighbors` smallest neighbor ids (64 — far above the
+  *     fixtures' max co-purchase degree of 13, so the gate stays
+  *     hash-exact) with the observable `graft.graph_wedges` drop metric.
+  *     Truncating super-hub CENTERS is by design: their 1/ln(deg) terms
+  *     are noise, and the rank<=cap rule is mirrored in the oracle.
+  *   - DURABLE ARTIFACTS: the co-purchase edge list and the PageRank score
+  *     table are build-once artifacts a curation pipeline reuses across
+  *     runs (domain-quality priors). With `graft.artifact.root` set they
+  *     persist through the [[graft.sources.Sinks]] range-sorted layouts
+  *     (same parity discipline as the ANN artifacts —
+  *     DurableArtifactParitySpec pins bit-identical replay); unset, they
+  *     are session-pinned once and shared across the query family.
   */
 object Graph {
 
   private val Damping = 0.85
   private val PrIters = 5
 
-  /** Distinct (custkey, suppkey) purchase pairs — the bipartite edge set. */
-  private def purchasePairs(s: SparkSession, dir: String): DataFrame =
+  /** Per-node neighbor-list cap for the Adamic-Adar wedge generator — the
+    * [[Dedup.MaxLshBucket]] discipline sized for graph degree: 64 keeps
+    * per-center candidate work <= C(64,2) = 2016 pairs while sitting far
+    * above the fixtures' max co-purchase degree (13 at sf0.01), so the cap
+    * never binds on gate data.
+    */
+  private[graft] val MaxNeighbors = 64
+
+  /** Distinct (custkey, suppkey) purchase pairs — the bipartite edge set.
+    * Exposed (with [[pinnedPairs]]) so PlanSpec and the streaming twin can
+    * feed the same builders.
+    */
+  private[graft] def purchasePairs(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
       .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+
+  /** One pinned purchase-pair frame per (session, dir), shared by the four
+    * bipartite-graph queries (PageRank/HITS/components/degrees) — each used
+    * to pin its own copy, which re-ran the orders ⋈ lineitem distinct once
+    * per query.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def pinnedPairs(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    Option(pairsCache.get(key)).getOrElse {
+      val built = Tables.pin(purchasePairs(s, dir))
+      Option(pairsCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** Build-once artifact plumbing — the [[IvfSimilarity]] cachedIn shape:
+    * session-scoped pin by default, durable range-sorted parquet under
+    * `graft.artifact.root` (root in the key: redirecting it rebuilds).
+    */
+  private def cachedIn(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String,
+      name: String,
+      sortKey: String
+  )(build: => DataFrame): DataFrame = {
+    val root = Tables.artifactRoot
+    val key  = (s, s"$dir|${root.getOrElse("")}")
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    Option(cache.get(key)).getOrElse {
+      val built = root match {
+        case Some(r) =>
+          val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
+          graft.sources.Sinks.durableArtifact(s, path)(p =>
+            graft.sources.Sinks.writeRangeSorted(build, p, sortKey, 4))
+        case None => Tables.pin(build)
+      }
+      Option(cache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  private val edgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val prCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** decimal-exact cross-row sum of a per-row double term (graph flavor:
     * scale 12, headroom to 10^15 terms).
@@ -73,24 +152,26 @@ object Graph {
 
   /** Thresholded co-purchase edge list (pa < pb, both parts in >= 2
     * shared orders) — the weight threshold is the sparsification lever;
-    * shared by the triangle census and the link-prediction scorer. The
-    * oriented edges are PINNED (each consumer references them 2-4 times).
+    * shared by the triangle census and the link-prediction scorer, and a
+    * durable artifact under `graft.artifact.root` (range-sorted on pa).
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildCoPurchaseEdges(s, dir)
+    else cachedIn(edgesCache, s, dir, "graph_copurchase", "pa")(buildCoPurchaseEdges(s, dir))
+
+  private def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val op = Tables.pin(
       Tables
         .lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
     )
-    Tables.pin(
-      op.alias("a")
-        .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select(col("pa"), col("pb"))
-    )
+    op.alias("a")
+      .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("pa"), col("pb"))
   }
 
   /** DuckDB twin of [[coPurchaseEdges]], ending in `e(pa, pb)`. */
@@ -103,10 +184,179 @@ object Graph {
       |  GROUP BY 1, 2),
       |e AS (SELECT pa, pb FROM pairs WHERE w >= 2)""".stripMargin
 
+  /** Degree-oriented directed edge frame (u, v, dv) over an undirected
+    * (pa < pb) edge set: each edge points from its lower-DEGREE endpoint
+    * (ties by id), carrying the DESTINATION's rank components so the wedge
+    * join can compare destination ranks without a degree join. The classic
+    * exact-triangle trick: per-node out-degree under this orientation is
+    * O(sqrt(m)) on ANY graph (a node of out-degree d has d neighbors of
+    * degree >= its own, each contributing >= d edge endpoints — d <=
+    * sqrt(2m)), so wedge enumeration is bounded even through a 10^5-degree
+    * hub, where id-based orientation leaves ~deg/2 out-edges.
+    */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
+      .select(
+        when(
+          col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("u"), col("pb").as("v"), col("db").as("dv"))
+        ).otherwise(struct(col("pb").as("u"), col("pa").as("v"), col("da").as("dv"))).as("o")
+      )
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+  }
+
+  /** Exact triangle count via the degree-oriented wedge join: a triangle
+    * {x, y, z} with rank(x) < rank(y) < rank(z) (rank = (degree, id)) is
+    * found exactly once — as the wedge (x→y, x→z) closed by the oriented
+    * edge y→z. The wedge self-join keys on the shared LOW-rank endpoint,
+    * whose out-degree the orientation bounds by O(sqrt(m)); the enumerated
+    * wedge count is observable via `graft.graph_tri_wedges`. Returns one
+    * row: n_triangles.
+    */
+  private[graft] def triangleCount(e: DataFrame): DataFrame = {
+    // referenced three times (both wedge legs + the closing edge): one
+    // materialization, the iterative-frame discipline
+    val o = Tables.pin(orientByDegree(e))
+    val wedges = o
+      .alias("o1")
+      .join(
+        o.alias("o2"),
+        col("o2.u") === col("o1.u") &&
+          (col("o1.dv") < col("o2.dv") ||
+            (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v")))
+      )
+      .select(col("o1.v").as("x"), col("o2.v").as("y"))
+      // no-silent-blowups: the enumerated wedge volume is gate-visible
+      .observe("graft.graph_tri_wedges", count(lit(1)).as("n_oriented_wedges"))
+    wedges
+      .join(o.alias("o3"), col("o3.u") === col("x") && col("o3.v") === col("y"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Adamic-Adar scores over an undirected (pa < pb) edge set: for every
+    * 2-hop pair (a, c) that is NOT already an edge, score = Σ over shared
+    * neighbors b of 1/ln(deg(b)). Candidates come from the shared capped
+    * bucket generator keyed on the wedge center: per center, the `cap`
+    * smallest neighbor ids (observable `graft.graph_wedges` metric — the
+    * cappedBucketPairs discipline), with the center's TRUE pre-cap degree
+    * carried as `bucket_n`, so no degree join-back. Capping truncates
+    * super-hub CENTERS only — their 1/ln(deg) terms are the smallest by
+    * construction — and the rank<=cap rule is mirrored in the oracle.
+    */
+  private[graft] def adamicAdarScores(e: DataFrame, cap: Int = MaxNeighbors): DataFrame = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    val cand = Dedup
+      .cappedBucketPairsKeyed(sym, Seq(col("u")), col("v"), "graft.graph_wedges", cap)
+      .select(
+        col("p.doc_a").as("a"),
+        col("u").as("b"),
+        col("p.doc_b").as("c"),
+        col("bucket_n").as("db")
+      )
+    val nonedge = cand.join(
+      e,
+      cand("a") === e("pa") && cand("c") === e("pb"),
+      "left_anti"
+    )
+    nonedge
+      .groupBy(col("a").as("part_a"), col("c").as("part_b"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        // a wedge center has >= 2 neighbors by construction, so ln(db) > 0;
+        // per-term decimal cast for an order-free sum (the bm25 convention)
+        sum((lit(1.0) / log(col("db"))).cast("decimal(18,12)")).cast("double").as("aa_raw")
+      )
+      .select(
+        col("part_a"),
+        col("part_b"),
+        col("n_common"),
+        round(col("aa_raw"), 6).as("adamic_adar")
+      )
+  }
+
+  /** Fixed-point integer PageRank scores (node, s in 1e-12 units) for any
+    * (c, s) purchase-pair frame — frame-generic so the streaming twin
+    * ([[graft.streaming.StreamingGraph]]) folds arriving edges and re-runs
+    * the SAME builder bit-for-bit. The caller passes a materialized (or
+    * cheap) frame: the symmetrizing union reads it twice.
+    */
+  private[graft] def buildPagerankScores(cs: DataFrame): DataFrame =
+    buildPagerankScoresTracked(cs)._1
+
+  /** [[buildPagerankScores]] that also RETURNS the frames it pinned (the
+    * degree-folded edge list and the node set), so a caller that fully
+    * materializes the scores — the streaming twin writes them to parquet
+    * every micro-batch — can reclaim the pins instead of leaking two
+    * checkpoint generations per batch (the CC-loop unpin discipline,
+    * applied across the module boundary).
+    */
+  private[graft] def buildPagerankScoresTracked(cs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    // Node ids are LONGS (custkey*2 / suppkey*2+1): the loop joins and
+    // shuffles on this key 5 times, and long hashing/compare beats string
+    // keys — the readable 'c…'/'s…' label is rendered only on the final
+    // rows (the oracle mirrors the same encode/decode).
+    val edges0 = cs
+      .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionByName(
+        cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
+      )
+    // degree folded INTO the edge frame once: the loop's join carries
+    // (src, dst, outd) rows and never touches a separate degree table
+    val deg   = edges0.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val edges = Tables.pin(edges0.join(deg, "src"))
+    val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
+    val nn    = nodes.agg(count(lit(1)).as("n"))
+    // integer picoprobability scores: s_0 = 1e12 div n per node
+    var scores = nodes
+      .crossJoin(broadcast(nn))
+      .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
+    for (_ <- 1 to PrIters) {
+      // SYMMETRIZED graph invariant: every node has >= 1 in-edge, so
+      // the contribution frame already covers the full node set — no
+      // per-round left join back to `nodes`. Per-edge contribution
+      // (85*s) div (100*outd) and the teleport 15e12 div (100*n) stay
+      // in int64 (85*s <= 8.5e13); floor division == DuckDB's // on
+      // these all-positive values.
+      val contribs = edges
+        .join(scores, edges("src") === scores("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
+      // NO per-round pin: each round references the previous scores
+      // frame exactly ONCE, so the lineage grows LINEARLY (a 5-deep
+      // join/agg chain Catalyst plans as one job) — the 2^k blowup
+      // that forces pinIter only bites SELF-joining rounds (the CC
+      // pointer-doubling case). The pinned edge frame is the one
+      // shared input, scanned from its materialized blocks each round.
+      scores = contribs
+        .crossJoin(broadcast(nn))
+        .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n) + c").as("s"))
+    }
+    (scores, Seq(edges, nodes))
+  }
+
+  /** The PageRank score table as a build-once artifact: session-pinned by
+    * default, durable range-sorted parquet (by node) under
+    * `graft.artifact.root` — the domain-quality prior a curation pipeline
+    * joins against on every run.
+    */
+  private def pagerankScores(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildPagerankScores(pinnedPairs(s, dir))
+    else cachedIn(prCache, s, dir, "graph_pagerank", "node")(
+      buildPagerankScores(pinnedPairs(s, dir)))
+
   /** One fixed-point PageRank iteration CTE — kept textually in lockstep
-    * with the Spark loop body in the query below. Scores are integer
-    * picoprobabilities (units of 1e-12); `//` is floor division, equal to
-    * Spark's `div` on the all-positive values here.
+    * with the Spark loop body in [[buildPagerankScores]]. Scores are
+    * integer picoprobabilities (units of 1e-12); `//` is floor division,
+    * equal to Spark's `div` on the all-positive values here.
     */
   private def prIterSql(k: Int): String =
     s"""it$k AS (
@@ -117,59 +367,36 @@ object Graph {
        |    GROUP BY 1) c
        |  CROSS JOIN nn)""".stripMargin
 
+  /** One combined propagate-and-halve CC round in DuckDB — min-label
+    * propagation PLUS pointer doubling (lbl <- min(lbl, lbl(lbl)); label
+    * values are node ids, so the label's label is one 1:1 join), which
+    * reaches every component's min in O(log diameter) rounds. Six unrolled
+    * rounds cover diameter ~2^6 — the fixtures' purchase graph measures
+    * diameter 3-4, so both engines are long converged and the Spark side's
+    * true fixpoint ([[Dedup.clusters]], convergence-tested per round)
+    * hash-matches an independently converged derivation.
+    */
+  private def ccDoubleSql(k: Int): String =
+    s"""dd$k AS (
+       |  SELECT q.node, least(q.lbl, t2.lbl) AS lbl
+       |  FROM (
+       |    SELECT l.node, least(l.lbl, coalesce(nm.nlbl, l.lbl)) AS lbl
+       |    FROM dd${k - 1} l LEFT JOIN (
+       |      SELECT e.dst AS node, min(p.lbl) AS nlbl
+       |      FROM edges e JOIN dd${k - 1} p ON p.node = e.src
+       |      GROUP BY 1) nm ON nm.node = l.node) q
+       |  JOIN dd${k - 1} t2 ON t2.node = q.lbl)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_graph_pagerank",
-      s"FIXED-POINT PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with. Scores are integer picoprobabilities (units of 1e-12) and every operation is integer arithmetic with floor-division damping (the q_ts_cusum discipline): bit-exact, order-free, NO rounding call anywhere — an iterated round() of pure-rational doubles diverges between engines whenever a value lands on a decimal half, which one sf0.01 hub actually hit. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable integer groupBy(dst); the loop runs unpinned as one linear-depth plan (each round reads its predecessor once). Top-20 nodes by final score, emitted as the exact double s/1e12",
+      s"FIXED-POINT PageRank (damping $Damping, $PrIters iterations) over the symmetrized customer-supplier purchase graph — the centrality score web-corpus pipelines weight domain quality with. Scores are integer picoprobabilities (units of 1e-12) and every operation is integer arithmetic with floor-division damping (the q_ts_cusum discipline): bit-exact, order-free, NO rounding call anywhere — an iterated round() of pure-rational doubles diverges between engines whenever a value lands on a decimal half, which one sf0.01 hub actually hit. Each iteration: ONE edges-to-scores shuffle join (consecutive rounds reuse the src hash partitioning) + ONE map-side-combinable integer groupBy(dst); the loop runs unpinned as one linear-depth plan (each round reads its predecessor once). The score table is a build-once artifact (durable under graft.artifact.root, parity spec-pinned) — the domain-quality prior a curation pipeline reuses. Top-20 nodes by final score, emitted as the exact double s/1e12",
       (s, dir) => {
-        // the symmetrizing union references the pair frame twice — pin it
-        // so the orders-lineitem join + distinct runs once. Node ids are
-        // LONGS (custkey*2 / suppkey*2+1): the loop joins and shuffles on
-        // this key 5 times, and long hashing/compare beats string keys —
-        // the readable 'c…'/'s…' label is rendered only on the final 20
-        // rows (the oracle mirrors the same encode/decode)
-        val cs = Tables.pin(purchasePairs(s, dir))
-        val edges0 = cs
-          .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-          .unionByName(
-            cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
-          )
-        // degree folded INTO the edge frame once: the loop's join carries
-        // (src, dst, outd) rows and never touches a separate degree table
-        val deg   = edges0.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-        val edges = Tables.pin(edges0.join(deg, "src"))
-        val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
-        val nn    = nodes.agg(count(lit(1)).as("n"))
-        // integer picoprobability scores: s_0 = 1e12 div n per node
-        var scores = nodes
-          .crossJoin(broadcast(nn))
-          .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
-        for (_ <- 1 to PrIters) {
-          // SYMMETRIZED graph invariant: every node has >= 1 in-edge, so
-          // the contribution frame already covers the full node set — no
-          // per-round left join back to `nodes`. Per-edge contribution
-          // (85*s) div (100*outd) and the teleport 15e12 div (100*n) stay
-          // in int64 (85*s <= 8.5e13); floor division == DuckDB's // on
-          // these all-positive values.
-          val contribs = edges
-            .join(scores, edges("src") === scores("node"))
-            .groupBy(col("dst").as("node"))
-            .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
-          // NO per-round pin: each round references the previous scores
-          // frame exactly ONCE, so the lineage grows LINEARLY (a 5-deep
-          // join/agg chain Catalyst plans as one job) — the 2^k blowup
-          // that forces pinIter only bites SELF-joining rounds (the CC
-          // pointer-doubling case). The pinned edge frame is the one
-          // shared input, scanned from its materialized blocks each round.
-          scores = contribs
-            .crossJoin(broadcast(nn))
-            .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n) + c").as("s"))
-        }
         // top-20 selected on the exact integer score (LONG key tiebreak),
         // then rendered — both steps mirrored in SQL. The emitted double
         // s/1e12 is exact IEEE division of an integer < 2^53: identical in
         // both engines, no rounding call.
-        scores
+        pagerankScores(s, dir)
           .orderBy(col("s").desc, col("node")).limit(20)
           .select(
             concat(
@@ -201,7 +428,7 @@ object Graph {
       "q_graph_hits",
       "HITS hub/authority scoring (Kleinberg 1999) on the bipartite purchase graph: customers are hubs, suppliers are authorities; 2 full mutual-reinforcement rounds with L2 normalization after every half-step. The natural bipartite companion to PageRank (which needs symmetrization here); per half-step cost is one edge join + one decimal-exact aggregation, and each norm is a 1-row broadcast. Top-10 suppliers by authority",
       (s, dir) => {
-        val cs = Tables.pin(purchasePairs(s, dir))
+        val cs = pinnedPairs(s, dir)
         // L2-normalize a (key, raw) frame: norm is a 1-row broadcast.
         // `raw` is referenced twice (norm + rescale) — pin it, or each
         // half-step's edge join and aggregation run twice
@@ -255,9 +482,9 @@ object Graph {
     ),
     QueryDef(
       "q_graph_components",
-      "connected components by synchronous MIN-LABEL PROPAGATION over the symmetrized purchase graph, 4 rounds: new label(v) = min(own label, labels of in-neighbors), all-integer (labels ARE the long node ids — zero rounding, zero parity risk). Output is the per-round convergence census (round, n_labels, min_lbl) — the readout that shows WHEN the graph collapsed to its components. Unlike PageRank's linear loop, each round references the previous label frame TWICE (source and destination side of the same join) — this is exactly the self-joining shape that forces per-round pinIter lineage truncation, with superseded generations unpinned (the Dedup CC discipline, here as a gate-visible query)",
+      "connected components: the per-round convergence census of 4 synchronous MIN-LABEL PROPAGATION rounds (round, n_labels, min_lbl — the readout that shows WHEN the graph collapsed), PLUS the TRUE converged component count as row round = -1, computed by the pointer-doubling CC the dedup family owns (Dedup.clusters: convergence-tested per round, O(log diameter), never hop-bounded). All-integer labels (labels ARE the long node ids — zero rounding, zero parity risk). Each propagation round references the previous label frame TWICE (source and destination side of the same join) — the self-joining shape that forces per-round pinIter lineage truncation with superseded-generation unpin. The oracle derives the -1 row from SIX unrolled propagate-and-halve rounds (covers diameter ~2^6; the fixture graph measures 3-4), so the gate compares two independently CONVERGED derivations",
       (s, dir) => {
-        val cs = Tables.pin(purchasePairs(s, dir))
+        val cs = pinnedPairs(s, dir)
         val edges = Tables.pin(
           cs.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
             .unionByName(cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
@@ -267,9 +494,9 @@ object Graph {
         // at the superseded generation's checkpoint files, which the loop
         // deletes below — an evicted census block would then be
         // unrecoverable)
-        def censusOf(round: Int, lab: DataFrame): DataFrame = Tables.pinIter(
+        def censusOf(round: Long, lab: DataFrame): DataFrame = Tables.pinIter(
           lab.agg(
-            lit(round.toLong).as("round"),
+            lit(round).as("round"),
             countDistinct(col("lbl")).as("n_labels"),
             min(col("lbl")).as("min_lbl")
           )
@@ -278,7 +505,7 @@ object Graph {
           edges.select(col("src").as("node")).distinct().select(col("node"), col("node").as("lbl"))
         )
         val census = Seq.newBuilder[DataFrame]
-        census += censusOf(0, lab)
+        census += censusOf(0L, lab)
         for (k <- 1 to 4) {
           // lab is read TWICE here (p = src side, q = dst side): without a
           // per-round pin the plan doubles every round — the 2^k case
@@ -290,7 +517,7 @@ object Graph {
               .groupBy(col("e.dst").as("node"))
               .agg(least(min(col("p.lbl")), min(col("q.lbl"))).as("lbl"))
           )
-          census += censusOf(k, next)
+          census += censusOf(k.toLong, next)
           // this round's census and successor are both eagerly pinned with
           // truncated lineage, so the superseded generation's checkpoint
           // storage is reclaimed
@@ -298,6 +525,17 @@ object Graph {
           lab = next
         }
         Tables.unpin(lab) // the final generation: its census is pinned, nothing else reads it
+        // the TRUE component count, however deep the diameter: the
+        // convergence-tested pointer-doubling loop the near-dup clusters
+        // run on. The pair frame orders each edge by node id (customer ids
+        // are even, supplier ids odd — either can be smaller).
+        val ccLabels = Dedup.clusters(
+          cs.select(
+            least(col("c") * 2, col("s") * 2 + 1).as("doc_a"),
+            greatest(col("c") * 2, col("s") * 2 + 1).as("doc_b")
+          )
+        )
+        census += censusOf(-1L, ccLabels.select(col("doc_id").as("node"), col("label").as("lbl")))
         census.result().reduce(_ unionByName _).orderBy(col("round"))
       },
       Some {
@@ -321,14 +559,23 @@ object Graph {
            |  UNION ALL
            |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
            |lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-           |${iters.mkString(",\n")}
-           |SELECT * FROM ($sel) x ORDER BY round""".stripMargin
+           |${iters.mkString(",\n")},
+           |dd0 AS (SELECT node, lbl FROM lab0),
+           |${(1 to 6).map(ccDoubleSql).mkString(",\n")}
+           |SELECT * FROM (
+           |  $sel
+           |  UNION ALL
+           |  SELECT cast(-1 as bigint), cast(count(DISTINCT lbl) as bigint),
+           |    cast(min(lbl) as bigint) FROM dd6) x
+           |ORDER BY round""".stripMargin
       }
     ),
     QueryDef(
       "q_graph_triangles",
-      "triangle census of the thresholded co-purchase graph: parts co-occurring in >= 2 distinct orders form an edge (the weight threshold is THE scale lever — on a bigger corpus random co-occurrence gets rarer, so the graph sparsifies on its own; raise the threshold to sparsify further), triangles counted with the canonical edge-orientation join (a<b<c, every triangle found exactly once), global clustering coefficient = 3*triangles/wedges with the wedge count kept in integer space. One row: nodes, edges, wedges, triangles, coefficient",
+      "triangle census of the thresholded co-purchase graph: parts co-occurring in >= 2 distinct orders form an edge (the weight threshold is THE scale lever — on a bigger corpus random co-occurrence gets rarer, so the graph sparsifies on its own; raise the threshold to sparsify further). Triangles counted EXACTLY with the DEGREE-oriented wedge join (each edge points from its lower-degree endpoint, ties by id): per-node out-degree is bounded by O(sqrt(m)) on any graph — the arboricity bound — so one 10^5-degree hub can no longer make the wedge self-join quadratic through a single key (id-orientation leaves ~deg/2 out-edges; degree orientation leaves O(sqrt(m))). Wedge volume is observable via graft.graph_tri_wedges; the oracle counts triangles with the straightforward id-oriented join — the count is orientation-invariant, so the gate proves the bounded join computes the TRUE count, not a mirror of itself. Global clustering coefficient = 3*triangles/wedges with the wedge count kept in integer space. One row: nodes, edges, wedges, triangles, coefficient",
       (s, dir) => {
+        // already materialized by the artifact cache (session pin or
+        // durable parquet read-back) — no second pin
         val e = coPurchaseEdges(s, dir)
         val deg = e
           .select(col("pa").as("node"))
@@ -343,11 +590,7 @@ object Graph {
           // Sum of d*(d-1) is even, so integer division is exact.
           expr("sum(d * (d - 1)) div 2").as("n_wedges")
         )
-        val tri = e
-          .alias("e1")
-          .join(e.alias("e2"), col("e2.pa") === col("e1.pb"))
-          .join(e.alias("e3"), col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
-          .agg(count(lit(1)).as("n_triangles"))
+        val tri    = triangleCount(e)
         val nEdges = e.agg(count(lit(1)).as("n_edges"))
         nEdges
           .crossJoin(broadcast(degStats))
@@ -380,54 +623,30 @@ object Graph {
     ),
     QueryDef(
       "q_graph_adamic_adar",
-      "Adamic-Adar link prediction on the thresholded co-purchase graph: for every 2-hop pair (a, c) that is NOT already an edge, score = sum over shared neighbors b of 1/ln(deg(b)) — the classic 'which products will be bought together next' recommender signal. Candidate pairs come from the wedge join (symmetrized edges self-joined on the shared endpoint, a < c), existing edges removed with one left_anti; a shared neighbor inside a wedge has degree >= 2 by construction, so ln(deg) is never zero. Per-term 1/ln(d) is decimal-cast for an order-free sum (the bm25 convention), output rounded 6 (transcendental — rule 4). Top-15 by score; the co-occurrence weight threshold is the same sparsification lever as the triangle census",
-      (s, dir) => {
-        val e = coPurchaseEdges(s, dir)
-        val sym = Tables.pin(
-          e.select(col("pa").as("u"), col("pb").as("v"))
-            .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
-        )
-        val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-        val cand = sym
-          .alias("s1")
-          .join(sym.alias("s2"), col("s2.u") === col("s1.u") && col("s1.v") < col("s2.v"))
-          .select(col("s1.v").as("a"), col("s1.u").as("b"), col("s2.v").as("c"))
-        val nonedge = cand.join(
-          e,
-          cand("a") === e("pa") && cand("c") === e("pb"),
-          "left_anti"
-        )
-        nonedge
-          .join(deg, col("b") === col("node"))
-          .groupBy(col("a").as("part_a"), col("c").as("part_b"))
-          .agg(
-            count(lit(1)).as("n_common"),
-            sum((lit(1.0) / log(col("d"))).cast("decimal(18,12)")).cast("double").as("aa_raw")
-          )
-          .select(
-            col("part_a"),
-            col("part_b"),
-            col("n_common"),
-            round(col("aa_raw"), 6).as("adamic_adar")
-          )
+      s"Adamic-Adar link prediction on the thresholded co-purchase graph: for every 2-hop pair (a, c) that is NOT already an edge, score = sum over shared neighbors b of 1/ln(deg(b)) — the classic 'which products will be bought together next' recommender signal. Candidate wedges route through the repo's shared CAPPED bucket generator keyed on the wedge center: per node, the $MaxNeighbors smallest neighbor ids (the cappedBucketPairs discipline, observable graft.graph_wedges metric with capped_buckets/max_bucket) — a 10^5-degree hub contributes C($MaxNeighbors,2) candidates instead of ~10^10, and its dropped 1/ln(deg) terms are the smallest by construction. The cap sits far above the fixtures' max degree (13), and the rank<=cap rule is mirrored in the oracle, so the gate stays hash-exact. The center's TRUE pre-cap degree rides the bucket row (no degree join-back); existing edges removed with one left_anti; per-term 1/ln(d) is decimal-cast for an order-free sum (the bm25 convention), output rounded 6 (transcendental — rule 4). Top-15 by score",
+      (s, dir) =>
+        adamicAdarScores(coPurchaseEdges(s, dir))
           .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
-          .limit(15)
-      },
+          .limit(15),
       Some(s"""WITH $coEdgesSql,
               |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-              |deg AS (SELECT u AS node, cast(count(1) as bigint) AS d FROM sym GROUP BY 1),
+              |nb AS (SELECT u, v,
+              |         count(1) OVER (PARTITION BY u) AS d,
+              |         row_number() OVER (PARTITION BY u ORDER BY v) AS rk
+              |       FROM sym),
               |cand AS (
-              |  SELECT s1.v AS a, s1.u AS b, s2.v AS c
-              |  FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v),
+              |  SELECT s1.v AS a, s1.u AS b, s1.d AS db, s2.v AS c
+              |  FROM nb s1 JOIN nb s2 ON s2.u = s1.u AND s1.v < s2.v
+              |  WHERE s1.rk <= $MaxNeighbors AND s2.rk <= $MaxNeighbors),
               |nonedge AS (
-              |  SELECT cand.a, cand.b, cand.c FROM cand
+              |  SELECT cand.a, cand.b, cand.c, cand.db FROM cand
               |  LEFT JOIN e ON e.pa = cand.a AND e.pb = cand.c
               |  WHERE e.pa IS NULL),
               |scored AS (
               |  SELECT a, c,
               |    cast(count(1) as bigint) AS n_common,
-              |    cast(cast(sum(cast(1.0 / ln(deg.d) as decimal(18,12))) as varchar) as double) AS aa_raw
-              |  FROM nonedge JOIN deg ON deg.node = nonedge.b
+              |    cast(cast(sum(cast(1.0 / ln(db) as decimal(18,12))) as varchar) as double) AS aa_raw
+              |  FROM nonedge
               |  GROUP BY 1, 2)
               |SELECT a AS part_a, c AS part_b, n_common, round(aa_raw, 6) AS adamic_adar
               |FROM scored ORDER BY adamic_adar DESC, part_a, part_b LIMIT 15""".stripMargin)
@@ -436,8 +655,9 @@ object Graph {
       "q_graph_degrees",
       "degree census of the purchase graph: per node kind (customer/supplier) the node count, edge endpoint count, min/max degree and decimal-exact average degree — the first sanity readout over any derived entity graph (a degree distribution collapsing to hubs is how you catch a skewed join key before PageRank stragglers do)",
       (s, dir) => {
-        // referenced once per kind in the union below — pin, same as above
-        val cs = Tables.pin(purchasePairs(s, dir))
+        // referenced once per kind in the union below — the shared pinned
+        // pair frame, same as the other bipartite queries
+        val cs = pinnedPairs(s, dir)
         cs.select(lit("customer").as("kind"), col("c").as("node"))
           .unionByName(cs.select(lit("supplier").as("kind"), col("s").as("node")))
           .groupBy(col("kind"), col("node"))

@@ -46,7 +46,10 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_pq_probe",
     "q_sim_pq_recall",
     "q_sim_ivfpq_probe",
-    "q_dedup_semantic"
+    "q_dedup_semantic",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_adamic_adar"
   )
 
   test("dedup + IVF family: durable-artifact runs are bit-identical to the local-checkpoint path") {
@@ -67,7 +70,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       val dirKey = Tables.artifactDirKey(TestSpark.sfDir)
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
-          "pq_cent", "pq_codes").foreach { artifact =>
+          "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

@@ -43,6 +43,31 @@ class BpeSpec extends AnyFunSuite {
     assert(got === expected.result(), "distributed merges must match the reference trainer")
   }
 
+  test("rounds run on the distinct-sequence frequency table, not the corpus (Sennrich formulation)") {
+    import spark.implicits._
+    // 30 docs but only 3 distinct texts — a corpus-shaped trainer would
+    // carry 30 rows into every round; the frequency-table trainer must
+    // carry exactly |distinct texts|, and the merge table must be the
+    // SAME as training on the raw corpus (weights preserve the counts)
+    val texts = Seq("a b a b c", "a b x y", "z z z")
+    val docs = (1 to 30).map(i => (i.toLong, texts(i % 3))).toDF("doc_id", "text")
+    val roundSizes = scala.collection.mutable.Map.empty[Int, Long]
+    val merges = Bpe
+      .trainMerges(docs, rounds = 3, onRoundFrame = (k, f) => roundSizes(k) = f.count())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(roundSizes(1) === 3L, s"round-1 input must be the 3 distinct texts: $roundSizes")
+    assert(roundSizes(2) <= 3L && roundSizes(2) >= 1L,
+      s"round-2 input stays distinct-text-sized (30 docs): $roundSizes")
+    // weighted counts == raw-corpus counts: 'a b' occurs 2x in text0 (10
+    // docs) + 1x in text1 (10 docs) = 30; 'z z' occurs 2x in text2 (10
+    // docs) = 20. Round 1 merges (a,b) with n=30; after the rewrite the
+    // best pair is (z,z) n=20 (vs a_b->a_b 10, a_b->c 10, a_b->x 10 —
+    // lexicographic loses to count)
+    assert(merges(0) === ((1L, "a", "b", 30L)), merges.mkString(","))
+    assert(merges(1) === ((2L, "z", "z", 20L)), merges.mkString(","))
+  }
+
   test("merged symbols compose: later rounds may merge earlier rounds' outputs") {
     // structural sanity on the learned table itself: all counts positive,
     // rounds strictly 1..6, and pair symbols are drawn from the evolving

@@ -54,13 +54,71 @@ class GraphSpec extends AnyFunSuite {
       .queries("q_graph_components")(spark, TestSpark.sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(rows.map(_._1).toSeq === (0L to 4L))
-    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2 }, "label count must shrink")
-    assert(rows.head._2 === 160L, "round 0: every node its own label (150 customers + 10 suppliers)")
+    assert(rows.map(_._1).toSeq === (-1L +: (0L to 4L)))
+    val census = rows.filter(_._1 >= 0)
+    assert(census.sliding(2).forall { case Array(a, b) => b._2 <= a._2 }, "label count must shrink")
+    assert(census.head._2 === 160L, "round 0: every node its own label (150 customers + 10 suppliers)")
     // the purchase graph at sf0.001 is one dense component: min label 0
     // (customer 0) wins everywhere within the 4 rounds
-    assert(rows.last._2 === 1L, s"must converge to a single component: ${rows.mkString(",")}")
+    assert(census.last._2 === 1L, s"must converge to a single component: ${census.mkString(",")}")
+    // the round = -1 row is the TRUE converged component count from the
+    // pointer-doubling CC — which the 4-round census here happens to reach
+    assert(rows.head === ((-1L, 1L, 0L)), s"true CC row: ${rows.head}")
     assert(rows.forall(_._3 === 0L))
+  }
+
+  test("triangle count: degree orientation bounds wedge enumeration on a planted hub, count stays exact") {
+    import spark.implicits._
+    // pure 1000-leaf star: id-based orientation would leave the hub with
+    // ~500 out-edges and the wedge self-join would enumerate ~125k pairs
+    // through one key; degree orientation points every edge leaf->hub, so
+    // NO node has two out-edges and the wedge frame is EMPTY
+    val star = (1L to 1000L).map(i => (0L, i)).toDF("pa", "pb")
+    val maxOut = Graph
+      .orientByDegree(star)
+      .groupBy("u").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    assert(maxOut === 1L, s"star must orient leaf->hub everywhere: max out-degree $maxOut")
+    assert(Graph.triangleCount(star).collect().head.getLong(0) === 0L)
+
+    // planted triangles survive the orientation: {1,2,3} + the three
+    // hub-closed ones {0,1,2}, {0,1,3}, {0,2,3}
+    val tri = star.unionByName(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb"))
+    assert(Graph.triangleCount(tri).collect().head.getLong(0) === 4L)
+    // the bound holds with the hub present: max out-degree is the planted
+    // nodes' O(sqrt(m)) = 3, never the hub's 1000
+    val maxOutTri = Graph
+      .orientByDegree(tri)
+      .groupBy("u").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect().head.getLong(0)
+    assert(maxOutTri <= 3L, s"degree orientation must keep out-degrees O(sqrt(m)): $maxOutTri")
+  }
+
+  test("adamic-adar: hub candidates are capped with a visible metric, scores keep the TRUE degree") {
+    import spark.implicits._
+    val star = (1L to 1000L).map(i => (0L, i)).toDF("pa", "pb")
+    val cap  = 16
+    val metrics = graft.sources.Sinks.captureObservedMetrics(spark, Set("graft.graph_wedges")) {
+      val got = Graph.adamicAdarScores(star, cap).collect()
+      // bounded join output: C(16,2) = 120 candidate pairs, not C(1000,2) = 499500
+      assert(got.length === 120, s"candidates must be capped: ${got.length}")
+      got.foreach { r =>
+        assert(r.getLong(2) === 1L, "one shared neighbor (the hub)")
+        // 1/ln(deg) uses the hub's TRUE degree (1000), not the capped list size
+        assert(math.abs(r.getDouble(3) - 1.0 / math.log(1000.0)) < 1e-6, r.toString)
+      }
+    }
+    val m = metrics("graft.graph_wedges")
+    assert(m.getAs[Long]("capped_buckets") >= 1L, s"the drop must be observable: $m")
+    assert(m.getAs[Int]("max_bucket") === 1000, s"the hub's full neighbor list was seen: $m")
+
+    // with the cap above the max degree the generator is exact: path 1-2-3
+    // yields the single candidate (1,3) through 2, score 1/ln(2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val rows = Graph.adamicAdarScores(path).collect()
+    assert(rows.length === 1)
+    assert((rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2)) === ((1L, 3L, 1L)))
+    assert(math.abs(rows.head.getDouble(3) - 1.0 / math.log(2.0)) < 1e-6)
   }
 
   test("triangle census matches an in-memory recomputation on the thresholded graph") {

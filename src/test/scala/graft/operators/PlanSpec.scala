@@ -606,7 +606,11 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val nodes = allNodes(executed(q("q_graph_pagerank")))
+      // pin the BUILD plan directly: the gate query serves the score table
+      // from the build-once artifact cache, whose plan is (correctly) a
+      // checkpoint/parquet scan — the scale property lives in the builder
+      val nodes = allNodes(executed(
+        Graph.buildPagerankScores(Graph.pinnedPairs(spark, TestSpark.sfDir))))
       nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
         val cols = b.output.map(_.name.toLowerCase)
         assert(
