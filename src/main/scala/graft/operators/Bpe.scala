@@ -132,6 +132,62 @@ object Bpe {
     merges.result().reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Tokenizer APPLY: run the same weighted training loop on an
+    * (original text, current text, weight) frame — the extra `s0` key
+    * changes nothing about the argmax (pair counts are Σ w × pairs(s),
+    * identical to [[trainMerges]]'s re-aggregated frame) — and rewrite
+    * through ALL `rounds` merges, returning the (s0, enc) mapping for
+    * every DISTINCT text. Encoding is a pure function of the text, so
+    * per-doc results come from one join against this vocabulary-shaped
+    * frame instead of running the merge cascade over every document copy.
+    * Each round's 1-row argmax is unpinned as soon as the rewrite that
+    * consumed it is materialized (unlike trainMerges, nothing re-reads it).
+    */
+  private[graft] def encodeDistinct(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    var seqs: DataFrame = Tables.pinIter(
+      docs
+        .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
+        .groupBy(col("s0"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("s0"), col("s0").as("s"), col("w"))
+    )
+    for (_ <- 1 to rounds) {
+      val pairs = seqs
+        .select(col("w"), split(trim(col("s")), " ").as("t"))
+        .select(
+          col("w"),
+          explode(
+            when(
+              size(col("t")) >= 2,
+              transform(
+                sequence(lit(1), size(col("t")) - 1),
+                i =>
+                  struct(
+                    element_at(col("t"), i).as("a"),
+                    element_at(col("t"), i + 1).as("b")
+                  )
+              )
+            ).otherwise(array().cast("array<struct<a:string,b:string>>"))
+          ).as("p")
+        )
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("w"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("w")).as("n"))
+      val mk  = Tables.pinIter(pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1))
+      val pat = concat(lit(" "), col("a"), lit(" "), col("b"), lit(" "))
+      val rep = concat(lit(" "), col("a"), lit("_"), col("b"), lit(" "))
+      var sNew: Column = col("s")
+      for (_ <- 1 to 4) sNew = call_function("replace", sNew, pat, rep)
+      val next = Tables.pinIter(
+        seqs.crossJoin(broadcast(mk)).select(col("s0"), sNew.as("s"), col("w"))
+      )
+      Tables.unpin(seqs)
+      Tables.unpin(mk)
+      seqs = next
+    }
+    seqs.select(col("s0"), trim(col("s")).as("enc"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_bpe_merges",
@@ -161,6 +217,59 @@ object Bpe {
         }
         "WITH " + ctes.result().mkString(",\n") +
           "\nSELECT * FROM (" + sel.result().mkString(" UNION ALL ") + ") ORDER BY round"
+      }
+    ),
+    QueryDef(
+      "q_bpe_encode",
+      s"tokenizer APPLY — encode the corpus with the $Rounds learned BPE merges (the other half of shipping a tokenizer: q_bpe_merges learns the table, this query runs it): the weighted cascade rewrites every DISTINCT text through all rounds' merges (vocabulary-shaped work, argmax identical to training because pair counts stay Σ w x pairs), and per-doc results come from ONE join of documents against that (orig, encoded) mapping. Output per doc: whitespace token count before/after and md5 of the encoded text — the hash pins the full encode round trip. First 500 docs by id",
+      (s, dir) => {
+        val enc = encodeDistinct(Tables.fanout(Tables.documents(s, dir)), Rounds)
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            concat(lit(" "), col("text"), lit(" ")).as("s0"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")
+          )
+          .join(enc, "s0")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            size(split(col("enc"), " ")).cast("long").as("n_enc"),
+            md5(col("enc")).as("enc_hash")
+          )
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some {
+        val ctes = Seq.newBuilder[String]
+        ctes += ("d0 AS (SELECT s, cast(count(1) as bigint) AS w FROM " +
+          "(SELECT ' ' || text || ' ' AS s FROM documents) raw GROUP BY 1)")
+        ctes += "enc0 AS (SELECT s AS s0, s FROM d0)"
+        for (k <- 1 to Rounds) {
+          ctes += s"""p$k AS (
+                     |  SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+                     |    cast(sum(w) as bigint) AS n
+                     |  FROM (SELECT w, unnest(list_transform(generate_series(1, len(t) - 1),
+                     |                                        i -> t[i] || ' ' || t[i+1])) AS pr
+                     |        FROM (SELECT w, string_split(trim(s), ' ') AS t FROM d${k - 1}) x
+                     |        WHERE len(t) >= 2) y
+                     |  GROUP BY 1, 2)""".stripMargin
+          ctes += s"m$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1)"
+          val rep = (1 to 4).foldLeft("s") { (acc, _) =>
+            s"replace($acc, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || '_' || m.b || ' ')"
+          }
+          ctes += (s"d$k AS (SELECT s, cast(sum(w) as bigint) AS w FROM " +
+            s"(SELECT $rep AS s, w FROM d${k - 1} CROSS JOIN m$k m) r GROUP BY 1)")
+          ctes += s"enc$k AS (SELECT s0, $rep AS s FROM enc${k - 1} CROSS JOIN m$k m)"
+        }
+        s"""WITH ${ctes.result().mkString(",\n")}
+           |SELECT d.doc_id,
+           |  cast(len(string_split(d.text, ' ')) as bigint) AS n_tokens,
+           |  cast(len(string_split(trim(e.s), ' ')) as bigint) AS n_enc,
+           |  md5(trim(e.s)) AS enc_hash
+           |FROM documents d JOIN enc$Rounds e ON e.s0 = ' ' || d.text || ' '
+           |ORDER BY d.doc_id LIMIT 500""".stripMargin
       }
     )
   )

@@ -283,6 +283,77 @@ object Graph {
       )
   }
 
+  /** Synchronous k-core peel census over an undirected (pa < pb) edge set:
+    * each round recomputes degrees on the surviving graph and drops EVERY
+    * node below `k` simultaneously (with its incident edges), until a
+    * round removes nothing — the classic dense-community extractor
+    * (co-occurrence cores are what survives boilerplate pruning in a
+    * web-corpus co-citation graph). Returns (k, round, n_nodes, n_edges)
+    * rows for rounds 0..`shownRounds` (stable values repeat once
+    * converged, matching an unrolled derivation) plus the CONVERGED core
+    * as round = -1.
+    *
+    * Scale shape: per round ONE map-side-combinable degree aggregation and
+    * two semi joins keyed on node id over the symmetrized edge frame; the
+    * frame only SHRINKS (peeling never adds), so convergence is detected
+    * by the 1-row edge-count fixpoint (the labelSum discipline) and total
+    * work is bounded by rounds x current-edge-count. Each round references
+    * the previous frame several times (degree pass + both semi-join sides)
+    * — the self-referencing shape that forces per-round pinIter lineage
+    * truncation with superseded-generation unpin.
+    */
+  private[graft] def kcoreCensus(
+      e: DataFrame,
+      k: Int,
+      shownRounds: Int = 6,
+      maxRounds: Int = 64
+  ): DataFrame = {
+    var sym = Tables.pinIter(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    def censusOf(round: Long, s: DataFrame): DataFrame = Tables.pinIter(
+      s.agg(
+        lit(k.toLong).as("k"),
+        lit(round).as("round"),
+        countDistinct(col("u")).as("n_nodes"),
+        expr("cast(count(1) div 2 as bigint)").as("n_edges")
+      )
+    )
+    val census = Seq.newBuilder[DataFrame]
+    census += censusOf(0L, sym)
+    var edgeCount = sym.count()
+    var round     = 0
+    var converged = edgeCount == 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      // survivors of this round: degree on the CURRENT frame — pinned
+      // because both semi-join sides read it
+      val kp = Tables.pinIter(
+        sym.groupBy(col("u")).agg(count(lit(1)).as("d")).filter(col("d") >= k).select(col("u"))
+      )
+      val next = Tables.pinIter(
+        sym
+          .join(kp, Seq("u"), "left_semi")
+          .join(kp.select(col("u").as("v")), Seq("v"), "left_semi")
+      )
+      val c = next.count()
+      // edges only shrink, so an unchanged count IS an unchanged frame
+      converged = c == edgeCount
+      edgeCount = c
+      if (round <= shownRounds) census += censusOf(round.toLong, next)
+      Tables.unpin(kp)
+      Tables.unpin(sym)
+      sym = next
+    }
+    // converged early: later shown rounds repeat the stable frame, exactly
+    // like the oracle's unrolled chain
+    for (r <- (round + 1) to shownRounds) census += censusOf(r.toLong, sym)
+    census += censusOf(-1L, sym)
+    Tables.unpin(sym)
+    census.result().reduce(_ unionByName _)
+  }
+
   /** Fixed-point integer PageRank scores (node, s in 1e-12 units) for any
     * (c, s) purchase-pair frame — frame-generic so the streaming twin
     * ([[graft.streaming.StreamingGraph]]) folds arriving edges and re-runs
@@ -377,7 +448,10 @@ object Graph {
     * hash-matches an independently converged derivation.
     */
   private def ccDoubleSql(k: Int): String =
-    s"""dd$k AS (
+    // AS MATERIALIZED: DuckDB inlines plain CTEs and each round reads its
+    // predecessor THREE times (own label + neighbor min + label-of-label)
+    // — unmaterialized, the 6-round chain expands 3^6 subtrees
+    s"""dd$k AS MATERIALIZED (
        |  SELECT q.node, least(q.lbl, t2.lbl) AS lbl
        |  FROM (
        |    SELECT l.node, least(l.lbl, coalesce(nm.nlbl, l.lbl)) AS lbl
@@ -539,8 +613,10 @@ object Graph {
         census.result().reduce(_ unionByName _).orderBy(col("round"))
       },
       Some {
+        // MATERIALIZED: each round reads its predecessor twice (src + dst
+        // side) and DuckDB inlines plain CTEs — 2^4 base expansions without
         val iters = (1 to 4).map { k =>
-          s"""lab$k AS (
+          s"""lab$k AS MATERIALIZED (
              |  SELECT e.dst AS node, least(min(p.lbl), min(q.lbl)) AS lbl
              |  FROM edges e
              |  JOIN lab${k - 1} p ON p.node = e.src
@@ -554,13 +630,13 @@ object Graph {
           )
           .mkString(" UNION ALL ")
         s"""WITH $pairsSql,
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
            |  UNION ALL
            |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
-           |lab0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+           |lab0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
            |${iters.mkString(",\n")},
-           |dd0 AS (SELECT node, lbl FROM lab0),
+           |dd0 AS MATERIALIZED (SELECT node, lbl FROM lab0),
            |${(1 to 6).map(ccDoubleSql).mkString(",\n")}
            |SELECT * FROM (
            |  $sel
@@ -650,6 +726,42 @@ object Graph {
               |  GROUP BY 1, 2)
               |SELECT a AS part_a, c AS part_b, n_common, round(aa_raw, 6) AS adamic_adar
               |FROM scored ORDER BY adamic_adar DESC, part_a, part_b LIMIT 15""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_kcore",
+      "k-core decomposition of the thresholded co-purchase graph (k = 2 and 3): synchronous peeling — every round drops ALL nodes whose surviving degree is below k, until a round drops nothing. The dense-community extractor of corpus curation: a co-occurrence 3-core is what remains after casual/boilerplate co-citations peel away. Output is the peel CENSUS (k, round, n_nodes, n_edges) for rounds 0..6 — stable values repeat once converged — plus the CONVERGED core as round -1, reached by edge-count fixpoint (never a hop bound; the fixture needs up to 10 rounds at k=3). Per round: one map-side-combinable degree aggregation + two node-keyed semi joins; the frame only shrinks, so total work is rounds x surviving edges; per-round pinIter with superseded-generation unpin (the self-referencing-loop discipline). The oracle unrolls 16 propagate rounds per k — both sides long converged on the fixture, so the gate compares two independently converged derivations",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        kcoreCensus(e, 2).unionByName(kcoreCensus(e, 3)).orderBy(col("k"), col("round"))
+      },
+      Some {
+        val oracleRounds = 16
+        // AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, and
+        // every round references its predecessor three times (degree pass
+        // + both semi sides) — unmaterialized, the 16-round chain expands
+        // 3^16 scans and dies on open file handles
+        def chain(k: Int): String =
+          (1 to oracleRounds).map { j =>
+            s"""kp${k}_$j AS MATERIALIZED (SELECT u FROM s${k}_${j - 1} GROUP BY u HAVING count(1) >= $k),
+               |s${k}_$j AS MATERIALIZED (SELECT x.u, x.v FROM s${k}_${j - 1} x
+               |  JOIN kp${k}_$j a ON a.u = x.u JOIN kp${k}_$j b ON b.u = x.v)""".stripMargin
+          }.mkString(",\n")
+        def census(k: Int): String =
+          ((0 to 6).map(j => (j, s"s${k}_$j")) :+ ((-1, s"s${k}_$oracleRounds")))
+            .map { case (r, tbl) =>
+              s"SELECT cast($k as bigint) AS k, cast($r as bigint) AS round, " +
+                s"cast(count(DISTINCT u) as bigint) AS n_nodes, " +
+                s"cast(count(1) // 2 as bigint) AS n_edges FROM $tbl"
+            }
+            .mkString(" UNION ALL ")
+        s"""WITH $coEdgesSql,
+           |s2_0 AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |s3_0 AS MATERIALIZED (SELECT u, v FROM s2_0),
+           |${chain(2)},
+           |${chain(3)}
+           |SELECT * FROM (${census(2)} UNION ALL ${census(3)}) x
+           |ORDER BY k, round""".stripMargin
+      }
     ),
     QueryDef(
       "q_graph_degrees",

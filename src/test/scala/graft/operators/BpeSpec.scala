@@ -68,6 +68,27 @@ class BpeSpec extends AnyFunSuite {
     assert(merges(1) === ((2L, "z", "z", 20L)), merges.mkString(","))
   }
 
+  test("encode: applies every learned merge to each distinct text, '_'-joins decode back to the original") {
+    import spark.implicits._
+    val texts = Seq("a b a b c", "a b x y", "z z z")
+    val docs  = (1 to 30).map(i => (i.toLong, texts(i % 3))).toDF("doc_id", "text")
+    val enc = Bpe
+      .encodeDistinct(docs, rounds = 2)
+      .collect()
+      .map(r => (r.getString(0).trim, r.getString(1)))
+      .toMap
+    // round 1 merges (a,b) n=30; round 2 merges (z,z) n=20 (see the
+    // frequency-table test above) — and UNLIKE trainMerges, the encoder
+    // applies the FINAL round's merge too
+    assert(enc === Map(
+      "a b a b c" -> "a_b a_b c",
+      "a b x y"   -> "a_b x y",
+      "z z z"     -> "z_z z"
+    ), enc.toString)
+    // '_' never occurs in the corpus alphabet, so the encoding is lossless
+    enc.foreach { case (orig, e) => assert(e.replace('_', ' ') === orig) }
+  }
+
   test("merged symbols compose: later rounds may merge earlier rounds' outputs") {
     // structural sanity on the learned table itself: all counts positive,
     // rounds strictly 1..6, and pair symbols are drawn from the evolving

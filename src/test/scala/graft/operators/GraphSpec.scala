@@ -193,6 +193,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._4).sliding(2).forall { case Array(x, y) => x >= y })
   }
 
+  test("k-core peel: a planted triangle-with-tail peels to the triangle, census rows match by hand") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5: k=2 peels node 5 (deg 1) in
+    // round 1, node 4 in round 2, then stabilizes on the triangle
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    val rows = Graph
+      .kcoreCensus(g, 2, shownRounds = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows === Array(
+      (-1L, 3L, 3L), // converged: the triangle
+      (0L, 5L, 5L),
+      (1L, 4L, 4L),
+      (2L, 3L, 3L),
+      (3L, 3L, 3L)   // stable repeat, like the oracle's unrolled chain
+    ), rows.mkString(","))
+    // k=3: the triangle itself dies (degree 2 everywhere) — empty core
+    val core3 = Graph.kcoreCensus(g, 3, shownRounds = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(core3.head === ((-1L, 0L, 0L)), core3.mkString(","))
+  }
+
   test("degree census: both kinds count the same edge set, degrees bound each other") {
     val rows = SparkEntry
       .queries("q_graph_degrees")(spark, TestSpark.sfDir)
