@@ -370,20 +370,26 @@ object Graph {
     * checkpoint generations per batch (the CC-loop unpin discipline,
     * applied across the module boundary).
     */
-  private[graft] def buildPagerankScoresTracked(cs: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    // Node ids are LONGS (custkey*2 / suppkey*2+1): the loop joins and
-    // shuffles on this key 5 times, and long hashing/compare beats string
-    // keys — the readable 'c…'/'s…' label is rendered only on the final
-    // rows (the oracle mirrors the same encode/decode).
+  /** PINNED symmetrized (src, dst, outd) edge frame from a (c, s) purchase
+    * pair frame — node ids are LONGS (custkey*2 / suppkey*2+1: the loops
+    * join and shuffle on this key every round, and long hashing/compare
+    * beats string keys; the readable 'c…'/'s…' label is rendered only on
+    * final rows), and the out-degree is folded INTO the edge frame once so
+    * no loop ever re-joins a degree table. Shared by PageRank and
+    * TrustRank.
+    */
+  private[graft] def degreeFoldedEdges(cs: DataFrame): DataFrame = {
     val edges0 = cs
       .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .unionByName(
         cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst"))
       )
-    // degree folded INTO the edge frame once: the loop's join carries
-    // (src, dst, outd) rows and never touches a separate degree table
-    val deg   = edges0.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-    val edges = Tables.pin(edges0.join(deg, "src"))
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    Tables.pin(edges0.join(deg, "src"))
+  }
+
+  private[graft] def buildPagerankScoresTracked(cs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val edges = degreeFoldedEdges(cs)
     val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
     val nn    = nodes.agg(count(lit(1)).as("n"))
     // integer picoprobability scores: s_0 = 1e12 div n per node
@@ -438,6 +444,34 @@ object Graph {
        |    GROUP BY 1) c
        |  CROSS JOIN nn)""".stripMargin
 
+  /** DuckDB twin of [[degreeFoldedEdges]], ending in `edges(src, dst,
+    * outd)` — MATERIALIZED: every fixed-point round re-reads it.
+    */
+  private val degEdgesSql =
+    """edges0 AS (
+      |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
+      |  UNION ALL
+      |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
+      |deg AS (SELECT src, count(1) AS outd FROM edges0 GROUP BY 1),
+      |edges AS MATERIALIZED (SELECT e.src, e.dst, d.outd FROM edges0 e JOIN deg d USING (src))""".stripMargin
+
+  /** One TrustRank round: flow through edges, then fold the seed-restricted
+    * teleport back in — the full outer join keeps seeds alive even when no
+    * trust flowed to them this round (bipartite round 1: seeds are
+    * suppliers, flow reaches only customers). Sparse representation: a
+    * node with no row has score 0 in both engines.
+    */
+  private def ttIterSql(k: Int): String =
+    s"""tt$k AS MATERIALIZED (
+       |  SELECT coalesce(cn.node, sd.node) AS node,
+       |    coalesce(cn.c, 0) + CASE WHEN sd.node IS NOT NULL
+       |      THEN 150000000000000 // (100 * ns.n) ELSE 0 END AS s
+       |  FROM (SELECT e.dst AS node, cast(sum((85 * p.s) // (100 * e.outd)) as bigint) AS c
+       |        FROM edges e JOIN tt${k - 1} p ON p.node = e.src
+       |        GROUP BY 1) cn
+       |  FULL OUTER JOIN seeds sd ON sd.node = cn.node
+       |  CROSS JOIN ns)""".stripMargin
+
   /** One combined propagate-and-halve CC round in DuckDB — min-label
     * propagation PLUS pointer doubling (lbl <- min(lbl, lbl(lbl)); label
     * values are node ids, so the label's label is one 1:1 join), which
@@ -482,12 +516,7 @@ object Graph {
           .orderBy(col("score").desc, col("node"))
       },
       Some(s"""WITH $pairsSql,
-              |edges0 AS (
-              |  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM cs
-              |  UNION ALL
-              |  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM cs),
-              |deg AS (SELECT src, count(1) AS outd FROM edges0 GROUP BY 1),
-              |edges AS (SELECT e.src, e.dst, d.outd FROM edges0 e JOIN deg d USING (src)),
+              |$degEdgesSql,
               |nodes AS (SELECT DISTINCT src AS node FROM edges0),
               |nn AS (SELECT count(1) AS n FROM nodes),
               |it0 AS (SELECT node, 1000000000000 // nn.n AS s FROM nodes CROSS JOIN nn),
@@ -497,6 +526,73 @@ object Graph {
               |  s / 1000000000000.0 AS score
               |FROM (SELECT node, s FROM it$PrIters ORDER BY s DESC, node LIMIT 20) t
               |ORDER BY score DESC, node""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_trustrank",
+      s"TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) over the symmetrized purchase graph: PageRank with the teleport restricted to a TRUSTED SEED SET — the actual algorithm corpus-curation pipelines use to propagate trust from a hand-vetted domain whitelist (seeds here: suppliers whose nation sits in region EUROPE, a deterministic fixture-derived whitelist). Same fixed-point integer discipline as q_graph_pagerank (1e-12-unit scores, floor-division damping, zero rounding anywhere), same degree-folded pinned edge frame; per round ONE edges-to-scores shuffle join + ONE integer aggregation + a full-outer fold of the (pinned, small) seed-teleport frame — needed because the graph is bipartite: round 1 flows trust from supplier seeds to customers only, and the outer join keeps the seeds' own teleport mass alive. Scores are SPARSE (unreached nodes have no row = exactly 0 in both engines). Top-20 by trust: seeds and their direct customers dominate — the readout that separates whitelist-adjacent entities from the rest of the graph",
+      (s, dir) => {
+        val cs    = pinnedPairs(s, dir)
+        val edges = degreeFoldedEdges(cs)
+        val seeds = Tables
+          .supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select((col("s_suppkey") * 2 + 1).as("node"))
+        val ns = seeds.agg(count(lit(1)).as("n"))
+        // the per-round teleport fold reads this every iteration — pin it
+        // (it is whitelist-sized, not corpus-sized)
+        val seedT = Tables.pin(
+          seeds
+            .crossJoin(broadcast(ns))
+            .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n)").as("t"))
+        )
+        var scores = seeds
+          .crossJoin(broadcast(ns))
+          .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
+        for (_ <- 1 to PrIters) {
+          val contribs = edges
+            .join(scores, edges("src") === scores("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
+          // full outer, not left: round 1's flow reaches no supplier (the
+          // graph is bipartite and all seeds are suppliers), yet the seeds
+          // must keep their teleport mass. Linear lineage — the loop runs
+          // unpinned like PageRank's.
+          scores = contribs
+            .join(seedT, Seq("node"), "full_outer")
+            .select(
+              col("node"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("t"), lit(0L))).as("s")
+            )
+        }
+        scores
+          .orderBy(col("s").desc, col("node")).limit(20)
+          .select(
+            concat(
+              when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+              (col("node") / 2).cast("long")
+            ).as("node"),
+            (col("s") / lit(1000000000000L)).as("trust")
+          )
+          .orderBy(col("trust").desc, col("node"))
+      },
+      Some(s"""WITH $pairsSql,
+              |$degEdgesSql,
+              |seeds AS MATERIALIZED (
+              |  SELECT s_suppkey * 2 + 1 AS node
+              |  FROM supplier
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'EUROPE'),
+              |ns AS (SELECT count(1) AS n FROM seeds),
+              |tt0 AS (SELECT node, 1000000000000 // ns.n AS s FROM seeds CROSS JOIN ns),
+              |${(1 to PrIters).map(ttIterSql).mkString(",\n")}
+              |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+              |            ELSE 's' || (node // 2) END AS node,
+              |  s / 1000000000000.0 AS trust
+              |FROM (SELECT node, s FROM tt$PrIters ORDER BY s DESC, node LIMIT 20) t
+              |ORDER BY trust DESC, node""".stripMargin)
     ),
     QueryDef(
       "q_graph_hits",

@@ -38,6 +38,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("trustrank: whitelist suppliers hold the top trust ranks, scores are positive and descending") {
+    import org.apache.spark.sql.functions._
+    val seedKeys = graft.Tables
+      .supplier(spark, TestSpark.sfDir)
+      .join(graft.Tables.nation(spark, TestSpark.sfDir), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, TestSpark.sfDir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select("s_suppkey")
+      .collect()
+      .map(r => s"s${r.getLong(0)}")
+      .toSet
+    assert(seedKeys.nonEmpty, "fixture sanity: EUROPE has suppliers")
+    val rows = SparkEntry
+      .queries("q_graph_trustrank")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    // the teleport is restricted to the whitelist, so the seeds themselves
+    // outrank every flow-only node
+    assert(rows.take(seedKeys.size).map(_._1).toSet === seedKeys,
+      s"top-${seedKeys.size} must be the seed whitelist: ${rows.take(seedKeys.size).mkString(",")}")
+  }
+
   test("hits: authority vector is L2-normalized (all 10 suppliers are in the output at sf0.001)") {
     val auth = SparkEntry
       .queries("q_graph_hits")(spark, TestSpark.sfDir)
