@@ -159,30 +159,51 @@ object Graph {
     if (Tables.noArtifactCache) buildCoPurchaseEdges(s, dir)
     else cachedIn(edgesCache, s, dir, "graph_copurchase", "pa")(buildCoPurchaseEdges(s, dir))
 
-  private def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.pin(
+  /** Per-order basket cap for co-purchase pair generation. TPC-H orders
+    * hold <= 7 lineitems, so 256 never binds on fixtures — but a real
+    * retail/citation corpus has pathological baskets (a crawler session
+    * touching 10^4 items emits C(10^4,2) ~ 5*10^7 pairs through one order
+    * key), the same hot-bucket class as everywhere else.
+    */
+  private[graft] val MaxBasket = 256
+
+  private def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseEdgesFrom(
       Tables
         .lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
     )
-    op.alias("a")
-      .join(op.alias("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+
+  /** Thresholded co-purchase edges from any distinct (o, p) basket frame —
+    * the within-order pair explode routes through the shared capped
+    * generator (bucket = order): pair cost is sum(min(basket, cap)^2),
+    * capped baskets keep their `maxBasket` smallest part ids, drops
+    * observable via graft.copurchase_pairs, rank<=cap mirrored in the
+    * oracle. Exposed so tests plant a pathological basket.
+    */
+  private[graft] def coPurchaseEdgesFrom(op: DataFrame, maxBasket: Int = MaxBasket): DataFrame =
+    Dedup
+      .cappedBucketPairs(op, Seq(col("o")), col("p"), "graft.copurchase_pairs", maxBasket)
+      .groupBy(col("p.doc_a").as("pa"), col("p.doc_b").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select(col("pa"), col("pb"))
-  }
 
-  /** DuckDB twin of [[coPurchaseEdges]], ending in `e(pa, pb)`. */
+  /** DuckDB twin of [[coPurchaseEdges]], ending in `e(pa, pb)` — mirrors
+    * the basket cap as rank <= [[MaxBasket]] over the same per-order
+    * part-id sort.
+    */
   private val coEdgesSql =
-    """op AS (
+    s"""op AS (
       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |opr AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk FROM op),
       |pairs AS (
       |  SELECT a.p AS pa, b.p AS pb, count(1) AS w
-      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  FROM opr a JOIN opr b ON a.o = b.o AND a.p < b.p
+      |  WHERE a.rk <= $MaxBasket AND b.rk <= $MaxBasket
       |  GROUP BY 1, 2),
-      |e AS (SELECT pa, pb FROM pairs WHERE w >= 2)""".stripMargin
+      |e AS MATERIALIZED (SELECT pa, pb FROM pairs WHERE w >= 2)""".stripMargin
 
   /** Degree-oriented directed edge frame (u, v, dv) over an undirected
     * (pa < pb) edge set: each edge points from its lower-DEGREE endpoint
@@ -858,6 +879,63 @@ object Graph {
            |SELECT * FROM (${census(2)} UNION ALL ${census(3)}) x
            |ORDER BY k, round""".stripMargin
       }
+    ),
+    QueryDef(
+      "q_graph_walks",
+      s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(x ':' t) mod deg] — the md5-derived index replaces the RNG, so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val sym = e
+          .select(col("pa").as("u"), col("pb").as("v"))
+          .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+        // capped sorted neighbor arrays with the no-silent-caps metric —
+        // the walk analog of cappedBucketPairs (no size>1 filter: a
+        // degree-1 node still walks, bouncing back along its only edge)
+        val nbrs = Tables.pin(
+          sym
+            .groupBy(col("u"))
+            .agg(sort_array(collect_list(col("v"))).as("nb0"))
+            .observe(
+              "graft.graph_walk_nbrs",
+              sum(when(size(col("nb0")) > MaxNeighbors, 1L).otherwise(0L)).as("capped_buckets"),
+              coalesce(max(size(col("nb0"))), lit(0)).as("max_bucket")
+            )
+            .select(col("u"), slice(col("nb0"), 1, MaxNeighbors).as("nb"))
+        )
+        var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
+        for (t <- 1 to 3) {
+          // engine-reproducible hop index: md5("cur:t") first 8 hex as a
+          // long, mod the (capped) neighbor count — same value both sides
+          val idx = (conv(
+            substring(md5(concat_ws(":", col("cur"), lit(t))), 1, 8), 16, 10
+          ).cast("long") % size(col("nb"))).cast("int")
+          walks = walks
+            .join(nbrs, walks("cur") === nbrs("u"))
+            .withColumn(s"n$t", element_at(col("nb"), idx + 1))
+            .drop("u", "nb")
+            .drop("cur")
+            .withColumn("cur", col(s"n$t"))
+        }
+        walks.select(col("start"), col("n1"), col("n2"), col("n3")).orderBy(col("start")).limit(500)
+      },
+      Some(s"""WITH $coEdgesSql,
+              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+              |nb AS MATERIALIZED (
+              |  SELECT u, (list_sort(list(v)))[1:$MaxNeighbors] AS nb FROM sym GROUP BY u),
+              |w0 AS (SELECT u AS start, u AS cur FROM nb),
+              |w1 AS MATERIALIZED (
+              |  SELECT w.start,
+              |    n.nb[cast(('0x' || substring(md5(w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
+              |  FROM w0 w JOIN nb n ON n.u = w.cur),
+              |w2 AS MATERIALIZED (
+              |  SELECT w.start, w.n1,
+              |    n.nb[cast(('0x' || substring(md5(w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
+              |  FROM w1 w JOIN nb n ON n.u = w.n1),
+              |w3 AS (
+              |  SELECT w.start, w.n1, w.n2,
+              |    n.nb[cast(('0x' || substring(md5(w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
+              |  FROM w2 w JOIN nb n ON n.u = w.n2)
+              |SELECT start, n1, n2, n3 FROM w3 ORDER BY start LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_graph_degrees",

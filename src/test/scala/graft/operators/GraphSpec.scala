@@ -240,6 +240,59 @@ class GraphSpec extends AnyFunSuite {
     assert(core3.head === ((-1L, 0L, 0L)), core3.mkString(","))
   }
 
+  test("random walks: every hop follows a real edge, the walk corpus is deterministic across runs") {
+    val edges = graft.Tables
+      .lineitem(spark, TestSpark.sfDir)
+      .selectExpr("l_orderkey as o", "l_partkey as p")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity)
+      .filter(_._2.size >= 2)
+      .keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = SparkEntry
+      .queries("q_graph_walks")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.length === adj.size.min(500), "one walk per node")
+    rows.foreach { case (s0, n1, n2, n3) =>
+      assert(adj(s0).contains(n1), s"hop 1 of $s0 -> $n1 must be an edge")
+      assert(adj(n1).contains(n2), s"hop 2 of $s0: $n1 -> $n2 must be an edge")
+      assert(adj(n2).contains(n3), s"hop 3 of $s0: $n2 -> $n3 must be an edge")
+    }
+    assert(run() === rows, "md5-driven hops must be bit-deterministic across runs")
+  }
+
+  test("co-purchase edges: a pathological basket is capped with a visible metric, small baskets exact") {
+    import spark.implicits._
+    // one crawler-session order touching 300 parts (twice, so w >= 2
+    // keeps its pairs) + two normal 2-part orders sharing a pair
+    val hot = (1 to 2).flatMap(rep => (1L to 300L).map(p => (100L + rep, p)))
+    val op  = (hot ++ Seq((1L, 500L), (1L, 501L), (2L, 500L), (2L, 501L))).toDF("o", "p")
+    val cap = 16
+    val metrics = graft.sources.Sinks.captureObservedMetrics(spark, Set("graft.copurchase_pairs")) {
+      val edges = Graph.coPurchaseEdgesFrom(op, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the hot order contributes C(16,2) = 120 pairs (its 16 smallest
+      // parts, each seen twice so w = 2), not C(300,2) = 44850; the
+      // normal orders contribute (500, 501)
+      assert(edges.length === 121, s"capped basket must bound the pair set: ${edges.length}")
+      assert(edges.contains((500L, 501L)))
+      assert(edges.filterNot(_ == ((500L, 501L))).forall { case (a, b) => a <= 16 && b <= 16 })
+    }
+    val m = metrics("graft.copurchase_pairs")
+    assert(m.getAs[Long]("capped_buckets") === 2L, s"both hot-order buckets capped: $m")
+    assert(m.getAs[Int]("max_bucket") === 300, s"the full basket was seen pre-cap: $m")
+  }
+
   test("degree census: both kinds count the same edge set, degrees bound each other") {
     val rows = SparkEntry
       .queries("q_graph_degrees")(spark, TestSpark.sfDir)
