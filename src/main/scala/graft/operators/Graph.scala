@@ -341,9 +341,15 @@ object Graph {
         expr("cast(count(1) div 2 as bigint)").as("n_edges")
       )
     )
+    // the census row doubles as the convergence probe: its n_edges field
+    // is read back with a 1-row head() (the labelSum discipline — a
+    // bounded driver action on an already-pinned 1-row frame, never a
+    // data collect), so each round costs ONE pass over the shrinking
+    // frame instead of a census pass plus a separate count pass.
     val census = Seq.newBuilder[DataFrame]
-    census += censusOf(0L, sym)
-    var edgeCount = sym.count()
+    val c0     = censusOf(0L, sym)
+    census += c0
+    var edgeCount = c0.head().getLong(3)
     var round     = 0
     var converged = edgeCount == 0L
     while (!converged && round < maxRounds) {
@@ -358,11 +364,12 @@ object Graph {
           .join(kp, Seq("u"), "left_semi")
           .join(kp.select(col("u").as("v")), Seq("v"), "left_semi")
       )
-      val c = next.count()
+      val cn = censusOf(round.toLong, next)
+      val c  = cn.head().getLong(3)
       // edges only shrink, so an unchanged count IS an unchanged frame
       converged = c == edgeCount
       edgeCount = c
-      if (round <= shownRounds) census += censusOf(round.toLong, next)
+      if (round <= shownRounds) census += cn else Tables.unpin(cn)
       Tables.unpin(kp)
       Tables.unpin(sym)
       sym = next
@@ -450,6 +457,60 @@ object Graph {
     if (Tables.noArtifactCache) buildPagerankScores(pinnedPairs(s, dir))
     else cachedIn(prCache, s, dir, "graph_pagerank", "node")(
       buildPagerankScores(pinnedPairs(s, dir)))
+
+  private val trCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** TrustRank score table — the same build-once artifact treatment as the
+    * PageRank scores (a whitelist-trust prior is reused across runs just
+    * like the quality prior).
+    */
+  private def trustrankScores(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) buildTrustrankScores(s, dir)
+    else cachedIn(trCache, s, dir, "graph_trustrank", "node")(buildTrustrankScores(s, dir))
+
+  /** The TrustRank fixed-point loop (Gyöngyi et al. 2004): PageRank with
+    * the teleport restricted to the seed whitelist. Sparse scores — a node
+    * with no row has exactly 0 trust in both engines.
+    */
+  private[graft] def buildTrustrankScores(s: SparkSession, dir: String): DataFrame = {
+    val cs    = pinnedPairs(s, dir)
+    val edges = degreeFoldedEdges(cs)
+    val seeds = Tables
+      .supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    val ns = seeds.agg(count(lit(1)).as("n"))
+    // the per-round teleport fold reads this every iteration — pin it
+    // (it is whitelist-sized, not corpus-sized)
+    val seedT = Tables.pin(
+      seeds
+        .crossJoin(broadcast(ns))
+        .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n)").as("t"))
+    )
+    var scores = seeds
+      .crossJoin(broadcast(ns))
+      .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
+    for (_ <- 1 to PrIters) {
+      val contribs = edges
+        .join(scores, edges("src") === scores("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
+      // full outer, not left: round 1's flow reaches no supplier (the
+      // graph is bipartite and all seeds are suppliers), yet the seeds
+      // must keep their teleport mass. Linear lineage — the loop runs
+      // unpinned like PageRank's.
+      scores = contribs
+        .join(seedT, Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("t"), lit(0L))).as("s")
+        )
+    }
+    scores
+  }
 
   /** One fixed-point PageRank iteration CTE — kept textually in lockstep
     * with the Spark loop body in [[buildPagerankScores]]. Scores are
@@ -552,42 +613,7 @@ object Graph {
       "q_graph_trustrank",
       s"TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) over the symmetrized purchase graph: PageRank with the teleport restricted to a TRUSTED SEED SET — the actual algorithm corpus-curation pipelines use to propagate trust from a hand-vetted domain whitelist (seeds here: suppliers whose nation sits in region EUROPE, a deterministic fixture-derived whitelist). Same fixed-point integer discipline as q_graph_pagerank (1e-12-unit scores, floor-division damping, zero rounding anywhere), same degree-folded pinned edge frame; per round ONE edges-to-scores shuffle join + ONE integer aggregation + a full-outer fold of the (pinned, small) seed-teleport frame — needed because the graph is bipartite: round 1 flows trust from supplier seeds to customers only, and the outer join keeps the seeds' own teleport mass alive. Scores are SPARSE (unreached nodes have no row = exactly 0 in both engines). Top-20 by trust: seeds and their direct customers dominate — the readout that separates whitelist-adjacent entities from the rest of the graph",
       (s, dir) => {
-        val cs    = pinnedPairs(s, dir)
-        val edges = degreeFoldedEdges(cs)
-        val seeds = Tables
-          .supplier(s, dir)
-          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-          .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
-          .filter(col("r_name") === "EUROPE")
-          .select((col("s_suppkey") * 2 + 1).as("node"))
-        val ns = seeds.agg(count(lit(1)).as("n"))
-        // the per-round teleport fold reads this every iteration — pin it
-        // (it is whitelist-sized, not corpus-sized)
-        val seedT = Tables.pin(
-          seeds
-            .crossJoin(broadcast(ns))
-            .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n)").as("t"))
-        )
-        var scores = seeds
-          .crossJoin(broadcast(ns))
-          .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
-        for (_ <- 1 to PrIters) {
-          val contribs = edges
-            .join(scores, edges("src") === scores("node"))
-            .groupBy(col("dst").as("node"))
-            .agg(sum(expr("(85 * s) div (100 * outd)")).as("c"))
-          // full outer, not left: round 1's flow reaches no supplier (the
-          // graph is bipartite and all seeds are suppliers), yet the seeds
-          // must keep their teleport mass. Linear lineage — the loop runs
-          // unpinned like PageRank's.
-          scores = contribs
-            .join(seedT, Seq("node"), "full_outer")
-            .select(
-              col("node"),
-              (coalesce(col("c"), lit(0L)) + coalesce(col("t"), lit(0L))).as("s")
-            )
-        }
-        scores
+        trustrankScores(s, dir)
           .orderBy(col("s").desc, col("node")).limit(20)
           .select(
             concat(

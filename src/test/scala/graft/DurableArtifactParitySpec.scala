@@ -48,6 +48,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_ivfpq_probe",
     "q_dedup_semantic",
     "q_graph_pagerank",
+    "q_graph_trustrank",
     "q_graph_triangles",
     "q_graph_adamic_adar"
   )
@@ -70,7 +71,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       val dirKey = Tables.artifactDirKey(TestSpark.sfDir)
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
-          "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank").foreach { artifact =>
+          "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
+          "graph_trustrank").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

@@ -625,6 +625,43 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("TrustRank: only whitelist-sized frames broadcast; the flow join stays a shuffle join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the BUILD plan, not the gate query: like PageRank, the score table
+      // serves from the build-once artifact cache after first use
+      val nodes = allNodes(executed(Graph.buildTrustrankScores(spark, TestSpark.sfDir)))
+      // the only hinted broadcast is the 1-row seed count; the per-round
+      // seed-teleport fold is a FULL OUTER join (not broadcastable) and
+      // edges-to-scores must hash-partition at 10^9 nodes
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.exists(c => c == "src" || c == "dst" || c == "s"),
+          s"a per-edge/per-score frame must never broadcast in the TrustRank loop: ${cols.mkString(",")}")
+      }
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        "the edges-to-scores join must plan as a shuffle join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("random walks: every hop is a shuffle join of node-sized frames, no corpus broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nodes = allNodes(executed(q("q_graph_walks")))
+      // both sides of every hop join are node-cardinality (the walk frame
+      // and the neighbor-array frame) — with the threshold off, nothing
+      // may broadcast
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.exists(c => c == "u" || c == "nb" || c == "cur" || c == "start"),
+          s"a node-cardinality frame must never broadcast in the walk hops: ${cols.mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("batched IVF probe: query-batch frames broadcast, the corpus frame never does") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
