@@ -64,4 +64,40 @@ class StreamingGraphSpec extends AnyFunSuite {
       .toSet
     assert(streamed === batch, "streamed scores must be bit-identical to the batch build")
   }
+
+  test("restart continuity: a new query instance resumes from the checkpoint and converges to the same table") {
+    val dir     = Files.createTempDirectory("streaming-graph-restart").toString
+    val landing = s"$dir/landing"
+    val graph   = s"$dir/graph"
+    val all = Graph
+      .purchasePairs(spark, TestSpark.sfDir)
+      .orderBy(col("c"), col("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = all.length / 2
+    import spark.implicits._
+    def start() = StreamingGraph.ingest(spark, landing, graph, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+
+    all.take(cut).toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop() // simulated crash/redeploy between batches
+
+    all.drop(cut).toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    // the restarted instance continued the batch-id sequence (no replay of
+    // batch 0, no gap) and the final table equals the batch build
+    val batchDirs = new java.io.File(s"$graph/edges").listFiles().map(_.getName).toSet
+    assert(batchDirs === Set("batch_id=0", "batch_id=1"), s"checkpoint continuity: $batchDirs")
+    val streamed = StreamingGraph.scores(spark, graph).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Graph
+      .buildPagerankScores(graft.Tables.pin(all.toSeq.toDF("c", "s")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamed === batch, "post-restart scores must equal the batch build on the union")
+  }
 }
