@@ -382,6 +382,70 @@ object Graph {
     census.result().reduce(_ unionByName _)
   }
 
+  /** Deterministic 3-hop walk frame (start, n1, n2, n3) over an undirected
+    * (pa < pb) edge set — one row per node: hop t from node x is
+    * sorted-neighbors[md5(x ':' t) mod deg], so the walk corpus is
+    * bit-identical across engines and runs. Neighbor arrays are per-node
+    * sorted and CAPPED at [[MaxNeighbors]] with the observable
+    * `graft.graph_walk_nbrs` metric (no size>1 filter: a degree-1 node
+    * still walks, bouncing back along its only edge). Each hop is one
+    * shuffle join of the node-sized walk frame against the pinned
+    * neighbor-array frame. Shared by the walk query and the skip-gram
+    * pair census.
+    */
+  private[graft] def walkFrame(e: DataFrame): DataFrame = {
+    val sym = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    val nbrs = Tables.pin(
+      sym
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb0"))
+        .observe(
+          "graft.graph_walk_nbrs",
+          sum(when(size(col("nb0")) > MaxNeighbors, 1L).otherwise(0L)).as("capped_buckets"),
+          coalesce(max(size(col("nb0"))), lit(0)).as("max_bucket")
+        )
+        .select(col("u"), slice(col("nb0"), 1, MaxNeighbors).as("nb"))
+    )
+    var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
+    for (t <- 1 to 3) {
+      // engine-reproducible hop index: md5("cur:t") first 8 hex as a
+      // long, mod the (capped) neighbor count — same value both sides
+      val idx = (conv(
+        substring(md5(concat_ws(":", col("cur"), lit(t))), 1, 8), 16, 10
+      ).cast("long") % size(col("nb"))).cast("int")
+      walks = walks
+        .join(nbrs, walks("cur") === nbrs("u"))
+        .withColumn(s"n$t", element_at(col("nb"), idx + 1))
+        .drop("u", "nb")
+        .drop("cur")
+        .withColumn("cur", col(s"n$t"))
+    }
+    walks.select(col("start"), col("n1"), col("n2"), col("n3"))
+  }
+
+  /** DuckDB twin of [[walkFrame]], CTE chain ending in `w3(start, n1, n2,
+    * n3)` — assumes `e(pa, pb)` is already defined.
+    */
+  private val walksCteSql =
+    s"""sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+       |nb AS MATERIALIZED (
+       |  SELECT u, (list_sort(list(v)))[1:$MaxNeighbors] AS nb FROM sym GROUP BY u),
+       |w0 AS (SELECT u AS start, u AS cur FROM nb),
+       |w1 AS MATERIALIZED (
+       |  SELECT w.start,
+       |    n.nb[cast(('0x' || substring(md5(w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
+       |  FROM w0 w JOIN nb n ON n.u = w.cur),
+       |w2 AS MATERIALIZED (
+       |  SELECT w.start, w.n1,
+       |    n.nb[cast(('0x' || substring(md5(w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
+       |  FROM w1 w JOIN nb n ON n.u = w.n1),
+       |w3 AS MATERIALIZED (
+       |  SELECT w.start, w.n1, w.n2,
+       |    n.nb[cast(('0x' || substring(md5(w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
+       |  FROM w2 w JOIN nb n ON n.u = w.n2)""".stripMargin
+
   /** Fixed-point integer PageRank scores (node, s in 1e-12 units) for any
     * (c, s) purchase-pair frame — frame-generic so the streaming twin
     * ([[graft.streaming.StreamingGraph]]) folds arriving edges and re-runs
@@ -909,59 +973,44 @@ object Graph {
     QueryDef(
       "q_graph_walks",
       s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(x ':' t) mod deg] — the md5-derived index replaces the RNG, so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
+      (s, dir) =>
+        walkFrame(coPurchaseEdges(s, dir)).orderBy(col("start")).limit(500),
+      Some(s"""WITH $coEdgesSql,
+              |$walksCteSql
+              |SELECT start, n1, n2, n3 FROM w3 ORDER BY start LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_walk_pairs",
+      "skip-gram co-occurrence pairs from the deterministic walk corpus — the actual TRAINING artifact DeepWalk/node2vec feed to the embedding model: every window-2 pair along each 4-node walk path (5 pairs per walk), unordered (least/greatest), self-pairs from degree-1 bounce-backs excluded, counted corpus-wide. Top-25 by (count desc, pair) — the positive-pair frequency table a word2vec-style trainer consumes. Same capped neighbor arrays and md5-hop determinism as q_graph_walks, so the pair table is bit-identical across engines and runs",
       (s, dir) => {
-        val e = coPurchaseEdges(s, dir)
-        val sym = e
-          .select(col("pa").as("u"), col("pb").as("v"))
-          .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
-        // capped sorted neighbor arrays with the no-silent-caps metric —
-        // the walk analog of cappedBucketPairs (no size>1 filter: a
-        // degree-1 node still walks, bouncing back along its only edge)
-        val nbrs = Tables.pin(
-          sym
-            .groupBy(col("u"))
-            .agg(sort_array(collect_list(col("v"))).as("nb0"))
-            .observe(
-              "graft.graph_walk_nbrs",
-              sum(when(size(col("nb0")) > MaxNeighbors, 1L).otherwise(0L)).as("capped_buckets"),
-              coalesce(max(size(col("nb0"))), lit(0)).as("max_bucket")
+        val w = walkFrame(coPurchaseEdges(s, dir))
+        def pr(x: Column, y: Column) = struct(least(x, y).as("a"), greatest(x, y).as("b"))
+        w.select(
+          explode(
+            array(
+              pr(col("start"), col("n1")),
+              pr(col("start"), col("n2")),
+              pr(col("n1"), col("n2")),
+              pr(col("n1"), col("n3")),
+              pr(col("n2"), col("n3"))
             )
-            .select(col("u"), slice(col("nb0"), 1, MaxNeighbors).as("nb"))
-        )
-        var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
-        for (t <- 1 to 3) {
-          // engine-reproducible hop index: md5("cur:t") first 8 hex as a
-          // long, mod the (capped) neighbor count — same value both sides
-          val idx = (conv(
-            substring(md5(concat_ws(":", col("cur"), lit(t))), 1, 8), 16, 10
-          ).cast("long") % size(col("nb"))).cast("int")
-          walks = walks
-            .join(nbrs, walks("cur") === nbrs("u"))
-            .withColumn(s"n$t", element_at(col("nb"), idx + 1))
-            .drop("u", "nb")
-            .drop("cur")
-            .withColumn("cur", col(s"n$t"))
-        }
-        walks.select(col("start"), col("n1"), col("n2"), col("n3")).orderBy(col("start")).limit(500)
+          ).as("p")
+        ).filter(col("p.a") =!= col("p.b"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(25)
       },
       Some(s"""WITH $coEdgesSql,
-              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-              |nb AS MATERIALIZED (
-              |  SELECT u, (list_sort(list(v)))[1:$MaxNeighbors] AS nb FROM sym GROUP BY u),
-              |w0 AS (SELECT u AS start, u AS cur FROM nb),
-              |w1 AS MATERIALIZED (
-              |  SELECT w.start,
-              |    n.nb[cast(('0x' || substring(md5(w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
-              |  FROM w0 w JOIN nb n ON n.u = w.cur),
-              |w2 AS MATERIALIZED (
-              |  SELECT w.start, w.n1,
-              |    n.nb[cast(('0x' || substring(md5(w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
-              |  FROM w1 w JOIN nb n ON n.u = w.n1),
-              |w3 AS (
-              |  SELECT w.start, w.n1, w.n2,
-              |    n.nb[cast(('0x' || substring(md5(w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
-              |  FROM w2 w JOIN nb n ON n.u = w.n2)
-              |SELECT start, n1, n2, n3 FROM w3 ORDER BY start LIMIT 500""".stripMargin)
+              |$walksCteSql,
+              |pr AS (
+              |  SELECT least(start, n1) AS a, greatest(start, n1) AS b FROM w3
+              |  UNION ALL SELECT least(start, n2), greatest(start, n2) FROM w3
+              |  UNION ALL SELECT least(n1, n2), greatest(n1, n2) FROM w3
+              |  UNION ALL SELECT least(n1, n3), greatest(n1, n3) FROM w3
+              |  UNION ALL SELECT least(n2, n3), greatest(n2, n3) FROM w3)
+              |SELECT a, b, cast(count(1) as bigint) AS n FROM pr WHERE a <> b
+              |GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 25""".stripMargin)
     ),
     QueryDef(
       "q_graph_degrees",

@@ -272,6 +272,36 @@ class GraphSpec extends AnyFunSuite {
     assert(run() === rows, "md5-driven hops must be bit-deterministic across runs")
   }
 
+  test("walk pairs: every skip-gram pair is within 2 hops on the graph, no self pairs, counts positive") {
+    val edges = graft.Tables
+      .lineitem(spark, TestSpark.sfDir)
+      .selectExpr("l_orderkey as o", "l_partkey as p")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+      .values
+      .flatMap { rows =>
+        val ps = rows.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity)
+      .filter(_._2.size >= 2)
+      .keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry
+      .queries("q_graph_walk_pairs")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall(_._3 > 0L))
+    rows.foreach { case (a, b, _) =>
+      assert(a < b, "pairs are unordered-normalized")
+      assert(adj(a).contains(b) || (adj(a) & adj(b)).nonEmpty,
+        s"window-2 pair ($a,$b) must be within 2 hops")
+    }
+  }
+
   test("co-purchase edges: a pathological basket is capped with a visible metric, small baskets exact") {
     import spark.implicits._
     // one crawler-session order touching 300 parts (twice, so w >= 2
