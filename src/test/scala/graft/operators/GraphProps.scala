@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Differential properties for the graph family on RANDOM small graphs —
+  * the planted specs in [[GraphSpec]] pin known shapes (stars, triangles,
+  * tails); these throw arbitrary sparse graphs at the same operators and
+  * compare against brute-force references. Each case runs real Spark jobs
+  * (the capped/oriented distributed pipelines, not reimplementations), so
+  * the case count is bounded to keep the suite fast.
+  */
+object GraphProps extends Properties("GraphOps") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = graft.TestSpark.spark
+
+  /** Random undirected graphs: 2-9 node ids, duplicate/self pairs dropped,
+    * normalized to pa < pb.
+    */
+  private val graphs: Gen[List[(Long, Long)]] =
+    Gen
+      .chooseNum(2, 9)
+      .flatMap { n =>
+        val ids = (1L to n.toLong).toList
+        Gen
+          .listOfN(n * 2, Gen.zip(Gen.oneOf(ids), Gen.oneOf(ids)))
+          .map(_.collect { case (a, b) if a != b => (a min b, a max b) }.distinct)
+      }
+      .suchThat(_.nonEmpty)
+
+  private def adjacency(es: List[(Long, Long)]): Map[Long, Set[Long]] =
+    (es ++ es.map(e => (e._2, e._1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  property("degree-oriented triangle count == brute force") = Prop.forAll(graphs) { es =>
+    import spark.implicits._
+    // oriented-by-id common-neighbor count finds each triangle x<y<z once
+    // (adj here maps a -> {b : (a,b) edge, a<b})
+    val up  = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exp = es.map { case (a, b) => (up.getOrElse(a, Set.empty) & up.getOrElse(b, Set.empty)).size.toLong }.sum
+    val got = Graph.triangleCount(es.toDF("pa", "pb")).collect().head.getLong(0)
+    Prop(got == exp) :| s"triangles: got $got expected $exp on $es"
+  }
+
+  property("k-core converged core == brute-force peel (k=2)") = Prop.forAll(graphs) { es =>
+    import spark.implicits._
+    var adj = adjacency(es)
+    var changed = true
+    while (changed) {
+      val doomed = adj.collect { case (n, nb) if nb.size < 2 => n }.toSet
+      changed = doomed.nonEmpty
+      adj = adj.collect {
+        case (n, nb) if !doomed(n) => n -> (nb -- doomed)
+      }
+    }
+    val expNodes = adj.size.toLong
+    val expEdges = adj.values.map(_.size).sum.toLong / 2
+    val row = Graph
+      .kcoreCensus(es.toDF("pa", "pb"), 2, shownRounds = 0)
+      .collect()
+      .find(_.getLong(1) == -1L)
+      .get
+    Prop(row.getLong(2) == expNodes && row.getLong(3) == expEdges) :|
+      s"kcore: got (${row.getLong(2)}, ${row.getLong(3)}) expected ($expNodes, $expEdges) on $es"
+  }
+
+  property("adamic-adar (cap above any degree) == brute force over 2-hop non-edges") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj   = adjacency(es)
+      val edges = es.toSet
+      val exp = (for {
+        a <- adj.keys
+        c <- adj.keys
+        if a < c && !edges((a, c))
+        common = adj(a) & adj(c)
+        if common.nonEmpty
+      } yield {
+        val aa = common.toSeq
+          .map(b => BigDecimal(1.0 / math.log(adj(b).size.toDouble)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+          .toDouble
+        (a, c) -> (common.size.toLong, aa)
+      }).toMap
+      val got = Graph
+        .adamicAdarScores(es.toDF("pa", "pb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val keysMatch = got.keySet == exp.keySet
+      val valsMatch = keysMatch && exp.forall { case (k, (n, aa)) =>
+        got(k)._1 == n && math.abs(got(k)._2 - aa) < 1e-5
+      }
+      Prop(valsMatch) :| s"adamic-adar: got $got expected $exp on $es"
+    }
+}
