@@ -382,6 +382,49 @@ object Graph {
     census.result().reduce(_ unionByName _)
   }
 
+  /** Degree assortativity over an undirected (pa < pb) edge set — Newman's
+    * degree-degree Pearson over edge endpoints, computed on the SYMMETRIZED
+    * frame where it collapses to a PURE RATIONAL: with (x, y) =
+    * (deg(u), deg(v)) over both edge directions, Σy = Σx and Σy² = Σx² by
+    * exchange symmetry, so r = (nΣxy − (Σx)²) / (nΣx² − (Σx)²) — no sqrt,
+    * no transcendental. Every moment is an exact integer (decimal(38,0)
+    * sums; Σx = Σ deg² stays under 1e19 for any realistic degree
+    * distribution, so the squared term fits decimal(38,0) / hugeint), the
+    * numerator and denominator are exact integers, and the emitted double
+    * is ONE IEEE division of two exactly-converted integers — identical in
+    * both engines with no rounding call (rule 2). A regular graph has
+    * denominator 0 → NULL in both engines. Output: (n_edges, assortativity).
+    */
+  private[graft] def assortativityFrom(e: DataFrame): DataFrame = {
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("d"))
+    val sym = e
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    val xy = sym
+      .join(deg.select(col("node").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("y")), "v")
+      .select(col("x").cast("decimal(18,0)").as("x"), col("y").cast("decimal(18,0)").as("y"))
+    val m = xy.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n2"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy")
+    )
+    m.select(
+      (col("n2") / 2).cast("long").as("n_edges"),
+      when(col("n2") * col("sxx") - col("sx") * col("sx") === 0, lit(null).cast("double"))
+        .otherwise(
+          (col("n2") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n2") * col("sxx") - col("sx") * col("sx")).cast("double")
+        )
+        .as("assortativity")
+    )
+  }
+
   /** Deterministic 3-hop walk frame (start, n1, n2, n3) over an undirected
     * (pa < pb) edge set — one row per node: hop t from node x is
     * sorted-neighbors[md5(x ':' t) mod deg], so the walk corpus is
@@ -933,6 +976,26 @@ object Graph {
               |  GROUP BY 1, 2)
               |SELECT a AS part_a, c AS part_b, n_common, round(aa_raw, 6) AS adamic_adar
               |FROM scored ORDER BY adamic_adar DESC, part_a, part_b LIMIT 15""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_assortativity",
+      "degree assortativity (Newman 2002) of the thresholded co-purchase graph: the degree-degree Pearson over edge endpoints — positive = hubs buy with hubs (assortative mixing), negative = hub-and-spoke (the shape whose stragglers the capped generators exist for). On the symmetrized frame the coefficient collapses to a PURE RATIONAL (the x/y moments coincide by exchange symmetry, so the sqrt cancels): exact integer moments via decimal sums, exact integer numerator/denominator, ONE IEEE division emitted raw — zero rounding anywhere. A regular graph (zero degree variance) yields NULL in both engines. One row: n_edges, assortativity",
+      (s, dir) => assortativityFrom(coPurchaseEdges(s, dir)),
+      Some(s"""WITH $coEdgesSql,
+              |deg AS (
+              |  SELECT node, count(1) AS d FROM (
+              |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) t GROUP BY 1),
+              |sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+              |xy AS (
+              |  SELECT cast(du.d as hugeint) AS x, cast(dv.d as hugeint) AS y
+              |  FROM sym JOIN deg du ON du.node = sym.u JOIN deg dv ON dv.node = sym.v),
+              |m AS (SELECT cast(count(1) as hugeint) AS n2, sum(x) AS sx,
+              |             sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy)
+              |SELECT cast(n2 // 2 as bigint) AS n_edges,
+              |  CASE WHEN n2 * sxx - sx * sx = 0 THEN NULL
+              |       ELSE cast(cast(n2 * sxy - sx * sx as varchar) as double) /
+              |            cast(cast(n2 * sxx - sx * sx as varchar) as double) END AS assortativity
+              |FROM m""".stripMargin)
     ),
     QueryDef(
       "q_graph_kcore",

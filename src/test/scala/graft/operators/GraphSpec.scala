@@ -323,6 +323,19 @@ class GraphSpec extends AnyFunSuite {
     assert(m.getAs[Int]("max_bucket") === 300, s"the full basket was seen pre-cap: $m")
   }
 
+  test("assortativity: a star is exactly -1, a regular graph is NULL, the fixture lands in [-1, 1]") {
+    import spark.implicits._
+    val star = (1L to 5L).map(i => (0L, i)).toDF("pa", "pb")
+    val rStar = Graph.assortativityFrom(star).collect().head
+    assert(rStar.getLong(0) === 5L)
+    assert(rStar.getDouble(1) === -1.0, s"hub-and-spoke is perfectly disassortative: $rStar")
+    // triangle: every degree equal -> zero variance -> NULL, not a crash
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
+    assert(Graph.assortativityFrom(tri).collect().head.isNullAt(1))
+    val fx = SparkEntry.queries("q_graph_assortativity")(spark, TestSpark.sfDir).collect().head
+    assert(!fx.isNullAt(1) && math.abs(fx.getDouble(1)) <= 1.0, fx.toString)
+  }
+
   test("degree census: both kinds count the same edge set, degrees bound each other") {
     val rows = SparkEntry
       .queries("q_graph_degrees")(spark, TestSpark.sfDir)
