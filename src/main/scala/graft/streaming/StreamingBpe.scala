@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Bpe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming BPE retraining — the tokenizer twin of [[StreamingGraph]]:
+  * arriving documents fold into a durable DISTINCT-SEQUENCE FREQUENCY
+  * store per micro-batch, and the merge table (the tokenizer artifact a
+  * training pipeline ships) is retrained and atomically republished after
+  * every fold.
+  *
+  * Why this is cheap: the frequency table is ADDITIVE — batch k
+  * contributes its own (text, count) partial, and the union's
+  * re-aggregation `groupBy(text).sum(w)` is exactly the table a batch
+  * build over the whole landed corpus would produce. Training on it
+  * ([[Bpe.trainMerges]] consumes weighted counts) is therefore
+  * BIT-IDENTICAL to the from-scratch batch derivation — the
+  * retrain-equals-batch discipline every streaming twin here pins — and
+  * per-fold training cost is vocabulary-shaped (the frequency-table
+  * formulation's whole point), not corpus-shaped.
+  *
+  * Layout (the versioned-snapshot shape):
+  * {{{
+  * bpeDir/
+  *   _CURRENT          # live merge-table version
+  *   freq/
+  *     batch_id=3/     # one (s, w) partial per micro-batch, idempotent
+  *   merges/
+  *     v=2/            # (round, a, b, n) learned merge table
+  * }}}
+  */
+object StreamingBpe {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentMarker(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_CURRENT")
+
+  /** Live merge-table version, or None before the first fold; heals a torn
+    * pointer flip forward (same rule as [[StreamingGraph]]/[[StreamingIvf]]).
+    */
+  private[graft] def currentVersion(spark: SparkSession, bpeDir: String): Option[Int] = {
+    val root   = new org.apache.hadoop.fs.Path(bpeDir)
+    val fs     = fsOf(spark, root)
+    val marker = currentMarker(root)
+    val tmp    = marker.suffix(".tmp")
+    if (!fs.exists(marker) && fs.exists(tmp))
+      require(fs.rename(tmp, marker), s"streaming bpe: failed to heal torn pointer flip at $tmp")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
+    val marker = currentMarker(root)
+    val tmp    = marker.suffix(".tmp")
+    val os     = fs.create(tmp, true)
+    try os.write(v.toString.getBytes("UTF-8"))
+    finally os.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"streaming bpe: failed to flip $marker to v=$v")
+  }
+
+  /** Start the ingest stream: arriving parquet files of (doc_id, text)
+    * rows land as one idempotent `batch_id=N` frequency partial, then the
+    * merge table retrains over the accumulated (re-aggregated) frequency
+    * store and republishes under the next version.
+    */
+  def ingest(
+      spark: SparkSession,
+      landingDir: String,
+      bpeDir: String,
+      checkpoint: String,
+      rounds: Int = 6,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(landingDir)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // space-padded sequences, the trainer's convention (merge
+          // patterns are ' a b '-anchored)
+          batch
+            .groupBy(concat(lit(" "), col("text"), lit(" ")).as("s"))
+            .agg(count(lit(1)).as("w"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$bpeDir/freq/batch_id=$batchId")
+          // additive fold: re-aggregating the batch partials IS the
+          // frequency table of the whole landed corpus (sums of sums are
+          // the same totals), so training on it is bit-identical to the
+          // batch build
+          val freq = s.read
+            .option("basePath", s"$bpeDir/freq")
+            .parquet(s"$bpeDir/freq")
+            .groupBy(col("s"))
+            .agg(sum(col("w")).as("w"))
+          val merges = Bpe.trainMergesWeighted(Tables.pin(freq), rounds)
+          val v      = currentVersion(s, bpeDir).getOrElse(0) + 1
+          merges.write.mode("overwrite").parquet(s"$bpeDir/merges/v=$v")
+          val root = new org.apache.hadoop.fs.Path(bpeDir)
+          val fs   = fsOf(s, root)
+          writeCurrent(fs, root, v)
+          if (v > 1) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 1}"), true)
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** The live merge table (round, a, b, n) — bit-identical to
+    * [[Bpe.trainMerges]] over the union of every landed batch.
+    */
+  def merges(spark: SparkSession, bpeDir: String): DataFrame = {
+    val v = currentVersion(spark, bpeDir).getOrElse(
+      throw new IllegalStateException(s"no published merge table under $bpeDir (stream has not folded yet)"))
+    spark.read.parquet(s"$bpeDir/merges/v=$v")
+  }
+}

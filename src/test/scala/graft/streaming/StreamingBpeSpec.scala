@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Bpe
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming BPE retraining: per-batch additive frequency partials, merge
+  * table retrained and republished behind an atomic version flip, and the
+  * published table BIT-IDENTICAL to the batch trainer on the union corpus
+  * — the retrain-equals-batch discipline of the IVF and PageRank twins,
+  * applied to the tokenizer artifact.
+  */
+class StreamingBpeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("streamed retrain == batch trainer on the union corpus, bit for bit, snapshots versioned") {
+    val dir     = Files.createTempDirectory("streaming-bpe").toString
+    val landing = s"$dir/landing"
+    val bpe     = s"$dir/bpe"
+    import spark.implicits._
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val cut = docs.length / 2
+
+    docs.take(cut).toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamingBpe.ingest(spark, landing, bpe, s"$dir/ckpt", rounds = 4, maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      assert(StreamingBpe.currentVersion(spark, bpe) === Some(1))
+      // v=1 trains on batch 1 only — equal to the batch trainer over the
+      // same prefix (sanity that the fold really retrains per batch)
+      val partial = StreamingBpe.merges(spark, bpe).collect().map(_.toString).sorted
+      val partialBatch = Bpe
+        .trainMerges(docs.take(cut).toSeq.toDF("doc_id", "text"), rounds = 4)
+        .collect().map(_.toString).sorted
+      assert(partial === partialBatch, "v=1 equals the batch trainer on batch-1 docs")
+
+      docs.drop(cut).toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(StreamingBpe.currentVersion(spark, bpe) === Some(2))
+    assert(!new java.io.File(s"$bpe/merges/v=1").exists, "superseded merge snapshot is dropped")
+    val streamed = StreamingBpe.merges(spark, bpe).collect().map(_.toString).sorted
+    val batch = Bpe
+      .trainMerges(docs.toSeq.toDF("doc_id", "text"), rounds = 4)
+      .collect().map(_.toString).sorted
+    assert(streamed === batch, "retrained merge table must equal the batch build on the union corpus")
+  }
+}
