@@ -203,6 +203,74 @@ object TimeSeries {
              |                THEN (abs(cnt - pred) * 1000000000000) // cnt END) as varchar) as double)
              |    / sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) / 1000000000000.0 AS mape
              |FROM l WHERE pred IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QueryDef(
+      "q_ts_ewma",
+      "finite-window EWMA (alpha = 1/2) of the per-type dense daily count series — the smoothed ingest-rate level an alerting layer thresholds against. DYADIC-EXACT: weights are w_k = 2^-(k+1) for lags 0..14 with the geometric tail folded into w_15 = 2^-15 (weights sum to exactly 1), so the smoothed value times 2^15 is an INTEGER window sum (16 lag columns over one days-sized window spec), and the emitted double is that exact integer divided by 2^15 — an exponent shift, EXACT in IEEE, zero rounding anywhere (the only EWMA formulation two engines can agree on bit-for-bit; a recursive float EWMA accumulates order-dependent rounding). Per type: the latest fully-windowed day, its raw count, and the smoothed level",
+      (s, dir) => {
+        val d = dense(
+          Tables
+            .events(s, dir)
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type")
+        )
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        // scaled = sum_{k=0..14} x_{t-k} * 2^(14-k) + x_{t-15}; the dense
+        // grid is contiguous, so l15 non-null implies every smaller lag is
+        val scaled = (0 to 14)
+          .map(k => (if (k == 0) col("cnt") else lag(col("cnt"), k).over(w)) * lit(1L << (14 - k)))
+          .reduce(_ + _) + lag(col("cnt"), 15).over(w)
+        d.select(
+          col("event_type"),
+          col("day"),
+          col("cnt"),
+          scaled.as("scaled"),
+          lag(col("cnt"), 15).over(w).as("l15")
+        ).filter(col("l15").isNotNull)
+          // latest fully-windowed day per type: one max(struct) argmax,
+          // no per-type window sort
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("day"), col("scaled"), col("cnt"))).as("m"))
+          .select(
+            col("event_type"),
+            col("m.day").as("last_day"),
+            col("m.cnt").as("last_cnt"),
+            // exact integer / 2^15: an exponent shift — exact double
+            (col("m.scaled").cast("double") / lit(32768.0)).as("ewma")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val terms = (0 to 14)
+          .map(k =>
+            (if (k == 0) "cnt" else s"lag(cnt, $k) OVER w") + s" * ${1L << (14 - k)}")
+          .mkString(" + ")
+        s"""WITH d0 AS (
+           |  SELECT event_type, cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+           |    cast(count(1) as bigint) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+           |grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+           |d AS (
+           |  SELECT t.event_type, grid.day, coalesce(d0.cnt, 0) AS cnt
+           |  FROM (SELECT DISTINCT event_type FROM d0) t
+           |  CROSS JOIN grid
+           |  LEFT JOIN d0 ON d0.event_type = t.event_type AND d0.day = grid.day),
+           |f AS (
+           |  SELECT event_type, day, cnt,
+           |    $terms + lag(cnt, 15) OVER w AS scaled,
+           |    lag(cnt, 15) OVER w AS l15
+           |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           |last AS (
+           |  SELECT event_type, day, cnt, scaled,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+           |  FROM f WHERE l15 IS NOT NULL)
+           |SELECT event_type, day AS last_day, cnt AS last_cnt,
+           |  cast(scaled as double) / 32768.0 AS ewma
+           |FROM last WHERE rn = 1 ORDER BY event_type""".stripMargin
+      }
     )
   )
 }

@@ -79,4 +79,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(math.abs(got(tpe)._2 - mae) < 1e-6, s"$tpe mae ${got(tpe)._2} vs $mae")
     }
   }
+
+  test("ewma: exact dyadic smoothing matches an in-memory recomputation per type, weights sum to 1") {
+    val raw = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "cast(unix_timestamp(ts) / 86400 as long) as day")
+      .groupBy("event_type", "day")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val expected = raw.groupBy(_._1).map { case (tpe, rows) =>
+      val observed = rows.map(r => r._2 -> r._3).toMap
+      val cnts     = (lo to hi).map(d => observed.getOrElse(d, 0L)).toIndexedSeq
+      val t        = cnts.length - 1 // the latest day index (full window: t >= 15)
+      val scaled = (0 to 14).map(k => cnts(t - k) * (1L << (14 - k))).sum + cnts(t - 15)
+      tpe -> (hi, cnts(t), scaled.toDouble / 32768.0)
+    }
+    // the dyadic weights w_0..w_15 sum to exactly 1 (tail folded into w_15)
+    assert((0 to 14).map(k => BigDecimal(1) / BigDecimal(1L << (k + 1))).sum +
+      BigDecimal(1) / BigDecimal(1L << 15) === BigDecimal(1))
+    val got = SparkEntry
+      .queries("q_ts_ewma")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, (day, cnt, ewma)) =>
+      assert(got(tpe) === ((day, cnt, ewma)), s"$tpe: ${got(tpe)} vs ($day, $cnt, $ewma)")
+    }
+  }
 }
