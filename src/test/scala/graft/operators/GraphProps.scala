@@ -65,6 +65,41 @@ object GraphProps extends Properties("GraphOps") {
       s"kcore: got (${row.getLong(2)}, ${row.getLong(3)}) expected ($expNodes, $expEdges) on $es"
   }
 
+  property("pointer-doubling CC == brute-force component count") = Prop.forAll(graphs) { es =>
+    import spark.implicits._
+    // brute components over nodes-with-edges
+    val adj     = adjacency(es)
+    var visited = Set.empty[Long]
+    var comps   = 0
+    adj.keys.foreach { n =>
+      if (!visited(n)) {
+        comps += 1
+        var frontier = Set(n)
+        while (frontier.nonEmpty) {
+          visited ++= frontier
+          frontier = frontier.flatMap(adj(_)) -- visited
+        }
+      }
+    }
+    val labels = Dedup.clusters(es.toDF("doc_a", "doc_b"))
+    val got    = labels.select("label").distinct().count()
+    Prop(got == comps.toLong) :| s"components: got $got expected $comps on $es"
+  }
+
+  property("random walks: every hop is an edge, one walk per node") = Prop.forAll(graphs) { es =>
+    import spark.implicits._
+    val adj = adjacency(es)
+    val rows = Graph
+      .walkFrame(es.toDF("pa", "pb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val countOk = rows.length == adj.size
+    val hopsOk = rows.forall { case (s0, n1, n2, n3) =>
+      adj(s0).contains(n1) && adj(n1).contains(n2) && adj(n2).contains(n3)
+    }
+    Prop(countOk && hopsOk) :| s"walks: $rows on $es"
+  }
+
   property("adamic-adar (cap above any degree) == brute force over 2-hop non-edges") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._
