@@ -5,8 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the purchase graph (customer—supplier edges from
-  * orders ⋈ lineitem): PageRank, HITS hub/authority, connected components,
-  * a triangle census, Adamic-Adar link prediction, and a degree census.
+  * orders ⋈ lineitem): PageRank, TrustRank (seed-whitelist teleport), HITS
+  * hub/authority, connected components (census + true converged count), a
+  * degree-oriented triangle census, capped Adamic-Adar link prediction,
+  * k-core peeling, degree assortativity, deterministic random walks with
+  * their skip-gram pair table, and a degree census.
   *
   * Why this belongs in a training-data engine: web-corpus curation ranks
   * DOMAINS on the hyperlink graph (a page from a well-linked domain is
@@ -123,8 +126,20 @@ object Graph {
       val built = root match {
         case Some(r) =>
           val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
-          graft.sources.Sinks.durableArtifact(s, path)(p =>
-            graft.sources.Sinks.writeRangeSorted(build, p, sortKey, 4))
+          graft.sources.Sinks.durableArtifact(s, path) { p =>
+            // persist the build's observe() counters next to _SUCCESS (the
+            // Dedup cache discipline): reuse runs serve the parquet
+            // read-back, which carries no observed metrics — without this
+            // the basket cap would be invisible exactly in durable mode
+            val frame = build
+            val metricNames = frame.queryExecution.analyzed.collect {
+              case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m.name
+            }.toSet
+            val metrics = graft.sources.Sinks.captureObservedMetrics(s, metricNames) {
+              graft.sources.Sinks.writeRangeSorted(frame, p, sortKey, 4)
+            }
+            if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)
+          }
         case None => Tables.pin(build)
       }
       Option(cache.putIfAbsent(key, built)).getOrElse(built)

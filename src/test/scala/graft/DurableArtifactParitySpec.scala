@@ -76,6 +76,10 @@ class DurableArtifactParitySpec extends AnyFunSuite {
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
+      // no-silent-caps survives durable mode for the graph family too: the
+      // co-purchase build's basket-cap counters persist next to _SUCCESS
+      assert(new java.io.File(s"$root/$dirKey/graph_copurchase/_metrics.json").isFile,
+        "the graft.copurchase_pairs counters must persist with the durable edge artifact")
     } finally System.clearProperty("graft.artifact.root")
   }
 }
