@@ -468,10 +468,14 @@ object Graph {
     )
     var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
     for (t <- 1 to 3) {
-      // engine-reproducible hop index: md5("cur:t") first 8 hex as a
-      // long, mod the (capped) neighbor count — same value both sides
+      // engine-reproducible hop index: md5("start:cur:t") first 8 hex as a
+      // long, mod the (capped) neighbor count — same value both sides. The
+      // START node salts the hash so two walks crossing the same node at
+      // the same step still diverge (hashing only (node, step) would force
+      // every walk through a shared node onto ONE outgoing hop — a far
+      // more correlated corpus than the independent walks DeepWalk wants)
       val idx = (conv(
-        substring(md5(concat_ws(":", col("cur"), lit(t))), 1, 8), 16, 10
+        substring(md5(concat_ws(":", col("start"), col("cur"), lit(t))), 1, 8), 16, 10
       ).cast("long") % size(col("nb"))).cast("int")
       walks = walks
         .join(nbrs, walks("cur") === nbrs("u"))
@@ -493,15 +497,15 @@ object Graph {
        |w0 AS (SELECT u AS start, u AS cur FROM nb),
        |w1 AS MATERIALIZED (
        |  SELECT w.start,
-       |    n.nb[cast(('0x' || substring(md5(w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
+       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
        |  FROM w0 w JOIN nb n ON n.u = w.cur),
        |w2 AS MATERIALIZED (
        |  SELECT w.start, w.n1,
-       |    n.nb[cast(('0x' || substring(md5(w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
+       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
        |  FROM w1 w JOIN nb n ON n.u = w.n1),
        |w3 AS MATERIALIZED (
        |  SELECT w.start, w.n1, w.n2,
-       |    n.nb[cast(('0x' || substring(md5(w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
+       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
        |  FROM w2 w JOIN nb n ON n.u = w.n2)""".stripMargin
 
   /** Fixed-point integer PageRank scores (node, s in 1e-12 units) for any
