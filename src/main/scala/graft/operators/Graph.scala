@@ -442,7 +442,8 @@ object Graph {
 
   /** Deterministic 3-hop walk frame (start, n1, n2, n3) over an undirected
     * (pa < pb) edge set — one row per node: hop t from node x is
-    * sorted-neighbors[md5(x ':' t) mod deg], so the walk corpus is
+    * sorted-neighbors[md5(start ':' x ':' t) mod deg] (start-salted so
+    * walks crossing a shared node diverge), so the walk corpus is
     * bit-identical across engines and runs. Neighbor arrays are per-node
     * sorted and CAPPED at [[MaxNeighbors]] with the observable
     * `graft.graph_walk_nbrs` metric (no size>1 filter: a degree-1 node
@@ -1054,7 +1055,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_walks",
-      s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(x ':' t) mod deg] — the md5-derived index replaces the RNG, so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
+      s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(start ':' x ':' t) mod deg] — the md5-derived index replaces the RNG (start-salted: two walks crossing the same node at the same step still diverge, keeping the corpus close to independent walks), so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
       (s, dir) =>
         walkFrame(coPurchaseEdges(s, dir)).orderBy(col("start")).limit(500),
       Some(s"""WITH $coEdgesSql,
