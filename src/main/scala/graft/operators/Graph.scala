@@ -570,7 +570,7 @@ object Graph {
       // shared input, scanned from its materialized blocks each round.
       scores = contribs
         .crossJoin(broadcast(nn))
-        .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n) + c").as("s"))
+        .select(col("node"), expr("cast(15000000000000 as bigint) div (100 * n) + c").as("s"))
     }
     (scores, Seq(edges, nodes))
   }
@@ -615,7 +615,7 @@ object Graph {
     val seedT = Tables.pin(
       seeds
         .crossJoin(broadcast(ns))
-        .select(col("node"), expr("cast(150000000000000 as bigint) div (100 * n)").as("t"))
+        .select(col("node"), expr("cast(15000000000000 as bigint) div (100 * n)").as("t"))
     )
     var scores = seeds
       .crossJoin(broadcast(ns))
@@ -646,7 +646,7 @@ object Graph {
     */
   private def prIterSql(k: Int): String =
     s"""it$k AS (
-       |  SELECT c.node, 150000000000000 // (100 * nn.n) + c.c AS s
+       |  SELECT c.node, 15000000000000 // (100 * nn.n) + c.c AS s
        |  FROM (
        |    SELECT e.dst AS node, cast(sum((85 * p.s) // (100 * e.outd)) as bigint) AS c
        |    FROM edges e JOIN it${k - 1} p ON p.node = e.src
@@ -674,7 +674,7 @@ object Graph {
     s"""tt$k AS MATERIALIZED (
        |  SELECT coalesce(cn.node, sd.node) AS node,
        |    coalesce(cn.c, 0) + CASE WHEN sd.node IS NOT NULL
-       |      THEN 150000000000000 // (100 * ns.n) ELSE 0 END AS s
+       |      THEN 15000000000000 // (100 * ns.n) ELSE 0 END AS s
        |  FROM (SELECT e.dst AS node, cast(sum((85 * p.s) // (100 * e.outd)) as bigint) AS c
        |        FROM edges e JOIN tt${k - 1} p ON p.node = e.src
        |        GROUP BY 1) cn
