@@ -231,8 +231,8 @@ object Dedup {
       metricName: String,
       maxBucket: Int
   ): org.apache.spark.sql.DataFrame =
-    cappedBuckets(items, bucketKeys, item, metricName, maxBucket)
-      .select(explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"))
+    cappedBucketArrays(items, bucketKeys, item, metricName, maxBucket)
+      .select(explode(TextShared.orderedPairs(col("ids"))).as("p"))
 
   /** [[cappedBucketPairs]] that KEEPS the bucket's grouping columns and its
     * TRUE (pre-cap) size `bucket_n` on every emitted pair — the graph wedge
@@ -249,34 +249,69 @@ object Dedup {
       metricName: String,
       maxBucket: Int
   ): org.apache.spark.sql.DataFrame =
-    cappedBuckets(items, bucketKeys, item, metricName, maxBucket)
+    cappedBucketArrays(items, bucketKeys, item, metricName, maxBucket)
       .select(
-        bucketKeys :+ size(col("ids")).as("bucket_n") :+
-          explode(TextShared.orderedPairs(slice(col("ids"), 1, maxBucket))).as("p"): _*
+        bucketKeys :+ col("bucket_n") :+
+          explode(TextShared.orderedPairs(col("ids"))).as("p"): _*
       )
 
-  /** The shared bucket-collect + cap-observe core of the capped pair
-    * generators: one row per bucket with >= 2 items, `ids` sorted ascending
-    * (still UNCAPPED here — finishers slice to `maxBucket`), and the
-    * no-silent-caps metrics attached to the executing plan.
+  /** The rows that feed the capped collect: every bucket with >=
+    * `minBucket` items, PRE-FILTERED to its `maxBucket` smallest items by a
+    * rank window, with the bucket's TRUE size carried on every surviving
+    * row (`__bn`, from the same window's count). This is what bounds the
+    * aggregation BUFFER itself — the earlier formulation collected the full
+    * sorted bucket into one `collect_list` buffer before slicing, so a
+    * 10^8-degree hub still meant a ~GB buffer in a single aggregation
+    * group; the rank filter runs in Spark's spilling window operator and
+    * hands the collect at most `maxBucket` rows per bucket. Kept/dropped
+    * items are identical to the slice-after-collect form: `row_number`
+    * ordered by the item keeps exactly the `maxBucket` smallest (duplicate
+    * item values tie-break arbitrarily, but equal values are
+    * interchangeable in the kept multiset). Exposed so the spec can assert
+    * the collect input is bounded per bucket.
     */
-  private def cappedBuckets(
+  private[graft] def cappedRanked(
+      items: org.apache.spark.sql.DataFrame,
+      bucketKeys: Seq[org.apache.spark.sql.Column],
+      item: org.apache.spark.sql.Column,
+      maxBucket: Int,
+      minBucket: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(bucketKeys: _*)
+    items
+      .withColumn("__bn", count(lit(1)).over(part).cast("int"))
+      .withColumn("__rk", row_number().over(part.orderBy(item)))
+      .filter(col("__bn") >= minBucket && col("__rk") <= maxBucket)
+  }
+
+  /** The shared bucket-collect + cap-observe core of the capped pair
+    * generators AND the graph neighbor-array builder: one row per bucket
+    * with >= `minBucket` items, `ids` sorted ascending and ALREADY capped
+    * at `maxBucket` (the [[cappedRanked]] pre-filter bounds the collect
+    * buffer), the bucket's TRUE pre-cap size as `bucket_n`, and the
+    * no-silent-caps metrics attached to the executing plan — `max_bucket`
+    * reports the true size (`__bn` survives the rank filter on every
+    * bucket's rank-1 row, so the metric is computed pre-cap exactly as
+    * before).
+    */
+  private[graft] def cappedBucketArrays(
       items: org.apache.spark.sql.DataFrame,
       bucketKeys: Seq[org.apache.spark.sql.Column],
       item: org.apache.spark.sql.Column,
       metricName: String,
-      maxBucket: Int
+      maxBucket: Int,
+      minBucket: Int = 2
   ): org.apache.spark.sql.DataFrame =
-    items
-      .groupBy(bucketKeys: _*)
-      .agg(sort_array(collect_list(item)).as("ids"))
-      .filter(size(col("ids")) > 1)
+    cappedRanked(items, bucketKeys, item, maxBucket, minBucket)
       // no-silent-caps: capping is observable per-run via named metrics
       .observe(
         metricName,
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket")
+        sum(when(col("__bn") > maxBucket && col("__rk") === 1, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        coalesce(max(col("__bn")), lit(0)).as("max_bucket")
       )
+      .groupBy(bucketKeys: _*)
+      .agg(sort_array(collect_list(item)).as("ids"), max(col("__bn")).as("bucket_n"))
 
   /** Containment drop ids over a distinct winnow-fingerprint frame
     * (doc_id, h) — THE shared rule for both corpus-pipeline containment

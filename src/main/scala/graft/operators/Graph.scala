@@ -456,16 +456,14 @@ object Graph {
     val sym = e
       .select(col("pa").as("u"), col("pb").as("v"))
       .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    // the shared capped-collect core (pre-cap rank filter bounds the
+    // collect buffer itself at MaxNeighbors rows per node); minBucket = 1
+    // because a degree-1 node still walks, bouncing back along its only edge
     val nbrs = Tables.pin(
-      sym
-        .groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nb0"))
-        .observe(
-          "graft.graph_walk_nbrs",
-          sum(when(size(col("nb0")) > MaxNeighbors, 1L).otherwise(0L)).as("capped_buckets"),
-          coalesce(max(size(col("nb0"))), lit(0)).as("max_bucket")
-        )
-        .select(col("u"), slice(col("nb0"), 1, MaxNeighbors).as("nb"))
+      Dedup
+        .cappedBucketArrays(sym, Seq(col("u")), col("v"),
+          "graft.graph_walk_nbrs", MaxNeighbors, minBucket = 1)
+        .select(col("u"), col("ids").as("nb"))
     )
     var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
     for (t <- 1 to 3) {

@@ -648,4 +648,48 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(cells.map(_._3).sum === nPairs, "every candidate pair lands in exactly one cell")
   }
+
+  test("capped buckets: the collect INPUT itself is bounded at maxBucket rows per bucket") {
+    // a planted 100k-item hot bucket plus a small exact bucket: the
+    // pre-cap rank filter must hand the collect at most `cap` rows per
+    // bucket (the aggregation-buffer bound), while metrics still report
+    // the TRUE pre-cap size
+    val cap = 64
+    val items = spark
+      .range(100000)
+      .select(lit(1L).as("b"), col("id").as("doc"))
+      .unionByName(spark.range(10).select(lit(2L).as("b"), (col("id") + 1000000L).as("doc")))
+    val fed = Dedup
+      .cappedRanked(items, Seq(col("b")), col("doc"), cap, minBucket = 2)
+      .groupBy(col("b"))
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(fed(1L) === cap.toLong, s"hot bucket must feed exactly $cap rows to the collect: $fed")
+    assert(fed(2L) === 10L, s"small bucket stays exact: $fed")
+    val metrics = graft.sources.Sinks.captureObservedMetrics(spark, Set("graft.test_capcore")) {
+      val pairs = Dedup
+        .cappedBucketPairs(items, Seq(col("b")), col("doc"), "graft.test_capcore", cap)
+        .collect()
+        .map(_.getStruct(0))
+        .map(p => (p.getLong(0), p.getLong(1)))
+      assert(pairs.length === cap * (cap - 1) / 2 + 45, s"pair volume must be capped: ${pairs.length}")
+      // the kept items are the bucket's SMALLEST: every hot-bucket pair
+      // draws from ids 0..cap-1
+      assert(pairs.filter(_._1 < 1000000L).forall { case (a, b) => a < cap && b < cap })
+    }
+    val m = metrics("graft.test_capcore")
+    assert(m.getAs[Long]("capped_buckets") === 1L, s"the drop must be observable: $m")
+    assert(m.getAs[Int]("max_bucket") === 100000, s"TRUE pre-cap size must be reported: $m")
+    // the keyed variant carries the TRUE size on every pair
+    val keyed = Dedup
+      .cappedBucketPairsKeyed(items, Seq(col("b")), col("doc"), "graft.test_capkeyed", cap)
+      .select(col("b"), col("bucket_n"))
+      .distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(keyed === Map(1L -> 100000, 2L -> 10))
+  }
 }
