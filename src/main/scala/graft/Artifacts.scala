@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once artifact plumbing shared by the operator families that ship
+  * reusable tables (graph edge lists / PageRank / TrustRank scores, the BPE
+  * merge table): session-scoped [[Tables.pin]] by default, durable
+  * range-sorted parquet under `graft.artifact.root` (root in the cache key:
+  * redirecting it rebuilds), with the build run's observe() counters
+  * persisted as `_metrics.json` next to `_SUCCESS` so the no-silent-caps
+  * metrics survive durable reuse runs (which read parquet back and execute
+  * no observed plan).
+  */
+object Artifacts {
+
+  /** [[cachedIn]] whose build also RETURNS the intermediate frames it
+    * pinned: once the artifact is materialized (session pin or durable
+    * parquet), those builder pins have no further consumer and are
+    * reclaimed here — without this every artifact build leaks its loop's
+    * checkpoint generations for the session lifetime (the tracked-pins
+    * discipline [[graft.streaming.StreamingGraph]] applies per fold).
+    */
+  private[graft] def cachedInTracked(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String,
+      name: String,
+      sortKey: String
+  )(build: => (DataFrame, Seq[DataFrame])): DataFrame = {
+    val root = Tables.artifactRoot
+    val key  = (s, s"$dir|${root.getOrElse("")}")
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    Option(cache.get(key)).getOrElse {
+      val built = root match {
+        case Some(r) =>
+          val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
+          graft.sources.Sinks.durableArtifact(s, path) { p =>
+            // persist the build's observe() counters next to _SUCCESS (the
+            // Dedup cache discipline): reuse runs serve the parquet
+            // read-back, which carries no observed metrics — without this
+            // a capped build would be invisible exactly in durable mode
+            val (frame, pins) = build
+            val metricNames = frame.queryExecution.analyzed.collect {
+              case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m.name
+            }.toSet
+            val metrics = graft.sources.Sinks.captureObservedMetrics(s, metricNames) {
+              graft.sources.Sinks.writeRangeSorted(frame, p, sortKey, 4)
+            }
+            if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)
+            pins.foreach(Tables.unpin)
+          }
+        case None =>
+          val (frame, pins) = build
+          val pinned = Tables.pin(frame)
+          pins.foreach(Tables.unpin)
+          pinned
+      }
+      Option(cache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** Build-once artifact: session-scoped pin by default, durable
+    * range-sorted parquet under `graft.artifact.root`.
+    */
+  private[graft] def cachedIn(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String,
+      name: String,
+      sortKey: String
+  )(build: => DataFrame): DataFrame =
+    cachedInTracked(cache, s, dir, name, sortKey)((build, Seq.empty))
+}

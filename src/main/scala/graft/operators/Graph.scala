@@ -108,9 +108,10 @@ object Graph {
     }
   }
 
-  /** Build-once artifact plumbing — the [[IvfSimilarity]] cachedIn shape:
-    * session-scoped pin by default, durable range-sorted parquet under
-    * `graft.artifact.root` (root in the key: redirecting it rebuilds).
+  /** Build-once artifact plumbing — the [[IvfSimilarity]] cachedIn shape,
+    * now shared in [[graft.Artifacts]]: session-scoped pin by default,
+    * durable range-sorted parquet under `graft.artifact.root` (root in the
+    * key: redirecting it rebuilds).
     */
   private def cachedIn(
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
@@ -118,33 +119,8 @@ object Graph {
       dir: String,
       name: String,
       sortKey: String
-  )(build: => DataFrame): DataFrame = {
-    val root = Tables.artifactRoot
-    val key  = (s, s"$dir|${root.getOrElse("")}")
-    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    Option(cache.get(key)).getOrElse {
-      val built = root match {
-        case Some(r) =>
-          val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
-          graft.sources.Sinks.durableArtifact(s, path) { p =>
-            // persist the build's observe() counters next to _SUCCESS (the
-            // Dedup cache discipline): reuse runs serve the parquet
-            // read-back, which carries no observed metrics — without this
-            // the basket cap would be invisible exactly in durable mode
-            val frame = build
-            val metricNames = frame.queryExecution.analyzed.collect {
-              case m: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => m.name
-            }.toSet
-            val metrics = graft.sources.Sinks.captureObservedMetrics(s, metricNames) {
-              graft.sources.Sinks.writeRangeSorted(frame, p, sortKey, 4)
-            }
-            if (metrics.nonEmpty) graft.sources.Sinks.writeMetricsJson(s, p, metrics)
-          }
-        case None => Tables.pin(build)
-      }
-      Option(cache.putIfAbsent(key, built)).getOrElse(built)
-    }
-  }
+  )(build: => DataFrame): DataFrame =
+    graft.Artifacts.cachedIn(cache, s, dir, name, sortKey)(build)
 
   private val edgesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

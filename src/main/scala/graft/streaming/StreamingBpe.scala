@@ -104,16 +104,28 @@ object StreamingBpe {
             .parquet(s"$bpeDir/freq")
             .groupBy(col("s"))
             .agg(sum(col("w")).as("w"))
-          val merges = Bpe.trainMergesWeighted(Tables.pin(freq), rounds)
-          val v      = currentVersion(s, bpeDir).getOrElse(0) + 1
+          val pinnedFreq      = Tables.pin(freq)
+          val (merges, mkPins) = Bpe.trainMergesWeightedTracked(pinnedFreq, rounds)
+          val v                = currentVersion(s, bpeDir).getOrElse(0) + 1
           merges.write.mode("overwrite").parquet(s"$bpeDir/merges/v=$v")
           val root = new org.apache.hadoop.fs.Path(bpeDir)
           val fs   = fsOf(s, root)
           writeCurrent(fs, root, v)
-          if (v > 1) {
-            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 1}"), true)
+          // retain ONE prior version: a concurrent reader that resolved
+          // merges() against v-1 just before the flip still holds a lazy
+          // scan over its files — deleting v-1 immediately would fail that
+          // read mid-flight, so reclaim v-2 instead (readers are expected
+          // while the stream runs, unlike StreamingIvf.retrain's quiesced
+          // protocol)
+          if (v > 2) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 2}"), true)
             ()
           }
+          // the merges parquet is written: the per-round argmax pins and
+          // the folded frequency frame have no further consumer — reclaim
+          // them so a long-running stream holds O(1) checkpoint
+          // generations, the StreamingGraph tracked-pins discipline
+          (mkPins :+ pinnedFreq).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -125,8 +125,11 @@ object StreamingGraph {
           val root = new org.apache.hadoop.fs.Path(graphDir)
           val fs   = fsOf(s, root)
           writeCurrent(fs, root, v)
-          if (v > 1)
-            fs.delete(new org.apache.hadoop.fs.Path(s"$graphDir/scores/v=${v - 1}"), true)
+          // retain ONE prior version: a reader that resolved scores()
+          // against v-1 just before the flip still holds a lazy scan over
+          // its files — reclaim v-2 instead of failing that read mid-flight
+          if (v > 2)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$graphDir/scores/v=${v - 2}"), true)
           (pins :+ pairs).foreach(Tables.unpin)
         }
       }

@@ -73,13 +73,13 @@ class BpeSpec extends AnyFunSuite {
     val texts = Seq("a b a b c", "a b x y", "z z z")
     val docs  = (1 to 30).map(i => (i.toLong, texts(i % 3))).toDF("doc_id", "text")
     val enc = Bpe
-      .encodeDistinct(docs, rounds = 2)
+      .encodeWithMerges(docs, Bpe.trainMerges(docs, rounds = 2))
       .collect()
       .map(r => (r.getString(0).trim, r.getString(1)))
       .toMap
     // round 1 merges (a,b) n=30; round 2 merges (z,z) n=20 (see the
-    // frequency-table test above) — and UNLIKE trainMerges, the encoder
-    // applies the FINAL round's merge too
+    // frequency-table test above) — the apply runs BOTH merges, including
+    // the final round's
     assert(enc === Map(
       "a b a b c" -> "a_b a_b c",
       "a b x y"   -> "a_b x y",
@@ -87,6 +87,22 @@ class BpeSpec extends AnyFunSuite {
     ), enc.toString)
     // '_' never occurs in the corpus alphabet, so the encoding is lossless
     enc.foreach { case (orig, e) => assert(e.replace('_', ' ') === orig) }
+  }
+
+  test("apply is FROZEN-vocab: a held-out doc whose own statistics would pick a different merge is encoded with the trained table") {
+    import spark.implicits._
+    // trained tokenizer: 'a b' dominates the training corpus (ties with
+    // 'b c' broken lexicographically)
+    val train  = (1 to 5).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(train, rounds = 1)
+    assert(merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq === Seq(("a", "b")))
+    // held-out doc: 'q r' repeats 3x — an encoder that re-learns from the
+    // encode corpus would merge q_r; the frozen vocab must merge ONLY a_b
+    val held = Seq((100L, "q r q r q r a b")).toDF("doc_id", "text")
+    val enc  = Bpe.encodeWithMerges(held, merges).collect()
+    assert(enc.length === 1)
+    assert(enc.head.getString(1) === "q r q r q r a_b",
+      s"the trained table, not the held-out corpus's statistics, must drive the encode: ${enc.head}")
   }
 
   test("merged symbols compose: later rounds may merge earlier rounds' outputs") {

@@ -46,7 +46,9 @@ class StreamingBpeSpec extends AnyFunSuite {
     } finally q.stop()
 
     assert(StreamingBpe.currentVersion(spark, bpe) === Some(2))
-    assert(!new java.io.File(s"$bpe/merges/v=1").exists, "superseded merge snapshot is dropped")
+    // retain-one-prior: v=1 survives the v=2 flip for in-flight readers
+    // (reclaimed only when v=3 publishes)
+    assert(new java.io.File(s"$bpe/merges/v=1").exists, "one prior merge snapshot is retained")
     val streamed = StreamingBpe.merges(spark, bpe).collect().map(_.toString).sorted
     val batch = Bpe
       .trainMerges(docs.toSeq.toDF("doc_id", "text"), rounds = 4)

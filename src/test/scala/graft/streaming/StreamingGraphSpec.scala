@@ -42,13 +42,23 @@ class StreamingGraphSpec extends AnyFunSuite {
         "v=1 covers only batch-1 nodes")
       all.drop(cut).toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
       q.processAllAvailable()
+      // v=2 live; v=1 RETAINED for in-flight readers that resolved the
+      // pointer just before the flip (retain-one-prior rule)
+      assert(StreamingGraph.currentVersion(spark, graph) === Some(2))
+      assert(new java.io.File(s"$graph/scores/v=1").exists, "one prior snapshot is retained")
+      // a third (duplicate) arrival: the cross-batch distinct makes the
+      // fold idempotent on edges, versions still advance, and the retain
+      // window slides — v=1 is reclaimed once v=3 publishes
+      all.take(20).toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
     } finally q.stop()
 
-    // v=2 live, superseded snapshot reclaimed
-    assert(StreamingGraph.currentVersion(spark, graph) === Some(2))
-    assert(!new java.io.File(s"$graph/scores/v=1").exists, "superseded score snapshot is dropped")
+    assert(StreamingGraph.currentVersion(spark, graph) === Some(3))
+    assert(!new java.io.File(s"$graph/scores/v=1").exists, "snapshots beyond the retain window are reclaimed")
+    assert(new java.io.File(s"$graph/scores/v=2").exists, "the immediately prior snapshot survives")
     val batchDirs = new java.io.File(s"$graph/edges").listFiles().map(_.getName).toSet
-    assert(batchDirs === Set("batch_id=0", "batch_id=1"), s"one edge dir per micro-batch: $batchDirs")
+    assert(batchDirs === Set("batch_id=0", "batch_id=1", "batch_id=2"),
+      s"one edge dir per micro-batch: $batchDirs")
 
     // the published table equals the from-scratch batch build on the FULL
     // pair set — same fixed-point integer loop, so equality is exact
