@@ -556,8 +556,8 @@ object Graph {
     */
   private def pagerankScores(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) buildPagerankScores(pinnedPairs(s, dir))
-    else cachedIn(prCache, s, dir, "graph_pagerank", "node")(
-      buildPagerankScores(pinnedPairs(s, dir)))
+    else graft.Artifacts.cachedInTracked(prCache, s, dir, "graph_pagerank", "node")(
+      buildPagerankScoresTracked(pinnedPairs(s, dir)))
 
   private val trCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -568,22 +568,41 @@ object Graph {
     */
   private def trustrankScores(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) buildTrustrankScores(s, dir)
-    else cachedIn(trCache, s, dir, "graph_trustrank", "node")(buildTrustrankScores(s, dir))
+    else graft.Artifacts.cachedInTracked(trCache, s, dir, "graph_trustrank", "node")(
+      buildTrustrankScoresTracked(pinnedPairs(s, dir), trustSeeds(s, dir)))
 
-  /** The TrustRank fixed-point loop (Gyöngyi et al. 2004): PageRank with
-    * the teleport restricted to the seed whitelist. Sparse scores — a node
-    * with no row has exactly 0 trust in both engines.
+  /** The fixture-derived trusted seed whitelist: suppliers whose nation
+    * sits in region EUROPE, as long node ids. Shared by the batch query
+    * and the streaming twin so both trust the SAME whitelist.
     */
-  private[graft] def buildTrustrankScores(s: SparkSession, dir: String): DataFrame = {
-    val cs    = pinnedPairs(s, dir)
-    val edges = degreeFoldedEdges(cs)
-    val seeds = Tables
+  private[graft] def trustSeeds(s: SparkSession, dir: String): DataFrame =
+    Tables
       .supplier(s, dir)
       .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .select((col("s_suppkey") * 2 + 1).as("node"))
-    val ns = seeds.agg(count(lit(1)).as("n"))
+
+  /** The TrustRank fixed-point loop (Gyöngyi et al. 2004): PageRank with
+    * the teleport restricted to the seed whitelist. Sparse scores — a node
+    * with no row has exactly 0 trust in both engines.
+    */
+  private[graft] def buildTrustrankScores(s: SparkSession, dir: String): DataFrame =
+    buildTrustrankScoresTracked(pinnedPairs(s, dir), trustSeeds(s, dir))._1
+
+  /** Frame-generic TrustRank over any (c, s) purchase-pair frame and any
+    * (node) seed whitelist — the form the streaming twin re-runs per fold
+    * bit-for-bit, returning the pinned intermediates (degree-folded edges
+    * + the seed-teleport frame) so a fully-materializing caller can
+    * reclaim them (the tracked-pins discipline of
+    * [[buildPagerankScoresTracked]]).
+    */
+  private[graft] def buildTrustrankScoresTracked(
+      cs: DataFrame,
+      seeds: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
+    val edges = degreeFoldedEdges(cs)
+    val ns    = seeds.agg(count(lit(1)).as("n"))
     // the per-round teleport fold reads this every iteration — pin it
     // (it is whitelist-sized, not corpus-sized)
     val seedT = Tables.pin(
@@ -610,7 +629,7 @@ object Graph {
           (coalesce(col("c"), lit(0L)) + coalesce(col("t"), lit(0L))).as("s")
         )
     }
-    scores
+    (scores, Seq(edges, seedT))
   }
 
   /** One fixed-point PageRank iteration CTE — kept textually in lockstep

@@ -93,7 +93,8 @@ object StreamingGraph {
       landingDir: String,
       graphDir: String,
       checkpoint: String,
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      trustSeeds: Option[SparkSession => org.apache.spark.sql.DataFrame] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL("c BIGINT, s BIGINT")
     val reader = spark.readStream.schema(schema)
@@ -122,15 +123,29 @@ object StreamingGraph {
           val (scores, pins) = Graph.buildPagerankScoresTracked(pairs)
           val v               = currentVersion(s, graphDir).getOrElse(0) + 1
           scores.write.mode("overwrite").parquet(s"$graphDir/scores/v=$v")
+          // TrustRank shares the edge store and the same fixed-point
+          // machinery: when a seed whitelist is configured, the fold
+          // republishes the trust table too — one extra loop over the
+          // already-landed edges, both tables covered by the SAME
+          // _CURRENT flip (a reader never sees scores and trust from
+          // different versions)
+          val trustPins = trustSeeds.toSeq.flatMap { seedsOf =>
+            val (trust, tp) = Graph.buildTrustrankScoresTracked(pairs, seedsOf(s))
+            trust.write.mode("overwrite").parquet(s"$graphDir/trust/v=$v")
+            tp
+          }
           val root = new org.apache.hadoop.fs.Path(graphDir)
           val fs   = fsOf(s, root)
           writeCurrent(fs, root, v)
           // retain ONE prior version: a reader that resolved scores()
           // against v-1 just before the flip still holds a lazy scan over
           // its files — reclaim v-2 instead of failing that read mid-flight
-          if (v > 2)
+          if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$graphDir/scores/v=${v - 2}"), true)
-          (pins :+ pairs).foreach(Tables.unpin)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$graphDir/trust/v=${v - 2}"), true)
+            ()
+          }
+          (pins ++ trustPins :+ pairs).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -144,5 +159,16 @@ object StreamingGraph {
     val v = currentVersion(spark, graphDir).getOrElse(
       throw new IllegalStateException(s"no published scores under $graphDir (stream has not folded yet)"))
     spark.read.parquet(s"$graphDir/scores/v=$v")
+  }
+
+  /** The live TrustRank table (node, s) — published alongside the PageRank
+    * scores when [[ingest]] was started with a seed whitelist;
+    * bit-identical to [[Graph.buildTrustrankScoresTracked]] over the union
+    * of every landed batch and that whitelist.
+    */
+  def trust(spark: SparkSession, graphDir: String): DataFrame = {
+    val v = currentVersion(spark, graphDir).getOrElse(
+      throw new IllegalStateException(s"no published trust table under $graphDir (stream has not folded yet)"))
+    spark.read.parquet(s"$graphDir/trust/v=$v")
   }
 }

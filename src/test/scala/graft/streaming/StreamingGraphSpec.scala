@@ -32,7 +32,8 @@ class StreamingGraphSpec extends AnyFunSuite {
     val cut = all.length / 2
     import spark.implicits._
     all.take(cut + 20).toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
-    val q = StreamingGraph.ingest(spark, landing, graph, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    val q = StreamingGraph.ingest(spark, landing, graph, s"$dir/ckpt", maxFilesPerTrigger = Some(1),
+      trustSeeds = Some(s => Graph.trustSeeds(s, TestSpark.sfDir)))
     try {
       q.processAllAvailable()
       // first fold published v=1 over batch-1 edges only
@@ -73,6 +74,26 @@ class StreamingGraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(streamed === batch, "streamed scores must be bit-identical to the batch build")
+
+    // the TrustRank table rides the same fold and the same version flip:
+    // bit-identical to the frame-generic batch build on the union corpus
+    // with the same whitelist
+    val streamedTrust = StreamingGraph
+      .trust(spark, graph)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val batchTrust = Graph
+      .buildTrustrankScoresTracked(
+        graft.Tables.pin(all.toSeq.toDF("c", "s")),
+        Graph.trustSeeds(spark, TestSpark.sfDir)
+      )._1
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(streamedTrust === batchTrust, "streamed trust table must be bit-identical to the batch build")
+    assert(!new java.io.File(s"$graph/trust/v=1").exists, "trust snapshots share the retain window")
+    assert(new java.io.File(s"$graph/trust/v=2").exists, "the prior trust snapshot survives the flip")
   }
 
   test("restart continuity: a new query instance resumes from the checkpoint and converges to the same table") {
