@@ -416,72 +416,82 @@ object Graph {
     )
   }
 
-  /** Deterministic 3-hop walk frame (start, n1, n2, n3) over an undirected
-    * (pa < pb) edge set — one row per node: hop t from node x is
-    * sorted-neighbors[md5(start ':' x ':' t) mod deg] (start-salted so
-    * walks crossing a shared node diverge), so the walk corpus is
-    * bit-identical across engines and runs. Neighbor arrays are per-node
-    * sorted and CAPPED at [[MaxNeighbors]] with the observable
-    * `graft.graph_walk_nbrs` metric (no size>1 filter: a degree-1 node
-    * still walks, bouncing back along its only edge). Each hop is one
-    * shuffle join of the node-sized walk frame against the pinned
-    * neighbor-array frame. Shared by the walk query and the skip-gram
-    * pair census.
+  /** Deterministic walk corpus (start, walk, n1..n`hops`) over an
+    * undirected (pa < pb) edge set — `walks` walks of `hops` hops per
+    * node, the DeepWalk W x L corpus shape (Perozzi et al. 2014 train on
+    * W=10-80 walks of L=40; the gate queries run the 1 x 3 slice). Hop t
+    * of walk w from node x is sorted-neighbors[md5(start ':' w ':' x ':'
+    * t) mod deg] — the md5-derived index replaces the RNG, (start, walk)-
+    * salted so two walks crossing the same node at the same step still
+    * diverge, making the corpus bit-identical across engines and runs.
+    * Neighbor arrays are per-node sorted and CAPPED at [[MaxNeighbors]]
+    * through the shared capped-collect core (observable
+    * `graft.graph_walk_nbrs` metric; minBucket = 1 because a degree-1
+    * node still walks, bouncing back along its only edge). Each hop is
+    * one shuffle join of the walk frame (|V| x `walks` rows) against the
+    * pinned neighbor-array frame — W and L scale cost linearly, never
+    * quadratically.
     */
-  private[graft] def walkFrame(e: DataFrame): DataFrame = {
+  private[graft] def walkCorpus(e: DataFrame, hops: Int = 3, walks: Int = 1): DataFrame = {
     val sym = e
       .select(col("pa").as("u"), col("pb").as("v"))
       .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
-    // the shared capped-collect core (pre-cap rank filter bounds the
-    // collect buffer itself at MaxNeighbors rows per node); minBucket = 1
-    // because a degree-1 node still walks, bouncing back along its only edge
     val nbrs = Tables.pin(
       Dedup
         .cappedBucketArrays(sym, Seq(col("u")), col("v"),
           "graft.graph_walk_nbrs", MaxNeighbors, minBucket = 1)
         .select(col("u"), col("ids").as("nb"))
     )
-    var walks = nbrs.select(col("u").as("start"), col("u").as("cur"))
-    for (t <- 1 to 3) {
-      // engine-reproducible hop index: md5("start:cur:t") first 8 hex as a
-      // long, mod the (capped) neighbor count — same value both sides. The
-      // START node salts the hash so two walks crossing the same node at
-      // the same step still diverge (hashing only (node, step) would force
-      // every walk through a shared node onto ONE outgoing hop — a far
-      // more correlated corpus than the independent walks DeepWalk wants)
+    var wf = nbrs.select(
+      col("u").as("start"),
+      explode(sequence(lit(1), lit(walks))).as("walk"),
+      col("u").as("cur")
+    )
+    for (t <- 1 to hops) {
       val idx = (conv(
-        substring(md5(concat_ws(":", col("start"), col("cur"), lit(t))), 1, 8), 16, 10
+        substring(md5(concat_ws(":", col("start"), col("walk"), col("cur"), lit(t))), 1, 8), 16, 10
       ).cast("long") % size(col("nb"))).cast("int")
-      walks = walks
-        .join(nbrs, walks("cur") === nbrs("u"))
+      wf = wf
+        .join(nbrs, wf("cur") === nbrs("u"))
         .withColumn(s"n$t", element_at(col("nb"), idx + 1))
         .drop("u", "nb")
         .drop("cur")
         .withColumn("cur", col(s"n$t"))
     }
-    walks.select(col("start"), col("n1"), col("n2"), col("n3"))
+    wf.select(col("start") +: col("walk") +: (1 to hops).map(t => col(s"n$t")): _*)
   }
 
-  /** DuckDB twin of [[walkFrame]], CTE chain ending in `w3(start, n1, n2,
-    * n3)` — assumes `e(pa, pb)` is already defined.
+  /** The gate-sized 1-walk 3-hop slice (start, n1, n2, n3) of
+    * [[walkCorpus]] — shared by the walk query and the skip-gram pair
+    * census.
     */
-  private val walksCteSql =
+  private[graft] def walkFrame(e: DataFrame): DataFrame =
+    walkCorpus(e, hops = 3, walks = 1).select(col("start"), col("n1"), col("n2"), col("n3"))
+
+  /** DuckDB twin of [[walkCorpus]], CTE chain ending in
+    * `w<hops>(start, walk, n1..n<hops>)` — assumes `e(pa, pb)` is already
+    * defined. Generated for any (hops, walks) so the SQL can never drift
+    * from the Spark loop shape.
+    */
+  private def walksCtesSql(hops: Int, walks: Int): String = {
+    def curOf(t: Int) = if (t == 1) "cur" else s"n${t - 1}"
+    val steps = (1 to hops).map { t =>
+      val carried = (if (t == 1) Seq("w.cur") else Seq.empty[String]) ++ (1 until t).map(j => s"w.n$j")
+      val keep    = (Seq("w.start", "w.walk") ++ carried.filterNot(_ == "w.cur")).mkString(", ")
+      s"""w$t AS MATERIALIZED (
+         |  SELECT $keep,
+         |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.walk::varchar || ':' || w.${curOf(t)}::varchar || ':$t'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n$t
+         |  FROM w${t - 1} w JOIN nb n ON n.u = w.${curOf(t)})""".stripMargin
+    }
     s"""sym AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
        |nb AS MATERIALIZED (
        |  SELECT u, (list_sort(list(v)))[1:$MaxNeighbors] AS nb FROM sym GROUP BY u),
-       |w0 AS (SELECT u AS start, u AS cur FROM nb),
-       |w1 AS MATERIALIZED (
-       |  SELECT w.start,
-       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.cur::varchar || ':1'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n1
-       |  FROM w0 w JOIN nb n ON n.u = w.cur),
-       |w2 AS MATERIALIZED (
-       |  SELECT w.start, w.n1,
-       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.n1::varchar || ':2'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n2
-       |  FROM w1 w JOIN nb n ON n.u = w.n1),
-       |w3 AS MATERIALIZED (
-       |  SELECT w.start, w.n1, w.n2,
-       |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.n2::varchar || ':3'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n3
-       |  FROM w2 w JOIN nb n ON n.u = w.n2)""".stripMargin
+       |w0 AS (SELECT u AS start, wk.walk, u AS cur FROM nb CROSS JOIN generate_series(1, $walks) wk(walk)),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** The 1-walk 3-hop twin of [[walksCtesSql]] used by the gate queries. */
+  private val walksCteSql = walksCtesSql(hops = 3, walks = 1)
 
   /** Fixed-point integer PageRank scores (node, s in 1e-12 units) for any
     * (c, s) purchase-pair frame — frame-generic so the streaming twin
@@ -1087,6 +1097,20 @@ object Graph {
               |  UNION ALL SELECT least(n2, n3), greatest(n2, n3) FROM w3)
               |SELECT a, b, cast(count(1) as bigint) AS n FROM pr WHERE a <> b
               |GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 25""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_walks_multi",
+      s"multi-walk DeepWalk corpus — W=2 walks x L=4 hops per node over the co-purchase graph (the real node2vec training dimensionality, scaled to gate size; Perozzi et al. train W=10-80 x L=40): the walk id salts the hop hash (md5(start ':' walk ':' node ':' step) mod deg), so the two walks from one start node diverge immediately while staying bit-identical across engines and runs. Same capped sorted neighbor arrays ($MaxNeighbors, observable metric) as q_graph_walks; per hop ONE shuffle join of the |V| x W walk frame against the pinned neighbor frame — W and L scale cost linearly, never quadratically. First 500 rows by (start, walk): (start, walk, n1..n4)",
+      (s, dir) =>
+        walkCorpus(coPurchaseEdges(s, dir), hops = 4, walks = 2)
+          .select(col("start"), col("walk").cast("long").as("walk"),
+            col("n1"), col("n2"), col("n3"), col("n4"))
+          .orderBy(col("start"), col("walk"))
+          .limit(500),
+      Some(s"""WITH $coEdgesSql,
+              |${walksCtesSql(hops = 4, walks = 2)}
+              |SELECT start, cast(walk as bigint) AS walk, n1, n2, n3, n4 FROM w4
+              |ORDER BY start, walk LIMIT 500""".stripMargin)
     ),
     QueryDef(
       "q_graph_degrees",

@@ -100,6 +100,46 @@ object GraphProps extends Properties("GraphOps") {
     Prop(countOk && hopsOk) :| s"walks: $rows on $es"
   }
 
+  property("multi-walk corpus (W=3, L=4): every hop is an edge, W rows per node") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj = adjacency(es)
+      val rows = Graph
+        .walkCorpus(es.toDF("pa", "pb"), hops = 4, walks = 3)
+        .collect()
+      val countOk = rows.length == adj.size * 3
+      val keysOk  = rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length == rows.length
+      val hopsOk = rows.forall { r =>
+        val path = r.getLong(0) +: (1 to 4).map(t => r.getLong(t + 1))
+        path.sliding(2).forall { case Seq(a, b) => adj(a).contains(b) }
+      }
+      Prop(countOk && keysOk && hopsOk) :| s"multi-walks: ${rows.mkString(",")} on $es"
+    }
+
+  property("assortativity rational form == direct double-precision Pearson over edge endpoints") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      // the textbook formulation: degree-degree Pearson with sqrt over the
+      // symmetrized endpoint list — a sign/moment error in the collapsed
+      // rational would survive fixtures but not random graphs
+      val deg = adjacency(es).view.mapValues(_.size.toDouble).toMap
+      val xy  = (es ++ es.map(e => (e._2, e._1))).map { case (u, v) => (deg(u), deg(v)) }
+      val n   = xy.size.toDouble
+      val sx  = xy.map(_._1).sum
+      val sy  = xy.map(_._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val row = Graph.assortativityFrom(es.toDF("pa", "pb")).collect().head
+      if (den == 0.0) Prop(row.isNullAt(1)) :| s"regular graph must be NULL: $row on $es"
+      else {
+        val exp = (n * sxy - sx * sy) / den
+        Prop(math.abs(row.getDouble(1) - exp) < 1e-9) :|
+          s"assortativity: got ${row.getDouble(1)} expected $exp on $es"
+      }
+    }
+
   property("adamic-adar (cap above any degree) == brute force over 2-hop non-edges") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

@@ -272,6 +272,35 @@ class GraphSpec extends AnyFunSuite {
     assert(run() === rows, "md5-driven hops must be bit-deterministic across runs")
   }
 
+  test("multi-walk corpus at W=4 x L=8: every hop edge-valid, one row per (node, walk), walk-id salt diversifies") {
+    import spark.implicits._
+    // 5-cycle with a chord: every node has degree >= 2, so walks have
+    // real choices and the walk-id salt has something to diversify
+    val g   = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L), (1L, 3L)).toDF("pa", "pb")
+    val adj = Map(
+      1L -> Set(2L, 3L, 5L), 2L -> Set(1L, 3L), 3L -> Set(1L, 2L, 4L),
+      4L -> Set(3L, 5L), 5L -> Set(1L, 4L))
+    val rows = Graph.walkCorpus(g, hops = 8, walks = 4).collect()
+    assert(rows.length === 5 * 4, "one row per (node, walk)")
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length === 20)
+    rows.foreach { r =>
+      val path = r.getLong(0) +: (1 to 8).map(t => r.getLong(t + 1))
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"hop $a -> $b of walk ${r.getInt(1)} from ${r.getLong(0)} must be an edge")
+      }
+    }
+    // the walk id salts the hop hash: at least one start node's 4 walks
+    // must not all collapse onto the same path
+    val diverged = rows
+      .groupBy(_.getLong(0))
+      .values
+      .exists(rs => rs.map(r => (1 to 8).map(t => r.getLong(t + 1)).toSeq).distinct.length > 1)
+    assert(diverged, "walk-id salt must diversify the walks from one start node")
+    // deterministic: a second run is bit-identical
+    val again = Graph.walkCorpus(g, hops = 8, walks = 4).collect()
+    assert(again.map(_.toString).sorted.toSeq === rows.map(_.toString).sorted.toSeq)
+  }
+
   test("walk pairs: every skip-gram pair is within 2 hops on the graph, no self pairs, counts positive") {
     val edges = graft.Tables
       .lineitem(spark, TestSpark.sfDir)
