@@ -72,6 +72,15 @@ object Graph {
   private val Damping = 0.85
   private val PrIters = 5
 
+  /** The k-core gate query's peel-depth bound, shared by the Spark loop
+    * (`maxRounds`, convergence REQUIRED within it) and the oracle's
+    * unrolled CTE chain — one constant so the two can never drift. 24
+    * covers the fixture's deepest peel (10 rounds at k=3 on sf0.01) with
+    * >2x headroom; a corpus needing more makes the query throw, never
+    * silently emit an unconverged core or a diverging oracle row.
+    */
+  private[graft] val KcoreOracleRounds = 24
+
   /** Per-node neighbor-list cap for the Adamic-Adar wedge generator — the
     * [[Dedup.MaxLshBucket]] discipline sized for graph degree: 64 keeps
     * per-center candidate work <= C(64,2) = 2016 pairs while sitting far
@@ -365,6 +374,15 @@ object Graph {
       Tables.unpin(sym)
       sym = next
     }
+    // NEVER silently emit an unconverged core as round -1: a graph whose
+    // peel needs more than maxRounds rounds must fail loudly (the gate
+    // query bounds maxRounds to the oracle's unrolled depth for the same
+    // reason — both engines' -1 rows are then provably converged)
+    require(
+      converged,
+      s"k-core peel did not converge within $maxRounds rounds (k=$k); " +
+        "raise maxRounds — the -1 census row must be the CONVERGED core"
+    )
     // converged early: later shown rounds repeat the stable frame, exactly
     // like the oracle's unrolled chain
     for (r <- (round + 1) to shownRounds) census += censusOf(r.toLong, sym)
@@ -1025,10 +1043,17 @@ object Graph {
       "k-core decomposition of the thresholded co-purchase graph (k = 2 and 3): synchronous peeling — every round drops ALL nodes whose surviving degree is below k, until a round drops nothing. The dense-community extractor of corpus curation: a co-occurrence 3-core is what remains after casual/boilerplate co-citations peel away. Output is the peel CENSUS (k, round, n_nodes, n_edges) for rounds 0..6 — stable values repeat once converged — plus the CONVERGED core as round -1, reached by edge-count fixpoint (never a hop bound; the fixture needs up to 10 rounds at k=3). Per round: one map-side-combinable degree aggregation + two node-keyed semi joins; the frame only shrinks, so total work is rounds x surviving edges; per-round pinIter with superseded-generation unpin (the self-referencing-loop discipline). The oracle unrolls 16 propagate rounds per k — both sides long converged on the fixture, so the gate compares two independently converged derivations",
       (s, dir) => {
         val e = coPurchaseEdges(s, dir)
-        kcoreCensus(e, 2).unionByName(kcoreCensus(e, 3)).orderBy(col("k"), col("round"))
+        // maxRounds == the oracle's unrolled depth (shared constant): the
+        // Spark side requires convergence within it, so the two engines'
+        // round = -1 rows can never diverge on a deeper-than-expected
+        // graph — the build THROWS instead (the fixture needs 10 rounds
+        // at k=3; the bound leaves >2x headroom)
+        kcoreCensus(e, 2, maxRounds = KcoreOracleRounds)
+          .unionByName(kcoreCensus(e, 3, maxRounds = KcoreOracleRounds))
+          .orderBy(col("k"), col("round"))
       },
       Some {
-        val oracleRounds = 16
+        val oracleRounds = KcoreOracleRounds
         // AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, and
         // every round references its predecessor three times (degree pass
         // + both semi sides) — unmaterialized, the 16-round chain expands

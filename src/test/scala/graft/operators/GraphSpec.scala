@@ -238,6 +238,13 @@ class GraphSpec extends AnyFunSuite {
     val core3 = Graph.kcoreCensus(g, 3, shownRounds = 1).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(core3.head === ((-1L, 0L, 0L)), core3.mkString(","))
+    // a peel that cannot converge within maxRounds THROWS instead of
+    // silently emitting an unconverged round = -1 row (this graph needs 2
+    // peel rounds at k=2)
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kcoreCensus(g, 2, shownRounds = 0, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
   test("random walks: every hop follows a real edge, the walk corpus is deterministic across runs") {
