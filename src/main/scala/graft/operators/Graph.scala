@@ -391,6 +391,126 @@ object Graph {
     census.result().reduce(_ unionByName _)
   }
 
+  /** The BFS gate query's hop bound — the [[KcoreOracleRounds]] discipline:
+    * shared by the Spark fixpoint (convergence REQUIRED within it) and the
+    * oracle's unrolled chain, so the two engines' converged frontiers can
+    * never drift on a deeper-than-expected graph.
+    */
+  private[graft] val BfsOracleRounds = 16
+
+  /** BFS hop-distance census over an undirected (pa < pb) edge set from
+    * the graph's MIN node id (a deterministic, fixture-independent source):
+    * synchronized frontier expansion — per round ONE shuffle join of the
+    * edge frame against the settled-distance frame, a distinct, and an
+    * anti join to keep only newly-reached nodes — until a round reaches
+    * nothing new. The crawl-depth readout of corpus curation: how many
+    * link hops from a trusted seed each entity sits (Common Crawl scopes
+    * frontiers by exactly this depth). Returns (dist, n_nodes) histogram
+    * rows with every node OUTSIDE the source's component as dist = -1.
+    *
+    * Scale shape: the settled frame only GROWS and each round touches the
+    * frontier's edges once; the frame is read three times per round (join
+    * source, anti-join filter, union) — the self-referencing shape that
+    * forces per-round pinIter with superseded-generation unpin, and
+    * convergence is read from a 1-row count (the labelSum discipline).
+    */
+  private[graft] def bfsCensus(e: DataFrame, maxRounds: Int = BfsOracleRounds): DataFrame = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    var dist = Tables.pinIter(
+      sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
+    )
+    var settled   = 1L
+    var round     = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = Tables.pinIter(
+        sym
+          .join(dist, sym("u") === dist("node"))
+          .select(col("v").as("node"))
+          .distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(round.toLong).as("d"))
+          .unionByName(dist)
+      )
+      val c = next.count()
+      converged = c == settled
+      settled = c
+      Tables.unpin(dist)
+      dist = next
+    }
+    require(
+      converged,
+      s"BFS did not converge within $maxRounds rounds — raise maxRounds; " +
+        "the histogram must cover the source component's full depth"
+    )
+    val hist = dist.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = sym
+      .select(col("u").as("node"))
+      .distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .agg(lit(-1L).as("d"), count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    hist.unionByName(unreached).orderBy(col("d"))
+  }
+
+  /** Synchronous label-propagation community census over an undirected
+    * (pa < pb) edge set (Raghavan et al. 2007, made deterministic): labels
+    * start as node ids and every round each node adopts its neighbors'
+    * MOST FREQUENT label, ties broken to the smallest label — the argmax
+    * is a pure integer aggregation (`max(struct(count, -label))`), never a
+    * per-node sort. The domain-clustering readout of corpus curation
+    * (community = a co-purchase/co-citation topic). Synchronous LPA can
+    * oscillate on bipartite-ish structures, so the output is the fixed
+    * `rounds`-round census (round, n_labels, max_comm) — both engines
+    * unroll the same rounds — not a fixpoint claim. Per round: one edge
+    * shuffle join + two integer aggregations; each label frame is read by
+    * its census AND the next round, the self-referencing shape that gets
+    * per-round pinIter with superseded-generation unpin.
+    */
+  private[graft] def lpaCensus(e: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    def censusOf(round: Long, lab: DataFrame): DataFrame = Tables.pinIter(
+      lab
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          lit(round).as("round"),
+          count(lit(1)).as("n_labels"),
+          max(col("sz")).as("max_comm")
+        )
+    )
+    var lab = Tables.pinIter(
+      sym.select(col("u").as("node")).distinct().select(col("node"), col("node").as("lbl"))
+    )
+    val census = Seq.newBuilder[DataFrame]
+    census += censusOf(0L, lab)
+    for (k <- 1 to rounds) {
+      val next = Tables.pinIter(
+        sym
+          .join(lab, sym("v") === lab("node"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          // integer argmax: max count first, then max(-lbl) = SMALLEST
+          // label — deterministic with zero window sorting
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+      )
+      census += censusOf(k.toLong, next)
+      Tables.unpin(lab)
+      lab = next
+    }
+    Tables.unpin(lab)
+    census.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Degree assortativity over an undirected (pa < pb) edge set — Newman's
     * degree-degree Pearson over edge endpoints, computed on the SYMMETRIZED
     * frame where it collapses to a PURE RATIONAL: with (x, y) =
@@ -598,6 +718,28 @@ object Graph {
     if (Tables.noArtifactCache) buildTrustrankScores(s, dir)
     else graft.Artifacts.cachedInTracked(trCache, s, dir, "graph_trustrank", "node")(
       buildTrustrankScoresTracked(pinnedPairs(s, dir), trustSeeds(s, dir)))
+
+  private val pprCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The personalized-PageRank query node: the MIN supplier id — a
+    * deterministic single-entity seed (any entity id works; the gate pins
+    * one).
+    */
+  private[graft] def pprSeed(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).agg((min(col("s_suppkey")) * 2 + 1).as("node"))
+
+  /** Personalized PageRank for one query entity = the TrustRank loop with
+    * a single-node seed set (random walk with restart): same fixed-point
+    * integer machinery, same sparse scores, same build-once artifact
+    * treatment.
+    */
+  private def pprScores(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      buildTrustrankScoresTracked(pinnedPairs(s, dir), pprSeed(s, dir))._1
+    else
+      graft.Artifacts.cachedInTracked(pprCache, s, dir, "graph_ppr", "node")(
+        buildTrustrankScoresTracked(pinnedPairs(s, dir), pprSeed(s, dir)))
 
   /** The fixture-derived trusted seed whitelist: suppliers whose nation
     * sits in region EUROPE, as long node ids. Shared by the batch query
@@ -1170,6 +1312,88 @@ object Graph {
               |  min(deg) AS min_deg, max(deg) AS max_deg,
               |  cast(cast(sum(deg) as varchar) as double) / count(1) AS avg_deg
               |FROM d GROUP BY kind ORDER BY kind""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_bfs",
+      s"BFS hop-distance census of the co-purchase graph from its MIN node id (a deterministic source) — the crawl-depth readout of corpus curation: how many link hops from a seed each entity sits (frontier-scoped crawling bounds exactly this depth). Synchronized frontier expansion: per round ONE shuffle join of the edge frame against the settled-distance frame + a distinct + an anti join keeping only newly-reached nodes, until a round reaches nothing new (edge-count fixpoint read from a 1-row count, convergence REQUIRED within the shared $BfsOracleRounds-round bound that also sizes the oracle's unrolled chain — a deeper graph throws, never diverges). The settled frame only grows and is read three times per round — per-round pinIter with superseded-generation unpin. Output: (dist, n_nodes) histogram with every node outside the source's component as dist = -1",
+      (s, dir) => bfsCensus(coPurchaseEdges(s, dir)),
+      Some {
+        val steps = (1 to BfsOracleRounds).map { k =>
+          s"""b$k AS MATERIALIZED (
+             |  SELECT node, d FROM b${k - 1}
+             |  UNION ALL
+             |  SELECT x.node, cast($k as bigint) AS d FROM (
+             |    SELECT DISTINCT s.v AS node FROM sym s JOIN b${k - 1} p ON p.node = s.u) x
+             |  WHERE x.node NOT IN (SELECT node FROM b${k - 1}))""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |b0 AS MATERIALIZED (SELECT (SELECT min(u) FROM sym) AS node, cast(0 as bigint) AS d),
+           |${steps.mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT d, cast(count(1) as bigint) AS n_nodes FROM b$BfsOracleRounds GROUP BY d
+           |  UNION ALL
+           |  SELECT cast(-1 as bigint) AS d, cast(count(1) as bigint) AS n_nodes FROM (
+           |    SELECT DISTINCT u FROM sym
+           |    WHERE u NOT IN (SELECT node FROM b$BfsOracleRounds)) z
+           |  HAVING count(1) > 0) h
+           |ORDER BY d""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_lpa",
+      "synchronous label-propagation community census (Raghavan et al. 2007, made deterministic) over the co-purchase graph: labels start as node ids; every round each node adopts its neighbors' MOST FREQUENT label, ties to the smallest — the argmax is a pure integer aggregation (max(struct(count, -label))), never a per-node sort, so the rounds are bit-identical across engines. The domain-clustering readout of corpus curation (a community = a co-purchase/co-citation topic cluster). Synchronous LPA can oscillate on bipartite-ish structure, so the gate compares the FIXED 4-round census (round, n_labels, max_comm) both engines unroll — not a fixpoint claim. Per round one edge shuffle join + two integer aggregations over a node-sized frame",
+      (s, dir) => lpaCensus(coPurchaseEdges(s, dir)),
+      Some {
+        val iters = (1 to 4).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN l${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1)""".stripMargin
+        }
+        val census = (0 to 4)
+          .map(k =>
+            s"SELECT cast($k as bigint) AS round, cast(count(1) as bigint) AS n_labels, " +
+              s"cast(max(sz) as bigint) AS max_comm FROM " +
+              s"(SELECT lbl, count(1) AS sz FROM l$k GROUP BY lbl) t$k"
+          )
+          .mkString(" UNION ALL ")
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+           |${iters.mkString(",\n")}
+           |SELECT * FROM ($census) x ORDER BY round""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_ppr",
+      s"personalized PageRank (random walk with restart) for ONE query entity — the min supplier id — over the symmetrized purchase graph: the TrustRank fixed-point loop with a single-node seed set, the per-entity relevance score a recommender reads off an entity graph ('which customers/suppliers sit closest to THIS publisher'). Same integer picoprobability discipline ($PrIters rounds, floor-division damping, zero rounding), same sparse scores (no row = exactly 0), same build-once artifact treatment as the PageRank/TrustRank tables. Top-20 by score",
+      (s, dir) => {
+        pprScores(s, dir)
+          .orderBy(col("s").desc, col("node")).limit(20)
+          .select(
+            concat(
+              when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+              (col("node") / 2).cast("long")
+            ).as("node"),
+            (col("s") / lit(1000000000000L)).as("ppr")
+          )
+          .orderBy(col("ppr").desc, col("node"))
+      },
+      Some(s"""WITH $pairsSql,
+              |$degEdgesSql,
+              |seeds AS MATERIALIZED (SELECT min(s_suppkey) * 2 + 1 AS node FROM supplier),
+              |ns AS (SELECT count(1) AS n FROM seeds),
+              |tt0 AS (SELECT node, 1000000000000 // ns.n AS s FROM seeds CROSS JOIN ns),
+              |${(1 to PrIters).map(ttIterSql).mkString(",\n")}
+              |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+              |            ELSE 's' || (node // 2) END AS node,
+              |  s / 1000000000000.0 AS ppr
+              |FROM (SELECT node, s FROM tt$PrIters ORDER BY s DESC, node LIMIT 20) t
+              |ORDER BY ppr DESC, node""".stripMargin)
     )
   )
 }

@@ -51,6 +51,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_trustrank",
     "q_graph_triangles",
     "q_graph_adamic_adar",
+    "q_graph_ppr",
     "q_bpe_merges",
     "q_bpe_encode"
   )
@@ -74,7 +75,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
           "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
-          "graph_trustrank", "bpe_merges").foreach { artifact =>
+          "graph_trustrank", "graph_ppr", "bpe_merges").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

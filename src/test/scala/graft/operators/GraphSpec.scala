@@ -359,6 +359,47 @@ class GraphSpec extends AnyFunSuite {
     assert(m.getAs[Int]("max_bucket") === 300, s"the full basket was seen pre-cap: $m")
   }
 
+  test("bfs census: a planted path measures exact hop distances, off-component nodes land in dist = -1") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {6,7}: from the min node
+    // (1), distances are 0..4 with one node each; 6 and 7 are unreached
+    val g    = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("pa", "pb")
+    val rows = Graph.bfsCensus(g).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((-1L, 2L), (0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)), rows.mkString(","))
+    // a frontier that cannot settle within maxRounds throws (the path
+    // needs 4 expansion rounds + 1 fixpoint confirmation)
+    val ex = intercept[IllegalArgumentException](Graph.bfsCensus(g, maxRounds = 2).collect())
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
+  test("lpa census: a triangle collapses to one community with the deterministic smallest-label tie-break") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
+    val rows = Graph
+      .lpaCensus(g, rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // round 1: node 1 ties {2,3} -> 2; nodes 2,3 adopt 1 -> two labels,
+    // largest community size 2. round 2: all three resolve to label 1.
+    assert(rows === Seq((0L, 3L, 1L), (1L, 2L, 2L), (2L, 1L, 3L)), rows.mkString(","))
+  }
+
+  test("ppr: the query entity holds the top rank (it owns the only teleport), scores positive and descending") {
+    val seedKey = graft.Tables
+      .supplier(spark, TestSpark.sfDir)
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("s_suppkey")))
+      .collect().head.getLong(0)
+    val rows = SparkEntry
+      .queries("q_graph_ppr")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0.0))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    assert(rows.head._1 === s"s$seedKey",
+      s"the personalized seed must outrank every flow-only node: ${rows.head}")
+  }
+
   test("assortativity: a star is exactly -1, a regular graph is NULL, the fixture lands in [-1, 1]") {
     import spark.implicits._
     val star = (1L to 5L).map(i => (0L, i)).toDF("pa", "pb")
