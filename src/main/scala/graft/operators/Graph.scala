@@ -167,13 +167,17 @@ object Graph {
     */
   private[graft] val MaxBasket = 256
 
+  /** Distinct (order, part) basket rows — the shared input of every
+    * co-purchase edge builder.
+    */
+  private[graft] def orderParts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
   private def buildCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchaseEdgesFrom(
-      Tables
-        .lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-    )
+    coPurchaseEdgesFrom(orderParts(s, dir))
 
   /** Thresholded co-purchase edges from any distinct (o, p) basket frame —
     * the within-order pair explode routes through the shared capped
@@ -183,12 +187,20 @@ object Graph {
     * oracle. Exposed so tests plant a pathological basket.
     */
   private[graft] def coPurchaseEdgesFrom(op: DataFrame, maxBasket: Int = MaxBasket): DataFrame =
+    coPurchaseEdgesWeightedFrom(op, maxBasket).select(col("pa"), col("pb"))
+
+  /** [[coPurchaseEdgesFrom]] keeping the co-purchase multiplicity as the
+    * edge weight `w` — the tie-strength input to weighted shortest paths.
+    */
+  private[graft] def coPurchaseEdgesWeightedFrom(
+      op: DataFrame,
+      maxBasket: Int = MaxBasket
+  ): DataFrame =
     Dedup
       .cappedBucketPairs(op, Seq(col("o")), col("p"), "graft.copurchase_pairs", maxBasket)
       .groupBy(col("p.doc_a").as("pa"), col("p.doc_b").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-      .select(col("pa"), col("pb"))
 
   /** DuckDB twin of [[coPurchaseEdges]], ending in `e(pa, pb)` — mirrors
     * the basket cap as rank <= [[MaxBasket]] over the same per-order
@@ -258,6 +270,64 @@ object Graph {
     wedges
       .join(o.alias("o3"), col("o3.u") === col("x") && col("o3.v") === col("y"), "left_semi")
       .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /** Local clustering-coefficient census over an undirected (pa < pb) edge
+    * set: per node with degree >= 2, c(v) = 2·t(v) / (d(v)·(d(v)−1)) where
+    * t(v) is the number of triangles through v — the Watts–Strogatz local
+    * coefficient, the neighborhood-density readout of corpus curation (a
+    * domain whose co-citation neighbors all cite each other is a topical
+    * community; a spam hub has near-zero closure). Per-node triangle counts
+    * come from the SAME degree-oriented wedge join as [[triangleCount]]
+    * (each triangle found exactly once, all three member nodes emitted), so
+    * the enumeration stays O(m^1.5)-bounded through any hub. The census
+    * groups nodes into integer DECILES of the coefficient computed with
+    * pure integer arithmetic — decile = (20·t) div (d·(d−1)), no doubles —
+    * and reports each decile's node count plus its POOLED coefficient
+    * Σ2t / Σd(d−1) as exact bigint moments with ONE final IEEE division
+    * (the assortativity discipline: bit-identical across engines).
+    */
+  private[graft] def clusteringCensus(e: DataFrame): DataFrame = {
+    // referenced three times (both wedge legs + the closing edge): one
+    // materialization, the iterative-frame discipline
+    val o = Tables.pin(orientByDegree(e))
+    val triNodes = o
+      .alias("o1")
+      .join(
+        o.alias("o2"),
+        col("o2.u") === col("o1.u") &&
+          (col("o1.dv") < col("o2.dv") ||
+            (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v")))
+      )
+      .select(col("o1.u").as("w"), col("o1.v").as("x"), col("o2.v").as("y"))
+      .observe("graft.graph_clust_wedges", count(lit(1)).as("n_oriented_wedges"))
+      // the closing edge is unique per wedge (edge sets are distinct), so
+      // the semi join closes each triangle exactly once
+      .join(o.alias("o3"), col("o3.u") === col("x") && col("o3.v") === col("y"), "left_semi")
+      .select(explode(array(col("w"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("t"))
+    val deg = e
+      .select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("d"))
+    deg
+      .filter(col("d") >= 2)
+      .join(triNodes, Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0L)).as("t"), col("d"))
+      .groupBy(expr("cast((20 * t) div (d * (d - 1)) as bigint)").as("decile"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("t") * 2).as("st"),
+        sum(col("d") * (col("d") - 1)).as("sdd")
+      )
+      .select(
+        col("decile"),
+        col("n_nodes"),
+        (col("st").cast("double") / col("sdd").cast("double")).as("pooled_coef")
+      )
+      .orderBy(col("decile"))
   }
 
   /** Adamic-Adar scores over an undirected (pa < pb) edge set: for every
@@ -511,6 +581,77 @@ object Graph {
     census.result().reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** The weighted-SSSP gate query's relaxation bound — the
+    * [[BfsOracleRounds]] discipline: convergence REQUIRED within it on the
+    * Spark side, and the oracle unrolls exactly this many relaxation
+    * rounds (rounds past convergence repeat the stable frame), so the two
+    * engines can never drift on a graph whose lightest paths use more hops.
+    */
+  private[graft] val SsspOracleRounds = 16
+
+  /** Single-source weighted shortest paths (hop-synchronized Bellman-Ford)
+    * over a weighted undirected edge set (pa, pb, w) from the graph's MIN
+    * node id: edge length = `lenScale div w` — INTEGER inverse tie
+    * strength, so heavily co-purchased (heavily co-cited) neighbors are
+    * CLOSE. The trust-distance readout of corpus curation: crawl
+    * prioritization and trust propagation rank pages by weighted link
+    * distance from a seed, not hop count (a page 3 strong links away
+    * outranks one weak link away). All arithmetic is integer (lengths,
+    * sums, mins) — bit-exact across engines with no rounding anywhere.
+    *
+    * Scale shape: per round ONE shuffle join of the settled frame against
+    * the edge frame + a map-side-combinable min aggregation; distances
+    * only DECREASE and the reached set only GROWS, so convergence is read
+    * from the 1-row (count, sum) census fixpoint (the labelSum
+    * discipline). Each round reads the previous frame twice (relax join +
+    * union) — per-round pinIter with superseded-generation unpin.
+    */
+  private[graft] def ssspFrom(
+      ew: DataFrame,
+      lenScale: Long = 1000L,
+      maxRounds: Int = SsspOracleRounds
+  ): DataFrame = {
+    val sym = Tables.pin(
+      ew.select(col("pa").as("u"), col("pb").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
+        .unionByName(
+          ew.select(col("pb").as("u"), col("pa").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
+        )
+    )
+    var dist = Tables.pinIter(
+      sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
+    )
+    var probe     = (1L, 0L)
+    var round     = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = Tables.pinIter(
+        sym
+          .join(dist, sym("u") === dist("node"))
+          .select(col("v").as("node"), (col("d") + col("len")).as("d"))
+          .unionByName(dist)
+          .groupBy(col("node"))
+          .agg(min(col("d")).as("d"))
+      )
+      val c = next.agg(count(lit(1)), sum(col("d"))).head()
+      val p = (c.getLong(0), c.getLong(1))
+      converged = p == probe
+      probe = p
+      Tables.unpin(dist)
+      dist = next
+    }
+    require(
+      converged,
+      s"SSSP did not converge within $maxRounds relaxation rounds — raise " +
+        "maxRounds; emitted distances must be the settled shortest paths"
+    )
+    // the settled frame's lineage is truncated by its own pinIter, so the
+    // edge materialization can be reclaimed here (bfsCensus keeps its sym
+    // for the post-loop unreached census; SSSP has no such tail read)
+    Tables.unpin(sym)
+    dist
+  }
+
   /** Degree assortativity over an undirected (pa < pb) edge set — Newman's
     * degree-degree Pearson over edge endpoints, computed on the SYMMETRIZED
     * frame where it collapses to a PURE RATIONAL: with (x, y) =
@@ -695,6 +836,49 @@ object Graph {
         .select(col("node"), expr("cast(15000000000000 as bigint) div (100 * n) + c").as("s"))
     }
     (scores, Seq(edges, nodes))
+  }
+
+  /** Per-edge tie-strength saturation for weighted PageRank: clamping w at
+    * 1e4 keeps the per-edge integer contribution 85·s·w strictly inside
+    * int64 (s < 1e12 total mass → 85·s·w < 8.5e17 « 2^63) no matter how
+    * many orders a pathological part pair shares at 100 TB — the standard
+    * co-citation weight saturation, mirrored in the oracle.
+    */
+  private[graft] val MaxTieWeight = 10000L
+
+  /** Fixed-point integer PageRank with tie-strength-PROPORTIONAL
+    * transitions over a weighted undirected edge set (pa, pb, w): a random
+    * surfer follows an edge with probability w / Σw(out), so heavily
+    * co-purchased (heavily co-cited) neighbors receive proportionally more
+    * mass — the weighted domain-quality prior (link-graph PageRank weighted
+    * by link multiplicity). Same integer picoprobability discipline as
+    * [[buildPagerankScoresTracked]]: per-edge flow (85·s·w) div (100·W),
+    * W = Σ saturated out-weights folded INTO the edge frame once, teleport
+    * 15e12 div (100·n), floor division throughout — bit-exact across
+    * engines, zero rounding. Linear lineage → the loop runs unpinned.
+    */
+  private[graft] def buildWeightedPagerankScores(ew: DataFrame): DataFrame = {
+    val sat = ew.select(col("pa"), col("pb"), least(col("w"), lit(MaxTieWeight)).as("w"))
+    val sym = sat
+      .select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionByName(sat.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val wsum  = sym.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val edges = Tables.pin(sym.join(wsum, "src"))
+    val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
+    val nn    = nodes.agg(count(lit(1)).as("n"))
+    var scores = nodes
+      .crossJoin(broadcast(nn))
+      .select(col("node"), expr("cast(1000000000000 as bigint) div n").as("s"))
+    for (_ <- 1 to PrIters) {
+      val contribs = edges
+        .join(scores, edges("src") === scores("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(85 * s * w) div (100 * outw)")).as("c"))
+      scores = contribs
+        .crossJoin(broadcast(nn))
+        .select(col("node"), expr("cast(15000000000000 as bigint) div (100 * n) + c").as("s"))
+    }
+    scores
   }
 
   /** The PageRank score table as a build-once artifact: session-pinned by
@@ -1394,6 +1578,96 @@ object Graph {
               |  s / 1000000000000.0 AS ppr
               |FROM (SELECT node, s FROM tt$PrIters ORDER BY s DESC, node LIMIT 20) t
               |ORDER BY ppr DESC, node""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_clustering",
+      "local clustering-coefficient decile census of the co-purchase graph (Watts-Strogatz neighborhood closure) — the community-density readout of corpus curation: a domain whose co-citation neighbors all cite each other is a topical community, a spam hub has near-zero closure. Per-node triangle counts ride the SAME degree-oriented wedge join as the triangle census (each triangle found once, O(sqrt m) out-degree through any hub, enumerated wedges observable via graft.graph_clust_wedges); deciles are computed in PURE INTEGER arithmetic ((20*t) div (d*(d-1)) — no doubles to disagree on) and each decile reports exact bigint moments with ONE final IEEE division for the pooled coefficient (the assortativity discipline). The oracle counts triangles by naive a<b<c enumeration — a deliberately different derivation of the same exact quantity",
+      (s, dir) => clusteringCensus(coPurchaseEdges(s, dir)),
+      Some(s"""WITH $coEdgesSql,
+              |tri AS MATERIALIZED (
+              |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+              |  FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+              |  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+              |tn AS (SELECT a AS node FROM tri UNION ALL
+              |       SELECT b FROM tri UNION ALL SELECT c FROM tri),
+              |tc AS (SELECT node, count(1) AS t FROM tn GROUP BY node),
+              |deg AS (SELECT node, count(1) AS d FROM (
+              |  SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) z GROUP BY node),
+              |j AS (SELECT d.node, coalesce(tc.t, 0) AS t, d.d
+              |      FROM deg d LEFT JOIN tc ON tc.node = d.node WHERE d.d >= 2)
+              |SELECT cast((20 * t) // (d * (d - 1)) as bigint) AS decile,
+              |  cast(count(1) as bigint) AS n_nodes,
+              |  cast(cast(sum(2 * t) as varchar) as double)
+              |    / cast(cast(sum(d * (d - 1)) as varchar) as double) AS pooled_coef
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q_graph_sssp",
+      s"single-source weighted shortest paths (hop-synchronized Bellman-Ford) over the co-purchase graph from its MIN node id, edge length = 1000 div w (integer inverse tie strength — heavily co-purchased neighbors are CLOSE): the trust-distance readout of corpus curation, where crawl prioritization ranks pages by WEIGHTED link distance from a seed, not hop count. All arithmetic integer (bit-exact across engines, zero rounding); per round one shuffle join + a map-side-combinable min agg; distances only decrease and the reached set only grows, so convergence is the 1-row (count, sum) census fixpoint, REQUIRED within the shared $SsspOracleRounds-round bound that also sizes the oracle's unrolled chain. Output: the 20 nearest nodes (dist asc, node asc)",
+      (s, dir) => {
+        ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+          .orderBy(col("d"), col("node"))
+          .limit(20)
+          .select(col("node"), col("d").as("dist"))
+          .orderBy(col("dist"), col("node"))
+      },
+      Some {
+        val steps = (1 to SsspOracleRounds).map { k =>
+          s"""w$k AS MATERIALIZED (
+             |  SELECT node, min(d) AS d FROM (
+             |    SELECT node, d FROM w${k - 1}
+             |    UNION ALL
+             |    SELECT s.v AS node, p.d + s.len AS d
+             |    FROM syw s JOIN w${k - 1} p ON p.node = s.u) z
+             |  GROUP BY node)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |ew AS MATERIALIZED (SELECT pa, pb, w FROM pairs WHERE w >= 2),
+           |syw AS MATERIALIZED (
+           |  SELECT pa AS u, pb AS v, 1000 // w AS len FROM ew
+           |  UNION ALL
+           |  SELECT pb, pa, 1000 // w FROM ew),
+           |w0 AS MATERIALIZED (SELECT (SELECT min(u) FROM syw) AS node, cast(0 as bigint) AS d),
+           |${steps.mkString(",\n")}
+           |SELECT node, cast(d as bigint) AS dist FROM w$SsspOracleRounds
+           |ORDER BY d, node LIMIT 20""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_pagerank_weighted",
+      s"tie-strength-weighted PageRank over the co-purchase graph: the random surfer follows an edge with probability w / sum(out-weights), so heavily co-purchased (heavily co-cited) neighbors receive proportionally more mass — the WEIGHTED domain-quality prior (CommonCrawl-style domain ranking weights the link graph by link multiplicity, not mere adjacency). Same integer picoprobability fixed point as q_graph_pagerank (per-edge flow (85*s*w) div (100*W), W folded into the edge frame once, teleport 15e12 div (100*n), floor division — bit-exact, zero rounding), with per-edge weights SATURATED at $MaxTieWeight so 85*s*w stays inside int64 through any pathological pair at 100 TB; the cap is mirrored in the oracle. Top-20 by score",
+      (s, dir) =>
+        buildWeightedPagerankScores(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+          .orderBy(col("s").desc, col("node"))
+          .limit(20)
+          .select(col("node"), (col("s") / lit(1000000000000L)).as("wpr"))
+          .orderBy(col("wpr").desc, col("node")),
+      Some {
+        val steps = (1 to PrIters).map { k =>
+          s"""wi$k AS (
+             |  SELECT c.node, 15000000000000 // (100 * wn.n) + c.c AS s
+             |  FROM (
+             |    SELECT e.dst AS node,
+             |      cast(sum((85 * p.s * e.w) // (100 * e.outw)) as bigint) AS c
+             |    FROM wedges e JOIN wi${k - 1} p ON p.node = e.src
+             |    GROUP BY 1) c
+             |  CROSS JOIN wn)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |ews AS (SELECT pa, pb, least(w, $MaxTieWeight) AS w FROM pairs WHERE w >= 2),
+           |syw0 AS (SELECT pa AS src, pb AS dst, w FROM ews UNION ALL SELECT pb, pa, w FROM ews),
+           |ww AS (SELECT src, sum(w) AS outw FROM syw0 GROUP BY 1),
+           |wedges AS MATERIALIZED (
+           |  SELECT s0.src, s0.dst, s0.w, cast(x.outw as bigint) AS outw
+           |  FROM syw0 s0 JOIN ww x USING (src)),
+           |wn AS (SELECT count(1) AS n FROM (SELECT DISTINCT src FROM syw0) z),
+           |wi0 AS (SELECT src AS node, 1000000000000 // wn.n AS s
+           |        FROM (SELECT DISTINCT src FROM syw0) z CROSS JOIN wn),
+           |${steps.mkString(",\n")}
+           |SELECT node, s / 1000000000000.0 AS wpr
+           |FROM (SELECT node, s FROM wi$PrIters ORDER BY s DESC, node LIMIT 20) t
+           |ORDER BY wpr DESC, node""".stripMargin
+      }
     )
   )
 }

@@ -116,6 +116,58 @@ object GraphProps extends Properties("GraphOps") {
       Prop(countOk && keysOk && hopsOk) :| s"multi-walks: ${rows.mkString(",")} on $es"
     }
 
+  property("clustering decile census == brute-force per-node coefficients") = Prop.forAll(graphs) {
+    es =>
+      import spark.implicits._
+      val adj = adjacency(es)
+      val perNode = adj.toList.collect {
+        case (v, nb) if nb.size >= 2 =>
+          val t = nb.toList.combinations(2).count { case List(a, b) =>
+            adj.getOrElse(a, Set.empty).contains(b)
+          }
+          (v, t.toLong, nb.size.toLong)
+      }
+      val expected = perNode
+        .groupBy { case (_, t, d) => (20L * t) / (d * (d - 1)) }
+        .map { case (dec, xs) =>
+          val st  = xs.map(_._2 * 2).sum
+          val sdd = xs.map { case (_, _, d) => d * (d - 1) }.sum
+          (dec, xs.size.toLong, st.toDouble / sdd.toDouble)
+        }
+        .toList
+        .sortBy(_._1)
+      val got = Graph
+        .clusteringCensus(es.toDF("pa", "pb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toList
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+  }
+
+  property("sssp == brute-force Floyd-Warshall from the min node (hash-derived weights)") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      // deterministic per-edge weights in 2..5 -> integer lengths 1000 div w
+      val ew    = es.map { case (a, b) => (a, b, 2L + (a * 31 + b) % 4) }
+      val len   = ew.map { case (a, b, w) => ((a, b), 1000L / w) }.toMap
+      val nodes = es.flatMap(e => List(e._1, e._2)).distinct
+      val src   = nodes.min
+      val inf   = Long.MaxValue / 4
+      val d0 = collection.mutable.Map(nodes.map(n => n -> inf): _*)
+      d0(src) = 0L
+      for (_ <- nodes.indices; ((a, b), l) <- len) {
+        if (d0(a) + l < d0(b)) d0(b) = d0(a) + l
+        if (d0(b) + l < d0(a)) d0(a) = d0(b) + l
+      }
+      val expected = d0.filter(_._2 < inf).toMap
+      val got = Graph
+        .ssspFrom(ew.toDF("pa", "pb", "w"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toMap
+      Prop(got == expected) :| s"got $got expected $expected on $ew"
+    }
+
   property("assortativity rational form == direct double-precision Pearson over edge endpoints") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

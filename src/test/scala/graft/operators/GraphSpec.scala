@@ -400,6 +400,49 @@ class GraphSpec extends AnyFunSuite {
       s"the personalized seed must outrank every flow-only node: ${rows.head}")
   }
 
+  test("sssp: a strong 2-hop path beats a weak direct edge, and a too-small round bound throws") {
+    import spark.implicits._
+    // lengths are 1000 div w: 1-2 and 2-3 at w=100 (len 10) beat the
+    // direct 1-3 edge at w=2 (len 500) — dist(3) = 20, not 500
+    val g = Seq((1L, 2L, 100L), (2L, 3L, 100L), (1L, 3L, 2L)).toDF("pa", "pb", "w")
+    val d = Graph.ssspFrom(g).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d === Map(1L -> 0L, 2L -> 10L, 3L -> 20L), d.toString)
+    // the 2-hop improvement lands in round 2 and confirms in round 3
+    val ex = intercept[IllegalArgumentException](Graph.ssspFrom(g, maxRounds = 2).collect())
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
+  test("weighted pagerank: a heavy tie concentrates mass, symmetric endpoints score identically") {
+    import spark.implicits._
+    // triangle with one heavy edge: nodes 1,2 trade 100/102 of their flow
+    // with each other and starve node 3; the graph is symmetric under
+    // 1 <-> 2, so the integer fixed point gives s1 == s2 exactly
+    val g = Seq((1L, 2L, 100L), (1L, 3L, 2L), (2L, 3L, 2L)).toDF("pa", "pb", "w")
+    val s = Graph.buildWeightedPagerankScores(g).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(1L) === s(2L), s.toString)
+    assert(s(1L) > s(3L), s.toString)
+    // total mass stays ~1e12 (floor division only ever drops picounits)
+    val total = s.values.sum
+    assert(total <= 1000000000000L && total > 990000000000L, total.toString)
+  }
+
+  test("clustering census: planted triangles land in exact integer deciles with pooled moments") {
+    import spark.implicits._
+    // triangle {1,2,3} + node 4 closing {1,2,4} + pendant 5 on 3:
+    //   nodes 1,2: d=3, t=2 -> c=2/3 -> decile 40 div 6 = 6
+    //   node  3:   d=3, t=1 -> c=1/3 -> decile 20 div 6 = 3
+    //   node  4:   d=2, t=1 -> c=1   -> decile 10
+    //   node  5:   d=1 -> excluded
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 5L)).toDF("pa", "pb")
+    val rows = Graph
+      .clusteringCensus(g)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(rows === Seq((3L, 1L, 2.0 / 6.0), (6L, 2L, 8.0 / 12.0), (10L, 1L, 1.0)),
+      rows.mkString(","))
+  }
+
   test("assortativity: a star is exactly -1, a regular graph is NULL, the fixture lands in [-1, 1]") {
     import spark.implicits._
     val star = (1L to 5L).map(i => (0L, i)).toDF("pa", "pb")
