@@ -581,6 +581,113 @@ object Graph {
     census.result().reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** The k-truss gate query's peel-depth bound — the [[KcoreOracleRounds]]
+    * discipline: Spark convergence REQUIRED within it, oracle unrolls
+    * exactly this many peel rounds.
+    */
+  private[graft] val TrussOracleRounds = 16
+
+  /** Per-edge triangle SUPPORT over an undirected (pa < pb) edge set: for
+    * each edge, the number of triangles containing it. Rides the
+    * degree-oriented wedge join ([[orientByDegree]] — each triangle found
+    * exactly once, O(sqrt m) out-degree through any hub) and emits each
+    * closed triangle's THREE normalized edges. Edges in no triangle have
+    * no row (sparse, like the score frames).
+    */
+  private[graft] def edgeSupport(e: DataFrame): DataFrame = {
+    val o = Tables.pin(orientByDegree(e))
+    val sup = o
+      .alias("o1")
+      .join(
+        o.alias("o2"),
+        col("o2.u") === col("o1.u") &&
+          (col("o1.dv") < col("o2.dv") ||
+            (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v")))
+      )
+      .select(col("o1.u").as("w"), col("o1.v").as("x"), col("o2.v").as("y"))
+      .join(o.alias("o3"), col("o3.u") === col("x") && col("o3.v") === col("y"), "left_semi")
+      .select(
+        explode(
+          array(
+            struct(least(col("w"), col("x")).as("pa"), greatest(col("w"), col("x")).as("pb")),
+            struct(least(col("w"), col("y")).as("pa"), greatest(col("w"), col("y")).as("pb")),
+            struct(least(col("x"), col("y")).as("pa"), greatest(col("x"), col("y")).as("pb"))
+          )
+        ).as("ed")
+      )
+      .groupBy(col("ed.pa").as("pa"), col("ed.pb").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+    val pinned = Tables.pinIter(sup)
+    Tables.unpin(o)
+    pinned
+  }
+
+  /** Synchronous k-truss peel census over an undirected (pa < pb) edge
+    * set: each round recomputes per-edge triangle support on the SURVIVING
+    * graph and drops every edge with support < k−2 simultaneously, until a
+    * round removes nothing — the EDGE-cohesion analog of k-core (an edge
+    * survives only while embedded in enough mutual-neighbor structure),
+    * the classic dense-community miner (Cohen 2008). Returns (k, round,
+    * n_edges) rows for rounds 0..`shownRounds` (stable after convergence,
+    * matching an unrolled derivation) plus the CONVERGED truss as
+    * round = -1.
+    *
+    * Scale shape: each round is one oriented wedge join + one edge-keyed
+    * count + one left join over a frame that only SHRINKS — rounds ×
+    * O(m^1.5) worst case, convergence from the 1-row census fixpoint (the
+    * k-core discipline), per-round pinIter with superseded-generation
+    * unpin, convergence REQUIRED within the oracle-shared
+    * [[TrussOracleRounds]] bound.
+    */
+  private[graft] def trussCensus(
+      e: DataFrame,
+      k: Int,
+      shownRounds: Int = 4,
+      maxRounds: Int = TrussOracleRounds
+  ): DataFrame = {
+    var cur = Tables.pinIter(e.select(col("pa"), col("pb")))
+    def censusOf(round: Long, s: DataFrame): DataFrame = Tables.pinIter(
+      s.agg(
+        lit(k.toLong).as("k"),
+        lit(round).as("round"),
+        count(lit(1)).as("n_edges")
+      )
+    )
+    val census = Seq.newBuilder[DataFrame]
+    val c0     = censusOf(0L, cur)
+    census += c0
+    var edgeCount = c0.head().getLong(2)
+    var round     = 0
+    var converged = edgeCount == 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      val sup = edgeSupport(cur)
+      val next = Tables.pinIter(
+        cur
+          .join(sup, Seq("pa", "pb"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+          .select(col("pa"), col("pb"))
+      )
+      val cn = censusOf(round.toLong, next)
+      val c  = cn.head().getLong(2)
+      converged = c == edgeCount
+      edgeCount = c
+      if (round <= shownRounds) census += cn else Tables.unpin(cn)
+      Tables.unpin(sup)
+      Tables.unpin(cur)
+      cur = next
+    }
+    require(
+      converged,
+      s"k-truss peel did not converge within $maxRounds rounds (k=$k); " +
+        "raise maxRounds — the -1 census row must be the CONVERGED truss"
+    )
+    for (r <- (round + 1) to shownRounds) census += censusOf(r.toLong, cur)
+    census += censusOf(-1L, cur)
+    Tables.unpin(cur)
+    census.result().reduce(_ unionByName _)
+  }
+
   /** The weighted-SSSP gate query's relaxation bound — the
     * [[BfsOracleRounds]] discipline: convergence REQUIRED within it on the
     * Spark side, and the oracle unrolls exactly this many relaxation
@@ -611,12 +718,16 @@ object Graph {
       lenScale: Long = 1000L,
       maxRounds: Int = SsspOracleRounds
   ): DataFrame = {
+    // the symmetrizing union reads the weighted input twice: one
+    // materialization, reclaimed once the symmetric frame is pinned
+    val ewp = Tables.pin(ew)
     val sym = Tables.pin(
-      ew.select(col("pa").as("u"), col("pb").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
+      ewp.select(col("pa").as("u"), col("pb").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
         .unionByName(
-          ew.select(col("pb").as("u"), col("pa").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
+          ewp.select(col("pb").as("u"), col("pa").as("v"), expr(s"cast($lenScale div w as bigint)").as("len"))
         )
     )
+    Tables.unpin(ewp)
     var dist = Tables.pinIter(
       sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
     )
@@ -857,8 +968,20 @@ object Graph {
     * 15e12 div (100·n), floor division throughout — bit-exact across
     * engines, zero rounding. Linear lineage → the loop runs unpinned.
     */
-  private[graft] def buildWeightedPagerankScores(ew: DataFrame): DataFrame = {
-    val sat = ew.select(col("pa"), col("pb"), least(col("w"), lit(MaxTieWeight)).as("w"))
+  private[graft] def buildWeightedPagerankScores(ew: DataFrame): DataFrame =
+    buildWeightedPagerankScoresTracked(ew)._1
+
+  /** [[buildWeightedPagerankScores]] returning its pinned intermediates
+    * (saturated weighted input — the symmetrizing union reads it twice —
+    * degree-folded edges, node set) for reclaim by a fully-materializing
+    * caller: the tracked-pins discipline of [[buildPagerankScoresTracked]].
+    */
+  private[graft] def buildWeightedPagerankScoresTracked(
+      ew: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
+    val sat = Tables.pin(
+      ew.select(col("pa"), col("pb"), least(col("w"), lit(MaxTieWeight)).as("w"))
+    )
     val sym = sat
       .select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(sat.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
@@ -878,8 +1001,38 @@ object Graph {
         .crossJoin(broadcast(nn))
         .select(col("node"), expr("cast(15000000000000 as bigint) div (100 * n) + c").as("s"))
     }
-    scores
+    (scores, Seq(sat, edges, nodes))
   }
+
+  private val wprCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Weighted-PageRank scores as a build-once artifact (the PPR/PageRank
+    * treatment): a weighted quality prior is reused across runs.
+    */
+  private def weightedPagerankScores(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      buildWeightedPagerankScoresTracked(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))._1
+    else
+      graft.Artifacts.cachedInTracked(wprCache, s, dir, "graph_wpr", "node")(
+        buildWeightedPagerankScoresTracked(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+      )
+
+  private val ssspCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The settled SSSP distance table as a build-once artifact: a
+    * trust-distance field from a fixed seed is reused across runs exactly
+    * like the centrality priors.
+    */
+  private def ssspDistances(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+    else
+      graft.Artifacts.cachedInTracked(ssspCache, s, dir, "graph_sssp", "node") {
+        val d = ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+        (d, Seq(d))
+      }
 
   /** The PageRank score table as a build-once artifact: session-pinned by
     * default, durable range-sorted parquet (by node) under
@@ -1605,7 +1758,7 @@ object Graph {
       "q_graph_sssp",
       s"single-source weighted shortest paths (hop-synchronized Bellman-Ford) over the co-purchase graph from its MIN node id, edge length = 1000 div w (integer inverse tie strength — heavily co-purchased neighbors are CLOSE): the trust-distance readout of corpus curation, where crawl prioritization ranks pages by WEIGHTED link distance from a seed, not hop count. All arithmetic integer (bit-exact across engines, zero rounding); per round one shuffle join + a map-side-combinable min agg; distances only decrease and the reached set only grows, so convergence is the 1-row (count, sum) census fixpoint, REQUIRED within the shared $SsspOracleRounds-round bound that also sizes the oracle's unrolled chain. Output: the 20 nearest nodes (dist asc, node asc)",
       (s, dir) => {
-        ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+        ssspDistances(s, dir)
           .orderBy(col("d"), col("node"))
           .limit(20)
           .select(col("node"), col("d").as("dist"))
@@ -1637,7 +1790,7 @@ object Graph {
       "q_graph_pagerank_weighted",
       s"tie-strength-weighted PageRank over the co-purchase graph: the random surfer follows an edge with probability w / sum(out-weights), so heavily co-purchased (heavily co-cited) neighbors receive proportionally more mass — the WEIGHTED domain-quality prior (CommonCrawl-style domain ranking weights the link graph by link multiplicity, not mere adjacency). Same integer picoprobability fixed point as q_graph_pagerank (per-edge flow (85*s*w) div (100*W), W folded into the edge frame once, teleport 15e12 div (100*n), floor division — bit-exact, zero rounding), with per-edge weights SATURATED at $MaxTieWeight so 85*s*w stays inside int64 through any pathological pair at 100 TB; the cap is mirrored in the oracle. Top-20 by score",
       (s, dir) =>
-        buildWeightedPagerankScores(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+        weightedPagerankScores(s, dir)
           .orderBy(col("s").desc, col("node"))
           .limit(20)
           .select(col("node"), (col("s") / lit(1000000000000L)).as("wpr"))
@@ -1667,6 +1820,47 @@ object Graph {
            |SELECT node, s / 1000000000000.0 AS wpr
            |FROM (SELECT node, s FROM wi$PrIters ORDER BY s DESC, node LIMIT 20) t
            |ORDER BY wpr DESC, node""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_truss",
+      s"k-truss peel census of the co-purchase graph (k = 3 and 4): each round recomputes per-edge triangle SUPPORT on the surviving graph (via the degree-oriented wedge join — O(sqrt m) out-degree through any hub) and drops every edge with support < k-2 simultaneously, until a round removes nothing — the EDGE-cohesion dense-community miner (Cohen 2008): a 4-truss is what survives when every remaining co-citation is reinforced by >= 2 mutual neighbors, a stricter filter than the k-core's node degrees. Census rows (k, round, n_edges) for rounds 0..4 (stable after convergence) plus the CONVERGED truss as round = -1, reached by edge-count fixpoint REQUIRED within the shared $TrussOracleRounds-round bound that also sizes the oracle's unrolled chain; per-round pinIter with superseded-generation unpin. The oracle recounts triangles each round by naive a<b<c enumeration — two independent derivations of the same peel",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        trussCensus(e, 3).unionByName(trussCensus(e, 4)).orderBy(col("k"), col("round"))
+      },
+      Some {
+        def chain(k: Int): String =
+          (1 to TrussOracleRounds).map { j =>
+            s"""t${k}_$j AS MATERIALIZED (
+               |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+               |  FROM e${k}_${j - 1} e1
+               |  JOIN e${k}_${j - 1} e2 ON e2.pa = e1.pa AND e1.pb < e2.pb
+               |  JOIN e${k}_${j - 1} e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+               |sp${k}_$j AS MATERIALIZED (
+               |  SELECT pa, pb, count(1) AS sup FROM (
+               |    SELECT a AS pa, b AS pb FROM t${k}_$j
+               |    UNION ALL SELECT a, c FROM t${k}_$j
+               |    UNION ALL SELECT b, c FROM t${k}_$j) z GROUP BY 1, 2),
+               |e${k}_$j AS MATERIALIZED (
+               |  SELECT x.pa, x.pb FROM e${k}_${j - 1} x
+               |  LEFT JOIN sp${k}_$j s ON s.pa = x.pa AND s.pb = x.pb
+               |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
+          }.mkString(",\n")
+        def census(k: Int): String =
+          ((0 to 4).map(j => (j, s"e${k}_$j")) :+ ((-1, s"e${k}_$TrussOracleRounds")))
+            .map { case (r, tbl) =>
+              s"SELECT cast($k as bigint) AS k, cast($r as bigint) AS round, " +
+                s"cast(count(1) as bigint) AS n_edges FROM $tbl"
+            }
+            .mkString(" UNION ALL ")
+        s"""WITH $coEdgesSql,
+           |e3_0 AS MATERIALIZED (SELECT pa, pb FROM e),
+           |e4_0 AS MATERIALIZED (SELECT pa, pb FROM e),
+           |${chain(3)},
+           |${chain(4)}
+           |SELECT * FROM (${census(3)} UNION ALL ${census(4)}) x
+           |ORDER BY k, round""".stripMargin
       }
     )
   )

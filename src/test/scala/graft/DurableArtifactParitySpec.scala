@@ -52,6 +52,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_triangles",
     "q_graph_adamic_adar",
     "q_graph_ppr",
+    "q_graph_pagerank_weighted",
+    "q_graph_sssp",
     "q_bpe_merges",
     "q_bpe_encode"
   )
@@ -75,7 +77,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
           "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
-          "graph_trustrank", "graph_ppr", "bpe_merges").foreach { artifact =>
+          "graph_trustrank", "graph_ppr", "graph_wpr", "graph_sssp",
+          "bpe_merges").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

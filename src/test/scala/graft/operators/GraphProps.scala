@@ -144,6 +144,30 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
   }
 
+  property("k-truss converged truss == brute-force support peel (k=3)") = Prop.forAll(graphs) {
+    es =>
+      import spark.implicits._
+      def adjOf(edges: Set[(Long, Long)]): Map[Long, Set[Long]] =
+        (edges.toList ++ edges.toList.map(e => (e._2, e._1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var cur    = es.toSet
+      var stable = false
+      while (!stable) {
+        val adj = adjOf(cur)
+        val next = cur.filter { case (a, b) =>
+          (adj(a) & adj(b)).nonEmpty // support >= k-2 = 1
+        }
+        stable = next == cur
+        cur = next
+      }
+      val got = Graph
+        .trussCensus(es.toDF("pa", "pb"), 3)
+        .collect()
+        .collectFirst { case r if r.getLong(1) == -1L => r.getLong(2) }
+        .get
+      Prop(got == cur.size.toLong) :| s"got $got expected ${cur.size} on $es"
+  }
+
   property("sssp == brute-force Floyd-Warshall from the min node (hash-derived weights)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

@@ -412,6 +412,28 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
+  test("truss census: K4 plus a dangling triangle — the triangle peels at k=4, K4 survives") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge sits in 2 triangles (support 2).
+    // Dangling triangle {4,5,6}: each of its edges has support 1.
+    val g = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)
+    ).toDF("pa", "pb")
+    val rows = Graph
+      .trussCensus(g, 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .toMap
+    // round 0: all 9 edges; round 1: the triangle's 3 support-1 edges
+    // drop; round 2 confirms the 6-edge K4 fixpoint; -1 = converged truss
+    assert(rows === Map(0L -> 9L, 1L -> 6L, 2L -> 6L, 3L -> 6L, 4L -> 6L, -1L -> 6L),
+      rows.toString)
+    // at k=3 every edge sits in >= 1 triangle: nothing peels
+    val t3 = Graph.trussCensus(g, 3).collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(t3(-1L) === 9L, t3.toString)
+  }
+
   test("weighted pagerank: a heavy tie concentrates mass, symmetric endpoints score identically") {
     import spark.implicits._
     // triangle with one heavy edge: nodes 1,2 trade 100/102 of their flow
