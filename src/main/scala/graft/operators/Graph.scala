@@ -594,10 +594,12 @@ object Graph {
     * closed triangle's THREE normalized edges. Edges in no triangle have
     * no row (sparse, like the score frames).
     */
-  private[graft] def edgeSupport(e: DataFrame): DataFrame = {
-    val o = Tables.pin(orientByDegree(e))
-    val sup = o
-      .alias("o1")
+  /** The support computation over an already-pinned oriented frame —
+    * factored out (and exposed to PlanSpec pre-pinIter) so the wedge
+    * join's plan shape is pinned on the real loop body.
+    */
+  private[graft] def edgeSupportFromOriented(o: DataFrame): DataFrame =
+    o.alias("o1")
       .join(
         o.alias("o2"),
         col("o2.u") === col("o1.u") &&
@@ -617,7 +619,10 @@ object Graph {
       )
       .groupBy(col("ed.pa").as("pa"), col("ed.pb").as("pb"))
       .agg(count(lit(1)).as("sup"))
-    val pinned = Tables.pinIter(sup)
+
+  private[graft] def edgeSupport(e: DataFrame): DataFrame = {
+    val o      = Tables.pin(orientByDegree(e))
+    val pinned = Tables.pinIter(edgeSupportFromOriented(o))
     Tables.unpin(o)
     pinned
   }
@@ -736,14 +741,7 @@ object Graph {
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val next = Tables.pinIter(
-        sym
-          .join(dist, sym("u") === dist("node"))
-          .select(col("v").as("node"), (col("d") + col("len")).as("d"))
-          .unionByName(dist)
-          .groupBy(col("node"))
-          .agg(min(col("d")).as("d"))
-      )
+      val next = Tables.pinIter(ssspRelax(sym, dist))
       val c = next.agg(count(lit(1)), sum(col("d"))).head()
       val p = (c.getLong(0), c.getLong(1))
       converged = p == probe
@@ -762,6 +760,21 @@ object Graph {
     Tables.unpin(sym)
     dist
   }
+
+  /** One Bellman-Ford relaxation round: flow the settled distances through
+    * the (u, v, len) edge frame, fold back, keep the min per node.
+    * Factored out (and exposed to PlanSpec pre-pinIter) so the
+    * scale-critical plan shape — a SHUFFLE join of node-sized frames with
+    * a map-side-combinable min, no broadcast anywhere — is pinned on the
+    * real loop body, not a copy.
+    */
+  private[graft] def ssspRelax(sym: DataFrame, dist: DataFrame): DataFrame =
+    sym
+      .join(dist, sym("u") === dist("node"))
+      .select(col("v").as("node"), (col("d") + col("len")).as("d"))
+      .unionByName(dist)
+      .groupBy(col("node"))
+      .agg(min(col("d")).as("d"))
 
   /** Degree assortativity over an undirected (pa < pb) edge set — Newman's
     * degree-degree Pearson over edge endpoints, computed on the SYMMETRIZED

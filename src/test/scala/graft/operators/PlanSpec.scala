@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{SparkEntry, TestSpark}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, lit, min}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -664,6 +665,70 @@ class PlanSpec extends AnyFunSuite {
           s"a node-cardinality frame must never broadcast in the walk hops: ${cols.mkString(",")}")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("weighted PageRank: only the 1-row node count broadcasts; the flow join stays a shuffle join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the BUILD plan, not the gate query (build-once artifact discipline)
+      val nodes = allNodes(executed(Graph.buildWeightedPagerankScores(
+        Graph.coPurchaseEdgesWeightedFrom(Graph.orderParts(spark, TestSpark.sfDir)))))
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+        val cols = b.output.map(_.name.toLowerCase)
+        assert(!cols.exists(c => c == "node" || c == "src" || c == "dst" || c == "outw"),
+          s"a per-node/per-edge frame must never broadcast in the weighted loop: ${cols.mkString(",")}")
+      }
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        "the edges-to-scores join must plan as a shuffle join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SSSP relaxation round: a shuffle join of node-sized frames, zero broadcasts") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the real loop body (ssspRelax), pinned pre-pinIter — the per-round
+      // frame the settled loop truncates away
+      val ew = graft.Tables.pin(
+        Graph.coPurchaseEdgesWeightedFrom(Graph.orderParts(spark, TestSpark.sfDir)))
+      val sym = graft.Tables.pin(
+        ew.select(col("pa").as("u"), col("pb").as("v"), expr("cast(1000 div w as bigint)").as("len"))
+          .unionByName(
+            ew.select(col("pb").as("u"), col("pa").as("v"), expr("cast(1000 div w as bigint)").as("len"))))
+      val dist  = sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
+      val nodes = allNodes(executed(Graph.ssspRelax(sym, dist)))
+      // both join sides are node/edge-cardinality: at 10^9 edges NOTHING
+      // may broadcast in the relax round (there is no 1-row hint here)
+      assert(!nodes.exists(_.nodeName.contains("BroadcastExchange")),
+        s"no frame may broadcast in the relax round:\n${nodes.map(_.nodeName).mkString("\n")}")
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        "the relax join must plan as a shuffle join")
+      assert(nodes.count(_.nodeName.contains("HashAggregate")) >= 2,
+        "the min fold must run partial+final (map-side combine)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("truss support: the wedge join is a shuffle join over the oriented frame, no cartesian") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Graph.coPurchaseEdgesWeightedFrom(Graph.orderParts(spark, TestSpark.sfDir))
+        .select(col("pa"), col("pb"))
+      val o     = graft.Tables.pin(Graph.orientByDegree(e))
+      val nodes = allNodes(executed(Graph.edgeSupportFromOriented(o)))
+      assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+        "wedge enumeration must key on the shared low-rank endpoint, never a cartesian")
+      assert(
+        nodes.exists(n => n.nodeName.contains("SortMergeJoin") || n.nodeName.contains("ShuffledHashJoin")),
+        "the wedge join must plan as a shuffle join with the threshold off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_graph_clustering: no cartesian anywhere in the census") {
+    assert(countNodes(q("q_graph_clustering"), "CartesianProduct") === 0)
   }
 
   test("batched IVF probe: query-batch frames broadcast, the corpus frame never does") {
