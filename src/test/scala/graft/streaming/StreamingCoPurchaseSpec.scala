@@ -72,4 +72,44 @@ class StreamingCoPurchaseSpec extends AnyFunSuite {
       .toSet
     assert(streamedDist === batchDist, "streamed sssp must be bit-identical to the batch build")
   }
+
+  test("restart continuity: a new query instance resumes from the checkpoint and converges to the same tables") {
+    val dir     = Files.createTempDirectory("streaming-copurchase-restart").toString
+    val landing = s"$dir/landing"
+    val co      = s"$dir/co"
+    val all = Graph
+      .orderParts(spark, TestSpark.sfDir)
+      .orderBy(col("o"), col("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = all.length / 2
+    import spark.implicits._
+    def start() = StreamingCoPurchase.ingest(spark, landing, co, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+
+    all.take(cut).toSeq.toDF("o", "p").coalesce(1).write.mode("append").parquet(landing)
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally q1.stop() // simulated crash/redeploy between batches
+
+    all.drop(cut).toSeq.toDF("o", "p").coalesce(1).write.mode("append").parquet(landing)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    // the restarted instance continued the batch-id sequence (no replay of
+    // batch 0, no gap) and both final tables equal the batch builds
+    val batchDirs = new java.io.File(s"$co/baskets").listFiles().map(_.getName).toSet
+    assert(batchDirs === Set("batch_id=0", "batch_id=1"), s"checkpoint continuity: $batchDirs")
+    val ew = graft.Tables.pin(
+      Graph.coPurchaseEdgesWeightedFrom(graft.Tables.pin(all.toSeq.toDF("o", "p"))))
+    val streamedWpr = StreamingCoPurchase
+      .weightedScores(spark, co).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchWpr =
+      Graph.buildWeightedPagerankScores(ew).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedWpr === batchWpr, "post-restart wpr must equal the batch build on the union")
+    val streamedDist = StreamingCoPurchase
+      .distances(spark, co).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchDist = Graph.ssspFrom(ew).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedDist === batchDist, "post-restart sssp must equal the batch build on the union")
+  }
 }
