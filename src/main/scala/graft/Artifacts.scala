@@ -70,4 +70,29 @@ object Artifacts {
       sortKey: String
   )(build: => DataFrame): DataFrame =
     cachedInTracked(cache, s, dir, name, sortKey)((build, Seq.empty))
+
+  /** [[cachedIn]] for a builder whose result frame arrives ALREADY pinned
+    * (an iterative loop's settled pinIter frame): the session path caches
+    * the frame as-is — re-materializing a second copy just to transfer pin
+    * ownership would double-write a node-sized table — while the durable
+    * path writes from the pinned blocks and reclaims the pin afterwards
+    * (the tracked form with the frame as its own pin).
+    */
+  private[graft] def cachedPrePinned(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String,
+      name: String,
+      sortKey: String
+  )(build: => DataFrame): DataFrame =
+    if (Tables.artifactRoot.isDefined)
+      cachedInTracked(cache, s, dir, name, sortKey) { val f = build; (f, Seq(f)) }
+    else {
+      val key = (s, s"$dir|")
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      Option(cache.get(key)).getOrElse {
+        val f = build
+        Option(cache.putIfAbsent(key, f)).getOrElse(f)
+      }
+    }
 }

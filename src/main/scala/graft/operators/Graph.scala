@@ -489,8 +489,18 @@ object Graph {
       e.select(col("pa").as("u"), col("pb").as("v"))
         .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
     )
+    // orderBy+limit(1), not agg(min): the aggregate form yields one
+    // all-NULL row on an EMPTY edge frame — a phantom node at distance 0
+    // — while the limit form is empty on empty input (mirrored in the
+    // oracle's b0). An IsNotNull filter over the agg would also work but
+    // its propagated constraint trips Catalyst's union constraint
+    // rewriting against the checkpointed frame.
     var dist = Tables.pinIter(
-      sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
+      sym
+        .select(col("u"))
+        .orderBy(col("u"))
+        .limit(1)
+        .select(col("u").as("node"), lit(0L).as("d"))
     )
     var settled   = 1L
     var round     = 0
@@ -733,8 +743,18 @@ object Graph {
         )
     )
     Tables.unpin(ewp)
+    // orderBy+limit(1), not agg(min): the aggregate form yields one
+    // all-NULL row on an EMPTY edge frame — a phantom (null, 0) distance
+    // — while the limit form is empty on empty input (mirrored in the
+    // oracle's w0). An IsNotNull filter over the agg would also work but
+    // its propagated constraint trips Catalyst's union constraint
+    // rewriting against the checkpointed frame.
     var dist = Tables.pinIter(
-      sym.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("d"))
+      sym
+        .select(col("u"))
+        .orderBy(col("u"))
+        .limit(1)
+        .select(col("u").as("node"), lit(0L).as("d"))
     )
     var probe     = (1L, 0L)
     var round     = 0
@@ -742,7 +762,8 @@ object Graph {
     while (!converged && round < maxRounds) {
       round += 1
       val next = Tables.pinIter(ssspRelax(sym, dist))
-      val c = next.agg(count(lit(1)), sum(col("d"))).head()
+      // coalesce: sum over the empty-graph frame is NULL, not 0
+      val c = next.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
       val p = (c.getLong(0), c.getLong(1))
       converged = p == probe
       probe = p
@@ -879,8 +900,8 @@ object Graph {
   private def walksCtesSql(hops: Int, walks: Int): String = {
     def curOf(t: Int) = if (t == 1) "cur" else s"n${t - 1}"
     val steps = (1 to hops).map { t =>
-      val carried = (if (t == 1) Seq("w.cur") else Seq.empty[String]) ++ (1 until t).map(j => s"w.n$j")
-      val keep    = (Seq("w.start", "w.walk") ++ carried.filterNot(_ == "w.cur")).mkString(", ")
+      // w.cur is consumed as this hop's join key only, never carried
+      val keep = (Seq("w.start", "w.walk") ++ (1 until t).map(j => s"w.n$j")).mkString(", ")
       s"""w$t AS MATERIALIZED (
          |  SELECT $keep,
          |    n.nb[cast(('0x' || substring(md5(w.start::varchar || ':' || w.walk::varchar || ':' || w.${curOf(t)}::varchar || ':$t'), 1, 8))::bigint % len(n.nb) as int) + 1] AS n$t
@@ -1017,18 +1038,36 @@ object Graph {
     (scores, Seq(sat, edges, nodes))
   }
 
+  private val wewCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The WEIGHTED co-purchase edge list (pa, pb, w) as its own build-once
+    * artifact — the `graph_copurchase` treatment: both weighted consumers
+    * (weighted PageRank, SSSP) derive from ONE materialization instead of
+    * each re-running the capped basket explode, and — load-bearing for
+    * observability — the `graft.copurchase_pairs` cap metric fires inside
+    * THIS artifact's captured write (the cachedIn metrics window), so a
+    * capped build persists its `_metrics.json` in durable mode instead of
+    * the observe being swallowed by a pin inside a downstream builder.
+    */
+  private[graft] def coPurchaseEdgesWeighted(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) coPurchaseEdgesWeightedFrom(orderParts(s, dir))
+    else cachedIn(wewCache, s, dir, "graph_wew", "pa")(
+      coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+
   private val wprCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Weighted-PageRank scores as a build-once artifact (the PPR/PageRank
-    * treatment): a weighted quality prior is reused across runs.
+    * treatment): a weighted quality prior is reused across runs. Builds
+    * from the shared [[coPurchaseEdgesWeighted]] artifact.
     */
   private def weightedPagerankScores(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache)
-      buildWeightedPagerankScoresTracked(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))._1
+      buildWeightedPagerankScoresTracked(coPurchaseEdgesWeighted(s, dir))._1
     else
       graft.Artifacts.cachedInTracked(wprCache, s, dir, "graph_wpr", "node")(
-        buildWeightedPagerankScoresTracked(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+        buildWeightedPagerankScoresTracked(coPurchaseEdgesWeighted(s, dir))
       )
 
   private val ssspCache =
@@ -1036,16 +1075,17 @@ object Graph {
 
   /** The settled SSSP distance table as a build-once artifact: a
     * trust-distance field from a fixed seed is reused across runs exactly
-    * like the centrality priors.
+    * like the centrality priors. Builds from the shared
+    * [[coPurchaseEdgesWeighted]] artifact; the settled frame arrives
+    * already pinned (the loop's final pinIter), so the session path caches
+    * it as-is instead of re-materializing a copy.
     */
   private def ssspDistances(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache)
-      ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
+      ssspFrom(coPurchaseEdgesWeighted(s, dir))
     else
-      graft.Artifacts.cachedInTracked(ssspCache, s, dir, "graph_sssp", "node") {
-        val d = ssspFrom(coPurchaseEdgesWeightedFrom(orderParts(s, dir)))
-        (d, Seq(d))
-      }
+      graft.Artifacts.cachedPrePinned(ssspCache, s, dir, "graph_sssp", "node")(
+        ssspFrom(coPurchaseEdgesWeighted(s, dir)))
 
   /** The PageRank score table as a build-once artifact: session-pinned by
     * default, durable range-sorted parquet (by node) under
@@ -1532,7 +1572,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_kcore",
-      "k-core decomposition of the thresholded co-purchase graph (k = 2 and 3): synchronous peeling — every round drops ALL nodes whose surviving degree is below k, until a round drops nothing. The dense-community extractor of corpus curation: a co-occurrence 3-core is what remains after casual/boilerplate co-citations peel away. Output is the peel CENSUS (k, round, n_nodes, n_edges) for rounds 0..6 — stable values repeat once converged — plus the CONVERGED core as round -1, reached by edge-count fixpoint (never a hop bound; the fixture needs up to 10 rounds at k=3). Per round: one map-side-combinable degree aggregation + two node-keyed semi joins; the frame only shrinks, so total work is rounds x surviving edges; per-round pinIter with superseded-generation unpin (the self-referencing-loop discipline). The oracle unrolls 16 propagate rounds per k — both sides long converged on the fixture, so the gate compares two independently converged derivations",
+      s"k-core decomposition of the thresholded co-purchase graph (k = 2 and 3): synchronous peeling — every round drops ALL nodes whose surviving degree is below k, until a round drops nothing. The dense-community extractor of corpus curation: a co-occurrence 3-core is what remains after casual/boilerplate co-citations peel away. Output is the peel CENSUS (k, round, n_nodes, n_edges) for rounds 0..6 — stable values repeat once converged — plus the CONVERGED core as round -1, reached by edge-count fixpoint with convergence REQUIRED within the shared $KcoreOracleRounds-round bound that also sizes the oracle's unrolled chain (the fixture needs up to 10 rounds at k=3, >2x headroom; a deeper corpus THROWS, never silently emits an unconverged core or a diverging oracle row). Per round: one map-side-combinable degree aggregation + two node-keyed semi joins; the frame only shrinks, so total work is rounds x surviving edges; per-round pinIter with superseded-generation unpin (the self-referencing-loop discipline). The oracle unrolls $KcoreOracleRounds propagate rounds per k — both sides long converged on the fixture, so the gate compares two independently converged derivations",
       (s, dir) => {
         val e = coPurchaseEdges(s, dir)
         // maxRounds == the oracle's unrolled depth (shared constant): the
@@ -1575,7 +1615,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_walks",
-      s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(start ':' x ':' t) mod deg] — the md5-derived index replaces the RNG (start-salted: two walks crossing the same node at the same step still diverge, keeping the corpus close to independent walks), so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
+      s"deterministic random walks over the co-purchase graph (DeepWalk/node2vec's positive-pair generation for graph-embedding training, made engine-reproducible): from every node, a 3-hop walk whose step-t hop from node x is sorted-neighbors[md5(start ':' 1 ':' x ':' t) mod deg] (the W x L corpus's hash with walk id fixed at 1 — this query IS walkCorpus at W=1, L=3, so the 1-walk gate stays hash-stable as W generalizes) — the md5-derived index replaces the RNG (start- and walk-salted: two walks crossing the same node at the same step still diverge, keeping the corpus close to independent walks), so the walk corpus is bit-identical across engines and runs (the q_sample_hash discipline applied to graph traversal). Neighbor lists are per-node sorted arrays CAPPED at $MaxNeighbors (observable graft.graph_walk_nbrs metric, rank<=cap mirrored in the oracle — a 10^5-degree hub contributes a 64-entry array, not a 10^5-entry one); each hop is one shuffle join of the node-sized walk frame against the pinned neighbor-array frame. First 500 walks by start node: (start, n1, n2, n3)",
       (s, dir) =>
         walkFrame(coPurchaseEdges(s, dir)).orderBy(col("start")).limit(500),
       Some(s"""WITH $coEdgesSql,
@@ -1678,7 +1718,8 @@ object Graph {
         }
         s"""WITH $coEdgesSql,
            |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-           |b0 AS MATERIALIZED (SELECT (SELECT min(u) FROM sym) AS node, cast(0 as bigint) AS d),
+           |b0 AS MATERIALIZED (
+           |  SELECT u AS node, cast(0 as bigint) AS d FROM sym ORDER BY u LIMIT 1),
            |${steps.mkString(",\n")}
            |SELECT * FROM (
            |  SELECT d, cast(count(1) as bigint) AS n_nodes FROM b$BfsOracleRounds GROUP BY d
@@ -1793,7 +1834,8 @@ object Graph {
            |  SELECT pa AS u, pb AS v, 1000 // w AS len FROM ew
            |  UNION ALL
            |  SELECT pb, pa, 1000 // w FROM ew),
-           |w0 AS MATERIALIZED (SELECT (SELECT min(u) FROM syw) AS node, cast(0 as bigint) AS d),
+           |w0 AS MATERIALIZED (
+           |  SELECT u AS node, cast(0 as bigint) AS d FROM syw ORDER BY u LIMIT 1),
            |${steps.mkString(",\n")}
            |SELECT node, cast(d as bigint) AS dist FROM w$SsspOracleRounds
            |ORDER BY d, node LIMIT 20""".stripMargin

@@ -33,39 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingBpe {
 
-  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def currentMarker(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, "_CURRENT")
-
   /** Live merge-table version, or None before the first fold; heals a torn
     * pointer flip forward (same rule as [[StreamingGraph]]/[[StreamingIvf]]).
     */
-  private[graft] def currentVersion(spark: SparkSession, bpeDir: String): Option[Int] = {
-    val root   = new org.apache.hadoop.fs.Path(bpeDir)
-    val fs     = fsOf(spark, root)
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    if (!fs.exists(marker) && fs.exists(tmp))
-      require(fs.rename(tmp, marker), s"streaming bpe: failed to heal torn pointer flip at $tmp")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
-
-  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    val os     = fs.create(tmp, true)
-    try os.write(v.toString.getBytes("UTF-8"))
-    finally os.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    require(fs.rename(tmp, marker), s"streaming bpe: failed to flip $marker to v=$v")
-  }
+  private[graft] def currentVersion(spark: SparkSession, bpeDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, bpeDir, "streaming bpe")
 
   /** Start the ingest stream: arriving parquet files of (doc_id, text)
     * rows land as one idempotent `batch_id=N` frequency partial, then the
@@ -109,8 +81,8 @@ object StreamingBpe {
           val v                = currentVersion(s, bpeDir).getOrElse(0) + 1
           merges.write.mode("overwrite").parquet(s"$bpeDir/merges/v=$v")
           val root = new org.apache.hadoop.fs.Path(bpeDir)
-          val fs   = fsOf(s, root)
-          writeCurrent(fs, root, v)
+          val fs   = Snapshots.fsOf(s, root)
+          Snapshots.writeCurrent(fs, root, v, "streaming bpe")
           // retain ONE prior version: a concurrent reader that resolved
           // merges() against v-1 just before the flip still holds a lazy
           // scan over its files — deleting v-1 immediately would fail that

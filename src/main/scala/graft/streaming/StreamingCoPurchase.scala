@@ -45,39 +45,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCoPurchase {
 
-  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def currentMarker(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, "_CURRENT")
-
-  /** Live version, or None before the first fold; heals a torn
-    * delete-then-rename flip by promoting the fully-written `.tmp`.
+  /** Live version, or None before the first fold — the shared
+    * [[Snapshots]] pointer protocol (torn flips heal forward).
     */
-  private[graft] def currentVersion(spark: SparkSession, coDir: String): Option[Int] = {
-    val root   = new org.apache.hadoop.fs.Path(coDir)
-    val fs     = fsOf(spark, root)
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    if (!fs.exists(marker) && fs.exists(tmp))
-      require(fs.rename(tmp, marker), s"streaming co-purchase: failed to heal torn pointer flip at $tmp")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
-
-  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    val os     = fs.create(tmp, true)
-    try os.write(v.toString.getBytes("UTF-8"))
-    finally os.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    require(fs.rename(tmp, marker), s"streaming co-purchase: failed to flip $marker to v=$v")
-  }
+  private[graft] def currentVersion(spark: SparkSession, coDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, coDir, "streaming co-purchase")
 
   /** Start the ingest stream over arriving parquet files of (o, p) basket
     * rows. Per micro-batch: one idempotent `batch_id=N` dir, then the
@@ -123,8 +95,8 @@ object StreamingCoPurchase {
           val dist = Graph.ssspFrom(ew)
           dist.write.mode("overwrite").parquet(s"$coDir/sssp/v=$v")
           val root = new org.apache.hadoop.fs.Path(coDir)
-          val fs   = fsOf(s, root)
-          writeCurrent(fs, root, v)
+          val fs   = Snapshots.fsOf(s, root)
+          Snapshots.writeCurrent(fs, root, v, "streaming co-purchase")
           if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$coDir/wpr/v=${v - 2}"), true)
             fs.delete(new org.apache.hadoop.fs.Path(s"$coDir/sssp/v=${v - 2}"), true)

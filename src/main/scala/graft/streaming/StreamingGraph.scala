@@ -44,41 +44,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingGraph {
 
-  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def currentMarker(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, "_CURRENT")
-
   /** Live scores version, or None before the first fold. Heals the
     * delete-then-rename window of [[writeCurrent]]: a crash there leaves
     * only `_CURRENT.tmp`, whose content is the fully-materialized new
     * version — promote it.
     */
-  private[graft] def currentVersion(spark: SparkSession, graphDir: String): Option[Int] = {
-    val root   = new org.apache.hadoop.fs.Path(graphDir)
-    val fs     = fsOf(spark, root)
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    if (!fs.exists(marker) && fs.exists(tmp))
-      require(fs.rename(tmp, marker), s"streaming graph: failed to heal torn pointer flip at $tmp")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
-
-  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    val os     = fs.create(tmp, true)
-    try os.write(v.toString.getBytes("UTF-8"))
-    finally os.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    require(fs.rename(tmp, marker), s"streaming graph: failed to flip $marker to v=$v")
-  }
+  private[graft] def currentVersion(spark: SparkSession, graphDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, graphDir, "streaming graph")
 
   /** Start the ingest stream: arriving parquet files of (c, s) purchase
     * pairs land as one idempotent `batch_id=N` edge dir per micro-batch,
@@ -135,8 +107,8 @@ object StreamingGraph {
             tp
           }
           val root = new org.apache.hadoop.fs.Path(graphDir)
-          val fs   = fsOf(s, root)
-          writeCurrent(fs, root, v)
+          val fs   = Snapshots.fsOf(s, root)
+          Snapshots.writeCurrent(fs, root, v, "streaming graph")
           // retain ONE prior version: a reader that resolved scores()
           // against v-1 just before the flip still holds a lazy scan over
           // its files — reclaim v-2 instead of failing that read mid-flight

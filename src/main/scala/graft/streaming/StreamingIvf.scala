@@ -43,40 +43,14 @@ object StreamingIvf {
 
   import IvfSimilarity.{assignPass, compFrame, pqCentFrom, pqCodesFrom, trainCentroids}
 
-  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def currentMarker(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, "_CURRENT")
-
   /** Live snapshot version. Heals the tiny delete-then-rename window of
     * [[writeCurrent]]: a crash there leaves only `_CURRENT.tmp`, whose
     * content is the fully-materialized new version — promote it.
     */
   private[graft] def currentVersion(spark: SparkSession, indexDir: String): Int = {
-    val root   = new org.apache.hadoop.fs.Path(indexDir)
-    val fs     = fsOf(spark, root)
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    if (!fs.exists(marker) && fs.exists(tmp))
-      require(fs.rename(tmp, marker), s"ivf index: failed to heal torn pointer flip at $tmp")
-    require(fs.exists(marker), s"no IVF index at $indexDir (missing _CURRENT; run buildIndex first)")
-    val in = fs.open(marker)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-    finally in.close()
-  }
-
-  private def writeCurrent(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path, v: Int): Unit = {
-    val marker = currentMarker(root)
-    val tmp    = marker.suffix(".tmp")
-    val os     = fs.create(tmp, true)
-    try os.write(v.toString.getBytes("UTF-8"))
-    finally os.close()
-    // not atomic as a pair, but every intermediate state is recoverable:
-    // marker-only (old version), both (old wins until delete), tmp-only
-    // (healed forward by currentVersion)
-    if (fs.exists(marker)) fs.delete(marker, false)
-    require(fs.rename(tmp, marker), s"ivf index: failed to flip $marker to v=$v")
+    val v = Snapshots.currentVersion(spark, indexDir, "ivf index")
+    require(v.isDefined, s"no IVF index at $indexDir (missing _CURRENT; run buildIndex first)")
+    v.get
   }
 
   private def versionDir(indexDir: String, v: Int) = s"$indexDir/v=$v"
@@ -87,7 +61,7 @@ object StreamingIvf {
   def buildIndex(emb: DataFrame, indexDir: String): Unit = {
     val spark = emb.sparkSession
     writeSnapshot(spark, emb, indexDir, v = 1)
-    writeCurrent(fsOf(spark, new org.apache.hadoop.fs.Path(indexDir)), new org.apache.hadoop.fs.Path(indexDir), 1)
+    Snapshots.writeCurrent(Snapshots.fsOf(spark, new org.apache.hadoop.fs.Path(indexDir)), new org.apache.hadoop.fs.Path(indexDir), 1, "ivf index")
   }
 
   /** Materialize `v=$v` completely: train on `emb`, fold every vector's
@@ -183,8 +157,8 @@ object StreamingIvf {
     val all  = postings(spark, indexDir, v).select("vec_id", "embedding", "label")
     writeSnapshot(spark, all, indexDir, v + 1)
     val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs   = fsOf(spark, root)
-    writeCurrent(fs, root, v + 1)
+    val fs   = Snapshots.fsOf(spark, root)
+    Snapshots.writeCurrent(fs, root, v + 1, "ivf index")
     fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, v)), true)
   }
 

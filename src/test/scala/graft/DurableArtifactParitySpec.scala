@@ -77,8 +77,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
           "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
-          "graph_trustrank", "graph_ppr", "graph_wpr", "graph_sssp",
-          "bpe_merges").foreach { artifact =>
+          "graph_trustrank", "graph_ppr", "graph_wew", "graph_wpr",
+          "graph_sssp", "bpe_merges").foreach { artifact =>
         assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
@@ -86,6 +86,12 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       // co-purchase build's basket-cap counters persist next to _SUCCESS
       assert(new java.io.File(s"$root/$dirKey/graph_copurchase/_metrics.json").isFile,
         "the graft.copurchase_pairs counters must persist with the durable edge artifact")
+      // same for the WEIGHTED edge artifact: the basket-cap observe fires
+      // inside graph_wew's captured write (making it the artifact is what
+      // keeps the metric visible — a pin inside a downstream builder
+      // would swallow it)
+      assert(new java.io.File(s"$root/$dirKey/graph_wew/_metrics.json").isFile,
+        "the graft.copurchase_pairs counters must persist with the durable weighted-edge artifact")
     } finally System.clearProperty("graft.artifact.root")
   }
 }

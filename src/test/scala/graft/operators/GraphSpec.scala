@@ -372,6 +372,17 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
+  test("bfs and sssp on an EMPTY graph emit no rows (no phantom NULL-node seed)") {
+    import spark.implicits._
+    // agg(min) over an empty frame yields one all-NULL row; the isNotNull
+    // guard (mirrored in both oracles) must drop it, not publish a
+    // phantom node at distance 0
+    val eEmpty = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    assert(Graph.bfsCensus(eEmpty).collect().isEmpty, "empty graph -> empty histogram")
+    val wEmpty = Seq.empty[(Long, Long, Long)].toDF("pa", "pb", "w")
+    assert(Graph.ssspFrom(wEmpty).collect().isEmpty, "empty graph -> empty distance table")
+  }
+
   test("lpa census: a triangle collapses to one community with the deterministic smallest-label tie-break") {
     import spark.implicits._
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
