@@ -1810,7 +1810,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_sssp",
-      s"single-source weighted shortest paths (hop-synchronized Bellman-Ford) over the co-purchase graph from its MIN node id, edge length = 1000 div w (integer inverse tie strength — heavily co-purchased neighbors are CLOSE): the trust-distance readout of corpus curation, where crawl prioritization ranks pages by WEIGHTED link distance from a seed, not hop count. All arithmetic integer (bit-exact across engines, zero rounding); per round one shuffle join + a map-side-combinable min agg; distances only decrease and the reached set only grows, so convergence is the 1-row (count, sum) census fixpoint, REQUIRED within the shared $SsspOracleRounds-round bound that also sizes the oracle's unrolled chain. Output: the 20 nearest nodes (dist asc, node asc)",
+      s"single-source weighted shortest paths (hop-synchronized Bellman-Ford) over the co-purchase graph from its MIN node id, edge length = 1000 div w (integer inverse tie strength — heavily co-purchased neighbors are CLOSE): the trust-distance readout of corpus curation, where crawl prioritization ranks pages by WEIGHTED link distance from a seed, not hop count. All arithmetic integer (bit-exact across engines, zero rounding); per round one shuffle join + a map-side-combinable min agg; distances only decrease and the reached set only grows, so convergence is the 1-row (count, sum) census fixpoint, REQUIRED within the shared $SsspOracleRounds-round bound that also sizes the oracle's unrolled chain. The settled distance table is a build-once artifact (graph_sssp, from the shared graph_wew weighted-edge artifact) — a trust-distance field is reused across runs like the centrality priors. Output: the 20 nearest nodes (dist asc, node asc)",
       (s, dir) => {
         ssspDistances(s, dir)
           .orderBy(col("d"), col("node"))
@@ -1843,7 +1843,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_pagerank_weighted",
-      s"tie-strength-weighted PageRank over the co-purchase graph: the random surfer follows an edge with probability w / sum(out-weights), so heavily co-purchased (heavily co-cited) neighbors receive proportionally more mass — the WEIGHTED domain-quality prior (CommonCrawl-style domain ranking weights the link graph by link multiplicity, not mere adjacency). Same integer picoprobability fixed point as q_graph_pagerank (per-edge flow (85*s*w) div (100*W), W folded into the edge frame once, teleport 15e12 div (100*n), floor division — bit-exact, zero rounding), with per-edge weights SATURATED at $MaxTieWeight so 85*s*w stays inside int64 through any pathological pair at 100 TB; the cap is mirrored in the oracle. Top-20 by score",
+      s"tie-strength-weighted PageRank over the co-purchase graph: the random surfer follows an edge with probability w / sum(out-weights), so heavily co-purchased (heavily co-cited) neighbors receive proportionally more mass — the WEIGHTED domain-quality prior (CommonCrawl-style domain ranking weights the link graph by link multiplicity, not mere adjacency). Same integer picoprobability fixed point as q_graph_pagerank (per-edge flow (85*s*w) div (100*W), W folded into the edge frame once, teleport 15e12 div (100*n), floor division — bit-exact, zero rounding), with per-edge weights SATURATED at $MaxTieWeight so 85*s*w stays inside int64 through any pathological pair at 100 TB; the cap is mirrored in the oracle. The score table is a build-once artifact (graph_wpr, from the shared graph_wew weighted-edge artifact). Top-20 by score",
       (s, dir) =>
         weightedPagerankScores(s, dir)
           .orderBy(col("s").desc, col("node"))
