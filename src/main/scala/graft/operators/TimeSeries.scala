@@ -271,6 +271,40 @@ object TimeSeries {
            |  cast(scaled as double) / 32768.0 AS ewma
            |FROM last WHERE rn = 1 ORDER BY event_type""".stripMargin
       }
+    ),
+    QueryDef(
+      "q_ts_seasonal",
+      "weekday seasonality profile of the dense daily count series — the calendar shape of ingest volume (is Sunday 40% of Wednesday?), the profile a pipeline consults BEFORE interpreting a day-over-day drop as an incident (the same reason forecast eval is seasonal-naive). Per day-of-week (0 = Sunday; dow = (epoch-day + 4) mod 7, pure integer): the day count, the exact volume total, the mean, and the seasonal index mean_dow / mean_overall — every statistic is exact bigint moments with the ratios emitted as SINGLE IEEE divisions of exactly-converted integer products ((total*N) / (n_days*S) — the assortativity discipline), so both engines agree bit-for-bit with zero rounding. One shuffle to the series grain, then a 7-row aggregate",
+      (s, dir) => {
+        val d = denseDaily(s, dir)
+        val byDow = d
+          .groupBy(((col("day") + 4) % 7).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("total"))
+        val tot = byDow.agg(sum(col("n_days")).as("nn"), sum(col("total")).as("ss"))
+        byDow
+          .crossJoin(broadcast(tot))
+          .select(
+            col("dow"),
+            col("n_days"),
+            col("total"),
+            (col("total").cast("double") / col("n_days").cast("double")).as("mean_cnt"),
+            ((col("total") * col("nn")).cast("double") /
+              (col("n_days") * col("ss")).cast("double")).as("seasonal_index")
+          )
+          .orderBy(col("dow"))
+      },
+      Some(s"""WITH $denseDailySql,
+              |byd AS (SELECT cast((day + 4) % 7 as bigint) AS dow,
+              |  cast(count(1) as bigint) AS n_days, cast(sum(cnt) as bigint) AS total
+              |  FROM d GROUP BY 1),
+              |tot AS (SELECT cast(sum(n_days) as bigint) AS nn,
+              |  cast(sum(total) as bigint) AS ss FROM byd)
+              |SELECT dow, n_days, total,
+              |  cast(cast(total as varchar) as double)
+              |    / cast(cast(n_days as varchar) as double) AS mean_cnt,
+              |  cast(cast(total * nn as varchar) as double)
+              |    / cast(cast(n_days * ss as varchar) as double) AS seasonal_index
+              |FROM byd CROSS JOIN tot ORDER BY dow""".stripMargin)
     )
   )
 }

@@ -109,4 +109,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(got(tpe) === ((day, cnt, ewma)), s"$tpe: ${got(tpe)} vs ($day, $cnt, $ewma)")
     }
   }
+
+  test("seasonal profile: moments match an in-memory recomputation, indexes average to ~1") {
+    val series = dailyCounts()
+    val expected = series
+      .groupBy { case (day, _) => (day + 4) % 7 }
+      .map { case (dow, xs) =>
+        val n = xs.size.toLong
+        val t = xs.map(_._2).sum
+        val nn = series.size.toLong
+        val ss = series.map(_._2).sum
+        dow -> ((n, t, t.toDouble / n.toDouble, (t * nn).toDouble / (n * ss).toDouble))
+      }
+    val got = SparkEntry
+      .queries("q_ts_seasonal")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === expected.keySet, s"dow coverage: ${got.keySet}")
+    expected.foreach { case (dow, e) => assert(got(dow) === e, s"dow $dow: ${got(dow)} vs $e") }
+    // the day-weighted average of the seasonal indexes is exactly 1 by
+    // construction: sum over dows of n_d * (t_d*N)/(n_d*S) = N
+    val weighted = got.map { case (_, (n, _, _, idx)) => n * idx }.sum
+    val totalDays = got.values.map(_._1).sum.toDouble
+    assert(math.abs(weighted / totalDays - 1.0) < 1e-12, s"weighted index mean: $weighted / $totalDays")
+  }
 }
