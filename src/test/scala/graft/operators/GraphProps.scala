@@ -144,6 +144,57 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
   }
 
+  property("bfs census == brute-force BFS from the min node (unreached as -1)") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj = adjacency(es)
+      val src = adj.keys.min
+      var dist    = Map(src -> 0L)
+      var frontier = Set(src)
+      var d       = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= frontier.map(_ -> d)
+      }
+      val unreached = adj.keySet.diff(dist.keySet).size.toLong
+      val expected = (dist.values.groupBy(identity).map { case (k, v) => (k, v.size.toLong) } ++
+        (if (unreached > 0) Map(-1L -> unreached) else Map.empty)).toList.sortBy(_._1)
+      val got = Graph
+        .bfsCensus(es.toDF("pa", "pb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toList
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+    }
+
+  property("lpa census == brute-force synchronous label propagation (4 rounds)") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj = adjacency(es)
+      var lab = adj.keySet.map(n => n -> n).toMap
+      def censusOf(round: Long, l: Map[Long, Long]) = {
+        val sizes = l.values.groupBy(identity).map(_._2.size.toLong)
+        (round, sizes.size.toLong, sizes.max)
+      }
+      val expected = Seq.newBuilder[(Long, Long, Long)]
+      expected += censusOf(0L, lab)
+      for (k <- 1 to 4) {
+        lab = lab.map { case (n, _) =>
+          val counts = adj(n).toList.map(lab).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          val best   = counts.toList.maxBy { case (l, c) => (c, -l) }
+          n -> best._1
+        }
+        expected += censusOf(k.toLong, lab)
+      }
+      val got = Graph
+        .lpaCensus(es.toDF("pa", "pb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toList
+      Prop(got == expected.result().toList) :| s"got $got expected ${expected.result()} on $es"
+    }
+
   property("k-truss converged truss == brute-force support peel (k=3)") = Prop.forAll(graphs) {
     es =>
       import spark.implicits._
