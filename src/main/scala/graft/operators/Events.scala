@@ -358,6 +358,41 @@ object Events {
              |WHERE abs((c - cast(s1 as double) / n_w)
              |    / sqrt(cast(n_w * s2 - s1 * s1 as double) / (n_w * n_w))) >= 2.0
              |ORDER BY event_type, wstart_s""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_gap_hist",
+      "per-user inter-arrival gap histogram in log2 second buckets — the sessionization-threshold calibration readout: q_event_session hard-codes a 30-minute gap, and THIS distribution (is there a valley between the within-session and between-session modes?) is what justifies or re-tunes it. Gap = consecutive same-user epoch-second difference (one user-partitioned lag window — hash-partitioned by user_id, the gap multiset is invariant under equal-timestamp permutations so ORDER BY t alone is deterministic); bucket = floor(log2(gap)) computed EXACTLY as length(bin(gap)) - 1 (a string length of the binary representation — identical in both engines, no transcendental log to disagree on), with zero-second gaps in bucket -1. Output per bucket: gap count, min and max gap — all exact bigints",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        Tables
+          .events(s, dir)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t"))
+          .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .select(
+            when(col("gap") === 0, lit(-1L))
+              .otherwise((length(bin(col("gap"))) - 1).cast("long")).as("bucket"),
+            col("gap")
+          )
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            min(col("gap")).as("min_gap"),
+            max(col("gap")).as("max_gap")
+          )
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH g0 AS (
+             |  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS t FROM events),
+             |g1 AS (
+             |  SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap FROM g0),
+             |g2 AS (
+             |  SELECT CASE WHEN gap = 0 THEN -1
+             |              ELSE length(bin(gap)) - 1 END AS bucket, gap
+             |  FROM g1 WHERE gap IS NOT NULL)
+             |SELECT cast(bucket as bigint) AS bucket, cast(count(1) as bigint) AS n_gaps,
+             |  cast(min(gap) as bigint) AS min_gap, cast(max(gap) as bigint) AS max_gap
+             |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -110,6 +110,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("gap histogram: buckets match an in-memory recomputation over per-user sorted arrivals") {
+    val arrivals = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .selectExpr("user_id", "cast(unix_timestamp(ts) as long) as t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    val gaps = arrivals.values.flatMap { xs =>
+      val ts = xs.map(_._2).toSeq.sorted
+      ts.zip(ts.tail).map { case (a, b) => b - a }
+    }.toSeq
+    def bucketOf(g: Long): Long =
+      if (g == 0) -1L else (63 - java.lang.Long.numberOfLeadingZeros(g)).toLong
+    val expected = gaps
+      .groupBy(bucketOf)
+      .map { case (b, xs) => b -> ((xs.size.toLong, xs.min, xs.max)) }
+    val got = SparkEntry
+      .queries("q_event_gap_hist")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected, s"got $got expected $expected")
+  }
+
   test("seasonal profile: moments match an in-memory recomputation, indexes average to ~1") {
     val series = dailyCounts()
     val expected = series
