@@ -144,6 +144,33 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
   }
 
+  property("weighted pagerank: mass conserved within floor loss, matches brute-force integer loop") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val ew  = es.map { case (a, b) => (a, b, 1L + (a + b) % 5) }
+      val adj = (ew ++ ew.map(e => (e._2, e._1, e._3)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+      val outw  = adj.view.mapValues(_.map(_._2).sum).toMap
+      val nodes = adj.keySet.toList.sorted
+      val n     = nodes.size.toLong
+      // brute-force replica of the integer fixed point (5 rounds)
+      var s = nodes.map(_ -> 1000000000000L / n).toMap
+      for (_ <- 1 to 5) {
+        val c = collection.mutable.Map(nodes.map(_ -> 0L): _*)
+        for ((u, nbrs) <- adj; (v, w) <- nbrs)
+          c(v) += (85L * s(u) * w) / (100L * outw(u))
+        s = nodes.map(x => x -> (15000000000000L / (100L * n) + c(x))).toMap
+      }
+      val got = Graph
+        .buildWeightedPagerankScores(ew.toDF("pa", "pb", "w"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toMap
+      val total = got.values.sum
+      Prop(got == s && total <= 1000000000000L && total > 900000000000L) :|
+        s"got $got expected $s (total $total) on $ew"
+    }
+
   property("bfs census == brute-force BFS from the min node (unreached as -1)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._
