@@ -13,6 +13,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Artifacts {
 
+  /** On-disk FORMAT VERSION of the durable artifacts, encoded in every
+    * artifact's path (`.../<name>/fv=N`). Bump it whenever any builder's
+    * output FORMULA or layout changes (the r15 teleport-constant fix is the
+    * motivating case: it changed the graph_pagerank/graph_trustrank score
+    * tables while the path stayed identical, so a deployment pointing
+    * `graft.artifact.root` at a root populated by the previous build would
+    * silently serve stale old-formula tables — the parity specs always use
+    * a fresh temp root and can never catch that). With the version in the
+    * path, a formula change makes old roots a cache MISS: the artifact is
+    * rebuilt under the new `fv=` directory instead of replayed stale.
+    */
+  private[graft] val FormatVersion = 2
+
+  /** The durable on-disk location of one build-once artifact: root /
+    * sanitized-input-dir / artifact-name / format-version. Shared by every
+    * artifact family (dedup signatures, IVF/PQ index, graph scores, BPE
+    * merges) so the [[FormatVersion]] invalidation rule is uniform.
+    */
+  private[graft] def durablePath(root: String, dir: String, name: String): String =
+    s"$root/${Tables.artifactDirKey(dir)}/$name/fv=$FormatVersion"
+
+  /** Materialize a TRACKED builder outside the artifact caches — the
+    * `Tables.noArtifactCache` full-rebuild path: pin the result, reclaim
+    * the builder's pinned intermediates (mirroring [[cachedInTracked]]'s
+    * session path). Without this the no-cache mode leaks every
+    * invocation's checkpoint generations for the session lifetime.
+    */
+  private[graft] def materializeTracked(build: => (DataFrame, Seq[DataFrame])): DataFrame = {
+    val (frame, pins) = build
+    val pinned        = Tables.pin(frame)
+    pins.foreach(Tables.unpin)
+    pinned
+  }
+
   /** [[cachedIn]] whose build also RETURNS the intermediate frames it
     * pinned: once the artifact is materialized (session pin or durable
     * parquet), those builder pins have no further consumer and are
@@ -33,7 +67,7 @@ object Artifacts {
     Option(cache.get(key)).getOrElse {
       val built = root match {
         case Some(r) =>
-          val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
+          val path = durablePath(r, dir, name)
           graft.sources.Sinks.durableArtifact(s, path) { p =>
             // persist the build's observe() counters next to _SUCCESS (the
             // Dedup cache discipline): reuse runs serve the parquet

@@ -262,8 +262,11 @@ object Bpe {
     ctes.result()
   }
 
-  /** Four non-overlapping replace passes of merge `m` on column `c`. */
-  private def replaceSql(c: String): String =
+  /** Four non-overlapping replace passes of merge `m` on column `c`.
+    * Shared with [[WordPiece]] — the rewrite rule is tokenizer-agnostic
+    * (only the argmax that PICKS the merge differs).
+    */
+  private[operators] def replaceSql(c: String): String =
     (1 to 4).foldLeft(c) { (acc, _) =>
       s"replace($acc, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || '_' || m.b || ' ')"
     }
@@ -289,9 +292,10 @@ object Bpe {
        |ORDER BY d.doc_id LIMIT 500""".stripMargin
 
   /** The per-doc encode readout on the Spark side: join the
-    * vocabulary-shaped (s0, enc) mapping back to documents.
+    * vocabulary-shaped (s0, enc) mapping back to documents. Shared with
+    * [[WordPiece]] — the readout is encoder-agnostic.
     */
-  private def encodeReadout(docs: DataFrame, enc: DataFrame): DataFrame =
+  private[operators] def encodeReadout(docs: DataFrame, enc: DataFrame): DataFrame =
     docs
       .select(
         col("doc_id"),

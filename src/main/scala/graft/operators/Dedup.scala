@@ -84,7 +84,7 @@ object Dedup {
           // range-clustered layout, then (and on every later use, across
           // sessions) serves the read-back parquet
           case Some(r) =>
-            val path = s"$r/${graft.Tables.artifactDirKey(dir)}/$name"
+            val path = graft.Artifacts.durablePath(r, dir, name)
             graft.sources.Sinks.durableArtifact(s, path) { p =>
               // capture the build plan's observe() counters (the LSH cap
               // stats) and persist them next to _SUCCESS: reuse runs serve

@@ -120,7 +120,7 @@ object IvfSimilarity {
     Option(cache.get(key)).getOrElse {
       val built = root match {
         case Some(r) =>
-          val path = s"$r/${Tables.artifactDirKey(dir)}/$name"
+          val path = graft.Artifacts.durablePath(r, dir, name)
           graft.sources.Sinks.durableArtifact(s, path)(p => durableWrite.get(build, p))
         case None => build.pin()
       }

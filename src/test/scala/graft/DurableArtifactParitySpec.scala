@@ -54,6 +54,11 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_ppr",
     "q_graph_pagerank_weighted",
     "q_graph_sssp",
+    "q_graph_components",
+    "q_graph_kcore",
+    "q_graph_truss",
+    "q_graph_hits",
+    "q_graph_lpa",
     "q_bpe_merges",
     "q_bpe_encode"
   )
@@ -73,24 +78,32 @@ class DurableArtifactParitySpec extends AnyFunSuite {
       }
       // the family's artifacts actually committed to the root (this was a
       // real durable run, not a silent fall-through to the session path)
-      val dirKey = Tables.artifactDirKey(TestSpark.sfDir)
+      def artifactPath(artifact: String): String =
+        Artifacts.durablePath(root, TestSpark.sfDir, artifact)
       Seq("minhash_sigraw", "minhash_sig", "minhash_pairs", "simhash",
           "jaccard_shingles", "ivf_cent2", "ivf_assignments",
           "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
           "graph_trustrank", "graph_ppr", "graph_wew", "graph_wpr",
-          "graph_sssp", "bpe_merges").foreach { artifact =>
-        assert(new java.io.File(s"$root/$dirKey/$artifact/_SUCCESS").exists,
+          "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
+          "graph_hits", "graph_lpa", "bpe_merges").foreach { artifact =>
+        assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
+      // the format version is part of every artifact path (`fv=N`): a
+      // formula change bumps Artifacts.FormatVersion and turns roots
+      // populated by the previous build into cache MISSES instead of
+      // silently-served stale tables
+      assert(artifactPath("graph_pagerank").endsWith(s"/fv=${Artifacts.FormatVersion}"),
+        "durable artifact paths must encode the format version")
       // no-silent-caps survives durable mode for the graph family too: the
       // co-purchase build's basket-cap counters persist next to _SUCCESS
-      assert(new java.io.File(s"$root/$dirKey/graph_copurchase/_metrics.json").isFile,
+      assert(new java.io.File(s"${artifactPath("graph_copurchase")}/_metrics.json").isFile,
         "the graft.copurchase_pairs counters must persist with the durable edge artifact")
       // same for the WEIGHTED edge artifact: the basket-cap observe fires
       // inside graph_wew's captured write (making it the artifact is what
       // keeps the metric visible — a pin inside a downstream builder
       // would swallow it)
-      assert(new java.io.File(s"$root/$dirKey/graph_wew/_metrics.json").isFile,
+      assert(new java.io.File(s"${artifactPath("graph_wew")}/_metrics.json").isFile,
         "the graft.copurchase_pairs counters must persist with the durable weighted-edge artifact")
     } finally System.clearProperty("graft.artifact.root")
   }

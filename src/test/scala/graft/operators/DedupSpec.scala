@@ -148,17 +148,17 @@ class DedupSpec extends AnyFunSuite {
         .map(_.toString)
         .toSeq
       assert(durable === baseline, "pairs from the durable artifact must match the in-session result")
-      val dirKey = graft.Tables.artifactDirKey(graft.TestSpark.sfDir)
       Seq("minhash_sig", "minhash_pairs").foreach { name =>
         assert(
-          new java.io.File(s"$root/$dirKey/$name/_SUCCESS").exists,
+          new java.io.File(s"${graft.Artifacts.durablePath(root, graft.TestSpark.sfDir, name)}/_SUCCESS").exists,
           s"committed $name artifact missing"
         )
       }
       // no-silent-caps survives durable mode: the build run's observed cap
       // counters are persisted next to the artifact (reuse runs read parquet
       // back and carry no observedMetrics of their own)
-      val metricsFile = new java.io.File(s"$root/$dirKey/minhash_pairs/_metrics.json")
+      val metricsFile = new java.io.File(
+        s"${graft.Artifacts.durablePath(root, graft.TestSpark.sfDir, "minhash_pairs")}/_metrics.json")
       assert(metricsFile.exists, "LSH cap stats must be persisted next to the durable artifact")
       val metricsJson = new String(
         java.nio.file.Files.readAllBytes(metricsFile.toPath),

@@ -122,13 +122,12 @@ class IvfSimilaritySpec extends AnyFunSuite {
         .map(_.toString)
         .toSeq
       assert(durable === baseline, "probe from the durable artifact must match the in-session result")
-      val dirKey = graft.Tables.artifactDirKey(TestSpark.sfDir)
-      val idx = new java.io.File(s"$root/$dirKey/ivf_assignments")
+      val idx = new java.io.File(graft.Artifacts.durablePath(root, TestSpark.sfDir, "ivf_assignments"))
       assert(new java.io.File(idx, "_SUCCESS").exists, "committed artifact marker missing")
       // the on-disk shape IS the inverted file: one hive partition per cluster
       val cidDirs = idx.list().filter(_.startsWith("cid="))
       assert(cidDirs.length === IvfSimilarity.K, s"expected ${IvfSimilarity.K} cid= partitions, got ${cidDirs.mkString(",")}")
-      assert(new java.io.File(s"$root/$dirKey/ivf_cent2/_SUCCESS").exists, "centroid artifact missing")
+      assert(new java.io.File(s"${graft.Artifacts.durablePath(root, TestSpark.sfDir, "ivf_cent2")}/_SUCCESS").exists, "centroid artifact missing")
       // a separate consumer (fresh read, no graft caches) can probe it
       val reread = spark.read.parquet(idx.toString)
       assert(reread.columns.toSet === Set("vec_id", "dist", "cid"))
@@ -143,10 +142,9 @@ class IvfSimilaritySpec extends AnyFunSuite {
       .map(_.toString)
       .toSeq
     val root = java.nio.file.Files.createTempDirectory("graft-torn").toString
-    val dirKey = graft.Tables.artifactDirKey(TestSpark.sfDir)
     // simulate a job killed mid-write: artifact dir exists with stray data
     // but no _SUCCESS commit marker
-    val idx = new java.io.File(s"$root/$dirKey/ivf_assignments")
+    val idx = new java.io.File(graft.Artifacts.durablePath(root, TestSpark.sfDir, "ivf_assignments"))
     assert(idx.mkdirs())
     java.nio.file.Files.write(idx.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
     System.setProperty("graft.artifact.root", root)
