@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Graph.defs ++
       operators.Dsir.defs ++
       operators.TimeSeries.defs ++
-      operators.Bpe.defs
+      operators.Bpe.defs ++
+      operators.WordPiece.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The complete reference pipeline: graft-events DSv2 partitioned scan ->
