@@ -550,6 +550,102 @@ object Graph {
     hist.unionByName(unreached).orderBy(col("d"))
   }
 
+  /** How many min-id seeds the harmonic-centrality gate query batches into
+    * ONE multi-source BFS loop.
+    */
+  private[graft] val HarmonicSeeds = 8
+
+  /** MULTI-SOURCE BFS → harmonic centrality over an undirected (pa < pb)
+    * edge set: ONE synchronized frontier loop keyed by (seed, node) for
+    * the `seedCount` MIN node ids — the batched-probe discipline
+    * ([[IvfSimilarity]]'s set-at-a-time probe) applied to traversal, so K
+    * seeds cost K× frame width but the SAME number of rounds and plans as
+    * one. Emits per seed the harmonic centrality Σ 1/d(s,·) over reached
+    * nodes (Boldi & Vigna 2014's centrality of choice for disconnected
+    * graphs: unreached nodes contribute exactly 0 instead of breaking a
+    * closeness denominator) and the reached count.
+    *
+    * Scale shape: the settled frame only GROWS and is read three times per
+    * round (join source, anti-join filter, union) — per-round pinIter with
+    * superseded-generation unpin; convergence from the 1-row count
+    * fixpoint, REQUIRED within the [[BfsOracleRounds]] bound the oracle's
+    * unrolled chain shares. The per-term 1/d is decimal-cast for an
+    * order-free exact sum (the bm25 convention) and emitted as ONE
+    * decimal→double conversion — no rounding call anywhere.
+    */
+  private[graft] def harmonicCensusTracked(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds,
+      maxRounds: Int = BfsOracleRounds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    // orderBy+limit seeds (the bfsCensus phantom-row-free form), fanned
+    // out to (seed, node, d) pairs — the loop key is the PAIR, so one
+    // seed's settled node never blocks another seed's frontier
+    var dist = Tables.pinIter(
+      sym
+        .select(col("u"))
+        .distinct()
+        .orderBy(col("u"))
+        .limit(seedCount)
+        .select(col("u").as("seed"), col("u").as("node"), lit(0L).as("d"))
+    )
+    var settled   = dist.count()
+    var round     = 0
+    var converged = settled == 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = Tables.pinIter(
+        sym
+          .join(dist, sym("u") === dist("node"))
+          .select(col("seed"), col("v").as("node"))
+          .distinct()
+          .join(dist, Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(round.toLong).as("d"))
+          .unionByName(dist)
+      )
+      val c = next.count()
+      converged = c == settled
+      settled = c
+      Tables.unpin(dist)
+      dist = next
+    }
+    require(
+      converged,
+      s"multi-source BFS did not converge within $maxRounds rounds — raise " +
+        "maxRounds; harmonic sums must cover each seed's full component"
+    )
+    Tables.unpin(sym)
+    val res = dist
+      .filter(col("d") > 0)
+      .groupBy(col("seed").as("node"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum((lit(1.0) / col("d")).cast("decimal(18,12)")).cast("double").as("harmonic")
+      )
+    (res, Seq(dist))
+  }
+
+  /** [[harmonicCensusTracked]]'s result frame alone — the GraphProps
+    * differential entry point.
+    */
+  private[graft] def harmonicCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
+    harmonicCensusTracked(e, seedCount)._1
+
+  private val harmonicCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Harmonic-centrality table as a build-once artifact. */
+  private def harmonicArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked(harmonicCensusTracked(coPurchaseEdges(s, dir)))
+    else
+      graft.Artifacts.cachedInTracked(harmonicCache, s, dir, "graph_harmonic", "node")(
+        harmonicCensusTracked(coPurchaseEdges(s, dir)))
+
   /** Synchronous label-propagation community census over an undirected
     * (pa < pb) edge set (Raghavan et al. 2007, made deterministic): labels
     * start as node ids and every round each node adopts its neighbors'
@@ -1851,6 +1947,33 @@ object Graph {
            |    WHERE u NOT IN (SELECT node FROM b$BfsOracleRounds)) z
            |  HAVING count(1) > 0) h
            |ORDER BY d""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_harmonic",
+      s"harmonic centrality via MULTI-SOURCE BFS — Boldi & Vigna 2014's centrality of choice for disconnected graphs (unreached nodes contribute exactly 0 instead of breaking a closeness denominator): for each of the $HarmonicSeeds min-id seed nodes, sum 1/d(s, v) over every node v the seed reaches. ONE synchronized frontier loop keyed by (seed, node) — the batched-probe discipline (q_sim_ivf_probe_batch's set-at-a-time plan) applied to traversal: K seeds widen the frame K-fold but the round count and per-round plan (one shuffle join + distinct + anti join against the settled frame) are those of a single BFS — the traversal family's real 100x-scale shape, since a landmark-centrality job runs hundreds of seeds and cannot afford a loop per seed. Convergence REQUIRED within the shared $BfsOracleRounds-round bound that also sizes the oracle's unrolled chain; per-term 1/d is decimal-cast for an order-free exact sum and emitted as ONE decimal-to-double conversion, zero rounding anywhere. The table is a build-once artifact (graph_harmonic, durable under graft.artifact.root, parity spec-pinned). Output per seed: (node, n_reached, harmonic)",
+      (s, dir) => harmonicArtifact(s, dir).orderBy(col("node")),
+      Some {
+        val steps = (1 to BfsOracleRounds).map { k =>
+          s"""h$k AS MATERIALIZED (
+             |  SELECT seed, node, d FROM h${k - 1}
+             |  UNION ALL
+             |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
+             |    SELECT DISTINCT p.seed, s.v AS node
+             |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
+             |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
+             |  WHERE q.node IS NULL)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |h0 AS MATERIALIZED (
+           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
+           |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
+           |${steps.mkString(",\n")}
+           |SELECT seed AS node, cast(count(1) as bigint) AS n_reached,
+           |  cast(cast(sum(cast(1.0 / d as decimal(18,12))) as varchar) as double) AS harmonic
+           |FROM h$BfsOracleRounds WHERE d > 0
+           |GROUP BY seed ORDER BY node""".stripMargin
       }
     ),
     QueryDef(

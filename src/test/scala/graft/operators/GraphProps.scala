@@ -195,6 +195,33 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
     }
 
+  property("harmonic centrality == brute-force multi-source BFS from the 4 min-id seeds") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj   = adjacency(es)
+      val seeds = adj.keySet.toList.sorted.take(4)
+      def bd(x: Double) = BigDecimal(x.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val expected = seeds.map { s =>
+        var dist     = Map(s -> 0L)
+        var frontier = Set(s)
+        var d        = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+          dist ++= frontier.map(_ -> d)
+        }
+        val reach = dist.filter(_._2 > 0)
+        (s, reach.size.toLong, reach.values.map(dd => bd(1.0 / dd)).sum.toDouble)
+      }
+      val got = Graph
+        .harmonicCensus(es.toDF("pa", "pb"), seedCount = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toList
+        .sortBy(_._1)
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+    }
+
   property("lpa census == brute-force synchronous label propagation (4 rounds)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

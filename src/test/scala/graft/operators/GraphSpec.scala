@@ -372,6 +372,32 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
+  test("harmonic centrality: the planted path scores exact 1/d sums per seed, off-component nodes contribute 0") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {6,7}; with seedCount = 2
+    // the seeds are {1, 2}. Per-term 1/d goes through the same
+    // shortest-repr double -> decimal(., 12) cast the operator applies.
+    def bd(x: Double) = BigDecimal(x.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("pa", "pb")
+    val rows = Graph
+      .harmonicCensus(g, seedCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+      .toSeq
+    val h1 = Seq(1.0, 1.0 / 2, 1.0 / 3, 1.0 / 4).map(bd).sum.toDouble
+    val h2 = Seq(1.0, 1.0, 1.0 / 2, 1.0 / 3).map(bd).sum.toDouble
+    assert(rows === Seq((1L, 4L, h1), (2L, 4L, h2)), rows.mkString(","))
+    // nodes 6/7 never appear in any seed's sum (disconnected = exactly 0
+    // contribution — the property closeness centrality lacks)
+    // a frontier that cannot settle within maxRounds throws
+    val ex = intercept[IllegalArgumentException](
+      Graph.harmonicCensusTracked(g, seedCount = 2, maxRounds = 2)._1.collect())
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // one loop serves ALL seeds: the empty graph emits no rows
+    assert(Graph.harmonicCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
+  }
+
   test("bfs and sssp on an EMPTY graph emit no rows (no phantom NULL-node seed)") {
     import spark.implicits._
     // agg(min) over an empty frame yields one all-NULL row; the isNotNull
