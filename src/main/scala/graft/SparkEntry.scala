@@ -29,7 +29,8 @@ object SparkEntry {
       operators.Dsir.defs ++
       operators.TimeSeries.defs ++
       operators.Bpe.defs ++
-      operators.WordPiece.defs
+      operators.WordPiece.defs ++
+      pipelines.CorpusPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The complete reference pipeline: graft-events DSv2 partitioned scan ->

@@ -375,10 +375,11 @@ object Dedup {
   }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b)` — the SQL twin of
-    * [[minhashPairs]].
+    * [[minhashPairs]], over any (doc_id, text) source CTE/table (the
+    * funnel oracle runs it over the exact-dedup survivors).
     */
-  private def pairsCteSql: String =
-    s"""$sigCte,
+  private[graft] def pairsCteSqlFrom(src: String, extra: Seq[String]): String =
+    s"""${TextShared.sigCteFrom(src, extra)},
        |bands AS (
        |  SELECT doc_id, i AS band_idx,
        |    CASE i ${(0 until NumBands).map(b => s"WHEN $b THEN band$b").mkString(" ")} END AS band
@@ -400,8 +401,10 @@ object Dedup {
     * Caller must emit `WITH RECURSIVE` (not plain `WITH`) ahead of this
     * chain.
     */
-  private def clustersCteSql: String =
-    s"""$pairsCteSql,
+  private def pairsCteSql: String = pairsCteSqlFrom("documents", Seq("lang", "source"))
+
+  private[graft] def clustersCteSqlFrom(src: String, extra: Seq[String]): String =
+    s"""${pairsCteSqlFrom(src, extra)},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -411,6 +414,8 @@ object Dedup {
        |  SELECT e.src AS doc_id, r.label
        |  FROM edges e JOIN reach r ON e.dst = r.doc_id),
        |cc AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id)""".stripMargin
+
+  private def clustersCteSql: String = clustersCteSqlFrom("documents", Seq("lang", "source"))
 
   /** Spark-side SimHash frame: doc_id, simhash (shared by both simhash
     * queries; single source for the 16 bit-term expressions).

@@ -70,7 +70,7 @@ object TextAnalysis {
     * the score formula is a cross-engine parity contract, and a drifted
     * copy would silently break whichever oracle kept the old one.
     */
-  private[operators] def qualityMetricsCteSql: String = {
+  private[graft] def qualityMetricsCteSql: String = {
     val stop = stopHitsSql(stopwords.head._2)
     s"""base AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
@@ -89,7 +89,7 @@ object TextAnalysis {
     * [[qualityMetricsCteSql]] — the SQL twin of [[qualityFrame]]'s
     * `quality` expression.
     */
-  private[operators] val qualityColSql: String =
+  private[graft] val qualityColSql: String =
     "least(avg_tok_len / 8.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2"
 
   /** Input columns + per-language stopword scores + `predicted` — exposed so

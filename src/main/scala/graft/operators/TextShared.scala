@@ -68,12 +68,17 @@ object TextShared {
 
   // ---- DuckDB side (SQL text) ----
 
-  /** CTEs `toks(doc_id, lang, source, t)` and `sh(doc_id, lang, source, s)`. */
-  val shinglesCte: String = {
-    val w  = ShingleWidth
-    val w1 = w - 1
-    s"""toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT doc_id, lang, source,
+  /** CTEs `toks(doc_id, <extra>, t)` and `sh(doc_id, <extra>, s)` over any
+    * (doc_id, text) source CTE/table — parametrized so pipeline oracles
+    * can shingle an intermediate STAGE (the funnel's exact-dedup
+    * survivors) through the same rendering that shingles `documents`.
+    */
+  def shinglesCteFrom(src: String, extra: Seq[String] = Seq("lang", "source")): String = {
+    val w    = ShingleWidth
+    val w1   = w - 1
+    val cols = ("doc_id" +: extra).mkString(", ")
+    s"""toks AS (SELECT $cols, string_split(text, ' ') AS t FROM $src),
+       |sh AS (SELECT $cols,
        |  CASE WHEN len(t) >= $w
        |    THEN list_transform(generate_series(1, len(t) - $w1),
        |                        i -> array_to_string(t[i:i+$w1], ' '))
@@ -81,11 +86,16 @@ object TextShared {
        |  FROM toks)""".stripMargin
   }
 
+  /** CTEs `toks(doc_id, lang, source, t)` and `sh(doc_id, lang, source, s)`. */
+  val shinglesCte: String = shinglesCteFrom("documents")
+
   def minhashSql(seed: Int): String =
     s"list_min(list_transform(s, x -> md5(concat('$seed:', x))))"
 
-  /** `sig` CTE: doc_id plus h0..h{n-1} minhashes plus per-band keys. */
-  val sigCte: String = {
+  /** `sig` CTE chain over any (doc_id, text) source — see
+    * [[shinglesCteFrom]].
+    */
+  def sigCteFrom(src: String, extra: Seq[String] = Seq("lang", "source")): String = {
     val hashes = (0 until NumHashes).map(j => s"  ${minhashSql(j)} AS h$j").mkString(",\n")
     val bands = (0 until NumBands)
       .map { b =>
@@ -93,7 +103,7 @@ object TextShared {
         s"  md5(concat_ws('|', $cols)) AS band$b"
       }
       .mkString(",\n")
-    s"""$shinglesCte,
+    s"""${shinglesCteFrom(src, extra)},
        |sigraw AS (SELECT doc_id,
        |$hashes
        |  FROM sh),
@@ -101,6 +111,9 @@ object TextShared {
        |$bands
        |  FROM sigraw)""".stripMargin
   }
+
+  /** `sig` CTE: doc_id plus h0..h{n-1} minhashes plus per-band keys. */
+  val sigCte: String = sigCteFrom("documents")
 
   /** Hex-digit extraction SQL, valid verbatim in BOTH Spark SQL and DuckDB:
     * digit p (0-based) of a hex digest column as an int 0-15. Precomputed

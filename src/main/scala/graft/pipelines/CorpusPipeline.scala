@@ -1086,4 +1086,118 @@ object CorpusPipeline {
     require(!active, s"refusing to retire $meta: an active streaming query in this session still writes to $outPath")
     fs.delete(meta, true)
   }
+
+  /** Side-effect-free funnel CENSUS of the default [[run]] composition
+    * (quality ≥ minQuality → exact dedup on the normalized fingerprint →
+    * LSH near-dup with min-id survivors → deterministic 80/10/10 split):
+    * rows in, rows dropped per stage, rows out per split — the stage
+    * accounting a data-curation run reports, computed through the SAME
+    * building blocks the writing pipeline composes
+    * ([[TextAnalysis.qualityFrame]], [[Dedup.signatures]] →
+    * [[Dedup.pairsFromSignatures]] → [[Dedup.clusters]], the
+    * q_split_assign bucket rule), so the gate pins the pipeline's stage
+    * semantics cross-engine rather than only in scalatest. Tracked: each
+    * stage frame is pinned (its count AND the next stage read it) and
+    * returned for reclaim once the census materializes.
+    */
+  private[graft] def funnelCensusTracked(
+      docs0: DataFrame,
+      minQuality: Double = 0.3
+  ): (DataFrame, Seq[DataFrame]) = {
+    val docs = docs0.select(col("doc_id"), col("text")).pin()
+    val kept = TextAnalysis
+      .qualityFrame(docs)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("text"))
+      .pin()
+    val fp = kept.withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val exact = fp
+      .join(fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep_id")), "_fp")
+      .filter(col("doc_id") === col("_keep_id"))
+      .select(col("doc_id"), col("text"))
+      .pin()
+    val labels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(exact)))
+    val out = exact
+      .join(labels, Seq("doc_id"), "left_outer")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"))
+      .pin()
+    graft.Tables.unpin(labels) // out is materialized; the label frame is dead
+    def c(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    val counts = c(docs, "c_in")
+      .crossJoin(broadcast(c(kept, "c_q")))
+      .crossJoin(broadcast(c(exact, "c_e")))
+      .crossJoin(broadcast(c(out, "c_o")))
+    val stages = counts
+      .select(
+        explode(
+          array(
+            struct(lit("1_in").as("stage"), col("c_in").as("n")),
+            struct(lit("2_dropped_quality").as("stage"), (col("c_in") - col("c_q")).as("n")),
+            struct(lit("3_dropped_exact").as("stage"), (col("c_q") - col("c_e")).as("n")),
+            struct(lit("4_dropped_neardup").as("stage"), (col("c_e") - col("c_o")).as("n"))
+          )
+        ).as("r")
+      )
+      .select(col("r.stage").as("stage"), col("r.n").as("n"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    val splits = out
+      .withColumn("split", when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+      .groupBy(concat(lit("5_out_"), col("split")).as("stage"))
+      .agg(count(lit(1)).as("n"))
+    (stages.unionByName(splits), Seq(docs, kept, exact, out))
+  }
+
+  private val funnelCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The funnel census as a build-once artifact (it is a deterministic
+    * readout over the immutable fixture corpus, like the graph censuses).
+    */
+  private def funnelArtifact(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    if (graft.Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked(funnelCensusTracked(graft.Tables.documents(s, dir)))
+    else
+      graft.Artifacts.cachedInTracked(funnelCache, s, dir, "corpus_funnel", "stage")(
+        funnelCensusTracked(graft.Tables.documents(s, dir)))
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "q_corpus_funnel",
+      "END-TO-END pipeline funnel census — the stage accounting of CorpusPipeline.run's default composition (quality >= 0.3 -> exact dedup on the normalized fingerprint keeping the min doc_id -> MinHash/LSH near-dup with connected-component min-id survivors -> deterministic content-hash 80/10/10 split), side-effect-free: rows in, rows DROPPED per stage, rows out per split. Composed from the same oracle-checked building blocks the writing pipeline uses (qualityFrame, the capped LSH pair generator, pointer-doubling CC, the q_split_assign bucket rule), each stage pinned once and read twice (its census count + the next stage) — so the DRIVER GATE pins stage COMPOSITION semantics cross-engine, not just each operator in isolation; the oracle chains the same stage rules as materialized CTEs with the CC stated as a recursive transitive-closure fixpoint. Row conservation holds by construction: 1_in = dropped stages + out splits",
+      (s, dir) => funnelArtifact(s, dir).orderBy(col("stage")),
+      Some {
+        s"""WITH RECURSIVE ${TextAnalysis.qualityMetricsCteSql},
+           |fq AS MATERIALIZED (
+           |  SELECT b.doc_id, b.text FROM base b JOIN m ON m.doc_id = b.doc_id
+           |  WHERE ${TextAnalysis.qualityColSql} >= 0.3),
+           |fpp AS MATERIALIZED (
+           |  SELECT doc_id, text,
+           |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fpr FROM fq),
+           |ex AS MATERIALIZED (
+           |  SELECT f.doc_id, f.text FROM fpp f
+           |  JOIN (SELECT fpr, min(doc_id) AS keep FROM fpp GROUP BY 1) k
+           |    ON k.fpr = f.fpr AND f.doc_id = k.keep),
+           |${Dedup.clustersCteSqlFrom("ex", Seq.empty)},
+           |surv AS MATERIALIZED (
+           |  SELECT e.doc_id FROM ex e LEFT JOIN cc ON cc.doc_id = e.doc_id
+           |  WHERE cc.label IS NULL OR cc.label = e.doc_id),
+           |spl AS (
+           |  SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM (SELECT ('0x' || substring(md5(cast(doc_id as varchar)), 1, 2))::int AS b
+           |        FROM surv) z)
+           |SELECT * FROM (
+           |  SELECT '1_in' AS stage, cast(count(1) as bigint) AS n FROM documents
+           |  UNION ALL SELECT '2_dropped_quality',
+           |    (SELECT count(1) FROM documents) - count(1) FROM fq
+           |  UNION ALL SELECT '3_dropped_exact',
+           |    (SELECT count(1) FROM fq) - count(1) FROM ex
+           |  UNION ALL SELECT '4_dropped_neardup',
+           |    (SELECT count(1) FROM ex) - count(1) FROM surv
+           |  UNION ALL SELECT '5_out_' || split, cast(count(1) as bigint) FROM spl GROUP BY split
+           |) x ORDER BY stage""".stripMargin
+      }
+    )
+  )
 }

@@ -53,6 +53,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"cluster representative must survive, got $planted")
   }
 
+  test("funnel census == the writing pipeline's own stage accounting on the same planted corpus") {
+    val out   = Files.createTempDirectory("pipeline-funnel").toString + "/corpus"
+    val stats = CorpusPipeline.run(corpus, out)
+    val census = CorpusPipeline
+      .funnelCensusTracked(corpus)._1
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    assert(census("1_in") === stats.nIn)
+    assert(census("2_dropped_quality") === stats.nDroppedQuality, s"$census vs $stats")
+    assert(census("3_dropped_exact") === stats.nDroppedExact, s"$census vs $stats")
+    assert(census("4_dropped_neardup") === stats.nDroppedNearDup, s"$census vs $stats")
+    val outSplits = census.collect { case (k, n) if k.startsWith("5_out_") => n }.sum
+    assert(outSplits === stats.nOut, s"$census vs $stats")
+    // the census splits match what the pipeline actually WROTE per split
+    val written = spark.read
+      .parquet(out)
+      .groupBy(col("split"))
+      .count()
+      .collect()
+      .map(r => ("5_out_" + r.getString(0), r.getLong(1)))
+      .toMap
+    assert(census.filter(_._1.startsWith("5_out_")) === written, s"$census vs $written")
+  }
+
   test("gopher-rule stage: drops counted in the funnel, survivors satisfy every rule, off by default") {
     val out = Files.createTempDirectory("pipeline-gopher").toString + "/corpus"
     val stats = CorpusPipeline.run(corpus, out, gopherRules = true)
