@@ -334,6 +334,79 @@ object Multimodal {
       .toDF()
   }
 
+  /** JPEG twin of [[pngTable]]: genuine baseline JFIF files written by the
+    * JDK's ImageIO JPEG writer over the SAME deterministic pixels and the
+    * same closed-form [[pngDims]] dims — the second real image codec
+    * through the seam, proving the family is codec-agnostic. JPEG is
+    * LOSSY, so the pixel-exactness decode gate stays PNG-only by design;
+    * what survives any JPEG encoder bit-for-bit is the STRUCTURE — SOI and
+    * the SOF0 frame header carrying precision/height/width — which is
+    * exactly the 100 TB header-scan path.
+    */
+  def jpegTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, text) =>
+          val n      = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val (w, h) = pngDims(n)
+          val img    = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((docId * 2654435761L + x * 31 + y * 7) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream(512)
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          MediaRow(docId, "image/jpeg", bos.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** Big-endian unsigned int at a DYNAMIC (Column) 1-indexed offset — the
+    * JPEG segment walk needs marker-relative reads, unlike PNG's fixed
+    * IHDR offsets. Still pure codegen built-ins (substr/hex/conv).
+    */
+  def beUintAt(c: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+    conv(hex(c.substr(pos.cast("int"), lit(nBytes))), 16, 10).cast("long")
+
+  /** The JPEG SOF0 frame header (h, w) via a STRUCTURED marker-segment
+    * walk: from byte 3 (after SOI), read each segment's 2-byte marker +
+    * 2-byte length and hop to the next until FFC0 — `maxSegments` unrolled
+    * steps of an `aggregate` fold, all codegen built-ins, never a byte
+    * grep (an FF C0 pair inside a quantization table cannot fool a walk
+    * that only ever reads at segment boundaries). Returns struct(h, w),
+    * zeros if no SOF0 within the walk.
+    */
+  def jpegSof0(payload: org.apache.spark.sql.Column, maxSegments: Int = 10): org.apache.spark.sql.Column =
+    aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(3L).as("pos"), lit(0L).as("h"), lit(0L).as("w")),
+      (a, _) => {
+        val pos    = a.getField("pos")
+        val marker = hex(payload.substr(pos.cast("int"), lit(2)))
+        val segLen = beUintAt(payload, pos + 2, 2)
+        when(a.getField("h") > 0, a)
+          .when(
+            marker === "FFC0",
+            struct(
+              pos.as("pos"),
+              beUintAt(payload, pos + 5, 2).as("h"),
+              beUintAt(payload, pos + 7, 2).as("w")
+            )
+          )
+          .otherwise(struct((pos + 2 + segLen).as("pos"), lit(0L).as("h"), lit(0L).as("w")))
+      },
+      a => struct(a.getField("h").as("h"), a.getField("w").as("w"))
+    )
+
   /** Synthesized-WAV parameters for a document — shared by [[wavTable]]'s
     * writer and the oracle formulas: rate in {8,16,24} kHz from the text
     * byte length, mono/stereo from doc_id parity, 16-bit PCM,
@@ -698,6 +771,31 @@ object Multimodal {
           ),
       Some("""SELECT cast(count(1) as bigint) AS n_images,
              |  cast(count(1) as bigint) AS n_valid_rgb8,
+             |  cast(sum(4 + octet_length(encode(text)) % 29) as bigint) AS total_w,
+             |  cast(sum(4 + (octet_length(encode(text)) // 3) % 29) as bigint) AS total_h,
+             |  cast(min(4 + octet_length(encode(text)) % 29) as bigint) AS min_w,
+             |  cast(max(4 + (octet_length(encode(text)) // 3) % 29) as bigint) AS max_h
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "q_multimodal_jpeg_header",
+      "JPEG container metadata WITHOUT decode — the second real image codec through the seam (genuine baseline JFIF files from the JDK ImageIO JPEG writer, dims the same closed-form function of the text byte length as the PNGs): SOI check + a STRUCTURED marker-segment walk to the SOF0 frame header (10 unrolled aggregate-fold steps reading 2-byte marker + length and hopping segment to segment — never a byte grep, so an FF C0 pair inside a quantization table cannot fool it), all codegen built-ins. JPEG is lossy, so the pixel-exactness decode gate stays PNG-only by design; the dims in SOF0 survive any encoder bit-for-bit, which is the 100 TB header-scan contract. Census: n_valid_sof0 = n_images asserts every payload is a parseable baseline JPEG with the formula dims",
+      (s, dir) =>
+        jpegTable(s, dir)
+          .select(
+            (hex(substring(col("payload"), 1, 2)) === lit("FFD8")).as("soi_ok"),
+            jpegSof0(col("payload")).as("sof")
+          )
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(when(col("soi_ok") && col("sof.h") > 0, 1L).otherwise(0L)).as("n_valid_sof0"),
+            sum(col("sof.w")).as("total_w"),
+            sum(col("sof.h")).as("total_h"),
+            min(col("sof.w")).as("min_w"),
+            max(col("sof.h")).as("max_h")
+          ),
+      Some("""SELECT cast(count(1) as bigint) AS n_images,
+             |  cast(count(1) as bigint) AS n_valid_sof0,
              |  cast(sum(4 + octet_length(encode(text)) % 29) as bigint) AS total_w,
              |  cast(sum(4 + (octet_length(encode(text)) // 3) % 29) as bigint) AS total_h,
              |  cast(min(4 + octet_length(encode(text)) % 29) as bigint) AS min_w,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -101,6 +102,43 @@ class MultimodalSpec extends AnyFunSuite {
       val hw = ((p(16) & 0xff) << 24) | ((p(17) & 0xff) << 16) | ((p(18) & 0xff) << 8) | (p(19) & 0xff)
       val hh = ((p(20) & 0xff) << 24) | ((p(21) & 0xff) << 16) | ((p(22) & 0xff) << 8) | (p(23) & 0xff)
       assert((hw, hh) === (w, h))
+    }
+  }
+
+  test("jpegTable payloads are genuine JPEGs: ImageIO round-trips the dims, the SOF0 walk reads the same") {
+    import spark.implicits._
+    val rows = Multimodal
+      .jpegTable(spark, TestSpark.sfDir)
+      .as[Multimodal.MediaRow]
+      .limit(25)
+      .collect()
+    assert(rows.length === 25)
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    // the Spark-side structured segment walk on the same payloads
+    val walked = rows.toSeq
+      .map(r => (r.doc_id, r.payload))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.jpegSof0(col("payload")).as("sof"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getStruct(1).getLong(1), r.getStruct(1).getLong(0)))
+      .toMap
+    rows.foreach { r =>
+      // a REAL decoder recovers the formula dims (pixels are NOT compared:
+      // JPEG is lossy, which is exactly why the pixel-exactness decode
+      // gate stays PNG-only and the JPEG family is header-path only)
+      val img    = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      val n      = docs(r.doc_id).getBytes("UTF-8").length
+      val (w, h) = Multimodal.pngDims(n)
+      assert((img.getWidth, img.getHeight) === (w, h), s"doc ${r.doc_id}")
+      // the codegen SOF0 walk agrees with the decoder
+      assert(walked(r.doc_id) === ((w.toLong, h.toLong)), s"doc ${r.doc_id}")
+      // SOI marker present
+      assert((r.payload(0) & 0xff, r.payload(1) & 0xff) === ((0xff, 0xd8)))
     }
   }
 
