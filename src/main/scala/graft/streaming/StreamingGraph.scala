@@ -141,6 +141,16 @@ object StreamingGraph {
   def trust(spark: SparkSession, graphDir: String): DataFrame = {
     val v = currentVersion(spark, graphDir).getOrElse(
       throw new IllegalStateException(s"no published trust table under $graphDir (stream has not folded yet)"))
-    spark.read.parquet(s"$graphDir/trust/v=$v")
+    // the pointer covers BOTH tables, but the trust dir only materializes
+    // when ingest() was started WITH a seed whitelist — on a seedless
+    // stream (or one restarted seedless after a seeded run) the version
+    // exists while trust/v=N does not, and the raw parquet read would fail
+    // with an opaque path-not-found instead of saying what's wrong
+    val path = new org.apache.hadoop.fs.Path(s"$graphDir/trust/v=$v")
+    if (!Snapshots.fsOf(spark, path).exists(path))
+      throw new IllegalStateException(
+        s"no trust table at $path: the stream publishing v=$v was started " +
+          "without trustSeeds — restart ingest() with a seed whitelist to publish TrustRank")
+    spark.read.parquet(path.toString)
   }
 }

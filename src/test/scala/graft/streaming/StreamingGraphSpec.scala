@@ -96,6 +96,27 @@ class StreamingGraphSpec extends AnyFunSuite {
     assert(new java.io.File(s"$graph/trust/v=2").exists, "the prior trust snapshot survives the flip")
   }
 
+  test("trust() on a SEEDLESS stream fails with a clear not-configured error, not a parquet path error") {
+    val dir     = Files.createTempDirectory("streaming-graph-seedless").toString
+    val landing = s"$dir/landing"
+    val graph   = s"$dir/graph"
+    val all = Graph
+      .purchasePairs(spark, TestSpark.sfDir)
+      .limit(50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    all.toSeq.toDF("c", "s").coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamingGraph.ingest(spark, landing, graph, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable()
+    finally q.stop()
+    // the pointer exists (PageRank published) but trust/v=1 does not: the
+    // reader must say the stream was started without a seed whitelist
+    assert(StreamingGraph.scores(spark, graph).count() > 0)
+    val ex = intercept[IllegalStateException](StreamingGraph.trust(spark, graph))
+    assert(ex.getMessage.contains("without trustSeeds"), ex.getMessage)
+  }
+
   test("restart continuity: a new query instance resumes from the checkpoint and converges to the same table") {
     val dir     = Files.createTempDirectory("streaming-graph-restart").toString
     val landing = s"$dir/landing"
