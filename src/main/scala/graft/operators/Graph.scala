@@ -573,11 +573,16 @@ object Graph {
     * order-free exact sum (the bm25 convention) and emitted as ONE
     * decimal→double conversion — no rounding call anywhere.
     */
-  private[graft] def harmonicCensusTracked(
+  /** The multi-source BFS loop itself: the settled (seed, node, d)
+    * distance frame for the `seedCount` MIN node ids, PINNED — shared by
+    * the harmonic-centrality and effective-diameter readouts (one loop,
+    * several consumers).
+    */
+  private[graft] def multiSourceDistances(
       e: DataFrame,
-      seedCount: Int = HarmonicSeeds,
+      seedCount: Int,
       maxRounds: Int = BfsOracleRounds
-  ): (DataFrame, Seq[DataFrame]) = {
+  ): DataFrame = {
     val sym = Tables.pin(
       e.select(col("pa").as("u"), col("pb").as("v"))
         .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
@@ -616,17 +621,57 @@ object Graph {
     require(
       converged,
       s"multi-source BFS did not converge within $maxRounds rounds — raise " +
-        "maxRounds; harmonic sums must cover each seed's full component"
+        "maxRounds; the settled distances must cover each seed's full component"
     )
     Tables.unpin(sym)
-    val res = dist
+    dist
+  }
+
+  /** The harmonic readout over a settled (seed, node, d) frame. */
+  private[graft] def harmonicFrom(dist: DataFrame): DataFrame =
+    dist
       .filter(col("d") > 0)
       .groupBy(col("seed").as("node"))
       .agg(
         count(lit(1)).as("n_reached"),
         sum((lit(1.0) / col("d")).cast("decimal(18,12)")).cast("double").as("harmonic")
       )
-    (res, Seq(dist))
+
+  private[graft] def harmonicCensusTracked(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds,
+      maxRounds: Int = BfsOracleRounds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val dist = multiSourceDistances(e, seedCount, maxRounds)
+    (harmonicFrom(dist), Seq(dist))
+  }
+
+  /** Effective-diameter readout over a settled (seed, node, d) frame —
+    * the ANF/HyperANF readout (Palmer et al. 2002): the distance
+    * histogram over reached pairs plus, as row d = -1, the SMALLEST
+    * distance whose cumulative pair count reaches 90% of all reached
+    * pairs — in PURE INTEGER arithmetic (`10·cum ≥ 9·total`), zero
+    * floating point. Tracked: returns the pinned histogram (read by the
+    * cumulative window AND the union) for reclaim.
+    */
+  private[graft] def effDiameterFrom(dist: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val hist = Tables.pin(
+      dist.filter(col("d") > 0).groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+    )
+    val total = hist.agg(sum(col("n_pairs")).as("tot"))
+    // the window is over the HISTOGRAM (≤ maxRounds rows), never the pair
+    // frame — an unpartitioned sort of a 16-row frame
+    val cum = hist.withColumn(
+      "cum",
+      sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+    )
+    val eff = cum
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * 10 >= col("tot") * 9)
+      .orderBy(col("d"))
+      .limit(1)
+      .select(lit(-1L).as("d"), col("d").as("n_pairs"))
+    (hist.select(col("d"), col("n_pairs")).unionByName(eff), Seq(hist))
   }
 
   /** [[harmonicCensusTracked]]'s result frame alone — the GraphProps
@@ -635,8 +680,28 @@ object Graph {
   private[graft] def harmonicCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
     harmonicCensusTracked(e, seedCount)._1
 
+  /** [[effDiameterFrom]] over a fresh loop — the spec/differential entry
+    * point.
+    */
+  private[graft] def effDiameterCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
+    effDiameterFrom(multiSourceDistances(e, seedCount))._1
+
+  private val msbfsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val harmonicCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val effdiamCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The settled multi-source distance frame as its OWN build-once
+    * artifact: harmonic centrality and the effective diameter are two
+    * readouts over one loop, so the loop result is shared (the graph_wew
+    * treatment — one materialization feeding several consumers). The
+    * frame arrives pre-pinned from the loop's final pinIter.
+    */
+  private def msbfsDistances(s: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.cachedPrePinned(msbfsCache, s, dir, "graph_msbfs", "seed")(
+      multiSourceDistances(coPurchaseEdges(s, dir), HarmonicSeeds))
 
   /** Harmonic-centrality table as a build-once artifact. */
   private def harmonicArtifact(s: SparkSession, dir: String): DataFrame =
@@ -644,7 +709,19 @@ object Graph {
       graft.Artifacts.materializeTracked(harmonicCensusTracked(coPurchaseEdges(s, dir)))
     else
       graft.Artifacts.cachedInTracked(harmonicCache, s, dir, "graph_harmonic", "node")(
-        harmonicCensusTracked(coPurchaseEdges(s, dir)))
+        (harmonicFrom(msbfsDistances(s, dir)), Seq.empty))
+
+  /** Effective-diameter census as a build-once artifact. */
+  private def effDiameterArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked {
+        val dist         = multiSourceDistances(coPurchaseEdges(s, dir), HarmonicSeeds)
+        val (f, histPin) = effDiameterFrom(dist)
+        (f, histPin :+ dist)
+      }
+    else
+      graft.Artifacts.cachedInTracked(effdiamCache, s, dir, "graph_effdiam", "d")(
+        effDiameterFrom(msbfsDistances(s, dir)))
 
   /** Synchronous label-propagation community census over an undirected
     * (pa < pb) edge set (Raghavan et al. 2007, made deterministic): labels
@@ -707,6 +784,76 @@ object Graph {
     val rows = census.result()
     (rows.reduce(_ unionByName _).orderBy(col("round")), rows :+ sym)
   }
+
+  /** SEMI-SUPERVISED label spreading (Zhu & Ghahramani 2002, the clamped
+    * variant of [[lpaCensus]]): a small hand-labeled SEED set keeps its
+    * labels FIXED every round while unlabeled nodes adopt their neighbors'
+    * most frequent label (ties to the smallest) — the curation op that
+    * spreads a few thousand human quality/topic labels over a
+    * similarity/co-citation graph to label the whole corpus. Fixed
+    * `rounds` census (both engines unroll the same rounds — synchronous
+    * spreading can oscillate on bipartite-ish structure, so no fixpoint
+    * claim); integer labels, integer argmax (`max(struct(count, -label))`),
+    * zero floating point. Output: (lbl, n_nodes) after the last round,
+    * with still-unlabeled nodes as lbl = -1. Tracked pins returned.
+    */
+  private[graft] def seededLabelsCensusTracked(
+      e: DataFrame,
+      seeds: DataFrame, // (node, lbl) — lbl a small integer class id
+      rounds: Int = 4
+  ): (DataFrame, Seq[DataFrame]) = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    val nodes   = Tables.pin(sym.select(col("u").as("node")).distinct())
+    val seedLab = Tables.pin(seeds.join(nodes, Seq("node"), "left_semi"))
+    var lab     = seedLab
+    for (_ <- 1 to rounds) {
+      val next = Tables.pinIter(
+        sym
+          .join(lab, sym("v") === lab("node"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+          // CLAMP: seeds never change — their rows come from seedLab below
+          .join(seedLab.select(col("node")), Seq("node"), "left_anti")
+          .unionByName(seedLab)
+      )
+      if (!(lab eq seedLab)) Tables.unpin(lab)
+      lab = next
+    }
+    val census = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    val unlabeled = nodes
+      .join(lab, Seq("node"), "left_anti")
+      .agg(lit(-1L).as("lbl"), count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    (census.unionByName(unlabeled), Seq(sym, nodes, seedLab, lab))
+  }
+
+  /** The gate query's seed set: every 4th part carries its brand number
+    * (the digits of `p_brand`) as the class label — a deterministic
+    * fixture-derived stand-in for a human-labeled subset.
+    */
+  private[graft] def mfgrSeeds(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("node"), substring(col("p_brand"), 7, 2).cast("long").as("lbl"))
+
+  private val seededCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Seeded-label census as a build-once artifact. */
+  private def seededLabelsArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked(
+        seededLabelsCensusTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
+    else
+      graft.Artifacts.cachedInTracked(seededCache, s, dir, "graph_seeded", "lbl")(
+        seededLabelsCensusTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
 
   /** The k-truss gate query's peel-depth bound — the [[KcoreOracleRounds]]
     * discipline: Spark convergence REQUIRED within it, oracle unrolls
@@ -1977,6 +2124,42 @@ object Graph {
       }
     ),
     QueryDef(
+      "q_graph_effdiameter",
+      s"distance histogram + EFFECTIVE DIAMETER from the $HarmonicSeeds min-id seeds — the ANF/HyperANF readout (Palmer et al. 2002; Boldi/Rosa/Vigna 2011 run exactly this at web scale with probabilistic counters): per distance d the count of reached (seed, node) pairs, plus as row d = -1 the smallest d whose cumulative pair count covers 90% of reached pairs — the standard 'how far apart is this graph really' statistic, robust where the true diameter is one noisy tendril. SHARES the settled multi-source BFS frame with q_graph_harmonic (one loop, two readouts — the frame is its own build-once artifact, graph_msbfs), and the 90th-percentile rule is PURE INTEGER (10*cum >= 9*total over a histogram of <= $BfsOracleRounds rows; the cumulative window sorts the histogram, never the pair frame). Zero floating point anywhere",
+      (s, dir) => effDiameterArtifact(s, dir).orderBy(col("d")),
+      Some {
+        val steps = (1 to BfsOracleRounds).map { k =>
+          s"""h$k AS MATERIALIZED (
+             |  SELECT seed, node, d FROM h${k - 1}
+             |  UNION ALL
+             |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
+             |    SELECT DISTINCT p.seed, s.v AS node
+             |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
+             |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
+             |  WHERE q.node IS NULL)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |h0 AS MATERIALIZED (
+           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
+           |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
+           |${steps.mkString(",\n")},
+           |hist AS MATERIALIZED (
+           |  SELECT d, cast(count(1) as bigint) AS n_pairs
+           |  FROM h$BfsOracleRounds WHERE d > 0 GROUP BY d)
+           |SELECT * FROM (
+           |  SELECT d, n_pairs FROM hist
+           |  UNION ALL
+           |  SELECT cast(-1 as bigint), d FROM (
+           |    SELECT d FROM (
+           |      SELECT d, sum(n_pairs) OVER (ORDER BY d) AS cum,
+           |             (SELECT sum(n_pairs) FROM hist) AS tot
+           |      FROM hist) z
+           |    WHERE cum * 10 >= tot * 9 ORDER BY d LIMIT 1) eff
+           |) x ORDER BY d""".stripMargin
+      }
+    ),
+    QueryDef(
       "q_graph_lpa",
       "synchronous label-propagation community census (Raghavan et al. 2007, made deterministic) over the co-purchase graph: labels start as node ids; every round each node adopts its neighbors' MOST FREQUENT label, ties to the smallest — the argmax is a pure integer aggregation (max(struct(count, -label))), never a per-node sort, so the rounds are bit-identical across engines. The domain-clustering readout of corpus curation (a community = a co-purchase/co-citation topic cluster). Synchronous LPA can oscillate on bipartite-ish structure, so the gate compares the FIXED 4-round census (round, n_labels, max_comm) both engines unroll — not a fixpoint claim. Per round one edge shuffle join + two integer aggregations over a node-sized frame. The census is a build-once artifact (graph_lpa, durable under graft.artifact.root, parity spec-pinned)",
       (s, dir) => lpaCensusArtifact(s, dir).orderBy(col("round")),
@@ -2002,6 +2185,39 @@ object Graph {
            |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
            |${iters.mkString(",\n")}
            |SELECT * FROM ($census) x ORDER BY round""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_seeded_labels",
+      "SEMI-SUPERVISED label spreading (Zhu & Ghahramani 2002) over the co-purchase graph — the curation op that turns a few thousand HUMAN labels into corpus-wide labels: a seed set (every 4th part, carrying its brand number as the class) keeps its labels CLAMPED every round while unlabeled nodes adopt their neighbors' most frequent label, ties to the smallest — clamping is what separates this from q_graph_lpa's unsupervised census (there a seed's own label can be voted away; here ground truth never moves, which is the point of spreading it). 4 synchronous rounds both engines unroll (no fixpoint claim — spreading can oscillate on bipartite-ish structure); pure integer labels and argmax (max(struct(count, -label))), zero floating point. Output: class census (lbl, n_nodes) after round 4, nodes no label reached as lbl = -1. Build-once artifact (graph_seeded)",
+      (s, dir) => seededLabelsArtifact(s, dir).orderBy(col("lbl")),
+      Some {
+        val iters = (1 to 4).map { k =>
+          s"""sl$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN sl${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)
+             |  UNION ALL SELECT node, lbl FROM seeds)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |seeds AS MATERIALIZED (
+           |  SELECT p_partkey AS node, cast(substring(p_brand, 7, 2) as bigint) AS lbl
+           |  FROM part JOIN nodes ON node = p_partkey
+           |  WHERE p_partkey % 4 = 0),
+           |sl0 AS MATERIALIZED (SELECT node, lbl FROM seeds),
+           |${iters.mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT lbl, cast(count(1) as bigint) AS n_nodes FROM sl4 GROUP BY lbl
+           |  UNION ALL
+           |  SELECT cast(-1 as bigint), cast(count(1) as bigint) FROM nodes
+           |  WHERE node NOT IN (SELECT node FROM sl4)
+           |  HAVING count(1) > 0
+           |) x ORDER BY lbl""".stripMargin
       }
     ),
     QueryDef(

@@ -222,6 +222,73 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
     }
 
+  property("effective diameter == brute-force histogram + integer 90% rule from the 4 min seeds") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj   = adjacency(es)
+      val seeds = adj.keySet.toList.sorted.take(4)
+      val dists = seeds.flatMap { s =>
+        var dist     = Map(s -> 0L)
+        var frontier = Set(s)
+        var d        = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(adj(_)).diff(dist.keySet)
+          dist ++= frontier.map(_ -> d)
+        }
+        dist.values.filter(_ > 0)
+      }
+      val hist  = dists.groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) }
+      val total = hist.values.sum
+      val eff = hist.keys.toList.sorted
+        .find(d => 10 * hist.toList.filter(_._1 <= d).map(_._2).sum >= 9 * total)
+        .get
+      val expected = (hist.toList :+ ((-1L, eff))).sortBy(_._1)
+      val got = Graph
+        .effDiameterCensus(es.toDF("pa", "pb"), seedCount = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toList
+        .sortBy(_._1)
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+    }
+
+  property("seeded label spread == brute-force clamped propagation (4 rounds)") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj = adjacency(es)
+      // deterministic pseudo-labels on ~half the nodes
+      val seedMap = adj.keySet.filter(_ % 2 == 0).map(n => n -> (n % 3 + 1)).toMap
+      var lab     = seedMap
+      for (_ <- 1 to 4) {
+        val next = adj.keys.flatMap { n =>
+          if (seedMap.contains(n)) Some(n -> seedMap(n))
+          else {
+            val votes = adj(n).toList.flatMap(lab.get)
+            if (votes.isEmpty) None
+            else {
+              val counts = votes.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+              Some(n -> counts.toList.maxBy { case (l, c) => (c, -l) }._1)
+            }
+          }
+        }.toMap
+        lab = next
+      }
+      val unl = adj.keySet.size - lab.size
+      val expected = (lab.values.groupBy(identity).map { case (l, xs) => (l.toLong, xs.size.toLong) }.toList ++
+        (if (unl > 0) List((-1L, unl.toLong)) else Nil)).sortBy(_._1)
+      val got = Graph
+        .seededLabelsCensusTracked(
+          es.toDF("pa", "pb"),
+          seedMap.toSeq.map { case (n, l) => (n, l.toLong) }.toDF("node", "lbl"))
+        ._1
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toList
+        .sortBy(_._1)
+      Prop(got == expected) :| s"got $got expected $expected on $es (seeds $seedMap)"
+    }
+
   property("lpa census == brute-force synchronous label propagation (4 rounds)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

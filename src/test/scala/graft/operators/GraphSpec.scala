@@ -398,6 +398,42 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.harmonicCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
   }
 
+  test("effective diameter: the planted path's 90%-mass distance, exact integer rule") {
+    import spark.implicits._
+    // path 1-2-3-4-5 + disconnected pair {6,7}, seeds {1, 2}: pair
+    // histogram d1:3, d2:2, d3:2, d4:1 (total 8). Cumulative 3,5,7,8 —
+    // the first d with 10*cum >= 9*8=72 is d=4 (70 < 72 at d=3: the
+    // planted case where p90 IS the true depth, not an earlier shoulder)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("pa", "pb")
+    val rows = Graph
+      .effDiameterCensus(g, seedCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+    assert(rows === Seq((-1L, 4L), (1L, 3L), (2L, 2L), (3L, 2L), (4L, 1L)), rows.mkString(","))
+    // empty graph: no rows, no phantom -1
+    assert(Graph.effDiameterCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
+  }
+
+  test("seeded label spreading: clamped seeds never move, labels reach unlabeled nodes, isolated nodes stay -1") {
+    import spark.implicits._
+    // path 1-2-3-4 with seeds 1->7 and 4->9, plus an unseeded island
+    // {10,11}: labels spread inward (ties resolve to the smaller label 7),
+    // seed 4 keeps 9 even though its neighborhood majority is 7 — the
+    // clamp that separates this from unsupervised LPA — and the island
+    // never receives a label
+    val g     = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("pa", "pb")
+    val seeds = Seq((1L, 7L), (4L, 9L)).toDF("node", "lbl")
+    val rows = Graph
+      .seededLabelsCensusTracked(g, seeds)._1
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .toSeq
+    assert(rows === Seq((-1L, 2L), (7L, 3L), (9L, 1L)), rows.mkString(","))
+  }
+
   test("bfs and sssp on an EMPTY graph emit no rows (no phantom NULL-node seed)") {
     import spark.implicits._
     // agg(min) over an empty frame yields one all-NULL row; the isNotNull
