@@ -463,6 +463,68 @@ object TextAnalysis {
               |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_text_dup_spectrum",
+      "n-gram DUPLICATION SPECTRUM (the Lee et al. 2022 pre-dedup diagnostic): for n in {1, 2, 4, 8}, the corpus-wide total and distinct n-gram counts and the duplicated-occurrence fraction (total - distinct) / total — the curve that tells a curation pipeline WHERE its duplication lives (high dup at n=1 is just Zipf; high dup persisting at n=8 means copied passages, i.e. run exact-substring dedup, not only doc-level). ONE explode emits (n, md5(gram)) for all four widths via per-width map-side transforms (grams ride as fixed-width digests, the shuffle-narrowing production shape); one aggregation per n with exact integer counts and ONE final IEEE division emitted raw — no rounding anywhere",
+      (s, dir) => {
+        val t  = tokens(col("text"))
+        val ns = Seq(1, 2, 4, 8)
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .select(
+            explode(
+              flatten(
+                array(
+                  ns.map(n =>
+                    when(
+                      size(t) >= n,
+                      transform(
+                        sequence(lit(1), size(t) - (n - 1)),
+                        i =>
+                          struct(
+                            lit(n.toLong).as("n"),
+                            md5(array_join(slice(t, i, lit(n)), " ")).as("h")
+                          )
+                      )
+                    ).otherwise(array().cast("array<struct<n:bigint,h:string>>"))
+                  ): _*
+                )
+              )
+            ).as("g")
+          )
+          .groupBy(col("g.n").as("n"))
+          .agg(
+            count(lit(1)).as("total_ngrams"),
+            countDistinct(col("g.h")).as("distinct_ngrams")
+          )
+          .select(
+            col("n"),
+            col("total_ngrams"),
+            col("distinct_ngrams"),
+            ((col("total_ngrams") - col("distinct_ngrams")).cast("double") / col("total_ngrams"))
+              .as("dup_frac")
+          )
+          .orderBy(col("n"))
+      },
+      Some {
+        val widths = Seq(1, 2, 4, 8)
+        val arms = widths
+          .map { n =>
+            s"""SELECT cast($n as bigint) AS n,
+               |  md5(unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+               |                            i -> array_to_string(t[i:i+${n - 1}], ' ')))) AS h
+               |FROM toks WHERE len(t) >= $n""".stripMargin
+          }
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+           |g AS (
+           |  $arms)
+           |SELECT n, cast(count(1) as bigint) AS total_ngrams,
+           |  cast(count(DISTINCT h) as bigint) AS distinct_ngrams,
+           |  cast(count(1) - count(DISTINCT h) as double) / count(1) AS dup_frac
+           |FROM g GROUP BY n ORDER BY n""".stripMargin
+      }
+    ),
+    QueryDef(
       "q_text_tokens",
       "token counting per lang: whitespace tokens + BPE-ish regex segmentation (letters|digits|punct)",
       (s, dir) =>

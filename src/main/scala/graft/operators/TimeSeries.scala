@@ -34,6 +34,51 @@ object TimeSeries {
 
   private def day = (unix_timestamp(col("ts")) / 86400).cast("long").as("day")
 
+  /** Holt double-exponential smoothing, made ENGINE-EXACT by unrolling the
+    * recursion into literal dyadic weights: with α = 1/2, β = 1/4 and the
+    * standard init (l₀ = x₀, b₀ = x₁ − x₀), the level/trend recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});  b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * is LINEAR in the observations, so l_K, b_K and the h-step forecast
+    * l_K + h·b_K are exact rational combinations Σ W_k·x_k / 2^E whose
+    * integer numerators this block derives ONCE (exact BigInt dyadic
+    * arithmetic over coefficient vectors) and both engines consume as the
+    * SAME literals — a recursive float Holt accumulates order-dependent
+    * rounding that can never hash-match cross-engine (the EWMA dyadic
+    * discipline, extended to a trend term). K = [[HoltSteps]] smoothing
+    * steps over the last K+1 dense days.
+    */
+  private[graft] val HoltSteps = 8
+
+  private[graft] val (holtLevelW, holtTrendW, holtForecastW, holtExp) = {
+    type C = (BigInt, Int) // num / 2^exp
+    val zero: C = (BigInt(0), 0)
+    def plus(a: C, b: C): C = {
+      val e = math.max(a._2, b._2)
+      ((a._1 << (e - a._2)) + (b._1 << (e - b._2)), e)
+    }
+    def minus(a: C, b: C): C = plus(a, (-b._1, b._2))
+    def shr(a: C, bits: Int): C = (a._1, a._2 + bits)
+    type V = Vector[C]
+    def unit(t: Int): V =
+      Vector.tabulate(HoltSteps + 1)(k => if (k == t) (BigInt(1), 0) else zero)
+    def vplus(a: V, b: V): V  = a.lazyZip(b).map(plus)
+    def vminus(a: V, b: V): V = a.lazyZip(b).map(minus)
+    var l: V = unit(0)
+    var b: V = vminus(unit(1), unit(0))
+    for (t <- 1 to HoltSteps) {
+      val lPrev = l
+      l = vplus(unit(t), vplus(lPrev, b)).map(shr(_, 1))                         // ½·x_t + ½(l+b)
+      b = vplus(vminus(l, lPrev).map(shr(_, 2)), b.map(c => shr((c._1 * 3, c._2), 2))) // ¼Δl + ¾b
+    }
+    val f = vplus(l, b.map(c => (c._1 * 3, c._2))) // 3-step-ahead: l + 3b
+    val e = (l ++ b ++ f).map(_._2).max
+    // the scaled window sum stays an EXACT double for counts up to
+    // ~2^53 / 2^(e+2); e is a literal, so this is a compile-time contract
+    require(e <= 30, s"holt weight denominator 2^$e grew past the exactness budget")
+    def ints(v: V): Seq[Long] = v.map { case (n, ex) => (n << (e - ex)).bigInteger.longValueExact() }
+    (ints(l), ints(b), ints(f), e)
+  }
+
   /** Gap-fill an observed `(keys..., day, cnt)` frame to the dense
     * [min day, max day] grid (per key combination when `keys` is
     * non-empty), absent cells becoming genuine zeros. `d0` is tiny
@@ -269,6 +314,83 @@ object TimeSeries {
            |  FROM f WHERE l15 IS NOT NULL)
            |SELECT event_type, day AS last_day, cnt AS last_cnt,
            |  cast(scaled as double) / 32768.0 AS ewma
+           |FROM last WHERE rn = 1 ORDER BY event_type""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_ts_holt",
+      s"Holt double-exponential (level + trend) smoothing of the per-type dense daily count series with a 3-day-ahead forecast — the trend-aware upgrade of q_ts_ewma's level and the first real model past q_ts_forecast's seasonal-naive baseline. ENGINE-EXACT by construction: with dyadic alpha = 1/2, beta = 1/4 the recursion over the last ${HoltSteps + 1} dense days is LINEAR in the observations, so level, trend and forecast are literal integer-weight window sums divided by 2^$holtExp — the weights are derived ONCE in exact dyadic BigInt arithmetic and consumed by BOTH engines as the same literals, every emitted double an exact integer-over-power-of-two (a recursive float Holt accumulates order-dependent rounding no two engines agree on). Per type: the latest fully-windowed day, its raw count, smoothed level, trend per day, and the 3-day forecast",
+      (s, dir) => {
+        val d = dense(
+          Tables
+            .events(s, dir)
+            .select(col("event_type"), day)
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("cnt")),
+          Seq("event_type")
+        )
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        def xk(k: Int) =
+          if (k == HoltSteps) col("cnt") else lag(col("cnt"), HoltSteps - k).over(w)
+        def scaled(ws: Seq[Long]) =
+          ws.zipWithIndex.map { case (wt, k) => xk(k) * lit(wt) }.reduce(_ + _)
+        val den = lit((1L << holtExp).toDouble)
+        d.select(
+          col("event_type"),
+          col("day"),
+          col("cnt"),
+          scaled(holtLevelW).as("sl"),
+          scaled(holtTrendW).as("sb"),
+          scaled(holtForecastW).as("sf"),
+          lag(col("cnt"), HoltSteps).over(w).as("l8")
+        ).filter(col("l8").isNotNull)
+          // latest fully-windowed day per type: one max(struct) argmax
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("day"), col("cnt"), col("sl"), col("sb"), col("sf"))).as("m"))
+          .select(
+            col("event_type"),
+            col("m.day").as("last_day"),
+            col("m.cnt").as("last_cnt"),
+            (col("m.sl").cast("double") / den).as("level"),
+            (col("m.sb").cast("double") / den).as("trend"),
+            (col("m.sf").cast("double") / den).as("forecast_3")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some {
+        def termSql(ws: Seq[Long]) =
+          ws.zipWithIndex.map { case (wt, k) =>
+            val lagj = HoltSteps - k
+            val x    = if (lagj == 0) "cnt" else s"lag(cnt, $lagj) OVER w"
+            s"($x) * ($wt)"
+          }.mkString(" + ")
+        val den = (1L << holtExp).toDouble
+        s"""WITH d0 AS (
+           |  SELECT event_type, cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+           |    cast(count(1) as bigint) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+           |grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+           |d AS (
+           |  SELECT t.event_type, grid.day, coalesce(d0.cnt, 0) AS cnt
+           |  FROM (SELECT DISTINCT event_type FROM d0) t
+           |  CROSS JOIN grid
+           |  LEFT JOIN d0 ON d0.event_type = t.event_type AND d0.day = grid.day),
+           |f AS (
+           |  SELECT event_type, day, cnt,
+           |    ${termSql(holtLevelW)} AS sl,
+           |    ${termSql(holtTrendW)} AS sb,
+           |    ${termSql(holtForecastW)} AS sf,
+           |    lag(cnt, $HoltSteps) OVER w AS l8
+           |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           |last AS (
+           |  SELECT event_type, day, cnt, sl, sb, sf,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+           |  FROM f WHERE l8 IS NOT NULL)
+           |SELECT event_type, day AS last_day, cnt AS last_cnt,
+           |  cast(sl as double) / $den AS level,
+           |  cast(sb as double) / $den AS trend,
+           |  cast(sf as double) / $den AS forecast_3
            |FROM last WHERE rn = 1 ORDER BY event_type""".stripMargin
       }
     ),

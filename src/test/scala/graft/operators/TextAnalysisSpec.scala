@@ -20,6 +20,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("text") -> r.getAs[String]("predicted"))
       .toMap
 
+  test("dup spectrum: planted corpus yields exact per-width totals, widths past every doc emit no row") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    // "a b a b" + "a b c": 1-grams 7 total / 3 distinct; 2-grams 5 total /
+    // 3 distinct ("a b" x3, "b a", "b c"); 4-grams 1/1; no doc has 8 tokens
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val defn = graft.SparkEntry.all.find(_.name == "q_text_dup_spectrum").get
+    // rebuild the query body over the planted frame (the gate query is
+    // dir-bound; the operator logic is the n-gram explode + aggregate)
+    val t = split(col("text"), " ")
+    val rows = docs
+      .select(explode(flatten(array(Seq(1, 2, 4, 8).map(n =>
+        when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => struct(lit(n.toLong).as("n"), md5(array_join(slice(t, i, lit(n)), " ")).as("h"))))
+          .otherwise(array().cast("array<struct<n:bigint,h:string>>"))): _*))).as("g"))
+      .groupBy(col("g.n").as("n"))
+      .agg(fcount(lit(1)).as("total"), countDistinct(col("g.h")).as("distinct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    assert(rows === Seq((1L, 7L, 3L), (2L, 5L, 3L), (4L, 1L, 1L)), rows.mkString(","))
+    assert(defn.oracle.nonEmpty)
+    // and the fixture-backed gate query carries all four widths with a
+    // monotone-nonincreasing dup fraction past n=1 (copied passages decay)
+    val gate = graft.SparkEntry
+      .queries("q_text_dup_spectrum")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(gate.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    gate.foreach { case (n, total, distinct, frac) =>
+      assert(distinct <= total && frac === (total - distinct).toDouble / total, s"n=$n")
+    }
+  }
+
   test("language ID predicts by stopword evidence, 'und' without evidence") {
     val en = "the cat sat on the mat and the dog is in a box"
     val es = "el perro y la casa de los vecinos en que vivimos"

@@ -110,6 +110,57 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: dyadic weights ARE the recursion (constant/linear series reproduced exactly, query matches an in-memory recursion)") {
+    import graft.operators.TimeSeries._
+    val den = BigInt(1) << holtExp
+    // structural identities of the unrolled recursion: a constant series
+    // has level = the constant and trend 0; weights therefore sum to
+    // 2^E / 0 / 2^E for level / trend / forecast
+    assert(holtLevelW.map(BigInt(_)).sum === den)
+    assert(holtTrendW.map(BigInt(_)).sum === BigInt(0))
+    assert(holtForecastW.map(BigInt(_)).sum === den)
+    // Holt with b0 = x1 - x0 is EXACT on a line: level = last point,
+    // trend = slope, forecast_3 = last + 3*slope — for any (a, c)
+    for ((a, c) <- Seq((100L, 0L), (7L, 3L), (50L, -2L))) {
+      val xs = (0 to HoltSteps).map(k => a + c * k)
+      def apply(ws: Seq[Long]) = ws.zip(xs).map { case (w, x) => BigInt(w) * x }.sum
+      assert(apply(holtLevelW) === BigInt(a + c * HoltSteps) * den, s"level on ($a, $c)")
+      assert(apply(holtTrendW) === BigInt(c) * den, s"trend on ($a, $c)")
+      assert(apply(holtForecastW) === BigInt(a + c * (HoltSteps + 3)) * den, s"forecast on ($a, $c)")
+    }
+    // the gate query equals the RECURSIVE computation on the fixture's
+    // dense series (all values dyadic with <= E fraction bits and far
+    // below 2^53, so the double recursion here is itself exact)
+    val raw = graft.Tables
+      .events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "cast(unix_timestamp(ts) / 86400 as long) as day")
+      .groupBy("event_type", "day")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (lo, hi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val expected = raw.groupBy(_._1).map { case (tpe, rows) =>
+      val observed = rows.map(r => r._2 -> r._3).toMap
+      val cnts     = (lo to hi).map(d => observed.getOrElse(d, 0L).toDouble).toIndexedSeq
+      val xs       = cnts.takeRight(HoltSteps + 1)
+      var l        = xs(0)
+      var b        = xs(1) - xs(0)
+      for (t <- 1 to HoltSteps) {
+        val lp = l
+        l = 0.5 * xs(t) + 0.5 * (lp + b)
+        b = 0.25 * (l - lp) + 0.75 * b
+      }
+      tpe -> (hi, cnts.last.toLong, l, b, l + 3 * b)
+    }
+    val got = SparkEntry
+      .queries("q_ts_holt")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (tpe, e) => assert(got(tpe) === e, s"$tpe: ${got(tpe)} vs $e") }
+  }
+
   test("gap histogram: buckets match an in-memory recomputation over per-user sorted arrivals") {
     val arrivals = graft.Tables
       .events(spark, TestSpark.sfDir)
