@@ -821,6 +821,98 @@ object IvfSimilarity {
               |  (SELECT count(1) FROM brute JOIN probe USING (vec_id)) / 10.0 AS recall""".stripMargin)
     ),
     QueryDef(
+      "q_sim_pq_ndcg",
+      "gate-visible NDCG@10 of the PQ quantizer's ADC ranking — the POSITION-WEIGHTED companion to q_sim_pq_recall (recall counts hits; NDCG additionally penalizes the quantizer for BURYING a true neighbor at rank 9 instead of rank 1, which is what a retrieval-quality SLO tracks — and unlike the exact-scored IVF probe, whose relevant items form an ideal prefix by construction, the ADC ordering genuinely REORDERS against exact L2, so the number is informative): relevance = membership in the exact-L2 top-10; gain 1/ln(rank+1) (NDCG is log-base-invariant since IDCG rescales identically, and ln is the transcendental whose cross-engine decimal(18,12)+round-6 convention this repo has proven); IDCG from the same formula over the ideal prefix of `hits` items. One row: (k, hits, ndcg). Scale shape: same frames as the recall audit — ADC scans codes with a broadcast 32-row table, the rank window sorts a 10-row frame",
+      (s, dir) => {
+        val c     = comp(s, dir)
+        val cent  = pqCent(s, dir)
+        val codes = pqCodes(s, dir)
+        val sub   = floor((col("d") - 1) / 16).cast("int")
+        val qpq = c
+          .filter(col("vec_id") === 0)
+          .select(sub.as("sub"), (col("d") - lit(16) * sub).as("dl"), col("x").as("qx"))
+        val dtab = cent
+          .join(broadcast(qpq), Seq("sub", "dl"))
+          .groupBy(col("sub"), col("cid"))
+          .agg(sumTerm((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("dq"))
+        // ADC top-10 WITH RANKS: TakeOrderedAndProject prunes to 10 rows,
+        // then the row_number window sorts only those 10
+        val adcRanked = codes
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(dtab), Seq("sub", "cid"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("dq")).as("adc"))
+          .orderBy(col("adc"), col("vec_id"))
+          .limit(10)
+          .withColumn(
+            "rn",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("adc"), col("vec_id")))
+          )
+        val qComp = c.filter(col("vec_id") === 0).select(col("d"), col("x").as("qx"))
+        val exactTop = c
+          .filter(col("vec_id") =!= 0)
+          .join(broadcast(qComp), "d")
+          .groupBy(col("vec_id"))
+          .agg(sumTerm((col("x") - col("qx")) * (col("x") - col("qx"))).as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+        val dcg = adcRanked
+          .join(exactTop, Seq("vec_id"), "left_semi")
+          .agg(
+            sum((lit(1.0) / log(col("rn") + 1)).cast("decimal(18,12)")).as("dcg_d"),
+            count(lit(1)).as("hits")
+          )
+        dcg.select(
+          lit(10L).as("k"),
+          col("hits"),
+          round(
+            col("dcg_d").cast("double") /
+              aggregate(
+                sequence(lit(1L), col("hits")),
+                lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+                // re-cast each step: decimal + widens scale-losingly past
+                // p=38 otherwise; values are <= ~15, so (28,12) is exact
+                (acc, i) =>
+                  (acc + (lit(1.0) / log(i.cast("double") + 1)).cast("decimal(18,12)"))
+                    .cast("decimal(28,12)")
+              ).cast("double"),
+            6
+          ).as("ndcg")
+        )
+      },
+      Some(s"""WITH $pqSql,
+              |qpq AS (SELECT sub, dl, x AS qx FROM pqcomp WHERE vec_id = 0),
+              |dtab AS (
+              |  SELECT k.sub, k.cid,
+              |    sum(cast((q.qx - k.cx) * (q.qx - k.cx) as decimal(18,12))) AS dq
+              |  FROM pcent2 k JOIN qpq q ON q.sub = k.sub AND q.dl = k.dl
+              |  GROUP BY 1, 2),
+              |adcranked AS (SELECT vec_id, rn FROM (
+              |    SELECT a.vec_id, row_number() OVER (ORDER BY sum(t.dq), a.vec_id) AS rn
+              |    FROM pa2 a JOIN dtab t ON t.sub = a.sub AND t.cid = a.cid
+              |    WHERE a.vec_id <> 0 GROUP BY a.vec_id) x
+              |  WHERE rn <= 10),
+              |qcomp AS (SELECT d, x AS qx FROM comp WHERE vec_id = 0),
+              |exacttop AS (SELECT vec_id FROM (
+              |    SELECT c.vec_id,
+              |      row_number() OVER (
+              |        ORDER BY sum(cast((c.x - q.qx) * (c.x - q.qx) as decimal(18,12))), c.vec_id) AS rn
+              |    FROM comp c JOIN qcomp q ON q.d = c.d
+              |    WHERE c.vec_id <> 0 GROUP BY c.vec_id) y
+              |  WHERE rn <= 10),
+              |dcg AS (
+              |  SELECT sum(cast(1.0 / ln(rn + 1) as decimal(18,12))) AS dcg_d,
+              |    cast(count(1) as bigint) AS hits
+              |  FROM adcranked JOIN exacttop USING (vec_id))
+              |SELECT cast(10 as bigint) AS k, hits,
+              |  round(cast(cast(dcg_d as varchar) as double) /
+              |    cast(cast((SELECT sum(cast(1.0 / ln(i + 1) as decimal(18,12)))
+              |               FROM unnest(generate_series(1, hits)) t(i)) as varchar) as double), 6) AS ndcg
+              |FROM dcg""".stripMargin)
+    ),
+    QueryDef(
       "q_sim_ivf_probe2",
       "multi-probe IVF (nprobe=2), the standard recall lever: rank the query vector against the trained centroids, search the 2 nearest clusters (~2/k of the corpus) — candidate recall rises at 2x the scoring cost, same decimal-exact arithmetic",
       (s, dir) => {

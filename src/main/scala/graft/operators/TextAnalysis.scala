@@ -491,10 +491,17 @@ object TextAnalysis {
               )
             ).as("g")
           )
-          .groupBy(col("g.n").as("n"))
+          // two-stage aggregation instead of count + countDistinct in one
+          // agg: the latter plans an Expand that doubles the exploded gram
+          // stream before the shuffle (measured 3x the cold time); here
+          // the first stage is a map-side-combinable (n, h) count and the
+          // second runs over the distinct-gram frame only
+          .groupBy(col("g.n").as("n"), col("g.h").as("h"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("n"))
           .agg(
-            count(lit(1)).as("total_ngrams"),
-            countDistinct(col("g.h")).as("distinct_ngrams")
+            sum(col("c")).as("total_ngrams"),
+            count(lit(1)).as("distinct_ngrams")
           )
           .select(
             col("n"),

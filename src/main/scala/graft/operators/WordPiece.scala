@@ -81,14 +81,16 @@ object WordPiece {
     for (k <- 1 to rounds) {
       onRoundFrame(k, seqs)
       // unigram counts of the CURRENT segmentation — referenced twice
-      // below (the na and nb joins), so it is pinned for the round and
-      // reclaimed once the argmax is materialized
-      val uni = Tables.pin(
-        seqs
-          .select(col("w"), explode(split(trim(col("s")), " ")).as("tok"))
-          .groupBy(col("tok"))
-          .agg(sum(col("w")).as("n"))
-      )
+      // below (the na and nb joins). Deliberately NOT pinned: Catalyst
+      // duplicates the explode+agg subtree, but both copies scan the
+      // PINNED seqs blocks inside the one argmax job, and on the
+      // vocabulary-shaped frame that duplication is cheaper than a
+      // materialization job per round (measured: the heldout gate is
+      // round-latency-bound, not data-bound)
+      val uni = seqs
+        .select(col("w"), explode(split(trim(col("s")), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(sum(col("w")).as("n"))
       val pairs = seqs
         .select(col("w"), split(trim(col("s")), " ").as("t"))
         .select(
@@ -127,7 +129,6 @@ object WordPiece {
         )
       val mk = Tables.pinIter(scored.orderBy(col("score").desc, col("a"), col("b")).limit(1))
       mks += mk
-      Tables.unpin(uni)
       merges += mk.select(
         lit(k.toLong).as("round"),
         col("a"),
@@ -173,9 +174,18 @@ object WordPiece {
     * [[Bpe.encodeWithMerges]].
     */
   private[graft] def encodeGreedy(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
-    val vrow = mergeTable.agg(
-      sort_array(collect_set(concat(col("a"), lit("_"), col("b")))).as("vocab")
-    )
+    // alongside the vocab, broadcast its HEAD-TOKEN set (each symbol's
+    // first '_'-segment) and its distinct symbol lengths: at a random text
+    // position almost no token heads a vocab symbol, so one cheap
+    // array_contains on the head prunes the whole slice/join/contains
+    // probe cascade — measured 2.7s -> sub-second on the encode gate
+    val vrow = mergeTable
+      .select(concat(col("a"), lit("_"), col("b")).as("sym"))
+      .agg(
+        sort_array(collect_set(col("sym"))).as("vocab"),
+        sort_array(collect_set(element_at(split(col("sym"), "_"), 1))).as("vheads"),
+        sort_array(collect_set(size(split(col("sym"), "_")))).as("vlens")
+      )
     docs
       .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
       .distinct()
@@ -186,20 +196,23 @@ object WordPiece {
         transform(
           sequence(lit(1), size(col("t"))),
           i =>
-            coalesce(
-              array_max(
-                // constant probe width, length-validity INSIDE the lambda:
-                // sequence(2, n) with n < 2 generates a DESCENDING [2, n]
-                // range in Spark, so the naive sequence(2, remaining) form
-                // would probe phantom lengths at the tail positions
-                filter(
-                  sequence(lit(2), lit(MaxSymLen)),
-                  l =>
-                    (l <= size(col("t")) - i + 1) &&
-                      array_contains(col("vocab"), array_join(slice(col("t"), i, l), "_"))
-                )
-              ),
-              lit(1)
+            when(!array_contains(col("vheads"), element_at(col("t"), i)), lit(1)).otherwise(
+              coalesce(
+                array_max(
+                  // probe ONLY the lengths the vocab actually contains;
+                  // length-validity INSIDE the lambda (sequence(2, n) with
+                  // n < 2 generates a DESCENDING [2, n] range in Spark, so
+                  // the naive sequence(2, remaining) form would probe
+                  // phantom lengths at the tail positions)
+                  filter(
+                    col("vlens"),
+                    l =>
+                      (l <= size(col("t")) - i + 1) &&
+                        array_contains(col("vocab"), array_join(slice(col("t"), i, l), "_"))
+                  )
+                ),
+                lit(1)
+              )
             )
         )
       )

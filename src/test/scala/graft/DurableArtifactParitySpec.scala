@@ -45,6 +45,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_pq_codes",
     "q_sim_pq_probe",
     "q_sim_pq_recall",
+    "q_sim_pq_ndcg",
     "q_sim_ivfpq_probe",
     "q_dedup_semantic",
     "q_graph_pagerank",
