@@ -69,13 +69,34 @@ object WordPiece {
       docs: DataFrame,
       rounds: Int = Rounds,
       onRoundFrame: (Int, DataFrame) => Unit = (_, _) => ()
-  ): (DataFrame, Seq[DataFrame]) = {
-    var seqs: DataFrame = Tables.pinIter(
-      docs
-        .select(concat(lit(" "), col("text"), lit(" ")).as("s"))
-        .groupBy(col("s"))
-        .agg(count(lit(1)).as("w"))
+  ): (DataFrame, Seq[DataFrame]) =
+    trainWordPieceWeightedTracked(
+      // THE one corpus-sized pass: collapse to (distinct sequence, weight).
+      // pinIter, not pin — this is generation 0 of the loop frame below.
+      Tables.pinIter(
+        docs
+          .select(concat(lit(" "), col("text"), lit(" ")).as("s"))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("w"))
+      ),
+      rounds,
+      onRoundFrame
     )
+
+  /** The training loop over an ALREADY-BUILT frequency frame (s, w) with
+    * space-padded sequences — the entry point the streaming tokenizer
+    * twin retrains through (frequency tables are additive, so a
+    * re-aggregated union of per-batch partials trains bit-identically to
+    * the batch build — the [[Bpe.trainMergesWeighted]] contract). The
+    * caller passes a MATERIALIZED frame; the loop unpins superseded
+    * generations, generation 0 included.
+    */
+  private[graft] def trainWordPieceWeightedTracked(
+      seqs0: DataFrame,
+      rounds: Int = Rounds,
+      onRoundFrame: (Int, DataFrame) => Unit = (_, _) => ()
+  ): (DataFrame, Seq[DataFrame]) = {
+    var seqs: DataFrame = seqs0
     val mks    = Seq.newBuilder[DataFrame]
     val merges = Seq.newBuilder[DataFrame]
     for (k <- 1 to rounds) {

@@ -5,11 +5,14 @@ import graft.operators.Bpe
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Streaming BPE retraining — the tokenizer twin of [[StreamingGraph]]:
-  * arriving documents fold into a durable DISTINCT-SEQUENCE FREQUENCY
-  * store per micro-batch, and the merge table (the tokenizer artifact a
-  * training pipeline ships) is retrained and atomically republished after
-  * every fold.
+/** Streaming tokenizer retraining — the tokenizer twin of
+  * [[StreamingGraph]]: arriving documents fold into a durable
+  * DISTINCT-SEQUENCE FREQUENCY store per micro-batch, and BOTH tokenizer
+  * artifacts a training pipeline ships — the BPE merge table and the
+  * WordPiece likelihood-ratio merge table — are retrained from the ONE
+  * shared store and atomically republished behind a single version flip
+  * after every fold (the StreamingCoPurchase two-tables-one-pointer
+  * shape).
   *
   * Why this is cheap: the frequency table is ADDITIVE — batch k
   * contributes its own (text, count) partial, and the union's
@@ -28,7 +31,9 @@ import org.apache.spark.sql.functions._
   *   freq/
   *     batch_id=3/     # one (s, w) partial per micro-batch, idempotent
   *   merges/
-  *     v=2/            # (round, a, b, n) learned merge table
+  *     v=2/            # (round, a, b, n) learned BPE merge table
+  *   wordpiece/
+  *     v=2/            # (round, a, b, n, na, nb, score) WordPiece table
   * }}}
   */
 object StreamingBpe {
@@ -76,10 +81,17 @@ object StreamingBpe {
             .parquet(s"$bpeDir/freq")
             .groupBy(col("s"))
             .agg(sum(col("w")).as("w"))
-          val pinnedFreq      = Tables.pin(freq)
+          // one pinned copy PER trainer: each weighted loop reclaims its
+          // generation-0 frame after the first rewrite, so sharing one pin
+          // would hand the second trainer deleted checkpoint blocks
+          val pinnedFreq       = Tables.pin(freq)
+          val pinnedFreqWp     = Tables.pin(freq)
           val (merges, mkPins) = Bpe.trainMergesWeightedTracked(pinnedFreq, rounds)
-          val v                = currentVersion(s, bpeDir).getOrElse(0) + 1
+          val (wpMerges, wpPins) =
+            graft.operators.WordPiece.trainWordPieceWeightedTracked(pinnedFreqWp, rounds)
+          val v = currentVersion(s, bpeDir).getOrElse(0) + 1
           merges.write.mode("overwrite").parquet(s"$bpeDir/merges/v=$v")
+          wpMerges.write.mode("overwrite").parquet(s"$bpeDir/wordpiece/v=$v")
           val root = new org.apache.hadoop.fs.Path(bpeDir)
           val fs   = Snapshots.fsOf(s, root)
           Snapshots.writeCurrent(fs, root, v, "streaming bpe")
@@ -91,25 +103,37 @@ object StreamingBpe {
           // protocol)
           if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/wordpiece/v=${v - 2}"), true)
             ()
           }
           // the merges parquet is written: the per-round argmax pins and
           // the folded frequency frame have no further consumer — reclaim
           // them so a long-running stream holds O(1) checkpoint
           // generations, the StreamingGraph tracked-pins discipline
-          (mkPins :+ pinnedFreq).foreach(Tables.unpin)
+          (mkPins ++ wpPins ++ Seq(pinnedFreq, pinnedFreqWp)).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)
       .start()
   }
 
-  /** The live merge table (round, a, b, n) — bit-identical to
+  /** The live BPE merge table (round, a, b, n) — bit-identical to
     * [[Bpe.trainMerges]] over the union of every landed batch.
     */
   def merges(spark: SparkSession, bpeDir: String): DataFrame = {
     val v = currentVersion(spark, bpeDir).getOrElse(
       throw new IllegalStateException(s"no published merge table under $bpeDir (stream has not folded yet)"))
     spark.read.parquet(s"$bpeDir/merges/v=$v")
+  }
+
+  /** The live WordPiece merge table (round, a, b, n, na, nb, score) —
+    * bit-identical to [[graft.operators.WordPiece.trainWordPiece]] over
+    * the union of every landed batch, published behind the SAME version
+    * pointer as the BPE table (one flip covers both tokenizers).
+    */
+  def wordpieceMerges(spark: SparkSession, bpeDir: String): DataFrame = {
+    val v = currentVersion(spark, bpeDir).getOrElse(
+      throw new IllegalStateException(s"no published wordpiece table under $bpeDir (stream has not folded yet)"))
+    spark.read.parquet(s"$bpeDir/wordpiece/v=$v")
   }
 }

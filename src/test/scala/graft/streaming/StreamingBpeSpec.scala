@@ -49,10 +49,19 @@ class StreamingBpeSpec extends AnyFunSuite {
     // retain-one-prior: v=1 survives the v=2 flip for in-flight readers
     // (reclaimed only when v=3 publishes)
     assert(new java.io.File(s"$bpe/merges/v=1").exists, "one prior merge snapshot is retained")
+    assert(new java.io.File(s"$bpe/wordpiece/v=1").exists, "the wordpiece snapshots share the retain window")
     val streamed = StreamingBpe.merges(spark, bpe).collect().map(_.toString).sorted
     val batch = Bpe
       .trainMerges(docs.toSeq.toDF("doc_id", "text"), rounds = 4)
       .collect().map(_.toString).sorted
     assert(streamed === batch, "retrained merge table must equal the batch build on the union corpus")
+    // BOTH tokenizers retrain from the one frequency store behind the one
+    // pointer: the WordPiece table equals ITS batch trainer on the union
+    val streamedWp = StreamingBpe.wordpieceMerges(spark, bpe).collect().map(_.toString).sorted
+    val batchWp = graft.operators.WordPiece
+      .trainWordPiece(docs.toSeq.toDF("doc_id", "text"), rounds = 4)
+      .collect().map(_.toString).sorted
+    assert(streamedWp === batchWp,
+      "retrained wordpiece table must equal the batch build on the union corpus")
   }
 }
