@@ -463,6 +463,78 @@ object TextAnalysis {
               |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)
     ),
     QueryDef(
+      "q_text_pmi",
+      "PMI collocation mining (Church & Hanks 1990) — the classic phrase-extraction readout ('new york', 'machine learning') a curation pipeline runs before vocabulary decisions: for adjacent token pairs with count >= 5, pointwise mutual information ln(P(ab) / (P(a)P(b))) computed as ONE ln over a single IEEE product/quotient of exactly-converted integer counts (c_ab*N*N / (c_a*c_b*M) — identical expression shape on both engines), ranked on the ROUNDED score (the tfidf convention: raw transcendentals can differ in the last ulp) with (a, b) tiebreak. Corpus stats (total tokens N, total bigrams M) ride one broadcast row; unigram and bigram counts are each one explode + map-side-combinable aggregation. Top-15 collocations",
+      (s, dir) => {
+        val docs = Tables.fanout(Tables.documents(s, dir))
+        val t    = tokens(col("text"))
+        val uni = Tables.pin(
+          docs.select(explode(t).as("tok")).groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        )
+        val bi = docs
+          .select(
+            explode(
+              when(
+                size(t) >= 2,
+                transform(
+                  sequence(lit(1), size(t) - 1),
+                  i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))
+                )
+              ).otherwise(array().cast("array<struct<a:string,b:string>>"))
+            ).as("p")
+          )
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        // M (total bigrams) derives from the unigram totals instead of a
+        // third corpus pass: each doc of L tokens yields L-1 bigrams, so
+        // M = N - n_docs — and it must be the TOTAL count, not the
+        // thresholded bi-frame's sum
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        bi.crossJoin(broadcast(uni.agg(sum(col("c")).as("n_tok"))))
+          .crossJoin(broadcast(nDocs))
+          .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+          .select(
+            col("a"),
+            col("b"),
+            col("c_ab"),
+            round(
+              log(
+                (col("c_ab").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")) /
+                  (col("c_a").cast("double") * col("c_b").cast("double") *
+                    (col("n_tok") - col("n_docs")).cast("double"))
+              ),
+              6
+            ).as("pmi")
+          )
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+          .limit(15)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |uni AS (SELECT tok, cast(count(1) as bigint) AS c FROM toks GROUP BY 1),
+             |st AS (SELECT cast(sum(c) as bigint) AS n_tok,
+             |              (SELECT cast(count(1) as bigint) FROM documents) AS n_docs
+             |       FROM uni),
+             |bi AS (
+             |  SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+             |    cast(count(1) as bigint) AS c_ab
+             |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |                                     i -> t[i] || ' ' || t[i+1])) AS pr
+             |        FROM (SELECT string_split(text, ' ') AS t FROM documents) x
+             |        WHERE len(t) >= 2) y
+             |  GROUP BY 1, 2
+             |  HAVING count(1) >= 5)
+             |SELECT a, b, c_ab,
+             |  round(ln((cast(c_ab as double) * cast(n_tok as double) * cast(n_tok as double))
+             |         / (cast(ua.c as double) * cast(ub.c as double)
+             |            * cast(n_tok - n_docs as double))), 6) AS pmi
+             |FROM bi JOIN uni ua ON ua.tok = bi.a JOIN uni ub ON ub.tok = bi.b
+             |CROSS JOIN st
+             |ORDER BY pmi DESC, a, b LIMIT 15""".stripMargin)
+    ),
+    QueryDef(
       "q_text_dup_spectrum",
       "n-gram DUPLICATION SPECTRUM (the Lee et al. 2022 pre-dedup diagnostic): for n in {1, 2, 4, 8}, the corpus-wide total and distinct n-gram counts and the duplicated-occurrence fraction (total - distinct) / total — the curve that tells a curation pipeline WHERE its duplication lives (high dup at n=1 is just Zipf; high dup persisting at n=8 means copied passages, i.e. run exact-substring dedup, not only doc-level). ONE explode emits (n, md5(gram)) for all four widths via per-width map-side transforms (grams ride as fixed-width digests, the shuffle-narrowing production shape); one aggregation per n with exact integer counts and ONE final IEEE division emitted raw — no rounding anywhere",
       (s, dir) => {

@@ -20,6 +20,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("text") -> r.getAs[String]("predicted"))
       .toMap
 
+  test("pmi collocations: gate rows match an in-memory recomputation, threshold and ranking respected") {
+    val texts = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("text")
+      .collect()
+      .map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi  = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1)
+      (0 until w.length - 1).foreach(i => bi((w(i), w(i + 1))) = bi.getOrElse((w(i), w(i + 1)), 0L) + 1)
+    }
+    val n = uni.values.sum.toDouble
+    val m = (n - texts.length).toDouble
+    def pmiOf(a: String, b: String, cab: Long): Double = {
+      val raw = math.log(cab.toDouble * n * n / (uni(a).toDouble * uni(b).toDouble * m))
+      BigDecimal(raw.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = bi.toSeq
+      .collect { case ((a, b), c) if c >= 5 => (a, b, c, pmiOf(a, b, c)) }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(15)
+    val got = graft.SparkEntry
+      .queries("q_text_pmi")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected, s"got ${got.take(3)} expected ${expected.take(3)}")
+  }
+
   test("dup spectrum: planted corpus yields exact per-width totals, widths past every doc emit no row") {
     import org.apache.spark.sql.functions.{count => fcount}
     // "a b a b" + "a b c": 1-grams 7 total / 3 distinct; 2-grams 5 total /
