@@ -555,28 +555,44 @@ object Graph {
     */
   private[graft] val HarmonicSeeds = 8
 
-  /** MULTI-SOURCE BFS → harmonic centrality over an undirected (pa < pb)
-    * edge set: ONE synchronized frontier loop keyed by (seed, node) for
-    * the `seedCount` MIN node ids — the batched-probe discipline
-    * ([[IvfSimilarity]]'s set-at-a-time probe) applied to traversal, so K
-    * seeds cost K× frame width but the SAME number of rounds and plans as
-    * one. Emits per seed the harmonic centrality Σ 1/d(s,·) over reached
-    * nodes (Boldi & Vigna 2014's centrality of choice for disconnected
-    * graphs: unreached nodes contribute exactly 0 instead of breaking a
-    * closeness denominator) and the reached count.
+  /** DuckDB CTE chain ending in `h<BfsOracleRounds>(seed, node, d)` — the
+    * SQL twin of [[multiSourceDistances]], assuming `e(pa, pb)` is already
+    * defined. ONE rendering shared by the harmonic and effective-diameter
+    * oracles, exactly like the Spark side shares one loop — a drifted copy
+    * would silently desync one gate from the other.
+    */
+  private def msbfsCtesSql: String = {
+    val steps = (1 to BfsOracleRounds).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT seed, node, d FROM h${k - 1}
+         |  UNION ALL
+         |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
+         |    SELECT DISTINCT p.seed, s.v AS node
+         |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
+         |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
+         |  WHERE q.node IS NULL)""".stripMargin
+    }
+    s"""sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+       |h0 AS MATERIALIZED (
+       |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
+       |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** The multi-source BFS loop over an undirected (pa < pb) edge set: ONE
+    * synchronized frontier loop keyed by (seed, node) for the `seedCount`
+    * MIN node ids — the batched-probe discipline ([[IvfSimilarity]]'s
+    * set-at-a-time probe) applied to traversal, so K seeds cost K× frame
+    * width but the SAME number of rounds and plans as one. Returns the
+    * settled (seed, node, d) distance frame, PINNED — shared by the
+    * harmonic-centrality ([[harmonicFrom]]) and effective-diameter
+    * ([[effDiameterFrom]]) readouts (one loop, several consumers).
     *
     * Scale shape: the settled frame only GROWS and is read three times per
     * round (join source, anti-join filter, union) — per-round pinIter with
     * superseded-generation unpin; convergence from the 1-row count
     * fixpoint, REQUIRED within the [[BfsOracleRounds]] bound the oracle's
-    * unrolled chain shares. The per-term 1/d is decimal-cast for an
-    * order-free exact sum (the bm25 convention) and emitted as ONE
-    * decimal→double conversion — no rounding call anywhere.
-    */
-  /** The multi-source BFS loop itself: the settled (seed, node, d)
-    * distance frame for the `seedCount` MIN node ids, PINNED — shared by
-    * the harmonic-centrality and effective-diameter readouts (one loop,
-    * several consumers).
+    * unrolled chain shares.
     */
   private[graft] def multiSourceDistances(
       e: DataFrame,
@@ -674,17 +690,24 @@ object Graph {
     (hist.select(col("d"), col("n_pairs")).unionByName(eff), Seq(hist))
   }
 
-  /** [[harmonicCensusTracked]]'s result frame alone — the GraphProps
-    * differential entry point.
+  /** [[harmonicCensusTracked]] materialized with its pins reclaimed — the
+    * GraphProps/GraphSpec differential entry point (specs call this per
+    * random graph; discarding the tracked pin list here would leak one
+    * settled-distance checkpoint per invocation).
     */
   private[graft] def harmonicCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
-    harmonicCensusTracked(e, seedCount)._1
+    graft.Artifacts.materializeTracked(harmonicCensusTracked(e, seedCount))
 
-  /** [[effDiameterFrom]] over a fresh loop — the spec/differential entry
-    * point.
+  /** [[effDiameterFrom]] over a fresh loop, materialized with its pins
+    * reclaimed — the spec/differential entry point (same leak rationale
+    * as [[harmonicCensus]]).
     */
   private[graft] def effDiameterCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
-    effDiameterFrom(multiSourceDistances(e, seedCount))._1
+    graft.Artifacts.materializeTracked {
+      val dist         = multiSourceDistances(e, seedCount)
+      val (f, histPin) = effDiameterFrom(dist)
+      (f, histPin :+ dist)
+    }
 
   private val msbfsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -713,12 +736,7 @@ object Graph {
 
   /** Effective-diameter census as a build-once artifact. */
   private def effDiameterArtifact(s: SparkSession, dir: String): DataFrame =
-    if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked {
-        val dist         = multiSourceDistances(coPurchaseEdges(s, dir), HarmonicSeeds)
-        val (f, histPin) = effDiameterFrom(dist)
-        (f, histPin :+ dist)
-      }
+    if (Tables.noArtifactCache) effDiameterCensus(coPurchaseEdges(s, dir))
     else
       graft.Artifacts.cachedInTracked(effdiamCache, s, dir, "graph_effdiam", "d")(
         effDiameterFrom(msbfsDistances(s, dir)))
@@ -2101,22 +2119,8 @@ object Graph {
       s"harmonic centrality via MULTI-SOURCE BFS — Boldi & Vigna 2014's centrality of choice for disconnected graphs (unreached nodes contribute exactly 0 instead of breaking a closeness denominator): for each of the $HarmonicSeeds min-id seed nodes, sum 1/d(s, v) over every node v the seed reaches. ONE synchronized frontier loop keyed by (seed, node) — the batched-probe discipline (q_sim_ivf_probe_batch's set-at-a-time plan) applied to traversal: K seeds widen the frame K-fold but the round count and per-round plan (one shuffle join + distinct + anti join against the settled frame) are those of a single BFS — the traversal family's real 100x-scale shape, since a landmark-centrality job runs hundreds of seeds and cannot afford a loop per seed. Convergence REQUIRED within the shared $BfsOracleRounds-round bound that also sizes the oracle's unrolled chain; per-term 1/d is decimal-cast for an order-free exact sum and emitted as ONE decimal-to-double conversion, zero rounding anywhere. The table is a build-once artifact (graph_harmonic, durable under graft.artifact.root, parity spec-pinned). Output per seed: (node, n_reached, harmonic)",
       (s, dir) => harmonicArtifact(s, dir).orderBy(col("node")),
       Some {
-        val steps = (1 to BfsOracleRounds).map { k =>
-          s"""h$k AS MATERIALIZED (
-             |  SELECT seed, node, d FROM h${k - 1}
-             |  UNION ALL
-             |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
-             |    SELECT DISTINCT p.seed, s.v AS node
-             |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
-             |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
-             |  WHERE q.node IS NULL)""".stripMargin
-        }
         s"""WITH $coEdgesSql,
-           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-           |h0 AS MATERIALIZED (
-           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
-           |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
-           |${steps.mkString(",\n")}
+           |$msbfsCtesSql
            |SELECT seed AS node, cast(count(1) as bigint) AS n_reached,
            |  cast(cast(sum(cast(1.0 / d as decimal(18,12))) as varchar) as double) AS harmonic
            |FROM h$BfsOracleRounds WHERE d > 0
@@ -2128,22 +2132,8 @@ object Graph {
       s"distance histogram + EFFECTIVE DIAMETER from the $HarmonicSeeds min-id seeds — the ANF/HyperANF readout (Palmer et al. 2002; Boldi/Rosa/Vigna 2011 run exactly this at web scale with probabilistic counters): per distance d the count of reached (seed, node) pairs, plus as row d = -1 the smallest d whose cumulative pair count covers 90% of reached pairs — the standard 'how far apart is this graph really' statistic, robust where the true diameter is one noisy tendril. SHARES the settled multi-source BFS frame with q_graph_harmonic (one loop, two readouts — the frame is its own build-once artifact, graph_msbfs), and the 90th-percentile rule is PURE INTEGER (10*cum >= 9*total over a histogram of <= $BfsOracleRounds rows; the cumulative window sorts the histogram, never the pair frame). Zero floating point anywhere",
       (s, dir) => effDiameterArtifact(s, dir).orderBy(col("d")),
       Some {
-        val steps = (1 to BfsOracleRounds).map { k =>
-          s"""h$k AS MATERIALIZED (
-             |  SELECT seed, node, d FROM h${k - 1}
-             |  UNION ALL
-             |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
-             |    SELECT DISTINCT p.seed, s.v AS node
-             |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
-             |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
-             |  WHERE q.node IS NULL)""".stripMargin
-        }
         s"""WITH $coEdgesSql,
-           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-           |h0 AS MATERIALIZED (
-           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
-           |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
-           |${steps.mkString(",\n")},
+           |$msbfsCtesSql,
            |hist AS MATERIALIZED (
            |  SELECT d, cast(count(1) as bigint) AS n_pairs
            |  FROM h$BfsOracleRounds WHERE d > 0 GROUP BY d)

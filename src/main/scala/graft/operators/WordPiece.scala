@@ -40,13 +40,13 @@ object WordPiece {
 
   private val Rounds = 6
 
-  /** Longest possible merged-symbol length in tokens: each of the
-    * [[Rounds]] merges adds at most one token to a symbol, so no vocab
-    * entry spans more than Rounds + 1 base tokens. Bounds the
-    * longest-match probe (a constant-width `sequence(2, MaxSymLen)` the
-    * fold filters against).
-    */
-  private val MaxSymLen = Rounds + 1
+  // NOTE deliberately NO MaxSymLen constant: a merge of two
+  // already-merged symbols DOUBLES the span (round 2 can merge
+  // ('x_y','x_y') into a 4-token symbol), so after R rounds a vocab entry
+  // can span up to 2^R base tokens — any fixed "R+1" probe width would
+  // silently truncate long symbols. The greedy probe instead filters the
+  // trained vocab's ACTUAL distinct symbol lengths (the broadcast `vlens`
+  // array), which is both correct and tighter.
 
   /** The WordPiece training loop over any (text) frame: collapse to the
     * distinct-sequence frequency table, then per round ONE unigram
@@ -187,8 +187,10 @@ object WordPiece {
     * skip past it. Two map-only passes per DISTINCT text with the vocab on
     * ONE broadcast row:
     *   1. `lmax[i]` — the longest match at every position, via a
-    *      `transform` probing symbol lengths 2..[[MaxSymLen]] with
-    *      `array_contains` (position-independent, no sequencing);
+    *      `transform` probing exactly the trained vocab's distinct symbol
+    *      lengths with `array_contains` (position-independent, no
+    *      sequencing; a head-token prune skips positions that cannot
+    *      start any symbol);
     *   2. the left-to-right fold — an `aggregate` over positions carrying
     *      (next-unconsumed, output) and skipping consumed positions.
     * Returns the vocabulary-shaped (s0, enc) mapping, same contract as
@@ -371,7 +373,7 @@ object WordPiece {
     ),
     QueryDef(
       "q_wordpiece_encode",
-      s"WordPiece APPLY — greedy LONGEST-MATCH-FIRST encode against the trained vocab (the BERT tokenize() rule, and the second load-bearing difference from BPE: q_bpe_encode replays merges in training order, this walks each text left to right always taking the LONGEST vocab symbol at the current position). Spark-first as two map-only passes over each DISTINCT text with the vocab on ONE broadcast row: a transform computing the longest match at every position (constant-width length probe 2..$MaxSymLen, array_contains against the broadcast vocab), then an aggregate fold over positions carrying (next-unconsumed, output) — no UDF, vocabulary-shaped work, per-doc results from ONE join back to documents. The oracle derives the same walk with a per-position longest-match table + a linear recursive CTE — an independent derivation of the same sequential rule. Output per doc: token counts before/after and the encode md5. First 500 docs by id",
+      s"WordPiece APPLY — greedy LONGEST-MATCH-FIRST encode against the trained vocab (the BERT tokenize() rule, and the second load-bearing difference from BPE: q_bpe_encode replays merges in training order, this walks each text left to right always taking the LONGEST vocab symbol at the current position). Spark-first as two map-only passes over each DISTINCT text with the vocab on ONE broadcast row: a transform computing the longest match at every position (probing exactly the trained vocab's distinct symbol lengths — a merge of two merged symbols DOUBLES the span, so no fixed probe width is safe — behind a head-token prune, array_contains against the broadcast vocab), then an aggregate fold over positions carrying (next-unconsumed, output) — no UDF, vocabulary-shaped work, per-doc results from ONE join back to documents. The oracle derives the same walk with a per-position longest-match table + a linear recursive CTE — an independent derivation of the same sequential rule. Output per doc: token counts before/after and the encode md5. First 500 docs by id",
       (s, dir) =>
         Bpe.encodeReadout(
           Tables.documents(s, dir),
