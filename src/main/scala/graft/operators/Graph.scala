@@ -643,6 +643,110 @@ object Graph {
     dist
   }
 
+  /** Per-edge shortest-path-count saturation: σ grows multiplicatively
+    * through layered diamonds (a graph of k stacked 2-diamonds has
+    * σ = 2^k), so the per-level sum clamps at 10^12 — far above any
+    * honest ambiguity signal, and it keeps every later sum inside int64
+    * whatever the topology at 100 TB (the [[MaxTieWeight]] discipline).
+    * Mirrored in the oracle, so saturated values are identical integers.
+    */
+  private[graft] val SigmaCap = 1000000000000L
+
+  /** MULTI-SOURCE shortest-path COUNTS (Brandes 2001's forward pass, the
+    * σ table betweenness sampling is built from): alongside each
+    * (seed, node) distance, the number of distinct shortest paths —
+    * σ(v) at depth k = Σ σ(u) over depth-(k−1) neighbors, a pure-integer
+    * layer recurrence riding the same synchronized frontier loop as
+    * [[multiSourceDistances]] (the per-round join keys on the PREVIOUS
+    * layer only, so counts flow along shortest-path DAG edges and nothing
+    * else). Path multiplicity is the graph-redundancy readout of corpus
+    * curation: a node reached by ONE path hangs off a tendril, one
+    * reached by thousands sits behind heavy parallel structure.
+    * Returns the settled (seed, node, d, sig) frame, PINNED.
+    */
+  private[graft] def pathCounts(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds,
+      maxRounds: Int = BfsOracleRounds
+  ): DataFrame = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    var dist = Tables.pinIter(
+      sym
+        .select(col("u"))
+        .distinct()
+        .orderBy(col("u"))
+        .limit(seedCount)
+        .select(col("u").as("seed"), col("u").as("node"), lit(0L).as("d"), lit(1L).as("sig"))
+    )
+    var settled   = dist.count()
+    var round     = 0
+    var converged = settled == 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      val frontier = dist.filter(col("d") === lit((round - 1).toLong))
+      val next = Tables.pinIter(
+        sym
+          .join(frontier, sym("u") === frontier("node"))
+          .groupBy(col("seed"), col("v").as("node"))
+          .agg(least(sum(col("sig")), lit(SigmaCap)).as("sig"))
+          .join(dist, Seq("seed", "node"), "left_anti")
+          .select(col("seed"), col("node"), lit(round.toLong).as("d"), col("sig"))
+          .unionByName(dist)
+      )
+      val c = next.count()
+      converged = c == settled
+      settled = c
+      Tables.unpin(dist)
+      dist = next
+    }
+    require(
+      converged,
+      s"multi-source path counting did not converge within $maxRounds rounds — " +
+        "raise maxRounds; σ must cover each seed's full component"
+    )
+    Tables.unpin(sym)
+    dist
+  }
+
+  /** The path-multiplicity census over a settled (seed, node, d, sig)
+    * frame: per seed the reached count, how many reached nodes have MORE
+    * than one shortest path, and the largest (saturated) multiplicity.
+    */
+  private[graft] def pathCountsCensusTracked(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val dist = pathCounts(e, seedCount)
+    val res = dist
+      .filter(col("d") > 0)
+      .groupBy(col("seed").as("node"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(when(col("sig") > 1, 1L).otherwise(0L)).as("n_multi"),
+        max(col("sig")).as("max_paths")
+      )
+    (res, Seq(dist))
+  }
+
+  /** [[pathCountsCensusTracked]] materialized with pins reclaimed — the
+    * spec/differential entry point.
+    */
+  private[graft] def pathCountsCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
+    graft.Artifacts.materializeTracked(pathCountsCensusTracked(e, seedCount))
+
+  private val sigmaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Path-multiplicity census as a build-once artifact. */
+  private def pathCountsArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) pathCountsCensus(coPurchaseEdges(s, dir))
+    else
+      graft.Artifacts.cachedInTracked(sigmaCache, s, dir, "graph_sigma", "node")(
+        pathCountsCensusTracked(coPurchaseEdges(s, dir)))
+
   /** The harmonic readout over a settled (seed, node, d) frame. */
   private[graft] def harmonicFrom(dist: DataFrame): DataFrame =
     dist
@@ -2147,6 +2251,35 @@ object Graph {
            |      FROM hist) z
            |    WHERE cum * 10 >= tot * 9 ORDER BY d LIMIT 1) eff
            |) x ORDER BY d""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_pathcounts",
+      s"shortest-path MULTIPLICITY census from the $HarmonicSeeds min-id seeds — Brandes 2001's forward pass (the sigma table betweenness sampling is built from), run as the SAME one-loop multi-source frontier as q_graph_harmonic with a pure-integer layer recurrence folded in: sigma(v) at depth k = sum of sigma(u) over depth-(k-1) neighbors, so counts flow along shortest-path-DAG edges only. The redundancy readout of corpus curation: a node reached by ONE path hangs off a tendril (cut one edge and it's gone), one reached by thousands sits behind heavy parallel structure. sigma saturates at $SigmaCap per level (a k-diamond stack is 2^k — no honest signal needs more, and the cap keeps every sum in int64 at any topology; mirrored in the oracle, so saturated values are identical integers). Per seed: reached count, nodes with >1 shortest path, max multiplicity — zero floating point anywhere",
+      (s, dir) => pathCountsArtifact(s, dir).orderBy(col("node")),
+      Some {
+        val steps = (1 to BfsOracleRounds).map { k =>
+          s"""sg$k AS MATERIALIZED (
+             |  SELECT seed, node, d, sig FROM sg${k - 1}
+             |  UNION ALL
+             |  SELECT x.seed, x.node, cast($k as bigint) AS d, x.sig FROM (
+             |    SELECT p.seed, s.v AS node, least(sum(p.sig), $SigmaCap) AS sig
+             |    FROM sym s JOIN sg${k - 1} p ON p.node = s.u AND p.d = ${k - 1}
+             |    GROUP BY 1, 2) x
+             |  LEFT JOIN sg${k - 1} q ON q.seed = x.seed AND q.node = x.node
+             |  WHERE q.node IS NULL)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |sg0 AS MATERIALIZED (
+           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d, cast(1 as bigint) AS sig
+           |  FROM (SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
+           |${steps.mkString(",\n")}
+           |SELECT seed AS node, cast(count(1) as bigint) AS n_reached,
+           |  cast(sum(CASE WHEN sig > 1 THEN 1 ELSE 0 END) as bigint) AS n_multi,
+           |  cast(max(sig) as bigint) AS max_paths
+           |FROM sg$BfsOracleRounds WHERE d > 0
+           |GROUP BY seed ORDER BY node""".stripMargin
       }
     ),
     QueryDef(

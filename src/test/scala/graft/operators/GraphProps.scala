@@ -289,6 +289,37 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es (seeds $seedMap)"
     }
 
+  property("shortest-path multiplicity census == brute-force layered sigma from the 4 min seeds") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj   = adjacency(es)
+      val seeds = adj.keySet.toList.sorted.take(4)
+      val expected = seeds.map { s =>
+        var dist  = Map(s -> 0L)
+        var sig   = Map(s -> 1L)
+        var layer = Set(s)
+        var d     = 0L
+        while (layer.nonEmpty) {
+          d += 1
+          val next = layer.flatMap(adj(_)).diff(dist.keySet)
+          val nsig = next.map(v => v -> layer.toList.filter(adj(v)).map(sig).sum).toMap
+          dist ++= next.map(_ -> d)
+          sig ++= nsig
+          layer = next
+        }
+        val reach = dist.filter(_._2 > 0).keySet
+        (s, reach.size.toLong, reach.count(v => sig(v) > 1).toLong,
+          if (reach.isEmpty) 0L else reach.map(sig).max)
+      }.filter(_._2 > 0)
+      val got = Graph
+        .pathCountsCensus(es.toDF("pa", "pb"), seedCount = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList
+        .sortBy(_._1)
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+    }
+
   property("lpa census == brute-force synchronous label propagation (4 rounds)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

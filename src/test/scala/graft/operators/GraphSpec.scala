@@ -434,6 +434,22 @@ class GraphSpec extends AnyFunSuite {
     assert(rows === Seq((-1L, 2L), (7L, 3L), (9L, 1L)), rows.mkString(","))
   }
 
+  test("path counts: a planted diamond yields sigma = 2 at its far corner, tendrils stay 1") {
+    import spark.implicits._
+    // diamond 1-2-4 / 1-3-4 with seeds {1, 2}: node 4 is reached from
+    // seed 1 by TWO shortest 2-paths (sigma 2); from seed 2, node 3 is
+    // the 2-path-ambiguous one (via 1 and via 4)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("pa", "pb")
+    val rows = Graph
+      .pathCountsCensus(g, seedCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+      .toSeq
+    assert(rows === Seq((1L, 3L, 1L, 2L), (2L, 3L, 1L, 2L)), rows.mkString(","))
+    assert(Graph.pathCountsCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
+  }
+
   test("bfs and sssp on an EMPTY graph emit no rows (no phantom NULL-node seed)") {
     import spark.implicits._
     // agg(min) over an empty frame yields one all-NULL row; the isNotNull
