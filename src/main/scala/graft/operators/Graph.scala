@@ -70,7 +70,7 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val Damping = 0.85
-  private val PrIters = 5
+  private[graft] val PrIters = 5
 
   /** The k-core gate query's peel-depth bound, shared by the Spark loop
     * (`maxRounds`, convergence REQUIRED within it) and the oracle's
@@ -1348,8 +1348,17 @@ object Graph {
     Tables.pin(edges0.join(deg, "src"))
   }
 
-  private[graft] def buildPagerankScoresTracked(cs: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val edges = degreeFoldedEdges(cs)
+  /** The integer fixed-point PageRank loop over ANY symmetric (src, dst)
+    * edge frame — node type agnostic (the bipartite purchase graph uses
+    * encoded longs; TextRank runs it over word STRINGS verbatim). Same
+    * tracked-pins contract as [[buildPagerankScoresTracked]], which is now
+    * this plus the bipartite node encoding.
+    */
+  private[graft] def buildPagerankScoresFromEdgesTracked(
+      edges0: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
+    val deg   = edges0.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val edges = Tables.pin(edges0.join(deg, "src"))
     val nodes = Tables.pin(edges.select(col("src").as("node")).distinct())
     val nn    = nodes.agg(count(lit(1)).as("n"))
     // integer picoprobability scores: s_0 = 1e12 div n per node
@@ -1379,6 +1388,12 @@ object Graph {
     }
     (scores, Seq(edges, nodes))
   }
+
+  private[graft] def buildPagerankScoresTracked(cs: DataFrame): (DataFrame, Seq[DataFrame]) =
+    buildPagerankScoresFromEdgesTracked(
+      cs.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(cs.select((col("s") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    )
 
   /** Per-edge tie-strength saturation for weighted PageRank: clamping w at
     * 1e4 keeps the per-edge integer contribution 85·s·w strictly inside
@@ -1772,7 +1787,7 @@ object Graph {
     * integer picoprobabilities (units of 1e-12); `//` is floor division,
     * equal to Spark's `div` on the all-positive values here.
     */
-  private def prIterSql(k: Int): String =
+  private[graft] def prIterSql(k: Int): String =
     s"""it$k AS (
        |  SELECT c.node, 15000000000000 // (100 * nn.n) + c.c AS s
        |  FROM (

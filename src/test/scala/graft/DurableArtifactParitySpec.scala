@@ -64,6 +64,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_effdiameter",
     "q_graph_pathcounts",
     "q_graph_seeded_labels",
+    "q_text_textrank",
     "q_bpe_merges",
     "q_bpe_encode",
     "q_wordpiece_merges",
@@ -93,7 +94,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_trustrank", "graph_ppr", "graph_wew", "graph_wpr",
           "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
           "graph_hits", "graph_lpa", "graph_harmonic", "graph_msbfs",
-          "graph_effdiam", "graph_sigma", "graph_seeded", "bpe_merges",
+          "graph_effdiam", "graph_sigma", "graph_seeded", "textrank_scores", "bpe_merges",
           "wordpiece_merges").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")

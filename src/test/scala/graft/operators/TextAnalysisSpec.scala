@@ -20,6 +20,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("text") -> r.getAs[String]("predicted"))
       .toMap
 
+  test("textrank: a planted hub word outranks its leaves; thresholded pairs form the graph") {
+    // six leaves each co-occurring only with 'hub' (every doc twice so
+    // all bigrams clear the >= 2 threshold): the hub aggregates mass from
+    // all leaves and must rank first — the property raw frequency can't
+    // see (every word here has the same corpus frequency ratio)
+    val docs = Seq(
+      "alpha hub beta", "gamma hub delta", "epsilon hub zeta",
+      "alpha hub beta", "gamma hub delta", "epsilon hub zeta"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (scores, pins) = TextAnalysis.buildTextrankTracked(docs)
+    val ranked = scores.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2)
+    pins.foreach(graft.Tables.unpin)
+    assert(ranked.head._1 === "hub", ranked.mkString(","))
+    assert(ranked.map(_._1).toSet === Set("hub", "alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    // integer picoprobability mass: all scores positive, total <= 1e12
+    // (floor division only loses mass, never creates it)
+    assert(ranked.forall(_._2 > 0))
+    assert(ranked.map(_._2).sum <= 1000000000000L)
+    // the leaves are symmetric by construction and must tie exactly
+    assert(ranked.tail.map(_._2).toSet.size === 1, ranked.mkString(","))
+  }
+
   test("pmi collocations: gate rows match an in-memory recomputation, threshold and ranking respected") {
     val texts = graft.Tables
       .documents(spark, TestSpark.sfDir)
