@@ -282,10 +282,33 @@ object TextAnalysis {
   private[graft] def buildTextrankTracked(
       docs: org.apache.spark.sql.DataFrame
   ): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
-    val t = tokens(col("text"))
-    val co = graft.Tables.pin(
+    // collapse to the space-padded distinct-sequence frequency table (the
+    // tokenizer trainers' shape, so the streaming twin can retrain from
+    // the SAME landed store): weighted bigram counts over distinct texts
+    // equal raw-corpus counts exactly
+    val freq = graft.Tables.pinIter(
       docs
+        .select(concat(lit(" "), col("text"), lit(" ")).as("s"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("w"))
+    )
+    val (scores, pins) = buildTextrankFromFreqTracked(freq)
+    (scores, pins :+ freq)
+  }
+
+  /** [[buildTextrankTracked]] over an ALREADY-BUILT (s, w) frequency frame
+    * — the streaming entry point ([[Bpe.trainMergesWeighted]] contract:
+    * additive partials re-aggregate to the union corpus's table, so the
+    * retrained scores are bit-identical to the batch build).
+    */
+  private[graft] def buildTextrankFromFreqTracked(
+      seqs0: org.apache.spark.sql.DataFrame
+  ): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val t = split(trim(col("s")), " ")
+    val co = graft.Tables.pin(
+      seqs0
         .select(
+          col("w"),
           explode(
             when(
               size(t) >= 2,
@@ -297,9 +320,13 @@ object TextAnalysis {
           ).as("p")
         )
         .filter(col("p.a") =!= col("p.b"))
-        .select(least(col("p.a"), col("p.b")).as("wa"), greatest(col("p.a"), col("p.b")).as("wb"))
+        .select(
+          least(col("p.a"), col("p.b")).as("wa"),
+          greatest(col("p.a"), col("p.b")).as("wb"),
+          col("w")
+        )
         .groupBy(col("wa"), col("wb"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("w")).as("c"))
         .filter(col("c") >= 2)
     )
     val edges0 = co

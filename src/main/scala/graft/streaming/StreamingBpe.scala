@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Streaming tokenizer retraining — the tokenizer twin of
   * [[StreamingGraph]]: arriving documents fold into a durable
-  * DISTINCT-SEQUENCE FREQUENCY store per micro-batch, and BOTH tokenizer
-  * artifacts a training pipeline ships — the BPE merge table and the
-  * WordPiece likelihood-ratio merge table — are retrained from the ONE
-  * shared store and atomically republished behind a single version flip
-  * after every fold (the StreamingCoPurchase two-tables-one-pointer
-  * shape).
+  * DISTINCT-SEQUENCE FREQUENCY store per micro-batch, and THREE corpus
+  * artifacts a training pipeline ships — the BPE merge table, the
+  * WordPiece likelihood-ratio merge table, and the TextRank keyword
+  * prior — are retrained from the ONE shared store and atomically
+  * republished behind a single version flip after every fold (the
+  * StreamingCoPurchase tables-behind-one-pointer shape; frequency tables
+  * are additive, so each retrain is bit-identical to the batch build on
+  * the union corpus).
   *
   * Why this is cheap: the frequency table is ADDITIVE — batch k
   * contributes its own (text, count) partial, and the union's
@@ -34,6 +36,8 @@ import org.apache.spark.sql.functions._
   *     v=2/            # (round, a, b, n) learned BPE merge table
   *   wordpiece/
   *     v=2/            # (round, a, b, n, na, nb, score) WordPiece table
+  *   textrank/
+  *     v=2/            # (node, s) TextRank keyword prior
   * }}}
   */
 object StreamingBpe {
@@ -86,12 +90,16 @@ object StreamingBpe {
           // would hand the second trainer deleted checkpoint blocks
           val pinnedFreq       = Tables.pin(freq)
           val pinnedFreqWp     = Tables.pin(freq)
+          val pinnedFreqTr     = Tables.pin(freq)
           val (merges, mkPins) = Bpe.trainMergesWeightedTracked(pinnedFreq, rounds)
           val (wpMerges, wpPins) =
             graft.operators.WordPiece.trainWordPieceWeightedTracked(pinnedFreqWp, rounds)
           val v = currentVersion(s, bpeDir).getOrElse(0) + 1
           merges.write.mode("overwrite").parquet(s"$bpeDir/merges/v=$v")
           wpMerges.write.mode("overwrite").parquet(s"$bpeDir/wordpiece/v=$v")
+          val (trScores, trPins) =
+            graft.operators.TextAnalysis.buildTextrankFromFreqTracked(pinnedFreqTr)
+          trScores.write.mode("overwrite").parquet(s"$bpeDir/textrank/v=$v")
           val root = new org.apache.hadoop.fs.Path(bpeDir)
           val fs   = Snapshots.fsOf(s, root)
           Snapshots.writeCurrent(fs, root, v, "streaming bpe")
@@ -104,13 +112,15 @@ object StreamingBpe {
           if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 2}"), true)
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/wordpiece/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/textrank/v=${v - 2}"), true)
             ()
           }
           // the merges parquet is written: the per-round argmax pins and
           // the folded frequency frame have no further consumer — reclaim
           // them so a long-running stream holds O(1) checkpoint
           // generations, the StreamingGraph tracked-pins discipline
-          (mkPins ++ wpPins ++ Seq(pinnedFreq, pinnedFreqWp)).foreach(Tables.unpin)
+          (mkPins ++ wpPins ++ trPins ++ Seq(pinnedFreq, pinnedFreqWp, pinnedFreqTr))
+            .foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)
@@ -135,5 +145,15 @@ object StreamingBpe {
     val v = currentVersion(spark, bpeDir).getOrElse(
       throw new IllegalStateException(s"no published wordpiece table under $bpeDir (stream has not folded yet)"))
     spark.read.parquet(s"$bpeDir/wordpiece/v=$v")
+  }
+
+  /** The live TextRank keyword prior (node, s in 1e-12 units) —
+    * bit-identical to [[graft.operators.TextAnalysis.buildTextrankTracked]]
+    * over the union of every landed batch, behind the same pointer.
+    */
+  def textrank(spark: SparkSession, bpeDir: String): DataFrame = {
+    val v = currentVersion(spark, bpeDir).getOrElse(
+      throw new IllegalStateException(s"no published textrank table under $bpeDir (stream has not folded yet)"))
+    spark.read.parquet(s"$bpeDir/textrank/v=$v")
   }
 }

@@ -63,5 +63,14 @@ class StreamingBpeSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(streamedWp === batchWp,
       "retrained wordpiece table must equal the batch build on the union corpus")
+    // ...and the TextRank keyword prior retrains from the same store too
+    assert(new java.io.File(s"$bpe/textrank/v=1").exists, "textrank snapshots share the retain window")
+    val streamedTr = StreamingBpe.textrank(spark, bpe).collect().map(_.toString).sorted
+    val (batchTrF, batchTrPins) = graft.operators.TextAnalysis
+      .buildTextrankTracked(docs.toSeq.toDF("doc_id", "text"))
+    val batchTr = batchTrF.collect().map(_.toString).sorted
+    batchTrPins.foreach(graft.Tables.unpin)
+    assert(streamedTr === batchTr,
+      "retrained textrank prior must equal the batch build on the union corpus")
   }
 }
