@@ -23,8 +23,13 @@ object Artifacts {
     * a fresh temp root and can never catch that). With the version in the
     * path, a formula change makes old roots a cache MISS: the artifact is
     * rebuilt under the new `fv=` directory instead of replayed stale.
+    * v3: the graph traversal family re-based on ONE settled σ frame —
+    * `graph_sigma` now holds the (seed, node, d, sig) frame (previously
+    * the path-count census, now `graph_pathcounts`), `graph_msbfs` is
+    * gone (subsumed), and the σ per-level sum runs in decimal before its
+    * clamp.
     */
-  private[graft] val FormatVersion = 2
+  private[graft] val FormatVersion = 3
 
   /** The durable on-disk location of one build-once artifact: root /
     * sanitized-input-dir / artifact-name / format-version. Shared by every

@@ -555,114 +555,81 @@ object Graph {
     */
   private[graft] val HarmonicSeeds = 8
 
-  /** DuckDB CTE chain ending in `h<BfsOracleRounds>(seed, node, d)` — the
-    * SQL twin of [[multiSourceDistances]], assuming `e(pa, pb)` is already
-    * defined. ONE rendering shared by the harmonic and effective-diameter
-    * oracles, exactly like the Spark side shares one loop — a drifted copy
-    * would silently desync one gate from the other.
+  /** DuckDB CTE chain ending in `sg<BfsOracleRounds>(seed, node, d, sig)`
+    * — the SQL twin of [[pathCounts]], assuming `e(pa, pb)` is already
+    * defined. ONE rendering shared by the harmonic, effective-diameter,
+    * path-count, and betweenness oracles, exactly like the Spark side
+    * shares ONE settled σ frame (r16 item 3: the previous msbfs chain was
+    * this chain minus σ — a second rendering of the same traversal that
+    * could silently drift from it). Per level the frontier is the
+    * PREVIOUS depth only (p.d = k−1): a node adjacent to an
+    * earlier-settled node was itself settled earlier, so the reached set
+    * is identical to the all-settled join, and σ flows along
+    * shortest-path-DAG edges only.
     */
-  private def msbfsCtesSql: String = {
+  private def sigmaCtesSql: String = {
     val steps = (1 to BfsOracleRounds).map { k =>
-      s"""h$k AS MATERIALIZED (
-         |  SELECT seed, node, d FROM h${k - 1}
+      s"""sg$k AS MATERIALIZED (
+         |  SELECT seed, node, d, sig FROM sg${k - 1}
          |  UNION ALL
-         |  SELECT x.seed, x.node, cast($k as bigint) AS d FROM (
-         |    SELECT DISTINCT p.seed, s.v AS node
-         |    FROM sym s JOIN h${k - 1} p ON p.node = s.u) x
-         |  LEFT JOIN h${k - 1} q ON q.seed = x.seed AND q.node = x.node
+         |  SELECT x.seed, x.node, cast($k as bigint) AS d, x.sig FROM (
+         |    SELECT p.seed, s.v AS node, cast(least(sum(p.sig), $SigmaCap) as bigint) AS sig
+         |    FROM sym s JOIN sg${k - 1} p ON p.node = s.u AND p.d = ${k - 1}
+         |    GROUP BY 1, 2) x
+         |  LEFT JOIN sg${k - 1} q ON q.seed = x.seed AND q.node = x.node
          |  WHERE q.node IS NULL)""".stripMargin
     }
     s"""sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-       |h0 AS MATERIALIZED (
-       |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d FROM (
-       |    SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
+       |sg0 AS MATERIALIZED (
+       |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d, cast(1 as bigint) AS sig
+       |  FROM (SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
        |${steps.mkString(",\n")}""".stripMargin
   }
 
-  /** The multi-source BFS loop over an undirected (pa < pb) edge set: ONE
-    * synchronized frontier loop keyed by (seed, node) for the `seedCount`
-    * MIN node ids — the batched-probe discipline ([[IvfSimilarity]]'s
-    * set-at-a-time probe) applied to traversal, so K seeds cost K× frame
-    * width but the SAME number of rounds and plans as one. Returns the
-    * settled (seed, node, d) distance frame, PINNED — shared by the
-    * harmonic-centrality ([[harmonicFrom]]) and effective-diameter
-    * ([[effDiameterFrom]]) readouts (one loop, several consumers).
-    *
-    * Scale shape: the settled frame only GROWS and is read three times per
-    * round (join source, anti-join filter, union) — per-round pinIter with
-    * superseded-generation unpin; convergence from the 1-row count
-    * fixpoint, REQUIRED within the [[BfsOracleRounds]] bound the oracle's
-    * unrolled chain shares.
-    */
-  private[graft] def multiSourceDistances(
-      e: DataFrame,
-      seedCount: Int,
-      maxRounds: Int = BfsOracleRounds
-  ): DataFrame = {
-    val sym = Tables.pin(
-      e.select(col("pa").as("u"), col("pb").as("v"))
-        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
-    )
-    // orderBy+limit seeds (the bfsCensus phantom-row-free form), fanned
-    // out to (seed, node, d) pairs — the loop key is the PAIR, so one
-    // seed's settled node never blocks another seed's frontier
-    var dist = Tables.pinIter(
-      sym
-        .select(col("u"))
-        .distinct()
-        .orderBy(col("u"))
-        .limit(seedCount)
-        .select(col("u").as("seed"), col("u").as("node"), lit(0L).as("d"))
-    )
-    var settled   = dist.count()
-    var round     = 0
-    var converged = settled == 0L
-    while (!converged && round < maxRounds) {
-      round += 1
-      val next = Tables.pinIter(
-        sym
-          .join(dist, sym("u") === dist("node"))
-          .select(col("seed"), col("v").as("node"))
-          .distinct()
-          .join(dist, Seq("seed", "node"), "left_anti")
-          .select(col("seed"), col("node"), lit(round.toLong).as("d"))
-          .unionByName(dist)
-      )
-      val c = next.count()
-      converged = c == settled
-      settled = c
-      Tables.unpin(dist)
-      dist = next
-    }
-    require(
-      converged,
-      s"multi-source BFS did not converge within $maxRounds rounds — raise " +
-        "maxRounds; the settled distances must cover each seed's full component"
-    )
-    Tables.unpin(sym)
-    dist
-  }
+  // The multi-source BFS distance loop lives in [[pathCounts]]: the σ
+  // recurrence rides the SAME synchronized frontier, so a separate
+  // distance-only loop would be a second full traversal per cold build
+  // carrying strictly less information (r16 item 3 deleted it, along with
+  // the graph_msbfs artifact — graph_sigma ⊇ graph_msbfs).
 
   /** Per-edge shortest-path-count saturation: σ grows multiplicatively
     * through layered diamonds (a graph of k stacked 2-diamonds has
     * σ = 2^k), so the per-level sum clamps at 10^12 — far above any
-    * honest ambiguity signal, and it keeps every later sum inside int64
+    * honest ambiguity signal, and it keeps every STORED σ inside int64
     * whatever the topology at 100 TB (the [[MaxTieWeight]] discipline).
-    * Mirrored in the oracle, so saturated values are identical integers.
+    * The per-level sum itself runs in decimal(38,0) BEFORE the clamp
+    * (DuckDB's bigint sum is hugeint-backed and never wraps; Spark's
+    * int64 sum would wrap silently past ~9.2M capped predecessors), so
+    * the invariant holds at any degree. Mirrored in the oracle, so
+    * saturated values are identical integers.
     */
   private[graft] val SigmaCap = 1000000000000L
 
-  /** MULTI-SOURCE shortest-path COUNTS (Brandes 2001's forward pass, the
-    * σ table betweenness sampling is built from): alongside each
-    * (seed, node) distance, the number of distinct shortest paths —
-    * σ(v) at depth k = Σ σ(u) over depth-(k−1) neighbors, a pure-integer
-    * layer recurrence riding the same synchronized frontier loop as
-    * [[multiSourceDistances]] (the per-round join keys on the PREVIOUS
-    * layer only, so counts flow along shortest-path DAG edges and nothing
-    * else). Path multiplicity is the graph-redundancy readout of corpus
-    * curation: a node reached by ONE path hangs off a tendril, one
-    * reached by thousands sits behind heavy parallel structure.
-    * Returns the settled (seed, node, d, sig) frame, PINNED.
+  /** THE multi-source traversal loop: shortest-path distances AND counts
+    * (Brandes 2001's forward pass) from the `seedCount` MIN node ids, ONE
+    * synchronized frontier loop keyed by (seed, node) — the batched-probe
+    * discipline ([[IvfSimilarity]]'s set-at-a-time probe) applied to
+    * traversal, so K seeds cost K× frame width but the SAME number of
+    * rounds and plans as one. Alongside each (seed, node) distance, the
+    * number of distinct shortest paths — σ(v) at depth k = Σ σ(u) over
+    * depth-(k−1) neighbors, a pure-integer layer recurrence (the
+    * per-round join keys on the PREVIOUS layer only, so counts flow along
+    * shortest-path DAG edges and nothing else; the reached set is
+    * identical to an all-settled join, since a node adjacent to an
+    * earlier-settled node was itself settled earlier). Path multiplicity
+    * is the graph-redundancy readout of corpus curation: a node reached
+    * by ONE path hangs off a tendril, one reached by thousands sits
+    * behind heavy parallel structure.
+    *
+    * Returns the settled (seed, node, d, sig) frame, PINNED — shared by
+    * the harmonic-centrality ([[harmonicFrom]]), effective-diameter
+    * ([[effDiameterFrom]]), path-multiplicity ([[pathCountsFrom]]), and
+    * betweenness ([[backwardDeltas]]) readouts: one loop, four consumers,
+    * one durable artifact (graph_sigma). Scale shape: the settled frame
+    * only GROWS and is read per round as join source, anti-join filter,
+    * and union — per-round pinIter with superseded-generation unpin;
+    * convergence from the 1-row count fixpoint, REQUIRED within the
+    * [[BfsOracleRounds]] bound the oracle's unrolled chain shares.
     */
   private[graft] def pathCounts(
       e: DataFrame,
@@ -691,7 +658,16 @@ object Graph {
         sym
           .join(frontier, sym("u") === frontier("node"))
           .groupBy(col("seed"), col("v").as("node"))
-          .agg(least(sum(col("sig")), lit(SigmaCap)).as("sig"))
+          // the SUM itself runs in decimal(38,0) before the clamp: a node
+          // with ~9.2M+ predecessors already AT the cap would overflow an
+          // int64 sum BEFORE least() sees it — Spark wraps silently where
+          // DuckDB's hugeint sum doesn't, breaking both the 'every sum
+          // stays inside int64' invariant and cross-engine parity at
+          // extreme degree (round-16 ADVICE)
+          .agg(
+            least(sum(col("sig").cast("decimal(38,0)")), lit(SigmaCap).cast("decimal(38,0)"))
+              .cast("long")
+              .as("sig"))
           .join(dist, Seq("seed", "node"), "left_anti")
           .select(col("seed"), col("node"), lit(round.toLong).as("d"), col("sig"))
           .unionByName(dist)
@@ -715,12 +691,8 @@ object Graph {
     * frame: per seed the reached count, how many reached nodes have MORE
     * than one shortest path, and the largest (saturated) multiplicity.
     */
-  private[graft] def pathCountsCensusTracked(
-      e: DataFrame,
-      seedCount: Int = HarmonicSeeds
-  ): (DataFrame, Seq[DataFrame]) = {
-    val dist = pathCounts(e, seedCount)
-    val res = dist
+  private[graft] def pathCountsFrom(dist: DataFrame): DataFrame =
+    dist
       .filter(col("d") > 0)
       .groupBy(col("seed").as("node"))
       .agg(
@@ -728,7 +700,13 @@ object Graph {
         sum(when(col("sig") > 1, 1L).otherwise(0L)).as("n_multi"),
         max(col("sig")).as("max_paths")
       )
-    (res, Seq(dist))
+
+  private[graft] def pathCountsCensusTracked(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val dist = pathCounts(e, seedCount)
+    (pathCountsFrom(dist), Seq(dist))
   }
 
   /** [[pathCountsCensusTracked]] materialized with pins reclaimed — the
@@ -737,15 +715,17 @@ object Graph {
   private[graft] def pathCountsCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
     graft.Artifacts.materializeTracked(pathCountsCensusTracked(e, seedCount))
 
-  private val sigmaCache =
+  private val pathcountsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Path-multiplicity census as a build-once artifact. */
+  /** Path-multiplicity census as a build-once artifact — a readout over
+    * the shared settled σ frame ([[sigmaFrame]]), not its own loop.
+    */
   private def pathCountsArtifact(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) pathCountsCensus(coPurchaseEdges(s, dir))
     else
-      graft.Artifacts.cachedInTracked(sigmaCache, s, dir, "graph_sigma", "node")(
-        pathCountsCensusTracked(coPurchaseEdges(s, dir)))
+      graft.Artifacts.cachedInTracked(pathcountsCache, s, dir, "graph_pathcounts", "node")(
+        (pathCountsFrom(sigmaFrame(s, dir)), Seq.empty))
 
   /** The harmonic readout over a settled (seed, node, d) frame. */
   private[graft] def harmonicFrom(dist: DataFrame): DataFrame =
@@ -762,7 +742,7 @@ object Graph {
       seedCount: Int = HarmonicSeeds,
       maxRounds: Int = BfsOracleRounds
   ): (DataFrame, Seq[DataFrame]) = {
-    val dist = multiSourceDistances(e, seedCount, maxRounds)
+    val dist = pathCounts(e, seedCount, maxRounds)
     (harmonicFrom(dist), Seq(dist))
   }
 
@@ -808,27 +788,29 @@ object Graph {
     */
   private[graft] def effDiameterCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
     graft.Artifacts.materializeTracked {
-      val dist         = multiSourceDistances(e, seedCount)
+      val dist         = pathCounts(e, seedCount)
       val (f, histPin) = effDiameterFrom(dist)
       (f, histPin :+ dist)
     }
 
-  private val msbfsCache =
+  private val sigmaFrameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val harmonicCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val effdiamCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The settled multi-source distance frame as its OWN build-once
-    * artifact: harmonic centrality and the effective diameter are two
-    * readouts over one loop, so the loop result is shared (the graph_wew
-    * treatment — one materialization feeding several consumers). The
-    * frame arrives pre-pinned from the loop's final pinIter.
+  /** The settled multi-source (seed, node, d, sig) frame as its OWN
+    * build-once artifact: harmonic centrality, the effective diameter,
+    * the path-multiplicity census, and betweenness are four readouts over
+    * ONE loop, so the loop result is shared (the graph_wew treatment —
+    * one materialization feeding several consumers). The frame arrives
+    * pre-pinned from the loop's final pinIter. Supersedes the r16
+    * graph_msbfs artifact (this frame is that one plus the σ column).
     */
-  private def msbfsDistances(s: SparkSession, dir: String): DataFrame =
-    graft.Artifacts.cachedPrePinned(msbfsCache, s, dir, "graph_msbfs", "seed")(
-      multiSourceDistances(coPurchaseEdges(s, dir), HarmonicSeeds))
+  private def sigmaFrame(s: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.cachedPrePinned(sigmaFrameCache, s, dir, "graph_sigma", "seed")(
+      pathCounts(coPurchaseEdges(s, dir), HarmonicSeeds))
 
   /** Harmonic-centrality table as a build-once artifact. */
   private def harmonicArtifact(s: SparkSession, dir: String): DataFrame =
@@ -836,14 +818,192 @@ object Graph {
       graft.Artifacts.materializeTracked(harmonicCensusTracked(coPurchaseEdges(s, dir)))
     else
       graft.Artifacts.cachedInTracked(harmonicCache, s, dir, "graph_harmonic", "node")(
-        (harmonicFrom(msbfsDistances(s, dir)), Seq.empty))
+        (harmonicFrom(sigmaFrame(s, dir)), Seq.empty))
 
   /** Effective-diameter census as a build-once artifact. */
   private def effDiameterArtifact(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) effDiameterCensus(coPurchaseEdges(s, dir))
     else
       graft.Artifacts.cachedInTracked(effdiamCache, s, dir, "graph_effdiam", "d")(
-        effDiameterFrom(msbfsDistances(s, dir)))
+        effDiameterFrom(sigmaFrame(s, dir)))
+
+  /** Betweenness census size — top-K nodes by seed-sampled betweenness. */
+  private[graft] val BetweennessTopK = 20
+
+  /** δ saturation in 1e-6 units (real δ of 10^6) — the [[SigmaCap]]
+    * discipline applied to the dependency accumulator: it bounds the
+    * per-term product `ratio(≤10^6) · (10^6 + δ(≤10^12))` at ~10^18
+    * inside int64 at ANY topology, and a dependency past 10^6 is already
+    * "monster chokepoint" (δ ≤ reached-node count, so this binds only
+    * beyond 10^6-node components per seed). Mirrored in the oracle, so
+    * saturated values are identical integers.
+    */
+  private[graft] val DeltaCapUnits = 1000000000000L
+
+  /** Brandes' BACKWARD pass over a settled (seed, node, d, sig) frame
+    * (Brandes 2001 §4; seed-sampled per Brandes–Pich 2007): per seed the
+    * dependency δ(v) = Σ over shortest-path-DAG successors w of
+    * (σ(v)/σ(w))·(1+δ(w)), accumulated level by level in REVERSE — the
+    * exact mirror of the forward loop (same settled frame, levels walked
+    * down instead of up, same per-round pin/unpin discipline). Returns
+    * the settled (seed, node, d, delta) frame plus the pins it holds
+    * (the DAG-edge frame and the final delta generation).
+    *
+    * Cross-engine arithmetic: FIXED-POINT INTEGER, the q_graph_pagerank
+    * 1e-6-unit floor-division discipline — NOT round(double, 6): the
+    * σ-ratio is a RATIONAL (a quotient of small integers), and rationals
+    * land exactly on decimal halves where Spark's and DuckDB's round()
+    * semantics diverge (SCALE.md rule 3; a first cut with round-6 terms
+    * differed by 1e-6 at sf0.001). Instead δ is carried in 1e-6 units as
+    * int64: term = ((σv·10^6) div σw · (10^6 + δw)) div 10^6 — two
+    * floor divisions, zero floating point, bit-identical by construction.
+    * σv ≤ σw on every DAG edge (σw sums σv plus its other predecessors,
+    * and both enter pre-clamped), so the ratio stays ≤ 10^6 and the
+    * product inside int64 given [[DeltaCapUnits]]; the per-node sum runs
+    * in decimal(38,0) before its clamp (the [[SigmaCap]] fix). The ONLY
+    * floating point is the final census readout: units·10^-6 as one
+    * correctly-rounded IEEE division of an exactly-representable integer.
+    *
+    * Scale shape: the DAG-edge frame is built ONCE (two joins of the
+    * settled frame against the edge list — edge-sized × seeds, the same
+    * volume the forward loop already shuffled); each backward level is
+    * one join + one aggregation over that level's DAG edges only, and the
+    * level walk starts at the OBSERVED max depth (a 1-row driver action,
+    * the labelSum discipline), not the oracle bound.
+    */
+  private[graft] def backwardDeltas(
+      dist: DataFrame,
+      e: DataFrame,
+      maxRounds: Int = BfsOracleRounds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    // shortest-path DAG edges per seed: v at depth d(v) joined to its
+    // successors w at depth d(v)+1, carrying both σs — renamed
+    // projections, not a raw self-join (ambiguous-column trap)
+    val lhs = dist.select(col("seed"), col("node").as("vn"), col("d").as("dv"), col("sig").as("sv"))
+    val rhs = dist.select(
+      col("seed").as("seed_w"),
+      col("node").as("wn"),
+      col("d").as("dw"),
+      col("sig").as("sw")
+    )
+    val dagE = Tables.pin(
+      lhs
+        .join(sym, col("vn") === col("u"))
+        .join(rhs, col("seed") === col("seed_w") && col("v") === col("wn") && col("dw") === col("dv") + 1)
+        .select(col("seed"), col("vn"), col("dv"), col("sv"), col("wn"), col("sw"))
+    )
+    // start the walk at the observed deepest level: levels between it and
+    // the oracle's fixed bound hold no nodes, so the oracle's extra
+    // unrolled steps are empty unions — identical frames, fewer
+    // checkpoints (a 1-row max() driver action, the labelSum discipline)
+    val maxD = dist.agg(max(col("d"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r                  => r.getLong(0)
+    }
+    require(
+      maxD < maxRounds,
+      s"settled depth $maxD exceeds the $maxRounds-round oracle bound — raise maxRounds"
+    )
+    var delta = Tables.pinIter(
+      dist
+        .filter(col("d") >= lit(maxD).cast("long"))
+        .select(col("seed"), col("node"), col("d"), lit(0L).as("delta"))
+    )
+    var l = maxD.toInt - 1
+    while (l >= 0) {
+      val succ = delta
+        .filter(col("d") === (l + 1).toLong)
+        .select(col("seed"), col("node").as("wn"), col("delta").as("wdelta"))
+      val contrib = dagE
+        .filter(col("dv") === l.toLong)
+        .join(succ, Seq("seed", "wn"))
+        .groupBy(col("seed"), col("vn").as("node"))
+        .agg(
+          least(
+            sum(expr("(((sv * 1000000) div sw) * (1000000 + wdelta)) div 1000000")
+              .cast("decimal(38,0)")),
+            lit(DeltaCapUnits).cast("decimal(38,0)")
+          ).cast("long").as("dsum")
+        )
+      val next = Tables.pinIter(
+        dist
+          .filter(col("d") === l.toLong)
+          .select(col("seed"), col("node"), col("d"))
+          .join(contrib, Seq("seed", "node"), "left")
+          .select(
+            col("seed"),
+            col("node"),
+            col("d"),
+            coalesce(col("dsum"), lit(0L)).as("delta")
+          )
+          .unionByName(delta)
+      )
+      Tables.unpin(delta)
+      delta = next
+      l -= 1
+    }
+    Tables.unpin(sym)
+    (delta, Seq(dagE, delta))
+  }
+
+  /** The betweenness census over a settled (seed, node, d, delta) frame:
+    * top-[[BetweennessTopK]] nodes by total dependency over the sampled
+    * seeds (d > 0 excludes each seed's own zero-dependency row — Brandes
+    * accumulates δ_s(w) for w ≠ s only). δ is int64 1e-6 units, so the
+    * sum is exact int64 (≤ seedCount·[[DeltaCapUnits]], far under 2^53)
+    * and the ordering pure-integer (ties by node); the ONE floating-point
+    * op is the final units·10⁻⁶ readout division.
+    */
+  private[graft] def betweennessFrom(delta: DataFrame): DataFrame =
+    delta
+      .filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(
+        count(lit(1)).as("n_seeds"),
+        sum(col("delta")).as("bu")
+      )
+      .orderBy(col("bu").desc, col("node"))
+      .limit(BetweennessTopK)
+      .select(
+        col("node"),
+        col("n_seeds"),
+        (col("bu").cast("double") / lit(1000000.0)).as("betweenness")
+      )
+
+  /** Forward σ pass + backward δ pass + census, tracked — the
+    * spec/differential entry point.
+    */
+  private[graft] def betweennessCensusTracked(
+      e: DataFrame,
+      seedCount: Int = HarmonicSeeds
+  ): (DataFrame, Seq[DataFrame]) = {
+    val dist          = pathCounts(e, seedCount)
+    val (delta, pins) = backwardDeltas(dist, e)
+    (betweennessFrom(delta), pins :+ dist)
+  }
+
+  /** [[betweennessCensusTracked]] materialized with pins reclaimed. */
+  private[graft] def betweennessCensus(e: DataFrame, seedCount: Int = HarmonicSeeds): DataFrame =
+    graft.Artifacts.materializeTracked(betweennessCensusTracked(e, seedCount))
+
+  private val betweenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Betweenness census as a build-once artifact — the backward pass
+    * reads the SHARED settled σ frame ([[sigmaFrame]]), so a cold build
+    * of the whole centrality family runs the forward loop exactly once.
+    */
+  private def betweennessArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) betweennessCensus(coPurchaseEdges(s, dir))
+    else
+      graft.Artifacts.cachedInTracked(betweenCache, s, dir, "graph_between", "node") {
+        val (delta, pins) = backwardDeltas(sigmaFrame(s, dir), coPurchaseEdges(s, dir))
+        (betweennessFrom(delta), pins)
+      }
 
   /** Synchronous label-propagation community census over an undirected
     * (pa < pb) edge set (Raghavan et al. 2007, made deterministic): labels
@@ -2239,10 +2399,10 @@ object Graph {
       (s, dir) => harmonicArtifact(s, dir).orderBy(col("node")),
       Some {
         s"""WITH $coEdgesSql,
-           |$msbfsCtesSql
+           |$sigmaCtesSql
            |SELECT seed AS node, cast(count(1) as bigint) AS n_reached,
            |  cast(cast(sum(cast(1.0 / d as decimal(18,12))) as varchar) as double) AS harmonic
-           |FROM h$BfsOracleRounds WHERE d > 0
+           |FROM sg$BfsOracleRounds WHERE d > 0
            |GROUP BY seed ORDER BY node""".stripMargin
       }
     ),
@@ -2252,10 +2412,10 @@ object Graph {
       (s, dir) => effDiameterArtifact(s, dir).orderBy(col("d")),
       Some {
         s"""WITH $coEdgesSql,
-           |$msbfsCtesSql,
+           |$sigmaCtesSql,
            |hist AS MATERIALIZED (
            |  SELECT d, cast(count(1) as bigint) AS n_pairs
-           |  FROM h$BfsOracleRounds WHERE d > 0 GROUP BY d)
+           |  FROM sg$BfsOracleRounds WHERE d > 0 GROUP BY d)
            |SELECT * FROM (
            |  SELECT d, n_pairs FROM hist
            |  UNION ALL
@@ -2273,28 +2433,52 @@ object Graph {
       s"shortest-path MULTIPLICITY census from the $HarmonicSeeds min-id seeds — Brandes 2001's forward pass (the sigma table betweenness sampling is built from), run as the SAME one-loop multi-source frontier as q_graph_harmonic with a pure-integer layer recurrence folded in: sigma(v) at depth k = sum of sigma(u) over depth-(k-1) neighbors, so counts flow along shortest-path-DAG edges only. The redundancy readout of corpus curation: a node reached by ONE path hangs off a tendril (cut one edge and it's gone), one reached by thousands sits behind heavy parallel structure. sigma saturates at $SigmaCap per level (a k-diamond stack is 2^k — no honest signal needs more, and the cap keeps every sum in int64 at any topology; mirrored in the oracle, so saturated values are identical integers). Per seed: reached count, nodes with >1 shortest path, max multiplicity — zero floating point anywhere",
       (s, dir) => pathCountsArtifact(s, dir).orderBy(col("node")),
       Some {
-        val steps = (1 to BfsOracleRounds).map { k =>
-          s"""sg$k AS MATERIALIZED (
-             |  SELECT seed, node, d, sig FROM sg${k - 1}
-             |  UNION ALL
-             |  SELECT x.seed, x.node, cast($k as bigint) AS d, x.sig FROM (
-             |    SELECT p.seed, s.v AS node, least(sum(p.sig), $SigmaCap) AS sig
-             |    FROM sym s JOIN sg${k - 1} p ON p.node = s.u AND p.d = ${k - 1}
-             |    GROUP BY 1, 2) x
-             |  LEFT JOIN sg${k - 1} q ON q.seed = x.seed AND q.node = x.node
-             |  WHERE q.node IS NULL)""".stripMargin
-        }
         s"""WITH $coEdgesSql,
-           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
-           |sg0 AS MATERIALIZED (
-           |  SELECT u AS seed, u AS node, cast(0 as bigint) AS d, cast(1 as bigint) AS sig
-           |  FROM (SELECT DISTINCT u FROM sym ORDER BY u LIMIT $HarmonicSeeds) z),
-           |${steps.mkString(",\n")}
+           |$sigmaCtesSql
            |SELECT seed AS node, cast(count(1) as bigint) AS n_reached,
            |  cast(sum(CASE WHEN sig > 1 THEN 1 ELSE 0 END) as bigint) AS n_multi,
            |  cast(max(sig) as bigint) AS max_paths
            |FROM sg$BfsOracleRounds WHERE d > 0
            |GROUP BY seed ORDER BY node""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_betweenness",
+      s"seed-sampled BETWEENNESS centrality (Brandes 2001 backward pass over the σ table q_graph_pathcounts builds; sampling per Brandes–Pich 2007): per seed, walk the settled levels in REVERSE accumulating the dependency δ(v) = Σ over shortest-path-DAG successors w of (σ(v)/σ(w))·(1+δ(w)), then sum δ over the $HarmonicSeeds min-id seeds per node — THE classic 'which nodes do shortest paths flow through' centrality, the bridge-detection readout of corpus curation (a high-betweenness entity is a chokepoint between clusters; cutting it partitions the graph). The backward pass reads the SAME settled (seed,node,d,sig) frame as harmonic/effdiameter/pathcounts (graph_sigma, ONE forward loop for the whole centrality family) plus a build-once DAG-edge frame; each level is one join + one aggregation over that level's DAG edges. Arithmetic is FIXED-POINT INTEGER (the q_graph_pagerank 1e-6-unit floor-division discipline — the σ-ratio is a RATIONAL, and round(double) on rationals lands on halves where the engines' round() semantics diverge, SCALE.md rule 3): term = ((σv·10^6) div σw · (10^6 + δw)) div 10^6 in int64, per-node sums clamped at $DeltaCapUnits units through a decimal(38,0) sum (the SigmaCap discipline), zero floating point until the final units·1e-6 readout. Output: top-$BetweennessTopK nodes by total dependency (integer-ordered, ties by node), with the seed count that reached each",
+      // re-sorted after the artifact read-back: the durable parquet is
+      // range-sorted on the node key, not the census's dependency order
+      (s, dir) => betweennessArtifact(s, dir).orderBy(col("betweenness").desc, col("node")),
+      Some {
+        val back = (0 until BfsOracleRounds).reverse.map { l =>
+          s"""del$l AS MATERIALIZED (
+             |  SELECT seed, node, d, delta FROM del${l + 1}
+             |  UNION ALL
+             |  SELECT g.seed, g.node, g.d, coalesce(x.dsum, cast(0 as bigint)) AS delta
+             |  FROM sg$BfsOracleRounds g
+             |  LEFT JOIN (
+             |    SELECT e2.seed, e2.vn AS node,
+             |      cast(least(sum((((e2.sv * 1000000) // e2.sw) * (1000000 + p.delta)) // 1000000), $DeltaCapUnits) as bigint) AS dsum
+             |    FROM dage e2 JOIN del${l + 1} p ON p.seed = e2.seed AND p.node = e2.wn AND p.d = ${l + 1}
+             |    WHERE e2.dv = $l
+             |    GROUP BY 1, 2) x ON x.seed = g.seed AND x.node = g.node
+             |  WHERE g.d = $l)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |$sigmaCtesSql,
+           |dage AS MATERIALIZED (
+           |  SELECT g1.seed, g1.node AS vn, g1.d AS dv, g1.sig AS sv, g2.node AS wn, g2.sig AS sw
+           |  FROM sg$BfsOracleRounds g1
+           |  JOIN sym s ON s.u = g1.node
+           |  JOIN sg$BfsOracleRounds g2 ON g2.seed = g1.seed AND g2.node = s.v AND g2.d = g1.d + 1),
+           |del$BfsOracleRounds AS MATERIALIZED (
+           |  SELECT seed, node, d, cast(0 as bigint) AS delta
+           |  FROM sg$BfsOracleRounds WHERE d >= $BfsOracleRounds),
+           |${back.mkString(",\n")}
+           |SELECT node, cast(count(1) as bigint) AS n_seeds,
+           |  cast(cast(sum(delta) as bigint) as double) / 1000000.0 AS betweenness
+           |FROM del0 WHERE d > 0
+           |GROUP BY node
+           |ORDER BY cast(sum(delta) as bigint) DESC, node LIMIT $BetweennessTopK""".stripMargin
       }
     ),
     QueryDef(

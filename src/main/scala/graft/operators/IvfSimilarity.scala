@@ -867,19 +867,27 @@ object IvfSimilarity {
         dcg.select(
           lit(10L).as("k"),
           col("hits"),
-          round(
-            col("dcg_d").cast("double") /
-              aggregate(
-                sequence(lit(1L), col("hits")),
-                lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
-                // re-cast each step: decimal + widens scale-losingly past
-                // p=38 otherwise; values are <= ~15, so (28,12) is exact
-                (acc, i) =>
-                  (acc + (lit(1.0) / log(i.cast("double") + 1)).cast("decimal(18,12)"))
-                    .cast("decimal(28,12)")
-              ).cast("double"),
-            6
-          ).as("ndcg")
+          // hits = 0 is DEFINED as ndcg 0.0, never computed: sequence(1, 0)
+          // generates a DESCENDING [1, 0] range (the WordPiece.scala
+          // pitfall), whose i = 0 term divides by ln(1) = 0 — the zero-
+          // overlap case must not depend on both engines collapsing to
+          // NULL the same way
+          when(
+            col("hits") > 0,
+            round(
+              col("dcg_d").cast("double") /
+                aggregate(
+                  sequence(lit(1L), col("hits")),
+                  lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+                  // re-cast each step: decimal + widens scale-losingly past
+                  // p=38 otherwise; values are <= ~15, so (28,12) is exact
+                  (acc, i) =>
+                    (acc + (lit(1.0) / log(i.cast("double") + 1)).cast("decimal(18,12)"))
+                      .cast("decimal(28,12)")
+                ).cast("double"),
+              6
+            )
+          ).otherwise(lit(0.0)).as("ndcg")
         )
       },
       Some(s"""WITH $pqSql,
@@ -907,9 +915,11 @@ object IvfSimilarity {
               |    cast(count(1) as bigint) AS hits
               |  FROM adcranked JOIN exacttop USING (vec_id))
               |SELECT cast(10 as bigint) AS k, hits,
-              |  round(cast(cast(dcg_d as varchar) as double) /
-              |    cast(cast((SELECT sum(cast(1.0 / ln(i + 1) as decimal(18,12)))
-              |               FROM unnest(generate_series(1, hits)) t(i)) as varchar) as double), 6) AS ndcg
+              |  CASE WHEN hits > 0 THEN
+              |    round(cast(cast(dcg_d as varchar) as double) /
+              |      cast(cast((SELECT sum(cast(1.0 / ln(i + 1) as decimal(18,12)))
+              |                 FROM unnest(generate_series(1, hits)) t(i)) as varchar) as double), 6)
+              |  ELSE 0.0 END AS ndcg
               |FROM dcg""".stripMargin)
     ),
     QueryDef(

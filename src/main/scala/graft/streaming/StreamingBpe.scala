@@ -144,7 +144,22 @@ object StreamingBpe {
   def wordpieceMerges(spark: SparkSession, bpeDir: String): DataFrame = {
     val v = currentVersion(spark, bpeDir).getOrElse(
       throw new IllegalStateException(s"no published wordpiece table under $bpeDir (stream has not folded yet)"))
-    spark.read.parquet(s"$bpeDir/wordpiece/v=$v")
+    spark.read.parquet(requireTable(spark, bpeDir, "wordpiece", v))
+  }
+
+  /** The pointer covers every table the fold publishes, but a `_CURRENT`
+    * written by a pre-wordpiece/pre-textrank build points at a version
+    * whose newer table dirs never materialized — the raw parquet read
+    * would fail with an opaque path-not-found instead of saying what's
+    * wrong (the [[StreamingGraph.trust]] seedless-stream rule).
+    */
+  private def requireTable(spark: SparkSession, bpeDir: String, table: String, v: Int): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$bpeDir/$table/v=$v")
+    if (!Snapshots.fsOf(spark, path).exists(path))
+      throw new IllegalStateException(
+        s"no $table table at $path: version v=$v was published before $table was part of " +
+          "the fold — wait for the next fold (or re-ingest) to publish it")
+    path.toString
   }
 
   /** The live TextRank keyword prior (node, s in 1e-12 units) —
@@ -154,6 +169,6 @@ object StreamingBpe {
   def textrank(spark: SparkSession, bpeDir: String): DataFrame = {
     val v = currentVersion(spark, bpeDir).getOrElse(
       throw new IllegalStateException(s"no published textrank table under $bpeDir (stream has not folded yet)"))
-    spark.read.parquet(s"$bpeDir/textrank/v=$v")
+    spark.read.parquet(requireTable(spark, bpeDir, "textrank", v))
   }
 }

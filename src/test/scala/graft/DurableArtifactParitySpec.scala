@@ -63,6 +63,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_harmonic",
     "q_graph_effdiameter",
     "q_graph_pathcounts",
+    "q_graph_betweenness",
     "q_graph_seeded_labels",
     "q_text_textrank",
     "q_bpe_merges",
@@ -93,8 +94,9 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "pq_cent", "pq_codes", "graph_copurchase", "graph_pagerank",
           "graph_trustrank", "graph_ppr", "graph_wew", "graph_wpr",
           "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
-          "graph_hits", "graph_lpa", "graph_harmonic", "graph_msbfs",
-          "graph_effdiam", "graph_sigma", "graph_seeded", "textrank_scores", "bpe_merges",
+          "graph_hits", "graph_lpa", "graph_harmonic",
+          "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
+          "graph_seeded", "textrank_scores", "bpe_merges",
           "wordpiece_merges").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")

@@ -320,6 +320,55 @@ object GraphProps extends Properties("GraphOps") {
       Prop(got == expected) :| s"got $got expected $expected on $es"
     }
 
+  property("betweenness census == brute-force Brandes backward pass from the 4 min seeds") =
+    Prop.forAll(graphs) { es =>
+      import spark.implicits._
+      val adj   = adjacency(es)
+      val seeds = adj.keySet.toList.sorted.take(4)
+      // the operator's exact arithmetic, mirrored: 1e-6-unit int64 deltas,
+      // two floor divisions per term, per-node clamp, one final /1e6
+      val perSeed: Seq[Map[Long, Long]] = seeds.map { s =>
+        var dist  = Map(s -> 0L)
+        var sig   = Map(s -> 1L)
+        var layer = Set(s)
+        var d     = 0L
+        while (layer.nonEmpty) {
+          d += 1
+          val next = layer.flatMap(adj(_)).diff(dist.keySet)
+          val nsig = next.map(v => v -> layer.toList.filter(adj(v)).map(sig).sum).toMap
+          dist ++= next.map(_ -> d)
+          sig ++= nsig
+          layer = next
+        }
+        val maxd  = dist.values.max
+        var delta = Map.empty[Long, Long].withDefaultValue(0L)
+        ((maxd - 1) to 0L by -1L).foreach { l =>
+          dist.filter(_._2 == l).keys.foreach { v =>
+            val succ = adj(v).filter(w => dist.get(w).contains(l + 1))
+            val total = succ.toList.map { w =>
+              BigInt(sig(v) * 1000000L / sig(w)) * (1000000L + delta(w)) / 1000000L
+            }.sum
+            delta += v -> (total min BigInt(Graph.DeltaCapUnits)).toLong
+          }
+        }
+        dist.filter(_._2 > 0).keys.map(v => v -> delta(v)).toMap
+      }
+      val expected = perSeed
+        .flatMap(_.toSeq)
+        .groupBy(_._1)
+        .map { case (n, xs) => (n, xs.size.toLong, xs.map(_._2).sum) }
+        .toList
+        .sortBy { case (n, _, u) => (-u, n) }
+        .take(Graph.BetweennessTopK)
+        .map { case (n, c, u) => (n, c, u.toDouble / 1000000.0) }
+      val got = Graph
+        .betweennessCensus(es.toDF("pa", "pb"), seedCount = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toList
+      Prop(got == expected) :| s"got $got expected $expected on $es"
+    }
+
   property("lpa census == brute-force synchronous label propagation (4 rounds)") =
     Prop.forAll(graphs) { es =>
       import spark.implicits._

@@ -450,6 +450,29 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.pathCountsCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
   }
 
+  test("betweenness: planted path-into-diamond accumulates chained deltas and the 1/2 sigma ratio") {
+    import spark.implicits._
+    // path 1-2-3 feeding diamond 3-4-6 / 3-5-6; seeds {1, 2}.
+    // Seed 1 (depths 1:0 2:1 3:2 4:3 5:3 6:4, sigma(6)=2):
+    //   delta(4)=delta(5)=(1/2)(1+0)=0.5, delta(3)=1.5+1.5=3, delta(2)=1+3=4
+    // Seed 2 (depths 2:0 1:1 3:1 4:2 5:2 6:3): delta(4)=delta(5)=0.5,
+    //   delta(3)=3, delta(1)=0 (leaf).
+    // Betweenness (d>0 rows only): 3->6.0, 2->4.0, 4->1.0, 5->1.0,
+    // 1->0.0, 6->0.0; n_seeds counts reached-at-d>0 rows per node.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L)).toDF("pa", "pb")
+    val rows = Graph
+      .betweennessCensus(g, seedCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(
+      rows === Seq((3L, 2L, 6.0), (2L, 1L, 4.0), (4L, 2L, 1.0), (5L, 2L, 1.0), (1L, 1L, 0.0),
+        (6L, 2L, 0.0)),
+      rows.mkString(","))
+    // empty graph: no phantom rows
+    assert(Graph.betweennessCensus(Seq.empty[(Long, Long)].toDF("pa", "pb")).collect().isEmpty)
+  }
+
   test("bfs and sssp on an EMPTY graph emit no rows (no phantom NULL-node seed)") {
     import spark.implicits._
     // agg(min) over an empty frame yields one all-NULL row; the isNotNull
