@@ -17,24 +17,33 @@ import org.apache.spark.sql.functions._
   * dimDir/
   *   _CURRENT              # live version pointer (torn flips heal forward)
   *   updates/batch_id=7/   # distinct update rows, one dir per micro-batch
+  *   stats/batch_id=7      # fold-input accounting JSON (see below)
   *   dim/v=3/              # the merged dimension table
   * }}}
   * Batch dirs are idempotent overwrites; a reader never sees a
   * half-written dimension (v=N+1 materializes fully before the flip); ONE
-  * prior version is retained for in-flight readers (the retain-one rule).
+  * prior version of BOTH the dimension and the update audit dirs is
+  * retained for in-flight readers (the retain-one rule — the update store
+  * compacts as it folds instead of growing for the stream's lifetime).
   *
-  * LATEST-WINS is deterministic: per key the winner is
-  * `max(struct(batch_id, attrs...))` over the accumulated update dirs —
-  * later batches strictly supersede earlier ones (batch_id leads the
-  * struct), and re-deliveries inside one batch collapse by the attribute
-  * tiebreak. DETERMINISM over warm-start: each fold re-derives the merge
-  * from the base snapshot + ALL landed updates, so the published table is
-  * BIT-IDENTICAL to a from-scratch batch MERGE with the same final update
-  * set (spec-pinned) — the retrain-equals-batch-build discipline applied
-  * to a dimension table. The per-fold cost is one key-shuffle over the
-  * update store (update-sized, not corpus-sized) + one anti join against
-  * the base (broadcast when the update set is small — AQE picks, exactly
-  * as in the batch MERGE plan).
+  * LATEST-WINS is deterministic and the fold INCREMENTAL: per fold, this
+  * batch's winner per key is `max(struct(attrs...))` (re-deliveries
+  * inside one batch collapse by the attribute tiebreak), merged against
+  * the CURRENT published dimension — anti join on the key ∪ winners —
+  * and republished as v+1. Latest-wins argmax is ASSOCIATIVE (a later
+  * batch strictly supersedes whatever the current dimension holds for the
+  * key, which is exactly what the incremental anti-join ∪ does), so the
+  * published table is BIT-IDENTICAL BY CONSTRUCTION to a from-scratch
+  * batch MERGE of the base with the union update set (spec-pinned) — the
+  * retrain-equals-batch-build discipline applied to a dimension table.
+  * Folding against the current dimension instead of base + every landed
+  * update bounds fold N's input at O(|dim| + |batch N|) — the r16 shape
+  * read base + ALL updates ever landed, O(N²) work over the stream's
+  * lifetime — and each fold records its input accounting under
+  * `stats/batch_id=N` ({priorRows, batchRows}) so the bound is
+  * OBSERVABLE, not asserted (the no-silent-caps rule). Replays are safe:
+  * re-merging an already-folded batch anti-joins its own keys out and
+  * re-inserts identical rows.
   */
 object StreamingUpsert {
 
@@ -71,36 +80,62 @@ object StreamingUpsert {
             .write
             .mode("overwrite")
             .parquet(s"$dimDir/updates/batch_id=$batchId")
-          // latest-wins per key over the accumulated update store: the
-          // batch_id partition column leads the argmax struct, so later
-          // batches strictly supersede earlier ones
+          // THIS batch's winner per key (within-batch re-deliveries
+          // collapse by the attribute tiebreak — the same struct argmax
+          // the cross-batch rule reduces to inside one batch)
           val latest = Tables.pin(
             s.read
-              .option("basePath", s"$dimDir/updates")
-              .parquet(s"$dimDir/updates")
+              .parquet(s"$dimDir/updates/batch_id=$batchId")
               .groupBy(col("o_orderkey"))
-              .agg(max(struct(col("batch_id"), col("o_orderstatus"), col("o_totalprice"))).as("m"))
+              .agg(max(struct(col("o_orderstatus"), col("o_totalprice"))).as("m"))
               .select(
                 col("o_orderkey"),
                 col("m.o_orderstatus").as("o_orderstatus"),
                 col("m.o_totalprice").as("o_totalprice")
               )
           )
-          // the batch MERGE plan: left-anti on the merge key ∪ updates
-          val merged = s.read
-            .parquet(baseDir)
+          // INCREMENTAL MERGE: fold this batch's winners against the
+          // CURRENT published dimension (the base snapshot before the
+          // first fold) — latest-wins is associative, so this is
+          // bit-identical to re-deriving from base + every landed update
+          // while bounding the fold's input at O(|dim| + |batch|)
+          val current = currentVersion(s, dimDir)
+          val prior = current
+            .map(v => s.read.parquet(s"$dimDir/dim/v=$v"))
+            .getOrElse(s.read.parquet(baseDir))
             .select(Cols.map(col): _*)
+          val merged = prior
             .join(latest.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
             .unionByName(latest)
-          val v = currentVersion(s, dimDir).getOrElse(0) + 1
+          val v = current.getOrElse(0) + 1
           merged.write.mode("overwrite").parquet(s"$dimDir/dim/v=$v")
           val root = new org.apache.hadoop.fs.Path(dimDir)
           val fs   = Snapshots.fsOf(s, root)
+          // fold-input accounting (parquet footer counts — no data scan):
+          // the O(|dim| + |batch|) bound as an artifact, spec-asserted
+          val statsDir = new org.apache.hadoop.fs.Path(s"$dimDir/stats")
+          fs.mkdirs(statsDir)
+          val statsJson =
+            s"""{"batch_id":$batchId,"prior_rows":${prior.count()},"batch_rows":${latest.count()}}"""
+          val statsOut = fs.create(new org.apache.hadoop.fs.Path(statsDir, s"batch_id=$batchId"), true)
+          try statsOut.write(statsJson.getBytes("UTF-8"))
+          finally statsOut.close()
           Snapshots.writeCurrent(fs, root, v, "streaming upsert")
+          // retain-one, for the dimension AND the update audit dirs: a
+          // folded batch's updates are subsumed by the published
+          // dimension, so the store compacts as it folds instead of
+          // growing O(stream lifetime)
           if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$dimDir/dim/v=${v - 2}"), true)
             ()
           }
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dimDir/updates/batch_id=*")))
+            .getOrElse(Array.empty)
+            .map(_.getPath)
+            .filter { p =>
+              p.getName.stripPrefix("batch_id=").toLongOption.exists(_ <= batchId - 2)
+            }
+            .foreach(fs.delete(_, true))
           Tables.unpin(latest)
         }
       }

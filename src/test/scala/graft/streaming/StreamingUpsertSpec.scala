@@ -110,6 +110,23 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .toSeq
     assert(census(dim) === batchQueryRows,
       "the streamed dimension's census must equal the batch q_merge_upsert result")
+    // fold-input accounting: fold N reads O(|dim| + |batch N|) rows — the
+    // published dimension plus THIS batch's winners — never base + every
+    // update ever landed (the r16 quadratic-refold shape). stats are the
+    // fold's own record, so the bound is observable, not re-derived here.
+    val stats2 = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dimDir/stats/batch_id=2")),
+      "UTF-8")
+    val om      = new com.fasterxml.jackson.databind.ObjectMapper().readTree(stats2)
+    val dimRows = spark.read.parquet(s"$dimDir/dim/v=2").count()
+    assert(om.get("prior_rows").asLong === dimRows,
+      "fold input: the prior side reads the published dimension only")
+    assert(om.get("batch_rows").asLong === 5L,
+      "fold input: the update side reads this batch's winners only")
+    // the update audit store compacts as it folds (retain-one), instead of
+    // growing for the stream's lifetime
+    val upDirs = new java.io.File(s"$dimDir/updates").listFiles().map(_.getName).toSet
+    assert(upDirs === Set("batch_id=1", "batch_id=2"), s"update store must compact: $upDirs")
   }
 
   test("restart continuity: a new query instance resumes from the checkpoint, no replay and no gap") {
