@@ -30,6 +30,7 @@ object SparkEntry {
       operators.TimeSeries.defs ++
       operators.Bpe.defs ++
       operators.WordPiece.defs ++
+      operators.Unigram.defs ++
       pipelines.CorpusPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -401,6 +401,17 @@ object TextAnalysis {
     * templated corpora flatten toward 0. The unpartitioned rank window
     * sorts only the post-aggregation VOCABULARY frame (corpus-sublinear by
     * Heaps' law), never the token stream.
+    *
+    * KNOWN SCALE BOUND (documented, accepted): the vocabulary frame is
+    * the ONE single-partition window here that still grows with corpus
+    * scale — sublinearly (V ≈ K·n^0.5-0.8), so a 100 TB / ~2.5e13-token
+    * corpus projects to ~10^7-10^8 distinct tokens: a single-task sort of
+    * that frame is minutes of skew, not a failure, and is the accepted
+    * cost of an EXACT full-vocabulary rank. Past ~10^8 distinct tokens,
+    * swap the window for a two-pass rank (count-bucket histogram ->
+    * per-bucket offsets) or fit on the `n >= 2` vocabulary (drops only
+    * hapax legomena, which a log-log fit barely weighs). See SCALE.md
+    * round-17 notes.
     */
   private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -493,6 +504,107 @@ object TextAnalysis {
         max(col("n")).cast("long").as("tokens_final")
       )
   }
+
+  /** The duplication-spectrum aggregation over a weighted token-array
+    * frame (w, t): one explode emits (n, md5(gram)) for all four widths
+    * via per-width map-side transforms (grams travel as fixed-width
+    * digests — the shuffle-narrowing production shape), then TWO-STAGE
+    * aggregation instead of count + countDistinct in one agg (the latter
+    * plans an Expand that doubles the exploded gram stream before the
+    * shuffle — measured 3x the cold time): the first stage is a
+    * map-side-combinable weighted (n, h) count, the second runs over the
+    * distinct-gram frame only. Weights make the SAME aggregation serve
+    * both the batch query (w = 1 per doc) and the streaming twin (w =
+    * the frequency store's sequence multiplicity): total = Σ w·grams and
+    * distinct-over-distinct-sequences are identical either way, so the
+    * streamed spectrum is bit-identical to the batch one by construction.
+    */
+  private def dupSpectrumOver(
+      rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t  = col("t")
+    val ns = Seq(1, 2, 4, 8)
+    rows
+      .select(
+        col("w"),
+        explode(
+          flatten(
+            array(
+              ns.map(n =>
+                when(
+                  size(t) >= n,
+                  transform(
+                    sequence(lit(1), size(t) - (n - 1)),
+                    i =>
+                      struct(
+                        lit(n.toLong).as("n"),
+                        md5(array_join(slice(t, i, lit(n)), " ")).as("h")
+                      )
+                  )
+                ).otherwise(array().cast("array<struct<n:bigint,h:string>>"))
+              ): _*
+            )
+          )
+        ).as("g")
+      )
+      .groupBy(col("g.n").as("n"), col("g.h").as("h"))
+      .agg(sum(col("w")).as("c"))
+      .groupBy(col("n"))
+      .agg(
+        sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams")
+      )
+      .select(
+        col("n"),
+        col("total_ngrams"),
+        col("distinct_ngrams"),
+        ((col("total_ngrams") - col("distinct_ngrams")).cast("double") / col("total_ngrams"))
+          .as("dup_frac")
+      )
+      .orderBy(col("n"))
+  }
+
+  /** The spectrum over a space-padded (s, w) FREQUENCY store — the
+    * streaming twin's entry point ([[graft.streaming.StreamingBpe]]):
+    * per-width gram counts are additive over the distinct-sequence table
+    * exactly like the tokenizer trainers' inputs, so folding the
+    * accumulated store per micro-batch republishes a spectrum
+    * bit-identical to `q_text_dup_spectrum` on the union corpus. (The
+    * BATCH query deliberately does NOT pre-aggregate to the frequency
+    * table: that would shuffle full text strings where the direct explode
+    * shuffles only 16-byte digests.)
+    */
+  private[graft] def dupSpectrumFromFreq(
+      freq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dupSpectrumOver(freq.select(col("w"), split(trim(col("s")), " ").as("t")))
+
+  private[graft] val dupSpectrumDef: QueryDef = QueryDef(
+    "q_text_dup_spectrum",
+    "n-gram DUPLICATION SPECTRUM (the Lee et al. 2022 pre-dedup diagnostic): for n in {1, 2, 4, 8}, the corpus-wide total and distinct n-gram counts and the duplicated-occurrence fraction (total - distinct) / total — the curve that tells a curation pipeline WHERE its duplication lives (high dup at n=1 is just Zipf; high dup persisting at n=8 means copied passages, i.e. run exact-substring dedup, not only doc-level). ONE explode emits (n, md5(gram)) for all four widths via per-width map-side transforms (grams ride as fixed-width digests, the shuffle-narrowing production shape); one aggregation per n with exact integer counts and ONE final IEEE division emitted raw — no rounding anywhere. Also republished per micro-batch by the streaming retrain fold from the additive frequency store (StreamingBpe), spec-pinned bit-identical",
+    (s, dir) =>
+      dupSpectrumOver(
+        Tables
+          .fanout(Tables.documents(s, dir))
+          .select(lit(1L).as("w"), tokens(col("text")).as("t"))
+      ),
+    Some {
+      val widths = Seq(1, 2, 4, 8)
+      val arms = widths
+        .map { n =>
+          s"""SELECT cast($n as bigint) AS n,
+             |  md5(unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+             |                            i -> array_to_string(t[i:i+${n - 1}], ' ')))) AS h
+             |FROM toks WHERE len(t) >= $n""".stripMargin
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |  $arms)
+         |SELECT n, cast(count(1) as bigint) AS total_ngrams,
+         |  cast(count(DISTINCT h) as bigint) AS distinct_ngrams,
+         |  cast(count(1) - count(DISTINCT h) as double) / count(1) AS dup_frac
+         |FROM g GROUP BY n ORDER BY n""".stripMargin
+    }
+  )
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -649,75 +761,7 @@ object TextAnalysis {
              |CROSS JOIN st
              |ORDER BY pmi DESC, a, b LIMIT 15""".stripMargin)
     ),
-    QueryDef(
-      "q_text_dup_spectrum",
-      "n-gram DUPLICATION SPECTRUM (the Lee et al. 2022 pre-dedup diagnostic): for n in {1, 2, 4, 8}, the corpus-wide total and distinct n-gram counts and the duplicated-occurrence fraction (total - distinct) / total — the curve that tells a curation pipeline WHERE its duplication lives (high dup at n=1 is just Zipf; high dup persisting at n=8 means copied passages, i.e. run exact-substring dedup, not only doc-level). ONE explode emits (n, md5(gram)) for all four widths via per-width map-side transforms (grams ride as fixed-width digests, the shuffle-narrowing production shape); one aggregation per n with exact integer counts and ONE final IEEE division emitted raw — no rounding anywhere",
-      (s, dir) => {
-        val t  = tokens(col("text"))
-        val ns = Seq(1, 2, 4, 8)
-        Tables
-          .fanout(Tables.documents(s, dir))
-          .select(
-            explode(
-              flatten(
-                array(
-                  ns.map(n =>
-                    when(
-                      size(t) >= n,
-                      transform(
-                        sequence(lit(1), size(t) - (n - 1)),
-                        i =>
-                          struct(
-                            lit(n.toLong).as("n"),
-                            md5(array_join(slice(t, i, lit(n)), " ")).as("h")
-                          )
-                      )
-                    ).otherwise(array().cast("array<struct<n:bigint,h:string>>"))
-                  ): _*
-                )
-              )
-            ).as("g")
-          )
-          // two-stage aggregation instead of count + countDistinct in one
-          // agg: the latter plans an Expand that doubles the exploded gram
-          // stream before the shuffle (measured 3x the cold time); here
-          // the first stage is a map-side-combinable (n, h) count and the
-          // second runs over the distinct-gram frame only
-          .groupBy(col("g.n").as("n"), col("g.h").as("h"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("n"))
-          .agg(
-            sum(col("c")).as("total_ngrams"),
-            count(lit(1)).as("distinct_ngrams")
-          )
-          .select(
-            col("n"),
-            col("total_ngrams"),
-            col("distinct_ngrams"),
-            ((col("total_ngrams") - col("distinct_ngrams")).cast("double") / col("total_ngrams"))
-              .as("dup_frac")
-          )
-          .orderBy(col("n"))
-      },
-      Some {
-        val widths = Seq(1, 2, 4, 8)
-        val arms = widths
-          .map { n =>
-            s"""SELECT cast($n as bigint) AS n,
-               |  md5(unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
-               |                            i -> array_to_string(t[i:i+${n - 1}], ' ')))) AS h
-               |FROM toks WHERE len(t) >= $n""".stripMargin
-          }
-          .mkString("\n  UNION ALL ")
-        s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
-           |g AS (
-           |  $arms)
-           |SELECT n, cast(count(1) as bigint) AS total_ngrams,
-           |  cast(count(DISTINCT h) as bigint) AS distinct_ngrams,
-           |  cast(count(1) - count(DISTINCT h) as double) / count(1) AS dup_frac
-           |FROM g GROUP BY n ORDER BY n""".stripMargin
-      }
-    ),
+    dupSpectrumDef,
     QueryDef(
       "q_text_tokens",
       "token counting per lang: whitespace tokens + BPE-ish regex segmentation (letters|digits|punct)",

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Streaming tokenizer retraining — the tokenizer twin of
   * [[StreamingGraph]]: arriving documents fold into a durable
-  * DISTINCT-SEQUENCE FREQUENCY store per micro-batch, and THREE corpus
+  * DISTINCT-SEQUENCE FREQUENCY store per micro-batch, and FIVE corpus
   * artifacts a training pipeline ships — the BPE merge table, the
-  * WordPiece likelihood-ratio merge table, and the TextRank keyword
-  * prior — are retrained from the ONE shared store and atomically
-  * republished behind a single version flip after every fold (the
-  * StreamingCoPurchase tables-behind-one-pointer shape; frequency tables
-  * are additive, so each retrain is bit-identical to the batch build on
-  * the union corpus).
+  * WordPiece likelihood-ratio merge table, the Unigram-LM vocab (all
+  * three production tokenizer families), the TextRank keyword prior,
+  * and the 4-row duplication spectrum — are retrained from the ONE
+  * shared store and atomically republished behind a single version flip
+  * after every fold (the StreamingCoPurchase tables-behind-one-pointer
+  * shape; frequency tables are additive, so each retrain is
+  * bit-identical to the batch build on the union corpus).
   *
   * Why this is cheap: the frequency table is ADDITIVE — batch k
   * contributes its own (text, count) partial, and the union's
@@ -38,6 +39,10 @@ import org.apache.spark.sql.functions._
   *     v=2/            # (round, a, b, n, na, nb, score) WordPiece table
   *   textrank/
   *     v=2/            # (node, s) TextRank keyword prior
+  *   unigram/
+  *     v=2/            # (g, n, c, li) Unigram-LM vocab with scores
+  *   dupspectrum/
+  *     v=2/            # 4-row duplication spectrum (n, totals, dup_frac)
   * }}}
   */
 object StreamingBpe {
@@ -91,6 +96,7 @@ object StreamingBpe {
           val pinnedFreq       = Tables.pin(freq)
           val pinnedFreqWp     = Tables.pin(freq)
           val pinnedFreqTr     = Tables.pin(freq)
+          val pinnedFreqUg     = Tables.pin(freq)
           val (merges, mkPins) = Bpe.trainMergesWeightedTracked(pinnedFreq, rounds)
           val (wpMerges, wpPins) =
             graft.operators.WordPiece.trainWordPieceWeightedTracked(pinnedFreqWp, rounds)
@@ -100,6 +106,21 @@ object StreamingBpe {
           val (trScores, trPins) =
             graft.operators.TextAnalysis.buildTextrankFromFreqTracked(pinnedFreqTr)
           trScores.write.mode("overwrite").parquet(s"$bpeDir/textrank/v=$v")
+          // the THIRD tokenizer family retrains from the same store (the
+          // unigram hard-EM consumes the weighted frequency frame
+          // directly — frequency tables are additive, so this equals the
+          // batch build on the union corpus bit for bit)
+          val (ugVocab, ugPins) =
+            graft.operators.Unigram.trainUnigramWeightedTracked(pinnedFreqUg)
+          ugVocab.write.mode("overwrite").parquet(s"$bpeDir/unigram/v=$v")
+          // ...and so does the duplication spectrum: per-width (n, digest)
+          // gram counts are additive over the distinct-sequence table, so
+          // the 4-row spectrum folds per batch at vocabulary-shaped cost
+          graft.operators.TextAnalysis
+            .dupSpectrumFromFreq(freq)
+            .write
+            .mode("overwrite")
+            .parquet(s"$bpeDir/dupspectrum/v=$v")
           val root = new org.apache.hadoop.fs.Path(bpeDir)
           val fs   = Snapshots.fsOf(s, root)
           Snapshots.writeCurrent(fs, root, v, "streaming bpe")
@@ -113,13 +134,16 @@ object StreamingBpe {
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/merges/v=${v - 2}"), true)
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/wordpiece/v=${v - 2}"), true)
             fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/textrank/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/unigram/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$bpeDir/dupspectrum/v=${v - 2}"), true)
             ()
           }
           // the merges parquet is written: the per-round argmax pins and
           // the folded frequency frame have no further consumer — reclaim
           // them so a long-running stream holds O(1) checkpoint
           // generations, the StreamingGraph tracked-pins discipline
-          (mkPins ++ wpPins ++ trPins ++ Seq(pinnedFreq, pinnedFreqWp, pinnedFreqTr))
+          (mkPins ++ wpPins ++ trPins ++ ugPins ++
+            Seq(pinnedFreq, pinnedFreqWp, pinnedFreqTr, pinnedFreqUg))
             .foreach(Tables.unpin)
         }
       }
@@ -170,5 +194,27 @@ object StreamingBpe {
     val v = currentVersion(spark, bpeDir).getOrElse(
       throw new IllegalStateException(s"no published textrank table under $bpeDir (stream has not folded yet)"))
     spark.read.parquet(requireTable(spark, bpeDir, "textrank", v))
+  }
+
+  /** The live Unigram-LM vocab (g, n, c, li) — bit-identical to
+    * [[graft.operators.Unigram.trainUnigram]] over the union of every
+    * landed batch, behind the same pointer (the third tokenizer family
+    * from the one frequency store).
+    */
+  def unigramVocab(spark: SparkSession, bpeDir: String): DataFrame = {
+    val v = currentVersion(spark, bpeDir).getOrElse(
+      throw new IllegalStateException(s"no published unigram table under $bpeDir (stream has not folded yet)"))
+    spark.read.parquet(requireTable(spark, bpeDir, "unigram", v))
+  }
+
+  /** The live 4-row duplication spectrum — bit-identical to
+    * `q_text_dup_spectrum` over the union of every landed batch, behind
+    * the same pointer: the pre-dedup diagnostic a curation pipeline
+    * watches as data arrives.
+    */
+  def dupSpectrum(spark: SparkSession, bpeDir: String): DataFrame = {
+    val v = currentVersion(spark, bpeDir).getOrElse(
+      throw new IllegalStateException(s"no published dupspectrum table under $bpeDir (stream has not folded yet)"))
+    spark.read.parquet(requireTable(spark, bpeDir, "dupspectrum", v))
   }
 }

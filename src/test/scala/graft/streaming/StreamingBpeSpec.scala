@@ -72,5 +72,79 @@ class StreamingBpeSpec extends AnyFunSuite {
     batchTrPins.foreach(graft.Tables.unpin)
     assert(streamedTr === batchTr,
       "retrained textrank prior must equal the batch build on the union corpus")
+    // ...and the THIRD tokenizer family (Unigram-LM hard-EM) from the
+    // same store behind the same pointer
+    assert(new java.io.File(s"$bpe/unigram/v=1").exists, "unigram snapshots share the retain window")
+    val streamedUg = StreamingBpe.unigramVocab(spark, bpe).collect().map(_.toString).sorted
+    val batchUg = graft.operators.Unigram
+      .trainUnigram(docs.toSeq.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted
+    assert(streamedUg === batchUg,
+      "retrained unigram vocab must equal the batch build on the union corpus")
+    // ...and the duplication spectrum folds from the same store — the
+    // streamed 4 rows equal the batch q_text_dup_spectrum on the union
+    val streamedSp = StreamingBpe.dupSpectrum(spark, bpe).collect().map(_.toString).sorted
+    val tmpUnion   = Files.createTempDirectory("dupspec-union").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$tmpUnion/documents.parquet")
+    val batchSp = graft.operators.TextAnalysis.dupSpectrumDef
+      .build(spark, tmpUnion)
+      .collect().map(_.toString).sorted
+    assert(streamedSp === batchSp,
+      "streamed duplication spectrum must equal the batch query on the union corpus")
+  }
+
+  test("restart continuity: a re-started stream resumes the version chain and stays batch-identical") {
+    val dir     = Files.createTempDirectory("streaming-bpe-restart").toString
+    val landing = s"$dir/landing"
+    val bpe     = s"$dir/bpe"
+    import spark.implicits._
+    val docs = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .take(120)
+    val (b1, rest) = docs.splitAt(40)
+    val (b2, b3)   = rest.splitAt(40)
+
+    b1.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    val q1 = StreamingBpe.ingest(spark, landing, bpe, s"$dir/ckpt", rounds = 3, maxFilesPerTrigger = Some(1))
+    try {
+      q1.processAllAvailable()
+      b2.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(StreamingBpe.currentVersion(spark, bpe) === Some(2))
+
+    // restart from the same checkpoint: the third batch must fold WITHOUT
+    // re-processing the first two (idempotent batch_id partials), and the
+    // republished artifacts must equal the batch builds on the full union
+    b3.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    val q2 = StreamingBpe.ingest(spark, landing, bpe, s"$dir/ckpt", rounds = 3, maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(StreamingBpe.currentVersion(spark, bpe) === Some(3))
+
+    val union = docs.toSeq.toDF("doc_id", "text")
+    assert(
+      StreamingBpe.merges(spark, bpe).collect().map(_.toString).sorted ===
+        graft.operators.Bpe.trainMerges(union, rounds = 3).collect().map(_.toString).sorted,
+      "post-restart merge table equals the batch build on the union")
+    assert(
+      StreamingBpe.unigramVocab(spark, bpe).collect().map(_.toString).sorted ===
+        graft.operators.Unigram.trainUnigram(union).collect().map(_.toString).sorted,
+      "post-restart unigram vocab equals the batch build on the union")
+    val tmpUnion = Files.createTempDirectory("dupspec-union-restart").toString
+    union
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.mode("overwrite").parquet(s"$tmpUnion/documents.parquet")
+    assert(
+      StreamingBpe.dupSpectrum(spark, bpe).collect().map(_.toString).sorted ===
+        graft.operators.TextAnalysis.dupSpectrumDef.build(spark, tmpUnion)
+          .collect().map(_.toString).sorted,
+      "post-restart duplication spectrum equals the batch query on the union")
   }
 }
