@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object Relational2 {
 
+  /** SCD Type-2 history over any events-shaped frame (user_id, ts,
+    * event_id, event_type) — the `q_scd2_history` body, exposed so the
+    * spec plants change/no-change sequences. Consecutive same-status
+    * observations collapse into one version; each change opens
+    * [valid_from, valid_to) closed by the next change; the last version
+    * stays open (epoch-seconds sentinel 9999999999, is_current = 1).
+    * Both windows share the user partition key and sort order, so
+    * Catalyst plans ONE exchange for the whole build.
+    */
+  private[graft] def scd2History(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", unix_timestamp(col("ts")))
+      .withColumn("vt", lead(unix_timestamp(col("ts")), 1).over(w))
+      .select(
+        col("user_id"),
+        col("version").cast("long").as("version"),
+        col("event_type").as("status"),
+        col("valid_from"),
+        coalesce(col("vt"), lit(9999999999L)).as("valid_to"),
+        when(col("vt").isNull, lit(1L)).otherwise(lit(0L)).as("is_current")
+      )
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_join_left_outer",
@@ -272,6 +302,30 @@ object Relational2 {
               |  ${QueryDef.sumDecSql("o_totalprice", 2)} AS sum_price,
               |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
               |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    QueryDef(
+      "q_scd2_history",
+      "SLOWLY-CHANGING-DIMENSION TYPE 2 history build (the dbt-snapshot 'check' strategy; the other half of dimension maintenance next to q_merge_upsert's overwrite MERGE): fold each user's event stream into versioned dimension rows with validity intervals — consecutive same-status rows COLLAPSE (a no-change observation extends the current version rather than opening a new one, the defining SCD2 rule), each change row opens [valid_from, valid_to) closed by the next change, the last version stays open (sentinel high date, is_current = 1). Scale shape: ONE user-keyed shuffle serves both windows (change-detect lag + interval lead/row_number share the partition key and sort, so Catalyst plans one exchange); keys are independent, so the window never sees more than one user's rows — the per-key-window discipline of q_event_transitions. Validity bounds as epoch seconds (the events-table convention). First 500 rows by (user_id, version)",
+      (s, dir) => scd2History(Tables.events(s, dir)).limit(500),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id) AS prev_type
+             |  FROM events),
+             |chg AS (
+             |  SELECT user_id, event_type, ts, event_id
+             |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type),
+             |hist AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id) AS version,
+             |    event_type,
+             |    cast(floor(epoch(ts)) as bigint) AS valid_from,
+             |    lead(cast(floor(epoch(ts)) as bigint)) OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id) AS vt
+             |  FROM chg)
+             |SELECT user_id, cast(version as bigint) AS version, event_type AS status,
+             |  valid_from,
+             |  cast(coalesce(vt, 9999999999) as bigint) AS valid_to,
+             |  cast(CASE WHEN vt IS NULL THEN 1 ELSE 0 END as bigint) AS is_current
+             |FROM hist ORDER BY user_id, version LIMIT 500""".stripMargin)
     )
   )
 }

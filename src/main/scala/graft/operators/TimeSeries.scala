@@ -117,7 +117,86 @@ object TimeSeries {
       |d AS (SELECT grid.day, coalesce(d0.cnt, 0) AS cnt
       |      FROM grid LEFT JOIN d0 USING (day))""".stripMargin
 
+  /** Linear-interpolation gap-fill of a SPARSE measurement series — the
+    * `q_ts_interp` body over any (day, vc) observed frame with vc the
+    * day's measurement in integer cents. Missing interior days get the
+    * exact-integer linear interpolation between the bracketing
+    * observations:
+    *
+    *   interp = (prev·(next_day − day) + next·(day − prev_day)) div span
+    *
+    * — the CONVEX-COMBINATION form, whose numerator is non-negative for
+    * non-negative series, so Spark's truncating `div` and DuckDB's
+    * floor `//` agree (the established floor-division discipline; the
+    * naive `prev + Δ·frac` form has a sign-indefinite numerator where
+    * the two engines' integer divisions round differently). The grid is
+    * bounded by the OBSERVED min/max day, so every gap is interior and
+    * prev/next always exist. Carry-forward/backward scaffolding rides
+    * two IGNORE-NULLS running windows over the days-sized frame (the
+    * documented post-aggregation exception to the no-global-window
+    * rule). Zero floating point until the final cents-to-double readout.
+    */
+  private[graft] def interpSeries(obs0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d0 = Tables.pin(obs0)
+    val grid = d0
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wPrev = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy(col("day")).rowsBetween(0, Window.unboundedFollowing)
+    grid
+      .join(d0, Seq("day"), "left")
+      .withColumn("pv", last(col("vc"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("vc").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("vc"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("vc").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(
+        col("day"),
+        when(col("vc").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"),
+        when(col("vc").isNotNull, col("vc"))
+          .otherwise(
+            expr("(pv * (nd - day) + nv * (day - pd)) div (nd - pd)")
+          )
+          .cast("long")
+          .as("value_cents")
+      )
+      .withColumn("value", col("value_cents").cast("double") / 100.0)
+      .orderBy(col("day"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ts_interp",
+      "LINEAR-INTERPOLATION gap-fill of a sparse daily measurement series (the metric-imputation twin of the zero-fill gap queries — a missing day in a MEASUREMENT series is unknown, not zero): daily purchase revenue of a sparse user cohort (user_id % 101 = 7) in integer cents, densified to the observed [min, max] day grid, with each missing interior day linearly interpolated between its bracketing observations as EXACT INTEGER arithmetic — interp = (prev*(next_day - day) + next*(day - prev_day)) div span, the convex-combination form whose non-negative numerator makes Spark div and DuckDB // agree (floor-division discipline) — no float until the final cents/100 readout. Carry scaffolding is two IGNORE-NULLS running windows over the days-sized post-aggregation frame. Output per day: observed flag, cents, value",
+      (s, dir) =>
+        interpSeries(
+          Tables
+            .events(s, dir)
+            .filter(col("event_type") === "purchase" && pmod(col("user_id"), lit(101)) === 7)
+            .groupBy(day)
+            .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("vc"))
+        ),
+      Some("""WITH obs AS (
+             |  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+             |    cast(sum(cast(floor("value" * 100 + 0.5) as bigint)) as bigint) AS vc
+             |  FROM events WHERE event_type = 'purchase' AND user_id % 101 = 7 GROUP BY 1),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM obs),
+             |grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+             |j AS (SELECT grid.day, obs.vc FROM grid LEFT JOIN obs USING (day)),
+             |f AS (
+             |  SELECT day, vc,
+             |    last_value(vc IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |    last_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             |    first_value(vc IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |    first_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+             |  FROM j)
+             |SELECT day,
+             |  cast(CASE WHEN vc IS NOT NULL THEN 1 ELSE 0 END as bigint) AS observed,
+             |  cast(CASE WHEN vc IS NOT NULL THEN vc
+             |       ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd) END as bigint) AS value_cents,
+             |  cast(cast(CASE WHEN vc IS NOT NULL THEN vc
+             |       ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd) END as bigint) as double) / 100.0 AS value
+             |FROM f ORDER BY day""".stripMargin)
+    ),
     QueryDef(
       "q_ts_acf",
       "autocorrelation function of the daily event-count series at lags 1..7: one groupBy to the day grain, gap-filled to the dense day grid (a quiet day is a real zero — without it every lag-k pair after a gap misaligns), one global-order window adding the 7 lag columns (days-sized frame), Pearson corr per lag (null pairs skipped identically in both engines), rounded 6. Lag-7 spikes reveal weekly seasonality; a slow decay reveals trend — the standard pre-forecast readout",
