@@ -393,6 +393,73 @@ object Events {
              |SELECT cast(bucket as bigint) AS bucket, cast(count(1) as bigint) AS n_gaps,
              |  cast(min(gap) as bigint) AS min_gap, cast(max(gap) as bigint) AS max_gap
              |FROM g2 GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q_event_funnel",
+      "ordered-step conversion FUNNEL (signup -> view -> click -> purchase): a user converts step k iff the step's event occurs STRICTLY AFTER their first step-(k-1) conversion time — min-ts chaining, the product-analytics funnel semantics (unordered presence would count a purchase that preceded the signup). Scale shape: one pinned (user, type, ts) projection feeds a chain of user-keyed filter -> min aggregations, one join per step on the SHRINKING converted-user set — never a per-user sort or a T-way self-join of the raw stream; the final window ranks a 4-row frame. Output per step: users reached, conversion from the top and from the previous step (one IEEE division of exact counts, emitted raw like dup_frac)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val steps = Seq("signup", "view", "click", "purchase")
+        val ev = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        // s_k = per-user earliest step-k event strictly after their s_{k-1}
+        val stage0 = ev
+          .filter(col("event_type") === steps.head)
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t"))
+        val stages = steps.tail.scanLeft(stage0) { (prev, step) =>
+          ev.filter(col("event_type") === step)
+            .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+            .filter(col("ts") > col("pt"))
+            .groupBy(col("user_id"))
+            .agg(min(col("ts")).as("t"))
+        }
+        val counts = stages
+          .zip(steps)
+          .zipWithIndex
+          .map { case ((st, name), i) =>
+            st.agg(count(lit(1)).as("users"))
+              .select(lit((i + 1).toLong).as("step"), lit(name).as("event_type"), col("users"))
+          }
+          .reduce(_ unionByName _)
+        val w = Window.orderBy(col("step"))
+        counts
+          .select(
+            col("step"),
+            col("event_type"),
+            col("users"),
+            (col("users").cast("double") /
+              first(col("users")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+              .as("conv_from_top"),
+            (col("users").cast("double") /
+              coalesce(lag(col("users"), 1).over(w), col("users")).cast("double"))
+              .as("conv_from_prev")
+          )
+          .orderBy(col("step"))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+             |s4 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON s3.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+             |c AS (
+             |  SELECT cast(1 as bigint) AS step, 'signup' AS event_type, cast(count(1) as bigint) AS users FROM s1
+             |  UNION ALL SELECT 2, 'view', count(1) FROM s2
+             |  UNION ALL SELECT 3, 'click', count(1) FROM s3
+             |  UNION ALL SELECT 4, 'purchase', count(1) FROM s4)
+             |SELECT step, event_type, users,
+             |  cast(users as double)
+             |    / cast(first_value(users) OVER (ORDER BY step ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS conv_from_top,
+             |  cast(users as double)
+             |    / cast(coalesce(lag(users) OVER (ORDER BY step), users) as double) AS conv_from_prev
+             |FROM c ORDER BY step""".stripMargin)
     )
   )
 }

@@ -350,6 +350,81 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** LSH-blocked DBSCAN over a precomputed eps-neighbor PAIR frame — the
+    * `q_embed_dbscan` body, exposed so the spec can plant a
+    * core/border/noise structure directly. DBSCAN's three point classes
+    * (Ester et al. 1996) over the blocked neighbor graph:
+    *
+    *   - CORE: >= `minPts` neighbors. Clusters are connected components
+    *     of the core-core subgraph (pointer-doubling CC, min-id labels —
+    *     [[Dedup.clusters]]); a core with no core neighbor is its own
+    *     singleton cluster.
+    *   - BORDER: non-core with >= 1 core neighbor, assigned the MIN
+    *     cluster id among neighboring cores (deterministic — classic
+    *     DBSCAN leaves border ties to scan order, which can never
+    *     hash-match an independent engine).
+    *   - NOISE: everything else, reported as the `cluster = -1` row.
+    *
+    * Scale shape: the pair frame is the LSH-blocked generator's output
+    * (sum(block²), never all-pairs — and the ORACLE mirrors the same
+    * blocking, so both engines cluster the identical neighbor graph);
+    * degree/census aggregations are map-side-combinable; the only loop
+    * is the O(log diameter) pointer-doubling CC over core-core edges.
+    */
+  private[graft] def dbscanFromPairs(
+      pairs0: DataFrame,
+      universe: DataFrame,
+      minPts: Int = DbscanMinPts
+  ): DataFrame = {
+    val pairs = Tables.pin(pairs0.select(col("vec_a"), col("vec_b")))
+    val nbrs = pairs
+      .select(col("vec_a").as("v"), col("vec_b").as("n"))
+      .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("n")))
+    val core = Tables.pin(
+      nbrs
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts)
+        .select(col("v")))
+    val corePairs = pairs
+      .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
+    val labels =
+      Dedup.clusters(corePairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val coreLab = Tables.pin(
+      core
+        .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("cluster")))
+    val border = nbrs
+      .join(core, Seq("v"), "left_anti")
+      .join(coreLab.select(col("v").as("n"), col("cluster")), Seq("n"))
+      .groupBy(col("v"))
+      .agg(min(col("cluster")).as("cluster"))
+    val census = coreLab
+      .select(col("cluster"), lit(1L).as("c"), lit(0L).as("b"))
+      .unionByName(border.select(col("cluster"), lit(0L).as("c"), lit(1L).as("b")))
+      .groupBy(col("cluster"))
+      .agg(sum(col("c")).as("n_core"), sum(col("b")).as("n_border"))
+      .select(
+        col("cluster"),
+        col("n_core"),
+        col("n_border"),
+        (col("n_core") + col("n_border")).as("n_total"))
+    val assigned = coreLab.select(col("v")).unionByName(border.select(col("v")))
+    val noise = universe
+      .select(col("vec_id").as("v"))
+      .join(assigned, Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n_noise"))
+      .select(
+        lit(-1L).as("cluster"),
+        lit(0L).as("n_core"),
+        lit(0L).as("n_border"),
+        col("n_noise").as("n_total"))
+    census.unionByName(noise).orderBy(col("n_total").desc, col("cluster")).limit(100)
+  }
+
+  private[graft] val DbscanMinPts = 2
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_sim_topk",
@@ -531,6 +606,54 @@ object Similarity {
               | AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
               |WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2
               |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+    QueryDef(
+      "q_embed_dbscan",
+      s"LSH-blocked DBSCAN census over the embedding table (Ester et al. 1996 — the density-clustering readout an embedding-curation pipeline runs to find over-represented semantic pockets vs genuine outliers): eps-neighbors are the blocked cosine pairs (same (label, bucket) blocking as q_dedup_embed, ORACLE-MIRRORED so both engines cluster the identical neighbor graph; sum(block^2), never all-pairs), CORE = >= $DbscanMinPts neighbors, clusters = pointer-doubling CC over the core-core subgraph (min-id labels), BORDER assigned the MIN cluster among neighboring cores (classic DBSCAN leaves border ties to scan order — nondeterminism an independent oracle could never match), NOISE as the cluster = -1 row. Gate eps is cosine >= 0.0 (positive-similarity neighbor): the synthetic fixture has no cos >= 0.85 twins, and a realistic eps would pass 0 cores = 0 cores and hide a broken degree rule (the q_dedup_embed threshold rationale). Output per cluster: core/border/total counts, top 100",
+      (s, dir) => {
+        val emb = Tables.fanout(Tables.embeddings(s, dir))
+        dbscanFromPairs(embedNearDupPairs(emb, threshold = 0.0), emb)
+      },
+      Some(s"""WITH RECURSIVE bk AS (
+              |  SELECT vec_id, label, embedding, $bucketDuck AS bucket FROM embeddings),
+              |prs AS MATERIALIZED (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bk a JOIN bk b
+              |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE round(${cosDuck("a.embedding", "b.embedding")}, 6) >= 0.0),
+              |nbrs AS (SELECT vec_a AS v, vec_b AS n FROM prs UNION ALL SELECT vec_b, vec_a FROM prs),
+              |core AS MATERIALIZED (
+              |  SELECT v FROM (SELECT v, count(1) AS c FROM nbrs GROUP BY 1) d WHERE c >= $DbscanMinPts),
+              |ce AS MATERIALIZED (
+              |  SELECT p.vec_a, p.vec_b FROM prs p
+              |  JOIN core a ON a.v = p.vec_a JOIN core b ON b.v = p.vec_b),
+              |edges AS (SELECT vec_a AS src, vec_b AS dst FROM ce UNION ALL SELECT vec_b, vec_a FROM ce),
+              |reach AS (
+              |  SELECT src AS id, src AS label FROM edges
+              |  UNION
+              |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+              |cc AS (SELECT id, min(label) AS label FROM reach GROUP BY 1),
+              |corelab AS MATERIALIZED (
+              |  SELECT c.v, coalesce(cc.label, c.v) AS cluster FROM core c LEFT JOIN cc ON cc.id = c.v),
+              |border AS MATERIALIZED (
+              |  SELECT n.v, min(cl.cluster) AS cluster
+              |  FROM nbrs n JOIN corelab cl ON cl.v = n.n
+              |  WHERE n.v NOT IN (SELECT v FROM core)
+              |  GROUP BY n.v),
+              |census AS (
+              |  SELECT cluster, cast(sum(c) as bigint) AS n_core, cast(sum(b) as bigint) AS n_border,
+              |    cast(sum(c) + sum(b) as bigint) AS n_total
+              |  FROM (SELECT cluster, 1 AS c, 0 AS b FROM corelab
+              |        UNION ALL SELECT cluster, 0 AS c, 1 AS b FROM border) z
+              |  GROUP BY 1),
+              |noise AS (
+              |  SELECT cast(-1 as bigint) AS cluster, cast(0 as bigint) AS n_core,
+              |    cast(0 as bigint) AS n_border, cast(count(1) as bigint) AS n_total
+              |  FROM embeddings e
+              |  WHERE e.vec_id NOT IN (SELECT v FROM corelab)
+              |    AND e.vec_id NOT IN (SELECT v FROM border))
+              |SELECT * FROM (SELECT * FROM census UNION ALL SELECT * FROM noise) x
+              |ORDER BY n_total DESC, cluster LIMIT 100""".stripMargin)
     ),
     QueryDef(
       "q_embed_stats",

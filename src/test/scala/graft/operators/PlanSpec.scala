@@ -768,4 +768,43 @@ class PlanSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("unigram Viterbi: the score table rides broadcast hash joins, never a map probe or a fact broadcast") {
+    // the r17 lesson (SCALE.md): a Catalyst MapType lookup is a LINEAR
+    // key-array scan — the score side must be three BroadcastHashJoins
+    // over the positions frame, and no per-position frame may broadcast
+    val emb = graft.Tables.documents(spark, TestSpark.sfDir)
+    val vocab = Unigram.trainedUnigram(spark, TestSpark.sfDir)
+    val seg = Unigram.encodeViterbi(emb, vocab)
+    val nodes = allNodes(executed(seg))
+    assert(
+      nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      s"the three per-length score joins must broadcast:\n${nodes.map(_.nodeName).distinct}")
+    nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
+      val cols = b.output.map(_.name.toLowerCase)
+      assert(!cols.contains("pos") && !cols.exists(_.startsWith("s0")),
+        s"a per-position/per-text frame must never broadcast: ${cols.mkString(",")}")
+    }
+  }
+
+  test("q_scd2_history plans ONE user-keyed exchange for both windows") {
+    val df = q("q_scd2_history")
+    val shuffles = allNodes(executed(df)).filter(_.isInstanceOf[ShuffleExchangeLike])
+    // one user-hash exchange for lag + row_number + lead (same key and
+    // sort), plus the bounded final orderBy-limit exchange at most
+    assert(shuffles.size <= 2,
+      s"the two windows must share one user-keyed exchange, got ${shuffles.size}")
+  }
+
+  test("q_event_funnel never sorts the raw stream (aggregate chain, no per-user window)") {
+    val nodes = allNodes(executed(q("q_event_funnel")))
+    // the only window/sort material is the 4-row census (its rows carry
+    // `step`); the event stream passes through filters + hash aggregations
+    // + joins only — a Sort whose output still carries event_id would mean
+    // a per-user window crept back in
+    val rawSorts = nodes.filter(n =>
+      n.nodeName.contains("Sort") && n.output.map(_.name.toLowerCase).contains("event_id"))
+    assert(rawSorts.isEmpty,
+      s"no sort may touch the raw event stream: ${rawSorts.map(_.output.map(_.name))}")
+  }
 }

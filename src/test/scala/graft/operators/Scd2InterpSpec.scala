@@ -88,6 +88,28 @@ class Scd2InterpSpec extends AnyFunSuite {
     assert(got.map(_._1) === (10L to 22L), "grid is dense over the observed span")
   }
 
+  test("funnel: a step event BEFORE the previous step's conversion does not count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel-events").toString
+    def ev(uid: Long, id: Long, tpe: String, sec: Long) =
+      (id, uid, tpe, ts(sec), 1.0)
+    // A completes all four in order; B's only purchase PRECEDES the
+    // signup (steps 1-3 convert, step 4 must not); C signs up only
+    Seq(
+      ev(1L, 10L, "signup", 10), ev(1L, 11L, "view", 20), ev(1L, 12L, "click", 30), ev(1L, 13L, "purchase", 40),
+      ev(2L, 20L, "purchase", 100), ev(2L, 21L, "signup", 200), ev(2L, 22L, "view", 300), ev(2L, 23L, "click", 400),
+      ev(3L, 30L, "signup", 5)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry
+      .queries("q_event_funnel")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "signup", 3L), (2L, "view", 2L), (3L, "click", 2L), (4L, "purchase", 1L)
+    ), s"ordered-funnel counts diverged: ${got.toSeq}")
+  }
+
   test("interp: a fully observed series passes through untouched") {
     import spark.implicits._
     val obs = Seq((5L, 10L), (6L, 20L), (7L, 30L)).toDF("day", "vc")
