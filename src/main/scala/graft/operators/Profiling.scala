@@ -455,6 +455,71 @@ object Profiling {
               |  coalesce(agg.sum_value, 0.0) AS sum_value
               |FROM hours LEFT JOIN agg ON hours.hour_n = agg.hour_n
               |ORDER BY hour_start_s""".stripMargin)
-    )
+    ),
+    ksDriftDef
   )
+
+  /** Exact two-sample KS over any (g ∈ {0,1}, v) membership frame — the
+    * `q_drift_ks` body, exposed so the spec can plant distributions with
+    * hand-computable D. Integer argmax of |cum1·n2 − cum2·n1| over the
+    * value-grain frame, smallest value on ties, ONE final IEEE division.
+    */
+  private[graft] def ksDrift(m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = m
+      .groupBy(col("v"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w   = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    cnt
+      .withColumn("k1", sum(col("c1")).over(w))
+      .withColumn("k2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("v"),
+        col("n1"),
+        col("n2"),
+        abs(col("k1") * col("n2") - col("k2") * col("n1")).as("d_num"))
+      .orderBy(col("d_num").desc, col("v"))
+      .limit(1)
+      .select(
+        col("n1"),
+        col("n2"),
+        col("v").as("at_value"),
+        col("d_num"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")).as("ks"))
+  }
+
+  // lazy: referenced by `defs` above, which initializes first — a strict
+  // val here would be null inside the Seq (object-init order)
+  private[graft] lazy val ksDriftDef: QueryDef =
+    QueryDef(
+      "q_drift_ks",
+      "two-sample KOLMOGOROV-SMIRNOV drift test (the nonparametric companion to q_drift_psi: PSI needs a bucketing choice, KS reads the raw empirical CDFs): D = max_v |F1(v) - F2(v)| between the English and non-English doc-length (n_chars) distributions, computed EXACTLY as the integer argmax of |cum1*n2 - cum2*n1| over the value-grain frame (the common-denominator form — no per-value division, no float until ONE final d/(n1*n2)), ties to the smallest value. The cumulative window runs on the POST-AGGREGATION distinct-value frame (value-grain, the q_drift_psi exception class), never the doc stream. Int64 bound: |cum*n| <= n1*n2 stays exact below ~3e9 docs per cohort — past that, quantize the metric to capped buckets (the PSI treatment) or KS a deterministic hash-sample. Output: cohort sizes, the argmax value, the exact integer numerator, and D",
+      (s, dir) =>
+        ksDrift(
+          Tables
+            .documents(s, dir)
+            .select(
+              when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("g"),
+              col("n_chars").as("v"))),
+      Some("""WITH m AS (
+             |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g, n_chars AS v FROM documents),
+             |cnt AS (
+             |  SELECT v, cast(sum(g) as bigint) AS c1, cast(sum(1 - g) as bigint) AS c2
+             |  FROM m GROUP BY 1),
+             |tot AS (SELECT cast(sum(c1) as bigint) AS n1, cast(sum(c2) as bigint) AS n2 FROM cnt),
+             |cum AS (
+             |  SELECT v,
+             |    cast(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS k1,
+             |    cast(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS k2
+             |  FROM cnt),
+             |best AS (
+             |  SELECT n1, n2, v AS at_value, cast(abs(k1 * n2 - k2 * n1) as bigint) AS d_num
+             |  FROM cum CROSS JOIN tot
+             |  ORDER BY d_num DESC, v LIMIT 1)
+             |SELECT n1, n2, at_value, d_num,
+             |  cast(d_num as double) / cast(n1 * n2 as double) AS ks
+             |FROM best""".stripMargin)
+    )
 }

@@ -195,6 +195,65 @@ object Quantize {
               |  round(${Similarity.cosDuck("embedding", "q_emb")}, 6) AS cos_sim
               |FROM cand
               |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    QueryDef(
+      "q_sim_rrf",
+      "RECIPROCAL-RANK FUSION of two retrieval lists (Cormack et al. 2009 — the standard hybrid-search combiner): fuse the exact-cosine top-10 and the int8-quantized top-10 for the same query as rrf = sum over lists of 1/(60 + rank), computed in EXACT fixed-point picounits (1e12 div (60+rank) — integer division, the PageRank unit discipline; 1/61 is not a finite decimal, so a float sum could never hash-match) with absent-from-list contributing zero. Both input rankings are TakeOrdered 10-row frames; the ranking windows and the fusion join run on those bounded frames, never the corpus. Output: fused top-5 with each list's rank (0 = absent)",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(s)
+        val emb = Tables.fanout(Tables.embeddings(s, dir))
+        val q   = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        val exact = emb
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+        val ra = exact.select(
+          col("vec_id"),
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long").as("rank_exact"))
+        val rb = quantizedTopK(emb, queryVecId = 0, k = 10).select(
+          col("vec_id"),
+          row_number().over(Window.orderBy(col("cos_q").desc, col("vec_id"))).cast("long").as("rank_q"))
+        ra.join(rb, Seq("vec_id"), "full_outer")
+          .select(
+            col("vec_id"),
+            coalesce(col("rank_exact"), lit(0L)).as("rank_exact"),
+            coalesce(col("rank_q"), lit(0L)).as("rank_q"))
+          .withColumn(
+            "rrf_units",
+            when(col("rank_exact") > 0, expr("1000000000000 div (60 + rank_exact)")).otherwise(lit(0L)) +
+              when(col("rank_q") > 0, expr("1000000000000 div (60 + rank_q)")).otherwise(lit(0L)))
+          .orderBy(col("rrf_units").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, embedding, $scaleDuck AS scale FROM embeddings),
+              |qc AS (
+              |  SELECT vec_id, embedding, $codesDuck AS qcode FROM sc),
+              |qq AS (SELECT qcode AS q_qcode, embedding AS q_emb FROM qc WHERE vec_id = 0),
+              |ea AS (
+              |  SELECT vec_id, round(${Similarity.cosDuck("embedding", "q_emb")}, 6) AS cos_sim
+              |  FROM qc CROSS JOIN qq WHERE vec_id <> 0
+              |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+              |ra AS (SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_exact FROM ea),
+              |eb AS (
+              |  SELECT vec_id,
+              |    round(${qdotDuck("qcode", "q_qcode")} /
+              |      (sqrt(${qdotDuck("qcode", "qcode")}) * sqrt(${qdotDuck("q_qcode", "q_qcode")})), 6) AS cos_q
+              |  FROM qc CROSS JOIN qq WHERE vec_id <> 0
+              |  ORDER BY cos_q DESC, vec_id LIMIT 10),
+              |rb AS (SELECT vec_id, row_number() OVER (ORDER BY cos_q DESC, vec_id) AS rank_q FROM eb),
+              |f AS (
+              |  SELECT coalesce(ra.vec_id, rb.vec_id) AS vec_id,
+              |    cast(coalesce(ra.rank_exact, 0) as bigint) AS rank_exact,
+              |    cast(coalesce(rb.rank_q, 0) as bigint) AS rank_q
+              |  FROM ra FULL JOIN rb ON ra.vec_id = rb.vec_id)
+              |SELECT vec_id, rank_exact, rank_q,
+              |  cast(CASE WHEN rank_exact > 0 THEN 1000000000000 // (60 + rank_exact) ELSE 0 END
+              |     + CASE WHEN rank_q > 0 THEN 1000000000000 // (60 + rank_q) ELSE 0 END as bigint) AS rrf_units
+              |FROM f ORDER BY rrf_units DESC, vec_id LIMIT 5""".stripMargin)
     )
   )
 }
