@@ -69,7 +69,13 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_bpe_merges",
     "q_bpe_encode",
     "q_wordpiece_merges",
-    "q_wordpiece_encode"
+    "q_wordpiece_encode",
+    "q_unigram_vocab",
+    "q_unigram_encode",
+    "q_multimodal_ahash",
+    "q_multimodal_ahash_pairs",
+    "q_multimodal_ahash_clusters",
+    "q_multimodal_audio_fp"
   )
 
   test("dedup + IVF family: durable-artifact runs are bit-identical to the local-checkpoint path") {
@@ -97,7 +103,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_hits", "graph_lpa", "graph_harmonic",
           "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
           "graph_seeded", "textrank_scores", "bpe_merges",
-          "wordpiece_merges").foreach { artifact =>
+          "wordpiece_merges", "unigram_vocab", "ahash_fp",
+          "ahash_clusters", "audio_fp").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
