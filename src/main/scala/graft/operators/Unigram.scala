@@ -312,6 +312,25 @@ object Unigram {
       graft.Artifacts.cachedInTracked(vocabCache, s, dir, "unigram_vocab", "g")(
         trainUnigramTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
 
+  private val vocabEvenCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The held-out gate's even-half vocab as its own build-once artifact
+    * (the [[Bpe.trainedMergesEven]] rationale — the hard-EM rounds are a
+    * pure function of the training half).
+    */
+  private[graft] def trainedUnigramEven(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame =
+    if (Tables.noArtifactCache)
+      trainUnigram(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+    else
+      graft.Artifacts.cachedInTracked(vocabEvenCache, s, dir, "unigram_vocab_even", "g")(
+        trainUnigramTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
+
   /** Viterbi APPLY against a frozen trained vocab: segment each DISTINCT
     * text (vocabulary-shaped work, the [[Bpe.encodeWithMerges]] contract)
     * and return the (s0, enc) mapping for [[Bpe.encodeReadout]].
@@ -477,11 +496,10 @@ object Unigram {
       "q_unigram_encode_heldout",
       s"Unigram-LM APPLY on HELD-OUT data — train the $Rounds-round hard-EM vocab on the even-doc_id half of the corpus, then Viterbi-encode the ODD half with that frozen vocab (the q_bpe_encode_heldout gate shape for the third tokenizer family). The held-out half's own statistics never touch the model, and tokens NEVER SEEN in training score the documented UNK floor (${UnkUnits} fixed-point units — below any real piece until total piece count exceeds e^50/1e6) and pass through as themselves, the SentencePiece unk rule. Output per held-out doc: token counts before/after and the segmentation md5. First 500 docs by id",
       (s, dir) => {
-        val docs  = Tables.documents(s, dir)
-        val vocab = trainUnigram(Tables.fanout(docs.filter(col("doc_id") % 2 === 0)), Rounds)
+        val docs = Tables.documents(s, dir)
         Bpe.encodeReadout(
           docs.filter(col("doc_id") % 2 === 1),
-          encodeViterbi(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), vocab)
+          encodeViterbi(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), trainedUnigramEven(s, dir))
         )
       },
       Some(encSql(Rounds, "doc_id % 2 = 0", "doc_id % 2 = 1"))

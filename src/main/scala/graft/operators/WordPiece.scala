@@ -280,6 +280,24 @@ object WordPiece {
       graft.Artifacts.cachedInTracked(mergesCache, s, dir, "wordpiece_merges", "round")(
         trainWordPieceTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
 
+  private val mergesEvenCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The held-out gate's even-half merge table as its own build-once
+    * artifact (the [[Bpe.trainedMergesEven]] rationale).
+    */
+  private[graft] def trainedWordPieceEven(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame =
+    if (Tables.noArtifactCache)
+      trainWordPiece(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+    else
+      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "wordpiece_merges_even", "round")(
+        trainWordPieceTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
+
   // ── oracle SQL ─────────────────────────────────────────────────────────
 
   /** Training CTE chain wd0..wdR / wu_k / wp_k / wm_k over `documents`
@@ -389,11 +407,10 @@ object WordPiece {
       "q_wordpiece_encode_heldout",
       s"WordPiece APPLY on HELD-OUT data — train the $Rounds-round likelihood-ratio merge table on the even-doc_id half of the corpus, then greedy-encode the ODD half with that frozen vocab (the q_bpe_encode_heldout gate shape for the second tokenizer family): the held-out half's own pair statistics never pick a merge — its likelihood argmax could differ from the trained table's, and the longest-match walk consumes ONLY the frozen vocab broadcast. Output per held-out doc: token counts before/after and the encode md5. First 500 docs by id",
       (s, dir) => {
-        val docs   = Tables.documents(s, dir)
-        val merges = trainWordPiece(Tables.fanout(docs.filter(col("doc_id") % 2 === 0)), Rounds)
+        val docs = Tables.documents(s, dir)
         Bpe.encodeReadout(
           docs.filter(col("doc_id") % 2 === 1),
-          encodeGreedy(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), merges)
+          encodeGreedy(Tables.fanout(docs.filter(col("doc_id") % 2 === 1)), trainedWordPieceEven(s, dir))
         )
       },
       Some {

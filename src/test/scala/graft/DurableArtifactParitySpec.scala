@@ -72,6 +72,9 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_wordpiece_encode",
     "q_unigram_vocab",
     "q_unigram_encode",
+    "q_bpe_encode_heldout",
+    "q_wordpiece_encode_heldout",
+    "q_unigram_encode_heldout",
     "q_multimodal_ahash",
     "q_multimodal_ahash_pairs",
     "q_multimodal_ahash_clusters",
@@ -104,7 +107,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
           "graph_seeded", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
-          "ahash_clusters", "audio_fp").foreach { artifact =>
+          "ahash_clusters", "audio_fp", "bpe_merges_even",
+          "wordpiece_merges_even", "unigram_vocab_even").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
