@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * the end) plus a compact summary line LAST for the driver's tail window, and
   * writes the complete artifact to BENCH_FULL.json (see end of main).
   *
-  * Best-of-N protocol (round-5 directive): the suite runs as up to
+  * Best-of-N protocol (round-5 directive): the suite runs up to
   * `GRAFT_BENCH_RUNS` (default 4) FULL PASSES over all queries, and each
   * query reports its MIN across passes. BENCH_r04 demonstrated a 43%
   * single-sample swing on a shared host (140.0s artifact vs 97.5s re-run of
@@ -14,12 +14,15 @@ import org.apache.spark.sql.SparkSession
   * per-query reps) because pass 1 alone is already a complete artifact:
   * `GRAFT_BENCH_BUDGET_SEC` (default 400) is checked between passes, so a
   * badly contended host degrades to fewer passes instead of a truncated
-  * result (400s default: three typical sf0.1 passes fit; a 40%-degraded
-  * host still completes two). The headline `value` is the sum of per-query
-  * mins;
-  * `runs_done` / `total_median` / `total_max` / `spread_pct` expose how
-  * many passes ran and the noise envelope, so a reader can judge
-  * measurement quality from the artifact alone.
+  * result. Pass SCHEDULE (round-17 directive): 2 full passes always; when
+  * their measured spread exceeds 100%, a TOP-20 re-sample pass runs BEFORE
+  * any 3rd full pass (the expensive tail is where noise hides, at ~1/4 the
+  * cost of a full pass), then remaining budget alternates further full and
+  * top-20 passes; at least one top-20 pass always runs. The headline
+  * `value` is the sum of per-query mins;
+  * `runs_done` / `extra_top20_passes` / `total_median` / `total_max` /
+  * `spread_pct` expose how many passes ran and the noise envelope, so a
+  * reader can judge measurement quality from the artifact alone.
   *
   * `queries_cold` / `total_cold` (round-6 directive) are the PASS-1 times:
   * min-of-N is the steady-state rerun number, which for build-once
@@ -56,12 +59,8 @@ object Bench {
     val samples = scala.collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
     val suiteStart = System.nanoTime()
     var runsDone = 0
-    // >= 3 passes ALWAYS run (round-13 directive: a 2-run artifact carried
-    // 141% spread and made round-over-round comparison noise); the budget
-    // only gates passes beyond the third. runs_done in the artifact tells
-    // the reader exactly what they got.
-    val minRuns = math.min(3, runs)
-    while (runsDone < runs && (runsDone < minRuns || (System.nanoTime() - suiteStart) / 1e9 < budgetSec)) {
+    def budgetLeft: Boolean = (System.nanoTime() - suiteStart) / 1e9 < budgetSec
+    def fullPass(): Unit = {
       names.foreach { name =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune computed
@@ -82,16 +81,15 @@ object Bench {
       System.gc()
     }
     // Extra passes over the TOP-20 by current min (round-16 directive:
-    // with host spread at 149%, 3 samples of the expensive queries leave
+    // with host spread at 149%+, 3 samples of the expensive queries leave
     // the min itself noisy — the cheap 150+ queries don't move the total,
     // so re-sampling only the top-20 buys a real min at ~1/4 pass cost).
-    // Budget-gated like passes 4+; up to 2 extra rounds.
-    val top20 = names
-      .filter(n => samples(n).forall(_ >= 0) && samples(n).nonEmpty)
-      .sortBy(n => -samples(n).min)
-      .take(20)
     var extra = 0
-    while (extra < 2 && (System.nanoTime() - suiteStart) / 1e9 < budgetSec) {
+    def top20Pass(): Unit = {
+      val top20 = names
+        .filter(n => samples(n).nonEmpty && samples(n).forall(_ >= 0))
+        .sortBy(n => -samples(n).min)
+        .take(20)
       top20.foreach { name =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -101,6 +99,28 @@ object Bench {
       extra += 1
       System.gc()
     }
+    // spread of the passes so far: total if every query hit its worst
+    // sample vs its best — the live noise estimate the schedule reads
+    def spreadSoFar: Double = {
+      val clean = names.map(samples).filter(ts => ts.nonEmpty && ts.forall(_ >= 0))
+      val best  = clean.map(_.min).sum
+      val worst = clean.map(_.max).sum
+      if (best > 0) 100.0 * (worst - best) / best else 0.0
+    }
+    // Pass schedule (round-17 directive, superseding round-13's
+    // three-full-passes-first rule): 2 full passes ALWAYS run; then, when
+    // the measured spread between them exceeds 100%, the remaining budget
+    // goes to TOP-20 passes BEFORE a 3rd full pass — r17's artifact spent
+    // the whole budget on 3 full passes and `extra_top20_passes` was 0 in
+    // a round where host spread hit 194%, so the expensive tail never got
+    // its real min. A top-20 pass is ~1/4 the cost and targets exactly the
+    // noisy tail; at least ONE runs regardless of budget.
+    fullPass()
+    if (runs > 1) fullPass()
+    if (spreadSoFar > 100.0) top20Pass()
+    while (runsDone < runs && budgetLeft) fullPass()
+    while (extra < 2 && budgetLeft) top20Pass()
+    if (extra == 0) top20Pass()
     val results: Map[String, Double] = names.map { name =>
       val ts = samples(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)

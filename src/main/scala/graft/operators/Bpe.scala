@@ -189,7 +189,9 @@ object Bpe {
     * argmax pins once the table is materialized.
     */
   private[graft] def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    if (Tables.noArtifactCache) trainMerges(Tables.fanout(Tables.documents(s, dir)), Rounds)
+    if (Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked(
+        trainMergesTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
     else
       graft.Artifacts.cachedInTracked(mergesCache, s, dir, "bpe_merges", "round")(
         trainMergesTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
@@ -206,7 +208,10 @@ object Bpe {
     */
   private[graft] def trainedMergesEven(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache)
-      trainMerges(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+      graft.Artifacts.materializeTracked(
+        trainMergesTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
     else
       graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "bpe_merges_even", "round")(
         trainMergesTracked(

@@ -575,7 +575,15 @@ object TextAnalysis {
     */
   private[graft] def dupSpectrumFromFreq(
       freq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    dupSpectrumOver(freq.select(col("w"), split(trim(col("s")), " ").as("t")))
+    // strip EXACTLY the single padding space each side (the store's
+    // ' '||text||' ' convention), not trim(): a text with its own
+    // leading/trailing whitespace must tokenize identically to the batch
+    // query's raw split — trim would eat the text's spaces too and break
+    // the spec-pinned streamed==batch bit-identity for such inputs
+    dupSpectrumOver(
+      freq.select(
+        col("w"),
+        split(expr("substring(s, 2, length(s) - 2)"), " ").as("t")))
 
   private[graft] val dupSpectrumDef: QueryDef = QueryDef(
     "q_text_dup_spectrum",

@@ -324,7 +324,10 @@ object Unigram {
       dir: String
   ): DataFrame =
     if (Tables.noArtifactCache)
-      trainUnigram(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+      graft.Artifacts.materializeTracked(
+        trainUnigramTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
     else
       graft.Artifacts.cachedInTracked(vocabEvenCache, s, dir, "unigram_vocab_even", "g")(
         trainUnigramTracked(

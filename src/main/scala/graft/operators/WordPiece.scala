@@ -291,7 +291,10 @@ object WordPiece {
       dir: String
   ): DataFrame =
     if (Tables.noArtifactCache)
-      trainWordPiece(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)), Rounds)
+      graft.Artifacts.materializeTracked(
+        trainWordPieceTracked(
+          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
+          Rounds))
     else
       graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "wordpiece_merges_even", "round")(
         trainWordPieceTracked(
