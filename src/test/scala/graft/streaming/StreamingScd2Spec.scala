@@ -110,26 +110,106 @@ class StreamingScd2Spec extends AnyFunSuite {
     ), s"the batch-2 'A' must extend version 1: ${got.toSeq}")
   }
 
-  test("ordering contract: a late batch fails fast instead of diverging") {
+  private def statsJson(scd: String, batchId: Long): String =
+    new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$scd/stats/batch_id=$batchId")),
+      "UTF-8")
+
+  test("late-data recovery: a late batch re-derives only the affected keys and stays batch-identical") {
     val dir     = Files.createTempDirectory("streaming-scd2-late").toString
     val landing = s"$dir/landing"
     val scd     = s"$dir/scd"
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
-    Seq((1L, ts(500), 10L, "A")).toDF("user_id", "ts", "event_id", "event_type")
+    // batch 1: user 1 A@100, B@500; user 3 A@400 (in-order seed)
+    val b1 = Seq((1L, ts(100), 10L, "A"), (1L, ts(500), 11L, "B"), (3L, ts(400), 12L, "A"))
+    // batch 2 is LATE for users 1 and 2 (ts <= watermark 500) while user 3
+    // folds in-order: user 1 gets a mid-interval C@300 (splits the closed
+    // A version — the case an incremental fold cannot express), user 2 is
+    // a NEW key arriving entirely in the past, user 3 continues at 600
+    val b2 = Seq((1L, ts(300), 20L, "C"), (2L, ts(200), 21L, "B"), (3L, ts(600), 22L, "B"))
+    b1.toDF("user_id", "ts", "event_id", "event_type")
       .coalesce(1).write.mode("append").parquet(landing)
     val q = StreamingScd2.ingest(spark, landing, scd, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
     try {
       q.processAllAvailable()
-      // a LATE observation (before the folded watermark) must refuse
-      Seq((2L, ts(100), 20L, "B")).toDF("user_id", "ts", "event_id", "event_type")
+      b2.toDF("user_id", "ts", "event_id", "event_type")
         .coalesce(1).write.mode("append").parquet(landing)
-      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      assert(ex.getMessage.contains("event-time order") || Option(ex.getCause).exists(
-        c => String.valueOf(c.getMessage).contains("event-time order")),
-        s"the failure must name the ordering contract: ${ex.getMessage}")
+      q.processAllAvailable()
     } finally q.stop()
+    val union = (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type")
+    assert(
+      histRows(StreamingScd2.history(spark, scd)) ===
+        histRows(graft.operators.Relational2.scd2History(union)),
+      "the spliced history must equal the batch scd2History on the union")
+    // the slow path is observable: exactly users {1, 2} re-derived
+    val s1 = statsJson(scd, 1)
+    assert(s1.contains("\"n_late_keys\":2"), s"batch 1 stats must record 2 late keys: $s1")
+    assert(s1.contains("\"n_respliced_rows\":4"), s"users 1+2 re-derive to 4 history rows (A,C,B / B): $s1")
+    // …and the in-order fold before it never took it
+    val s0 = statsJson(scd, 0)
+    assert(s0.contains("\"n_late_keys\":0") && s0.contains("\"n_respliced_rows\":0"),
+      s"the in-order fold must record a zero late path: $s0")
+  }
+
+  test("replay safety: re-executing a published batch after a lost checkpoint commit is a no-op") {
+    val dir     = Files.createTempDirectory("streaming-scd2-replay").toString
+    val landing = s"$dir/landing"
+    val scd     = s"$dir/scd"
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq((1L, ts(100), 10L, "A"), (1L, ts(200), 11L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q1 = StreamingScd2.ingest(spark, landing, scd, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    try q1.processAllAvailable()
+    finally q1.stop()
+    assert(StreamingScd2.currentVersion(spark, scd) === Some(1))
+    val before = histRows(StreamingScd2.history(spark, scd))
+    // simulate the crash window AFTER publish but BEFORE the checkpoint
+    // commit: drop the commit marker so the restarted stream re-executes
+    // batch 0 (the r17 fold threw its own watermark back at itself here
+    // and wedged the stream permanently)
+    val commit = new java.io.File(s"$dir/ckpt/commits/0")
+    assert(commit.exists, "precondition: batch 0 committed")
+    assert(commit.delete())
+    // the local checksum FS shadows every file with a .crc — drop it too
+    // or the replayed commit write fails on the stale checksum
+    val crc = new java.io.File(s"$dir/ckpt/commits/.0.crc")
+    if (crc.exists) assert(crc.delete())
+    val q2 = StreamingScd2.ingest(spark, landing, scd, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(StreamingScd2.currentVersion(spark, scd) === Some(1),
+      "the replayed batch must skip as a no-op, not republish")
+    assert(histRows(StreamingScd2.history(spark, scd)) === before,
+      "the history must be untouched by the replay")
+  }
+
+  test("generic schema: a (device_id, seen, seq, state) stream runs the same fold") {
+    val dir     = Files.createTempDirectory("streaming-scd2-generic").toString
+    val landing = s"$dir/landing"
+    val scd     = s"$dir/scd"
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val cols = graft.operators.Relational2.Scd2Cols("device_id", "seen", "seq", "state")
+    val ddl  = "device_id STRING, seen TIMESTAMP, seq BIGINT, state STRING"
+    val b1 = Seq(("dev-a", ts(100), 1L, "up"), ("dev-a", ts(200), 2L, "up"), ("dev-b", ts(150), 3L, "down"))
+    val b2 = Seq(("dev-a", ts(300), 4L, "down"), ("dev-b", ts(250), 5L, "down"), ("dev-b", ts(400), 6L, "up"))
+    b1.toDF("device_id", "seen", "seq", "state").coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamingScd2.ingest(spark, landing, scd, s"$dir/ckpt", maxFilesPerTrigger = Some(1),
+      schemaDdl = ddl, cols = cols)
+    try {
+      q.processAllAvailable()
+      b2.toDF("device_id", "seen", "seq", "state").coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+    val union = (b1 ++ b2).toDF("device_id", "seen", "seq", "state")
+    assert(
+      histRows(StreamingScd2.history(spark, scd)) ===
+        histRows(graft.operators.Relational2.scd2History(union, cols)),
+      "the generic-schema stream must equal the generic batch derivation on the union")
+    // the string-keyed history carries the caller's key column name
+    assert(StreamingScd2.history(spark, scd).columns.head === "device_id")
   }
 }

@@ -169,4 +169,32 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .toSet
     assert(streamed === batchMerge, "post-restart dimension must equal the batch MERGE on the union")
   }
+
+  test("generic schema: a (sku, qty, note) stream runs the same fold") {
+    val dir     = Files.createTempDirectory("streaming-upsert-generic").toString
+    val landing = s"$dir/landing"
+    val baseDir = s"$dir/base"
+    val dimDir  = s"$dir/dim"
+    import spark.implicits._
+    val ddl = "sku STRING, qty BIGINT, note STRING"
+    Seq(("a", 1L, "base-a"), ("b", 2L, "base-b"), ("c", 3L, "base-c"))
+      .toDF("sku", "qty", "note").coalesce(1).write.mode("overwrite").parquet(baseDir)
+    // batch 1 updates a (with an in-batch re-delivery the struct-max must
+    // collapse) and inserts d; batch 2 updates b
+    Seq(("a", 10L, "v1"), ("a", 11L, "v2"), ("d", 4L, "new"))
+      .toDF("sku", "qty", "note").coalesce(1).write.mode("append").parquet(landing)
+    def start() = StreamingUpsert.ingest(spark, landing, baseDir, dimDir, s"$dir/ckpt",
+      maxFilesPerTrigger = Some(1), schemaDdl = ddl, key = "sku", attrs = Seq("qty", "note"))
+    val q = start()
+    try {
+      q.processAllAvailable()
+      Seq(("b", 20L, "v3")).toDF("sku", "qty", "note").coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingUpsert.dimension(spark, dimDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("a", 11L, "v2"), ("b", 20L, "v3"), ("c", 3L, "base-c"), ("d", 4L, "new")),
+      s"generic-schema MERGE must latest-wins per key over the base: $got")
+  }
 }
