@@ -1084,6 +1084,25 @@ object Graph {
       seeds: DataFrame, // (node, lbl) — lbl a small integer class id
       rounds: Int = 4
   ): (DataFrame, Seq[DataFrame]) = {
+    val (lab, nodes, pins) = seededLabelsLoop(e, seeds, rounds)
+    val census = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    val unlabeled = nodes
+      .join(lab, Seq("node"), "left_anti")
+      .agg(lit(-1L).as("lbl"), count(lit(1)).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    (census.unionByName(unlabeled), pins)
+  }
+
+  /** The clamped-spread rounds themselves, returning the settled label
+    * frame over REACHED nodes plus the graph's node frame — shared by the
+    * census readout above and the modularity gate (which needs the
+    * partition, not its census).
+    */
+  private def seededLabelsLoop(
+      e: DataFrame,
+      seeds: DataFrame,
+      rounds: Int
+  ): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val sym = Tables.pin(
       e.select(col("pa").as("u"), col("pb").as("v"))
         .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
@@ -1107,13 +1126,120 @@ object Graph {
       if (!(lab eq seedLab)) Tables.unpin(lab)
       lab = next
     }
-    val census = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
-    val unlabeled = nodes
-      .join(lab, Seq("node"), "left_anti")
-      .agg(lit(-1L).as("lbl"), count(lit(1)).as("n_nodes"))
-      .filter(col("n_nodes") > 0)
-    (census.unionByName(unlabeled), Seq(sym, nodes, seedLab, lab))
+    (lab, nodes, Seq(sym, nodes, seedLab, lab))
   }
+
+  /** The synchronous-LPA rounds returning the settled round-`rounds`
+    * PARTITION (node, lbl) — [[lpaCensusTracked]] without the per-round
+    * census (the modularity gate consumes the labels themselves).
+    */
+  private[graft] def lpaLabelsTracked(e: DataFrame, rounds: Int = 4): (DataFrame, Seq[DataFrame]) = {
+    val sym = Tables.pin(
+      e.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
+    )
+    var lab = Tables.pinIter(
+      sym.select(col("u").as("node")).distinct().select(col("node"), col("node").as("lbl"))
+    )
+    for (_ <- 1 to rounds) {
+      val next = Tables.pinIter(
+        sym
+          .join(lab, sym("v") === lab("node"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+      )
+      Tables.unpin(lab)
+      lab = next
+    }
+    (lab, Seq(sym, lab))
+  }
+
+  /** NEWMAN MODULARITY Q of a partition over an undirected (pa < pb) edge
+    * set: Q = Σ_c (e_c/m − (D_c/2m)²) where e_c counts intra-community
+    * edges, D_c sums member degrees, m counts edges — algebraically
+    * Q = (4·m·Σe_c − ΣD_c²) / (4m²), EVERY term an integer, so both
+    * engines compute the identical exact rational and convert it to
+    * double in ONE correctly-rounded division (the fixed-point
+    * discipline; the decimal(38,0) internals survive D_c up to ~10^19,
+    * far past a 100 TB graph's degree sums). Two aggregations over the
+    * edge frame + one over the label frame — the standard
+    * "was this clustering real" gate a curation pipeline runs after LPA.
+    */
+  private def modularityRow(
+      partition: String,
+      e: DataFrame,   // (pa, pb), pinned by the caller
+      deg: DataFrame, // (node, d), pinned by the caller
+      lab: DataFrame  // (node, lbl) covering every node
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = e.agg(count(lit(1)).as("m_edges"))
+    val intra = e
+      .join(lab.select(col("node").as("pa"), col("lbl").as("la")), Seq("pa"))
+      .join(lab.select(col("node").as("pb"), col("lbl").as("lb")), Seq("pb"))
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dsq = lab
+      .join(deg, Seq("node"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("d")).as("dc"))
+      .agg(
+        count(lit(1)).as("n_comms"),
+        sum(col("dc").cast("decimal(19,0)") * col("dc").cast("decimal(19,0)")).as("dsq"))
+    m.crossJoin(broadcast(intra))
+      .crossJoin(broadcast(dsq))
+      .select(
+        lit(partition).as("partition"),
+        col("n_comms"),
+        col("m_edges"),
+        col("intra_edges"),
+        ((lit(4).cast(dec) * col("m_edges").cast(dec) * col("intra_edges").cast(dec) - col("dsq"))
+          .cast("double") /
+          (lit(4).cast(dec) * col("m_edges").cast(dec) * col("m_edges").cast(dec)).cast("double"))
+          .as("modularity"))
+  }
+
+  /** Modularity of the LPA partition AND the seeded-labels partition over
+    * the same co-purchase graph (nodes no seeded label reached count as
+    * singleton communities — they contribute no intra edges and their own
+    * degree-squared term, the standard completion). Tracked pins
+    * returned; exposed for the planted spec and the brute-force
+    * differential.
+    */
+  private[graft] def modularityTracked(
+      e0: DataFrame,
+      seeds: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
+    val e = Tables.pin(e0.select(col("pa"), col("pb")))
+    val deg = Tables.pin(
+      e.select(col("pa").as("node"))
+        .unionByName(e.select(col("pb").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("d")))
+    val (lpaLab, lpaPins)      = lpaLabelsTracked(e)
+    val (sLab0, sNodes, sPins) = seededLabelsLoop(e, seeds, 4)
+    val sLab = sNodes
+      .join(sLab0, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), -col("node") - 1).as("lbl"))
+    val out = modularityRow("lpa", e, deg, lpaLab)
+      .unionByName(modularityRow("seeded", e, deg, sLab))
+      .orderBy(col("partition"))
+    (out, Seq(e, deg) ++ lpaPins ++ sPins)
+  }
+
+  private val modularityCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The 2-row modularity gate as a build-once artifact (graph_modularity). */
+  private def modularityArtifact(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache)
+      graft.Artifacts.materializeTracked(
+        modularityTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
+    else
+      graft.Artifacts.cachedInTracked(modularityCache, s, dir, "graph_modularity", "partition")(
+        modularityTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
 
   /** The gate query's seed set: every 4th part carries its brand number
     * (the digits of `p_brand`) as the class label — a deterministic
@@ -2540,6 +2666,70 @@ object Graph {
            |  WHERE node NOT IN (SELECT node FROM sl4)
            |  HAVING count(1) > 0
            |) x ORDER BY lbl""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_modularity",
+      "NEWMAN MODULARITY Q of the LPA partition and the seeded-labels partition over the co-purchase graph (Newman & Girvan 2004) — the 'was this clustering real' gate a curation pipeline runs after community detection (Q near 0 = the partition explains no more intra-edge mass than a degree-preserving random graph; the readout that separates genuine co-purchase topics from label-propagation artifacts). Q = sum_c(e_c/m - (D_c/2m)^2) computed as the EXACT RATIONAL (4*m*sum(e_c) - sum(D_c^2)) / (4*m^2) — every term an integer (edge count, intra-community edge count, degree sums), decimal(38,0) internals, ONE correctly-rounded IEEE division at the end, so both engines emit the identical double. Nodes the seeded spread never reached complete as singleton communities (no intra edges, own degree-squared term — the standard completion). Two aggregations over the edge frame + one over each label frame; the partitions re-run the same fixed-4-round integer-argmax loops the census gates pin. Build-once artifact (graph_modularity)",
+      (s, dir) => modularityArtifact(s, dir).orderBy(col("partition")),
+      Some {
+        val lpaIters = (1 to 4).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN l${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1)""".stripMargin
+        }
+        val seededIters = (1 to 4).map { k =>
+          s"""sl$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN sl${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)
+             |  UNION ALL SELECT node, lbl FROM seeds)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |deg AS MATERIALIZED (SELECT u AS node, count(1) AS d FROM sym GROUP BY 1),
+           |mm AS (SELECT count(1) AS m FROM e),
+           |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+           |${lpaIters.mkString(",\n")},
+           |seeds AS MATERIALIZED (
+           |  SELECT p_partkey AS node, cast(substring(p_brand, 7, 2) as bigint) AS lbl
+           |  FROM part JOIN nodes ON node = p_partkey
+           |  WHERE p_partkey % 4 = 0),
+           |sl0 AS MATERIALIZED (SELECT node, lbl FROM seeds),
+           |${seededIters.mkString(",\n")},
+           |slab AS (
+           |  SELECT n.node, coalesce(s.lbl, -n.node - 1) AS lbl
+           |  FROM nodes n LEFT JOIN sl4 s ON s.node = n.node),
+           |lab AS MATERIALIZED (
+           |  SELECT 'lpa' AS pt, node, lbl FROM l4
+           |  UNION ALL SELECT 'seeded', node, lbl FROM slab),
+           |intra AS (
+           |  SELECT a.pt, count(1) AS intra FROM e
+           |  JOIN lab a ON a.node = e.pa
+           |  JOIN lab b ON b.pt = a.pt AND b.node = e.pb
+           |  WHERE a.lbl = b.lbl GROUP BY 1),
+           |dc AS (SELECT pt, lbl, sum(d) AS dc FROM lab JOIN deg USING (node) GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT pt, count(1) AS n_comms,
+           |    sum(cast(dc as hugeint) * cast(dc as hugeint)) AS dsq
+           |  FROM dc GROUP BY 1)
+           |SELECT a.pt AS partition, cast(a.n_comms as bigint) AS n_comms,
+           |  cast(mm.m as bigint) AS m_edges,
+           |  cast(coalesce(i.intra, 0) as bigint) AS intra_edges,
+           |  cast(cast(4 * cast(mm.m as hugeint) * cast(coalesce(i.intra, 0) as hugeint) - a.dsq
+           |            as varchar) as double)
+           |    / cast(cast(4 * cast(mm.m as hugeint) * cast(mm.m as hugeint) as varchar) as double)
+           |    AS modularity
+           |FROM agg a LEFT JOIN intra i ON i.pt = a.pt, mm
+           |ORDER BY partition""".stripMargin
       }
     ),
     QueryDef(

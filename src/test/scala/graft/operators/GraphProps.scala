@@ -497,4 +497,69 @@ object GraphProps extends Properties("GraphOps") {
       }
       Prop(valsMatch) :| s"adamic-adar: got $got expected $exp on $es"
     }
+
+  property("modularity rows == brute-force exact rational over the LPA and seeded partitions") =
+    Prop.forAll(graphs) { es0 =>
+      import spark.implicits._
+      // re-apply the generator's invariants: shrinking bypasses the gen's
+      // filter and can hand back a self-loop, which a (pa < pb) edge
+      // frame never contains
+      val es  = es0.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+      val adj = adjacency(es)
+      if (es.isEmpty) Prop.passed
+      else {
+      val m   = es.size.toLong
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      // synchronous unseeded LPA, 4 rounds, pure neighbor vote, ties to
+      // the smallest label — the lpaCensusTracked rule
+      var lpa = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to 4) {
+        lpa = adj.keys.map { n =>
+          val counts = adj(n).toList.map(lpa).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          n -> counts.toList.maxBy { case (l, c) => (c, -l) }._1
+        }.toMap
+      }
+      // clamped seeded spread (the seeded-labels rule), seeds on even ids
+      val seedMap = adj.keySet.filter(_ % 2 == 0).map(n => n -> (n % 3 + 1)).toMap
+      var sl      = seedMap
+      for (_ <- 1 to 4) {
+        sl = adj.keys.flatMap { n =>
+          if (seedMap.contains(n)) Some(n -> seedMap(n))
+          else {
+            val votes = adj(n).toList.flatMap(sl.get)
+            if (votes.isEmpty) None
+            else {
+              val counts = votes.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+              Some(n -> counts.toList.maxBy { case (l, c) => (c, -l) }._1)
+            }
+          }
+        }.toMap
+      }
+      val slFull = adj.keySet.map(n => n -> sl.getOrElse(n, -n - 1)).toMap
+      def q(lab: Map[Long, Long]): (Long, Long, Double) = {
+        val intra = es.count { case (a, b) => lab(a) == lab(b) }.toLong
+        val dsq = lab.groupBy(_._2).values
+          // .iterator: mapping a key SET through deg would collapse equal
+          // degree values before the sum
+          .map(c => { val d = c.keys.iterator.map(deg).sum; BigInt(d) * BigInt(d) })
+          .sum
+        val nc   = lab.values.toSet.size.toLong
+        val qnum = BigInt(4) * BigInt(m) * BigInt(intra) - dsq
+        val qden = BigInt(4) * BigInt(m) * BigInt(m)
+        (nc, intra, qnum.toDouble / qden.toDouble)
+      }
+      val expLpa  = q(lpa.map { case (k, v) => (k, v.toLong) })
+      val expSeed = q(slFull.map { case (k, v) => (k, v.toLong) })
+      val got = Graph
+        .modularityTracked(
+          es.toDF("pa", "pb"),
+          seedMap.toSeq.map { case (n, l) => (n, l.toLong) }.toDF("node", "lbl"))
+        ._1
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+        .toMap
+      Prop(got("lpa") == expLpa && got("seeded") == expSeed) :|
+        s"got $got expected lpa=$expLpa seeded=$expSeed on $es (seeds $seedMap)"
+      }
+    }
 }

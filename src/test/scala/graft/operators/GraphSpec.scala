@@ -601,4 +601,42 @@ class GraphSpec extends AnyFunSuite {
     assert(cust._2 * cust._5 >= cust._3, "n_nodes * max_deg bounds the edge count")
     assert(supp._5 <= cust._2, "a supplier's degree is at most the number of customers")
   }
+
+  test("modularity: two planted 3-cliques with a bridge score the hand-computed exact rational") {
+    import spark.implicits._
+    // cliques {1,2,3} and {4,5,6} bridged by 3-4: m = 7, LPA settles on
+    // communities {1,2,3}->1 and {4,5,6}->3 by round 4; intra = 6,
+    // degrees (2,2,3,3,2,2) give D_c = 7 per community, so
+    // Q = (4*7*6 - 2*49) / (4*49) = 70/196. Seeds 1->10 / 4->20 spread to
+    // the same partition (node 3's {10,20} tie resolves to 10), so the
+    // seeded row carries the identical rational.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("pa", "pb")
+    val seeds = Seq((1L, 10L), (4L, 20L)).toDF("node", "lbl")
+    val rows = Graph
+      .modularityTracked(g, seeds)._1
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(rows === Seq(
+      ("lpa", 2L, 7L, 6L, 70.0 / 196.0),
+      ("seeded", 2L, 7L, 6L, 70.0 / 196.0)
+    ), rows.mkString(","))
+  }
+
+  test("modularity: an empty seed set completes to singletons — zero intra mass, pure degree penalty") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("pa", "pb")
+    val seeds = Seq.empty[(Long, Long)].toDF("node", "lbl")
+    val seeded = Graph
+      .modularityTracked(g, seeds)._1
+      .filter(org.apache.spark.sql.functions.col("partition") === "seeded")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    // every node its own community: 6 singletons, intra = 0,
+    // sum(d^2) = 4+4+9+9+4+4 = 34, Q = -34/196
+    assert(seeded === Seq((6L, 0L, -34.0 / 196.0)), seeded.mkString(","))
+  }
 }
