@@ -71,13 +71,12 @@ object Unigram {
   private val SeedMin         = 3L
   private[graft] val UnkUnits = -50000000L
 
-  /** Seed vocabulary over a weighted (s, w) frame: every token unigram,
+  /** Seed vocabulary over the weighted tokenized (w, t) frame: every token unigram,
     * plus 2/3-gram pieces with weighted count >= [[SeedMin]]. Returns
     * (g, n, c) with g '_'-joined (the corpus alphabet never contains '_',
     * the [[Bpe]] invariant, so piece strings cannot collide across n).
     */
-  private def seedVocab(seqs: DataFrame): DataFrame = {
-    val tok = seqs.select(col("w"), split(trim(col("s")), " ").as("t"))
+  private def seedVocab(tok: DataFrame): DataFrame = {
     val grams = (1 to MaxPieceLen)
       .map { n =>
         tok
@@ -131,11 +130,24 @@ object Unigram {
     * seg the space-separated '_'-joined piece string.
     */
   private[graft] def viterbiSegment(seqs: DataFrame, sc: DataFrame): DataFrame = {
-    val tok = seqs.select(col("s"), col("w"), split(trim(col("s")), " ").as("t"))
-    // positions with their candidate gram strings (g2/g3 NULL where the
-    // position cannot end a piece of that length — a NULL join key never
-    // matches, exactly the oracle's CASE construction)
-    val posGrams = tok
+    val tok = tokFrame(seqs)
+    viterbiSegmentFrom(tok, posGramsFrame(tok), sc)
+  }
+
+  /** The tokenized (s, w, t) frame a segmentation pass folds over. */
+  private def tokFrame(seqs: DataFrame): DataFrame =
+    seqs.select(col("s"), col("w"), split(trim(col("s")), " ").as("t"))
+
+  /** Positions with their candidate gram strings (g2/g3 NULL where the
+    * position cannot end a piece of that length — a NULL join key never
+    * matches, exactly the oracle's CASE construction). SCORE-INDEPENDENT:
+    * the EM loop pins this frame ONCE and re-joins it against each
+    * round's fresh score table (the r17 cold-path finding — re-exploding
+    * the position frame per round tripled the training passes' scan work
+    * for identical output).
+    */
+  private def posGramsFrame(tok: DataFrame): DataFrame =
+    tok
       .select(col("s"), col("t"), explode(sequence(lit(1), size(col("t")))).as("pos"))
       .select(
         col("s"),
@@ -156,6 +168,12 @@ object Unigram {
           )
         ).as("g3")
       )
+
+  /** One Viterbi pass over a pre-built token + position frame against a
+    * frozen (g, li) score table — the per-round body of the EM loop and
+    * of the held-out encode.
+    */
+  private def viterbiSegmentFrom(tok: DataFrame, posGrams: DataFrame, sc: DataFrame): DataFrame = {
     def side(alias: String) =
       broadcast(sc.select(col("g").as(s"k_$alias"), col("li").as(s"li_$alias")))
     val withArrays = posGrams
@@ -248,9 +266,15 @@ object Unigram {
       seqs0: DataFrame,
       rounds: Int = Rounds
   ): (DataFrame, Seq[DataFrame]) = {
-    var uv = Tables.pinIter(seedVocab(seqs0))
+    // the tokenized corpus and its per-position gram frame are
+    // score-INDEPENDENT: pin them once and let every EM round re-join the
+    // same blocks against its fresh score table (cold-path trim — the
+    // per-round work drops to the three broadcast probes + the regroup)
+    val tok = Tables.pin(tokFrame(seqs0))
+    val pg  = Tables.pin(posGramsFrame(tok))
+    var uv  = Tables.pinIter(seedVocab(tok))
     for (_ <- 1 to rounds) {
-      val seg = viterbiSegment(seqs0, scores(uv))
+      val seg = viterbiSegmentFrom(tok, pg, scores(uv))
       val used = seg
         .select(col("w"), explode(split(col("seg"), " ")).as("g"))
         .groupBy(col("g"))
@@ -269,7 +293,7 @@ object Unigram {
       Tables.unpin(uv)
       uv = next
     }
-    (uv.join(scores(uv), Seq("g", "n")), Seq(uv))
+    (uv.join(scores(uv), Seq("g", "n")), Seq(uv, tok, pg))
   }
 
   /** [[trainUnigramWeightedTracked]] from raw (doc_id, text) docs: ONE
@@ -474,6 +498,64 @@ object Unigram {
          |WHERE ${encWhere.replace("doc_id", "d.doc_id")} ORDER BY d.doc_id LIMIT 500""".stripMargin
   }
 
+  /** Removal-LOSS ranking of the trained vocab's n>=2 pieces — the
+    * readout behind Kudo's actual SHRINK rule (SentencePiece prunes the
+    * bottom of exactly this ranking each EM round; the gate trainer's
+    * zero-use prune is its limit case). For piece g with final Viterbi
+    * use count c: loss(g) = c · (li(g) − Σ li(unigram components)) — the
+    * EXACT INTEGER likelihood delta (fixed-point 1e-6 units) of deleting
+    * g and re-segmenting every use into its component unigrams, the
+    * always-available fallback the segmentability invariant guarantees.
+    * An upper bound on the true Viterbi loss (the re-segmentation could
+    * find a better non-unigram path), which is the standard deterministic
+    * surrogate. KEEP decision = top 80% by rank, decided by integer
+    * cross-multiplication (rank·5 ≤ n·4 — no IEEE anywhere). Work is
+    * vocabulary-shaped: one explode of piece strings, one broadcast join
+    * against the unigram scores, one global rank over |vocab| rows.
+    */
+  private def lossFrame(vocab: DataFrame): DataFrame = {
+    val uni = vocab.filter(col("n") === 1).select(col("g").as("u"), col("li").as("uli"))
+    val loss = vocab
+      .filter(col("n") >= 2)
+      .select(col("g"), col("n"), col("c"), col("li"), explode(split(col("g"), "_")).as("u"))
+      .join(broadcast(uni), Seq("u"))
+      .groupBy(col("g"), col("n"), col("c"), col("li"))
+      .agg(sum(col("uli")).as("alt_li"))
+      .withColumn("loss", col("c") * (col("li") - col("alt_li")))
+    val n2 = loss.agg(count(lit(1)).as("n2"))
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("loss").desc, col("g"))
+    loss
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n2))
+      .select(
+        col("g"),
+        col("n").cast("long").as("piece_len"),
+        col("c"),
+        col("li"),
+        col("alt_li"),
+        col("loss"),
+        col("keep_rank"),
+        when(col("keep_rank") * 5 <= col("n2") * 4, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
+  private def lossSql(rounds: Int, where: String): String =
+    "WITH RECURSIVE " + trainCtesSql(rounds, where).mkString(",\n") +
+      s""",
+         |fv AS MATERIALIZED (SELECT g, n, c, li FROM uv$rounds JOIN us${rounds + 1} USING (g, n)),
+         |uni AS (SELECT g, li FROM fv WHERE n = 1),
+         |px AS (SELECT g, unnest(string_split(g, '_')) AS tok FROM fv WHERE n >= 2),
+         |alt AS (SELECT p.g, cast(sum(u.li) as bigint) AS alt_li
+         |        FROM px p JOIN uni u ON u.g = p.tok GROUP BY 1),
+         |lss AS (SELECT f.g, f.n, f.c, f.li, a.alt_li,
+         |               cast(f.c * (f.li - a.alt_li) as bigint) AS loss
+         |        FROM fv f JOIN alt a USING (g) WHERE f.n >= 2),
+         |n2 AS (SELECT count(1) AS n2 FROM lss),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY loss DESC, g) AS rk FROM lss)
+         |SELECT g, cast(n as bigint) AS piece_len, c, li, alt_li, loss,
+         |  cast(rk as bigint) AS keep_rank,
+         |  cast(CASE WHEN rk * 5 <= n2.n2 * 4 THEN 1 ELSE 0 END as bigint) AS kept
+         |FROM ranked, n2 ORDER BY keep_rank LIMIT 500""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_unigram_vocab",
@@ -506,6 +588,15 @@ object Unigram {
         )
       },
       Some(encSql(Rounds, "doc_id % 2 = 0", "doc_id % 2 = 1"))
+    ),
+    QueryDef(
+      "q_unigram_vocab_loss",
+      "Unigram-LM removal-LOSS ranking — the SHRINK rule Kudo 2018 actually specifies (SentencePiece keeps the top X% of pieces by likelihood loss if removed; the trainer's zero-use prune is its limit case): for each trained n>=2 piece, loss = final Viterbi use count x (piece score - sum of component unigram scores), the EXACT INTEGER fixed-point likelihood delta of deleting the piece and re-segmenting every use into its always-available unigram fallback (an upper bound on the true constrained-Viterbi loss — the standard deterministic surrogate). KEEP = top 80% by (loss desc, g) rank, decided by integer cross-multiplication rank*5 <= n*4 — zero IEEE in the decision. Vocabulary-shaped work over the build-once unigram_vocab artifact: one piece-string explode, one broadcast unigram-score join, one global rank over |vocab| rows (the WordPiece vocab-row bound — ~10^6 pieces at any corpus scale). Top 500 by keep rank",
+      (s, dir) =>
+        lossFrame(trainedUnigram(s, dir))
+          .orderBy(col("keep_rank"))
+          .limit(500),
+      Some(lossSql(Rounds, "TRUE"))
     )
   )
 }

@@ -126,6 +126,38 @@ class UnigramSpec extends AnyFunSuite {
     got.foreach { case (orig, e) => assert(e.replace('_', ' ') === orig) }
   }
 
+  test("removal-loss ranking matches the in-memory exact-integer derivation") {
+    val texts = graft.Tables
+      .documents(spark, TestSpark.sfDir)
+      .select("text")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    val (refVocab, refSc) = refTrain(texts, Unigram.Rounds)
+    val pieces = refVocab.collect { case (g, (n, c)) if n >= 2 => (g, n, c) }.toSeq
+    val n2 = pieces.size.toLong
+    val expected = pieces
+      .map { case (g, n, c) =>
+        val alt  = g.split("_", -1).map(refSc).sum
+        val loss = c * (refSc(g) - alt)
+        (g, n.toLong, c, refSc(g), alt, loss)
+      }
+      .sortBy { case (g, _, _, _, _, loss) => (-loss, g) }
+      .zipWithIndex
+      .map { case ((g, n, c, li, alt, loss), i) =>
+        val rk = i + 1L
+        (g, n, c, li, alt, loss, rk, if (rk * 5 <= n2 * 4) 1L else 0L)
+      }
+      .take(500)
+    val got = graft.SparkEntry
+      .queries("q_unigram_vocab_loss")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(got === expected, "removal-loss ranking diverged from the in-memory reference")
+  }
+
   // ── planted cases ──────────────────────────────────────────────────────
 
   test("the vocabulary SHRINKS: pieces the Viterbi model stops using are pruned") {
