@@ -298,10 +298,19 @@ object Similarity {
     * the planted-pair spec (round-7 finding #3: an sf-gate 0=0 match would
     * otherwise hide a broken join predicate).
     */
+  /** The (label, bucket) blocking key frame the banded/bucketed pair
+    * generators join on — exposed for the streaming DBSCAN twin, which
+    * must land arrivals under the IDENTICAL key so its accumulated pair
+    * store equals the batch generator's pair set on the union corpus.
+    */
+  private[graft] def withBlockKey(emb: DataFrame): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
+  }
+
   def embedNearDupPairs(emb: DataFrame, threshold: Double = 0.85): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val withBucket =
-      emb.select(col("vec_id"), col("label"), col("embedding"), expr(bucketSpark).as("bucket"))
+    val withBucket = withBlockKey(emb)
     val a = withBucket.alias("a")
     val b = withBucket.alias("b")
     a.join(
@@ -375,7 +384,18 @@ object Similarity {
       pairs0: DataFrame,
       universe: DataFrame,
       minPts: Int = DbscanMinPts
-  ): DataFrame = {
+  ): DataFrame = dbscanFromPairsTracked(pairs0, universe, minPts)._1
+
+  /** [[dbscanFromPairs]] returning its pinned frames for reclaim — the
+    * tracked-pins discipline the per-fold streaming twin needs (a
+    * long-running stream re-runs the census every fold and must not
+    * accumulate checkpoint generations).
+    */
+  private[graft] def dbscanFromPairsTracked(
+      pairs0: DataFrame,
+      universe: DataFrame,
+      minPts: Int = DbscanMinPts
+  ): (DataFrame, Seq[DataFrame]) = {
     val pairs = Tables.pin(pairs0.select(col("vec_a"), col("vec_b")))
     val nbrs = pairs
       .select(col("vec_a").as("v"), col("vec_b").as("n"))
@@ -420,7 +440,8 @@ object Similarity {
         lit(0L).as("n_core"),
         lit(0L).as("n_border"),
         col("n_noise").as("n_total"))
-    census.unionByName(noise).orderBy(col("n_total").desc, col("cluster")).limit(100)
+    (census.unionByName(noise).orderBy(col("n_total").desc, col("cluster")).limit(100),
+      Seq(pairs, core, coreLab))
   }
 
   private[graft] val DbscanMinPts = 2
