@@ -98,12 +98,62 @@ object StreamingIvf {
     * cover the vectors present at build/[[retrain]] time; streamed
     * arrivals join the PQ layer at the next retrain (the standard
     * Faiss-ops split: postings serve arrivals exactly, the compressed
-    * layer refreshes on the maintenance cadence).
+    * layer refreshes on the maintenance cadence). Tombstoned vectors are
+    * masked here too, so ADC scoring never resurrects a deleted id.
     */
   def pqLayer(spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
     val vdir = versionDir(indexDir, currentVersion(spark, indexDir))
-    (spark.read.parquet(s"$vdir/pq_cent"), spark.read.parquet(s"$vdir/pq_codes"))
+    (spark.read.parquet(s"$vdir/pq_cent"),
+      minusTombstones(spark, vdir, spark.read.parquet(s"$vdir/pq_codes")))
   }
+
+  /** DELETE vectors from the live index — the tombstone half of index
+    * maintenance (production vector stores see deletions, not only
+    * upserts). Deletes append an id dir under the live snapshot's
+    * `tombstones/`; probes and the PQ layer mask tombstoned ids with a
+    * BROADCAST anti-join (bounded by deletes since the last [[retrain]] —
+    * the version flip is the COMPACTION point: retrain excludes
+    * tombstoned rows from the new snapshot and starts it with an empty
+    * tombstone set, the relayout discipline). Idempotent: re-deleting an
+    * id lands a redundant tombstone row that the distinct mask collapses.
+    * CONSTRAINT (documented, spec-pinned contract): the deterministic
+    * first-K centroid init reads vec_ids 0..K-1, so deleting a seed
+    * vector requires a re-seeded rebuild rather than [[retrain]] — the
+    * Faiss convention of an explicit training set, kept as ids here.
+    */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val v    = currentVersion(spark, indexDir)
+    val vdir = versionDir(indexDir, v)
+    val fs   = Snapshots.fsOf(spark, new org.apache.hadoop.fs.Path(indexDir))
+    val existing = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$vdir/tombstones/d=*")))
+      .getOrElse(Array.empty)
+      .flatMap(st => st.getPath.getName.stripPrefix("d=").toIntOption)
+    val next = if (existing.isEmpty) 0 else existing.max + 1
+    ids
+      .select(col("vec_id"))
+      .distinct()
+      .write
+      .mode("overwrite")
+      .parquet(s"$vdir/tombstones/d=$next")
+  }
+
+  /** The live snapshot's accumulated tombstone ids, or None before the
+    * first delete (and always None right after a [[retrain]] compaction).
+    */
+  private def tombstones(spark: SparkSession, vdir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/tombstones")
+    if (Snapshots.fsOf(spark, p).exists(p))
+      Some(
+        spark.read
+          .option("basePath", s"$vdir/tombstones")
+          .parquet(s"$vdir/tombstones")
+          .select(col("vec_id"))
+          .distinct())
+    else None
+  }
+
+  private def minusTombstones(spark: SparkSession, vdir: String, df: DataFrame): DataFrame =
+    tombstones(spark, vdir).fold(df)(t => df.join(broadcast(t), Seq("vec_id"), "left_anti"))
 
   /** Start the ingest stream: arriving parquet files of (vec_id,
     * embedding, label) rows are assigned to the LIVE snapshot's trained
@@ -153,8 +203,14 @@ object StreamingIvf {
     * ingest stream stopped.
     */
   def retrain(spark: SparkSession, indexDir: String): Unit = {
-    val v    = currentVersion(spark, indexDir)
-    val all  = postings(spark, indexDir, v).select("vec_id", "embedding", "label")
+    val v = currentVersion(spark, indexDir)
+    // COMPACTION: tombstoned rows leave the index here — the new snapshot
+    // trains and posts exactly the surviving set (bit-identical to a
+    // fresh build over it) and starts with an empty tombstone set
+    val all = minusTombstones(
+      spark,
+      versionDir(indexDir, v),
+      postings(spark, indexDir, v).select("vec_id", "embedding", "label"))
     writeSnapshot(spark, all, indexDir, v + 1)
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs   = Snapshots.fsOf(spark, root)
@@ -185,8 +241,7 @@ object StreamingIvf {
       case other      => throw new IllegalArgumentException(s"probe expects exactly one query row, got ${other.length}")
     }
     val qEmb = query.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    postings(spark, indexDir, v)
-      .filter(col("cid") === qcid)
+    minusTombstones(spark, vdir, postings(spark, indexDir, v).filter(col("cid") === qcid))
       .join(broadcast(qEmb), col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

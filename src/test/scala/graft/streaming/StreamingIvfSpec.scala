@@ -94,4 +94,63 @@ class StreamingIvfSpec extends AnyFunSuite {
     assert(rCodes.select("vec_id").distinct().count() === n,
       "every vector carries a PQ code after retrain")
   }
+
+  test("deletes: tombstones mask probes immediately, retrain compacts to a fresh build excluding them") {
+    val dir = Files.createTempDirectory("streaming-ivf-del").toString
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding", "label")
+    StreamingIvf.buildIndex(emb.filter(col("vec_id") < 250), s"$dir/index")
+    val landing = s"$dir/landing"
+    emb.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamingIvf.ingest(
+      spark, landing, s"$dir/index", s"$dir/ckpt", emb.schema, maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val query = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    // take the top-7 BEFORE deleting, then tombstone two of them (a
+    // non-seed id + a streamed id): the k=5 probe afterwards must be
+    // exactly the prior ranking with those ids masked out — at most 2
+    // deletions leave >= 5 known survivors, so the comparison is
+    // deterministic with no recall slack
+    val pre = StreamingIvf.probe(spark, s"$dir/index", query, k = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val victim = pre.map(_._1).find(_ >= 16).get // clear of any first-K seed
+    import spark.implicits._
+    StreamingIvf.delete(spark, s"$dir/index", Seq(victim).toDF("vec_id"))
+    // a second delete of a streamed-in id, plus an idempotent re-delete
+    val victim2 = pre.map(_._1).find(id => id >= 250 && id != victim)
+    victim2.foreach(v2 => StreamingIvf.delete(spark, s"$dir/index", Seq(v2, victim).toDF("vec_id")))
+    val deleted = Set(victim) ++ victim2
+    val post = StreamingIvf.probe(spark, s"$dir/index", query, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(post === pre.filterNot(p => deleted(p._1)).take(5),
+      s"the masked probe must be the prior ranking minus the tombstones: $post vs $pre minus $deleted")
+    // the PQ code layer masks the same ids
+    val (_, codes) = StreamingIvf.pqLayer(spark, s"$dir/index")
+    assert(codes.filter(col("vec_id").isin(deleted.toSeq: _*)).count() === 0,
+      "tombstoned ids must not surface through the ADC code layer")
+
+    // retrain COMPACTS: the new snapshot equals a fresh build over the
+    // surviving rows bit-for-bit (training is deterministic in the row
+    // set), and the tombstone store is gone
+    StreamingIvf.retrain(spark, s"$dir/index")
+    StreamingIvf.buildIndex(
+      emb.filter(!col("vec_id").isin(deleted.toSeq: _*)), s"$dir/fresh-index")
+    def centroids(p: String) = spark.read.parquet(p).orderBy(col("d")).collect().map(_.toSeq)
+    assert(
+      centroids(s"$dir/index/v=2/centroids").toSeq ===
+        centroids(s"$dir/fresh-index/v=1/centroids").toSeq,
+      "post-compaction centroids must equal a fresh build excluding the deleted ids")
+    def probeRows(idx: String) =
+      StreamingIvf.probe(spark, idx, query, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeRows(s"$dir/index") === probeRows(s"$dir/fresh-index"),
+      "post-compaction probe answers must equal the fresh build's")
+    assert(!new java.io.File(s"$dir/index/v=2/tombstones").exists(),
+      "the version flip compacts the tombstone store away")
+    val posted = spark.read
+      .option("basePath", s"$dir/index/v=2/postings")
+      .parquet(s"$dir/index/v=2/postings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.forall(!posted(_)), "deleted ids must not be re-posted by the retrain")
+  }
 }
