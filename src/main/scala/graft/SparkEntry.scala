@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Bpe.defs ++
       operators.WordPiece.defs ++
       operators.Unigram.defs ++
+      operators.NaiveBayes.defs ++
       pipelines.CorpusPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

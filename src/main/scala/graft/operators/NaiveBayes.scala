@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial NAIVE BAYES text classifier — training AND
+  * held-out apply. The LEARNED counterpart of the rule-based
+  * `q_text_langid` heuristic and the closed-form-weight
+  * `q_quality_classifier`: here the weights are genuinely TRAINED from
+  * labeled data (the `lang` column over the even-doc_id half), and the
+  * held-out half is scored with the frozen model — the
+  * domain/language/quality classifier every curation pipeline trains to
+  * route or filter a corpus (CCNet's fastText langid, quality filters
+  * trained on curated-vs-crawl labels).
+  *
+  * Why NB and not logistic regression for the GATE: NB training is PURE
+  * COUNTING — class priors, per-(class, token) occurrence counts, one
+  * Laplace-smoothed log-likelihood per observed pair — so the whole model
+  * is exact integers plus the proven fixed-point rule
+  * floor(1e6·ln(num/den)) (ONE IEEE division + ONE ln per parameter, the
+  * [[Unigram]] piece-score discipline), and prediction is INTEGER
+  * addition + a deterministic argmax: both engines reproduce the model
+  * and every prediction bit for bit. A gradient-trained model would be
+  * iteration-order-dependent float math no independent oracle could
+  * hash-match. The same frames feed an SGD trainer where approximate
+  * parity suffices.
+  *
+  * Scale shape: training is two aggregations over the exploded token
+  * frame (class-token counts, class totals) + one distinct for the
+  * vocabulary size — all map-side-combinable. The model is
+  * vocabulary-shaped (|V| · |classes| rows, the WordPiece vocab-row
+  * bound) and BROADCASTS into a map-only scoring pass; per-doc class
+  * scores shuffle (doc, class, int64) rows, the per-doc argmax is a
+  * per-key window (row_number over |classes| rows per doc — the
+  * [[Relational2]] per-key-window discipline). Smoothing: add-one
+  * Laplace over the TRAINING vocabulary; a held-out token unseen in
+  * training scores the per-class default floor(1e6·ln(1/(T_c+V))) — the
+  * standard NB unseen rule, the [[Unigram.UnkUnits]] analogue but
+  * derived from the model rather than pinned.
+  */
+object NaiveBayes {
+
+  private val Dec = 1e6
+
+  /** The trained model over a labeled (lang, text) frame:
+    * (lang, tok, c, s) per observed class-token pair with
+    * s = floor(1e6·ln((c+1)/(T_lang+V))), plus the per-class frames the
+    * apply side needs (priors, defaults). All inputs to the ln are exact
+    * bigint counts.
+    */
+  private def model(train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val toks = train.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val tokc = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val tlang = tokc.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocabN = toks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val scores = tokc
+      .join(tlang, "lang")
+      .crossJoin(broadcast(vocabN))
+      .select(
+        col("lang"),
+        col("tok"),
+        col("c"),
+        floor(lit(Dec) * log((col("c") + 1).cast("double") / (col("t") + col("v")).cast("double")))
+          .cast("long")
+          .as("s"))
+    val defaults = tlang
+      .crossJoin(broadcast(vocabN))
+      .select(
+        col("lang"),
+        floor(lit(Dec) * log(lit(1.0) / (col("t") + col("v")).cast("double")))
+          .cast("long")
+          .as("dflt"))
+    val nd = train.agg(count(lit(1)).as("nd"))
+    val priors = train
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ndc"))
+      .crossJoin(broadcast(nd))
+      .select(
+        col("lang"),
+        col("ndc"),
+        floor(lit(Dec) * log(col("ndc").cast("double") / col("nd").cast("double")))
+          .cast("long")
+          .as("prior_s"))
+    (scores, defaults, priors)
+  }
+
+  /** Held-out confusion matrix: every odd-doc_id doc scored with the
+    * frozen even-half model — per class, prior + Σ token scores (unseen
+    * tokens take the class default), argmax with ties to the smallest
+    * class name.
+    */
+  private def confusion(docs: DataFrame): DataFrame = {
+    val (scores, defaults, priors) = model(docs.filter(col("doc_id") % 2 === 0))
+    val test  = docs.filter(col("doc_id") % 2 === 1)
+    val dtoks = test.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val perClass = dtoks
+      .crossJoin(broadcast(defaults.select(col("lang").as("clang"), col("dflt"))))
+      .join(
+        broadcast(scores.select(col("lang").as("clang"), col("tok"), col("s"))),
+        Seq("clang", "tok"),
+        "left")
+      .groupBy(col("doc_id"), col("lang"), col("clang"))
+      .agg(sum(coalesce(col("s"), col("dflt"))).as("ts"))
+      .join(broadcast(priors.select(col("lang").as("clang"), col("prior_s"))), "clang")
+      .select(col("doc_id"), col("lang"), col("clang"), (col("ts") + col("prior_s")).as("total"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("total").desc, col("clang"))
+    perClass
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("clang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  // ── oracle SQL ─────────────────────────────────────────────────────────
+
+  private val trainCtesSql =
+    """tr AS MATERIALIZED (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+      |toks AS MATERIALIZED (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr),
+      |tokc AS MATERIALIZED (SELECT lang, tok, cast(count(1) as bigint) AS c FROM toks GROUP BY 1, 2),
+      |tlang AS (SELECT lang, cast(sum(c) as bigint) AS t FROM tokc GROUP BY 1),
+      |vn AS (SELECT cast(count(DISTINCT tok) as bigint) AS v FROM toks),
+      |sc AS MATERIALIZED (
+      |  SELECT k.lang, k.tok, k.c,
+      |    cast(floor(1e6 * ln(cast(k.c + 1 as double) / cast(l.t + vn.v as double))) as bigint) AS s
+      |  FROM tokc k JOIN tlang l USING (lang), vn),
+      |dflt AS (
+      |  SELECT l.lang,
+      |    cast(floor(1e6 * ln(1.0 / cast(l.t + vn.v as double))) as bigint) AS dflt
+      |  FROM tlang l, vn),
+      |nd AS (SELECT count(1) AS nd FROM tr),
+      |pri AS (
+      |  SELECT lang, cast(count(1) as bigint) AS ndc,
+      |    cast(floor(1e6 * ln(cast(count(1) as double) / cast(nd.nd as double))) as bigint) AS prior_s
+      |  FROM tr, nd GROUP BY lang, nd.nd)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_nb_train",
+      "TRAINED multinomial Naive Bayes text classifier — the learned counterpart of the rule-based q_text_langid (the domain/language router every curation pipeline trains; CCNet's langid / quality-filter pattern): class-conditional token model fit on the even-doc_id labeled half by PURE COUNTING — per-(lang, token) occurrence counts, per-class totals, training-vocabulary size — with add-one Laplace smoothing and the proven fixed-point rule s = floor(1e6*ln((c+1)/(T_class+V))) (exact bigint counts, ONE IEEE division + ONE ln per parameter, the unigram piece-score discipline — this is why NB gates where gradient training can't: the whole model hash-matches an independent engine). Training is two map-side-combinable aggregations over the exploded token frame + one distinct; the model is vocabulary-shaped (|V| x |classes| rows). Top 500 parameters by (count desc, lang, token)",
+      (s, dir) => {
+        val (scores, _, _) = model(
+          Tables.fanout(Tables.documents(s, dir)).filter(col("doc_id") % 2 === 0))
+        scores.orderBy(col("c").desc, col("lang"), col("tok")).limit(500)
+      },
+      Some(s"""WITH $trainCtesSql
+              |SELECT lang, tok, c, s FROM sc
+              |ORDER BY c DESC, lang, tok LIMIT 500""".stripMargin)
+    ),
+    QueryDef(
+      "q_nb_confusion",
+      "Naive Bayes HELD-OUT confusion matrix — the frozen even-half model scores every odd-doc_id doc (the q_bpe_encode_heldout gate shape for a trained classifier; the held-out half's own statistics never touch the model): per class, prior + sum of per-token fixed-point scores, tokens UNSEEN in training taking the per-class Laplace default floor(1e6*ln(1/(T_c+V))) — integer sums all the way, argmax deterministic (score desc, class name asc), so every prediction is bit-reproducible cross-engine. Scale shape: the vocabulary-shaped model broadcasts into a map-only token-scoring pass; per-doc class sums shuffle (doc, class, int64) rows; the argmax is a per-doc window over |classes| rows. Output: (true lang, predicted, n) — the router-quality readout a pipeline checks before trusting the classifier",
+      (s, dir) => confusion(Tables.fanout(Tables.documents(s, dir))),
+      Some(s"""WITH $trainCtesSql,
+              |te AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM te),
+              |pc AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang, f.lang AS clang,
+              |    cast(sum(coalesce(s.s, f.dflt)) as bigint) AS ts
+              |  FROM dt d
+              |  CROSS JOIN dflt f
+              |  LEFT JOIN sc s ON s.lang = f.lang AND s.tok = d.tok
+              |  GROUP BY 1, 2, 3),
+              |tot AS (
+              |  SELECT pc.doc_id, pc.lang, pc.clang, pc.ts + p.prior_s AS total
+              |  FROM pc JOIN pri p ON p.lang = pc.clang),
+              |win AS (
+              |  SELECT doc_id, lang, clang,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, clang) AS rk
+              |  FROM tot)
+              |SELECT lang, clang AS predicted, cast(count(1) as bigint) AS n
+              |FROM win WHERE rk = 1
+              |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)
+    )
+  )
+}

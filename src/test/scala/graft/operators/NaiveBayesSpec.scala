@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential + planted checks for the trained Naive Bayes classifier:
+  * the distributed count-based trainer and the held-out argmax must
+  * reproduce an in-memory reference of the same fixed-point scoring on
+  * the fixture corpus, and planted cases pin the Laplace default for
+  * unseen tokens and the deterministic tie rule.
+  */
+class NaiveBayesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** In-memory reference: (scores (lang, tok) -> (c, s), defaults, priors). */
+  private def refModel(train: Seq[(String, String)])
+      : (Map[(String, String), (Long, Long)], Map[String, Long], Map[String, Long]) = {
+    val toks = train.flatMap { case (lang, text) => text.split(" ", -1).map(lang -> _) }
+    val tokc = toks.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val tlang = tokc.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val v = toks.map(_._2).distinct.size.toLong
+    val scores = tokc.map { case ((l, tk), c) =>
+      (l, tk) -> ((c, math.floor(1e6 * math.log((c + 1).toDouble / (tlang(l) + v).toDouble)).toLong))
+    }
+    val defaults = tlang.map { case (l, t) =>
+      l -> math.floor(1e6 * math.log(1.0 / (t + v).toDouble)).toLong
+    }
+    val nd = train.size.toLong
+    val priors = train.groupBy(_._1).map { case (l, xs) =>
+      l -> math.floor(1e6 * math.log(xs.size.toDouble / nd.toDouble)).toLong
+    }
+    (scores, defaults, priors)
+  }
+
+  private def refPredict(
+      text: String,
+      m: (Map[(String, String), (Long, Long)], Map[String, Long], Map[String, Long])
+  ): String = {
+    val (scores, defaults, priors) = m
+    priors.keys.toSeq
+      .map { l =>
+        val ts = text.split(" ", -1).map(tk => scores.get((l, tk)).map(_._2).getOrElse(defaults(l))).sum
+        (l, ts + priors(l))
+      }
+      .maxBy { case (l, s) => (s, l) }(Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      ._1
+  }
+
+  test("trained model parameters match the in-memory fixed-point reference") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.col
+    val train = docs
+      .filter(col("doc_id") % 2 === 0)
+      .select("lang", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val (refScores, _, _) = refModel(train)
+    val expected = refScores.toSeq
+      .map { case ((l, tk), (c, s)) => (l, tk, c, s) }
+      .sortBy { case (l, tk, c, _) => (-c, l, tk) }
+      .take(500)
+    val got = graft.SparkEntry
+      .queries("q_nb_train")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected, "trained NB parameters diverged from the in-memory reference")
+  }
+
+  test("held-out confusion matrix matches per-doc reference argmax predictions") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.col
+    def half(r: Long) = docs
+      .filter(col("doc_id") % 2 === r)
+      .select("lang", "text")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .toSeq
+    val m = refModel(half(0))
+    val expected = half(1)
+      .map { case (lang, text) => (lang, refPredict(text, m)) }
+      .groupBy(identity)
+      .map { case ((l, p), xs) => (l, p, xs.size.toLong) }
+      .toSeq
+      .sortBy(t => (t._1, t._2))
+    val got = graft.SparkEntry
+      .queries("q_nb_confusion")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got === expected, "held-out confusion diverged from the reference argmax")
+  }
+
+  test("planted: unseen held-out tokens take the Laplace default and cannot flip a clear class") {
+    import spark.implicits._
+    // training: lang a speaks 'aa', lang b speaks 'bb' (doc_ids even);
+    // held-out doc 1 is 'aa aa zz' — 'zz' is unseen in BOTH classes, so
+    // it contributes each class's default and the two 'aa' dominate
+    val docs = Seq(
+      (0L, "aa aa aa", "a", "src", 8L),
+      (2L, "bb bb bb", "b", "src", 8L),
+      (1L, "aa aa zz", "a", "src", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val conf = NaiveBayes.defs.find(_.name == "q_nb_confusion").get
+    // drive the op body directly over the planted frame via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("nb-planted").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = conf
+      .build(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq(("a", "a", 1L)), s"the unseen token must not flip the prediction: $got")
+  }
+}
