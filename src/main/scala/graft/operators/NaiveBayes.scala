@@ -50,9 +50,20 @@ object NaiveBayes {
     * apply side needs (priors, defaults). All inputs to the ln are exact
     * bigint counts.
     */
-  private def model(train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val toks = train.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-    val tokc = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+  private def model(train: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    modelWeighted(train.select(col("lang"), col("text").as("s"), lit(1L).as("w")))
+
+  /** [[model]] over a WEIGHTED labeled frequency frame (lang, s, w) — the
+    * streaming retrain's entry point ([[graft.streaming.StreamingNb]]):
+    * every model parameter is a pure function of additive counts (class
+    * doc counts, class-token occurrence counts, the training vocabulary
+    * set), so training on the re-aggregated union of per-batch partials
+    * is bit-identical to the batch build on the union corpus — the
+    * [[Bpe.trainMergesWeighted]] contract applied to a classifier.
+    */
+  private[graft] def modelWeighted(trainW: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val toks = trainW.select(col("lang"), col("w"), explode(split(col("s"), " ")).as("tok"))
+    val tokc = toks.groupBy(col("lang"), col("tok")).agg(sum(col("w")).as("c"))
     val tlang = tokc.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     val vocabN = toks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
     val scores = tokc
@@ -72,10 +83,10 @@ object NaiveBayes {
         floor(lit(Dec) * log(lit(1.0) / (col("t") + col("v")).cast("double")))
           .cast("long")
           .as("dflt"))
-    val nd = train.agg(count(lit(1)).as("nd"))
-    val priors = train
+    val nd = trainW.agg(sum(col("w")).as("nd"))
+    val priors = trainW
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("ndc"))
+      .agg(sum(col("w")).as("ndc"))
       .crossJoin(broadcast(nd))
       .select(
         col("lang"),
