@@ -125,6 +125,48 @@ object NaiveBayes {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** Per-class precision / recall / F1 from the held-out confusion frame
+    * — tp/fp/fn are exact integers, each emitted metric is ONE
+    * correctly-rounded IEEE division of exact integers
+    * (F1 = 2tp/(2tp+fp+fn), the rational form — never P·R float
+    * composition), so the readout hash-matches cross-engine. Per-class
+    * rows rather than a macro average: a macro mean would sum k doubles
+    * (association-order-dependent); the consumer averages the exact
+    * integer columns instead.
+    */
+  private def classMetrics(conf: DataFrame): DataFrame = {
+    val tp = conf
+      .filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    val pred = conf.groupBy(col("predicted").as("lang")).agg(sum(col("n")).as("npred"))
+    val act  = conf.groupBy(col("lang")).agg(sum(col("n")).as("nact"))
+    act
+      .join(pred, Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("npred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (col("nact") - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(
+        col("lang"),
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(
+            (lit(2) * col("tp")).cast("double") /
+              (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+      .orderBy(col("lang"))
+  }
+
   // ── oracle SQL ─────────────────────────────────────────────────────────
 
   private val trainCtesSql =
@@ -185,6 +227,49 @@ object NaiveBayes {
               |SELECT lang, clang AS predicted, cast(count(1) as bigint) AS n
               |FROM win WHERE rk = 1
               |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)
+    ),
+    QueryDef(
+      "q_nb_metrics",
+      "classifier QUALITY metrics from the held-out confusion matrix — per-class true/false positives/negatives as EXACT INTEGERS and precision / recall / F1 each as ONE correctly-rounded IEEE division of those integers (F1 in its rational form 2tp/(2tp+fp+fn), never the float P*R composition; an undefined metric — empty class or empty prediction set — is NULL, not 0). Per-class rows rather than a macro average BY DESIGN: a macro mean sums k doubles in nondeterministic order; the consumer derives any aggregate from the exact integer columns. The acceptance readout a pipeline checks before routing a corpus with the trained model",
+      (s, dir) => classMetrics(confusion(Tables.fanout(Tables.documents(s, dir)))),
+      Some(s"""WITH $trainCtesSql,
+              |te AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM te),
+              |pc AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang, f.lang AS clang,
+              |    cast(sum(coalesce(s.s, f.dflt)) as bigint) AS ts
+              |  FROM dt d
+              |  CROSS JOIN dflt f
+              |  LEFT JOIN sc s ON s.lang = f.lang AND s.tok = d.tok
+              |  GROUP BY 1, 2, 3),
+              |tot AS (
+              |  SELECT pc.doc_id, pc.lang, pc.clang, pc.ts + p.prior_s AS total
+              |  FROM pc JOIN pri p ON p.lang = pc.clang),
+              |win AS (
+              |  SELECT doc_id, lang, clang,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, clang) AS rk
+              |  FROM tot),
+              |conf AS (
+              |  SELECT lang, clang AS predicted, cast(count(1) as bigint) AS n
+              |  FROM win WHERE rk = 1 GROUP BY 1, 2),
+              |tp AS (SELECT lang, n AS tp FROM conf WHERE lang = predicted),
+              |prd AS (SELECT predicted AS lang, cast(sum(n) as bigint) AS npred FROM conf GROUP BY 1),
+              |act AS (SELECT lang, cast(sum(n) as bigint) AS nact FROM conf GROUP BY 1),
+              |m AS (
+              |  SELECT a.lang, coalesce(t.tp, 0) AS tp,
+              |    coalesce(p.npred, 0) - coalesce(t.tp, 0) AS fp,
+              |    a.nact - coalesce(t.tp, 0) AS fn
+              |  FROM act a LEFT JOIN prd p USING (lang) LEFT JOIN tp t USING (lang))
+              |SELECT lang, cast(tp as bigint) AS tp, cast(fp as bigint) AS fp,
+              |  cast(fn as bigint) AS fn,
+              |  CASE WHEN tp + fp = 0 THEN NULL
+              |       ELSE cast(tp as double) / cast(tp + fp as double) END AS precision,
+              |  CASE WHEN tp + fn = 0 THEN NULL
+              |       ELSE cast(tp as double) / cast(tp + fn as double) END AS recall,
+              |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+              |       ELSE cast(2 * tp as double) / cast(2 * tp + fp + fn as double) END AS f1
+              |FROM m ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -93,6 +93,36 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(got === expected, "held-out confusion diverged from the reference argmax")
   }
 
+  test("per-class metrics are the exact integer ratios of the reference confusion") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.col
+    def half(r: Long) = docs
+      .filter(col("doc_id") % 2 === r)
+      .select("lang", "text")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .toSeq
+    val m     = refModel(half(0))
+    val preds = half(1).map { case (lang, text) => (lang, refPredict(text, m)) }
+    val langs = preds.map(_._1).distinct.sorted
+    val expected = langs.map { l =>
+      val tp = preds.count { case (a, p) => a == l && p == l }.toLong
+      val fp = preds.count { case (a, p) => a != l && p == l }.toLong
+      val fn = preds.count { case (a, p) => a == l && p != l }.toLong
+      def div(n: Long, d: Long) = if (d == 0) None else Some(n.toDouble / d.toDouble)
+      (l, tp, fp, fn, div(tp, tp + fp), div(tp, tp + fn), div(2 * tp, 2 * tp + fp + fn))
+    }
+    val got = graft.SparkEntry
+      .queries("q_nb_metrics")(spark, TestSpark.sfDir)
+      .collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), opt(4), opt(5), opt(6))
+      }
+      .toSeq
+    assert(got === expected, "per-class metrics diverged from the reference confusion ratios")
+  }
+
   test("planted: unseen held-out tokens take the Laplace default and cannot flip a clear class") {
     import spark.implicits._
     // training: lang a speaks 'aa', lang b speaks 'bb' (doc_ids even);
