@@ -1167,31 +1167,38 @@ object Graph {
     * far past a 100 TB graph's degree sums). Two aggregations over the
     * edge frame + one over the label frame — the standard
     * "was this clustering real" gate a curation pipeline runs after LPA.
+    *
+    * Modularity of the LPA partition AND the seeded-labels partition over
+    * the same co-purchase graph (nodes no seeded label reached count as
+    * singleton communities — they contribute no intra edges and their own
+    * degree-squared term, the standard completion). Derived from the
+    * per-community structure table ([[communityStructureTracked]]) by the
+    * exact integer identities m = Σvol/2 (always even), Σe_c = Σintra,
+    * ΣD_c² = Σvol² — so ONE label-loop build powers both this gate and
+    * the conductance gate. Tracked pins returned; exposed for the planted
+    * spec and the brute-force differential.
     */
-  private def modularityRow(
-      partition: String,
-      e: DataFrame,   // (pa, pb), pinned by the caller
-      deg: DataFrame, // (node, d), pinned by the caller
-      lab: DataFrame  // (node, lbl) covering every node
-  ): DataFrame = {
+  private[graft] def modularityTracked(
+      e0: DataFrame,
+      seeds: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
+    val (cs, pins) = communityStructureTracked(e0, seeds)
+    (modularityFromStructure(cs), pins)
+  }
+
+  /** The 2-row modularity table from a per-community structure frame. */
+  private def modularityFromStructure(cs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val m = e.agg(count(lit(1)).as("m_edges"))
-    val intra = e
-      .join(lab.select(col("node").as("pa"), col("lbl").as("la")), Seq("pa"))
-      .join(lab.select(col("node").as("pb"), col("lbl").as("lb")), Seq("pb"))
-      .filter(col("la") === col("lb"))
-      .agg(count(lit(1)).as("intra_edges"))
-    val dsq = lab
-      .join(deg, Seq("node"))
-      .groupBy(col("lbl"))
-      .agg(sum(col("d")).as("dc"))
+    cs.groupBy(col("partition"))
       .agg(
         count(lit(1)).as("n_comms"),
-        sum(col("dc").cast("decimal(19,0)") * col("dc").cast("decimal(19,0)")).as("dsq"))
-    m.crossJoin(broadcast(intra))
-      .crossJoin(broadcast(dsq))
+        // integer div — Σvol = 2m is always even, and a float `/` would
+        // round past 2^53 at extreme scale
+        expr("sum(vol) div 2").as("m_edges"),
+        sum(col("intra")).as("intra_edges"),
+        sum(col("vol").cast("decimal(19,0)") * col("vol").cast("decimal(19,0)")).as("dsq"))
       .select(
-        lit(partition).as("partition"),
+        col("partition"),
         col("n_comms"),
         col("m_edges"),
         col("intra_edges"),
@@ -1199,16 +1206,17 @@ object Graph {
           .cast("double") /
           (lit(4).cast(dec) * col("m_edges").cast(dec) * col("m_edges").cast(dec)).cast("double"))
           .as("modularity"))
+      .orderBy(col("partition"))
   }
 
-  /** Modularity of the LPA partition AND the seeded-labels partition over
-    * the same co-purchase graph (nodes no seeded label reached count as
-    * singleton communities — they contribute no intra edges and their own
-    * degree-squared term, the standard completion). Tracked pins
-    * returned; exposed for the planted spec and the brute-force
-    * differential.
+  /** Per-community STRUCTURE table over both partitions — the shared
+    * input of the modularity and conductance gates: for each community,
+    * its node count, degree volume vol = Σ d_i, intra-edge count, and
+    * boundary cut (edges with exactly one endpoint inside; a cut edge
+    * contributes to BOTH its communities). Every column an exact integer;
+    * the label loops run once and both readouts aggregate this frame.
     */
-  private[graft] def modularityTracked(
+  private[graft] def communityStructureTracked(
       e0: DataFrame,
       seeds: DataFrame
   ): (DataFrame, Seq[DataFrame]) = {
@@ -1223,23 +1231,82 @@ object Graph {
     val sLab = sNodes
       .join(sLab0, Seq("node"), "left")
       .select(col("node"), coalesce(col("lbl"), -col("node") - 1).as("lbl"))
-    val out = modularityRow("lpa", e, deg, lpaLab)
-      .unionByName(modularityRow("seeded", e, deg, sLab))
-      .orderBy(col("partition"))
-    (out, Seq(e, deg) ++ lpaPins ++ sPins)
+    def rows(partition: String, lab: DataFrame): (DataFrame, DataFrame) = {
+      val volN = lab
+        .join(deg, Seq("node"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("vol"))
+      val el = Tables.pin(
+        e.join(lab.select(col("node").as("pa"), col("lbl").as("la")), Seq("pa"))
+          .join(lab.select(col("node").as("pb"), col("lbl").as("lb")), Seq("pb"))
+          .select(col("la"), col("lb")))
+      val intra = el.filter(col("la") === col("lb")).groupBy(col("la").as("lbl"))
+        .agg(count(lit(1)).as("intra"))
+      val cut = el
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("lbl"))
+        .unionByName(el.filter(col("la") =!= col("lb")).select(col("lb").as("lbl")))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cut"))
+      (volN
+        .join(intra, Seq("lbl"), "left")
+        .join(cut, Seq("lbl"), "left")
+        .select(
+          lit(partition).as("partition"),
+          col("lbl"),
+          col("n_nodes"),
+          col("vol"),
+          coalesce(col("intra"), lit(0L)).as("intra"),
+          coalesce(col("cut"), lit(0L)).as("cut")), el)
+    }
+    val (lpaRows, elL)  = rows("lpa", lpaLab)
+    val (seedRows, elS) = rows("seeded", sLab)
+    (lpaRows.unionByName(seedRows),
+      Seq(e, deg, elL, elS) ++ lpaPins ++ sPins)
   }
 
   private val modularityCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The 2-row modularity gate as a build-once artifact (graph_modularity). */
-  private def modularityArtifact(s: SparkSession, dir: String): DataFrame =
+  /** The shared per-community structure table as a build-once artifact
+    * (graph_community) — both the modularity and conductance gates read
+    * it.
+    */
+  private def communityArtifact(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache)
       graft.Artifacts.materializeTracked(
-        modularityTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
+        communityStructureTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
     else
-      graft.Artifacts.cachedInTracked(modularityCache, s, dir, "graph_modularity", "partition")(
-        modularityTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
+      graft.Artifacts.cachedInTracked(modularityCache, s, dir, "graph_community", "lbl")(
+        communityStructureTracked(coPurchaseEdges(s, dir), mfgrSeeds(s, dir)))
+
+  /** The 2-row modularity gate, derived from the shared artifact. */
+  private def modularityArtifact(s: SparkSession, dir: String): DataFrame =
+    modularityFromStructure(communityArtifact(s, dir))
+
+  /** Per-community CONDUCTANCE rows from the shared structure artifact:
+    * φ(c) = cut(c) / min(vol(c), 2m − vol(c)) — exact integers, one
+    * correctly-rounded division; NULL when the denominator is 0 (a
+    * community holding the whole graph has no boundary to measure).
+    * Exposed for the planted spec and the brute-force differential.
+    */
+  private[graft] def conductanceFromStructure(cs: DataFrame): DataFrame = {
+    val m2 = cs.groupBy(col("partition")).agg(sum(col("vol")).as("vol2m"))
+    cs.join(broadcast(m2), "partition")
+      .select(
+        col("partition"),
+        col("lbl"),
+        col("n_nodes"),
+        col("vol"),
+        col("cut"),
+        when(least(col("vol"), col("vol2m") - col("vol")) === 0, lit(null).cast("double"))
+          .otherwise(
+            col("cut").cast("double") /
+              least(col("vol"), col("vol2m") - col("vol")).cast("double"))
+          .as("conductance"))
+      .orderBy(col("partition"), col("vol").desc, col("lbl"))
+      .limit(100)
+  }
 
   /** The gate query's seed set: every 4th part carries its brand number
     * (the digits of `p_brand`) as the class label — a deterministic
@@ -2670,7 +2737,7 @@ object Graph {
     ),
     QueryDef(
       "q_graph_modularity",
-      "NEWMAN MODULARITY Q of the LPA partition and the seeded-labels partition over the co-purchase graph (Newman & Girvan 2004) — the 'was this clustering real' gate a curation pipeline runs after community detection (Q near 0 = the partition explains no more intra-edge mass than a degree-preserving random graph; the readout that separates genuine co-purchase topics from label-propagation artifacts). Q = sum_c(e_c/m - (D_c/2m)^2) computed as the EXACT RATIONAL (4*m*sum(e_c) - sum(D_c^2)) / (4*m^2) — every term an integer (edge count, intra-community edge count, degree sums), decimal(38,0) internals, ONE correctly-rounded IEEE division at the end, so both engines emit the identical double. Nodes the seeded spread never reached complete as singleton communities (no intra edges, own degree-squared term — the standard completion). Two aggregations over the edge frame + one over each label frame; the partitions re-run the same fixed-4-round integer-argmax loops the census gates pin. Build-once artifact (graph_modularity)",
+      "NEWMAN MODULARITY Q of the LPA partition and the seeded-labels partition over the co-purchase graph (Newman & Girvan 2004) — the 'was this clustering real' gate a curation pipeline runs after community detection (Q near 0 = the partition explains no more intra-edge mass than a degree-preserving random graph; the readout that separates genuine co-purchase topics from label-propagation artifacts). Q = sum_c(e_c/m - (D_c/2m)^2) computed as the EXACT RATIONAL (4*m*sum(e_c) - sum(D_c^2)) / (4*m^2) — every term an integer (edge count, intra-community edge count, degree sums), decimal(38,0) internals, ONE correctly-rounded IEEE division at the end, so both engines emit the identical double. Nodes the seeded spread never reached complete as singleton communities (no intra edges, own degree-squared term — the standard completion). Two aggregations over the edge frame + one over each label frame; the partitions re-run the same fixed-4-round integer-argmax loops the census gates pin. Derived from the build-once per-community structure artifact (graph_community: lbl, n_nodes, vol, intra, cut — ONE label-loop build shared with q_graph_conductance) by the exact integer identities m = sum(vol) div 2, sum(e_c) = sum(intra), sum(D_c^2) = sum(vol^2)",
       (s, dir) => modularityArtifact(s, dir).orderBy(col("partition")),
       Some {
         val lpaIters = (1 to 4).map { k =>
@@ -2730,6 +2797,72 @@ object Graph {
            |    AS modularity
            |FROM agg a LEFT JOIN intra i ON i.pt = a.pt, mm
            |ORDER BY partition""".stripMargin
+      }
+    ),
+    QueryDef(
+      "q_graph_conductance",
+      "per-community CONDUCTANCE over the LPA and seeded partitions — the boundary-quality companion to q_graph_modularity (modularity can score a partition well while individual communities leak; conductance phi(c) = cut(c) / min(vol(c), 2m - vol(c)) is the per-community 'how porous is this cluster' readout, the quantity spectral/sweep partitioners optimize): cut counts the edges with exactly one endpoint inside (each contributes to BOTH its communities), vol sums member degrees — exact integers from the SAME build-once graph_community structure artifact the modularity gate aggregates (one label-loop build, two gates), ONE correctly-rounded IEEE division per row, NULL when the community holds the whole graph (no boundary to measure). Top 100 communities by (partition, vol desc, lbl)",
+      (s, dir) => conductanceFromStructure(communityArtifact(s, dir)),
+      Some {
+        val lpaIters = (1 to 4).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN l${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1)""".stripMargin
+        }
+        val seededIters = (1 to 4).map { k =>
+          s"""sl$k AS MATERIALIZED (
+             |  SELECT node, lbl FROM (
+             |    SELECT s.u AS node, p.lbl, count(1) AS c,
+             |      row_number() OVER (PARTITION BY s.u ORDER BY count(1) DESC, p.lbl) AS rk
+             |    FROM sym s JOIN sl${k - 1} p ON p.node = s.v
+             |    GROUP BY s.u, p.lbl) x
+             |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)
+             |  UNION ALL SELECT node, lbl FROM seeds)""".stripMargin
+        }
+        s"""WITH $coEdgesSql,
+           |sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+           |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+           |deg AS MATERIALIZED (SELECT u AS node, count(1) AS d FROM sym GROUP BY 1),
+           |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+           |${lpaIters.mkString(",\n")},
+           |seeds AS MATERIALIZED (
+           |  SELECT p_partkey AS node, cast(substring(p_brand, 7, 2) as bigint) AS lbl
+           |  FROM part JOIN nodes ON node = p_partkey
+           |  WHERE p_partkey % 4 = 0),
+           |sl0 AS MATERIALIZED (SELECT node, lbl FROM seeds),
+           |${seededIters.mkString(",\n")},
+           |slab AS (
+           |  SELECT n.node, coalesce(s.lbl, -n.node - 1) AS lbl
+           |  FROM nodes n LEFT JOIN sl4 s ON s.node = n.node),
+           |lab AS MATERIALIZED (
+           |  SELECT 'lpa' AS pt, node, lbl FROM l4
+           |  UNION ALL SELECT 'seeded', node, lbl FROM slab),
+           |el AS MATERIALIZED (
+           |  SELECT a.pt, a.lbl AS la, b.lbl AS lb FROM e
+           |  JOIN lab a ON a.node = e.pa
+           |  JOIN lab b ON b.pt = a.pt AND b.node = e.pb),
+           |voln AS (
+           |  SELECT l.pt, l.lbl, cast(count(1) as bigint) AS n_nodes,
+           |    cast(sum(d.d) as bigint) AS vol
+           |  FROM lab l JOIN deg d USING (node) GROUP BY 1, 2),
+           |cut AS (
+           |  SELECT pt, lbl, cast(count(1) as bigint) AS cut FROM (
+           |    SELECT pt, la AS lbl FROM el WHERE la <> lb
+           |    UNION ALL SELECT pt, lb FROM el WHERE la <> lb) z
+           |  GROUP BY 1, 2),
+           |m2 AS (SELECT pt, cast(sum(vol) as bigint) AS vol2m FROM voln GROUP BY 1)
+           |SELECT v.pt AS partition, v.lbl, v.n_nodes, v.vol,
+           |  coalesce(c.cut, 0) AS cut,
+           |  CASE WHEN least(v.vol, m2.vol2m - v.vol) = 0 THEN NULL
+           |       ELSE cast(coalesce(c.cut, 0) as double)
+           |            / cast(least(v.vol, m2.vol2m - v.vol) as double) END AS conductance
+           |FROM voln v LEFT JOIN cut c ON c.pt = v.pt AND c.lbl = v.lbl
+           |JOIN m2 ON m2.pt = v.pt
+           |ORDER BY partition, v.vol DESC, v.lbl LIMIT 100""".stripMargin
       }
     ),
     QueryDef(

@@ -66,6 +66,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_betweenness",
     "q_graph_seeded_labels",
     "q_graph_modularity",
+    "q_graph_conductance",
     "q_unigram_vocab_loss",
     "q_text_textrank",
     "q_bpe_merges",
@@ -107,7 +108,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
           "graph_hits", "graph_lpa", "graph_harmonic",
           "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
-          "graph_seeded", "graph_modularity", "textrank_scores", "bpe_merges",
+          "graph_seeded", "graph_community", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
           "wordpiece_merges_even", "unigram_vocab_even").foreach { artifact =>

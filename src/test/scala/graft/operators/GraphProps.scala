@@ -550,16 +550,38 @@ object GraphProps extends Properties("GraphOps") {
       }
       val expLpa  = q(lpa.map { case (k, v) => (k, v.toLong) })
       val expSeed = q(slFull.map { case (k, v) => (k, v.toLong) })
+      val seedsDf = seedMap.toSeq.map { case (n, l) => (n, l.toLong) }.toDF("node", "lbl")
       val got = Graph
-        .modularityTracked(
-          es.toDF("pa", "pb"),
-          seedMap.toSeq.map { case (n, l) => (n, l.toLong) }.toDF("node", "lbl"))
+        .modularityTracked(es.toDF("pa", "pb"), seedsDf)
         ._1
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
         .toMap
-      Prop(got("lpa") == expLpa && got("seeded") == expSeed) :|
-        s"got $got expected lpa=$expLpa seeded=$expSeed on $es (seeds $seedMap)"
+      // conductance from the SAME brute-force labels: per community,
+      // phi = cut / min(vol, 2m - vol), NULL when the min is 0
+      def phis(lab: Map[Long, Long]): Map[Long, Option[Double]] =
+        lab.values.toSet.map { (c: Long) =>
+          val members = lab.collect { case (n, l) if l == c => n }.toSet
+          val vol     = members.iterator.map(deg).sum
+          val cut     = es.count { case (a, b) => members(a) != members(b) }.toLong
+          val den     = math.min(vol, 2 * m - vol)
+          c -> (if (den == 0) None else Some(cut.toDouble / den.toDouble))
+        }.toMap
+      val expPhi = Map(
+        "lpa"    -> phis(lpa.map { case (k, v) => (k, v.toLong) }),
+        "seeded" -> phis(slFull.map { case (k, v) => (k, v.toLong) }))
+      val (cs, _) = Graph.communityStructureTracked(es.toDF("pa", "pb"), seedsDf)
+      val gotPhi = Graph
+        .conductanceFromStructure(cs)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        .toMap
+      val phiOk = expPhi.forall { case (pt, mm) =>
+        mm.forall { case (c, v) => gotPhi.get((pt, c)).contains(v) }
+      } && gotPhi.size == expPhi("lpa").size + expPhi("seeded").size
+      Prop(got("lpa") == expLpa && got("seeded") == expSeed && phiOk) :|
+        s"got $got phi $gotPhi expected lpa=$expLpa seeded=$expSeed phi=$expPhi on $es (seeds $seedMap)"
       }
     }
 }

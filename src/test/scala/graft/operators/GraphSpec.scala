@@ -624,6 +624,47 @@ class GraphSpec extends AnyFunSuite {
     ), rows.mkString(","))
   }
 
+  test("conductance: the planted two-clique bridge scores 1/7 per community, singletons score 1") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("pa", "pb")
+    val seeds = Seq((1L, 10L), (4L, 20L)).toDF("node", "lbl")
+    val (cs, _) = Graph.communityStructureTracked(g, seeds)
+    val rows = Graph
+      .conductanceFromStructure(cs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))
+      .toSeq
+    // each clique+bridge community: vol = 7, cut = 1 (the bridge),
+    // phi = 1 / min(7, 14-7) = 1/7 — for the LPA labels {1, 3} and the
+    // seeded labels {10, 20} alike
+    val phi = 1.0 / 7.0
+    assert(rows === Seq(
+      ("lpa", 1L, 3L, 7L, 1L, phi),
+      ("lpa", 3L, 3L, 7L, 1L, phi),
+      ("seeded", 10L, 3L, 7L, 1L, phi),
+      ("seeded", 20L, 3L, 7L, 1L, phi)
+    ), rows.mkString(","))
+    // empty seeds -> singleton completion: every singleton's boundary IS
+    // its whole volume, so phi = d/min(d, 2m-d) = 1 exactly
+    val (csSingle, _) = Graph.communityStructureTracked(
+      g, Seq.empty[(Long, Long)].toDF("node", "lbl"))
+    val singles = Graph.conductanceFromStructure(csSingle)
+      .filter(org.apache.spark.sql.functions.col("partition") === "seeded")
+      .collect()
+      .map(r => r.getDouble(5))
+    assert(singles.length === 6 && singles.forall(_ === 1.0), "singletons must score exactly 1")
+    // a whole-graph community has no boundary: phi is NULL, not 0
+    val (csTri, _) = Graph.communityStructureTracked(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb"),
+      Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("node", "lbl"))
+    val whole = Graph.conductanceFromStructure(csTri)
+      .filter(org.apache.spark.sql.functions.col("partition") === "seeded")
+      .collect()
+    assert(whole.length === 1 && whole(0).isNullAt(5), "whole-graph community must be NULL")
+  }
+
   test("modularity: an empty seed set completes to singletons — zero intra mass, pure degree penalty") {
     import spark.implicits._
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
