@@ -167,6 +167,41 @@ object NaiveBayes {
       .orderBy(col("lang"))
   }
 
+  /** Cohen's kappa + accuracy over the held-out confusion — the
+    * chance-corrected agreement readout that catches "high accuracy
+    * because one class dominates": κ = (p_o − p_e)/(1 − p_e) computed as
+    * the exact rational (N·trace − Σ row_l·col_l) / (N² − Σ row_l·col_l)
+    * — every term an integer (decimal(38,0) internals, so N up to ~10^19
+    * survives), accuracy = trace/N, each ONE correctly-rounded IEEE
+    * division; NULL κ when N² = Σ row·col (the degenerate single-class
+    * case where chance agreement is total).
+    */
+  private def kappaFrame(conf: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = conf.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("predicted"), col("n")).otherwise(lit(0L))).as("n_correct"))
+    val rows   = conf.groupBy(col("lang")).agg(sum(col("n")).as("r"))
+    val colsum = conf.groupBy(col("predicted").as("lang")).agg(sum(col("n")).as("c"))
+    val chance = rows
+      .join(colsum, "lang")
+      .agg(coalesce(sum(col("r").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")),
+        lit(0).cast(dec)).as("chance"))
+    tot
+      .crossJoin(broadcast(chance))
+      .select(
+        col("n_docs"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double")).as("accuracy"),
+        when(
+          col("n_docs").cast(dec) * col("n_docs").cast(dec) === col("chance"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_docs").cast(dec) * col("n_correct").cast(dec) - col("chance")).cast("double") /
+              (col("n_docs").cast(dec) * col("n_docs").cast(dec) - col("chance")).cast("double"))
+          .as("kappa"))
+  }
+
   // ── oracle SQL ─────────────────────────────────────────────────────────
 
   private val trainCtesSql =
@@ -270,6 +305,48 @@ object NaiveBayes {
               |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
               |       ELSE cast(2 * tp as double) / cast(2 * tp + fp + fn as double) END AS f1
               |FROM m ORDER BY lang""".stripMargin)
+    ),
+    QueryDef(
+      "q_nb_kappa",
+      "COHEN'S KAPPA + accuracy over the held-out confusion — the chance-corrected agreement readout that catches 'high accuracy because one class dominates' (the router-acceptance number next to q_nb_metrics' per-class view): kappa = (p_o - p_e)/(1 - p_e) computed as the EXACT RATIONAL (N*trace - sum(row_l*col_l)) / (N^2 - sum(row_l*col_l)) — every term an integer from the confusion counts, decimal(38,0) internals, ONE correctly-rounded IEEE division (accuracy = trace/N is the other); kappa is NULL in the degenerate single-class case (chance agreement is total, the statistic is undefined — never reported as 0). One row",
+      (s, dir) => kappaFrame(confusion(Tables.fanout(Tables.documents(s, dir)))),
+      Some(s"""WITH $trainCtesSql,
+              |te AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM te),
+              |pc AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang, f.lang AS clang,
+              |    cast(sum(coalesce(s.s, f.dflt)) as bigint) AS ts
+              |  FROM dt d
+              |  CROSS JOIN dflt f
+              |  LEFT JOIN sc s ON s.lang = f.lang AND s.tok = d.tok
+              |  GROUP BY 1, 2, 3),
+              |tot AS (
+              |  SELECT pc.doc_id, pc.lang, pc.clang, pc.ts + p.prior_s AS total
+              |  FROM pc JOIN pri p ON p.lang = pc.clang),
+              |win AS (
+              |  SELECT doc_id, lang, clang,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, clang) AS rk
+              |  FROM tot),
+              |conf AS (
+              |  SELECT lang, clang AS predicted, cast(count(1) as bigint) AS n
+              |  FROM win WHERE rk = 1 GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT cast(sum(n) as hugeint) AS nd,
+              |    cast(sum(CASE WHEN lang = predicted THEN n ELSE 0 END) as hugeint) AS tr
+              |  FROM conf),
+              |ch AS (
+              |  SELECT cast(coalesce(sum(r.r * c.c), 0) as hugeint) AS chance
+              |  FROM (SELECT lang, cast(sum(n) as hugeint) AS r FROM conf GROUP BY 1) r
+              |  JOIN (SELECT predicted AS lang, cast(sum(n) as hugeint) AS c
+              |        FROM conf GROUP BY 1) c USING (lang))
+              |SELECT cast(a.nd as bigint) AS n_docs, cast(a.tr as bigint) AS n_correct,
+              |  cast(cast(a.tr as varchar) as double) / cast(cast(a.nd as varchar) as double)
+              |    AS accuracy,
+              |  CASE WHEN a.nd * a.nd = ch.chance THEN NULL
+              |       ELSE cast(cast(a.nd * a.tr - ch.chance as varchar) as double)
+              |            / cast(cast(a.nd * a.nd - ch.chance as varchar) as double) END AS kappa
+              |FROM agg a, ch""".stripMargin)
     )
   )
 }

@@ -123,6 +123,37 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(got === expected, "per-class metrics diverged from the reference confusion ratios")
   }
 
+  test("kappa row is the exact chance-corrected rational of the reference confusion") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.col
+    def half(r: Long) = docs
+      .filter(col("doc_id") % 2 === r)
+      .select("lang", "text")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)))
+      .toSeq
+    val m     = refModel(half(0))
+    val preds = half(1).map { case (lang, text) => (lang, refPredict(text, m)) }
+    val n     = preds.size.toLong
+    val tr    = preds.count { case (a, p) => a == p }.toLong
+    val langs = (preds.map(_._1) ++ preds.map(_._2)).distinct
+    val chance = langs.map { l =>
+      BigInt(preds.count(_._1 == l)) * BigInt(preds.count(_._2 == l))
+    }.sum
+    val expKappa =
+      if (BigInt(n) * BigInt(n) == chance) None
+      else Some((BigInt(n) * BigInt(tr) - chance).toDouble / (BigInt(n) * BigInt(n) - chance).toDouble)
+    val got = graft.SparkEntry
+      .queries("q_nb_kappa")(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.length === 1)
+    val r0 = got(0)
+    assert(r0.getLong(0) === n && r0.getLong(1) === tr)
+    assert(r0.getDouble(2) === tr.toDouble / n.toDouble, "accuracy must be the exact division")
+    val gotKappa = if (r0.isNullAt(3)) None else Some(r0.getDouble(3))
+    assert(gotKappa === expKappa, "kappa must be the exact chance-corrected rational")
+  }
+
   test("planted: unseen held-out tokens take the Laplace default and cannot flip a clear class") {
     import spark.implicits._
     // training: lang a speaks 'aa', lang b speaks 'bb' (doc_ids even);
