@@ -68,6 +68,9 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_graph_modularity",
     "q_graph_conductance",
     "q_unigram_vocab_loss",
+    "q_nb_confusion",
+    "q_nb_metrics",
+    "q_nb_kappa",
     "q_text_textrank",
     "q_bpe_merges",
     "q_bpe_encode",
@@ -108,7 +111,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
           "graph_hits", "graph_lpa", "graph_harmonic",
           "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
-          "graph_seeded", "graph_community", "textrank_scores", "bpe_merges",
+          "graph_seeded", "graph_community", "nb_confusion", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
           "wordpiece_merges_even", "unigram_vocab_even").foreach { artifact =>
