@@ -14,12 +14,15 @@ import org.apache.spark.sql.SparkSession
   * per-query reps) because pass 1 alone is already a complete artifact:
   * `GRAFT_BENCH_BUDGET_SEC` (default 400) is checked between passes, so a
   * badly contended host degrades to fewer passes instead of a truncated
-  * result. Pass SCHEDULE (round-17 directive): 2 full passes always; when
-  * their measured spread exceeds 100%, a TOP-20 re-sample pass runs BEFORE
-  * any 3rd full pass (the expensive tail is where noise hides, at ~1/4 the
-  * cost of a full pass), then remaining budget alternates further full and
-  * top-20 passes; at least one top-20 pass always runs. The headline
-  * `value` is the sum of per-query mins;
+  * result. Pass SCHEDULE (round-17 directive, stated in EXECUTION order):
+  * 2 full passes always; when their measured spread exceeds 100%, ONE
+  * TOP-20 re-sample pass runs before any 3rd full pass (the expensive
+  * tail is where noise hides, at ~1/4 the cost of a full pass); then the
+  * remaining budget runs the remaining full passes (up to
+  * `GRAFT_BENCH_RUNS`), and whatever budget is left after those goes to
+  * further top-20 passes (up to 2 total); at least one top-20 pass always
+  * runs regardless of budget. The headline `value` is the sum of
+  * per-query mins;
   * `runs_done` / `extra_top20_passes` / `total_median` / `total_max` /
   * `spread_pct` expose how many passes ran and the noise envelope, so a
   * reader can judge measurement quality from the artifact alone.
@@ -117,7 +120,7 @@ object Bench {
     // noisy tail; at least ONE runs regardless of budget.
     fullPass()
     if (runs > 1) fullPass()
-    if (spreadSoFar > 100.0) top20Pass()
+    if (spreadSoFar > 100.0 && budgetLeft) top20Pass()
     while (runsDone < runs && budgetLeft) fullPass()
     while (extra < 2 && budgetLeft) top20Pass()
     if (extra == 0) top20Pass()
@@ -204,6 +207,23 @@ object Bench {
           case None => Set.empty
         }
       } catch { case scala.util.control.NonFatal(_) => Set.empty }
+    // AGGREGATE drift vs the previous round (round-18 judge item #6): the
+    // per-query regression list only catches >0.25s AND >1.5x movers, so a
+    // thin spread of sub-threshold slowdowns (r18: +9.1 s across 225
+    // queries) was invisible in the artifact. Track the warm total over
+    // the INTERSECTION query set — this round's min-sum vs last round's
+    // min-sum on exactly the queries both rounds declared — so aggregate
+    // drift is a number the artifact carries, not a judge-session diff.
+    // THRESHOLD (advisory, never a gate): |drift| > 10% of the prior
+    // intersection total warrants a look at host spread vs real
+    // regressions; under this host's 60-240% per-query noise, smaller
+    // drift is indistinguishable from measurement error.
+    val sameQueries = names.filter(n =>
+      prevRoundQueries.contains(n) && priorMin.get(n).exists(_ >= 0) && results(n) >= 0)
+    val totalSame     = sameQueries.map(results).sum
+    val prevTotalSame = sameQueries.map(priorMin).sum
+    val driftPct =
+      if (prevTotalSame > 0) 100.0 * (totalSame - prevTotalSame) / prevTotalSame else 0.0
     val regressions = results.toSeq
       .flatMap { case (name, now) =>
         priorMin.get(name) match {
@@ -226,7 +246,7 @@ object Bench {
       .map { case (n, v) => s"\"" + n + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -234,7 +254,7 @@ object Bench {
     println(s"""{"metric":"queries_cold","total_cold":${r3(totalCold)},"queries_cold":$qsCold,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_median","total_median":${r3(totalMedian)},"queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_min","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

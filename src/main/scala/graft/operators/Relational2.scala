@@ -26,6 +26,30 @@ object Relational2 {
       status: String = "event_type"
   )
 
+  /** Names the SCD2 folds OWN in their output/scratch frames. A caller
+    * whose observation columns collide with these would hit an
+    * ambiguous-column failure (or a silent self-comparison) deep inside
+    * the boundary-collapse join — validated up front instead
+    * ([[scd2History]] and the streaming twin's ingest both call this).
+    */
+  private val Scd2Reserved: Set[String] = Set(
+    "version", "status", "valid_from", "valid_to", "is_current",
+    // fold scratch columns (StreamingScd2.foldIncremental / this file)
+    "prev_type", "rn", "rn2", "vf", "vt", "drop_first", "cur_version",
+    "close_at", "has_new", "kmin")
+
+  private[graft] def validateScd2Cols(c: Scd2Cols): Unit = {
+    val named = Seq("key" -> c.key, "ts" -> c.ts, "tie" -> c.tie, "status" -> c.status)
+    val dupes = named.groupBy(_._2).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"Scd2Cols columns must be distinct; repeated: ${dupes.mkString(", ")}")
+    val clash = named.filter { case (_, n) => Scd2Reserved.contains(n.toLowerCase) }
+    require(
+      clash.isEmpty,
+      s"Scd2Cols ${clash.map { case (r, n) => s"$r='$n'" }.mkString(", ")} collide(s) with the " +
+        s"SCD2 fold's reserved output/scratch columns (${Scd2Reserved.toSeq.sorted.mkString(", ")}); " +
+        "rename the observation column(s) before the fold")
+  }
+
   /** SCD Type-2 history over any observation frame, schema-parameterized
     * by [[Scd2Cols]] — the `q_scd2_history` body, exposed so the spec
     * plants change/no-change sequences (and a second schema, proving
@@ -42,6 +66,7 @@ object Relational2 {
       c: Scd2Cols = Scd2Cols()
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    validateScd2Cols(c)
     val w = Window.partitionBy(col(c.key)).orderBy(col(c.ts), col(c.status), col(c.tie))
     events
       .select(col(c.key), col(c.ts), col(c.tie), col(c.status))

@@ -116,6 +116,18 @@ object StreamingIvf {
     * tombstoned rows from the new snapshot and starts it with an empty
     * tombstone set, the relayout discipline). Idempotent: re-deleting an
     * id lands a redundant tombstone row that the distinct mask collapses.
+    * CONCURRENCY: each delete writes its OWN uniquely-named dir (the
+    * masks read the whole `tombstones/` tree, so naming never matters),
+    * which makes concurrent delete() calls safe against each other — the
+    * previous max+1 allocation let two racers compute the same index and
+    * one caller's ids silently vanish under the other's overwrite. A
+    * delete racing [[retrain]] is still a lost update by construction
+    * (retrain reads the tombstone set once, before the flip), so delete()
+    * re-checks `_CURRENT` AFTER its write and fails loudly on a flip —
+    * the caller retries against the new snapshot; the remaining
+    * read-after-recheck window is closed by the documented maintenance
+    * contract: [[retrain]] runs with delete() traffic quiesced, the same
+    * single-maintenance-writer rule it already requires of the stream.
     * CONSTRAINT (documented, spec-pinned contract): the deterministic
     * first-K centroid init reads vec_ids 0..K-1, so deleting a seed
     * vector requires a re-seeded rebuild rather than [[retrain]] — the
@@ -124,17 +136,18 @@ object StreamingIvf {
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
     val v    = currentVersion(spark, indexDir)
     val vdir = versionDir(indexDir, v)
-    val fs   = Snapshots.fsOf(spark, new org.apache.hadoop.fs.Path(indexDir))
-    val existing = Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$vdir/tombstones/d=*")))
-      .getOrElse(Array.empty)
-      .flatMap(st => st.getPath.getName.stripPrefix("d=").toIntOption)
-    val next = if (existing.isEmpty) 0 else existing.max + 1
+    val token = java.util.UUID.randomUUID().toString
     ids
       .select(col("vec_id"))
       .distinct()
       .write
       .mode("overwrite")
-      .parquet(s"$vdir/tombstones/d=$next")
+      .parquet(s"$vdir/tombstones/d=$token")
+    val vAfter = currentVersion(spark, indexDir)
+    if (vAfter != v)
+      throw new IllegalStateException(
+        s"IVF delete raced a retrain: tombstones landed in v=$v but _CURRENT is now v=$vAfter — " +
+          "the compaction may not have seen them; re-issue the delete against the live snapshot")
   }
 
   /** The live snapshot's accumulated tombstone ids, or None before the

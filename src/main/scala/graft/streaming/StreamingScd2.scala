@@ -188,7 +188,8 @@ object StreamingScd2 {
       schemaDdl: String = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING",
       cols: Scd2Cols = Scd2Cols()
   ): org.apache.spark.sql.streaming.StreamingQuery = {
-    val c      = cols
+    val c = cols
+    Relational2.validateScd2Cols(c) // reserved-name collisions fail here, not mid-fold
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     val reader = spark.readStream.schema(schema)
     val stream =

@@ -121,6 +121,12 @@ class StreamingIvfSpec extends AnyFunSuite {
     val victim2 = pre.map(_._1).find(id => id >= 250 && id != victim)
     victim2.foreach(v2 => StreamingIvf.delete(spark, s"$dir/index", Seq(v2, victim).toDF("vec_id")))
     val deleted = Set(victim) ++ victim2
+    // each delete() lands its OWN uniquely-named dir: two calls can never
+    // clobber each other (the r18 max+1 allocation raced under concurrency)
+    val tombDirs = new java.io.File(s"$dir/index/v=1/tombstones")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("d=")).map(_.getName)
+    assert(tombDirs.length === (1 + victim2.size) && tombDirs.distinct.length === tombDirs.length,
+      s"one unique tombstone dir per delete call, got: ${tombDirs.toSeq}")
     val post = StreamingIvf.probe(spark, s"$dir/index", query, k = 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(post === pre.filterNot(p => deleted(p._1)).take(5),

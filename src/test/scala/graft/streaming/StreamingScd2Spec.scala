@@ -212,4 +212,36 @@ class StreamingScd2Spec extends AnyFunSuite {
     // the string-keyed history carries the caller's key column name
     assert(StreamingScd2.history(spark, scd).columns.head === "device_id")
   }
+
+  test("Scd2Cols colliding with the fold's reserved names fail fast, not mid-fold") {
+    import graft.operators.Relational2
+    import spark.implicits._
+    val obs = Seq((1L, new java.sql.Timestamp(1000L), 1L, "a"))
+      .toDF("k", "t", "i", "status")
+    // a status column literally named 'status' would self-compare in the
+    // boundary-collapse join; the validator rejects it up front
+    val eStatus = intercept[IllegalArgumentException] {
+      Relational2.scd2History(obs, Relational2.Scd2Cols("k", "t", "i", "status"))
+    }
+    assert(eStatus.getMessage.contains("reserved"))
+    // every reserved OUTPUT name is rejected in any position
+    for (bad <- Seq("version", "valid_from", "valid_to", "is_current")) {
+      intercept[IllegalArgumentException] {
+        Relational2.scd2History(obs, Relational2.Scd2Cols(key = bad, "t", "i", "s"))
+      }
+    }
+    // repeated column names are rejected too (a key doubling as the tiebreak
+    // would silently change the ordering semantics)
+    val eDup = intercept[IllegalArgumentException] {
+      Relational2.scd2History(obs, Relational2.Scd2Cols("k", "t", "k", "s"))
+    }
+    assert(eDup.getMessage.contains("distinct"))
+    // the streaming twin validates at ingest() time, before any batch lands
+    val dir = Files.createTempDirectory("scd2-validate").toString
+    intercept[IllegalArgumentException] {
+      StreamingScd2.ingest(spark, s"$dir/landing", s"$dir/scd", s"$dir/ckpt",
+        schemaDdl = "k STRING, t TIMESTAMP, i BIGINT, version STRING",
+        cols = Relational2.Scd2Cols("k", "t", "i", "version"))
+    }
+  }
 }
