@@ -97,12 +97,26 @@ object NaiveBayes {
     (scores, defaults, priors)
   }
 
-  /** Held-out confusion matrix: every odd-doc_id doc scored with the
-    * frozen even-half model — per class, prior + Σ token scores (unseen
-    * tokens take the class default), argmax with ties to the smallest
-    * class name.
+  /** Margin-bin width: one whole ln unit (nat) of the fixed-point score
+    * (scores carry 1e6 fixed-point nats), and the bin cap — margins past
+    * [[MaxMarginBin]] nats collapse into the top bin so the calibration
+    * readout has a FIXED, fixture-independent bin axis. A doc with no
+    * runner-up class (single-class model) has no margin and reports bin
+    * -1.
     */
-  private def confusion(docs: DataFrame): DataFrame = {
+  private[graft] val MarginBinUnit = 1000000L
+  private[graft] val MaxMarginBin  = 10L
+
+  /** Held-out SCORED census: every odd-doc_id doc scored with the frozen
+    * even-half model — per class, prior + Σ token scores (unseen tokens
+    * take the class default), argmax with ties to the smallest class
+    * name — then censused by (true lang, predicted, margin bin), where
+    * the MARGIN is the exact integer gap between the winning and
+    * runner-up class scores. ONE held-out scoring pass; the confusion,
+    * metrics, kappa AND calibration gates are all aggregations of this
+    * frame. Exposed for the planted calibration spec.
+    */
+  private[graft] def scoredCensus(docs: DataFrame): DataFrame = {
     val (scores, defaults, priors) = model(docs.filter(col("doc_id") % 2 === 0))
     val test  = docs.filter(col("doc_id") % 2 === 1)
     val dtoks = test.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
@@ -117,13 +131,55 @@ object NaiveBayes {
       .join(broadcast(priors.select(col("lang").as("clang"), col("prior_s"))), "clang")
       .select(col("doc_id"), col("lang"), col("clang"), (col("ts") + col("prior_s")).as("total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("total").desc, col("clang"))
+    // winner + runner-up in one pass over the SAME window the argmax uses:
+    // margin = total_1 - total_2, an exact integer in 1e-6 nats
     perClass
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .groupBy(col("lang"), col("clang").as("predicted"))
+      .filter(col("rk") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        max(when(col("rk") === 1, col("clang"))).as("predicted"),
+        (max(when(col("rk") === 1, col("total"))) -
+          max(when(col("rk") === 2, col("total")))).as("margin"))
+      .select(
+        col("lang"),
+        col("predicted"),
+        when(col("margin").isNull, lit(-1L))
+          .otherwise(least(expr(s"margin div $MarginBinUnit"), lit(MaxMarginBin)))
+          .cast("long")
+          .as("mbin"))
+      .groupBy(col("lang"), col("predicted"), col("mbin"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("predicted"))
   }
+
+  /** The held-out confusion matrix (true lang, predicted, n) — the
+    * margin-marginalized view of the scored census.
+    */
+  private[graft] def confusionFromScored(sc: DataFrame): DataFrame =
+    sc.groupBy(col("lang"), col("predicted"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** RELIABILITY readout over the scored census (the calibration leg of
+    * the acceptance family, next to metrics and kappa): per margin bin,
+    * how many held-out docs landed there and how often the winner was
+    * right — a well-calibrated classifier's observed accuracy RISES with
+    * the margin; a flat curve means the margin carries no confidence
+    * signal (over-confidence shows as low accuracy in high bins). Exact
+    * integers from the census; ONE correctly-rounded IEEE division per
+    * bin.
+    */
+  private[graft] def calibrationFromScored(sc: DataFrame): DataFrame =
+    sc.groupBy(col("mbin"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(when(col("lang") === col("predicted"), col("n")).otherwise(lit(0L))).as("n_correct"))
+      .select(
+        col("mbin"),
+        col("n"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"))
+      .orderBy(col("mbin"))
 
   /** Per-class precision / recall / F1 from the held-out confusion frame
     * — tp/fp/fn are exact integers, each emitted metric is ONE
@@ -205,22 +261,29 @@ object NaiveBayes {
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  /** The held-out confusion matrix as a BUILD-ONCE artifact
-    * (nb_confusion): the confusion, metrics, and kappa gates all
-    * aggregate this one frame — before this each of the three re-ran the
-    * full held-out scoring pass (the graph_community rationale: one
-    * build, several readouts).
+  /** The held-out scored census as a BUILD-ONCE artifact (nb_scored —
+    * replaces r18's nb_confusion, which lacked the margin axis): the
+    * confusion, metrics, kappa AND calibration gates all aggregate this
+    * one frame, so adding the calibration readout cost ZERO extra scoring
+    * passes (the graph_community rationale: one build, several readouts).
+    * The name change moves the durable path, so roots populated by the
+    * r18 builder miss rather than serve the margin-less schema.
     */
-  private def confusionArtifact(
+  private def scoredArtifact(
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): DataFrame =
     if (Tables.noArtifactCache)
       graft.Artifacts.materializeTracked(
-        (confusion(Tables.fanout(Tables.documents(s, dir))), Seq.empty))
+        (scoredCensus(Tables.fanout(Tables.documents(s, dir))), Seq.empty))
     else
-      graft.Artifacts.cachedInTracked(confCache, s, dir, "nb_confusion", "lang")(
-        (confusion(Tables.fanout(Tables.documents(s, dir))), Seq.empty))
+      graft.Artifacts.cachedInTracked(confCache, s, dir, "nb_scored", "lang")(
+        (scoredCensus(Tables.fanout(Tables.documents(s, dir))), Seq.empty))
+
+  private def confusionArtifact(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame = confusionFromScored(scoredArtifact(s, dir))
 
   // ── oracle SQL ─────────────────────────────────────────────────────────
 
@@ -367,6 +430,44 @@ object NaiveBayes {
               |       ELSE cast(cast(a.nd * a.tr - ch.chance as varchar) as double)
               |            / cast(cast(a.nd * a.nd - ch.chance as varchar) as double) END AS kappa
               |FROM agg a, ch""".stripMargin)
+    ),
+    QueryDef(
+      "q_nb_calibration",
+      s"classifier CALIBRATION (reliability diagram) over the held-out scored census — the third acceptance leg next to q_nb_metrics and q_nb_kappa (a router can have good aggregate metrics while its confidence signal is noise; pipelines threshold on confidence, so the margin must MEAN something): the winning-class score MARGIN (winner total minus runner-up total, an exact integer in 1e-6 nats) buckets into fixed integer bins of ${MarginBinUnit / 1000000L} nat capped at $MaxMarginBin (bin -1 = no runner-up), and each bin reports (n, n_correct, observed accuracy) — a calibrated classifier's accuracy rises with the margin, over-confidence shows as low accuracy in high bins. Exact integers from the SAME build-once nb_scored census the other three gates aggregate (one scoring pass, four readouts); ONE correctly-rounded IEEE division per bin",
+      (s, dir) => calibrationFromScored(scoredArtifact(s, dir)),
+      Some(s"""WITH $trainCtesSql,
+              |te AS MATERIALIZED (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+              |dt AS MATERIALIZED (
+              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM te),
+              |pc AS MATERIALIZED (
+              |  SELECT d.doc_id, d.lang, f.lang AS clang,
+              |    cast(sum(coalesce(s.s, f.dflt)) as bigint) AS ts
+              |  FROM dt d
+              |  CROSS JOIN dflt f
+              |  LEFT JOIN sc s ON s.lang = f.lang AND s.tok = d.tok
+              |  GROUP BY 1, 2, 3),
+              |tot AS (
+              |  SELECT pc.doc_id, pc.lang, pc.clang, pc.ts + p.prior_s AS total
+              |  FROM pc JOIN pri p ON p.lang = pc.clang),
+              |win AS (
+              |  SELECT doc_id, lang, clang, total,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, clang) AS rk
+              |  FROM tot),
+              |pr2 AS (
+              |  SELECT doc_id, lang,
+              |    max(CASE WHEN rk = 1 THEN clang END) AS predicted,
+              |    max(CASE WHEN rk = 1 THEN total END) - max(CASE WHEN rk = 2 THEN total END)
+              |      AS margin
+              |  FROM win WHERE rk <= 2 GROUP BY 1, 2),
+              |cal AS (
+              |  SELECT CASE WHEN margin IS NULL THEN cast(-1 as bigint)
+              |              ELSE least(margin // $MarginBinUnit, $MaxMarginBin) END AS mbin,
+              |    cast(count(1) as bigint) AS n,
+              |    cast(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END) as bigint) AS n_correct
+              |  FROM pr2 GROUP BY 1)
+              |SELECT mbin, n, n_correct,
+              |  cast(n_correct as double) / cast(n as double) AS accuracy
+              |FROM cal ORDER BY mbin""".stripMargin)
     )
   )
 }

@@ -71,6 +71,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_nb_confusion",
     "q_nb_metrics",
     "q_nb_kappa",
+    "q_nb_calibration",
     "q_text_textrank",
     "q_bpe_merges",
     "q_bpe_encode",
@@ -111,7 +112,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_sssp", "graph_components", "graph_kcore", "graph_truss",
           "graph_hits", "graph_lpa", "graph_harmonic",
           "graph_effdiam", "graph_sigma", "graph_pathcounts", "graph_between",
-          "graph_seeded", "graph_community", "nb_confusion", "textrank_scores", "bpe_merges",
+          "graph_seeded", "graph_community", "nb_scored", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
           "wordpiece_merges_even", "unigram_vocab_even").foreach { artifact =>

@@ -175,4 +175,59 @@ class NaiveBayesSpec extends AnyFunSuite {
       .toSeq
     assert(got === Seq(("a", "a", 1L)), s"the unseen token must not flip the prediction: $got")
   }
+
+  test("planted calibration: over-confident misclassification lands in a high bin with accuracy 0") {
+    import spark.implicits._
+    // training (even doc_ids): class a speaks 'aa' heavily, class b 'bb'.
+    // held-out (odd doc_ids): doc 1 is pure 'aa' text but LABELED b — the
+    // model misclassifies it as a with a LARGE margin (the planted
+    // over-confidence); doc 3 is one 'bb' token labeled b — correct, with
+    // a smaller margin. The two docs must land in DIFFERENT bins, the
+    // high bin reading accuracy 0.0 and the low one 1.0.
+    val wrong   = "aa aa aa aa aa aa"
+    val correct = "bb"
+    val docs = Seq(
+      (0L, "aa aa aa aa aa aa aa aa", "a", "src", 8L),
+      (2L, "bb bb", "b", "src", 8L),
+      (1L, wrong, "b", "src", 8L),
+      (3L, correct, "b", "src", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = refModel(Seq("a" -> "aa aa aa aa aa aa aa aa", "b" -> "bb bb"))
+    // reference margin: winner total minus runner-up total in 1e-6 nats
+    def refBin(text: String): Long = {
+      val (scores, defaults, priors) = m
+      val totals = priors.keys.toSeq.map { l =>
+        text.split(" ", -1).map(tk => scores.get((l, tk)).map(_._2).getOrElse(defaults(l))).sum +
+          priors(l)
+      }.sorted.reverse
+      math.min((totals(0) - totals(1)) / NaiveBayes.MarginBinUnit, NaiveBayes.MaxMarginBin)
+    }
+    val (binWrong, binCorrect) = (refBin(wrong), refBin(correct))
+    assert(binWrong > binCorrect, s"the planted margins must separate bins: $binWrong vs $binCorrect")
+    val dir = java.nio.file.Files.createTempDirectory("nb-cal-planted").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = NaiveBayes.defs.find(_.name == "q_nb_calibration").get
+      .build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === Seq((binCorrect, 1L, 1L, 1.0), (binWrong, 1L, 0L, 0.0)),
+      s"reliability rows must pin the planted over-confident case: $got")
+  }
+
+  test("planted calibration: a single-class model has no runner-up and reports bin -1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa aa", "a", "src", 8L),
+      (1L, "aa", "a", "src", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("nb-cal-single").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = NaiveBayes.defs.find(_.name == "q_nb_calibration").get
+      .build(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === Seq((-1L, 1L, 1L, 1.0)), s"no-runner-up docs must census under bin -1: $got")
+  }
 }
