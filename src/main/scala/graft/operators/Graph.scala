@@ -1186,8 +1186,12 @@ object Graph {
     (modularityFromStructure(cs), pins)
   }
 
-  /** The 2-row modularity table from a per-community structure frame. */
-  private def modularityFromStructure(cs: DataFrame): DataFrame = {
+  /** The 2-row modularity table from a per-community structure frame —
+    * shared by the batch gate and the streaming community twin
+    * ([[graft.streaming.StreamingCommunity]]), which re-derives the
+    * structure per fold and republishes this readout.
+    */
+  private[graft] def modularityFromStructure(cs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     cs.groupBy(col("partition"))
       .agg(

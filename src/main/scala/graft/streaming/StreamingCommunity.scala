@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming COMMUNITY analytics — the community-census twin that closes
+  * the durable-artifact family: [[StreamingGraph]] folds PR/TrustRank and
+  * [[StreamingCoPurchase]] folds weighted PR + SSSP per batch, but the
+  * LPA communities — and the modularity and conductance readouts that
+  * derive from the build-once `graph_community` structure — went stale
+  * under edge arrivals. Here arriving (order, part) basket rows fold into
+  * a durable store per micro-batch, the thresholded co-purchase edge set
+  * re-derives over the accumulated DISTINCT baskets, and THREE gate
+  * tables republish behind ONE atomic `_CURRENT` flip:
+  *
+  *   - the per-round LPA census (`q_graph_lpa`'s table),
+  *   - the per-community structure frame (`graph_community`'s
+  *     (partition, lbl, n_nodes, vol, intra, cut) schema), from which
+  *   - [[modularity]] (`q_graph_modularity`) and [[conductance]]
+  *     (`q_graph_conductance`) derive at read time — two cheap
+  *     aggregations of the published structure, so one fold feeds three
+  *     gates.
+  *
+  * Layout — the versioned-snapshot shape shared with
+  * [[StreamingCoPurchase]]/[[StreamingIvf]]:
+  * {{{
+  * commDir/
+  *   _CURRENT              # live version pointer (torn flips heal forward)
+  *   baskets/batch_id=7/   # distinct (o, p) rows, one dir per micro-batch
+  *   lpa/v=3/              # per-round LPA census (round, n_labels, max_comm)
+  *   community/v=3/        # per-community structure (both partitions)
+  * }}}
+  * Batch dirs are idempotent overwrites; both v=N+1 tables materialize
+  * before the flip, so a reader never sees a half-written snapshot or
+  * tables from different versions; ONE prior version is retained for
+  * in-flight readers (the retain-one rule).
+  *
+  * DETERMINISM over warm-start (the [[StreamingCoPurchase]] argument):
+  * each fold re-runs the FIXED-4-ROUND integer-argmax label loops
+  * ([[Graph.lpaCensusTracked]] / [[Graph.communityStructureTracked]])
+  * from their node-id inits over the re-derived union edge set — every
+  * label, census row, and structure integer is a pure function of the
+  * accumulated distinct basket SET, so the published tables are
+  * BIT-IDENTICAL to the batch builds on the union corpus (spec-pinned,
+  * with restart continuity). An incremental label fold would NOT be
+  * exact: LPA labels are not additive under edge arrivals (one new edge
+  * can re-route whole communities), which is exactly why the artifact
+  * went stale without this twin.
+  *
+  * The `seeds` frame (node, lbl) is the seeded-spread whitelist — a
+  * PARAMETER, fixed for the stream's lifetime (the batch gate uses
+  * [[Graph.mfgrSeeds]]; the fold must spread the same labels the batch
+  * build spreads for the seeded partition to match).
+  *
+  * Cost shape per fold: the basket re-distinct is one shuffle of the
+  * accumulated (o, p) store; edge re-derivation is the capped basket
+  * explode (sum(min(basket, cap)²)); the label loops are 4 edge-shuffle
+  * joins each. All pinned intermediates are reclaimed once the version's
+  * parquet lands — a long-running stream holds O(1) checkpoint
+  * generations (the tracked-pins discipline).
+  */
+object StreamingCommunity {
+
+  /** Live version, or None before the first fold. */
+  private[graft] def currentVersion(spark: SparkSession, commDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, commDir, "streaming community")
+
+  /** Start the ingest stream over arriving parquet files of (o, p) basket
+    * rows. Per micro-batch: one idempotent `batch_id=N` dir, then the
+    * union edge set re-derives and the LPA census + community structure
+    * republish under the next version — one flip, three readable gates.
+    */
+  def ingest(
+      spark: SparkSession,
+      landingDir: String,
+      commDir: String,
+      checkpoint: String,
+      seeds: DataFrame,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val seedRows = seeds.select(col("node"), col("lbl"))
+    val schema   = org.apache.spark.sql.types.StructType.fromDDL("o BIGINT, p BIGINT")
+    val reader   = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(landingDir)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          batch
+            .select(col("o"), col("p"))
+            .distinct()
+            .write
+            .mode("overwrite")
+            .parquet(s"$commDir/baskets/batch_id=$batchId")
+          // cross-batch distinct: a basket row arriving twice is ONE
+          // (order, part) fact — edge weights stay the union's counts
+          val baskets = Tables.pin(
+            s.read
+              .option("basePath", s"$commDir/baskets")
+              .parquet(s"$commDir/baskets")
+              .select(col("o"), col("p"))
+              .distinct()
+          )
+          // ONE edge materialization feeds both label loops
+          val edges               = Tables.pin(Graph.coPurchaseEdgesFrom(baskets))
+          val (census, censusPins) = Graph.lpaCensusTracked(edges)
+          val v                    = currentVersion(s, commDir).getOrElse(0) + 1
+          census.write.mode("overwrite").parquet(s"$commDir/lpa/v=$v")
+          val (cs, csPins) = Graph.communityStructureTracked(edges, seedRows)
+          cs.write.mode("overwrite").parquet(s"$commDir/community/v=$v")
+          val root = new org.apache.hadoop.fs.Path(commDir)
+          val fs   = Snapshots.fsOf(s, root)
+          Snapshots.writeCurrent(fs, root, v, "streaming community")
+          if (v > 2) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$commDir/lpa/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$commDir/community/v=${v - 2}"), true)
+            ()
+          }
+          (censusPins ++ csPins ++ Seq(edges, baskets)).foreach(Tables.unpin)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  private def readCurrent(spark: SparkSession, commDir: String, table: String): DataFrame = {
+    val v = currentVersion(spark, commDir).getOrElse(
+      throw new IllegalStateException(s"no published $table under $commDir (stream has not folded yet)"))
+    spark.read.parquet(s"$commDir/$table/v=$v")
+  }
+
+  /** The live per-round LPA census — bit-identical to
+    * [[Graph.lpaCensusTracked]] over the co-purchase edges of every
+    * landed basket.
+    */
+  def lpaCensus(spark: SparkSession, commDir: String): DataFrame =
+    readCurrent(spark, commDir, "lpa").orderBy(col("round"))
+
+  /** The live per-community structure table (both partitions) —
+    * bit-identical to [[Graph.communityStructureTracked]] on the union.
+    */
+  def structure(spark: SparkSession, commDir: String): DataFrame =
+    readCurrent(spark, commDir, "community")
+
+  /** The live modularity readout (`q_graph_modularity`'s shape), derived
+    * from the published structure at read time.
+    */
+  def modularity(spark: SparkSession, commDir: String): DataFrame =
+    Graph.modularityFromStructure(structure(spark, commDir))
+
+  /** The live conductance readout (`q_graph_conductance`'s shape),
+    * derived from the published structure at read time.
+    */
+  def conductance(spark: SparkSession, commDir: String): DataFrame =
+    Graph.conductanceFromStructure(structure(spark, commDir))
+}
