@@ -83,7 +83,7 @@ object IvfSimilarity {
     * (still recomputed-from-scratch semantics on first use; Verify checks
     * both queries against independent DuckDB derivations).
     */
-  private def assignments(s: SparkSession, dir: String): DataFrame =
+  private[graft] def assignments(s: SparkSession, dir: String): DataFrame =
     if (Tables.noArtifactCache) buildAssignments(s, dir)
     // durable layout = the actual INVERTED FILE: hive-partitioned by cid,
     // so a probe that filters to the query's cluster reads ~1/K of the
@@ -344,6 +344,61 @@ object IvfSimilarity {
       .orderBy(col("cid"))
   }
 
+  /** Frame-generic 2-Lloyd assignments from any (vec_id, label, embedding)
+    * frame — [[trainCentroids]] + [[assignPass]] over ONE shared pinned
+    * component frame (the pipeline entry point; the gate queries read the
+    * ivf_assignments artifact instead). Returns the assignment frame plus
+    * the pin the caller reclaims once downstream work materializes. The
+    * deterministic first-K init requires vec_ids 0..K-1 present.
+    */
+  private[graft] def assignFrom(emb: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val c = graft.Tables.pin(compFrame(emb))
+    (assignPass(c, trainCentroids(c)), Seq(c))
+  }
+
+  /** SemDeDup GROUP-SURVIVOR drop set — the connected-component variant
+    * of [[semanticDedupStats]]'s greedy per-pair rule (Abbas et al. 2023:
+    * within each k-means cluster, every cosine-≥-threshold duplicate
+    * GROUP keeps exactly one member): CC over the within-cluster pair
+    * graph ([[Dedup.clusters]] pointer-doubling, min-id labels), survivor
+    * = the smallest id of each component, everything else returned as the
+    * (doc_id) rows to DROP. Pair cost is sum(cluster²) with k the scale
+    * lever; the CC runs over the near-linear pair graph, never per
+    * candidate. A component never spans clusters (pairs require equal
+    * cid), so the keep rule is per-cluster by construction.
+    */
+  private[graft] def semanticDropIds(candEmb: DataFrame, a2: DataFrame, threshold: Double): DataFrame =
+    Dedup
+      .clusters(
+        semanticPairs(candEmb, a2, threshold)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id"))
+
+  /** Per-cluster SemDeDup GROUP census (the `q_dedup_semantic_cc` body):
+    * members, duplicate groups (CC components of the within-cluster pair
+    * graph), and dropped rows (group members minus the one survivor each
+    * group keeps). Exposed for the planted duplicate-cluster spec.
+    */
+  private[graft] def semanticCcStats(emb: DataFrame, a2: DataFrame, threshold: Double): DataFrame = {
+    val labels = Dedup.clusters(
+      semanticPairs(emb, a2, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val groups = labels
+      .join(a2.select(col("vec_id").as("doc_id"), col("cid")), "doc_id")
+      .groupBy(col("cid"))
+      .agg(countDistinct(col("label")).as("g"), count(lit(1)).as("grouped"))
+    a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(groups, Seq("cid"), "left")
+      .select(
+        col("cid"),
+        col("n_members"),
+        coalesce(col("g"), lit(0L)).as("n_dup_groups"),
+        (coalesce(col("grouped"), lit(0L)) - coalesce(col("g"), lit(0L))).as("n_dropped"))
+      .orderBy(col("cid"))
+  }
+
   // ---- DuckDB twins (same structure, CTE chain) ----
 
   private val compSql =
@@ -354,7 +409,7 @@ object IvfSimilarity {
       |      (SELECT max(len(embedding)) FROM embeddings))) AS i) dims
       |  WHERE i <= len(embedding))""".stripMargin
 
-  private val assignmentsSql =
+  private[graft] val assignmentsSql =
     s"""$compSql,
        |cent1 AS (
        |  SELECT vec_id AS cid, d, x AS cx FROM comp WHERE vec_id < $K),
@@ -1123,6 +1178,39 @@ object IvfSimilarity {
               |SELECT a2.cid, count(1) AS n_members,
               |  cast(coalesce(min(dr.n_dropped), 0) as bigint) AS n_dropped
               |FROM a2 LEFT JOIN dr USING (cid)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q_dedup_semantic_cc",
+      "SemDeDup GROUP-survivor census (Abbas et al. 2023, the keep-one-per-group composition q_dedup_semantic's greedy rule approximates): within each trained k-means cluster, the cosine >= threshold pair graph's CONNECTED COMPONENTS are the duplicate groups (pointer-doubling CC, min-id labels — a component never spans clusters since pairs require equal cid), each group keeps exactly its smallest-id member; per-cluster (n_members, n_dup_groups, n_dropped) accounting. The oracle states the components as a recursive transitive-closure fixpoint, so the gate proves CC convergence over the semantic pair graph, not a mirrored iteration count; threshold 0.2 at the gate for the q_dedup_embed reason (the synthetic fixture holds no cos >= 0.85 twins, and 0 groups = 0 groups would hide a broken pair join). This is the drop rule CorpusPipeline's semantic stage applies between exact and MinHash near-dup dedup",
+      (s, dir) =>
+        semanticCcStats(
+          Tables.fanout(Tables.embeddings(s, dir)),
+          assignments(s, dir),
+          threshold = 0.2
+        ),
+      Some(s"""WITH RECURSIVE $assignmentsSql,
+              |wc AS (
+              |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)),
+              |pr AS MATERIALIZED (
+              |  SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE round(${Similarity.cosDuck("a.embedding", "b.embedding")}, 6) >= 0.2),
+              |sedges AS (
+              |  SELECT vec_a AS src, vec_b AS dst FROM pr
+              |  UNION ALL SELECT vec_b, vec_a FROM pr),
+              |sreach AS (
+              |  SELECT src AS id, src AS label FROM sedges
+              |  UNION
+              |  SELECT e.src AS id, r.label FROM sedges e JOIN sreach r ON e.dst = r.id),
+              |scc AS (SELECT id, min(label) AS label FROM sreach GROUP BY 1),
+              |g AS (
+              |  SELECT a2.cid, count(DISTINCT scc.label) AS g, count(1) AS grouped
+              |  FROM scc JOIN a2 ON a2.vec_id = scc.id GROUP BY 1)
+              |SELECT a2.cid, count(1) AS n_members,
+              |  cast(coalesce(min(g.g), 0) as bigint) AS n_dup_groups,
+              |  cast(coalesce(min(g.grouped), 0) - coalesce(min(g.g), 0) as bigint) AS n_dropped
+              |FROM a2 LEFT JOIN g USING (cid)
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )

@@ -91,7 +91,7 @@ object Similarity {
     * matching CosineSimilarity's truncate-to-min semantics for (hypothetical)
     * unequal-length vectors.
     */
-  private[operators] def cosDuck(a: String, b: String): String = {
+  private[graft] def cosDuck(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_aggregate(list_transform(generate_series(1, least(len($x), len($y))), k -> cast($x[k] as double) * cast($y[k] as double)), 'sum')"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"

@@ -45,11 +45,11 @@ import org.apache.spark.sql.functions._
   *
   * Returns the per-stage row accounting so callers can assert
   * conservation: n_in = n_dropped_quality + n_dropped_rules +
-  * n_dropped_exact + n_dropped_neardup + n_dropped_containment +
-  * n_dropped_seg_empty + n_dropped_substr_empty + n_out (every optional
-  * stage contributes 0 when disabled; n_segments_dropped and
-  * n_dup_tokens_cut additionally count EDITS to surviving docs — outside
-  * the row conservation).
+  * n_dropped_exact + n_dropped_semantic + n_dropped_neardup +
+  * n_dropped_containment + n_dropped_seg_empty + n_dropped_substr_empty +
+  * n_out (every optional stage contributes 0 when disabled;
+  * n_segments_dropped and n_dup_tokens_cut additionally count EDITS to
+  * surviving docs — outside the row conservation).
   */
 object CorpusPipeline {
 
@@ -64,7 +64,8 @@ object CorpusPipeline {
       nSegmentsDropped: Long = 0L,
       nDroppedSubstrEmpty: Long = 0L,
       nDupTokensCut: Long = 0L,
-      nDroppedContainment: Long = 0L
+      nDroppedContainment: Long = 0L,
+      nDroppedSemantic: Long = 0L
   )
 
   def run(
@@ -79,7 +80,9 @@ object CorpusPipeline {
       exactSubstrMinLen: Option[Int] = None,
       winnowContainment: Boolean = false,
       winnowMinShared: Int = 2,
-      winnowMinOverlap: Double = 0.5
+      winnowMinOverlap: Double = 0.5,
+      semanticEmb: Option[DataFrame] = None,
+      semanticThreshold: Double = 0.85
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -116,6 +119,32 @@ object CorpusPipeline {
       .drop("_fp", "_keep_id")
     val nExact = exact.count()
 
+    // 2b. optional SEMANTIC dedup (SemDeDup, Abbas et al. 2023) — the
+    // embedding-space stage real pipelines run BETWEEN exact and fuzzy
+    // text dedup: paraphrases and translations share no fingerprint or
+    // shingles but sit adjacent in embedding space. Candidates are the
+    // exact survivors that HAVE an embedding (doc_id = vec_id; docs
+    // without one pass through); within each trained k-means cluster,
+    // every cosine >= semanticThreshold duplicate GROUP (CC over the
+    // within-cluster pair graph) keeps only its smallest-id member — the
+    // q_dedup_semantic_cc rule as a pipeline stage. Pair cost is
+    // sum(cluster²) with k the scale lever; the 2-Lloyd assignment is
+    // derived frame-generically from the caller's embedding frame.
+    val (semOut, nSemDropped) = semanticEmb match {
+      case None => (exact, 0L)
+      case Some(emb0) =>
+        val (a2, a2Pins) = graft.operators.IvfSimilarity.assignFrom(emb0)
+        val in      = exact.pin() // candidate filter + the anti-join left side
+        val candEmb = emb0.join(in.select(col("doc_id").as("vec_id")), "vec_id")
+        val out = in
+          .join(graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold), Seq("doc_id"), "left_anti")
+          .pin()
+        val n = out.count()
+        a2Pins.foreach(f => graft.Tables.unpin(f))
+        (out, nExact - n)
+    }
+    val nSem = nExact - nSemDropped
+
     // 3. near-dup dedup: LSH pairs -> components -> drop non-representatives.
     // Default survivor rule: smallest doc_id (= the cluster label). With
     // `keepBestQuality`, the highest composite-quality member wins instead
@@ -124,11 +153,11 @@ object CorpusPipeline {
     // COUNT either way, only the chosen survivor differs; quality scores
     // are reused from stage 1's map-only frame, and the argmax is one
     // aggregate over |clustered docs| rows (no per-cluster window).
-    val pairs  = Dedup.pairsFromSignatures(Dedup.signatures(exact))
+    val pairs  = Dedup.pairsFromSignatures(Dedup.signatures(semOut))
     val labels = Dedup.clusters(pairs) // (doc_id, label = smallest id in component)
     val nearDup =
       if (!keepBestQuality)
-        exact
+        semOut
           .join(labels, Seq("doc_id"), "left_outer")
           .filter(col("label").isNull || col("label") === col("doc_id"))
           .drop("label")
@@ -136,7 +165,7 @@ object CorpusPipeline {
         val best = Dedup
           .bestPerCluster(labels, scored.select(col("doc_id"), col("quality")))
           .select(col("label"), col("keep_id").as("_keep_id"))
-        exact
+        semOut
           .join(labels, Seq("doc_id"), "left_outer")
           .join(best, Seq("label"), "left_outer")
           .filter(col("label").isNull || col("doc_id") === col("_keep_id"))
@@ -284,14 +313,15 @@ object CorpusPipeline {
       nIn = nIn,
       nDroppedQuality = nIn - nKeptQ,
       nDroppedExact = nKeptR - nExact,
-      nDroppedNearDup = nExact - nNear,
+      nDroppedNearDup = nSem - nNear,
       nOut = nFinal,
       nDroppedRules = nKeptQ - nKeptR,
       nDroppedSegEmpty = nSegDocs,
       nSegmentsDropped = nSegsDropped,
       nDroppedSubstrEmpty = nSubEmpty,
       nDupTokensCut = nTokensCut,
-      nDroppedContainment = nContain
+      nDroppedContainment = nContain,
+      nDroppedSemantic = nSemDropped
     )
   }
 
@@ -1088,21 +1118,29 @@ object CorpusPipeline {
   }
 
   /** Side-effect-free funnel CENSUS of the default [[run]] composition
-    * (quality ≥ minQuality → exact dedup on the normalized fingerprint →
-    * LSH near-dup with min-id survivors → deterministic 80/10/10 split):
-    * rows in, rows dropped per stage, rows out per split — the stage
-    * accounting a data-curation run reports, computed through the SAME
-    * building blocks the writing pipeline composes
-    * ([[TextAnalysis.qualityFrame]], [[Dedup.signatures]] →
-    * [[Dedup.pairsFromSignatures]] → [[Dedup.clusters]], the
-    * q_split_assign bucket rule), so the gate pins the pipeline's stage
-    * semantics cross-engine rather than only in scalatest. Tracked: each
-    * stage frame is pinned (its count AND the next stage read it) and
-    * returned for reclaim once the census materializes.
+    * with the semantic stage enabled (quality ≥ minQuality → exact dedup
+    * on the normalized fingerprint → SemDeDup group-survivor drop within
+    * trained k-means clusters → LSH near-dup with min-id survivors →
+    * deterministic 80/10/10 split): rows in, rows dropped per stage, rows
+    * out per split — the stage accounting a data-curation run reports,
+    * computed through the SAME building blocks the writing pipeline
+    * composes ([[TextAnalysis.qualityFrame]],
+    * [[graft.operators.IvfSimilarity.semanticDropIds]],
+    * [[Dedup.signatures]] → [[Dedup.pairsFromSignatures]] →
+    * [[Dedup.clusters]], the q_split_assign bucket rule), so the gate
+    * pins the pipeline's stage semantics cross-engine rather than only in
+    * scalatest. Tracked: each stage frame is pinned (its count AND the
+    * next stage read it) and returned for reclaim once the census
+    * materializes. `emb`/`a2` are the embedding frame and its cluster
+    * assignments (the gate passes the ivf_assignments artifact); docs
+    * without an embedding pass the semantic stage untouched.
     */
   private[graft] def funnelCensusTracked(
       docs0: DataFrame,
-      minQuality: Double = 0.3
+      emb: DataFrame,
+      a2: DataFrame,
+      minQuality: Double = 0.3,
+      semanticThreshold: Double = 0.4
   ): (DataFrame, Seq[DataFrame]) = {
     val docs = docs0.select(col("doc_id"), col("text")).pin()
     val kept = TextAnalysis
@@ -1116,8 +1154,15 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("_keep_id"))
       .select(col("doc_id"), col("text"))
       .pin()
-    val labels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(exact)))
-    val out = exact
+    val candEmb = emb.join(exact.select(col("doc_id").as("vec_id")), "vec_id")
+    val sem = exact
+      .join(
+        graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold),
+        Seq("doc_id"),
+        "left_anti")
+      .pin()
+    val labels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(sem)))
+    val out = sem
       .join(labels, Seq("doc_id"), "left_outer")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"))
@@ -1127,6 +1172,7 @@ object CorpusPipeline {
     val counts = c(docs, "c_in")
       .crossJoin(broadcast(c(kept, "c_q")))
       .crossJoin(broadcast(c(exact, "c_e")))
+      .crossJoin(broadcast(c(sem, "c_s")))
       .crossJoin(broadcast(c(out, "c_o")))
     val stages = counts
       .select(
@@ -1135,7 +1181,8 @@ object CorpusPipeline {
             struct(lit("1_in").as("stage"), col("c_in").as("n")),
             struct(lit("2_dropped_quality").as("stage"), (col("c_in") - col("c_q")).as("n")),
             struct(lit("3_dropped_exact").as("stage"), (col("c_q") - col("c_e")).as("n")),
-            struct(lit("4_dropped_neardup").as("stage"), (col("c_e") - col("c_o")).as("n"))
+            struct(lit("4_dropped_semantic").as("stage"), (col("c_e") - col("c_s")).as("n")),
+            struct(lit("5_dropped_neardup").as("stage"), (col("c_s") - col("c_o")).as("n"))
           )
         ).as("r")
       )
@@ -1143,9 +1190,9 @@ object CorpusPipeline {
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
     val splits = out
       .withColumn("split", when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
-      .groupBy(concat(lit("5_out_"), col("split")).as("stage"))
+      .groupBy(concat(lit("6_out_"), col("split")).as("stage"))
       .agg(count(lit(1)).as("n"))
-    (stages.unionByName(splits), Seq(docs, kept, exact, out))
+    (stages.unionByName(splits), Seq(docs, kept, exact, sem, out))
   }
 
   private val funnelCache =
@@ -1154,17 +1201,21 @@ object CorpusPipeline {
   /** The funnel census as a build-once artifact (it is a deterministic
     * readout over the immutable fixture corpus, like the graph censuses).
     */
-  private def funnelArtifact(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private def funnelArtifact(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def build = funnelCensusTracked(
+      graft.Tables.documents(s, dir),
+      graft.Tables.fanout(graft.Tables.embeddings(s, dir)),
+      graft.operators.IvfSimilarity.assignments(s, dir))
     if (graft.Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(funnelCensusTracked(graft.Tables.documents(s, dir)))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(funnelCache, s, dir, "corpus_funnel", "stage")(
-        funnelCensusTracked(graft.Tables.documents(s, dir)))
+      graft.Artifacts.cachedInTracked(funnelCache, s, dir, "corpus_funnel", "stage")(build)
+  }
 
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
       "q_corpus_funnel",
-      "END-TO-END pipeline funnel census — the stage accounting of CorpusPipeline.run's default composition (quality >= 0.3 -> exact dedup on the normalized fingerprint keeping the min doc_id -> MinHash/LSH near-dup with connected-component min-id survivors -> deterministic content-hash 80/10/10 split), side-effect-free: rows in, rows DROPPED per stage, rows out per split. Composed from the same oracle-checked building blocks the writing pipeline uses (qualityFrame, the capped LSH pair generator, pointer-doubling CC, the q_split_assign bucket rule), each stage pinned once and read twice (its census count + the next stage) — so the DRIVER GATE pins stage COMPOSITION semantics cross-engine, not just each operator in isolation; the oracle chains the same stage rules as materialized CTEs with the CC stated as a recursive transitive-closure fixpoint. Row conservation holds by construction: 1_in = dropped stages + out splits",
+      "END-TO-END pipeline funnel census — the stage accounting of CorpusPipeline.run's composition with the semantic stage enabled (quality >= 0.3 -> exact dedup on the normalized fingerprint keeping the min doc_id -> SemDeDup group-survivor drop within trained k-means clusters (Abbas et al. 2023; the embedding-space stage real pipelines run between exact and fuzzy text dedup; gate threshold 0.4 — the synthetic fixture's cosine tail tops out near 0.5, so 0.4 exercises real drops without the giant components a 0.2 cut creates) -> MinHash/LSH near-dup with connected-component min-id survivors -> deterministic content-hash 80/10/10 split), side-effect-free: rows in, rows DROPPED per stage, rows out per split. Composed from the same oracle-checked building blocks the writing pipeline uses (qualityFrame, the IVF assignments artifact + semanticDropIds, the capped LSH pair generator, pointer-doubling CC, the q_split_assign bucket rule), each stage pinned once and read twice (its census count + the next stage) — so the DRIVER GATE pins stage COMPOSITION semantics cross-engine, not just each operator in isolation; the oracle chains the same stage rules as materialized CTEs with BOTH connected-component stages stated as recursive transitive-closure fixpoints. Row conservation holds by construction: 1_in = dropped stages + out splits",
       (s, dir) => funnelArtifact(s, dir).orderBy(col("stage")),
       Some {
         s"""WITH RECURSIVE ${TextAnalysis.qualityMetricsCteSql},
@@ -1178,9 +1229,28 @@ object CorpusPipeline {
            |  SELECT f.doc_id, f.text FROM fpp f
            |  JOIN (SELECT fpr, min(doc_id) AS keep FROM fpp GROUP BY 1) k
            |    ON k.fpr = f.fpr AND f.doc_id = k.keep),
-           |${Dedup.clustersCteSqlFrom("ex", Seq.empty)},
+           |${graft.operators.IvfSimilarity.assignmentsSql},
+           |wc AS (
+           |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)
+           |  JOIN ex ON ex.doc_id = e.vec_id),
+           |spr AS MATERIALIZED (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE round(${graft.operators.Similarity.cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4),
+           |sedges AS (
+           |  SELECT vec_a AS src, vec_b AS dst FROM spr
+           |  UNION ALL SELECT vec_b, vec_a FROM spr),
+           |sreach AS (
+           |  SELECT src AS id, src AS label FROM sedges
+           |  UNION
+           |  SELECT e.src AS id, r.label FROM sedges e JOIN sreach r ON e.dst = r.id),
+           |scc AS (SELECT id, min(label) AS label FROM sreach GROUP BY 1),
+           |sem AS MATERIALIZED (
+           |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN scc ON scc.id = e.doc_id
+           |  WHERE scc.label IS NULL OR scc.label = e.doc_id),
+           |${Dedup.clustersCteSqlFrom("sem", Seq.empty)},
            |surv AS MATERIALIZED (
-           |  SELECT e.doc_id FROM ex e LEFT JOIN cc ON cc.doc_id = e.doc_id
+           |  SELECT e.doc_id FROM sem e LEFT JOIN cc ON cc.doc_id = e.doc_id
            |  WHERE cc.label IS NULL OR cc.label = e.doc_id),
            |spl AS (
            |  SELECT CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val'
@@ -1193,9 +1263,11 @@ object CorpusPipeline {
            |    (SELECT count(1) FROM documents) - count(1) FROM fq
            |  UNION ALL SELECT '3_dropped_exact',
            |    (SELECT count(1) FROM fq) - count(1) FROM ex
-           |  UNION ALL SELECT '4_dropped_neardup',
-           |    (SELECT count(1) FROM ex) - count(1) FROM surv
-           |  UNION ALL SELECT '5_out_' || split, cast(count(1) as bigint) FROM spl GROUP BY split
+           |  UNION ALL SELECT '4_dropped_semantic',
+           |    (SELECT count(1) FROM ex) - count(1) FROM sem
+           |  UNION ALL SELECT '5_dropped_neardup',
+           |    (SELECT count(1) FROM sem) - count(1) FROM surv
+           |  UNION ALL SELECT '6_out_' || split, cast(count(1) as bigint) FROM spl GROUP BY split
            |) x ORDER BY stage""".stripMargin
       }
     )

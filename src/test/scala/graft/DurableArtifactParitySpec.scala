@@ -48,6 +48,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_sim_pq_ndcg",
     "q_sim_ivfpq_probe",
     "q_dedup_semantic",
+    "q_dedup_semantic_cc",
+    "q_corpus_funnel",
     "q_graph_pagerank",
     "q_graph_trustrank",
     "q_graph_triangles",
@@ -115,7 +117,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_seeded", "graph_community", "nb_scored", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
-          "wordpiece_merges_even", "unigram_vocab_even").foreach { artifact =>
+          "wordpiece_merges_even", "unigram_vocab_even", "corpus_funnel").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }

@@ -197,4 +197,33 @@ class IvfSimilaritySpec extends AnyFunSuite {
     val stats = IvfSimilarity.semanticDedupStats(emb, a2, threshold = 0.9).collect()
     assert(stats.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq === Seq((0, 3L, 2L)))
   }
+
+  test("semantic CC rule: a planted duplicate GROUP keeps exactly its min-id member, unlike greedy") {
+    import spark.implicits._
+    // the case where group-survivor (CC) and greedy differ: 3 is similar
+    // to BOTH 1 and 2, but 1 and 2 are orthogonal — edges (1,3), (2,3)
+    // form ONE component {1,2,3}. Greedy keeps 2 (no smaller-id partner);
+    // the CC rule keeps only the component min 1 and drops {2, 3}.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7071f, 0.7071f)),
+      (4L, Array(-1.0f, 0.0f)) // isolated: below threshold against everything
+    ).toDF("vec_id", "embedding")
+    val a2 = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0)).toDF("vec_id", "cid")
+    val dropped = IvfSimilarity
+      .semanticDropIds(emb, a2, threshold = 0.6)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(dropped === Set(2L, 3L), s"one survivor per component (min id): $dropped")
+    // greedy on the same graph keeps 2 — the rules genuinely differ here
+    val greedy = IvfSimilarity.semanticDedupStats(emb, a2, threshold = 0.6).collect()
+    assert(greedy.map(r => r.getLong(2)).toSeq === Seq(1L),
+      "greedy drops only 3 (the only vector with a smaller-id partner)")
+    val census = IvfSimilarity.semanticCcStats(emb, a2, threshold = 0.6).collect()
+    assert(census.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0, 4L, 1L, 2L)),
+      s"census: 4 members, 1 duplicate group, 2 dropped: ${census.toSeq}")
+  }
 }

@@ -54,18 +54,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
   }
 
   test("funnel census == the writing pipeline's own stage accounting on the same planted corpus") {
-    val out   = Files.createTempDirectory("pipeline-funnel").toString + "/corpus"
-    val stats = CorpusPipeline.run(corpus, out)
+    val out = Files.createTempDirectory("pipeline-funnel").toString + "/corpus"
+    // the funnel includes the semantic stage, so the writing run enables
+    // it with the SAME embedding frame and threshold; planted docs
+    // (900001+) have no embeddings and pass the stage untouched
+    val emb = Tables.fanout(Tables.embeddings(spark, TestSpark.sfDir))
+    val stats =
+      CorpusPipeline.run(corpus, out, semanticEmb = Some(emb), semanticThreshold = 0.4)
+    val (a2, a2Pins) = graft.operators.IvfSimilarity.assignFrom(emb)
     val census = CorpusPipeline
-      .funnelCensusTracked(corpus)._1
+      .funnelCensusTracked(corpus, emb, a2)._1
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toMap
+    a2Pins.foreach(f => Tables.unpin(f))
     assert(census("1_in") === stats.nIn)
     assert(census("2_dropped_quality") === stats.nDroppedQuality, s"$census vs $stats")
     assert(census("3_dropped_exact") === stats.nDroppedExact, s"$census vs $stats")
-    assert(census("4_dropped_neardup") === stats.nDroppedNearDup, s"$census vs $stats")
-    val outSplits = census.collect { case (k, n) if k.startsWith("5_out_") => n }.sum
+    assert(census("4_dropped_semantic") === stats.nDroppedSemantic, s"$census vs $stats")
+    assert(stats.nDroppedSemantic >= 1, s"the semantic stage must drop at this threshold: $stats")
+    assert(census("5_dropped_neardup") === stats.nDroppedNearDup, s"$census vs $stats")
+    val outSplits = census.collect { case (k, n) if k.startsWith("6_out_") => n }.sum
     assert(outSplits === stats.nOut, s"$census vs $stats")
     // the census splits match what the pipeline actually WROTE per split
     val written = spark.read
@@ -73,9 +82,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .groupBy(col("split"))
       .count()
       .collect()
-      .map(r => ("5_out_" + r.getString(0), r.getLong(1)))
+      .map(r => ("6_out_" + r.getString(0), r.getLong(1)))
       .toMap
-    assert(census.filter(_._1.startsWith("5_out_")) === written, s"$census vs $written")
+    assert(census.filter(_._1.startsWith("6_out_")) === written, s"$census vs $written")
   }
 
   test("gopher-rule stage: drops counted in the funnel, survivors satisfy every rule, off by default") {
