@@ -397,15 +397,35 @@ object Similarity {
       minPts: Int = DbscanMinPts
   ): (DataFrame, Seq[DataFrame]) = {
     val pairs = Tables.pin(pairs0.select(col("vec_a"), col("vec_b")))
-    val nbrs = pairs
-      .select(col("vec_a").as("v"), col("vec_b").as("n"))
-      .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("n")))
-    val core = Tables.pin(
-      nbrs
-        .groupBy(col("v"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= minPts)
-        .select(col("v")))
+    // the batch path derives degrees from the pair frame itself; the
+    // streaming twin supplies them from its additive per-batch delta
+    // store instead (the whole point of the split)
+    val degrees = pairs
+      .select(col("vec_a").as("v"))
+      .unionByName(pairs.select(col("vec_b").as("v")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+    val (census, pins) = dbscanBody(pairs, degrees, universe, minPts)
+    (census, pairs +: pins)
+  }
+
+  /** The DBSCAN census body over an ALREADY-PINNED pair frame and an
+    * externally-supplied DEGREE frame (v, deg) that must equal the pair
+    * frame's endpoint census — shared by [[dbscanFromPairsTracked]]
+    * (degrees derived right here from the pairs) and the streaming twin
+    * ([[graft.streaming.StreamingDbscan]]), whose degrees fold additively
+    * from per-batch delta partials so the fold never re-aggregates the
+    * whole pair store. Core status reads ONLY the degree frame; the pair
+    * frame is read once, for the core-core CC subgraph and the
+    * border-assignment join.
+    */
+  private[graft] def dbscanBody(
+      pairs: DataFrame,   // pinned (vec_a, vec_b)
+      degrees: DataFrame, // (v, deg) == the pair frame's endpoint census
+      universe: DataFrame,
+      minPts: Int
+  ): (DataFrame, Seq[DataFrame]) = {
+    val core = Tables.pin(degrees.filter(col("deg") >= minPts).select(col("v")))
     val corePairs = pairs
       .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
       .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
@@ -415,6 +435,9 @@ object Similarity {
       core
         .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"), "left")
         .select(col("v"), coalesce(col("label"), col("v")).as("cluster")))
+    val nbrs = pairs
+      .select(col("vec_a").as("v"), col("vec_b").as("n"))
+      .unionByName(pairs.select(col("vec_b").as("v"), col("vec_a").as("n")))
     val border = nbrs
       .join(core, Seq("v"), "left_anti")
       .join(coreLab.select(col("v").as("n"), col("cluster")), Seq("n"))
@@ -441,7 +464,7 @@ object Similarity {
         lit(0L).as("n_border"),
         col("n_noise").as("n_total"))
     (census.unionByName(noise).orderBy(col("n_total").desc, col("cluster")).limit(100),
-      Seq(pairs, core, coreLab))
+      Seq(core, coreLab))
   }
 
   private[graft] val DbscanMinPts = 2

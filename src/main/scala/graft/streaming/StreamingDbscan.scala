@@ -21,19 +21,34 @@ import org.apache.spark.sql.functions._
   * symmetric (commutative multiplies, same index order), so every stored
   * pair carries the identical rounded score the batch generator
   * ([[Similarity.embedNearDupPairs]]) would compute. Degrees are then
-  * ADDITIVE over the pair store, and the census re-runs the SAME
-  * [[Similarity.dbscanFromPairs]] body (pointer-doubling CC over the
-  * core-core subgraph, O(log diameter) rounds) — so the published census
-  * is BIT-IDENTICAL BY CONSTRUCTION to the batch `q_embed_dbscan` on the
-  * union corpus (spec-pinned, with restart continuity).
+  * ADDITIVE over the arriving pairs — each fold writes this batch's
+  * (vec_id, deg) DELTA partial and re-aggregates the per-batch partials
+  * (the [[StreamingNb]] frequency-store discipline), so core status
+  * never re-reads the pair store — and the census re-runs the SAME
+  * [[Similarity.dbscanBody]] the batch gate runs (pointer-doubling CC
+  * over the core-core subgraph, O(log diameter) rounds) — so the
+  * published census is BIT-IDENTICAL BY CONSTRUCTION to the batch
+  * `q_embed_dbscan` on the union corpus (spec-pinned, with restart
+  * continuity).
+  *
+  * EXACTLY-ONCE per vec_id is ENFORCED, not assumed (r19): the arriving
+  * batch dedups within itself and anti-joins every earlier landed
+  * batch's ids (own dir excluded, so replays regenerate identical
+  * dirs); re-deliveries are dropped and counted as `dup_vec_ids` in
+  * `stats/` — without this a re-delivered id would inflate degrees and
+  * the census universe, and the streamed census could diverge from the
+  * batch gate depending on whether the copies shared a batch.
   *
   * Cost shape per fold: pair generation is |batch| × its blocks (the
   * sum-over-blocks bound, same as the batch generator's sum(block²) but
-  * restricted to the arriving slice); the census pass reads the pair
-  * store once — the price of exact cluster maintenance under arrivals
-  * (merges/splits of clusters cannot be decided locally), and the same
-  * O(|pairs|) a batch rebuild would spend AFTER its much larger pair
-  * scoring.
+  * restricted to the arriving slice); degrees re-aggregate the
+  * vec-shaped delta partials, NOT the pair store; the pair store is
+  * read once, filtered to core-incident pairs for the CC subgraph and
+  * border join — the documented O(|core-incident pairs|) price of exact
+  * cluster maintenance under arrivals (merges/splits of clusters cannot
+  * be decided locally; SCALE.md), and the same pass a batch rebuild
+  * would spend AFTER its much larger pair scoring. The fold's real read
+  * shape is observable: `stats/` carries {degree_rows, cc_pairs_read}.
   *
   * Layout (the versioned-snapshot shape):
   * {{{
@@ -41,12 +56,14 @@ import org.apache.spark.sql.functions._
   *   _CURRENT            # live census version (torn flips heal forward)
   *   vecs/batch_id=3/    # (vec_id, label, embedding, bucket) arrivals
   *   pairs/batch_id=3/   # the NEW blocked pairs this fold, (vec_a < vec_b)
-  *   stats/batch_id=3    # {batch_rows, store_rows, new_pairs} accounting
+  *   deg/batch_id=3/     # this batch's ADDITIVE (vec_id, deg) delta
+  *   stats/batch_id=3    # {batch_rows, dup_vec_ids, store_rows,
+  *                       #  new_pairs, degree_rows, cc_pairs_read}
   *   census/v=2/         # the DBSCAN census table
   * }}}
   * Batch dirs are idempotent overwrites (a replayed batch regenerates the
-  * identical vec and pair dirs from the identical store prefix); census
-  * retains one prior version for in-flight readers.
+  * identical vec, pair and degree-delta dirs from the identical store
+  * prefix); census retains one prior version for in-flight readers.
   */
 object StreamingDbscan {
 
@@ -77,10 +94,31 @@ object StreamingDbscan {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           graft.functions.VectorFunctions.register(s)
+          val root = new org.apache.hadoop.fs.Path(dbscanDir)
+          val fs   = Snapshots.fsOf(s, root)
+          // EXACTLY-ONCE per vec_id, enforced (r18 left it an implicit
+          // contract): the arriving batch dedups within itself AND
+          // anti-joins the vec_ids of every EARLIER landed batch — a
+          // re-delivered id would otherwise inflate degrees and the
+          // census universe. Own dir excluded so a replayed batch
+          // regenerates its dirs identically instead of landing empty.
+          val vecsBase = new org.apache.hadoop.fs.Path(s"$dbscanDir/vecs")
+          val deduped  = batch.dropDuplicates("vec_id").toDF()
+          val fresh =
+            if (fs.exists(vecsBase))
+              deduped.join(
+                s.read
+                  .option("basePath", s"$dbscanDir/vecs")
+                  .parquet(s"$dbscanDir/vecs")
+                  .filter(col("batch_id") =!= batchId)
+                  .select(col("vec_id")),
+                Seq("vec_id"),
+                "left_anti")
+            else deduped
           // land the batch under its blocking key (identical key to the
           // batch pair generator — the fold's exactness hinges on it)
           Similarity
-            .withBlockKey(batch.dropDuplicates("vec_id").toDF())
+            .withBlockKey(fresh)
             .write
             .mode("overwrite")
             .parquet(s"$dbscanDir/vecs/batch_id=$batchId")
@@ -109,34 +147,71 @@ object StreamingDbscan {
             .write
             .mode("overwrite")
             .parquet(s"$dbscanDir/pairs/batch_id=$batchId")
-          // census: the SAME dbscanFromPairs body the batch gate runs,
-          // over the accumulated pair store and the full vector universe
-          val allPairs = s.read
-            .option("basePath", s"$dbscanDir/pairs")
-            .parquet(s"$dbscanDir/pairs")
+          // ADDITIVE degree delta (r19: the incremental-degree trim):
+          // each new pair adds 1 to both endpoints, so this batch's
+          // (vec_id, deg) partial is a pure idempotent function of the
+          // landed dirs — the StreamingNb frequency-store discipline.
+          // The fold's degree frame re-aggregates the per-batch partials
+          // (one row per (batch, touched vec) — vec-shaped), so the
+          // whole PAIR store is no longer read for degrees.
+          val newPairs = Tables.pin(s.read.parquet(s"$dbscanDir/pairs/batch_id=$batchId"))
+          newPairs
+            .select(col("vec_a").as("v"))
+            .unionByName(newPairs.select(col("vec_b").as("v")))
+            .groupBy(col("v"))
+            .agg(count(lit(1)).as("deg"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$dbscanDir/deg/batch_id=$batchId")
+          val degrees = Tables.pin(
+            s.read
+              .option("basePath", s"$dbscanDir/deg")
+              .parquet(s"$dbscanDir/deg")
+              .groupBy(col("v"))
+              .agg(sum(col("deg")).as("deg")))
+          // census: the SAME dbscanBody the batch gate runs, with core
+          // status from the folded degree store; the pair store is read
+          // ONCE — for the core-core CC subgraph and the border join —
+          // the documented O(|core-incident pairs|) price of exact
+          // cluster maintenance under arrivals (SCALE.md)
+          val allPairs = Tables.pin(
+            s.read
+              .option("basePath", s"$dbscanDir/pairs")
+              .parquet(s"$dbscanDir/pairs")
+              .select(col("vec_a"), col("vec_b")))
           val v = currentVersion(s, dbscanDir).getOrElse(0) + 1
           val (censusFrame, censusPins) =
-            Similarity.dbscanFromPairsTracked(allPairs, store.select(col("vec_id")), minPts)
+            Similarity.dbscanBody(allPairs, degrees, store.select(col("vec_id")), minPts)
           censusFrame.write.mode("overwrite").parquet(s"$dbscanDir/census/v=$v")
-          val root = new org.apache.hadoop.fs.Path(dbscanDir)
-          val fs   = Snapshots.fsOf(s, root)
           val statsDir = new org.apache.hadoop.fs.Path(s"$dbscanDir/stats")
           fs.mkdirs(statsDir)
+          // observability: dup_vec_ids makes a violated delivery contract
+          // visible; degree_rows/cc_pairs_read expose the fold's real
+          // read shape (vec-shaped degrees, core-incident CC pairs)
+          val core = degrees.filter(col("deg") >= minPts).select(col("v"))
+          val ccPairsRead = allPairs
+            .join(core.withColumnRenamed("v", "vec_a"), Seq("vec_a"), "left_semi")
+            .join(core.withColumnRenamed("v", "vec_b"), Seq("vec_b"), "left_semi")
+            .count()
           val statsJson =
             s"""{"batch_id":$batchId,"batch_rows":${batchVecs.count()},""" +
+              s""""dup_vec_ids":${deduped.count() - batchVecs.count()},""" +
               s""""store_rows":${store.count()},""" +
-              s""""new_pairs":${s.read.parquet(s"$dbscanDir/pairs/batch_id=$batchId").count()}}"""
+              s""""new_pairs":${newPairs.count()},""" +
+              s""""degree_rows":${degrees.count()},""" +
+              s""""cc_pairs_read":$ccPairsRead}"""
           val statsOut = fs.create(new org.apache.hadoop.fs.Path(statsDir, s"batch_id=$batchId"), true)
           try statsOut.write(statsJson.getBytes("UTF-8"))
           finally statsOut.close()
           Snapshots.writeCurrent(fs, root, v, "streaming dbscan")
-          // retain-one for the census; vec and pair dirs are the fold's
-          // durable state (they ARE the index), never reclaimed
+          // retain-one for the census; vec, pair and degree-delta dirs
+          // are the fold's durable state (they ARE the index), never
+          // reclaimed
           if (v > 2) {
             fs.delete(new org.apache.hadoop.fs.Path(s"$dbscanDir/census/v=${v - 2}"), true)
             ()
           }
-          (batchVecs +: censusPins).foreach(Tables.unpin)
+          (Seq(batchVecs, newPairs, degrees, allPairs) ++ censusPins).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)

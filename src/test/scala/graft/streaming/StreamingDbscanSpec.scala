@@ -68,5 +68,47 @@ class StreamingDbscanSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$store/stats/batch_id=2")), "UTF-8")
     val om = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s2)
     assert(om.get("store_rows").asLong === n, "the vec store holds exactly the landed union")
+    // the incremental-degree fold's read shape is observable: degree rows
+    // are vec-shaped (bounded by the universe), the CC pass reads only
+    // core-incident pairs, and per-batch degree-delta dirs exist
+    assert(om.get("degree_rows").asLong <= n, "degrees are vec-shaped, never pair-shaped")
+    assert(om.get("degree_rows").asLong > 0L)
+    assert(om.get("cc_pairs_read").asLong >= 0L)
+    assert(om.get("dup_vec_ids").asLong === 0L, "no re-deliveries in this scenario")
+    (0 to 2).foreach { b =>
+      assert(new java.io.File(s"$store/deg/batch_id=$b").exists, s"degree delta for batch $b")
+    }
+  }
+
+  test("re-delivered vec_ids across batches are dropped, counted, and leave the census exact") {
+    val dir     = Files.createTempDirectory("streaming-dbscan-redeliver").toString
+    val landing = s"$dir/landing"
+    val store   = s"$dir/dbscan"
+    val emb = graft.Tables
+      .embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding", "label")
+    import org.apache.spark.sql.functions.col
+    val b1 = emb.filter(col("vec_id") % 2 === 0)
+    // batch 2 re-delivers HALF of batch 1 alongside its genuinely new rows
+    val b2 = emb.filter(col("vec_id") % 2 === 1).unionByName(b1.filter(col("vec_id") % 4 === 0))
+
+    b1.coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamingDbscan.ingest(spark, landing, store, s"$dir/ckpt", maxFilesPerTrigger = Some(1))
+    try {
+      q.processAllAvailable()
+      b2.coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the census equals the batch gate on the DISTINCT union — the
+    // re-deliveries neither inflate degrees nor the noise universe
+    assert(censusRows(StreamingDbscan.census(spark, store)) === batchCensus(emb),
+      "re-delivered ids must not perturb the census")
+    val s1 = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$store/stats/batch_id=1")), "UTF-8")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s1)
+    assert(om.get("dup_vec_ids").asLong === b1.filter(col("vec_id") % 4 === 0).count(),
+      s"every re-delivered id is counted: $s1")
+    assert(om.get("store_rows").asLong === emb.count(), "the store holds each vec exactly once")
   }
 }
