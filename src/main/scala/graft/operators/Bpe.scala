@@ -188,13 +188,16 @@ object Bpe {
     * 6-round training loop. The tracked build reclaims the per-round
     * argmax pins once the table is materialized.
     */
-  private[graft] def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private[graft] def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // the corpus-sized collapse comes from the SHARED seq_freq artifact
+    // (r19 cold-budget trim); generation 0 is a pinIter copy of it, which
+    // the loop reclaims without touching the shared frame
+    def build = trainMergesWeightedTracked(Tables.pinIter(TextShared.seqFreq(s, dir)), Rounds)
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainMergesTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(mergesCache, s, dir, "bpe_merges", "round")(
-        trainMergesTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.cachedInTracked(mergesCache, s, dir, "bpe_merges", "round")(build)
+  }
 
   private val mergesEvenCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
@@ -206,17 +209,15 @@ object Bpe {
     * vocab drives the encode) is unchanged, the cold build still trains
     * and hash-matches the oracle's re-derivation.
     */
-  private[graft] def trainedMergesEven(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private[graft] def trainedMergesEven(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // the even-half collapse is the seq_freq_even artifact, SHARED with
+    // the WordPiece and Unigram held-out trainers (r19 cold-budget trim)
+    def build = trainMergesWeightedTracked(Tables.pinIter(TextShared.seqFreqEven(s, dir)), Rounds)
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainMergesTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "bpe_merges_even", "round")(
-        trainMergesTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "bpe_merges_even", "round")(build)
+  }
 
   /** Tokenizer APPLY — the other half of shipping a tokenizer: encode a
     * corpus with an ALREADY-TRAINED merge table (round, a, b, ...),

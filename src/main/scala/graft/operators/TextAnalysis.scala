@@ -348,10 +348,18 @@ object TextAnalysis {
       dir: String
   ): org.apache.spark.sql.DataFrame =
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(buildTextrankTracked(Tables.fanout(Tables.documents(s, dir))))
+      graft.Artifacts.materializeTracked {
+        // shared seq_freq artifact as the frequency input (r19 trim)
+        val f              = graft.Tables.pinIter(TextShared.seqFreq(s, dir))
+        val (scores, pins) = buildTextrankFromFreqTracked(f)
+        (scores, pins :+ f)
+      }
     else
-      graft.Artifacts.cachedInTracked(textrankCache, s, dir, "textrank_scores", "node")(
-        buildTextrankTracked(Tables.fanout(Tables.documents(s, dir))))
+      graft.Artifacts.cachedInTracked(textrankCache, s, dir, "textrank_scores", "node") {
+        val f              = graft.Tables.pinIter(TextShared.seqFreq(s, dir))
+        val (scores, pins) = buildTextrankFromFreqTracked(f)
+        (scores, pins :+ f)
+      }
 
   /** Input columns + quality metrics (`n_tok`, `n_char`, `avg_tok_len`,
     * `punct_ratio`, `stop_ratio`, `quality`) — shared by query and tests.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared text primitives for the dedup / text-analysis operators, kept as
@@ -65,6 +65,51 @@ object TextShared {
           )
       )
     )
+
+  // ---- Shared distinct-sequence frequency artifacts ----
+
+  /** The space-padded (s, w) DISTINCT-SEQUENCE frequency collapse — the
+    * ONE corpus-sized pass all three tokenizer trainers (BPE, WordPiece,
+    * Unigram) and the TextRank builder start from.
+    */
+  private[graft] def seqFreqFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(concat(lit(" "), col("text"), lit(" ")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("w"))
+
+  private val freqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val freqEvenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[seqFreqFrom]] over the full fixture corpus as a BUILD-ONCE artifact
+    * (seq_freq) — r19 cold-budget trim: before this, EACH of the BPE /
+    * WordPiece / Unigram / TextRank artifact builds re-ran the corpus
+    * collapse (scan + shuffle); now the first build pays it and the rest
+    * read the |distinct sequences|-shaped frame back. Consumers take a
+    * [[graft.Tables.pinIter]] COPY as their loop's generation 0 so the
+    * shared frame itself is never unpinned by a trainer's reclaim
+    * discipline.
+    */
+  private[graft] def seqFreq(s: SparkSession, dir: String): DataFrame =
+    if (graft.Tables.noArtifactCache)
+      seqFreqFrom(graft.Tables.fanout(graft.Tables.documents(s, dir)))
+    else
+      graft.Artifacts.cachedIn(freqCache, s, dir, "seq_freq", "s")(
+        seqFreqFrom(graft.Tables.fanout(graft.Tables.documents(s, dir))))
+
+  /** [[seqFreq]] over the even-doc_id TRAINING half (seq_freq_even) — the
+    * shared input of the three `*_encode_heldout` trainers.
+    */
+  private[graft] def seqFreqEven(s: SparkSession, dir: String): DataFrame =
+    if (graft.Tables.noArtifactCache)
+      seqFreqFrom(graft.Tables.fanout(
+        graft.Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)))
+    else
+      graft.Artifacts.cachedIn(freqEvenCache, s, dir, "seq_freq_even", "s")(
+        seqFreqFrom(graft.Tables.fanout(
+          graft.Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))))
 
   // ---- DuckDB side (SQL text) ----
 

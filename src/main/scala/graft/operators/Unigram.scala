@@ -329,12 +329,20 @@ object Unigram {
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): DataFrame =
+  {
+    // shared seq_freq artifact as generation 0 (r19 cold-budget trim):
+    // the pinIter copy is returned with the loop's pins (the unigram loop
+    // never unpins generation 0 itself), so the shared frame stays live
+    def build = {
+      val seqs0         = Tables.pinIter(TextShared.seqFreq(s, dir))
+      val (vocab, pins) = trainUnigramWeightedTracked(seqs0, Rounds)
+      (vocab, seqs0 +: pins)
+    }
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainUnigramTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(vocabCache, s, dir, "unigram_vocab", "g")(
-        trainUnigramTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.cachedInTracked(vocabCache, s, dir, "unigram_vocab", "g")(build)
+  }
 
   private val vocabEvenCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
@@ -347,16 +355,18 @@ object Unigram {
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): DataFrame =
+  {
+    // shared seq_freq_even artifact (r19 cold-budget trim)
+    def build = {
+      val seqs0         = Tables.pinIter(TextShared.seqFreqEven(s, dir))
+      val (vocab, pins) = trainUnigramWeightedTracked(seqs0, Rounds)
+      (vocab, seqs0 +: pins)
+    }
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainUnigramTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(vocabEvenCache, s, dir, "unigram_vocab_even", "g")(
-        trainUnigramTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.cachedInTracked(vocabEvenCache, s, dir, "unigram_vocab_even", "g")(build)
+  }
 
   /** Viterbi APPLY against a frozen trained vocab: segment each DISTINCT
     * text (vocabulary-shaped work, the [[Bpe.encodeWithMerges]] contract)

@@ -273,12 +273,16 @@ object WordPiece {
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): DataFrame =
+  {
+    // shared seq_freq artifact as generation 0 (r19 cold-budget trim) —
+    // a pinIter copy, reclaimed by the loop without touching the artifact
+    def build =
+      trainWordPieceWeightedTracked(Tables.pinIter(TextShared.seqFreq(s, dir)), Rounds)
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainWordPieceTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(mergesCache, s, dir, "wordpiece_merges", "round")(
-        trainWordPieceTracked(Tables.fanout(Tables.documents(s, dir)), Rounds))
+      graft.Artifacts.cachedInTracked(mergesCache, s, dir, "wordpiece_merges", "round")(build)
+  }
 
   private val mergesEvenCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
@@ -290,16 +294,15 @@ object WordPiece {
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): DataFrame =
+  {
+    // shared seq_freq_even artifact (r19 cold-budget trim)
+    def build =
+      trainWordPieceWeightedTracked(Tables.pinIter(TextShared.seqFreqEven(s, dir)), Rounds)
     if (Tables.noArtifactCache)
-      graft.Artifacts.materializeTracked(
-        trainWordPieceTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "wordpiece_merges_even", "round")(
-        trainWordPieceTracked(
-          Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)),
-          Rounds))
+      graft.Artifacts.cachedInTracked(mergesEvenCache, s, dir, "wordpiece_merges_even", "round")(build)
+  }
 
   // ── oracle SQL ─────────────────────────────────────────────────────────
 

@@ -117,7 +117,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_seeded", "graph_community", "nb_scored", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
-          "wordpiece_merges_even", "unigram_vocab_even", "corpus_funnel").foreach { artifact =>
+          "wordpiece_merges_even", "unigram_vocab_even", "corpus_funnel",
+          "seq_freq", "seq_freq_even").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
