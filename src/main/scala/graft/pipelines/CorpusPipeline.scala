@@ -130,15 +130,34 @@ object CorpusPipeline {
     // q_dedup_semantic_cc rule as a pipeline stage. Pair cost is
     // sum(cluster²) with k the scale lever; the 2-Lloyd assignment is
     // derived frame-generically from the caller's embedding frame.
+    // Survivor rule mirrors the near-dup stage's: smallest id by default,
+    // the highest-quality group member with `keepBestQuality` (same drop
+    // COUNT either way — only the chosen survivor differs; quality scores
+    // reuse stage 1's map-only frame).
     val (semOut, nSemDropped) = semanticEmb match {
       case None => (exact, 0L)
       case Some(emb0) =>
         val (a2, a2Pins) = graft.operators.IvfSimilarity.assignFrom(emb0)
         val in      = exact.pin() // candidate filter + the anti-join left side
         val candEmb = emb0.join(in.select(col("doc_id").as("vec_id")), "vec_id")
-        val out = in
-          .join(graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold), Seq("doc_id"), "left_anti")
-          .pin()
+        val dropIds =
+          if (!keepBestQuality)
+            graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold)
+          else {
+            val semLabels = Dedup.clusters(
+              graft.operators.IvfSimilarity
+                .semanticPairs(candEmb, a2, semanticThreshold)
+                .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+            semLabels
+              .join(
+                Dedup
+                  .bestPerCluster(semLabels, scored.select(col("doc_id"), col("quality")))
+                  .select(col("label"), col("keep_id")),
+                Seq("label"))
+              .filter(col("doc_id") =!= col("keep_id"))
+              .select(col("doc_id"))
+          }
+        val out = in.join(dropIds, Seq("doc_id"), "left_anti").pin()
         val n = out.count()
         a2Pins.foreach(f => graft.Tables.unpin(f))
         (out, nExact - n)

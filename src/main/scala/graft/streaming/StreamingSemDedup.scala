@@ -1,0 +1,161 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.IvfSimilarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming SEMANTIC DEDUP — the streaming twin of the r19 SemDeDup
+  * stage (`q_dedup_semantic_cc` / CorpusPipeline stage 2b), closing the
+  * batch-stage-gets-a-streaming-twin discipline the round it shipped:
+  * arriving (vec_id, embedding, label) rows land in a durable store per
+  * micro-batch, and each fold republishes BOTH SemDeDup gate tables —
+  * the per-cluster group census and the survivor id set — behind one
+  * atomic `_CURRENT` flip.
+  *
+  * WHY THE FOLD RE-DERIVES (the [[StreamingCommunity]] argument, not the
+  * [[StreamingDbscan]] one): DBSCAN's blocked pair set is incremental
+  * because its blocking key (label, LSH bucket) is a pure per-row
+  * function — a landed pair never changes. SemDeDup's blocking key is
+  * the TRAINED k-means assignment, and centroids move as vectors arrive:
+  * an old pair can leave its cluster and a new pair can appear between
+  * two old vectors, so no per-batch pair store is exact. Each fold
+  * therefore re-runs the deterministic 2-Lloyd assignment
+  * ([[IvfSimilarity.assignFrom]] — deterministic in the row SET) over
+  * the accumulated distinct store and re-censuses, making the published
+  * tables BIT-IDENTICAL BY CONSTRUCTION to the batch
+  * [[IvfSimilarity.semanticCcStats]] / [[IvfSimilarity.semanticDropIds]]
+  * on the union corpus (spec-pinned, with restart continuity). A
+  * production deployment that prefers incremental folds freezes the
+  * centroids between retrains and accepts assignment drift — exactly
+  * the [[StreamingIvf]] split; this twin is the EXACT end of that
+  * trade.
+  *
+  * EXACTLY-ONCE per vec_id is enforced the [[StreamingDbscan]] way: the
+  * arriving batch dedups within itself and anti-joins earlier landed
+  * ids (own dir excluded so replays regenerate identical dirs);
+  * re-deliveries are counted as `dup_vec_ids` in `stats/`.
+  *
+  * Layout (the versioned-snapshot shape):
+  * {{{
+  * semDir/
+  *   _CURRENT            # live version pointer (torn flips heal forward)
+  *   vecs/batch_id=3/    # (vec_id, embedding, label) arrivals
+  *   stats/batch_id=3    # {batch_rows, dup_vec_ids, store_rows}
+  *   census/v=2/         # per-cluster (cid, n_members, n_dup_groups, n_dropped)
+  *   dropped/v=2/        # the (doc_id) rows the survivor rule removes
+  * }}}
+  * Cost shape per fold: one 2-Lloyd assignment over the store (two
+  * broadcast-centroid distance passes), sum(cluster²) pair scoring, CC
+  * over the near-linear pair graph — the batch stage's own cost, paid at
+  * fold cadence; k is the scale lever exactly as in the batch stage.
+  * CONSTRAINT inherited from the deterministic first-K init: vec_ids
+  * 0..K-1 must be present in the FIRST batch (the training-set-as-ids
+  * convention [[StreamingIvf]] documents).
+  */
+object StreamingSemDedup {
+
+  /** Live version, or None before the first fold. */
+  private[graft] def currentVersion(spark: SparkSession, semDir: String): Option[Int] =
+    Snapshots.currentVersion(spark, semDir, "streaming semdedup")
+
+  /** Start the ingest stream over arriving parquet (vec_id, embedding,
+    * label) rows. `threshold` defaults to the `q_dedup_semantic_cc` gate
+    * constant.
+    */
+  def ingest(
+      spark: SparkSession,
+      landingDir: String,
+      semDir: String,
+      checkpoint: String,
+      threshold: Double = 0.2,
+      maxFilesPerTrigger: Option[Int] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    val reader = spark.readStream.schema(schema)
+    val stream =
+      maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(landingDir)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.functions.VectorFunctions.register(s)
+          val root = new org.apache.hadoop.fs.Path(semDir)
+          val fs   = Snapshots.fsOf(s, root)
+          val vecsBase = new org.apache.hadoop.fs.Path(s"$semDir/vecs")
+          val deduped  = batch.dropDuplicates("vec_id").toDF()
+          val fresh =
+            if (fs.exists(vecsBase))
+              deduped.join(
+                s.read
+                  .option("basePath", s"$semDir/vecs")
+                  .parquet(s"$semDir/vecs")
+                  .filter(col("batch_id") =!= batchId)
+                  .select(col("vec_id")),
+                Seq("vec_id"),
+                "left_anti")
+            else deduped
+          fresh
+            .select(col("vec_id"), col("embedding"), col("label"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$semDir/vecs/batch_id=$batchId")
+          val store = Tables.pin(
+            s.read
+              .option("basePath", s"$semDir/vecs")
+              .parquet(s"$semDir/vecs")
+              .select(col("vec_id"), col("embedding"), col("label")))
+          // re-derive: deterministic 2-Lloyd assignment over the union
+          // store, then the SAME census/survivor bodies the batch gate
+          // runs — bit-identity by construction
+          val (a2, a2Pins) = IvfSimilarity.assignFrom(store)
+          val a2p          = Tables.pin(a2) // census + drop set both read it
+          val census       = IvfSimilarity.semanticCcStats(store, a2p, threshold)
+          val v            = currentVersion(s, semDir).getOrElse(0) + 1
+          census.write.mode("overwrite").parquet(s"$semDir/census/v=$v")
+          IvfSimilarity
+            .semanticDropIds(store, a2p, threshold)
+            .write
+            .mode("overwrite")
+            .parquet(s"$semDir/dropped/v=$v")
+          val statsDir = new org.apache.hadoop.fs.Path(s"$semDir/stats")
+          fs.mkdirs(statsDir)
+          val statsJson =
+            s"""{"batch_id":$batchId,"batch_rows":${fresh.count()},""" +
+              s""""dup_vec_ids":${deduped.count() - fresh.count()},""" +
+              s""""store_rows":${store.count()}}"""
+          val statsOut = fs.create(new org.apache.hadoop.fs.Path(statsDir, s"batch_id=$batchId"), true)
+          try statsOut.write(statsJson.getBytes("UTF-8"))
+          finally statsOut.close()
+          Snapshots.writeCurrent(fs, root, v, "streaming semdedup")
+          if (v > 2) {
+            fs.delete(new org.apache.hadoop.fs.Path(s"$semDir/census/v=${v - 2}"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$semDir/dropped/v=${v - 2}"), true)
+            ()
+          }
+          (a2Pins ++ Seq(a2p, store)).foreach(Tables.unpin)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  private def readCurrent(spark: SparkSession, semDir: String, table: String): DataFrame = {
+    val v = currentVersion(spark, semDir).getOrElse(
+      throw new IllegalStateException(s"no published $table under $semDir (stream has not folded yet)"))
+    spark.read.parquet(s"$semDir/$table/v=$v")
+  }
+
+  /** The live per-cluster group census — bit-identical to the batch
+    * [[IvfSimilarity.semanticCcStats]] on the union of landed vectors.
+    */
+  def census(spark: SparkSession, semDir: String): DataFrame =
+    readCurrent(spark, semDir, "census").orderBy(col("cid"))
+
+  /** The live drop set — bit-identical to
+    * [[IvfSimilarity.semanticDropIds]] on the union.
+    */
+  def dropped(spark: SparkSession, semDir: String): DataFrame =
+    readCurrent(spark, semDir, "dropped")
+}

@@ -87,6 +87,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(census.filter(_._1.startsWith("6_out_")) === written, s"$census vs $written")
   }
 
+  test("semantic stage survivor rule: min-id by default, the cleaner copy with keepBestQuality") {
+    // 10 docs with parallel planted embeddings: ids 0..7 are the 8 unit
+    // axes (the deterministic first-K k-means seeds — mutually orthogonal
+    // and >= 0.9 from nobody), ids 8 and 9 are near-identical diagonal
+    // vectors (cos ~ 1) that land in one cluster and form the ONLY
+    // semantic pair at threshold 0.9. Doc 9's text is cleaner than doc
+    // 8's, so the two survivor rules genuinely pick different copies.
+    def axis(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)
+    val diag1 = Array.tabulate(8)(j => if (j < 2) 0.7071f else 0.0f)
+    val diag2 = Array.tabulate(8)(j => if (j < 2) 0.7065f else 0.02f)
+    val emb = ((0 to 7).map(i => (i.toLong, axis(i), 0)) ++
+      Seq((8L, diag1, 0), (9L, diag2, 0))).toDF("vec_id", "embedding", "label")
+    val texts = (0 to 7).map(i => (i.toLong, s"filler sentence number $i about topic $i only", "en", "p")) ++ Seq(
+      (8L, "noisy !!! draft ### copy $$$ with ??? junk %%% markers", "en", "p"),
+      (9L, "the quick brown fox jumps over the lazy dog while the cat watches from the windowsill", "en", "p"))
+    val docs = texts.toDF("doc_id", "text", "lang", "source")
+    // sanity: the quality scorer really prefers doc 9
+    val q = graft.operators.TextAnalysis.qualityFrame(docs)
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(9L) > q(8L), s"planted quality order must hold: $q")
+
+    def survivors(keepBest: Boolean): (CorpusPipeline.Stats, Set[Long]) = {
+      val out = Files.createTempDirectory("pipeline-sem-keep").toString + "/corpus"
+      val stats = CorpusPipeline.run(docs, out, minQuality = 0.0,
+        semanticEmb = Some(emb), semanticThreshold = 0.9, keepBestQuality = keepBest)
+      (stats, spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+    val (sMin, minIds) = survivors(keepBest = false)
+    assert(sMin.nDroppedSemantic === 1L, s"exactly the planted pair collapses: $sMin")
+    assert(minIds.contains(8L) && !minIds.contains(9L), s"min-id keeps 8: $minIds")
+    val (sBest, bestIds) = survivors(keepBest = true)
+    assert(sBest.nDroppedSemantic === 1L, s"same drop COUNT under either rule: $sBest")
+    assert(bestIds.contains(9L) && !bestIds.contains(8L), s"keepBestQuality keeps the cleaner 9: $bestIds")
+  }
+
   test("gopher-rule stage: drops counted in the funnel, survivors satisfy every rule, off by default") {
     val out = Files.createTempDirectory("pipeline-gopher").toString + "/corpus"
     val stats = CorpusPipeline.run(corpus, out, gopherRules = true)
