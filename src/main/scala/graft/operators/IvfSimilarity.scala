@@ -368,19 +368,38 @@ object IvfSimilarity {
     * cid), so the keep rule is per-cluster by construction.
     */
   private[graft] def semanticDropIds(candEmb: DataFrame, a2: DataFrame, threshold: Double): DataFrame =
-    Dedup
-      .clusters(
-        semanticPairs(candEmb, a2, threshold)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .filter(col("label") =!= col("doc_id"))
-      .select(col("doc_id"))
+    semanticDropIdsTracked(candEmb, a2, threshold)._1
+
+  /** [[semanticDropIds]] returning the pinned CC label frame for reclaim
+    * by the caller once its consumer materializes ([[Dedup.clusters]]
+    * hands back a PINNED frame; the per-fold streaming twin and the
+    * pipeline stage must not leak one label-frame pin per invocation).
+    */
+  private[graft] def semanticDropIdsTracked(
+      candEmb: DataFrame,
+      a2: DataFrame,
+      threshold: Double
+  ): (DataFrame, Seq[DataFrame]) = {
+    val labels = Dedup.clusters(
+      semanticPairs(candEmb, a2, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    (labels.filter(col("label") =!= col("doc_id")).select(col("doc_id")), Seq(labels))
+  }
 
   /** Per-cluster SemDeDup GROUP census (the `q_dedup_semantic_cc` body):
     * members, duplicate groups (CC components of the within-cluster pair
     * graph), and dropped rows (group members minus the one survivor each
-    * group keeps). Exposed for the planted duplicate-cluster spec.
+    * group keeps). Exposed for the planted duplicate-cluster spec; the
+    * gate reads it through the build-once `semantic_cc` artifact.
     */
-  private[graft] def semanticCcStats(emb: DataFrame, a2: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def semanticCcStats(emb: DataFrame, a2: DataFrame, threshold: Double): DataFrame =
+    semanticCcStatsTracked(emb, a2, threshold)._1
+
+  private[graft] def semanticCcStatsTracked(
+      emb: DataFrame,
+      a2: DataFrame,
+      threshold: Double
+  ): (DataFrame, Seq[DataFrame]) = {
     val labels = Dedup.clusters(
       semanticPairs(emb, a2, threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -388,7 +407,8 @@ object IvfSimilarity {
       .join(a2.select(col("vec_id").as("doc_id"), col("cid")), "doc_id")
       .groupBy(col("cid"))
       .agg(countDistinct(col("label")).as("g"), count(lit(1)).as("grouped"))
-    a2.groupBy(col("cid"))
+    val census = a2
+      .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"))
       .join(groups, Seq("cid"), "left")
       .select(
@@ -397,6 +417,21 @@ object IvfSimilarity {
         coalesce(col("g"), lit(0L)).as("n_dup_groups"),
         (coalesce(col("grouped"), lit(0L)) - coalesce(col("g"), lit(0L))).as("n_dropped"))
       .orderBy(col("cid"))
+    (census, Seq(labels))
+  }
+
+  private val semCcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The per-cluster group census as a build-once artifact (semantic_cc)
+    * — the census-artifact treatment every deterministic readout gets
+    * (2.3 s of pair scoring + CC per warm call otherwise).
+    */
+  private def semanticCcArtifact(s: SparkSession, dir: String): DataFrame = {
+    def build =
+      semanticCcStatsTracked(Tables.fanout(Tables.embeddings(s, dir)), assignments(s, dir), 0.2)
+    if (Tables.noArtifactCache) graft.Artifacts.materializeTracked(build)
+    else graft.Artifacts.cachedInTracked(semCcCache, s, dir, "semantic_cc", "cid")(build)
   }
 
   // ---- DuckDB twins (same structure, CTE chain) ----
@@ -1183,12 +1218,7 @@ object IvfSimilarity {
     QueryDef(
       "q_dedup_semantic_cc",
       "SemDeDup GROUP-survivor census (Abbas et al. 2023, the keep-one-per-group composition q_dedup_semantic's greedy rule approximates): within each trained k-means cluster, the cosine >= threshold pair graph's CONNECTED COMPONENTS are the duplicate groups (pointer-doubling CC, min-id labels — a component never spans clusters since pairs require equal cid), each group keeps exactly its smallest-id member; per-cluster (n_members, n_dup_groups, n_dropped) accounting. The oracle states the components as a recursive transitive-closure fixpoint, so the gate proves CC convergence over the semantic pair graph, not a mirrored iteration count; threshold 0.2 at the gate for the q_dedup_embed reason (the synthetic fixture holds no cos >= 0.85 twins, and 0 groups = 0 groups would hide a broken pair join). This is the drop rule CorpusPipeline's semantic stage applies between exact and MinHash near-dup dedup",
-      (s, dir) =>
-        semanticCcStats(
-          Tables.fanout(Tables.embeddings(s, dir)),
-          assignments(s, dir),
-          threshold = 0.2
-        ),
+      (s, dir) => semanticCcArtifact(s, dir).orderBy(col("cid")),
       Some(s"""WITH RECURSIVE $assignmentsSql,
               |wc AS (
               |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)),

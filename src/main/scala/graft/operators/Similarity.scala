@@ -464,7 +464,10 @@ object Similarity {
         lit(0L).as("n_border"),
         col("n_noise").as("n_total"))
     (census.unionByName(noise).orderBy(col("n_total").desc, col("cluster")).limit(100),
-      Seq(core, coreLab))
+      // labels is the PINNED frame Dedup.clusters hands back — coreLab
+      // (eagerly pinned) is its only consumer, so it reclaims with the
+      // rest once the census materializes (r19: this was a leaked pin)
+      Seq(core, coreLab, labels))
   }
 
   private[graft] val DbscanMinPts = 2

@@ -140,26 +140,26 @@ object CorpusPipeline {
         val (a2, a2Pins) = graft.operators.IvfSimilarity.assignFrom(emb0)
         val in      = exact.pin() // candidate filter + the anti-join left side
         val candEmb = emb0.join(in.select(col("doc_id").as("vec_id")), "vec_id")
-        val dropIds =
+        val (dropIds, dropPins) =
           if (!keepBestQuality)
-            graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold)
+            graft.operators.IvfSimilarity.semanticDropIdsTracked(candEmb, a2, semanticThreshold)
           else {
             val semLabels = Dedup.clusters(
               graft.operators.IvfSimilarity
                 .semanticPairs(candEmb, a2, semanticThreshold)
                 .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-            semLabels
+            (semLabels
               .join(
                 Dedup
                   .bestPerCluster(semLabels, scored.select(col("doc_id"), col("quality")))
                   .select(col("label"), col("keep_id")),
                 Seq("label"))
               .filter(col("doc_id") =!= col("keep_id"))
-              .select(col("doc_id"))
+              .select(col("doc_id")), Seq(semLabels))
           }
         val out = in.join(dropIds, Seq("doc_id"), "left_anti").pin()
         val n = out.count()
-        a2Pins.foreach(f => graft.Tables.unpin(f))
+        (a2Pins ++ dropPins).foreach(f => graft.Tables.unpin(f))
         (out, nExact - n)
     }
     val nSem = nExact - nSemDropped
@@ -1174,12 +1174,10 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"))
       .pin()
     val candEmb = emb.join(exact.select(col("doc_id").as("vec_id")), "vec_id")
-    val sem = exact
-      .join(
-        graft.operators.IvfSimilarity.semanticDropIds(candEmb, a2, semanticThreshold),
-        Seq("doc_id"),
-        "left_anti")
-      .pin()
+    val (semDrop, semPins) =
+      graft.operators.IvfSimilarity.semanticDropIdsTracked(candEmb, a2, semanticThreshold)
+    val sem = exact.join(semDrop, Seq("doc_id"), "left_anti").pin()
+    semPins.foreach(f => graft.Tables.unpin(f)) // sem is materialized; the label frame is dead
     val labels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(sem)))
     val out = sem
       .join(labels, Seq("doc_id"), "left_outer")

@@ -111,14 +111,11 @@ object StreamingSemDedup {
           // runs — bit-identity by construction
           val (a2, a2Pins) = IvfSimilarity.assignFrom(store)
           val a2p          = Tables.pin(a2) // census + drop set both read it
-          val census       = IvfSimilarity.semanticCcStats(store, a2p, threshold)
-          val v            = currentVersion(s, semDir).getOrElse(0) + 1
+          val (census, censusPins) = IvfSimilarity.semanticCcStatsTracked(store, a2p, threshold)
+          val v                    = currentVersion(s, semDir).getOrElse(0) + 1
           census.write.mode("overwrite").parquet(s"$semDir/census/v=$v")
-          IvfSimilarity
-            .semanticDropIds(store, a2p, threshold)
-            .write
-            .mode("overwrite")
-            .parquet(s"$semDir/dropped/v=$v")
+          val (dropSet, dropPins) = IvfSimilarity.semanticDropIdsTracked(store, a2p, threshold)
+          dropSet.write.mode("overwrite").parquet(s"$semDir/dropped/v=$v")
           val statsDir = new org.apache.hadoop.fs.Path(s"$semDir/stats")
           fs.mkdirs(statsDir)
           val statsJson =
@@ -134,7 +131,7 @@ object StreamingSemDedup {
             fs.delete(new org.apache.hadoop.fs.Path(s"$semDir/dropped/v=${v - 2}"), true)
             ()
           }
-          (a2Pins ++ Seq(a2p, store)).foreach(Tables.unpin)
+          (a2Pins ++ censusPins ++ dropPins ++ Seq(a2p, store)).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)

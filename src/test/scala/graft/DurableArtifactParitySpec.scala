@@ -118,7 +118,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
           "wordpiece_merges_even", "unigram_vocab_even", "corpus_funnel",
-          "seq_freq", "seq_freq_even").foreach { artifact =>
+          "seq_freq", "seq_freq_even", "semantic_cc").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
