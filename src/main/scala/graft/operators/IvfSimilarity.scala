@@ -1217,7 +1217,7 @@ object IvfSimilarity {
     ),
     QueryDef(
       "q_dedup_semantic_cc",
-      "SemDeDup GROUP-survivor census (Abbas et al. 2023, the keep-one-per-group composition q_dedup_semantic's greedy rule approximates): within each trained k-means cluster, the cosine >= threshold pair graph's CONNECTED COMPONENTS are the duplicate groups (pointer-doubling CC, min-id labels — a component never spans clusters since pairs require equal cid), each group keeps exactly its smallest-id member; per-cluster (n_members, n_dup_groups, n_dropped) accounting. The oracle states the components as a recursive transitive-closure fixpoint, so the gate proves CC convergence over the semantic pair graph, not a mirrored iteration count; threshold 0.2 at the gate for the q_dedup_embed reason (the synthetic fixture holds no cos >= 0.85 twins, and 0 groups = 0 groups would hide a broken pair join). This is the drop rule CorpusPipeline's semantic stage applies between exact and MinHash near-dup dedup",
+      "SemDeDup GROUP-survivor census (Abbas et al. 2023, the keep-one-per-group composition q_dedup_semantic's greedy rule approximates): within each trained k-means cluster, the cosine >= threshold pair graph's CONNECTED COMPONENTS are the duplicate groups (pointer-doubling CC, min-id labels — a component never spans clusters since pairs require equal cid), each group keeps exactly its smallest-id member; per-cluster (n_members, n_dup_groups, n_dropped) accounting. The oracle states the components as a recursive transitive-closure fixpoint, so the gate proves CC convergence over the semantic pair graph, not a mirrored iteration count; threshold 0.2 at the gate for the q_dedup_embed reason (the synthetic fixture holds no cos >= 0.85 twins, and 0 groups = 0 groups would hide a broken pair join). Served as the build-once semantic_cc artifact (census-artifact treatment: the pair scoring + CC run once, warm calls read the census back). This is the drop rule CorpusPipeline's semantic stage applies between exact and MinHash near-dup dedup",
       (s, dir) => semanticCcArtifact(s, dir).orderBy(col("cid")),
       Some(s"""WITH RECURSIVE $assignmentsSql,
               |wc AS (
