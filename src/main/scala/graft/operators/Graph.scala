@@ -1027,6 +1027,21 @@ object Graph {
     * artifact — the tracked-pins discipline.
     */
   private[graft] def lpaCensusTracked(e: DataFrame, rounds: Int = 4): (DataFrame, Seq[DataFrame]) = {
+    val (census, lab, pins) = lpaCensusAndLabelsTracked(e, rounds)
+    Tables.unpin(lab) // census-only callers have no use for the settled partition
+    (census, pins)
+  }
+
+  /** The LPA loop returning BOTH readouts from ONE run of the rounds: the
+    * per-round census AND the settled round-`rounds` partition (pinned;
+    * the caller reclaims it) — the streaming community twin derives the
+    * census gate and the `graph_community` structure from one fold, which
+    * without this ran the identical 4-round argmax loop twice per batch.
+    */
+  private[graft] def lpaCensusAndLabelsTracked(
+      e: DataFrame,
+      rounds: Int = 4
+  ): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val sym = Tables.pin(
       e.select(col("pa").as("u"), col("pb").as("v"))
         .unionByName(e.select(col("pb").as("u"), col("pa").as("v")))
@@ -1062,9 +1077,8 @@ object Graph {
       Tables.unpin(lab)
       lab = next
     }
-    Tables.unpin(lab)
     val rows = census.result()
-    (rows.reduce(_ unionByName _).orderBy(col("round")), rows :+ sym)
+    (rows.reduce(_ unionByName _).orderBy(col("round")), lab, rows :+ sym)
   }
 
   /** SEMI-SUPERVISED label spreading (Zhu & Ghahramani 2002, the clamped
@@ -1224,13 +1238,30 @@ object Graph {
       e0: DataFrame,
       seeds: DataFrame
   ): (DataFrame, Seq[DataFrame]) = {
-    val e = Tables.pin(e0.select(col("pa"), col("pb")))
+    val e                 = Tables.pin(e0.select(col("pa"), col("pb")))
+    val (lpaLab, lpaPins) = lpaLabelsTracked(e)
+    val (cs, pins)        = communityStructureFromLabels(e, seeds, lpaLab)
+    (cs, Seq(e) ++ lpaPins ++ pins)
+  }
+
+  /** [[communityStructureTracked]] over an ALREADY-SETTLED LPA partition
+    * (and an already-pinned (pa, pb) edge frame) — the streaming
+    * community twin's entry point: its fold gets the partition for free
+    * from [[lpaCensusAndLabelsTracked]], so the 4-round argmax loop runs
+    * once per fold instead of twice. The batch wrapper above derives the
+    * partition itself; both paths run the identical seeded loop and
+    * structure aggregations.
+    */
+  private[graft] def communityStructureFromLabels(
+      e: DataFrame, // pinned (pa, pb)
+      seeds: DataFrame,
+      lpaLab: DataFrame
+  ): (DataFrame, Seq[DataFrame]) = {
     val deg = Tables.pin(
       e.select(col("pa").as("node"))
         .unionByName(e.select(col("pb").as("node")))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("d")))
-    val (lpaLab, lpaPins)      = lpaLabelsTracked(e)
     val (sLab0, sNodes, sPins) = seededLabelsLoop(e, seeds, 4)
     val sLab = sNodes
       .join(sLab0, Seq("node"), "left")
@@ -1266,7 +1297,7 @@ object Graph {
     val (lpaRows, elL)  = rows("lpa", lpaLab)
     val (seedRows, elS) = rows("seeded", sLab)
     (lpaRows.unionByName(seedRows),
-      Seq(e, deg, elL, elS) ++ lpaPins ++ sPins)
+      Seq(deg, elL, elS) ++ sPins)
   }
 
   private val modularityCache =

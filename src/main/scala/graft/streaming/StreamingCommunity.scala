@@ -103,12 +103,15 @@ object StreamingCommunity {
               .select(col("o"), col("p"))
               .distinct()
           )
-          // ONE edge materialization feeds both label loops
-          val edges               = Tables.pin(Graph.coPurchaseEdgesFrom(baskets))
-          val (census, censusPins) = Graph.lpaCensusTracked(edges)
-          val v                    = currentVersion(s, commDir).getOrElse(0) + 1
+          // ONE edge materialization AND one LPA loop feed both tables:
+          // the combined loop hands back the per-round census plus the
+          // settled partition, which the structure build consumes
+          // directly instead of re-running the identical 4 rounds
+          val edges = Tables.pin(Graph.coPurchaseEdgesFrom(baskets))
+          val (census, lpaLab, censusPins) = Graph.lpaCensusAndLabelsTracked(edges)
+          val v                            = currentVersion(s, commDir).getOrElse(0) + 1
           census.write.mode("overwrite").parquet(s"$commDir/lpa/v=$v")
-          val (cs, csPins) = Graph.communityStructureTracked(edges, seedRows)
+          val (cs, csPins) = Graph.communityStructureFromLabels(edges, seedRows, lpaLab)
           cs.write.mode("overwrite").parquet(s"$commDir/community/v=$v")
           val root = new org.apache.hadoop.fs.Path(commDir)
           val fs   = Snapshots.fsOf(s, root)
@@ -118,7 +121,7 @@ object StreamingCommunity {
             fs.delete(new org.apache.hadoop.fs.Path(s"$commDir/community/v=${v - 2}"), true)
             ()
           }
-          (censusPins ++ csPins ++ Seq(edges, baskets)).foreach(Tables.unpin)
+          (censusPins ++ csPins ++ Seq(lpaLab, edges, baskets)).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)
