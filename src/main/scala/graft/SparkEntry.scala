@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Dsir.defs ++
       operators.TimeSeries.defs ++
       operators.Bpe.defs ++
+      operators.PackSequences.defs ++
       operators.WordPiece.defs ++
       operators.Unigram.defs ++
       operators.NaiveBayes.defs ++

@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val Rounds = 6
+  private[operators] val Rounds = 6
 
   /** The training loop over any (text) frame — exposed with a per-round
     * observer so the spec can pin the scale invariant (the round-k input
@@ -267,7 +267,7 @@ object Bpe {
     * MATERIALIZED-free here because each d_k is read by exactly two
     * successors (p_{k+1} and d_{k+1}); DuckDB handles the linear chain.
     */
-  private def trainCtesSql(rounds: Int, where: String): Seq[String] = {
+  private[operators] def trainCtesSql(rounds: Int, where: String): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += (s"d0 AS (SELECT s, cast(count(1) as bigint) AS w FROM " +
       s"(SELECT ' ' || text || ' ' AS s FROM documents WHERE $where) raw GROUP BY 1)")
@@ -301,7 +301,7 @@ object Bpe {
     * merge table) — never the encode corpus's own pair statistics. The
     * DuckDB twin of [[encodeWithMerges]].
     */
-  private def encCtesSql(rounds: Int, where: String): Seq[String] =
+  private[operators] def encCtesSql(rounds: Int, where: String): Seq[String] =
     (s"enc0 AS (SELECT DISTINCT ' ' || text || ' ' AS s0, ' ' || text || ' ' AS s " +
       s"FROM documents WHERE $where)") +:
       (1 to rounds).map(k => s"enc$k AS (SELECT s0, ${replaceSql("s")} AS s FROM enc${k - 1} CROSS JOIN m$k m)")

@@ -65,7 +65,8 @@ object CorpusPipeline {
       nDroppedSubstrEmpty: Long = 0L,
       nDupTokensCut: Long = 0L,
       nDroppedContainment: Long = 0L,
-      nDroppedSemantic: Long = 0L
+      nDroppedSemantic: Long = 0L,
+      nPackedSequences: Long = 0L
   )
 
   def run(
@@ -82,7 +83,8 @@ object CorpusPipeline {
       winnowMinShared: Int = 2,
       winnowMinOverlap: Double = 0.5,
       semanticEmb: Option[DataFrame] = None,
-      semanticThreshold: Double = 0.85
+      semanticThreshold: Double = 0.85,
+      packSeqLen: Option[Int] = None
   ): Stats = {
     // Heal any swap torn by a previous crashed run FIRST, compaction enabled
     // or not — a torn state parks the only live copy of a split in a
@@ -328,6 +330,46 @@ object CorpusPipeline {
     // them. Pinned by the torn-swap spec in CorpusPipelineSpec.
     compactTargetBytes.foreach(target => compactSplits(docs.sparkSession, outPath, target, Seq("doc_id")))
 
+    // 7. optional TERMINAL PACKING — the pipeline's actual product for a
+    // pretraining run: fixed-length rows of trained token ids
+    // ([[graft.operators.PackSequences.emit]]). The BPE merge table
+    // trains on the TRAIN split only (tokenizer leakage from val/test is
+    // the eval-contamination bug this ordering exists to prevent), then
+    // each split packs SEPARATELY with that frozen vocab — sequences
+    // never mix splits — under outPath/_packed/split=<s>/ (underscore
+    // prefix: hidden from parquet readers of outPath, so the packed
+    // product never pollutes a plain corpus scan). Reads back the
+    // just-written (possibly compacted) splits rather than re-deriving
+    // the survivor chain: the write is the stage boundary.
+    val nPacked = packSeqLen.fold(0L) { seqLen =>
+      val sp  = docs.sparkSession
+      val all = sp.read.parquet(outPath)
+      require(
+        all.columns.contains("lang"),
+        "packSeqLen requires a lang column (the per-stream packing key) on the pipeline input")
+      val train = all.filter(col("split") === "train")
+      if (train.isEmpty) 0L
+      else {
+        val (mergesRaw, mPins) = graft.operators.Bpe.trainMergesTracked(train, rounds = 6)
+        val merges             = graft.Tables.pin(mergesRaw)
+        mPins.foreach(graft.Tables.unpin) // merges is materialized; argmax pins are dead
+        val total = Seq("train", "val", "test").map { s =>
+          val part = all.filter(col("split") === s).select(col("doc_id"), col("lang"), col("text"))
+          if (part.isEmpty) 0L
+          else {
+            graft.operators.PackSequences
+              .emit(part, merges, seqLen)
+              .write
+              .mode("overwrite")
+              .parquet(s"$outPath/_packed/split=$s")
+            sp.read.parquet(s"$outPath/_packed/split=$s").count()
+          }
+        }.sum
+        graft.Tables.unpin(merges)
+        total
+      }
+    }
+
     Stats(
       nIn = nIn,
       nDroppedQuality = nIn - nKeptQ,
@@ -340,7 +382,8 @@ object CorpusPipeline {
       nDroppedSubstrEmpty = nSubEmpty,
       nDupTokensCut = nTokensCut,
       nDroppedContainment = nContain,
-      nDroppedSemantic = nSemDropped
+      nDroppedSemantic = nSemDropped,
+      nPackedSequences = nPacked
     )
   }
 
@@ -1154,7 +1197,58 @@ object CorpusPipeline {
     * assignments (the gate passes the ivf_assignments artifact); docs
     * without an embedding pass the semantic stage untouched.
     */
-  private[graft] def funnelCensusTracked(
+  /** The SEMANTIC + NEAR-DUP tail of the funnel as LEDGER rows — the
+    * per-doc (doc_id, stage, reason) drops those two stages produce over
+    * a given exact-survivor frame. Shared verbatim by the batch ledger
+    * build and [[graft.streaming.StreamingFunnel]]'s fold (which derives
+    * quality/exact incrementally but must re-derive THESE stages — their
+    * keys are trained/corpus-relative), so the streamed census is
+    * bit-identical to the batch gate by construction. Reasons carry the
+    * surviving group representative (`sem_group:<id>` /
+    * `near_dup_of:<id>`), the audit trail a curation run publishes.
+    */
+  private[graft] def tailDropsTracked(
+      exact: DataFrame,
+      emb: DataFrame,
+      a2: DataFrame,
+      semanticThreshold: Double
+  ): (DataFrame, Seq[DataFrame]) = {
+    val candEmb = emb.join(exact.select(col("doc_id").as("vec_id")), "vec_id")
+    val semLabels = Dedup.clusters(
+      graft.operators.IvfSimilarity
+        .semanticPairs(candEmb, a2, semanticThreshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val dropS = semLabels
+      .filter(col("label") =!= col("doc_id"))
+      .select(
+        col("doc_id"),
+        lit("4_dropped_semantic").as("stage"),
+        concat(lit("sem_group:"), col("label")).as("reason"))
+    val sem = exact
+      .join(semLabels.filter(col("label") =!= col("doc_id")).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .pin()
+    val nearLabels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(sem)))
+    val dropN = nearLabels
+      .filter(col("label") =!= col("doc_id"))
+      .select(
+        col("doc_id"),
+        lit("5_dropped_neardup").as("stage"),
+        concat(lit("near_dup_of:"), col("label")).as("reason"))
+    (dropS.unionByName(dropN), Seq(sem, semLabels, nearLabels))
+  }
+
+  /** Per-doc DROP-REASON PROVENANCE LEDGER of the funnel composition —
+    * the row-level trail behind [[q_corpus_funnel]]'s stage counts: one
+    * (doc_id, stage, reason) row per dropped document, tagged with the
+    * FIRST stage that dropped it (each stage consumes the previous
+    * stage's survivors, so a doc appears at most once) and a reason a
+    * curation audit can act on: the quality rule, or the surviving
+    * representative of its exact/semantic/near-dup group. Side-effect-
+    * free like the census; the census itself is now a pure READOUT of
+    * this frame ([[censusFromLedger]]) — one artifact, two gates, no way
+    * for them to disagree.
+    */
+  private[graft] def funnelLedgerTracked(
       docs0: DataFrame,
       emb: DataFrame,
       a2: DataFrame,
@@ -1167,105 +1261,157 @@ object CorpusPipeline {
       .filter(col("quality") >= minQuality)
       .select(col("doc_id"), col("text"))
       .pin()
+    val dropQ = docs
+      .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("2_dropped_quality").as("stage"), lit(s"quality<$minQuality").as("reason"))
     val fp = kept.withColumn("_fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-    val exact = fp
+    val fpj = fp
       .join(fp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_keep_id")), "_fp")
-      .filter(col("doc_id") === col("_keep_id"))
-      .select(col("doc_id"), col("text"))
-      .pin()
-    val candEmb = emb.join(exact.select(col("doc_id").as("vec_id")), "vec_id")
-    val (semDrop, semPins) =
-      graft.operators.IvfSimilarity.semanticDropIdsTracked(candEmb, a2, semanticThreshold)
-    val sem = exact.join(semDrop, Seq("doc_id"), "left_anti").pin()
-    semPins.foreach(f => graft.Tables.unpin(f)) // sem is materialized; the label frame is dead
-    val labels = Dedup.clusters(Dedup.pairsFromSignatures(Dedup.signatures(sem)))
-    val out = sem
-      .join(labels, Seq("doc_id"), "left_outer")
-      .filter(col("label").isNull || col("label") === col("doc_id"))
-      .select(col("doc_id"))
-      .pin()
-    graft.Tables.unpin(labels) // out is materialized; the label frame is dead
-    def c(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
-    val counts = c(docs, "c_in")
-      .crossJoin(broadcast(c(kept, "c_q")))
-      .crossJoin(broadcast(c(exact, "c_e")))
-      .crossJoin(broadcast(c(sem, "c_s")))
-      .crossJoin(broadcast(c(out, "c_o")))
-    val stages = counts
+      .pin() // read twice: the drop rows and the survivor frame
+    val dropE = fpj
+      .filter(col("doc_id") =!= col("_keep_id"))
       .select(
-        explode(
-          array(
-            struct(lit("1_in").as("stage"), col("c_in").as("n")),
-            struct(lit("2_dropped_quality").as("stage"), (col("c_in") - col("c_q")).as("n")),
-            struct(lit("3_dropped_exact").as("stage"), (col("c_q") - col("c_e")).as("n")),
-            struct(lit("4_dropped_semantic").as("stage"), (col("c_e") - col("c_s")).as("n")),
-            struct(lit("5_dropped_neardup").as("stage"), (col("c_s") - col("c_o")).as("n"))
-          )
-        ).as("r")
-      )
-      .select(col("r.stage").as("stage"), col("r.n").as("n"))
+        col("doc_id"),
+        lit("3_dropped_exact").as("stage"),
+        concat(lit("dup_of:"), col("_keep_id")).as("reason"))
+    val exact              = fpj.filter(col("doc_id") === col("_keep_id")).select(col("doc_id"), col("text")).pin()
+    val (dropTail, tPins)  = tailDropsTracked(exact, emb, a2, semanticThreshold)
+    (dropQ.unionByName(dropE).unionByName(dropTail), Seq(docs, kept, fpj, exact) ++ tPins)
+  }
+
+  /** The funnel CENSUS derived from the ledger: 1_in from the corpus,
+    * one row per drop stage (zero-count stages included — the fixed
+    * 4-row scaffold left-joins the ledger's counts), and the
+    * deterministic 80/10/10 split census of everything the ledger never
+    * dropped. `docs0` only contributes (doc_id) — the text never moves.
+    */
+  private[graft] def censusFromLedger(docs0: DataFrame, ledger: DataFrame): DataFrame = {
+    val ids = docs0.select(col("doc_id"))
+    val inRow = ids.agg(count(lit(1)).as("n")).select(lit("1_in").as("stage"), col("n"))
+    val dropStages = Seq("2_dropped_quality", "3_dropped_exact", "4_dropped_semantic", "5_dropped_neardup")
+    val scaffold   = ids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(dropStages.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType.fromDDL("stage STRING"))
+    val drops = scaffold
+      .join(ledger.groupBy(col("stage")).agg(count(lit(1)).as("c")), Seq("stage"), "left_outer")
+      .select(col("stage"), coalesce(col("c"), lit(0L)).as("n"))
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
-    val splits = out
+    val splits = ids
+      .join(ledger.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("split", when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
       .groupBy(concat(lit("6_out_"), col("split")).as("stage"))
       .agg(count(lit(1)).as("n"))
-    (stages.unionByName(splits), Seq(docs, kept, exact, sem, out))
+    inRow.unionByName(drops).unionByName(splits)
   }
 
-  private val funnelCache =
+  /** [[funnelLedgerTracked]] + [[censusFromLedger]] in one tracked build
+    * — the census the planted-corpus spec pins against the writing
+    * pipeline's own accounting.
+    */
+  private[graft] def funnelCensusTracked(
+      docs0: DataFrame,
+      emb: DataFrame,
+      a2: DataFrame,
+      minQuality: Double = 0.3,
+      semanticThreshold: Double = 0.4
+  ): (DataFrame, Seq[DataFrame]) = {
+    val (ledger, pins) = funnelLedgerTracked(docs0, emb, a2, minQuality, semanticThreshold)
+    val lp             = ledger.pin()
+    (censusFromLedger(docs0, lp), pins :+ lp)
+  }
+
+  private val ledgerCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  /** The funnel census as a build-once artifact (it is a deterministic
-    * readout over the immutable fixture corpus, like the graph censuses).
+  /** The drop ledger as a build-once artifact — `corpus_ledger` REPLACES
+    * the former `corpus_funnel` census artifact: the census is a cheap
+    * readout of the ledger, and the NEW artifact name makes any durable
+    * root populated by the 5-stage pre-semantic build a cache MISS
+    * instead of a stale serve (the r19 funnel added a stage under the
+    * old name; the nb_confusion→nb_scored rename discipline applied).
     */
-  private def funnelArtifact(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    def build = funnelCensusTracked(
+  private def ledgerArtifact(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def build = funnelLedgerTracked(
       graft.Tables.documents(s, dir),
       graft.Tables.fanout(graft.Tables.embeddings(s, dir)),
       graft.operators.IvfSimilarity.assignments(s, dir))
     if (graft.Tables.noArtifactCache)
       graft.Artifacts.materializeTracked(build)
     else
-      graft.Artifacts.cachedInTracked(funnelCache, s, dir, "corpus_funnel", "stage")(build)
+      graft.Artifacts.cachedInTracked(ledgerCache, s, dir, "corpus_ledger", "doc_id")(build)
   }
+
+  /** The funnel's shared DuckDB CTE chain (quality → exact → semantic CC
+    * → near-dup CC survivors) — the prefix both gate oracles build on,
+    * so the census twin and the ledger twin cannot drift apart.
+    */
+  private def funnelCtesSql: String =
+    s"""${TextAnalysis.qualityMetricsCteSql},
+       |fq AS MATERIALIZED (
+       |  SELECT b.doc_id, b.text FROM base b JOIN m ON m.doc_id = b.doc_id
+       |  WHERE ${TextAnalysis.qualityColSql} >= 0.3),
+       |fpp AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fpr FROM fq),
+       |keepers AS (SELECT fpr, min(doc_id) AS keep FROM fpp GROUP BY 1),
+       |ex AS MATERIALIZED (
+       |  SELECT f.doc_id, f.text FROM fpp f
+       |  JOIN keepers k ON k.fpr = f.fpr AND f.doc_id = k.keep),
+       |${graft.operators.IvfSimilarity.assignmentsSql},
+       |wc AS (
+       |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)
+       |  JOIN ex ON ex.doc_id = e.vec_id),
+       |spr AS MATERIALIZED (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(${graft.operators.Similarity.cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4),
+       |sedges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM spr
+       |  UNION ALL SELECT vec_b, vec_a FROM spr),
+       |sreach AS (
+       |  SELECT src AS id, src AS label FROM sedges
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM sedges e JOIN sreach r ON e.dst = r.id),
+       |scc AS (SELECT id, min(label) AS label FROM sreach GROUP BY 1),
+       |sem AS MATERIALIZED (
+       |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN scc ON scc.id = e.doc_id
+       |  WHERE scc.label IS NULL OR scc.label = e.doc_id),
+       |${Dedup.clustersCteSqlFrom("sem", Seq.empty)}""".stripMargin
 
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef(
+      "q_corpus_ledger",
+      "per-doc DROP-REASON PROVENANCE LEDGER — the row-level audit trail behind q_corpus_funnel's stage counts: one (doc_id, stage, reason) row per document the funnel composition drops, tagged with the FIRST dropping stage (each stage consumes the previous stage's survivors, so a doc appears at most once) and an actionable reason — the quality rule id, or the surviving representative of its exact-fingerprint / SemDeDup / MinHash-LSH group (dup_of:<id> / sem_group:<id> / near_dup_of:<id>). The census is a pure READOUT of this artifact (one build, two gates, zero drift surface); the oracle re-states all four stage drops from the SAME CTE chain the census twin uses, both CC stages as recursive transitive-closure fixpoints. Build-once durable artifact; doc-shaped output (one row per dropped doc, never the corpus)",
+      (s, dir) => ledgerArtifact(s, dir).orderBy(col("doc_id")),
+      Some {
+        s"""WITH RECURSIVE $funnelCtesSql
+           |SELECT doc_id, stage, reason FROM (
+           |  SELECT d.doc_id, '2_dropped_quality' AS stage,
+           |         'quality<0.3' AS reason
+           |  FROM documents d LEFT JOIN fq ON fq.doc_id = d.doc_id
+           |  WHERE fq.doc_id IS NULL
+           |  UNION ALL
+           |  SELECT f.doc_id, '3_dropped_exact',
+           |         'dup_of:' || cast(k.keep as varchar)
+           |  FROM fpp f JOIN keepers k ON k.fpr = f.fpr
+           |  WHERE f.doc_id <> k.keep
+           |  UNION ALL
+           |  SELECT scc.id, '4_dropped_semantic',
+           |         'sem_group:' || cast(scc.label as varchar)
+           |  FROM scc WHERE scc.label <> scc.id
+           |  UNION ALL
+           |  SELECT cc.doc_id, '5_dropped_neardup',
+           |         'near_dup_of:' || cast(cc.label as varchar)
+           |  FROM cc WHERE cc.label <> cc.doc_id
+           |) x ORDER BY doc_id""".stripMargin
+      }
+    ),
+    graft.QueryDef(
       "q_corpus_funnel",
       "END-TO-END pipeline funnel census — the stage accounting of CorpusPipeline.run's composition with the semantic stage enabled (quality >= 0.3 -> exact dedup on the normalized fingerprint keeping the min doc_id -> SemDeDup group-survivor drop within trained k-means clusters (Abbas et al. 2023; the embedding-space stage real pipelines run between exact and fuzzy text dedup; gate threshold 0.4 — the synthetic fixture's cosine tail tops out near 0.5, so 0.4 exercises real drops without the giant components a 0.2 cut creates) -> MinHash/LSH near-dup with connected-component min-id survivors -> deterministic content-hash 80/10/10 split), side-effect-free: rows in, rows DROPPED per stage, rows out per split. Composed from the same oracle-checked building blocks the writing pipeline uses (qualityFrame, the IVF assignments artifact + semanticDropIds, the capped LSH pair generator, pointer-doubling CC, the q_split_assign bucket rule), each stage pinned once and read twice (its census count + the next stage) — so the DRIVER GATE pins stage COMPOSITION semantics cross-engine, not just each operator in isolation; the oracle chains the same stage rules as materialized CTEs with BOTH connected-component stages stated as recursive transitive-closure fixpoints. Row conservation holds by construction: 1_in = dropped stages + out splits",
-      (s, dir) => funnelArtifact(s, dir).orderBy(col("stage")),
+      (s, dir) => censusFromLedger(graft.Tables.documents(s, dir), ledgerArtifact(s, dir)).orderBy(col("stage")),
       Some {
-        s"""WITH RECURSIVE ${TextAnalysis.qualityMetricsCteSql},
-           |fq AS MATERIALIZED (
-           |  SELECT b.doc_id, b.text FROM base b JOIN m ON m.doc_id = b.doc_id
-           |  WHERE ${TextAnalysis.qualityColSql} >= 0.3),
-           |fpp AS MATERIALIZED (
-           |  SELECT doc_id, text,
-           |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fpr FROM fq),
-           |ex AS MATERIALIZED (
-           |  SELECT f.doc_id, f.text FROM fpp f
-           |  JOIN (SELECT fpr, min(doc_id) AS keep FROM fpp GROUP BY 1) k
-           |    ON k.fpr = f.fpr AND f.doc_id = k.keep),
-           |${graft.operators.IvfSimilarity.assignmentsSql},
-           |wc AS (
-           |  SELECT e.vec_id, e.embedding, a2.cid FROM embeddings e JOIN a2 USING (vec_id)
-           |  JOIN ex ON ex.doc_id = e.vec_id),
-           |spr AS MATERIALIZED (
-           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM wc a JOIN wc b ON a.cid = b.cid AND a.vec_id < b.vec_id
-           |  WHERE round(${graft.operators.Similarity.cosDuck("a.embedding", "b.embedding")}, 6) >= 0.4),
-           |sedges AS (
-           |  SELECT vec_a AS src, vec_b AS dst FROM spr
-           |  UNION ALL SELECT vec_b, vec_a FROM spr),
-           |sreach AS (
-           |  SELECT src AS id, src AS label FROM sedges
-           |  UNION
-           |  SELECT e.src AS id, r.label FROM sedges e JOIN sreach r ON e.dst = r.id),
-           |scc AS (SELECT id, min(label) AS label FROM sreach GROUP BY 1),
-           |sem AS MATERIALIZED (
-           |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN scc ON scc.id = e.doc_id
-           |  WHERE scc.label IS NULL OR scc.label = e.doc_id),
-           |${Dedup.clustersCteSqlFrom("sem", Seq.empty)},
+        s"""WITH RECURSIVE $funnelCtesSql,
            |surv AS MATERIALIZED (
            |  SELECT e.doc_id FROM sem e LEFT JOIN cc ON cc.doc_id = e.doc_id
            |  WHERE cc.label IS NULL OR cc.label = e.doc_id),

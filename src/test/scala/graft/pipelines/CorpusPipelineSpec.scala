@@ -960,4 +960,69 @@ class CorpusPipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(splitSig(s"$baseDir/a") === splitSig(s"$baseDir/b"))
   }
+
+  test("terminal packing stage: fixed-length token-id rows per split, hidden from corpus readers") {
+    val out   = Files.createTempDirectory("pipeline-pack").toString + "/corpus"
+    val stats = CorpusPipeline.run(corpus, out, packSeqLen = Some(64))
+    assert(stats.nPackedSequences > 0, s"packing must emit sequences: $stats")
+    // a plain corpus reader of outPath must NOT see the packed product
+    // (the _packed prefix hides it) and must still read exactly nOut rows
+    assert(spark.read.parquet(out).count() === stats.nOut)
+    val splits = Seq("train", "val", "test")
+      .filter(sp => Files.exists(java.nio.file.Paths.get(s"$out/_packed/split=$sp")))
+    assert(splits.nonEmpty, "at least the train split must pack")
+    var total = 0L
+    splits.foreach { sp =>
+      val packed = spark.read.parquet(s"$out/_packed/split=$sp")
+      total += packed.count()
+      val rows = packed.collect()
+      rows.foreach { r =>
+        val ids = r.getAs[scala.collection.Seq[Int]]("token_ids")
+        assert(ids.size === 64, s"every packed row is exactly seqLen ids ($sp)")
+        assert(r.getAs[Long]("n_tokens") + r.getAs[Long]("n_pad") === 64L, s"pad accounting ($sp)")
+      }
+      // per (split, lang): EOS count == docs written to that split+lang —
+      // one boundary per document, none lost at chunk edges
+      val eos = packed.groupBy(col("lang")).agg(sum(col("n_eos")).as("e")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docs = spark.read.parquet(out).filter(col("split") === sp)
+        .groupBy(col("lang")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(eos === docs, s"one EOS per packed doc in $sp")
+    }
+    assert(total === stats.nPackedSequences, "stats count the written sequences")
+  }
+
+  test("drop ledger: one row per dropped doc, first stage wins, census is its exact readout") {
+    val emb      = Tables.fanout(Tables.embeddings(spark, TestSpark.sfDir))
+    val (a2, a2Pins) = graft.operators.IvfSimilarity.assignFrom(emb)
+    val (ledgerF, pins) = CorpusPipeline.funnelLedgerTracked(corpus, emb, a2)
+    val ledger = ledgerF.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // a doc appears at most once: stages consume survivors
+    assert(ledger.map(_._1).distinct.length === ledger.length, "ledger doc_ids must be unique")
+    // the census derives from the ledger bit-for-bit
+    val census = CorpusPipeline
+      .censusFromLedger(corpus, ledgerF)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    val byStage = ledger.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    Seq("2_dropped_quality", "3_dropped_exact", "4_dropped_semantic", "5_dropped_neardup").foreach { st =>
+      assert(census(st) === byStage.getOrElse(st, 0L), s"census $st == ledger count")
+    }
+    assert(census("1_in") === corpus.count())
+    assert(census.collect { case (k, n) if k.startsWith("6_out_") => n }.sum ===
+      census("1_in") - ledger.length, "out splits = in - dropped")
+    // reasons are actionable: every dup_of/near_dup_of survivor it names
+    // was NOT itself dropped, and the planted exact dup names 900001
+    val droppedIds = ledger.map(_._1).toSet
+    ledger.foreach {
+      case (id, _, r) if r.contains(":") =>
+        val ref = r.split(":")(1).toLong
+        assert(!droppedIds.contains(ref), s"doc $id reason $r must name a survivor")
+      case _ => ()
+    }
+    assert(ledger.find(_._1 == 900002L).exists(_._3 === "dup_of:900001"), s"planted exact dup trail")
+    assert(ledger.find(_._1 == 900003L).exists(_._3 === "near_dup_of:900001"), s"planted near dup trail")
+    (pins :+ a2Pins.head).foreach(Tables.unpin)
+  }
 }
