@@ -175,15 +175,17 @@ object Bench {
     // Advisory output, never a gate; parse failures (first run, schema
     // drift) degrade to an empty map.
     val fullPath = new java.io.File(sys.env.getOrElse("GRAFT_BENCH_FULL", "BENCH_FULL.json")).getAbsoluteFile
-    val priorMin: Map[String, Double] =
+    def priorMap(field: String): Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(fullPath).get("queries")
+          .readTree(fullPath).get(field)
         val it = node.fields()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble(-1.0) }
         b.result()
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val priorMin  = priorMap("queries")
+    val priorCold = priorMap("queries_cold")
     // A query counts as a regression CANDIDATE only if the previous ROUND
     // declared it (round-16 postmortem: BENCH_FULL.json also carries
     // mid-round local runs, so a query added THIS round compared against
@@ -224,6 +226,19 @@ object Bench {
     val prevTotalSame = sameQueries.map(priorMin).sum
     val driftPct =
       if (prevTotalSame > 0) 100.0 * (totalSame - prevTotalSame) / prevTotalSame else 0.0
+    // COLD drift over the same intersection discipline (round-19 judge
+    // item #4): r19's total_cold rose +13% with no tracked accounting —
+    // warm drift had a field, cold drift was a judge-session diff. The
+    // cold number is pass-1 (artifact builds included), so its drift
+    // separates "the builds got slower" from "the steady state got
+    // slower" — the two move independently (r19: warm −4.8%, cold +13%).
+    val thisCold = names.map(n => n -> samples(n).headOption.getOrElse(-1.0)).toMap
+    val sameQueriesCold = names.filter(n =>
+      prevRoundQueries.contains(n) && priorCold.get(n).exists(_ >= 0) && thisCold(n) >= 0)
+    val totalColdSame     = sameQueriesCold.map(thisCold).sum
+    val prevTotalColdSame = sameQueriesCold.map(priorCold).sum
+    val coldDriftPct =
+      if (prevTotalColdSame > 0) 100.0 * (totalColdSame - prevTotalColdSame) / prevTotalColdSame else 0.0
     val regressions = results.toSeq
       .flatMap { case (name, now) =>
         priorMin.get(name) match {
@@ -246,7 +261,7 @@ object Bench {
       .map { case (n, v) => s"\"" + n + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -254,7 +269,7 @@ object Bench {
     println(s"""{"metric":"queries_cold","total_cold":${r3(totalCold)},"queries_cold":$qsCold,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_median","total_median":${r3(totalMedian)},"queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_min","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

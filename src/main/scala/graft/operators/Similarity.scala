@@ -405,7 +405,7 @@ object Similarity {
       .unionByName(pairs.select(col("vec_b").as("v")))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("deg"))
-    val (census, pins) = dbscanBody(pairs, degrees, universe, minPts)
+    val (census, pins, _) = dbscanBody(pairs, degrees, universe, minPts)
     (census, pairs +: pins)
   }
 
@@ -417,18 +417,24 @@ object Similarity {
     * from per-batch delta partials so the fold never re-aggregates the
     * whole pair store. Core status reads ONLY the degree frame; the pair
     * frame is read once, for the core-core CC subgraph and the
-    * border-assignment join.
+    * border-assignment join. The third return value is the CORE-CORE
+    * pair count — derived from the pinned subgraph the CC consumes
+    * anyway, so the streaming twin's `cc_pairs_read` observability costs
+    * a block-local count instead of a third pass over the pair store
+    * (r19 ADVICE item).
     */
   private[graft] def dbscanBody(
       pairs: DataFrame,   // pinned (vec_a, vec_b)
       degrees: DataFrame, // (v, deg) == the pair frame's endpoint census
       universe: DataFrame,
       minPts: Int
-  ): (DataFrame, Seq[DataFrame]) = {
+  ): (DataFrame, Seq[DataFrame], Long) = {
     val core = Tables.pin(degrees.filter(col("deg") >= minPts).select(col("v")))
-    val corePairs = pairs
-      .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
-      .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
+    val corePairs = Tables.pin(
+      pairs
+        .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
+        .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi"))
+    val corePairsRead = corePairs.count() // block-local: corePairs is pinned
     val labels =
       Dedup.clusters(corePairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     val coreLab = Tables.pin(
@@ -467,7 +473,8 @@ object Similarity {
       // labels is the PINNED frame Dedup.clusters hands back — coreLab
       // (eagerly pinned) is its only consumer, so it reclaims with the
       // rest once the census materializes (r19: this was a leaked pin)
-      Seq(core, coreLab, labels))
+      Seq(core, corePairs, coreLab, labels),
+      corePairsRead)
   }
 
   private[graft] val DbscanMinPts = 2

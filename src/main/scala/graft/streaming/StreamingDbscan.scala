@@ -103,7 +103,9 @@ object StreamingDbscan {
           // census universe. Own dir excluded so a replayed batch
           // regenerates its dirs identically instead of landing empty.
           val vecsBase = new org.apache.hadoop.fs.Path(s"$dbscanDir/vecs")
-          val deduped  = batch.dropDuplicates("vec_id").toDF()
+          // pinned: dup_vec_ids needs its count, and the anti-join below
+          // reads it — one computation, block-local counts (r19 item #5)
+          val deduped = Tables.pin(batch.dropDuplicates("vec_id").toDF())
           val fresh =
             if (fs.exists(vecsBase))
               deduped.join(
@@ -180,23 +182,25 @@ object StreamingDbscan {
               .parquet(s"$dbscanDir/pairs")
               .select(col("vec_a"), col("vec_b")))
           val v = currentVersion(s, dbscanDir).getOrElse(0) + 1
-          val (censusFrame, censusPins) =
+          val (censusFrame, censusPins, ccPairsRead) =
             Similarity.dbscanBody(allPairs, degrees, store.select(col("vec_id")), minPts)
           censusFrame.write.mode("overwrite").parquet(s"$dbscanDir/census/v=$v")
           val statsDir = new org.apache.hadoop.fs.Path(s"$dbscanDir/stats")
           fs.mkdirs(statsDir)
           // observability: dup_vec_ids makes a violated delivery contract
           // visible; degree_rows/cc_pairs_read expose the fold's real
-          // read shape (vec-shaped degrees, core-incident CC pairs)
-          val core = degrees.filter(col("deg") >= minPts).select(col("v"))
-          val ccPairsRead = allPairs
-            .join(core.withColumnRenamed("v", "vec_a"), Seq("vec_a"), "left_semi")
-            .join(core.withColumnRenamed("v", "vec_b"), Seq("vec_b"), "left_semi")
-            .count()
+          // read shape (vec-shaped degrees, core-incident CC pairs).
+          // cc_pairs_read comes from dbscanBody's own pinned core-core
+          // subgraph, and store_rows folds additively from the prior
+          // stats record — the fold no longer pays a pair-store semi-join
+          // or a full vec-store scan for its counters (r19 items)
+          val batchRows = batchVecs.count()
+          val storeRows =
+            Snapshots.priorStatsField(fs, statsDir, batchId, "store_rows", 0L) + batchRows
           val statsJson =
-            s"""{"batch_id":$batchId,"batch_rows":${batchVecs.count()},""" +
-              s""""dup_vec_ids":${deduped.count() - batchVecs.count()},""" +
-              s""""store_rows":${store.count()},""" +
+            s"""{"batch_id":$batchId,"batch_rows":$batchRows,""" +
+              s""""dup_vec_ids":${deduped.count() - batchRows},""" +
+              s""""store_rows":$storeRows,""" +
               s""""new_pairs":${newPairs.count()},""" +
               s""""degree_rows":${degrees.count()},""" +
               s""""cc_pairs_read":$ccPairsRead}"""
@@ -211,7 +215,7 @@ object StreamingDbscan {
             fs.delete(new org.apache.hadoop.fs.Path(s"$dbscanDir/census/v=${v - 2}"), true)
             ()
           }
-          (Seq(batchVecs, newPairs, degrees, allPairs) ++ censusPins).foreach(Tables.unpin)
+          (Seq(batchVecs, newPairs, degrees, allPairs, deduped) ++ censusPins).foreach(Tables.unpin)
         }
       }
       .option("checkpointLocation", checkpoint)

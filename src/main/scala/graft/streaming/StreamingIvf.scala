@@ -121,13 +121,15 @@ object StreamingIvf {
     * which makes concurrent delete() calls safe against each other — the
     * previous max+1 allocation let two racers compute the same index and
     * one caller's ids silently vanish under the other's overwrite. A
-    * delete racing [[retrain]] is still a lost update by construction
-    * (retrain reads the tombstone set once, before the flip), so delete()
-    * re-checks `_CURRENT` AFTER its write and fails loudly on a flip —
-    * the caller retries against the new snapshot; the remaining
-    * read-after-recheck window is closed by the documented maintenance
-    * contract: [[retrain]] runs with delete() traffic quiesced, the same
-    * single-maintenance-writer rule it already requires of the stream.
+    * delete racing [[retrain]] is MACHINE-CHECKED via the retrain fence
+    * (r19 left it a prose quiesce contract): retrain creates
+    * `RETRAIN_FENCE` BEFORE reading the tombstone set, and delete()
+    * checks the fence AFTER writing its tombstone dir — so either the
+    * tombstone write happens-before the fence (and the retrain's listing
+    * includes it) or the delete observes the fence and throws for the
+    * caller to retry after the compaction. delete() also re-checks
+    * `_CURRENT` after its write, catching the fence-removed-but-flipped
+    * tail of the window. No schedule loses a tombstone silently.
     * CONSTRAINT (documented, spec-pinned contract): the deterministic
     * first-K centroid init reads vec_ids 0..K-1, so deleting a seed
     * vector requires a re-seeded rebuild rather than [[retrain]] — the
@@ -143,12 +145,33 @@ object StreamingIvf {
       .write
       .mode("overwrite")
       .parquet(s"$vdir/tombstones/d=$token")
+    // ORDER MATTERS: tombstone write first, fence check second (retrain
+    // fences first, reads second) — the happens-before pair that makes
+    // every interleaving either visible-to-retrain or loudly failed
+    val fs = Snapshots.fsOf(spark, new org.apache.hadoop.fs.Path(indexDir))
+    if (fs.exists(fencePath(indexDir)))
+      throw new IllegalStateException(
+        s"IVF delete raced a retrain: RETRAIN_FENCE is up at $indexDir, so the in-flight " +
+          "compaction may not see tombstones landed in v=" + v +
+          " — re-issue the delete once the retrain completes")
     val vAfter = currentVersion(spark, indexDir)
     if (vAfter != v)
       throw new IllegalStateException(
         s"IVF delete raced a retrain: tombstones landed in v=$v but _CURRENT is now v=$vAfter — " +
           "the compaction may not have seen them; re-issue the delete against the live snapshot")
   }
+
+  /** The retrain fence marker: present while a [[retrain]] is between
+    * its tombstone read and its pointer flip (plus cleanup). Content is
+    * the target version, so a stale fence (crashed retrain) is
+    * recognizable: target <= `_CURRENT` means the flip happened and only
+    * cleanup was lost; target == `_CURRENT`+1 means the retrain died
+    * before the flip and its partial `v=N+1` dir is garbage. Either way
+    * the next [[retrain]] heals it; delete() fails loudly while one is
+    * up (fail-stop beats a silently lost tombstone).
+    */
+  private def fencePath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "RETRAIN_FENCE")
 
   /** The live snapshot's accumulated tombstone ids, or None before the
     * first delete (and always None right after a [[retrain]] compaction).
@@ -216,7 +239,28 @@ object StreamingIvf {
     * ingest stream stopped.
     */
   def retrain(spark: SparkSession, indexDir: String): Unit = {
-    val v = currentVersion(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs   = Snapshots.fsOf(spark, root)
+    val v    = currentVersion(spark, indexDir)
+    // HEAL a stale fence (single-maintenance-writer contract: an existing
+    // fence can only be a crashed retrain's): target <= v means only
+    // cleanup was lost; target v+1 means it died before the flip — drop
+    // its partial snapshot dir and take over
+    val fence = fencePath(indexDir)
+    if (fs.exists(fence)) {
+      val in     = fs.open(fence)
+      val target = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt finally in.close()
+      if (target > v) fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, target)), true)
+      fs.delete(fence, false)
+      ()
+    }
+    // FENCE UP before the tombstone read (the happens-before half that
+    // pairs with delete()'s write-then-check): any delete that completed
+    // without observing this fence landed its dir before this point and
+    // the listing below includes it; any later delete fails loudly
+    val os = fs.create(fence, false)
+    try os.write((v + 1).toString.getBytes("UTF-8"))
+    finally os.close()
     // COMPACTION: tombstoned rows leave the index here — the new snapshot
     // trains and posts exactly the surviving set (bit-identical to a
     // fresh build over it) and starts with an empty tombstone set
@@ -225,10 +269,10 @@ object StreamingIvf {
       versionDir(indexDir, v),
       postings(spark, indexDir, v).select("vec_id", "embedding", "label"))
     writeSnapshot(spark, all, indexDir, v + 1)
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs   = Snapshots.fsOf(spark, root)
     Snapshots.writeCurrent(fs, root, v + 1, "ivf index")
     fs.delete(new org.apache.hadoop.fs.Path(versionDir(indexDir, v)), true)
+    fs.delete(fence, false)
+    ()
   }
 
   private def postings(spark: SparkSession, indexDir: String, v: Int): DataFrame =

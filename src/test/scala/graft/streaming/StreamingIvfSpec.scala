@@ -159,4 +159,37 @@ class StreamingIvfSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(deleted.forall(!posted(_)), "deleted ids must not be re-posted by the retrain")
   }
+
+  test("retrain fence: a delete racing the compaction fails loudly; a crashed fence heals") {
+    val dir = Files.createTempDirectory("streaming-ivf-fence").toString
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).select("vec_id", "embedding", "label")
+    StreamingIvf.buildIndex(emb, s"$dir/index")
+    import spark.implicits._
+
+    // 1. fence up (exactly what retrain raises before its tombstone
+    // read): a delete completing behind it must throw, not lose its ids
+    val fence = new java.io.File(s"$dir/index/RETRAIN_FENCE")
+    java.nio.file.Files.write(fence.toPath, "2".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      StreamingIvf.delete(spark, s"$dir/index", Seq(17L).toDF("vec_id"))
+    }
+    assert(ex.getMessage.contains("RETRAIN_FENCE"), s"loud fence failure expected: ${ex.getMessage}")
+    // the tombstone dir DID land (write-then-check order) — the retrain
+    // that raised the fence reads the listing after the fence, so it
+    // either saw this dir or the caller was told to retry; nothing silent
+
+    // 2. crashed-retrain healing: the fence targets v=2 and a partial
+    // v=2 dir exists; the next retrain must discard both and complete
+    new java.io.File(s"$dir/index/v=2/centroids").mkdirs()
+    StreamingIvf.retrain(spark, s"$dir/index")
+    assert(!fence.exists(), "retrain must lower its fence after the flip")
+    assert(StreamingIvf.currentVersion(spark, s"$dir/index") === 2)
+    // the healed snapshot is complete: probes answer and the partial
+    // centroids dir was rebuilt, not reused
+    val query = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    assert(StreamingIvf.probe(spark, s"$dir/index", query, k = 5).count() === 5)
+
+    // 3. post-retrain deletes succeed again (fence down, pointer stable)
+    StreamingIvf.delete(spark, s"$dir/index", Seq(17L).toDF("vec_id"))
+  }
 }

@@ -79,4 +79,54 @@ class StreamingSemDedupSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$store/census/v=1").exists, "retain-one reclaims v=1")
     assert(new java.io.File(s"$store/census/v=2").exists, "the prior census survives")
   }
+
+  test("foldEvery cadence: landing is per-batch, the derivation flips only at every Nth batch") {
+    val dir     = Files.createTempDirectory("streaming-semdedup-cadence").toString
+    val landing = s"$dir/landing"
+    val store   = s"$dir/sem"
+    val emb = graft.Tables
+      .embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding", "label")
+    val b1 = emb.filter(col("vec_id") < 200)
+    val b2 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val b3 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val b4 = emb.filter(col("vec_id") >= 400)
+
+    // three single-file batches at foldEvery=2: folds fire at batch 1
+    // only — the published tables are the batch build over batches 0..1
+    // (exact but stale), while ALL three batches are landed
+    Seq(b1, b2, b3).foreach(_.coalesce(1).write.mode("append").parquet(landing))
+    val q = StreamingSemDedup.ingest(
+      spark, landing, store, s"$dir/ckpt", maxFilesPerTrigger = Some(1), foldEvery = 2)
+    try {
+      q.processAllAvailable()
+      assert(StreamingSemDedup.currentVersion(spark, store) === Some(1),
+        "exactly one fold across batches 0..2 at foldEvery=2")
+      val (c12, d12) = batchPair(b1.unionByName(b2))
+      assert(rows(StreamingSemDedup.census(spark, store)) === c12,
+        "the published census is the batch build over every batch landed at fold time")
+      assert(rows(StreamingSemDedup.dropped(spark, store)) === d12)
+      val landed = spark.read
+        .option("basePath", s"$store/vecs").parquet(s"$store/vecs")
+        .select("vec_id").distinct().count()
+      assert(landed === b1.count() + b2.count() + b3.count(),
+        "landing never waits for the fold cadence")
+      // batch 3 completes the second fold group: the publish catches up
+      // to the full union
+      b4.coalesce(1).write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StreamingSemDedup.currentVersion(spark, store) === Some(2))
+    val (cu, du) = batchPair(emb)
+    assert(rows(StreamingSemDedup.census(spark, store)) === cu,
+      "the batch-3 fold publishes the batch build over all four landed batches")
+    assert(rows(StreamingSemDedup.dropped(spark, store)) === du)
+    // the stats trail records which batches folded
+    def folded(b: Int): Boolean = {
+      val j = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$store/stats/batch_id=$b")), "UTF-8")
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(j).get("folded").asBoolean
+    }
+    assert(!folded(0) && folded(1) && !folded(2) && folded(3), "fold flags follow the cadence")
+  }
 }
