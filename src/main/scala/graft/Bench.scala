@@ -132,6 +132,12 @@ object Bench {
     // comma-decimal locale would emit unparseable JSON
     def r3(d: Double): String =
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // Signed variant for DRIFT percentages: r3's negative-means-failed
+    // clamp is a timing convention, but drift is legitimately negative
+    // (an improvement) — r19's artifact printed warm drift of −4.8% as
+    // "-1", erasing the sign AND the magnitude.
+    def r3s(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // pass-1 per-query times: the no-silent-caps rule applied to the harness
@@ -261,7 +267,7 @@ object Bench {
       .map { case (n, v) => s"\"" + n + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3s(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3s(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"queries":$qs,"queries_cold":$qsCold,"queries_median":$qsMed,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
@@ -269,7 +275,7 @@ object Bench {
     println(s"""{"metric":"queries_cold","total_cold":${r3(totalCold)},"queries_cold":$qsCold,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_median","total_median":${r3(totalMedian)},"queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries_min","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"runs_done":$runsDone,"extra_top20_passes":$extra,"total_cold":${r3(totalCold)},"total_median":${r3(totalMedian)},"total_max":${r3(totalMax)},"spread_pct":${r3(spreadPct)},"total_same_queries":${r3(totalSame)},"prev_total_same_queries":${r3(prevTotalSame)},"drift_pct":${r3s(driftPct)},"total_cold_same_queries":${r3(totalColdSame)},"prev_total_cold_same_queries":${r3(prevTotalColdSame)},"cold_drift_pct":${r3s(coldDriftPct)},"n_regressions":${regressions.size},"regressions":$regressionsJson,"new_queries":$newQueriesJson,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,8 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_dedup_semantic",
     "q_dedup_semantic_cc",
     "q_corpus_funnel",
+    "q_corpus_ledger",
+    "q_pack_sequences",
     "q_graph_pagerank",
     "q_graph_trustrank",
     "q_graph_triangles",
@@ -117,7 +119,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "graph_seeded", "graph_community", "nb_scored", "textrank_scores", "bpe_merges",
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
-          "wordpiece_merges_even", "unigram_vocab_even", "corpus_funnel",
+          "wordpiece_merges_even", "unigram_vocab_even", "corpus_ledger",
           "seq_freq", "seq_freq_even", "semantic_cc").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
