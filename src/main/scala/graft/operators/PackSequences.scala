@@ -225,6 +225,65 @@ object PackSequences {
            |  token, n
            |FROM freq ORDER BY token_id LIMIT 500""".stripMargin
       }
+    ),
+    QueryDef(
+      "q_pack_tokens",
+      s"the PACKED SEQUENCES themselves, oracle-gated — [[emit]]'s fixed-$SeqLen token-id rows with the ids as a space-joined string, so the terminal product (not just its census/manifest) hash-verifies cross-engine: every id, every EOS placement, every pad, in every sequence position. DuckDB twin re-derives the frozen encode, the frequency-ranked vocab, the per-lang prefix sums and the div/mod chunking, then string_aggs the cells in offset order and appends the pad run. First 300 (lang, seq) rows — bounded, deterministic (ids fully determine the string)",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        emit(docs, Bpe.trainedMerges(s, dir), SeqLen)
+          .select(
+            col("lang"),
+            col("seq").cast("long").as("seq"),
+            concat_ws(" ", transform(col("token_ids"), x => x.cast("string"))).as("ids_str"),
+            col("n_tokens"),
+            col("n_pad"),
+            col("n_eos"))
+          .orderBy(col("lang"), col("seq"))
+          .limit(300)
+      },
+      Some {
+        val ctes = Bpe.trainCtesSql(Bpe.Rounds, "TRUE") ++ Bpe.encCtesSql(Bpe.Rounds, "TRUE")
+        s"""WITH ${ctes.mkString(",\n")},
+           |ptok AS (
+           |  SELECT d.doc_id, d.lang,
+           |    list_append(string_split(trim(e.s), ' '), '') AS toks
+           |  FROM documents d JOIN enc${Bpe.Rounds} e ON e.s0 = ' ' || d.text || ' '),
+           |freq AS (
+           |  SELECT tok AS token, cast(count(1) as bigint) AS n
+           |  FROM (SELECT unnest(toks) AS tok FROM ptok)
+           |  WHERE tok <> '' GROUP BY tok),
+           |vocab AS (
+           |  SELECT token, cast(row_number() OVER (ORDER BY n DESC, token) as int) AS id
+           |  FROM freq),
+           |pk AS (
+           |  SELECT doc_id, lang, toks, cast(len(toks) as bigint) AS cnt,
+           |    cast(coalesce(sum(cast(len(toks) as bigint)) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS start
+           |  FROM ptok),
+           |fan AS (
+           |  SELECT lang, start,
+           |    unnest(toks) AS tok,
+           |    unnest(range(1, len(toks) + 1)) AS ord
+           |  FROM pk),
+           |cells AS (
+           |  SELECT f.lang,
+           |    (f.start + f.ord - 1) // $SeqLen AS seq,
+           |    (f.start + f.ord - 1) % $SeqLen AS off,
+           |    CASE WHEN f.tok = '' THEN 0 ELSE v.id END AS id
+           |  FROM fan f LEFT JOIN vocab v ON v.token = f.tok),
+           |rows0 AS (
+           |  SELECT lang, cast(seq as bigint) AS seq,
+           |    string_agg(cast(id as varchar), ' ' ORDER BY off) AS ids0,
+           |    cast(count(1) as bigint) AS n_tokens,
+           |    cast($SeqLen - count(1) as bigint) AS n_pad,
+           |    cast(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) as bigint) AS n_eos
+           |  FROM cells GROUP BY lang, seq)
+           |SELECT lang, seq,
+           |  ids0 || repeat(' 0', cast(n_pad as int)) AS ids_str,
+           |  n_tokens, n_pad, n_eos
+           |FROM rows0 ORDER BY lang, seq LIMIT 300""".stripMargin
+      }
     )
   )
 

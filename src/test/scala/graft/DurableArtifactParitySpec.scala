@@ -52,6 +52,7 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_corpus_funnel",
     "q_corpus_ledger",
     "q_pack_sequences",
+    "q_pack_tokens",
     "q_graph_pagerank",
     "q_graph_trustrank",
     "q_graph_triangles",
