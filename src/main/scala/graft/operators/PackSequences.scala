@@ -64,9 +64,15 @@ object PackSequences {
     * (doc_id, lang, cnt). One frozen-vocab encode over the DISTINCT
     * texts, one join back to documents.
     */
-  private def encCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val enc  = Bpe.encodeWithMerges(Tables.fanout(docs), Bpe.trainedMerges(s, dir))
+  private def encCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    encCountsFrame(Tables.documents(s, dir), Bpe.trainedMerges(s, dir))
+
+  /** [[encCounts]] over an ARBITRARY (doc_id, lang, text) frame with a
+    * caller-supplied frozen merge table — the body the streaming twin
+    * ([[graft.streaming.StreamingPack]]) folds with.
+    */
+  private[graft] def encCountsFrame(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val enc = Bpe.encodeWithMerges(Tables.fanout(docs), merges)
     docs
       .select(col("doc_id"), col("lang"), concat(lit(" "), col("text"), lit(" ")).as("s0"))
       .join(enc, "s0")
@@ -75,6 +81,39 @@ object PackSequences {
         col("lang"),
         (size(split(col("enc"), " ")) + 1).cast("long").as("cnt")
       )
+  }
+
+  /** The `q_pack_sequences` census body over an arbitrary corpus frame:
+    * per-lang (n_docs, total_tokens, n_sequences, n_split_docs,
+    * pad_tokens, fill_ppm) under the frozen `merges` vocabulary — shared
+    * verbatim by the batch gate and the streaming twin, which is what
+    * makes the twin's published census bit-identical by construction.
+    */
+  private[graft] def censusFrame(docs: DataFrame, merges: DataFrame, seqLen: Int = SeqLen): DataFrame = {
+    val L = lit(seqLen.toLong)
+    positioned(encCountsFrame(docs, merges))
+      .withColumn(
+        "split_doc",
+        (expr(s"start div $seqLen") =!= expr(s"(start + cnt - 1) div $seqLen")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("cnt")).cast("long").as("total_tokens"),
+        sum(col("split_doc")).cast("long").as("n_split_docs")
+      )
+      .withColumn("n_sequences", expr(s"(total_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("pad_tokens", col("n_sequences") * L - col("total_tokens"))
+      .withColumn("fill_ppm", expr(s"(total_tokens * 1000000) div (n_sequences * $seqLen)"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("total_tokens"),
+        col("n_sequences"),
+        col("n_split_docs"),
+        col("pad_tokens"),
+        col("fill_ppm")
+      )
+      .orderBy(col("lang"))
   }
 
   /** (doc_id, lang, cnt, start): exclusive prefix sum of token counts
@@ -110,30 +149,7 @@ object PackSequences {
     QueryDef(
       "q_pack_sequences",
       s"tokenizer-aware sequence packing CENSUS — the terminal product of the training-data pipeline: per-lang streams of TRAINED-token-id docs (frozen ${Bpe.Rounds}-merge BPE apply, one EOS per doc) concat-and-chunk into fixed $SeqLen-token sequences; census = sequences produced, boundary-split docs, trailing pad, fill rate. Composes q_bpe_encode's map-only broadcast-merge fold with q_pack_shards' per-key exclusive prefix sum; everything after the encode is integer math (div/mod chunking, fill rate as parts-per-million integer division), so the gate is rounding-convention-free. Scale: one window prefix sum per lang partition + one groupBy — the census never explodes tokens",
-      (s, dir) => {
-        val L = lit(SeqLen.toLong)
-        positioned(encCounts(s, dir))
-          .withColumn("split_doc", (expr(s"start div $SeqLen") =!= expr(s"(start + cnt - 1) div $SeqLen")).cast("long"))
-          .groupBy(col("lang"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("cnt")).cast("long").as("total_tokens"),
-            sum(col("split_doc")).cast("long").as("n_split_docs")
-          )
-          .withColumn("n_sequences", expr(s"(total_tokens + ${SeqLen - 1}) div $SeqLen"))
-          .withColumn("pad_tokens", col("n_sequences") * L - col("total_tokens"))
-          .withColumn("fill_ppm", expr(s"(total_tokens * 1000000) div (n_sequences * $SeqLen)"))
-          .select(
-            col("lang"),
-            col("n_docs"),
-            col("total_tokens"),
-            col("n_sequences"),
-            col("n_split_docs"),
-            col("pad_tokens"),
-            col("fill_ppm")
-          )
-          .orderBy(col("lang"))
-      },
+      (s, dir) => censusFrame(Tables.documents(s, dir), Bpe.trainedMerges(s, dir), SeqLen),
       Some(s"""WITH $packCtesSql,
               |ag AS (
               |  SELECT lang, count(1) AS n_docs, cast(sum(cnt) as bigint) AS total_tokens,
