@@ -124,6 +124,30 @@ object Tables {
     }
   }
 
+  /** Keyed [[fanout]]: repartition by `keys` into the session's configured
+    * shuffle-partition count — the SAME exchange a downstream
+    * groupBy/distinct on those keys would create, minus AQE's byte-based
+    * coalescing. For compute-dense post-shuffle stages (tokenizer encode
+    * folds, Viterbi DP) AQE's coalescing is exactly wrong: it sizes the
+    * stage by shuffle BYTES, but these stages cost per ROW of compute, so
+    * a few-MB frame collapses to ONE task carrying seconds of work
+    * (measured r20: q_unigram_encode ran its whole DP in a single 1.6 s
+    * task). Because the downstream aggregation reuses this partitioning,
+    * the exchange count is UNCHANGED — this only pins the reducer count
+    * where AQE would have collapsed it. Mode-gated like [[fanout]]
+    * ("off" disables); at cluster data volumes the exchange this replaces
+    * would not have been coalesced anyway, so the plan is identical.
+    */
+  def fanoutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val sp   = df.sparkSession
+    val mode = sp.conf.get("spark.graft.fanout.mode", if (sp.sparkContext.isLocal) "force" else "auto")
+    if (mode == "off") df
+    else {
+      val n = sp.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      df.repartition(n, keys: _*)
+    }
+  }
+
   /** Materialize a frame that multiple downstream consumers (or an
     * iterative loop) will re-read, exactly once. Mode-gated via
     * `spark.graft.pin.mode` because the right mechanism differs by

@@ -241,8 +241,17 @@ object Bpe {
     val mrow = mergeTable.agg(
       array_sort(collect_list(struct(col("round"), col("a"), col("b")))).as("ms")
     )
-    docs
-      .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
+    // keyed fanout INTO the distinct: the fold below is compute-dense (R
+    // merges x 4 replace passes over every character of every distinct
+    // text), and AQE sizes the post-distinct stage by BYTES — at bench
+    // scale the few-MB distinct-text frame coalesces to ONE partition,
+    // serializing the whole encode on one core (measured r20: the encode
+    // ran as a single 1.6 s task). Repartitioning BY s0 pins the reducer
+    // count of the exchange the distinct needs anyway (AQE leaves user
+    // repartitions alone), so the fold runs fully parallel with ZERO
+    // extra exchanges.
+    Tables
+      .fanoutBy(docs.select(concat(lit(" "), col("text"), lit(" ")).as("s0")), col("s0"))
       .distinct()
       .crossJoin(broadcast(mrow))
       .select(

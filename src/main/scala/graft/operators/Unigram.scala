@@ -129,10 +129,8 @@ object Unigram {
     * (whole-stage codegen, O(1) per access). Returns (s, w, seg) with
     * seg the space-separated '_'-joined piece string.
     */
-  private[graft] def viterbiSegment(seqs: DataFrame, sc: DataFrame): DataFrame = {
-    val tok = tokFrame(seqs)
-    viterbiSegmentFrom(tok, posGramsFrame(tok), sc)
-  }
+  private[graft] def viterbiSegment(seqs: DataFrame, sc: DataFrame): DataFrame =
+    viterbiSegmentFrom(posGramsFrame(tokFrame(seqs)), sc)
 
   /** The tokenized (s, w, t) frame a segmentation pass folds over. */
   private def tokFrame(seqs: DataFrame): DataFrame =
@@ -148,9 +146,10 @@ object Unigram {
     */
   private def posGramsFrame(tok: DataFrame): DataFrame =
     tok
-      .select(col("s"), col("t"), explode(sequence(lit(1), size(col("t")))).as("pos"))
+      .select(col("s"), col("w"), col("t"), explode(sequence(lit(1), size(col("t")))).as("pos"))
       .select(
         col("s"),
+        col("w"),
         col("pos"),
         element_at(col("t"), col("pos")).as("g1"),
         when(
@@ -173,22 +172,42 @@ object Unigram {
     * frozen (g, li) score table — the per-round body of the EM loop and
     * of the held-out encode.
     */
-  private def viterbiSegmentFrom(tok: DataFrame, posGrams: DataFrame, sc: DataFrame): DataFrame = {
+  private def viterbiSegmentFrom(posGrams: DataFrame, sc: DataFrame): DataFrame = {
     def side(alias: String) =
       broadcast(sc.select(col("g").as(s"k_$alias"), col("li").as(s"li_$alias")))
-    val withArrays = posGrams
-      .join(side("1"), col("g1") === col("k_1"), "left")
-      .join(side("2"), col("g2") === col("k_2"), "left")
-      .join(side("3"), col("g3") === col("k_3"), "left")
+    // Two r20 reshapes of the regroup (measured: the whole DP ran as a
+    // single 1.6 s task before):
+    //  1. The regroup carries g1 (the position's own token) and w through
+    //     the shuffle, so the token array rebuilds from the regrouped
+    //     structs (t = transform(ps, g1)) — the former `.join(tok, "s")`
+    //     re-shuffle of the full-text token frame is GONE (one exchange
+    //     and one join removed; the g1 string was already flowing into
+    //     this exchange as the join probe key, so shuffle bytes barely
+    //     move).
+    //  2. fanoutBy(s) pins the regroup's OWN exchange at the session
+    //     shuffle-partition count: the post-shuffle stage runs the
+    //     compute-dense integer DP + backtrace, and AQE's byte-based
+    //     coalescing would collapse the few-MB array frame to ONE task.
+    //     No exchange is added — the groupBy below reuses the pinned
+    //     partitioning.
+    val withArrays = Tables
+      .fanoutBy(
+        posGrams
+          .join(side("1"), col("g1") === col("k_1"), "left")
+          .join(side("2"), col("g2") === col("k_2"), "left")
+          .join(side("3"), col("g3") === col("k_3"), "left"),
+        col("s")
+      )
       .groupBy(col("s"))
       .agg(
         sort_array(
           collect_list(
-            struct(col("pos"), col("li_1"), col("li_2"), col("li_3"))
+            struct(col("pos"), col("g1"), col("li_1"), col("li_2"), col("li_3"))
           )
-        ).as("ps")
+        ).as("ps"),
+        max(col("w")).as("w")
       )
-      .join(tok, "s")
+      .withColumn("t", transform(col("ps"), p => p.getField("g1")))
       // per-position candidate scores; l2/l3 are NULL where the position
       // cannot end a piece of that length OR the gram is out-of-vocab;
       // the unigram slot is never null — out-of-vocab tokens take the
@@ -274,7 +293,7 @@ object Unigram {
     val pg  = Tables.pin(posGramsFrame(tok))
     var uv  = Tables.pinIter(seedVocab(tok))
     for (_ <- 1 to rounds) {
-      val seg = viterbiSegmentFrom(tok, pg, scores(uv))
+      val seg = viterbiSegmentFrom(pg, scores(uv))
       val used = seg
         .select(col("w"), explode(split(col("seg"), " ")).as("g"))
         .groupBy(col("g"))
@@ -373,9 +392,21 @@ object Unigram {
     * and return the (s0, enc) mapping for [[Bpe.encodeReadout]].
     */
   private[graft] def encodeViterbi(docs: DataFrame, vocab: DataFrame): DataFrame =
+    // fanoutBy BEFORE the distinct: everything downstream of the
+    // distinct's exchange — explode, score joins, regroup, the integer
+    // DP + backtrace, even the readout join (documents broadcasts) —
+    // preserves s-partitioning and fuses into ONE post-shuffle stage, so
+    // whatever width THIS exchange lands at is the width of the whole
+    // encode. AQE's byte-based coalescing collapsed it to a single task
+    // (measured r20: one 1.5 s task carried the full Viterbi walk);
+    // pinning the distinct's own exchange at the session partition count
+    // restores parallelism with zero added exchanges.
     viterbiSegment(
-      docs
-        .select(concat(lit(" "), col("text"), lit(" ")).as("s"))
+      Tables
+        .fanoutBy(
+          docs.select(concat(lit(" "), col("text"), lit(" ")).as("s")),
+          col("s")
+        )
         .distinct()
         .withColumn("w", lit(1L)),
       vocab.select(col("g"), col("li"))

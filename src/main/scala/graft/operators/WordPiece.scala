@@ -209,8 +209,13 @@ object WordPiece {
         sort_array(collect_set(element_at(split(col("sym"), "_"), 1))).as("vheads"),
         sort_array(collect_set(size(split(col("sym"), "_")))).as("vlens")
       )
-    docs
-      .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
+    // keyed fanout into the distinct — the lmax probe + greedy fold are
+    // compute-dense per row, and AQE's byte-sized coalescing serializes
+    // them on one core at bench scale (the Bpe.encodeWithMerges finding);
+    // repartition BY s0 pins the distinct's own exchange instead of
+    // adding one
+    Tables
+      .fanoutBy(docs.select(concat(lit(" "), col("text"), lit(" ")).as("s0")), col("s0"))
       .distinct()
       .crossJoin(broadcast(vrow))
       .withColumn("t", split(trim(col("s0")), " "))
