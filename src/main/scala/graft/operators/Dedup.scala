@@ -62,7 +62,11 @@ object Dedup {
     "minhash_sigraw"    -> "doc_id",
     "minhash_pairs"     -> "doc_a",
     "simhash"           -> "doc_id",
-    "jaccard_shingles"  -> "doc_id"
+    "jaccard_shingles"  -> "doc_id",
+    "minhash_clusters"  -> "doc_id",
+    "pgrams13"          -> "doc_id",
+    "substr_dup"        -> "doc_id",
+    "winnow_sel"        -> "doc_id"
   )
 
   private def cached(s: org.apache.spark.sql.SparkSession, dir: String, name: String)(
@@ -187,6 +191,18 @@ object Dedup {
     */
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "minhash_pairs")(pairsFromSignatures(sigFrame(s, dir)))
+
+  /** The MinHash-cluster LABEL frame (doc_id, label) as a build-once
+    * artifact — r20 optimization: `q_dedup_clusters`, `q_dedup_survivors`
+    * and `q_dedup_keep_best` each re-ran the full pointer-doubling CC
+    * loop (~10 jobs: per-round pins + convergence sums) over the SAME
+    * cached pair frame on every call (measured: ~1.0 s per query per
+    * bench pass at sf0.1, three times over). The labels are a pure
+    * function of the pair artifact, exactly like the pairs are of the
+    * signatures — one more derivation step in the same build-once chain.
+    */
+  private[graft] def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached(s, dir, "minhash_clusters")(clusters(minhashPairs(s, dir)))
 
   /** Pathological-bucket cap for LSH pair generation. A band bucket is either
     * a genuine near-dup cluster (for which `cap` representatives are ample —
@@ -673,23 +689,19 @@ object Dedup {
   private[graft] def spanExtent(
       docs: org.apache.spark.sql.DataFrame,
       maxBucket: Int = MaxLshBucket
+  ): org.apache.spark.sql.DataFrame =
+    // gram key = 16-hex md5 prefix, the fixed-width-shuffle-key trick
+    // from the shingle frame; pos rides along for diagonals
+    spanExtentFromPg(pgramsBody(docs, 13), maxBucket)
+
+  /** [[spanExtent]] over an externally-supplied positional gram frame
+    * (the shared `pgrams13` artifact).
+    */
+  private[graft] def spanExtentFromPg(
+      pg: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = MaxLshBucket
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pg = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 13)
-      .select(
-        col("doc_id"),
-        // gram key = 16-hex md5 prefix, the fixed-width-shuffle-key trick
-        // from the shingle frame; pos rides along for diagonals
-        explode(
-          expr(
-            "transform(sequence(1, size(t) - 12), i -> " +
-              "named_struct('pos', i, 'g', substring(md5(concat_ws(' ', slice(t, i, 13))), 1, 16)))"
-          )
-        ).as("e")
-      )
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
     val m = cappedBucketPairs(pg, Seq(col("g")), struct(col("doc_id"), col("pos")),
         "graft.span_pairs", maxBucket)
       // cross-doc occurrence pairs only; sorted buckets give doc_a <= doc_b
@@ -911,12 +923,18 @@ object Dedup {
     * `min(struct)` first-occurrence aggregation (map-side partial combine
     * tames boilerplate grams), one join-back over the pinned gram stream.
     */
-  private[graft] def dupWindowStarts(
+  /** The positional gram stream (doc_id, pos, g) behind the whole
+    * exact-substring family: 16-hex md5 prefix of each `minLen`-token
+    * sliding window. One map-only explode — the single most expensive
+    * shared stage of the family, which is why the 13-gram instance is a
+    * build-once artifact ([[pgrams13Frame]]).
+    */
+  private[graft] def pgramsBody(
       docs: org.apache.spark.sql.DataFrame,
       minLen: Int
   ): org.apache.spark.sql.DataFrame = {
     val L = minLen
-    val pg = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= L)
       .select(
@@ -929,10 +947,15 @@ object Dedup {
         ).as("e")
       )
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
-      // referenced twice (first-occurrence agg AND the dup probe side):
-      // materialize the gram stream once or the corpus-wide explode runs
-      // twice — the transition-matrix lesson, applied here
-      .pin()
+  }
+
+  /** Duplicate window starts from an ALREADY-MATERIALIZED positional gram
+    * frame — the shared tail of [[dupWindowStarts]]: one `min(struct)`
+    * first-occurrence aggregation + the dup probe join back.
+    */
+  private[graft] def dupFromPgrams(
+      pg: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
     val first = pg
       .groupBy(col("g"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
@@ -941,11 +964,54 @@ object Dedup {
       .select(col("doc_id"), col("pos"))
   }
 
+  private[graft] def dupWindowStarts(
+      docs: org.apache.spark.sql.DataFrame,
+      minLen: Int
+  ): org.apache.spark.sql.DataFrame =
+    // referenced twice (first-occurrence agg AND the dup probe side):
+    // materialize the gram stream once or the corpus-wide explode runs
+    // twice — the transition-matrix lesson, applied here
+    dupFromPgrams(pgramsBody(docs, minLen).pin())
+
+  /** The 13-gram positional frame as a build-once artifact — r20
+    * optimization: `q_dedup_exact_substr`, `q_dedup_substr_runs` and
+    * `q_dedup_spans` each re-ran the corpus-wide window explode + md5 per
+    * call (measured ~0.5 s per query per pass at sf0.1). Same chain as
+    * the MinHash family: grams -> dup starts, each one more derivation
+    * over the previous artifact.
+    */
+  private def pgrams13Frame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached(s, dir, "pgrams13")(pgramsBody(Tables.fanout(Tables.documents(s, dir)), 13))
+
+  /** Duplicate 13-gram window starts as a build-once artifact (shared by
+    * the interval-union rewrite and the maximal-run decomposition).
+    */
+  private def dupStartsFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached(s, dir, "substr_dup")(dupFromPgrams(pgrams13Frame(s, dir)))
+
+  /** The winnow selected-fingerprint frame as a build-once artifact —
+    * shared by the census gate (`q_dedup_winnow`) and the matcher
+    * (`q_dedup_winnow_matches`), which each re-ran the gram explode +
+    * sliding-window min per call.
+    */
+  private def winnowSelFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    cached(s, dir, "winnow_sel")(winnowSelected(Tables.fanout(Tables.documents(s, dir)), k = 4, w = 5))
+
   private[graft] def exactSubstrDedup(
       docs: org.apache.spark.sql.DataFrame,
       minLen: Int = 13
+  ): org.apache.spark.sql.DataFrame =
+    exactSubstrFromDup(docs, dupWindowStarts(docs, minLen), minLen)
+
+  /** [[exactSubstrDedup]] over an externally-supplied duplicate-start
+    * frame — the tail the artifact-backed gate query reads, so the dup
+    * derivation is shared with `q_dedup_substr_runs` instead of re-run.
+    */
+  private[graft] def exactSubstrFromDup(
+      docs: org.apache.spark.sql.DataFrame,
+      dup: org.apache.spark.sql.DataFrame,
+      minLen: Int = 13
   ): org.apache.spark.sql.DataFrame = {
-    val dup = dupWindowStarts(docs, minLen)
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .join(exactSubstrCensus(dup, minLen), Seq("doc_id"), "left_outer")
@@ -984,9 +1050,18 @@ object Dedup {
   private[graft] def substrRuns(
       docs: org.apache.spark.sql.DataFrame,
       minLen: Int = 13
+  ): org.apache.spark.sql.DataFrame =
+    runsFromDup(dupWindowStarts(docs, minLen), minLen)
+
+  /** [[substrRuns]] over an externally-supplied duplicate-start frame
+    * (the shared `substr_dup` artifact).
+    */
+  private[graft] def runsFromDup(
+      dup: org.apache.spark.sql.DataFrame,
+      minLen: Int = 13
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    dupWindowStarts(docs, minLen)
+    dup
       .withColumn(
         "grp",
         col("pos") - row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
@@ -1057,7 +1132,15 @@ object Dedup {
       k: Int = 4,
       w: Int = 5
   ): org.apache.spark.sql.DataFrame =
-    winnowSelected(docs, k, w)
+    winnowCensusFromSel(winnowSelected(docs, k, w))
+
+  /** The per-doc winnow census over an externally-supplied selected-
+    * fingerprint frame (the shared `winnow_sel` artifact).
+    */
+  private[graft] def winnowCensusFromSel(
+      sel: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame =
+    sel
       .groupBy(col("doc_id"))
       .agg(
         max(col("ng")).cast("long").as("n_grams"),
@@ -1174,7 +1257,7 @@ object Dedup {
       "q_dedup_clusters",
       "near-dup clusters: EXACT connected components over MinHash candidate pairs (pointer-doubling label propagation, converges in O(log diameter) rounds) — cluster census; oracle is a recursive-CTE transitive closure, so the gate proves convergence, not a mirrored iteration count",
       (s, dir) =>
-        clusters(minhashPairs(s, dir))
+        clusterLabels(s, dir)
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_doc"))
           .orderBy(col("label")),
@@ -1186,7 +1269,7 @@ object Dedup {
       "q_dedup_survivors",
       "dedup survivor census — the filtered-corpus step: every doc not displaced by a smaller cluster label survives (one per near-dup cluster plus all untouched docs)",
       (s, dir) => {
-        val labels = clusters(minhashPairs(s, dir))
+        val labels = clusterLabels(s, dir)
         Tables
           .documents(s, dir)
           .select(col("doc_id"))
@@ -1280,7 +1363,7 @@ object Dedup {
       "q_dedup_keep_best",
       "QUALITY-AWARE survivor selection per near-dup cluster — what production pipelines actually keep (the min-id rule is deterministic but blind: it happily keeps the boilerplate-mangled copy and drops the clean one). Per cluster: the member with the highest composite quality score wins, ties to the smallest doc_id, plus a `changed` flag marking clusters where the quality rule picks a DIFFERENT survivor than the naive min-id rule. Scale shape: clusters come from the banded pair generator + pointer-doubling CC; quality is map-only; the argmax is a max(struct(quality, -doc_id)) aggregate — no per-cluster window sort; join cost is |clustered docs|, not the corpus",
       (s, dir) => {
-        val labels = clusters(minhashPairs(s, dir))
+        val labels = clusterLabels(s, dir)
         val q = TextAnalysis
           .qualityFrame(Tables.fanout(Tables.documents(s, dir)))
           .select(col("doc_id"), col("quality"))
@@ -1411,7 +1494,7 @@ object Dedup {
       "q_dedup_spans",
       "verbatim shared-span extent per doc pair (the exact-substring-dedup signal set similarity can't give: Jaccard says HOW MUCH overlaps, this says HOW LONG the longest verbatim run is): 13-token-window matches grouped on alignment diagonals (ib - ia), gaps-and-islands over window starts turns each maximal diagonal run of length L into a shared span of L+12 tokens — top-20 pairs by longest span. Scale: occurrence pairs come from bucket-grouped gram collection (never a gram self-join); the islands window partitions by (pair, diagonal) so no global sort; hot grams (boilerplate) are capped at MaxLshBucket occurrences with an observable drop metric (graft.span_pairs), mirrored rank<=cap in the oracle",
       (s, dir) =>
-        spanExtent(Tables.fanout(Tables.documents(s, dir)))
+        spanExtentFromPg(pgrams13Frame(s, dir))
           .orderBy(col("max_span").desc, col("doc_a"), col("doc_b"))
           .limit(20),
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1495,7 +1578,9 @@ object Dedup {
     QueryDef(
       "q_dedup_exact_substr",
       "TRUE exact-substring dedup (Lee et al. 2022): every duplicated >=13-token run is cut from all but its corpus-wide first occurrence — sliding windows, so a copied run STRADDLING q_dedup_segments' fixed 8-token boundaries is caught (spec-pinned). Scale: one window explode, first-occurrence = ONE min(struct) aggregation (map-side partial combine tames boilerplate grams), duplicated-token count = exact interval-union length via per-doc running-max window (no position explode), rewrite via a higher-order filter over each doc's own start list",
-      (s, dir) => exactSubstrDedup(Tables.fanout(Tables.documents(s, dir))).orderBy(col("doc_id")),
+      (s, dir) =>
+        exactSubstrFromDup(Tables.fanout(Tables.documents(s, dir)), dupStartsFrame(s, dir))
+          .orderBy(col("doc_id")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i FROM toks),
              |pg AS (SELECT doc_id, i AS pos, substring(md5(array_to_string(t[i:i+12], ' ')), 1, 16) AS g FROM idx),
@@ -1521,7 +1606,7 @@ object Dedup {
       "q_dedup_substr_runs",
       "maximal duplicated-RUN decomposition (Lee et al. 2022's per-run report, the suffix-array-grade view q_dedup_exact_substr's interval-union length deliberately collapses): a run is a maximal block of CONSECUTIVE duplicate 13-token window starts — a missing start breaks the run because its straddling window is unique, even when the overlapping intervals would merge in the union. Same one-explode + one-min(struct) first-occurrence upstream as the rewrite query; runs fall out of a per-doc gaps-and-islands over start positions (island = pos - row_number, one gram per doc position). Top-20 runs by (run_len desc, doc_id, run_start) — the 'what got copied and how much of it' audit artifact",
       (s, dir) =>
-        substrRuns(Tables.fanout(Tables.documents(s, dir)))
+        runsFromDup(dupStartsFrame(s, dir))
           .orderBy(col("run_len").desc, col("doc_id"), col("run_start"))
           .limit(20),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1541,7 +1626,7 @@ object Dedup {
     QueryDef(
       "q_dedup_winnow",
       "winnowing fingerprint selection (Schleimer et al. 2003 / MOSS): 4-token gram hashes, sliding window of 5, keep each window's min hash with ties to the RIGHTMOST position (min(struct(h, -p))) — guarantees any shared run of >= 8 tokens contributes a common fingerprint while keeping ~2/(w+1) of grams. Scale: one map-only gram explode, one doc-keyed contiguous window (O(w) state), per-doc census; fingerprints are the bucket-join artifact for matching. Census: grams, full windows, distinct selected fingerprints, density",
-      (s, dir) => winnowFrame(Tables.fanout(Tables.documents(s, dir))).orderBy(col("doc_id")).limit(300),
+      (s, dir) => winnowCensusFromSel(winnowSelFrame(s, dir)).orderBy(col("doc_id")).limit(300),
       Some("""WITH toks AS (
              |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
              |idx AS (SELECT doc_id, t, len(t) AS m, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS p
@@ -1566,7 +1651,7 @@ object Dedup {
       "q_dedup_winnow_matches",
       "winnow-fingerprint match pairs (the MOSS matcher): docs sharing >= 2 selected fingerprint HASHES, with overlap = shared / min(|fps_a|, |fps_b|) — near-1 overlap flags containment/duplication from the ~2/(w+1)-density fingerprint sets instead of full shingle sets (the whole point of winnowing: the joined frame is 3x smaller than the gram stream). Bucket-grouped pair counting with the standard MaxLshBucket cap + observable drop metric (graft.winnow_pairs), rank<=cap mirrored in the oracle; top-50 by shared count via TakeOrdered",
       (s, dir) => {
-        val fps = winnowSelected(Tables.fanout(Tables.documents(s, dir)), k = 4, w = 5)
+        val fps = winnowSelFrame(s, dir)
           .select(col("doc_id"), col("sel.h").as("h"))
           .distinct()
           // referenced twice (set sizes AND the pair generator): one
