@@ -366,7 +366,31 @@ object Multimodal {
       .orderBy(col("ah_a"), col("ah_b"))
   }
 
-  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+  private val pngTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val jpegTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val wavTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The synthesized media FIXTURE tables are build-once artifacts — r20
+    * optimization: every consumer (decode gate, header gates, fingerprint
+    * builds) re-ran the per-doc ImageIO/AudioSystem ENCODE on each call
+    * (measured: ~1 s per media query per bench pass at sf0.1), but the
+    * encode is corpus synthesis — the stand-in for reading real media
+    * files — not the decode/parse work the gates prove. The payload
+    * bytes are a pure function of `documents`, so they follow the same
+    * cachedIn discipline as the fingerprint tables derived from them;
+    * the gated work (ImageIO decode, header walks, PCM census) still
+    * executes per query over the materialized payloads.
+    */
+  def pngTable(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) pngTableBody(spark, dir)
+    else
+      graft.Artifacts.cachedIn(pngTableCache, spark, dir, "png_media", "doc_id")(
+        pngTableBody(spark, dir))
+
+  private def pngTableBody(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -402,7 +426,13 @@ object Multimodal {
     * the SOF0 frame header carrying precision/height/width — which is
     * exactly the 100 TB header-scan path.
     */
-  def jpegTable(spark: SparkSession, dir: String): DataFrame = {
+  def jpegTable(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) jpegTableBody(spark, dir)
+    else
+      graft.Artifacts.cachedIn(jpegTableCache, spark, dir, "jpeg_media", "doc_id")(
+        jpegTableBody(spark, dir))
+
+  private def jpegTableBody(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -480,7 +510,13 @@ object Multimodal {
     * `doc_id` — again deterministic so header-parse queries oracle against
     * the closed-form formulas.
     */
-  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+  def wavTable(spark: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) wavTableBody(spark, dir)
+    else
+      graft.Artifacts.cachedIn(wavTableCache, spark, dir, "wav_media", "doc_id")(
+        wavTableBody(spark, dir))
+
+  private def wavTableBody(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .fanout(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
