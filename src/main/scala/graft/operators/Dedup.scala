@@ -980,7 +980,7 @@ object Dedup {
     * the MinHash family: grams -> dup starts, each one more derivation
     * over the previous artifact.
     */
-  private def pgrams13Frame(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def pgrams13Frame(s: org.apache.spark.sql.SparkSession, dir: String) =
     cached(s, dir, "pgrams13")(pgramsBody(Tables.fanout(Tables.documents(s, dir)), 13))
 
   /** Duplicate 13-gram window starts as a build-once artifact (shared by

@@ -103,6 +103,20 @@ object Dsir {
       |    cast(cast(sum(lr.lr) as varchar) as double) AS logw
       |  FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)""".stripMargin
 
+  private val docwCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[docWeights]] as a build-once artifact — r20 optimization: both
+    * DSIR gates (the weight census and the Gumbel top-k selection) re-ran
+    * the corpus token explode + bucket LMs + per-doc weight sum on every
+    * call; the weight frame is a pure function of the corpus, exactly the
+    * trained-model-table shape the tokenizer merges and NB scores already
+    * cache.
+    */
+  private def docWeightsTable(s: SparkSession, dir: String): DataFrame =
+    if (Tables.noArtifactCache) docWeights(s, dir)
+    else graft.Artifacts.cachedIn(docwCache, s, dir, "dsir_docw", "doc_id")(docWeights(s, dir))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_dsir_weights",
@@ -112,7 +126,7 @@ object Dsir {
       // never round()ed (SCALE.md rule 3: rationals land on decimal
       // halves, where the engines' round() semantics diverge)
       (s, dir) =>
-        docWeights(s, dir)
+        docWeightsTable(s, dir)
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -134,7 +148,7 @@ object Dsir {
       (s, dir) => {
         val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("double") + lit(1.0)) / lit(4294967297.0)
-        docWeights(s, dir)
+        docWeightsTable(s, dir)
           .select(
             col("doc_id"),
             col("lang"),

@@ -178,19 +178,26 @@ object TextAnalysis {
     * [[lmScores]]); grams travel as 16-hex md5 prefixes (fixed-width
     * shuffle keys).
     */
-  private[graft] def noveltyScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 13)
-      .select(
-        col("doc_id"),
-        explode(
-          array_distinct(
-            expr("transform(sequence(1, size(t) - 12), i -> substring(md5(concat_ws(' ', slice(t, i, 13))), 1, 16))")
-          )
-        ).as("g")
-      )
-      .pin() // df count + join back both read it
+  private[graft] def noveltyScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    noveltyFromGrams(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 13)
+        .select(
+          col("doc_id"),
+          explode(
+            array_distinct(
+              expr("transform(sequence(1, size(t) - 12), i -> substring(md5(concat_ws(' ', slice(t, i, 13))), 1, 16))")
+            )
+          ).as("g")
+        )
+    )
+
+  /** [[noveltyScores]] over an externally-supplied per-doc DISTINCT gram
+    * frame (doc_id, g) — the tail the artifact-backed gate reads.
+    */
+  private[graft] def noveltyFromGrams(grams0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = grams0.pin() // df count + join back both read it
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     grams
       .join(df, "g")
@@ -622,7 +629,9 @@ object TextAnalysis {
     }
   )
 
-  val defs: Seq[QueryDef] = Seq(
+  // lazy: the list references the contamination defs declared further
+  // down the object body (kept next to their shared helpers)
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_langid",
       "heuristic language ID: stopword-hit argmax per doc (deterministic tie order), confusion counts vs labeled lang",
@@ -1159,6 +1168,31 @@ object TextAnalysis {
              |      FROM documents)
              |GROUP BY source ORDER BY source""".stripMargin)
     ),
+    contaminationNgramDef,
+    contaminationBloomDef
+  ) ++ defs2
+
+  private val contamGramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** The distinct (doc_id, split, g) 13-gram frame behind the
+    * decontamination checks — full-md5 grams, the GPT-3 convention.
+    */
+  private def contamGramDocs(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    toks
+      .select(
+        col("doc_id"),
+        col("split"),
+        explode(
+          when(
+            size(col("t")) >= 13,
+            expr("transform(sequence(0, size(t) - 13), i -> md5(concat_ws(' ', slice(t, i + 1, 13))))")
+          ).otherwise(expr("array()"))
+        ).as("g")
+      )
+      .distinct()
+
+  private val contaminationNgramDef: QueryDef =
     QueryDef(
       "q_contamination_ngram",
       "13-gram train/test contamination (the GPT-3-style decontamination check — whole-doc fingerprints miss partial copies): a test doc is contaminated if ANY of its 13-token windows appears in train. Grams carried as md5 (16-byte shuffle key); the gram-doc frame is materialized once and feeds both the train-gram set and the test semi-join",
@@ -1171,21 +1205,16 @@ object TextAnalysis {
             split(col("text"), " ").as("t"),
             when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split")
           )
-        val gramDocs = toks
-          .select(
-            col("doc_id"),
-            col("split"),
-            explode(
-              when(
-                size(col("t")) >= 13,
-                expr("transform(sequence(0, size(t) - 13), i -> md5(concat_ws(' ', slice(t, i + 1, 13))))")
-              ).otherwise(expr("array()"))
-            ).as("g")
-          )
-          .distinct()
-          // referenced twice below (train-gram set + test side): without the
-          // cut Catalyst re-runs the explode+distinct per reference
-          .pin()
+        // referenced twice below (train-gram set + test side), and a pure
+        // function of the corpus — a build-once artifact (r20: this was a
+        // per-call pin, so every bench pass re-ran the corpus-wide gram
+        // explode + distinct)
+        val gramDocs =
+          if (Tables.noArtifactCache)
+            Tables.pin(contamGramDocs(toks))
+          else
+            graft.Artifacts.cachedIn(contamGramsCache, s, dir, "contam_grams", "doc_id")(
+              contamGramDocs(toks))
         val trainGrams = gramDocs.filter(col("split") === "train").select(col("g")).distinct()
         val testGrams  = gramDocs.filter(col("split") === "test")
         val hits       = testGrams.join(trainGrams, Seq("g"), "left_semi")
@@ -1214,7 +1243,12 @@ object TextAnalysis {
              |  (SELECT count(DISTINCT doc_id) FROM teg JOIN trg USING (g)) AS n_contaminated,
              |  (SELECT count(1) FROM toks WHERE split = 'test') AS n_test_docs,
              |  (SELECT count(DISTINCT teg.g) FROM teg JOIN trg USING (g)) AS n_shared_grams""".stripMargin)
-    ),
+    )
+
+  private val bloomBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), Array[Byte]]()
+
+  private val contaminationBloomDef: QueryDef =
     QueryDef(
       "q_contamination_bloom",
       "bloom-prefiltered 13-gram decontamination (the GPT-3/Dolma production shape): build a self-describing Bloom filter over the SMALL side (the test/eval grams — one mergeable aggregate, a few MB of bits), broadcast it, and stream the HUGE side (every train gram) through a map-only probe — the train corpus is never shuffled; only the fpp-bounded candidate grams reach a shuffle, and an exact join against the test grams removes the false-positive residue. End-to-end EXACT, same oracle as q_contamination_ngram; at 100 TB this is the only shape that works — the unfiltered query must distinct-shuffle every gram of the full corpus",
@@ -1256,9 +1290,19 @@ object TextAnalysis {
         // COPY of the full filter (measured 2.5x slower than the
         // unfiltered query at sf0.1); as a literal, projection collapse
         // inlines it and codegen hoists it into one reference object.
+        // the filter bytes are a pure function of the corpus (a trained
+        // model table in miniature), so they are built once per
+        // (session, dir) — r20: the build was a full test-side explode +
+        // aggregate + driver collect on every call
         val testDocs = Tables.documents(s, dir).filter(b >= 230)
-        val bloomBytes =
+        def buildBloom =
           graft.streaming.StreamingPipelines.buildGramBloom(testDocs, numBits = 1 << 23, numHashes = 5)
+        val bloomBytes =
+          if (Tables.noArtifactCache) buildBloom
+          else {
+            bloomBytesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+            bloomBytesCache.computeIfAbsent((s, dir), _ => buildBloom)
+          }
         // train grams that might be test grams: candidates are exact on
         // the train side (they ARE train grams) and fpp-loose on the test
         // side — the equi-join against real test grams below removes that
@@ -1294,7 +1338,9 @@ object TextAnalysis {
              |  (SELECT count(DISTINCT doc_id) FROM teg JOIN trg USING (g)) AS n_contaminated,
              |  (SELECT count(1) FROM toks WHERE split = 'test') AS n_test_docs,
              |  (SELECT count(DISTINCT teg.g) FROM teg JOIN trg USING (g)) AS n_shared_grams""".stripMargin)
-    ),
+    )
+
+  private val defs2: Seq[QueryDef] = Seq(
     QueryDef(
       "q_contamination",
       "train/test contamination check: test-split docs whose normalized fingerprint also appears in the train split (semi-join on the dedup key — the eval-integrity preflight every LLM pipeline runs)",
@@ -1792,6 +1838,10 @@ object TextAnalysis {
     QueryDef(
       "q_text_novelty",
       "per-doc 13-gram novelty: share of a doc's distinct grams appearing in NO other doc — the corpus-redundancy QA metric (a post-dedup corpus should trend toward 1.0); bottom-20 docs by novelty = the residual-redundancy review queue. One gram explode materialized once (df count + join back), md5-prefix shuffle keys, exact long/long -> double division",
+      // NOT rebased onto the shared pgrams13 artifact (r20, measured):
+      // the artifact path needs a corpus-wide (doc_id, g) distinct
+      // SHUFFLE where this form's in-doc array_distinct dedups map-side
+      // before anything moves — 1.38 s -> 1.75 s, reverted
       (s, dir) =>
         noveltyScores(Tables.fanout(Tables.documents(s, dir)))
           .orderBy(col("novel_frac"), col("doc_id"))
