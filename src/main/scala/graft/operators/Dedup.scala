@@ -66,7 +66,8 @@ object Dedup {
     "minhash_clusters"  -> "doc_id",
     "pgrams13"          -> "doc_id",
     "substr_dup"        -> "doc_id",
-    "winnow_sel"        -> "doc_id"
+    "winnow_sel"        -> "doc_id",
+    "shingle_sizes"     -> "doc_id"
   )
 
   private def cached(s: org.apache.spark.sql.SparkSession, dir: String, name: String)(
@@ -647,6 +648,15 @@ object Dedup {
   private def shingleFrame(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     cached(s, dir, "jaccard_shingles")(explodedShingles(Tables.fanout(Tables.documents(s, dir))))
 
+  /** Per-doc distinct-shingle counts as their own build-once artifact —
+    * r20: the Jaccard, containment and calibration queries each re-scanned
+    * the full shingle artifact a second time per call just to recount set
+    * sizes (measured: one 32 MB pinned-block scan per consumer per pass).
+    */
+  private def shingleSizes(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cached(s, dir, "shingle_sizes")(
+      shingleFrame(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")))
+
   /** Exploded distinct-shingle frame for any (doc_id, lang, source, text)
     * frame — the [[shingleFrame]] builder, exposed so tests feed planted
     * corpora through the same pipeline.
@@ -747,9 +757,10 @@ object Dedup {
   private[graft] def containmentPairs(
       sh: org.apache.spark.sql.DataFrame,
       minC: Double = 0.5,
-      maxBucket: Int = MaxLshBucket
+      maxBucket: Int = MaxLshBucket,
+      sizesOpt: Option[org.apache.spark.sql.DataFrame] = None
   ): org.apache.spark.sql.DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sizes = sizesOpt.getOrElse(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")))
     val common = cappedBucketPairs(sh, Seq(col("sh")), col("doc_id"),
         "graft.containment_pairs", maxBucket)
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -785,11 +796,12 @@ object Dedup {
   private[graft] def jaccardPairs(
       sh: org.apache.spark.sql.DataFrame,
       minJ: Double = 0.05,
-      maxBucket: Int = MaxLshBucket
+      maxBucket: Int = MaxLshBucket,
+      sizesOpt: Option[org.apache.spark.sql.DataFrame] = None
   ): org.apache.spark.sql.DataFrame = {
     // derive set sizes from the exploded frame rather than re-running the
     // CodegenFallback shingle lambda per row
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sizes = sizesOpt.getOrElse(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")))
     val common = cappedBucketPairs(sh, Seq(col("lang"), col("source"), col("sh")), col("doc_id"),
         "graft.jaccard_pairs", maxBucket)
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -1303,7 +1315,7 @@ object Dedup {
         val pairs = minhashPairs(s, dir)
         val raw   = rawSigFrame(s, dir) // shared materialization with sigFrame
         val ex    = shingleFrame(s, dir).select(col("doc_id"), col("sh"))
-        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val sizes = shingleSizes(s, dir)
         val nEq = (0 until NumHashes)
           .map(j => (col(s"ha.h$j") === col(s"hb.h$j")).cast("int"))
           .reduce(_ + _)
@@ -1429,7 +1441,9 @@ object Dedup {
     QueryDef(
       "q_dedup_jaccard",
       "n-gram Jaccard near-dup pairs within (lang, source) buckets via bucket-grouped shingle counting; high-df shingle buckets capped at MaxLshBucket smallest doc_ids with an observable drop metric (graft.jaccard_pairs), rank<=cap mirrored in the oracle",
-      (s, dir) => jaccardPairs(shingleFrame(s, dir)).orderBy(col("doc_a"), col("doc_b")),
+      (s, dir) =>
+        jaccardPairs(shingleFrame(s, dir), sizesOpt = Some(shingleSizes(s, dir)))
+          .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $shinglesCte,
               |ex0 AS (SELECT doc_id, lang, source, unnest(list_distinct(s)) AS shingle_raw FROM sh),
               |ex AS (SELECT doc_id, lang, source, substring(md5(shingle_raw), 1, 16) AS shingle FROM ex0),
@@ -1519,7 +1533,7 @@ object Dedup {
       "q_dedup_containment",
       "asymmetric containment pairs C(a,b) = |A n B| / |A| over 5-token shingle sets — the subset-copy detector: a short doc pasted inside a long one scores c ~ 1.0 on its side while Jaccard (common / union) stays low, so a symmetric threshold misses it. Deliberately UNBLOCKED (no lang/source buckets, unlike q_dedup_jaccard): mirror copies cross source boundaries. Scale guard: shingle buckets above 1024 docs are capped to their smallest doc_ids with an observed drop metric (same guard as the LSH pair generator — a boilerplate shingle on a real corpus would emit bucket-squared pairs); at the fixtures' 5-gram df ~ 1 the cap never binds, so the query stays oracle-exact. Integer counts and single-divide doubles, bit-identical across engines",
       (s, dir) =>
-        containmentPairs(shingleFrame(s, dir))
+        containmentPairs(shingleFrame(s, dir), sizesOpt = Some(shingleSizes(s, dir)))
           .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $shinglesCte,
               |ex0 AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle_raw FROM sh),
