@@ -346,6 +346,26 @@ object Bpe {
       .orderBy(col("doc_id"))
       .limit(500)
 
+  private val encCorpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** The full-corpus frozen-vocab encode mapping (s0, enc) as a
+    * build-once artifact — r20 optimization: FIVE gate queries consume
+    * this identical mapping (q_bpe_encode and the whole pack family:
+    * census, manifest, vocab ids, packed rows), and each re-ran the
+    * R-merge x 4-replace fold over every distinct text per call. The
+    * mapping is a pure function of (corpus, trained merges) — one more
+    * derivation in the trained-tokenizer artifact chain.
+    */
+  private[graft] def encodedCorpus(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    def build = encodeWithMerges(Tables.fanout(Tables.documents(s, dir)), trainedMerges(s, dir))
+    if (Tables.noArtifactCache) build
+    else graft.Artifacts.cachedIn(encCorpusCache, s, dir, "bpe_enc", "s0")(build)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_bpe_merges",
@@ -365,7 +385,7 @@ object Bpe {
       (s, dir) =>
         encodeReadout(
           Tables.documents(s, dir),
-          encodeWithMerges(Tables.fanout(Tables.documents(s, dir)), trainedMerges(s, dir))
+          encodedCorpus(s, dir)
         ),
       Some {
         // the oracle has no artifact store: it re-derives m1..mR from the

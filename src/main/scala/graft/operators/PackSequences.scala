@@ -65,14 +65,18 @@ object PackSequences {
     * texts, one join back to documents.
     */
   private def encCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    encCountsFrame(Tables.documents(s, dir), Bpe.trainedMerges(s, dir))
+    // r20: read the shared bpe_enc artifact instead of re-running the
+    // encode fold per call (the Bpe.encodedCorpus rationale)
+    encCountsFromEnc(Tables.documents(s, dir), Bpe.encodedCorpus(s, dir))
 
   /** [[encCounts]] over an ARBITRARY (doc_id, lang, text) frame with a
     * caller-supplied frozen merge table — the body the streaming twin
     * ([[graft.streaming.StreamingPack]]) folds with.
     */
-  private[graft] def encCountsFrame(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val enc = Bpe.encodeWithMerges(Tables.fanout(docs), merges)
+  private[graft] def encCountsFrame(docs: DataFrame, merges: DataFrame): DataFrame =
+    encCountsFromEnc(docs, Bpe.encodeWithMerges(Tables.fanout(docs), merges))
+
+  private def encCountsFromEnc(docs: DataFrame, enc: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"), concat(lit(" "), col("text"), lit(" ")).as("s0"))
       .join(enc, "s0")
@@ -81,7 +85,6 @@ object PackSequences {
         col("lang"),
         (size(split(col("enc"), " ")) + 1).cast("long").as("cnt")
       )
-  }
 
   /** The `q_pack_sequences` census body over an arbitrary corpus frame:
     * per-lang (n_docs, total_tokens, n_sequences, n_split_docs,
@@ -89,9 +92,12 @@ object PackSequences {
     * verbatim by the batch gate and the streaming twin, which is what
     * makes the twin's published census bit-identical by construction.
     */
-  private[graft] def censusFrame(docs: DataFrame, merges: DataFrame, seqLen: Int = SeqLen): DataFrame = {
+  private[graft] def censusFrame(docs: DataFrame, merges: DataFrame, seqLen: Int = SeqLen): DataFrame =
+    censusOverCounts(encCountsFrame(docs, merges), seqLen)
+
+  private[graft] def censusOverCounts(counts: DataFrame, seqLen: Int): DataFrame = {
     val L = lit(seqLen.toLong)
-    positioned(encCountsFrame(docs, merges))
+    positioned(counts)
       .withColumn(
         "split_doc",
         (expr(s"start div $seqLen") =!= expr(s"(start + cnt - 1) div $seqLen")).cast("long"))
@@ -149,7 +155,7 @@ object PackSequences {
     QueryDef(
       "q_pack_sequences",
       s"tokenizer-aware sequence packing CENSUS — the terminal product of the training-data pipeline: per-lang streams of TRAINED-token-id docs (frozen ${Bpe.Rounds}-merge BPE apply, one EOS per doc) concat-and-chunk into fixed $SeqLen-token sequences; census = sequences produced, boundary-split docs, trailing pad, fill rate. Composes q_bpe_encode's map-only broadcast-merge fold with q_pack_shards' per-key exclusive prefix sum; everything after the encode is integer math (div/mod chunking, fill rate as parts-per-million integer division), so the gate is rounding-convention-free. Scale: one window prefix sum per lang partition + one groupBy — the census never explodes tokens",
-      (s, dir) => censusFrame(Tables.documents(s, dir), Bpe.trainedMerges(s, dir), SeqLen),
+      (s, dir) => censusOverCounts(encCounts(s, dir), SeqLen),
       Some(s"""WITH $packCtesSql,
               |ag AS (
               |  SELECT lang, count(1) AS n_docs, cast(sum(cnt) as bigint) AS total_tokens,
@@ -210,26 +216,11 @@ object PackSequences {
     QueryDef(
       "q_bpe_vocab_ids",
       s"trained-tokenizer VOCAB ID TABLE — the (token_id, token, n) mapping the packed sequences are expressed in: every distinct symbol of the frozen-${Bpe.Rounds}-merge encoded corpus, id = dense rank by (corpus frequency desc, symbol asc), id $EosId reserved for EOS/PAD. The frequency count weights each doc (the per-doc join fans the distinct-text encodes back out), so the ranking is the corpus's true token distribution, not the vocabulary's. Vocab-shaped output — the one global window runs over |vocab| rows, the merge-table discipline, never the corpus. First 500 ids",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val enc  = Bpe.encodeWithMerges(Tables.fanout(docs), Bpe.trainedMerges(s, dir))
-        val freq = docs
-          .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
-          .join(enc, "s0")
-          .select(explode(split(col("enc"), " ")).as("token"))
-          .groupBy(col("token"))
-          .agg(count(lit(1)).as("n"))
-        freq
-          .withColumn(
-            "token_id",
-            row_number()
-              .over(org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token")))
-              .cast("long")
-          )
-          .select(col("token_id"), col("token"), col("n"))
+      (s, dir) =>
+        vocabIdsTable(s, dir)
+          .select(col("id").cast("long").as("token_id"), col("token"), col("n"))
           .orderBy(col("token_id"))
-          .limit(500)
-      },
+          .limit(500),
       Some {
         val ctes = Bpe.trainCtesSql(Bpe.Rounds, "TRUE") ++ Bpe.encCtesSql(Bpe.Rounds, "TRUE")
         s"""WITH ${ctes.mkString(",\n")},
@@ -247,7 +238,7 @@ object PackSequences {
       s"the PACKED SEQUENCES themselves, oracle-gated — [[emit]]'s fixed-$SeqLen token-id rows with the ids as a space-joined string, so the terminal product (not just its census/manifest) hash-verifies cross-engine: every id, every EOS placement, every pad, in every sequence position. DuckDB twin re-derives the frozen encode, the frequency-ranked vocab, the per-lang prefix sums and the div/mod chunking, then string_aggs the cells in offset order and appends the pad run. First 300 (lang, seq) rows — bounded, deterministic (ids fully determine the string)",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
-        emit(docs, Bpe.trainedMerges(s, dir), SeqLen)
+        emitFromEnc(docs, Bpe.encodedCorpus(s, dir), vocabIdsTable(s, dir).select(col("token"), col("id")), SeqLen)
           .select(
             col("lang"),
             col("seq").cast("long").as("seq"),
@@ -322,9 +313,16 @@ object PackSequences {
     * never a window.
     */
   def emit(docs: DataFrame, merges: DataFrame, seqLen: Int = SeqLen): DataFrame = {
-    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val enc = Bpe.encodeWithMerges(docs, merges)
-    val vocab = docs
+    emitFromEnc(docs, enc, vocabOf(docs, enc).select(col("token"), col("id")), seqLen)
+  }
+
+  /** The frequency-ranked vocab id table (token, n, id) of an encoded
+    * corpus — id = dense rank by (n desc, token), ids start at 1
+    * ([[EosId]] = 0 reserved).
+    */
+  private[graft] def vocabOf(docs: DataFrame, enc: DataFrame): DataFrame =
+    docs
       .select(concat(lit(" "), col("text"), lit(" ")).as("s0"))
       .join(enc, "s0")
       .select(explode(split(col("enc"), " ")).as("token"))
@@ -334,7 +332,30 @@ object PackSequences {
         "id",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("token"))).cast("int")
       )
-      .select(col("token"), col("id"))
+
+  private val vocabIdsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** The corpus vocab-id table as a build-once artifact — shared by
+    * `q_bpe_vocab_ids` and the packed-row emitter (`q_pack_tokens`),
+    * which each re-derived the same frequency ranking per call.
+    */
+  private[graft] def vocabIdsTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def build = vocabOf(Tables.documents(s, dir), Bpe.encodedCorpus(s, dir))
+    if (Tables.noArtifactCache) build
+    else graft.Artifacts.cachedIn(vocabIdsCache, s, dir, "bpe_vocab", "id")(build)
+  }
+
+  /** [[emit]] over an externally-supplied encode mapping and vocab id
+    * table (the artifact-backed gate path).
+    */
+  private[graft] def emitFromEnc(
+      docs: DataFrame,
+      enc: DataFrame,
+      vocab: DataFrame,
+      seqLen: Int = SeqLen
+  ): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("doc_id"))
