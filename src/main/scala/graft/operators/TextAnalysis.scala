@@ -445,13 +445,21 @@ object TextAnalysis {
     * hapax legomena, which a log-log fit barely weighs). See SCALE.md
     * round-17 notes.
     */
-  private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def zipfFit(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    zipfFromCounts(
+      docs
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+    )
+
+  /** [[zipfFit]] over a prebuilt (tok, n) census (the tok_counts
+    * artifact, empty token filtered).
+    */
+  private[graft] def zipfFromCounts(counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .select(explode(tokens(col("text"))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("n"))
+    counts
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
       .agg(
         round(expr("regr_slope(ln(n), ln(rank))"), 4).as("zipf_slope"),
@@ -736,23 +744,13 @@ object TextAnalysis {
       "PMI collocation mining (Church & Hanks 1990) — the classic phrase-extraction readout ('new york', 'machine learning') a curation pipeline runs before vocabulary decisions: for adjacent token pairs with count >= 5, pointwise mutual information ln(P(ab) / (P(a)P(b))) computed as ONE ln over a single IEEE product/quotient of exactly-converted integer counts (c_ab*N*N / (c_a*c_b*M) — identical expression shape on both engines), ranked on the ROUNDED score (the tfidf convention: raw transcendentals can differ in the last ulp) with (a, b) tiebreak. Corpus stats (total tokens N, total bigrams M) ride one broadcast row; unigram and bigram counts are each one explode + map-side-combinable aggregation. Top-15 collocations",
       (s, dir) => {
         val docs = Tables.fanout(Tables.documents(s, dir))
-        val t    = tokens(col("text"))
-        val uni = Tables.pin(
-          docs.select(explode(t).as("tok")).groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        )
-        val bi = docs
-          .select(
-            explode(
-              when(
-                size(t) >= 2,
-                transform(
-                  sequence(lit(1), size(t) - 1),
-                  i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b"))
-                )
-              ).otherwise(array().cast("array<struct<a:string,b:string>>"))
-            ).as("p")
-          )
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        // r20: unigram counts ride the shared tok_counts artifact and the
+        // bigram counts derive from the shared lm_bgdoc artifact (bg =
+        // "a b" with space-free tokens, so the split is exact) — the two
+        // corpus explodes this query re-ran per call are gone
+        val uni = tokCountsTable(s, dir)
+        val bi = lmBgdocTable(s, dir)
+          .groupBy(col("w1").as("a"), element_at(split(col("bg"), " "), 2).as("b"))
           .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 5)
         // M (total bigrams) derives from the unigram totals instead of a
@@ -992,7 +990,11 @@ object TextAnalysis {
     QueryDef(
       "q_text_zipf",
       "Zipf-law fit — the corpus-health distributional check (natural text fits ln(freq) = a + s*ln(rank) with slope s ~ -1; synthetic/templated corpora flatten, boilerplate-heavy ones steepen): token census -> rank by frequency -> log-log linear regression via the same rounded regr_* aggregates as q_stat_regression (ln runs on INTEGER rank/count args, so per-row values agree across engines). The unpartitioned rank window runs over the VOCABULARY census only, never the token stream — vocab is corpus-sublinear (Heaps' law), so the single-partition sort is a post-aggregation frame at any corpus size",
-      (s, dir) => zipfFit(Tables.fanout(Tables.documents(s, dir))),
+      (s, dir) =>
+        // r20: reads the shared tok_counts artifact (empty-token filter
+        // commutes with the group key)
+        zipfFromCounts(
+          tokCountsTable(s, dir).filter(col("tok") =!= "").select(col("tok"), col("c").as("n"))),
       Some("""WITH toks AS (
              |  SELECT t AS tok FROM (
              |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -1261,6 +1263,33 @@ object TextAnalysis {
              |  (SELECT count(1) FROM toks WHERE split = 'test') AS n_test_docs,
              |  (SELECT count(DISTINCT teg.g) FROM teg JOIN trg USING (g)) AS n_shared_grams""".stripMargin)
     )
+
+  private val tokCountsCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  /** Corpus token-frequency census (tok, c) as a build-once artifact —
+    * r20: q_text_pmi, q_text_topwords and q_text_zipf each re-ran the
+    * corpus token explode + count per call; one cached aggregation (the
+    * Heaps'-law sublinear vocabulary frame) serves all three.
+    */
+  private[graft] def tokCountsTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    def build = Tables
+      .fanout(Tables.documents(s, dir))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    if (Tables.noArtifactCache) build
+    else graft.Artifacts.cachedIn(tokCountsCache, s, dir, "tok_counts", "tok")(build)
+  }
+
+  /** The lm_bgdoc artifact getter, shared by the LM-score and PMI gates
+    * (both consume the same exploded bigram frame).
+    */
+  private[graft] def lmBgdocTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    def bgdocB = lmBgdocOf(Tables.fanout(Tables.documents(s, dir)))
+    if (Tables.noArtifactCache) Tables.pin(bgdocB)
+    else graft.Artifacts.cachedIn(lmBgdocCache, s, dir, "lm_bgdoc", "doc_id")(bgdocB)
+  }
 
   private val lmBgdocCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
@@ -1795,10 +1824,7 @@ object TextAnalysis {
         // treatment); only the per-doc scoring join runs per call. The
         // join is keyed-fanout'd so the compute-dense decimal aggregation
         // is not AQE-coalesced onto one task.
-        def bgdocB = lmBgdocOf(Tables.fanout(Tables.documents(s, dir)))
-        val bgdoc =
-          if (Tables.noArtifactCache) Tables.pin(bgdocB)
-          else graft.Artifacts.cachedIn(lmBgdocCache, s, dir, "lm_bgdoc", "doc_id")(bgdocB)
+        val bgdoc = lmBgdocTable(s, dir)
         val terms =
           if (Tables.noArtifactCache) lmTermsOf(bgdoc)
           else graft.Artifacts.cachedIn(lmTermsCache, s, dir, "lm_terms", "bg")(lmTermsOf(bgdoc))
@@ -1909,11 +1935,9 @@ object TextAnalysis {
       "q_text_topwords",
       "corpus token frequencies: explode + count (classic map-side-combine aggregation)",
       (s, dir) =>
-        Tables
-          .fanout(Tables.documents(s, dir))
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word"))
-          .agg(count(lit(1)).as("n"))
+        // r20: reads the shared tok_counts artifact
+        tokCountsTable(s, dir)
+          .select(col("tok").as("word"), col("c").as("n"))
           .orderBy(col("n").desc, col("word"))
           .limit(25),
       Some("""SELECT word, count(1) AS n FROM (
