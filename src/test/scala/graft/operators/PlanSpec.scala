@@ -267,9 +267,12 @@ class PlanSpec extends AnyFunSuite {
       "documents must not be re-scanned: the checkpointed bigram frame is the only source")
     assert(countNodes(df, "Generate") === 0,
       "the explode happened in the one-time materialization, never per reference")
-    assert(countNodes(df, "Scan ExistingRDD") === 4,
-      "one read of the big bigram frame (per-doc join) + three of the tiny " +
-        "distinct-bigram count frame (term join, context counts, vocab)")
+    // r20: the bigram frame AND the trained term table are build-once
+    // artifacts — the per-call plan is one read of each (the three term
+    // derivation reads moved into the one-time lm_terms build)
+    assert(countNodes(df, "Scan ExistingRDD") === 2,
+      "one read of the bigram-frame artifact (per-doc join) + one of the " +
+        "trained term-table artifact")
   }
 
   test("q_sample_temperature: tiny stats broadcast both ways; ONE documents scan in the executed query") {
@@ -348,7 +351,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_dedup_spans: one documents scan, islands from one partitioned window, top-k without global sort") {
     val df = q("q_dedup_spans")
-    assert(countNodes(df, "Scan parquet") === 1, "the positioned-gram frame comes from ONE documents scan")
+    // r20: the positioned-gram frame is the shared pgrams13 artifact
+    // (one explode serves exact_substr / substr_runs / spans), so the
+    // per-call plan scans NO parquet at all
+    assert(countNodes(df, "Scan parquet") === 0,
+      "the positioned-gram frame comes from the shared pgrams13 artifact, never a re-scan")
     // 1 islands window (pair, diagonal)-partitioned + 2 from the shared
     // capped-bucket pre-cap rank filter (row_number rank + true-size count
     // carry different window specs, so Spark plans them as two operators)
@@ -588,11 +595,13 @@ class PlanSpec extends AnyFunSuite {
   test("zipf/heaps corpus fits: one token explode feeds the whole pipeline") {
     // the token explode is the expensive map fan-out; counts, first-seen
     // steps and the log-log fit must all derive from ONE Generate — a
-    // second explode doubles the corpus-size stage
-    for (name <- Seq("q_text_zipf", "q_text_heaps")) {
-      val generates = countNodes(q(name), "Generate")
-      assert(generates === 1, s"$name: expected a single explode, got $generates")
-    }
+    // second explode doubles the corpus-size stage. r20: zipf's census
+    // rides the shared tok_counts artifact, so its per-call plan carries
+    // ZERO explodes (the one Generate lives in the artifact build).
+    assert(countNodes(q("q_text_zipf"), "Generate") === 0,
+      "q_text_zipf: the census comes from the tok_counts artifact, never a re-explode")
+    val generates = countNodes(q("q_text_heaps"), "Generate")
+    assert(generates === 1, s"q_text_heaps: expected a single explode, got $generates")
   }
 
   test("q_dedup_source_matrix: pair->source joins never carry text across an exchange") {
@@ -758,10 +767,15 @@ class PlanSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // r20: the per-doc weight frame is the build-once dsir_docw
+      // artifact — the per-call plan aggregates its read-back, so the
+      // lr-table broadcast now lives in the one-time build. The invariant
+      // that survives per call: the weight frame is served (no documents
+      // re-scan) and no per-doc frame ever broadcasts.
       val nodes = allNodes(executed(q("q_dsir_weights")))
-      val bcasts = nodes.filter(_.nodeName.contains("BroadcastExchange"))
-      assert(bcasts.nonEmpty, "the 64-row lr-table hint must survive")
-      bcasts.foreach { b =>
+      assert(countNodes(q("q_dsir_weights"), "Scan parquet") === 0,
+        "per-doc weights come from the dsir_docw artifact, never a corpus re-scan")
+      nodes.filter(_.nodeName.contains("BroadcastExchange")).foreach { b =>
         val cols = b.output.map(_.name.toLowerCase)
         assert(!cols.contains("doc_id"),
           s"a per-doc frame must never broadcast in DSIR: ${cols.mkString(",")}")
