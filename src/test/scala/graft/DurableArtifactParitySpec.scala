@@ -90,7 +90,33 @@ class DurableArtifactParitySpec extends AnyFunSuite {
     "q_multimodal_ahash",
     "q_multimodal_ahash_pairs",
     "q_multimodal_ahash_clusters",
-    "q_multimodal_audio_fp"
+    "q_multimodal_audio_fp",
+    // r20 optimization round: gates rebased onto new build-once artifacts
+    // (cluster labels, gram frames, winnow selections, media fixtures,
+    // trained LM/centroid/vocab tables) — durable replay must stay
+    // bit-identical for every one of them
+    "q_embed_dbscan",
+    "q_dedup_exact_substr",
+    "q_dedup_substr_runs",
+    "q_dedup_spans",
+    "q_dedup_winnow",
+    "q_dedup_winnow_matches",
+    "q_dedup_containment",
+    "q_multimodal_png_decode",
+    "q_multimodal_png_header",
+    "q_multimodal_jpeg_header",
+    "q_multimodal_wav_meta",
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_contamination_ngram",
+    "q_contamination_bloom",
+    "q_sim_label_margin",
+    "q_text_lm_score",
+    "q_text_pmi",
+    "q_text_topwords",
+    "q_text_zipf",
+    "q_bpe_vocab_ids",
+    "q_pack_sequences_rows"
   )
 
   test("dedup + IVF family: durable-artifact runs are bit-identical to the local-checkpoint path") {
@@ -121,7 +147,12 @@ class DurableArtifactParitySpec extends AnyFunSuite {
           "wordpiece_merges", "unigram_vocab", "ahash_fp",
           "ahash_clusters", "audio_fp", "bpe_merges_even",
           "wordpiece_merges_even", "unigram_vocab_even", "corpus_ledger",
-          "seq_freq", "seq_freq_even", "semantic_cc").foreach { artifact =>
+          "seq_freq", "seq_freq_even", "semantic_cc",
+          // r20 optimization-round artifacts
+          "minhash_clusters", "embed_dbscan", "pgrams13", "substr_dup",
+          "winnow_sel", "shingle_sizes", "png_media", "jpeg_media",
+          "wav_media", "dsir_docw", "contam_grams", "sim_label_cents",
+          "lm_bgdoc", "lm_terms", "tok_counts", "bpe_enc", "bpe_vocab").foreach { artifact =>
         assert(new java.io.File(s"${artifactPath(artifact)}/_SUCCESS").exists,
           s"expected committed durable artifact $artifact under $root")
       }
